@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators: the Timestream dialect surface of the reference,
+  * re-expressed as Spark-native plans.
+  *
+  * Reference semantics (all `/root/reference` unless noted):
+  *  - CREATE_TIME_SERIES(time, value): timestream-queries/queries.txt:4-9,36-39
+  *  - SEQUENCE(min(time), max(time), step): queries.txt:6,26,38
+  *  - INTERPOLATE_LINEAR(ts, grid): queries.txt:4-6,24-26
+  *  - INTERPOLATE_LOCF(ts, grid): queries.txt:7-9,27-29
+  *  - CROSS JOIN UNNEST(series) AS t (time, value): queries.txt:16-17
+  *  - flagship composite: queries.txt:2-19
+  *
+  * Design note (scale): the interpolation path deliberately avoids the
+  * array-per-group representation for execution. Collecting a sensor's whole
+  * history into one array row caps scalability at per-key memory; instead we
+  * union the grid points with the observations and resolve previous/next
+  * observation per grid point with frame-bounded window functions. That is
+  * one hash-partition shuffle + one sort per key — the same shape Spark uses
+  * for any windowed analytic — and streams arbitrarily long per-key history.
+  * The array form (`createTimeSeries`) is still provided for API fidelity
+  * (UNNEST round-trips, SQL dialect), just not on the hot path.
+  */
+object TimeSeries {
+
+  /** T1 — CREATE_TIME_SERIES as an aggregate Column: ordered
+    * array<struct<time,value>> per group. Use inside groupBy().agg().
+    */
+  def createTimeSeries(time: Column, value: Column): Column =
+    array_sort(collect_list(struct(time.as("time"), value.as("value"))))
+
+  /** T2 — SEQUENCE(min,max,step) as an aggregate Column producing the
+    * regular grid spanning the group's observed range. `step` is a SQL
+    * interval body, e.g. "1 HOUR", "30 SECONDS".
+    */
+  def sequenceGrid(time: Column, step: String): Column =
+    sequence(min(time), max(time), expr(s"INTERVAL $step"))
+
+  /** T5 — UNNEST a series column back to (time, value) rows. */
+  def unnestSeries(df: DataFrame, series: String, timeCol: String, valueCol: String): DataFrame =
+    df.withColumn("_ts_elem", explode(col(series)))
+      .withColumn(timeCol, col("_ts_elem.time"))
+      .withColumn(valueCol, col("_ts_elem.value"))
+      .drop("_ts_elem", series)
+
+  /** Parameters for grid interpolation over a long-format table. */
+  final case class GridParams(
+      key: String,
+      time: String,
+      value: String,
+      status: String,
+      step: String)
+
+  /** T2+T3+T4 fused: for each key, build the regular grid
+    * [min(time), max(time)] with `step`, linearly interpolate `value` onto
+    * it (INTERPOLATE_LINEAR) and carry the last `status` forward onto it
+    * (INTERPOLATE_LOCF).
+    *
+    * Output columns: key, "time" (grid instant), "temperature" (interpolated
+    * double), "status" (LOCF string).
+    *
+    * Implementation: union(observations, grid) → per-key window:
+    *   prev/next observation via last/first(ignoreNulls) with
+    *   unbounded-preceding / unbounded-following frames. Observations sort
+    *   before grid points at equal timestamps (is_grid tiebreak) so an
+    *   exact grid hit interpolates to the observed value and LOCF picks the
+    *   co-timed observation, matching Timestream semantics.
+    */
+  def interpolateOnGrid(df: DataFrame, p: GridParams): DataFrame = {
+    val obs = df.select(
+      col(p.key).as("_k"),
+      col(p.time).as("_t"),
+      col(p.value).cast("double").as("_v"),
+      col(p.status).cast("string").as("_s"),
+      lit(0).as("_g"))
+
+    val grid = df
+      .groupBy(col(p.key).as("_k"))
+      .agg(sequence(min(col(p.time)), max(col(p.time)), expr(s"INTERVAL ${p.step}")).as("_grid"))
+      .select(col("_k"), explode(col("_grid")).as("_t"),
+        lit(null).cast("double").as("_v"), lit(null).cast("string").as("_s"),
+        lit(1).as("_g"))
+
+    val base = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_g"))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val obsTime = when(col("_v").isNotNull, col("_t"))
+    val annotated = obs.unionByName(grid)
+      .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(wPrev))
+      .withColumn("_pt", last(obsTime, ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(col("_v"), ignoreNulls = true).over(wNext))
+      .withColumn("_nt", first(obsTime, ignoreNulls = true).over(wNext))
+      .withColumn("_locf", last(col("_s"), ignoreNulls = true).over(wPrev))
+
+    // v = pv + (nv - pv) * (t - pt) / (nt - pt), micros integer deltas.
+    // Edges: pt == nt ⇔ grid point coincides with the only observation in
+    // range; nt null ⇔ grid point ties with the final observation (which
+    // sorts before it, emptying the following frame) → carry pv; pt null
+    // symmetric (only possible with null-valued leading observations).
+    val interp = when(col("_pt") === col("_nt"), col("_pv"))
+      .when(col("_nt").isNull, col("_pv"))
+      .when(col("_pt").isNull, col("_nv"))
+      .otherwise(
+        col("_pv") + (col("_nv") - col("_pv")) *
+          (unix_micros(col("_t")) - unix_micros(col("_pt"))) /
+          (unix_micros(col("_nt")) - unix_micros(col("_pt"))))
+
+    annotated
+      .filter(col("_g") === 1)
+      .select(
+        col("_k").as(p.key),
+        col("_t").as("time"),
+        interp.as("temperature"),
+        col("_locf").as("status"))
+  }
+
+  /** T9 — the flagship composite (queries.txt:2-19): interpolate both
+    * series onto the grid, flatten, re-aggregate per (key, grid instant)
+    * with min(status) / avg(temperature) exactly as the reference query
+    * does after its double UNNEST + time equi-join.
+    */
+  def flagship(df: DataFrame, p: GridParams): DataFrame = {
+    interpolateOnGrid(df, p)
+      .groupBy(col(p.key), col("time"))
+      .agg(
+        min(col("status")).as("status"),
+        graft.functions.Arith.r2(avg(col("temperature"))).as("temperature"))
+      .orderBy(col(p.key), col("time"))
+  }
+
+  /** T7 — BIN(time, step): truncate a timestamp to a fixed-width bucket.
+    * Grafana panels: grafana-dashboard/grafanaTimeSeriesre_Inventdemo.json:121,392,518.
+    * Integer micros math keeps it exact and codegen-friendly.
+    */
+  def bin(time: Column, stepSeconds: Long): Column =
+    timestamp_micros(floor(unix_micros(time) / (stepSeconds * 1000000L)).cast("long") * (stepSeconds * 1000000L))
+
+  /** T8 — ago(interval body), e.g. ago("15 MINUTES"). */
+  def ago(step: String): Column =
+    current_timestamp() - expr(s"INTERVAL $step")
+}

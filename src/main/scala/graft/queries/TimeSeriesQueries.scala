@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.operators.TimeSeries
+import graft.operators.TimeSeries.GridParams
+import graft.functions.Arith
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the time-series operator family (SURVEY.md
+  * §2.3). The reference's sensor stream maps onto the driver `events` table
+  * (FIXTURES.md §C): user_id→sensor_id, ts→time, value→temperature,
+  * event_type→status. Grid step is 1 hour (the reference's 1 s grid over a
+  * 15-minute window scaled to this table's 30-day span; granularity is an
+  * explicit knob in the reference, mwaa/datawrangler/airflow-query.py:30-32).
+  */
+object TimeSeriesQueries {
+
+  private val P = GridParams(key = "user_id", time = "ts", value = "value",
+    status = "event_type", step = "1 HOUR")
+
+  /** Window-formulated interpolation, shared by the t3/t4/t9 oracles.
+    * Must match TimeSeries.interpolateOnGrid exactly: same tiebreak
+    * (observations before grid at equal t), same micros integer math,
+    * same operator order in the interpolation formula.
+    */
+  private val oracleGridCte: String =
+    """WITH obs AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS v, event_type AS s FROM events
+      |), unioned AS (
+      |  SELECT user_id, t, v, s, 0 AS is_grid FROM obs
+      |  UNION ALL
+      |  SELECT user_id, unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)), NULL, NULL, 1
+      |    FROM (SELECT user_id, min(t) AS tmin, max(t) AS tmax FROM obs GROUP BY user_id)
+      |), win AS (
+      |  SELECT user_id, t, is_grid,
+      |    last_value(v IGNORE NULLS) OVER pw AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER pw AS pt,
+      |    first_value(v IGNORE NULLS) OVER nw AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER nw AS nt,
+      |    last_value(s IGNORE NULLS) OVER pw AS locf
+      |  FROM unioned
+      |  WINDOW pw AS (PARTITION BY user_id ORDER BY t, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         nw AS (PARTITION BY user_id ORDER BY t, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |), gridded AS (
+      |  SELECT user_id, t AS time,
+      |    CASE WHEN pt = nt THEN pv
+      |         WHEN nt IS NULL THEN pv
+      |         WHEN pt IS NULL THEN nv
+      |         ELSE pv + (nv - pv) * (epoch_us(t) - epoch_us(pt)) / (epoch_us(nt) - epoch_us(pt)) END AS temperature,
+      |    locf AS status
+      |  FROM win WHERE is_grid = 1
+      |)
+      |""".stripMargin
+
+  def defs: Seq[QDef] = Seq(
+
+    // T9 — flagship composite: queries.txt:2-19.
+    QDef(
+      "t9_flagship",
+      (s, dir) => TimeSeries.flagship(Tables.events(s, dir), P),
+      Some(oracleGridCte +
+        """SELECT user_id, time, min(status) AS status,
+          |       floor(avg(temperature) * 100 + 0.5) / 100.0 AS temperature
+          |FROM gridded GROUP BY user_id, time
+          |ORDER BY user_id, time""".stripMargin),
+      headline = true),
+
+    // T3 — INTERPOLATE_LINEAR alone (queries.txt:23-26).
+    QDef(
+      "t3_interp_linear",
+      (s, dir) => TimeSeries.interpolateOnGrid(Tables.events(s, dir), P)
+        .select(col("user_id"), col("time"), Arith.r2(col("temperature")).as("temperature"))
+        .orderBy(col("user_id"), col("time")),
+      Some(oracleGridCte +
+        """SELECT user_id, time, floor(temperature * 100 + 0.5) / 100.0 AS temperature
+          |FROM gridded ORDER BY user_id, time""".stripMargin)),
+
+    // T4 — INTERPOLATE_LOCF alone (queries.txt:27-29); string series.
+    QDef(
+      "t4_interp_locf",
+      (s, dir) => TimeSeries.interpolateOnGrid(Tables.events(s, dir), P)
+        .select(col("user_id"), col("time"), col("status"))
+        .orderBy(col("user_id"), col("time")),
+      Some(oracleGridCte +
+        """SELECT user_id, time, status
+          |FROM gridded ORDER BY user_id, time""".stripMargin)),
+
+    // T1+T5 — CREATE_TIME_SERIES then UNNEST round-trip (queries.txt:36-39
+    // built, :16-17 flattened). Checks ordered array<struct> semantics.
+    QDef(
+      "t1_series_roundtrip",
+      (s, dir) => {
+        val series = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(TimeSeries.createTimeSeries(col("ts"), col("value")).as("series"))
+        TimeSeries.unnestSeries(series, "series", "time", "value")
+          .select(col("user_id"), col("time"), col("value"))
+          .orderBy(col("user_id"), col("time"), col("value"))
+      },
+      Some(
+        """SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value
+          |FROM events ORDER BY user_id, time, value""".stripMargin)),
+
+    // T2 — SEQUENCE grid alone (queries.txt:6).
+    QDef(
+      "t2_sequence_grid",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(TimeSeries.sequenceGrid(col("ts"), "1 HOUR").as("grid"))
+        .select(col("user_id"), explode(col("grid")).as("time"))
+        .orderBy(col("user_id"), col("time")),
+      Some(
+        """SELECT user_id, unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)) AS time
+          |FROM (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS tmin, max(CAST(ts AS TIMESTAMP)) AS tmax
+          |      FROM events GROUP BY user_id)
+          |ORDER BY user_id, time""".stripMargin)),
+
+    // T7+A4+O2 — BIN(time, 1h) + max per (sensor, bin), ranked; the
+    // Grafana "max temperature per bin" panel (grafana…json:518,614).
+    QDef(
+      "t7_bin_max",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), TimeSeries.bin(col("ts"), 3600L).as("time_bin"))
+        .agg(max(col("value")).as("max_value"), count(lit(1)).as("n"))
+        .orderBy(desc("max_value"), col("user_id"), col("time_bin")),
+      Some(
+        """SELECT user_id,
+          |       make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000) AS time_bin,
+          |       max(value) AS max_value, count(*) AS n
+          |FROM events GROUP BY user_id, time_bin
+          |ORDER BY max_value DESC, user_id, time_bin""".stripMargin)),
+
+    // A5 — avg / exact p90 / p75 per 1-day bin (grafana…json:392 uses
+    // APPROX_PERCENTILE; exact percentile here so the oracle can match
+    // bit-for-bit — both engines use linear interpolation on (n-1)*p).
+    QDef(
+      "a5_percentile_bins",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(TimeSeries.bin(col("ts"), 86400L).as("time_bin"))
+        .agg(
+          Arith.r2(avg(col("value"))).as("avg_value"),
+          Arith.r2(percentile_approx(col("value"), lit(0.9), lit(10000)).cast("double")).as("p90"),
+          Arith.r2(percentile_approx(col("value"), lit(0.75), lit(10000)).cast("double")).as("p75"))
+        .orderBy(col("time_bin")),
+      None), // approx sketch differs from DuckDB's; exact variant below is the oracle-checked one
+
+    // Exact continuous percentile, formulated identically in both engines
+    // (rank windows + linear interpolation at pos = p*(n-1)) so the compare
+    // is bit-exact — builtin `percentile` vs `quantile_cont` differ in
+    // float op order and can flip a round(_,2) boundary.
+    QDef(
+      "a5_percentile_exact",
+      (s, dir) => {
+        val binned = Tables.events(s, dir)
+          .select(TimeSeries.bin(col("ts"), 86400L).as("time_bin"), col("value"))
+        val w = Window.partitionBy(col("time_bin")).orderBy(col("value"))
+        val wAll = Window.partitionBy(col("time_bin"))
+        val ranked = binned
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+        def pct(p: Double, alias: String) = {
+          val pos = lit(p) * (col("n") - 1)
+          val k = floor(pos)
+          val lo = min(when(col("rn") === k + 1, col("value")))
+          val hi = min(when(col("rn") === k + 2, col("value")))
+          Arith.r2(lo + (max(pos) - max(k)) * (coalesce(hi, lo) - lo)).as(alias)
+        }
+        ranked.groupBy(col("time_bin"))
+          .agg(Arith.r2(avg(col("value"))).as("avg_value"), pct(0.9, "p90"), pct(0.75, "p75"))
+          .orderBy(col("time_bin"))
+      },
+      Some(
+        """WITH binned AS (
+          |  SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000) AS time_bin, value
+          |  FROM events
+          |), ranked AS (
+          |  SELECT time_bin, value,
+          |         row_number() OVER (PARTITION BY time_bin ORDER BY value) AS rn,
+          |         count(*) OVER (PARTITION BY time_bin) AS n
+          |  FROM binned
+          |)
+          |SELECT time_bin, floor(avg(value) * 100 + 0.5) / 100.0 AS avg_value,
+          |  floor((min(CASE WHEN rn = floor(0.9 * (n - 1)) + 1 THEN value END)
+          |    + (max(0.9 * (n - 1)) - max(floor(0.9 * (n - 1))))
+          |    * (coalesce(min(CASE WHEN rn = floor(0.9 * (n - 1)) + 2 THEN value END),
+          |                min(CASE WHEN rn = floor(0.9 * (n - 1)) + 1 THEN value END))
+          |       - min(CASE WHEN rn = floor(0.9 * (n - 1)) + 1 THEN value END))) * 100 + 0.5) / 100.0 AS p90,
+          |  floor((min(CASE WHEN rn = floor(0.75 * (n - 1)) + 1 THEN value END)
+          |    + (max(0.75 * (n - 1)) - max(floor(0.75 * (n - 1))))
+          |    * (coalesce(min(CASE WHEN rn = floor(0.75 * (n - 1)) + 2 THEN value END),
+          |                min(CASE WHEN rn = floor(0.75 * (n - 1)) + 1 THEN value END))
+          |       - min(CASE WHEN rn = floor(0.75 * (n - 1)) + 1 THEN value END))) * 100 + 0.5) / 100.0 AS p75
+          |FROM ranked GROUP BY time_bin
+          |ORDER BY time_bin""".stripMargin))
+  )
+}

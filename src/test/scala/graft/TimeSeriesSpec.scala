@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.TimeSeries
+import graft.operators.TimeSeries.GridParams
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val P = GridParams("k", "t", "v", "s", "1 MINUTE")
+
+  private def obs(rows: (String, String, Double, String)*) =
+    rows.toSeq.map { case (k, t, v, s) => (k, ts(t), v, s) }.toDF("k", "t", "v", "s")
+
+  test("linear interpolation fills the midpoint of a gap") {
+    val df = obs(
+      ("a", "2024-01-01 00:00:00", 10.0, "OK"),
+      ("a", "2024-01-01 00:02:00", 30.0, "OK"))
+    val out = TimeSeries.interpolateOnGrid(df, P)
+      .orderBy("time").collect()
+    assert(out.map(_.getAs[Double]("temperature")).toSeq == Seq(10.0, 20.0, 30.0))
+  }
+
+  test("exact grid hits return the observed value, not an interpolation") {
+    val df = obs(
+      ("a", "2024-01-01 00:00:00", 5.0, "OK"),
+      ("a", "2024-01-01 00:01:00", 99.0, "WARNING"),
+      ("a", "2024-01-01 00:02:00", 7.0, "OK"))
+    val out = TimeSeries.interpolateOnGrid(df, P).orderBy("time").collect()
+    assert(out.map(_.getAs[Double]("temperature")).toSeq == Seq(5.0, 99.0, 7.0))
+    assert(out.map(_.getAs[String]("status")).toSeq == Seq("OK", "WARNING", "OK"))
+  }
+
+  test("single observation yields a single grid point carrying the value") {
+    val df = obs(("a", "2024-01-01 00:00:30", 42.0, "ERROR"))
+    val out = TimeSeries.interpolateOnGrid(df, P).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("temperature") == 42.0)
+    assert(out(0).getAs[String]("status") == "ERROR")
+  }
+
+  test("LOCF carries the last seen status across unobserved grid points") {
+    val df = obs(
+      ("a", "2024-01-01 00:00:00", 1.0, "WARNING"),
+      ("a", "2024-01-01 00:03:00", 4.0, "OK"))
+    val out = TimeSeries.interpolateOnGrid(df, P).orderBy("time").collect()
+    assert(out.map(_.getAs[String]("status")).toSeq ==
+      Seq("WARNING", "WARNING", "WARNING", "OK"))
+  }
+
+  test("groups are independent (no cross-sensor leakage)") {
+    val df = obs(
+      ("a", "2024-01-01 00:00:00", 0.0, "OK"),
+      ("a", "2024-01-01 00:01:00", 10.0, "OK"),
+      ("b", "2024-01-01 00:00:00", 100.0, "ERROR"))
+    val out = TimeSeries.interpolateOnGrid(df, P)
+    assert(out.filter($"k" === "b").count() == 1)
+    assert(out.filter($"k" === "a").agg(max("temperature")).head().getDouble(0) == 10.0)
+  }
+
+  test("interpolated values stay within observed bounds (linearity invariant)") {
+    val df = Tables.events(spark, sf("sf0.001"))
+    val p = GridParams("user_id", "ts", "value", "event_type", "1 HOUR")
+    val bounds = df.groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val bad = TimeSeries.interpolateOnGrid(df, p)
+      .join(bounds, "user_id")
+      .filter($"temperature" < $"lo" - 1e-9 || $"temperature" > $"hi" + 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("bin truncates to the bucket start") {
+    val df = Seq(Tuple1(ts("2024-01-01 10:17:45"))).toDF("t")
+    val out = df.select(TimeSeries.bin($"t", 3600L).as("b")).head().getTimestamp(0)
+    assert(out == ts("2024-01-01 10:00:00"))
+  }
+
+  test("createTimeSeries orders by time and unnest round-trips") {
+    val df = obs(
+      ("a", "2024-01-01 00:02:00", 2.0, "OK"),
+      ("a", "2024-01-01 00:00:00", 0.0, "OK"),
+      ("a", "2024-01-01 00:01:00", 1.0, "OK"))
+    val series = df.groupBy("k").agg(TimeSeries.createTimeSeries($"t", $"v").as("series"))
+    val flat = TimeSeries.unnestSeries(series, "series", "time", "value")
+    assert(flat.orderBy("time").select("value").as[Double].collect().toSeq == Seq(0.0, 1.0, 2.0))
+  }
+}
