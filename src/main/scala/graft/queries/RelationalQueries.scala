@@ -1,3 +1,214 @@
 package graft.queries
-import graft.QDef
-object RelationalQueries { def defs: Seq[QDef] = Seq() }
+
+import graft.{QDef, Tables}
+import graft.functions.Arith
+import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
+
+/** Scalar / aggregation / join / sort-limit operators (SURVEY.md §2.2,
+  * §2.4-2.6) over the TPC-H-ish tables and `events`.
+  *
+  * Float discipline: sums of money-like doubles are accumulated as
+  * DECIMAL — exact and therefore independent of partial-aggregation
+  * order, which matters both for oracle parity and for deterministic
+  * results on a real cluster — then cast to double for output.
+  */
+object RelationalQueries {
+
+  def defs: Seq[QDef] = Seq(
+
+    // P1-P13 packed scan: filter (P3/P5), projection+alias (P2), casts
+    // (P7), substring guard (P8), rounding (P9), concat_ws (P10),
+    // arithmetic (P11), CASE WHEN (P12), partition-key formatting (P13).
+    QDef(
+      "p_scan_scalar",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between(lit("1995-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")) && col("l_returnflag") === "N")
+        .filter(substring(col("l_shipdate").cast("string"), 1, 2) === "19")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("line_no"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("history"),
+          Arith.r2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"),
+          when(col("l_quantity") > 40, "HIGH")
+            .when(col("l_quantity") > 20, "MED")
+            .otherwise("LOW").as("qty_band"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm").as("partition_key"))
+        .orderBy(col("l_orderkey"), col("line_no")),
+      Some(
+        """SELECT l_orderkey,
+          |       CAST(l_linenumber AS BIGINT) AS line_no,
+          |       concat_ws('-', l_returnflag, l_linestatus) AS history,
+          |       floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS disc_price,
+          |       CASE WHEN l_quantity > 40 THEN 'HIGH'
+          |            WHEN l_quantity > 20 THEN 'MED'
+          |            ELSE 'LOW' END AS qty_band,
+          |       strftime(l_shipdate, '%Y-%m-%dT%H:%M') AS partition_key
+          |FROM lineitem
+          |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+          |  AND l_returnflag = 'N'
+          |  AND substr(CAST(l_shipdate AS VARCHAR), 1, 2) = '19'
+          |ORDER BY l_orderkey, line_no""".stripMargin)),
+
+    // A1/A2-shape pricing summary (TPC-H Q1 on this schema): exact
+    // decimal accumulation, double output. Bench headline.
+    QDef(
+      "q1_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+          |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // A3 — status histogram pivoted to columns via CASE, per day bin
+    // (grafana…json:337).
+    QDef(
+      "a3_status_hist",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(TimeSeries.bin(col("ts"), 86400L).as("day"))
+        .agg(
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("day")),
+      Some(
+        """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000) AS day,
+          |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+          |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+          |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+          |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+          |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+          |  count(*) AS n_total
+          |FROM events GROUP BY day ORDER BY day""".stripMargin)),
+
+    // S4+A6 — wide→narrow unpivot (the Timestream storage model,
+    // app.py:54-67) then narrow→wide reconstruction via MAX(CASE)
+    // (grafana…json:121).
+    QDef(
+      "a6_narrow_pivot_roundtrip",
+      (s, dir) => {
+        val narrow = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, 'discount', l_discount)")
+            .as(Seq("measure_name", "measure_value")))
+        narrow.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(
+            max(when(col("measure_name") === "quantity", col("measure_value"))).as("quantity"),
+            max(when(col("measure_name") === "extendedprice", col("measure_value"))).as("extendedprice"),
+            max(when(col("measure_name") === "discount", col("measure_value"))).as("discount"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(
+        """WITH narrow AS (
+          |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure_name, l_quantity AS measure_value FROM lineitem
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+          |)
+          |SELECT l_orderkey, l_linenumber,
+          |  max(CASE WHEN measure_name = 'quantity' THEN measure_value END) AS quantity,
+          |  max(CASE WHEN measure_name = 'extendedprice' THEN measure_value END) AS extendedprice,
+          |  max(CASE WHEN measure_name = 'discount' THEN measure_value END) AS discount
+          |FROM narrow GROUP BY l_orderkey, l_linenumber
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // J1+J2+J5 — the Athena enrichment view shape (README.md:430-444):
+    // fact enriched through two small dimensions; dims auto-broadcast.
+    QDef(
+      "j_enrichment_view",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .filter(col("c_acctbal") > 0)
+          .select(
+            col("c_custkey"),
+            col("c_name"),
+            col("n_name").as("nation"),
+            col("r_name").as("region"),
+            Arith.r2(col("c_acctbal")).as("acctbal"),
+            concat_ws("-", col("c_mktsegment"), col("n_name")).as("segment_key"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(
+        """SELECT c_custkey, c_name, n_name AS nation, r_name AS region,
+          |       floor(c_acctbal * 100 + 0.5) / 100.0 AS acctbal,
+          |       concat_ws('-', c_mktsegment, n_name) AS segment_key
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE c_acctbal > 0
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // J1/J2 at fact scale — revenue per nation (orders ⋈ customer ⋈
+    // nation), exact decimal accumulation. Bench headline.
+    QDef(
+      "j_orders_revenue",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(desc("revenue"), col("nation"))
+      },
+      Some(
+        """SELECT n_name AS nation,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_orders
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, nation""".stripMargin),
+      headline = true),
+
+    // O2+O3 — top-k with a unique tiebreak: Catalyst plans
+    // TakeOrderedAndProject (no global sort).
+    QDef(
+      "o_topk_values",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(desc("value"), col("event_id"))
+        .limit(10),
+      Some(
+        """SELECT event_id, user_id, value
+          |FROM events ORDER BY value DESC, event_id LIMIT 10""".stripMargin))
+  )
+}
