@@ -1,3 +1,171 @@
 package graft.queries
-import graft.QDef
-object TextQueries { def defs: Seq[QDef] = Seq() }
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * (builder brief): token counting, quality scoring, language-ID
+  * heuristic, content fingerprinting, and the multimodal binary-column
+  * plumbing. All pure column expressions (codegen'd, no UDFs); every
+  * formula is spelled identically in the DuckDB oracle.
+  *
+  * Parity notes: DuckDB 1.0 lacks regexp_count → len(regexp_extract_all)
+  * on both sides via Spark's regexp_count (same RE2-safe patterns);
+  * rolling hashes build the char-code list with an explicit
+  * generate_series/sequence so neither engine's split('') edge cases
+  * (trailing empties) are involved; all accumulators are BIGINT.
+  */
+object TextQueries {
+
+  /** occurrences of `m` in text via length arithmetic — identical
+    * integer math in both engines. */
+  private def occ(m: String) =
+    (length(col("text")) - length(regexp_replace(col("text"), m, ""))) / m.length
+
+  private def occSql(m: String) =
+    s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}"
+
+  def defs: Seq[QDef] = Seq(
+
+    // Token counting: whitespace tokens + word-regex tokens + a BPE-ish
+    // segmentation (letter runs / digit runs / single specials).
+    QDef(
+      "x_text_tokens",
+      (s, dir) => Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("word_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpeish_tokens"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") /
+            regexp_count(col("text"), lit("[a-z0-9]+"))).as("avg_word_len"))
+        .orderBy(col("doc_id")),
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens,
+          |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          |    / len(regexp_extract_all(text, '[a-z0-9]+')) AS avg_word_len
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length band, stopword ratio, alpha ratio —
+    // the length/punct/stopword heuristics of pretraining-data filters.
+    QDef(
+      "x_text_quality",
+      (s, dir) => {
+        val words = regexp_count(col("text"), lit("[a-z0-9]+")).cast("double")
+        val stops = (occ(" the ") + occ(" a ") + occ(" of ")).cast("double")
+        val alpha = regexp_count(col("text"), lit("[a-z]")).cast("double") / length(col("text"))
+        val lenScore = least(words / 100.0, lit(1.0))
+        val score = lenScore * 0.4 + least(stops / words * 10.0, lit(1.0)) * 0.3 + alpha * 0.3
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            words.cast("long").as("n_words"),
+            (floor(stops / words * 10000 + lit(0.5)) / 10000.0).as("stop_ratio_x10k"),
+            (floor(alpha * 10000 + lit(0.5)) / 10000.0).as("alpha_ratio"),
+            (floor(score * 10000 + lit(0.5)) / 10000.0).as("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE) AS words,
+           |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} AS DOUBLE) AS stops,
+           |    CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text) AS alpha
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  CAST(words AS BIGINT) AS n_words,
+           |  floor(stops / words * 10000 + 0.5) / 10000.0 AS stop_ratio_x10k,
+           |  floor(alpha * 10000 + 0.5) / 10000.0 AS alpha_ratio,
+           |  floor((least(words / 100.0, 1.0) * 0.4
+           |       + least(stops / words * 10.0, 1.0) * 0.3
+           |       + alpha * 0.3) * 10000 + 0.5) / 10000.0 AS quality_score
+           |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID: marker-word scoring with deterministic precedence.
+    // (The synthetic corpus shares one vocabulary across `lang` values,
+    // so the interesting property is the scoring pipeline, not recall.)
+    QDef(
+      "x_lang_id",
+      (s, dir) => {
+        val en = occ(" the ") + occ(" a ")
+        val fr = occ(" le ") + occ(" et ")
+        val de = occ(" der ") + occ(" und ")
+        val es = occ(" el ") + occ(" los ")
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"), col("lang").as("labeled_lang"),
+            en.cast("long").as("s_en"), fr.cast("long").as("s_fr"),
+            de.cast("long").as("s_de"), es.cast("long").as("s_es"),
+            when(greatest(en, fr, de, es) === 0, "und")
+              .when(en >= greatest(fr, de, es), "en")
+              .when(fr >= greatest(de, es), "fr")
+              .when(de >= es, "de")
+              .otherwise("es").as("predicted_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val (en, fr, de, es) = (
+          s"${occSql(" the ")} + ${occSql(" a ")}",
+          s"${occSql(" le ")} + ${occSql(" et ")}",
+          s"${occSql(" der ")} + ${occSql(" und ")}",
+          s"${occSql(" el ")} + ${occSql(" los ")}")
+        s"""SELECT doc_id, lang AS labeled_lang,
+           |  CAST($en AS BIGINT) AS s_en, CAST($fr AS BIGINT) AS s_fr,
+           |  CAST($de AS BIGINT) AS s_de, CAST($es AS BIGINT) AS s_es,
+           |  CASE WHEN greatest($en, $fr, $de, $es) = 0 THEN 'und'
+           |       WHEN $en >= greatest($fr, $de, $es) THEN 'en'
+           |       WHEN $fr >= greatest($de, $es) THEN 'fr'
+           |       WHEN $de >= $es THEN 'de'
+           |       ELSE 'es' END AS predicted_lang
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Content fingerprinting: cryptographic (md5) + rolling polynomial
+    // hash (mod 1e9+7) built from an explicit char-position sequence.
+    QDef(
+      "x_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("content_md5"),
+          expr("""aggregate(
+                 |  transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint)),
+                 |  0L, (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin).as("rolling_hash"))
+        .orderBy(col("doc_id")),
+      Some(
+        """SELECT doc_id, md5(text) AS content_md5,
+          |  list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(generate_series(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+          |    (a, c) -> (a * 31 + c) % 1000000007) AS rolling_hash
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata +
+    // deterministic fake "decode" (real decode is stubbed — see
+    // operators/Multimodal.scala; this query checks the schema/bytes
+    // path: utf-8 encode, octet length, sha2-256, derived dimensions).
+    QDef(
+      "x_multimodal_meta",
+      (s, dir) => Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("payload_bytes"),
+          sha2(encode(col("text"), "utf-8"), 256).as("payload_sha256"),
+          ((ascii(substring(col("text"), 1, 1)) % 64 + 1) * 16).cast("long").as("fake_width"),
+          ((col("n_chars") % 64 + 1) * 16).cast("long").as("fake_height"),
+          (col("n_chars") % 10 + 1).cast("long").as("fake_frames"))
+        .orderBy(col("doc_id")),
+      Some(
+        """SELECT doc_id,
+          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,
+          |  sha256(text) AS payload_sha256,
+          |  CAST((ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS BIGINT) AS fake_width,
+          |  CAST((n_chars % 64 + 1) * 16 AS BIGINT) AS fake_height,
+          |  CAST(n_chars % 10 + 1 AS BIGINT) AS fake_frames
+          |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
