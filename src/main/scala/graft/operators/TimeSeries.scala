@@ -85,7 +85,12 @@ object TimeSeries {
         lit(null).cast("double").as("_v"), lit(null).cast("string").as("_s"),
         lit(1).as("_g"))
 
-    val base = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_g"))
+    // _v as final sort key: duplicate (key, ts) observations would
+    // otherwise make prev/next nondeterministic across runs/engines.
+    // asc_nulls_first matches the oracle's explicit NULLS FIRST (grid
+    // rows carry null _v; DuckDB defaults to NULLS LAST on ASC).
+    val base = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_g"), col("_v").asc_nulls_first)
     val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
@@ -135,10 +140,14 @@ object TimeSeries {
 
   /** T7 — BIN(time, step): truncate a timestamp to a fixed-width bucket.
     * Grafana panels: grafana-dashboard/grafanaTimeSeriesre_Inventdemo.json:121,392,518.
-    * Integer micros math keeps it exact and codegen-friendly.
+    * `t - pmod(t, step)` is pure long arithmetic (floor-mod handles
+    * pre-epoch timestamps), exactly DuckDB's integer `//` semantics —
+    * no double rounding at any timestamp magnitude.
     */
-  def bin(time: Column, stepSeconds: Long): Column =
-    timestamp_micros(floor(unix_micros(time) / (stepSeconds * 1000000L)).cast("long") * (stepSeconds * 1000000L))
+  def bin(time: Column, stepSeconds: Long): Column = {
+    val stepUs = stepSeconds * 1000000L
+    timestamp_micros(unix_micros(time) - pmod(unix_micros(time), lit(stepUs)))
+  }
 
   /** T8 — ago(interval body), e.g. ago("15 MINUTES"). */
   def ago(step: String): Column =

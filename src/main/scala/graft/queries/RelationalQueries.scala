@@ -100,13 +100,16 @@ object RelationalQueries {
           sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
           count(lit(1)).as("n_total"))
         .orderBy(col("day")),
+      // CAST(sum AS BIGINT): DuckDB's sum over INTEGER yields HUGEINT
+      // (float64 via pandas) while Spark emits BIGINT — the driver's
+      // dtype-sensitive hash would diverge on equal values.
       Some(
         """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000) AS day,
-          |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-          |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-          |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-          |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-          |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+          |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+          |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
           |  count(*) AS n_total
           |FROM events GROUP BY day ORDER BY day""".stripMargin)),
 

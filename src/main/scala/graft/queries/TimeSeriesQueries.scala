@@ -40,8 +40,8 @@ object TimeSeriesQueries {
       |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER nw AS nt,
       |    last_value(s IGNORE NULLS) OVER pw AS locf
       |  FROM unioned
-      |  WINDOW pw AS (PARTITION BY user_id ORDER BY t, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      |         nw AS (PARTITION BY user_id ORDER BY t, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |  WINDOW pw AS (PARTITION BY user_id ORDER BY t, is_grid, v ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         nw AS (PARTITION BY user_id ORDER BY t, is_grid, v ASC NULLS FIRST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       |), gridded AS (
       |  SELECT user_id, t AS time,
       |    CASE WHEN pt = nt THEN pv
