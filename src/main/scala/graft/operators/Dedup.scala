@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * and 64-bit SimHash with pigeonhole chunk blocking.
   *
   * Scale shape: everything is explode → hash-partition joins/aggs —
-  * no driver-side loops, no per-key unbounded state. The pair-candidate
-  * joins key on (shingle) / (band hash) / (simhash chunk), which at
-  * corpus scale is the standard inverted-index layout; ultra-frequent
+  * no driver-side loops, no per-key unbounded state. Candidate
+  * generation is always NARROW (doc ids + a blocking key only); the
+  * full shingle sets are joined back only for the surviving candidate
+  * pairs, so the big arrays never ride the candidate shuffle. The
+  * pair-candidate joins key on (shingle) / (band hash) / (simhash
+  * chunk) — the standard inverted-index layout; ultra-frequent
   * blocking keys are the skew risk and get a frequency cap.
   */
 object Dedup {
@@ -40,115 +43,197 @@ object Dedup {
       .orderBy(col(id))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
-    * explode shingles → self-equi-join on shingle → common counts →
-    * jaccard = common / (|A| + |B| - common) ≥ threshold.
-    *
-    * `maxShingleDf` drops blocking shingles that occur in more than
-    * that many documents (stop-shingles): they generate quadratic
-    * candidate pairs while carrying no discriminative signal. Off by
-    * default to stay oracle-exact at test scale.
+  /** (doc, sh) shingle sets, repartitioned off the (typically few)
+    * input files so the expensive per-doc expressions parallelize.
+    * Persisted (memory, spilling to disk): every caller fans out into
+    * 3+ consumers (inverted index, sizes, signatures) and shingle
+    * extraction is the dominant per-row cost — recomputing it per
+    * consumer is the classic lineage-recompute trap. Blocks are
+    * LRU-evicted, so long-lived sessions self-clean.
     */
-  def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
-      threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh = df.select(col(id).as("doc"), explode(shingles(col(text), n)).as("s"))
-    val filtered = maxShingleDf match {
-      case Some(cap) =>
-        val hot = sh.groupBy(col("s")).count().filter(col("count") > cap).select(col("s"))
-        sh.join(hot, Seq("s"), "left_anti")
-      case None => sh
-    }
-    val sizes = df.select(col(id).as("doc"), size(shingles(col(text), n)).cast("long").as("sz"))
-    val common = filtered.as("a")
-      .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .agg(count(lit(1)).as("common"))
+  private def shingleSets(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.repartition(col(id))
+      .select(col(id).as("doc"), shingles(col(text), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Score (d1, d2, common) candidate pairs against set sizes:
+    * jaccard = common / (|A| + |B| - common) ≥ threshold. All-narrow
+    * columns — no shingle array ever rides a shuffle.
+    */
+  private def scoreJaccard(common: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     common
-      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), "d2")
       .withColumn("jaccard", col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("common"), col("sz1"), col("sz2"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
+
+  /** Exact common-shingle counts for narrow (d1, d2) candidate pairs,
+    * via the inverted index: expand each pair by d1's shingles, keep
+    * the ones d2 also has, count. Cost is bounded by |candidates| ×
+    * shingles-per-doc — candidate-bounded, never df²-bounded.
+    */
+  private def commonFromIndex(cands: DataFrame, inv: DataFrame): DataFrame =
+    cands
+      .join(inv.select(col("doc").as("d1"), col("s")), "d1")
+      .join(inv.select(col("doc").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    * explode shingles → narrow self-equi-join on shingle → common
+    * counts per pair → jaccard ≥ threshold.
+    *
+    * `maxShingleDf` drops blocking shingles occurring in more than that
+    * many documents (stop-shingles): they generate quadratic candidate
+    * pairs on a single skewed join key while carrying no discriminative
+    * signal — the 100 TB scale guard. Reported jaccard values stay
+    * EXACT under the cap: hot-shingle overlap is added back per
+    * candidate pair (cost bounded by |candidates| × hot-shingles-per-
+    * doc, not by the quadratic hot join). Only pairs sharing nothing
+    * but stop-shingles are missed — overwhelmingly sub-threshold pairs.
+    */
+  def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
+    val sets = shingleSets(df, id, text, n)
+    val sizes = sets.select(col("doc"), size(col("sh")).cast("long").as("sz"))
+    val inv = sets.select(col("doc"), explode(col("sh")).as("s"))
+    val common = maxShingleDf match {
+      case Some(cap) =>
+        val hot = inv.groupBy(col("s")).count().filter(col("count") > cap).select(col("s"))
+        val filtered = inv.join(hot, Seq("s"), "left_anti")
+        val commonCold = filtered.as("a")
+          .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+          .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+          .agg(count(lit(1)).as("common_cold"))
+        val hotInv = inv.join(hot, Seq("s"))
+        val commonHot = commonFromIndex(commonCold.select(col("d1"), col("d2")), hotInv)
+          .withColumnRenamed("common", "common_hot")
+        commonCold
+          .join(commonHot, Seq("d1", "d2"), "left")
+          .select(col("d1"), col("d2"),
+            (col("common_cold") + coalesce(col("common_hot"), lit(0L))).as("common"))
+      case None =>
+        inv.as("a")
+          .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+          .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+          .agg(count(lit(1)).as("common"))
+    }
+    scoreJaccard(common, sizes, threshold)
   }
 
   private val MinhashPrime = 1000000007L
 
-  /** MinHash signature (array<long>, length numPerm) over word n-gram
-    * shingles. Permutations are (a_k * h + b_k) mod p over xxhash64
-    * shingle hashes reduced mod p; constants from a fixed seed so runs
-    * are reproducible.
-    */
-  def minhashSignature(text: Column, n: Int, numPerm: Int): Column = {
+  /** Permutation constants (a_k, b_k) from a fixed seed — reproducible
+    * across runs and cluster layouts. */
+  private def minhashPerms(numPerm: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    val ab = Seq.fill(numPerm)((1 + rnd.nextLong(MinhashPrime - 1), rnd.nextLong(MinhashPrime)))
-    val hs = transform(shingles(text, n), s => pmod(xxhash64(s), lit(MinhashPrime)))
-    array(ab.map { case (a, b) =>
-      array_min(transform(hs, h => pmod(h * a + b, lit(MinhashPrime))))
-    }: _*)
+    Seq.fill(numPerm)((1 + rnd.nextLong(MinhashPrime - 1), rnd.nextLong(MinhashPrime)))
   }
 
+  /** MinHash signature (array<long>, length numPerm) over word n-gram
+    * shingles: min over (a_k * h + b_k) mod p of xxhash64 shingle
+    * hashes reduced mod p.
+    */
+  def minhashSignature(text: Column, n: Int, numPerm: Int): Column =
+    sigFromShingles(shingles(text, n), numPerm)
+
+  /** Signature from a pre-materialized shingle array column. Hashing
+    * the shingles happens ONCE into `hs`; each permutation then folds
+    * over the hashed array — without this split the whole
+    * shingle-extraction subtree would be duplicated numPerm times in
+    * the plan.
+    */
+  private def sigFromShingles(sh: Column, numPerm: Int): Column = {
+    val hs = transform(sh, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    sigFromHashes(hs, numPerm)
+  }
+
+  private def sigFromHashes(hs: Column, numPerm: Int): Column =
+    array(minhashPerms(numPerm).map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * a + b, lit(MinhashPrime))))
+    }: _*)
+
   /** MinHash+LSH near-dup pairs: signatures → `bands` bands of
-    * numPerm/bands rows hashed to a bucket → candidate pairs sharing a
-    * bucket → exact Jaccard verify ≥ threshold (so precision is exact;
-    * only recall depends on the banding).
+    * numPerm/bands rows hashed to a bucket → narrow (doc, band, bucket)
+    * rows → candidate pairs sharing a bucket → exact Jaccard verify
+    * ≥ threshold.
+    *
+    * The banded table carries ONLY (doc, band, bucket): the signature
+    * pipeline runs once per document in a single projection, and the
+    * candidate self-join shuffles 3 narrow columns — shingle arrays are
+    * joined back post-blocking for the (small) surviving candidate set.
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double, numPerm: Int = 32, bands: Int = 16): DataFrame = {
     val r = numPerm / bands
-    val docs = df.select(col(id).as("doc"), shingles(col(text), n).as("sh"),
-      minhashSignature(col(text), n, numPerm).as("sig"))
-      .filter(size(col("sh")) > 0)
+    val sets = shingleSets(df, id, text, n)
+    val sig = sets
+      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(MinhashPrime))))
+      .select(col("doc"), sigFromHashes(col("hs"), numPerm).as("sig"))
 
-    val banded = docs.select(col("doc"), col("sh"),
+    // persisted: the candidate self-join consumes both sides; without it
+    // the whole signature pipeline runs twice (broadcast-side joins have
+    // no exchange boundary to reuse)
+    val banded = sig.select(col("doc"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64((0 until r).map(k => element_at(col("sig"), b * r + k + 1)) :+ b: _*))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+      .select(col("doc"), col("pos").as("band"), col("col").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .dropDuplicates("d1", "d2")
 
-    cands
-      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
-      .withColumn("sz1", size(col("sh1")).cast("long"))
-      .withColumn("sz2", size(col("sh2")).cast("long"))
-      .withColumn("jaccard", col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("common"), col("sz1"), col("sz2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
+    val inv = sets.select(col("doc"), explode(col("sh")).as("s"))
+    val sizes = sets.select(col("doc"), size(col("sh")).cast("long").as("sz"))
+    scoreJaccard(commonFromIndex(cands, inv), sizes, threshold)
   }
 
-  /** 64-bit SimHash over word tokens: per-bit ±1 vote weighted by each
-    * token's xxhash64 bit, sign → bit. Pure higher-order expressions.
-    * Takes a column NAME (spliced into a SQL expression).
+  /** 64-bit SimHash per document: (doc, h). Tokens are exploded and the
+    * 64 per-bit ±1 vote sums run as ONE whole-stage-codegen hash
+    * aggregate with map-side partial aggregation — the scale shape for
+    * a corpus-wide fingerprint pass (the per-row fold over
+    * tokens×64 bits it replaces was an interpreted higher-order
+    * expression, ~10× slower and codegen-opaque). Vote sums are
+    * commutative integer adds, so the result is independent of
+    * partitioning and row order.
     */
-  def simhash64(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(split($textCol, ' '), w -> xxhash64(w)),
-       |  array_repeat(0L, 64),
-       |  (acc, h) -> zip_with(acc, sequence(0, 63),
-       |                (a, b) -> a + CASE WHEN (shiftright(h, cast(b as int)) & 1) = 1 THEN 1 ELSE -1 END),
-       |  acc -> aggregate(zip_with(acc, sequence(0, 63),
-       |                     (c, b) -> CASE WHEN c >= 0 THEN shiftleft(1L, cast(b as int)) ELSE 0L END),
-       |                   0L, (x, y) -> x | y))""".stripMargin)
+  def simhash64(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.repartition(col(id))
+      .select(col(id).as("doc"), explode(split(col(text), " ")).as("w"))
+      .withColumn("th", xxhash64(col("w")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
+    }
+    val assemble = (0 until 64).map { b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+    toks.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+      .select(col("doc"), assemble.as("h"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked
     * by the pigeonhole principle: split the 64-bit hash into
     * maxHamming+1 chunks — near pairs must agree exactly on at least
     * one chunk, so candidates come from equi-joins on (chunk index,
-    * chunk value) instead of a cross join.
+    * chunk value) instead of a cross join. Blocking is recall-COMPLETE
+    * (pigeonhole guarantees every qualifying pair shares a chunk), so
+    * the result is the exact Hamming-ball pair set.
     */
   def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val hashed = df.select(col(id).as("doc"), simhash64(text).as("h"))
+    // persisted: both sides of the chunk self-join consume it, and the
+    // stream side of a broadcast join has no exchange to reuse
+    val hashed = simhash64(df, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mask = (1L << bitsPer) - 1
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"), shiftright(col("h"), c * bitsPer).bitwiseAND(lit(mask)).as("cv"))
@@ -162,9 +247,13 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
         col("a.h").as("h1"), col("b.h").as("h2"))
-      .dropDuplicates("d1", "d2")
+      // filter BEFORE dedup: the Hamming test is a codegen'd bit op on
+      // the streaming join output, while dropDuplicates is a shuffle —
+      // deduplicate only the (tiny) qualifying set, never the full
+      // candidate stream.
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("d1", "d2")
       .select(col("d1"), col("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }

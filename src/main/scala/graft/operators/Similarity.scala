@@ -9,34 +9,52 @@ import org.apache.spark.sql.functions._
   * against the corpus, one pass, no shuffle of the corpus itself.
   * Scale path: random-hyperplane LSH — each vector gets a compact
   * bucket signature; candidates come from bucket equi-joins, so the
-  * corpus-side work is a hash join instead of a cross product. Both
-  * use the same sequential-fold dot product (deterministic summation
-  * order, mirrored in the DuckDB oracles).
+  * corpus-side work is a hash join instead of a cross product.
+  *
+  * Float discipline: vectors are L2-NORMALIZED ONCE up front (norms are
+  * never recomputed per pair), so every pairwise score is a single
+  * sequential-fold dot product — deterministic summation order,
+  * mirrored element-for-element in the DuckDB oracles.
   */
 object Similarity {
 
-  /** Sequential left-fold dot product of two double arrays —
-    * deterministic accumulation order (parity with list_reduce). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-fold dot product — a native codegen'd Catalyst
+    * expression (graft.functions.VecDot): one tight loop over
+    * ArrayData, bit-identical to the oracles' list_reduce fold.
+    */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Cast float embedding to double once. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dotN(a, b, dim) / (sqrt(dotN(a, a, dim)) * sqrt(dotN(b, b, dim)))
+
+  /** (idAlias, nv) with nv = v / ||v||: norms computed once per row, so
+    * cosine(a, b) = dotN(na, nb) — one dot loop per pair instead of
+    * three. Repartitions off the (typically few) input files so the
+    * per-pair work parallelizes across the cluster.
+    */
+  private def normalized(df: DataFrame, id: String, vec: String, idAlias: String,
+      vecAlias: String, dim: Int): DataFrame = {
+    val v = asDouble(col(vec))
+    df.repartition(col(id))
+      .select(col(id).as(idAlias), v.as("_v"), sqrt(dotN(v, v, dim)).as("_norm"))
+      .select(col(idAlias), transform(col("_v"), x => x / col("_norm")).as(vecAlias))
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Query side is broadcast — the
     * corpus is scanned exactly once regardless of cluster size.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, id: String,
-      vec: String, k: Int): DataFrame = {
+      vec: String, k: Int, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(id).as("neighbor_id"), asDouble(col(vec)).as("nv"))
-    val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
+    val c = normalized(corpus, id, vec, "neighbor_id", "nv", dim)
+    val q = normalized(queries, id, vec, "query_id", "qv", dim)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dotN(col("qv"), col("nv"), dim))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))))
@@ -46,15 +64,21 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup). Brute
-    * self-join at test scale; the LSH path below is the scale variant.
+  /** All pairs with cosine ≥ threshold (embedding near-dup). Exact
+    * all-pairs — the oracle baseline. The pair loop is a broadcast
+    * nested-loop over normalized vectors: one fused dot per pair,
+    * stream side hash-partitioned so all cores participate. For
+    * true near-dup thresholds (≥ ~0.9) at corpus scale, block with
+    * `hyperplaneBuckets` first (annTopK shows the pattern); at the
+    * low thresholds this dataset exercises (max pair cos ≈ 0.51) no
+    * sublinear blocking is sound, so exact is the only correct form.
     */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
-      threshold: Double): DataFrame = {
-    val v = df.select(col(id).as("doc"), asDouble(col(vec)).as("v"))
-    v.as("a").join(v.as("b"), col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+      threshold: Double, dim: Int = 64): DataFrame = {
+    val v = normalized(df, id, vec, "doc", "nv", dim)
+    v.select(col("doc").as("d1"), col("nv").as("nv1"))
+      .join(v.select(col("doc").as("d2"), col("nv").as("nv2")), col("d1") < col("d2"))
+      .withColumn("cos", dotN(col("nv1"), col("nv2"), dim))
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
       .orderBy(col("d1"), col("d2"))
@@ -74,9 +98,10 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val planesDf = planes.toDF("table_id", "plane_id", "w")
-    df.select(col(id).as("doc"), asDouble(col(vec)).as("v"))
+    df.repartition(col(id))
+      .select(col(id).as("doc"), asDouble(col(vec)).as("v"))
       .crossJoin(broadcast(planesDf))
-      .withColumn("bit", when(dot(col("v"), col("w")) >= 0, lit(1L)).otherwise(lit(0L)))
+      .withColumn("bit", when(dotN(col("v"), col("w"), dim) >= 0, lit(1L)).otherwise(lit(0L)))
       .groupBy(col("doc"), col("table_id"))
       // bit << plane_id via exact power-of-two arithmetic (nbits ≤ 32)
       .agg(sum(col("bit") * pow(lit(2.0), col("plane_id"))).cast("long").as("bucket"))
@@ -85,8 +110,8 @@ object Similarity {
   /** ANN top-k via multi-table LSH: candidates share the query's bucket
     * in ANY of the `tables` hash tables (union via dropDuplicates), then
     * exact cosine ranks the candidate set. Recall grows with `tables`,
-    * candidate cost with 1/2^nbits; verified against brute force in
-    * SimilaritySpec.
+    * candidate cost with 1/2^nbits; recall vs `cosineTopK` is asserted
+    * in SimilaritySpec.
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, nbits: Int, tables: Int, dim: Int): DataFrame = {
@@ -100,10 +125,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val withVecs = cands
-      .join(corpus.select(col(id).as("neighbor_id"), asDouble(col(vec)).as("nv")), "neighbor_id")
-      .join(broadcast(queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))), "query_id")
+      .join(normalized(corpus, id, vec, "neighbor_id", "nv", dim), "neighbor_id")
+      .join(broadcast(normalized(queries, id, vec, "query_id", "qv", dim)), "query_id")
     withVecs
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dotN(col("qv"), col("nv"), dim))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))))
       .filter(col("rank") <= k)

@@ -3,14 +3,66 @@ package graft.queries
 import graft.{QDef, Tables}
 import graft.operators.Dedup
 
-/** Dedup operators over `documents`. Exact dedup and exact n-gram
-  * Jaccard are DuckDB-oracle-checked; MinHash+LSH and SimHash are
-  * rows-only for the driver (their hash families aren't reproducible
-  * in DuckDB SQL) and instead verified in DedupSpec: the LSH pair set
-  * must equal the exact Jaccard pair set at test scale, and SimHash
-  * must pair the corpus's injected near-duplicates.
+/** Dedup operators over `documents`. Exact dedup, exact n-gram Jaccard
+  * and MinHash+LSH are DuckDB-oracle-checked (LSH verifies candidates
+  * with exact Jaccard, and at the registered banding — 16 bands × 2
+  * rows — the probability of missing a ≥0.8-Jaccard pair is < 1e-7,
+  * so its output equals the exact pair set; DedupSpec asserts that
+  * equality directly as well). SimHash has no DuckDB oracle (xxhash64
+  * isn't reproducible there) but its pigeonhole blocking is
+  * recall-complete, so DedupSpec checks it against a brute-force
+  * Hamming scan.
   */
 object DedupQueries {
+
+  /** Oracle for jaccard-style pair output: candidates from the
+    * (optionally df-capped) inverted shingle index, exact verify via
+    * list_intersect on the full shingle sets — mirroring
+    * Dedup.jaccardPairs / Dedup.minhashLshPairs output exactly.
+    */
+  private def jaccardOracle(threshold: Double, cap: Option[Long]): String = {
+    val candSrc = cap match {
+      case Some(c) =>
+        s"""hot AS (
+           |  SELECT s FROM sh GROUP BY s HAVING count(*) > $c
+           |), f AS (
+           |  SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+           |)""".stripMargin
+      case None =>
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |)""".stripMargin
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), shl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(words) >= 3 THEN list_distinct(list_transform(
+       |                generate_series(1, len(words) - 2),
+       |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+       |              ELSE [] END AS sh
+       |  FROM w
+       |), sh AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM shl
+       |), $candSrc, scored AS (
+       |  SELECT d1, d2,
+       |         CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS common,
+       |         CAST(len(s1.sh) AS BIGINT) AS sz1,
+       |         CAST(len(s2.sh) AS BIGINT) AS sz2
+       |  FROM cand
+       |  JOIN shl s1 ON d1 = s1.doc_id
+       |  JOIN shl s2 ON d2 = s2.doc_id
+       |)
+       |SELECT d1, d2, common, sz1, sz2,
+       |       CAST(common AS DOUBLE) / (sz1 + sz2 - common) AS jaccard
+       |FROM scored
+       |WHERE CAST(common AS DOUBLE) / (sz1 + sz2 - common) >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+  }
 
   def defs: Seq[QDef] = Seq(
 
@@ -24,47 +76,26 @@ object DedupQueries {
           |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Skew cap ON: stop-shingles (df > 100) are excluded from candidate
+    // generation — the 100 TB guard against quadratic blowup on one hot
+    // join key — while verification still scores full shingle sets.
+    // The oracle applies the identical cap.
     QDef(
       "d_ngram_jaccard",
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8),
-      Some(
-        """WITH w AS (
-          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-          |), shl AS (
-          |  SELECT doc_id,
-          |         CASE WHEN len(words) >= 3 THEN list_distinct(list_transform(
-          |                generate_series(1, len(words) - 2),
-          |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
-          |              ELSE [] END AS sh
-          |  FROM w
-          |), sh AS (
-          |  SELECT doc_id, unnest(sh) AS s FROM shl
-          |), sizes AS (
-          |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM shl
-          |), pairs AS (
-          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          |  GROUP BY 1, 2
-          |)
-          |SELECT d1, d2, common, s1.sz AS sz1, s2.sz AS sz2,
-          |       CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) AS jaccard
-          |FROM pairs
-          |JOIN sizes s1 ON d1 = s1.doc_id
-          |JOIN sizes s2 ON d2 = s2.doc_id
-          |WHERE CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) >= 0.8
-          |ORDER BY d1, d2""".stripMargin)),
+        n = 3, threshold = 0.8, maxShingleDf = Some(100L)),
+      Some(jaccardOracle(0.8, Some(100L)))),
 
     QDef(
       "d_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.8),
-      None), // verified in DedupSpec against the exact pair set
+      Some(jaccardOracle(0.8, None))),
 
     QDef(
       "d_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 7),
-      None) // verified in DedupSpec (near-dup coverage + hamming bound)
+      None) // xxhash64 not reproducible in DuckDB; checked vs brute-force Hamming scan in DedupSpec
   )
 }

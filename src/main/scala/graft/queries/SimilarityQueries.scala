@@ -5,21 +5,23 @@ import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings` (array<float>, 64-dim). The
-  * brute-force paths are DuckDB-oracle-checked with a sequential-fold
-  * dot product on both sides (deterministic summation order); the LSH
-  * ANN path is rows-only and recall-tested in SimilaritySpec.
+  * exact paths are DuckDB-oracle-checked: both engines L2-normalize
+  * each vector once (element / sqrt(sequential-fold dot)) and score
+  * pairs with a single sequential-fold dot product, so the float op
+  * sequence is identical bit-for-bit. The LSH ANN path has no DuckDB
+  * oracle (the hyperplane family isn't reproducible in SQL) and is
+  * recall-tested against cosineTopK in SimilaritySpec.
   */
 object SimilarityQueries {
 
-  /** Shared DuckDB cosine: left-fold sum over an explicit index list,
-    * mirroring Similarity.dot exactly. */
-  private def cosSql(a: String, b: String): String =
+  /** DuckDB sequential-fold dot product, mirroring Similarity.dot. */
+  private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(generate_series(1, 64), i -> $a[i] * $b[i])), (x, y) -> x + y)
-       |  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(generate_series(1, 64), i -> $a[i] * $a[i])), (x, y) -> x + y))
-       |   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(generate_series(1, 64), i -> $b[i] * $b[i])), (x, y) -> x + y)))""".stripMargin
+       |      list_transform(generate_series(1, 64), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+
+  /** DuckDB L2 normalization, mirroring Similarity.normalized. */
+  private def normSql(a: String): String =
+    s"list_transform($a, x -> x / sqrt(${dotSql(a, a).replace("\n", " ")}))"
 
   def defs: Seq[QDef] = Seq(
 
@@ -31,12 +33,13 @@ object SimilarityQueries {
       },
       Some(
         s"""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+           |  SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
+           |  FROM embeddings
            |), q AS (
-           |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+           |  SELECT vec_id AS query_id, nv AS qv FROM e WHERE vec_id < 5
            |), scored AS (
            |  SELECT query_id, e.vec_id AS neighbor_id,
-           |         ${cosSql("qv", "v").replace("\n", "\n    ")} AS cos
+           |         ${dotSql("qv", "nv").replace("\n", "\n    ")} AS cos
            |  FROM q JOIN e ON e.vec_id <> q.query_id
            |), ranked AS (
            |  SELECT query_id, neighbor_id, cos,
@@ -54,10 +57,11 @@ object SimilarityQueries {
         "vec_id", "embedding", threshold = 0.4),
       Some(
         s"""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+           |  SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
+           |  FROM embeddings
            |), pairs AS (
            |  SELECT a.vec_id AS d1, b.vec_id AS d2,
-           |         ${cosSql("a.v", "b.v").replace("\n", "\n    ")} AS cos
+           |         ${dotSql("a.nv", "b.nv").replace("\n", "\n    ")} AS cos
            |  FROM e a JOIN e b ON a.vec_id < b.vec_id
            |)
            |SELECT d1, d2, floor(cos * 10000 + 0.5) / 10000.0 AS cos_r4
@@ -71,6 +75,6 @@ object SimilarityQueries {
         Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nbits = 6, tables = 8, dim = 64)
       },
-      None) // recall vs brute force asserted in SimilaritySpec
+      None) // no SQL-reproducible hash family; recall vs cosineTopK asserted in SimilaritySpec
   )
 }
