@@ -68,12 +68,16 @@ object SimilarityQueries {
            |FROM pairs WHERE cos >= 0.4
            |ORDER BY d1, d2""".stripMargin)),
 
+    // nbits/tables sized for ≥0.9 measured recall on THIS corpus (random
+    // near-orthogonal vectors — the hardest LSH regime; recall=0.98 at
+    // sf0.01, asserted in SimilaritySpec). Clustered real-world
+    // embeddings allow more bits per table / fewer tables.
     QDef(
       "s_ann_lsh_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, nbits = 6, tables = 8, dim = 64)
+          k = 10, nbits = 4, tables = 24, dim = 64)
       },
       None) // no SQL-reproducible hash family; recall vs cosineTopK asserted in SimilaritySpec
   )

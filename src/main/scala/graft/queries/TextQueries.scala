@@ -144,10 +144,11 @@ object TextQueries {
           |    (a, c) -> (a * 31 + c) % 1000000007) AS rolling_hash
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Multimodal plumbing: opaque binary payload + typed metadata +
-    // deterministic fake "decode" (real decode is stubbed — see
-    // operators/Multimodal.scala; this query checks the schema/bytes
-    // path: utf-8 encode, octet length, sha2-256, derived dimensions).
+    // Multimodal metadata surface, oracle-checkable (pure column math).
+    // The batch decode/resize/frame-sample plumbing lives in
+    // operators/Multimodal.scala (mapPartitions with a stubbed codec,
+    // tested in MultimodalSpec); this query checks the schema/bytes
+    // path: utf-8 encode, octet length, sha2-256, derived dimensions.
     QDef(
       "x_multimodal_meta",
       (s, dir) => Tables.documents(s, dir)

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Verification for the dedup family, including the two paths that have
+  * no DuckDB oracle: MinHash+LSH (checked against the exact Jaccard
+  * pair set) and SimHash (checked against a brute-force Hamming scan —
+  * pigeonhole blocking must be recall-complete).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("shingles: distinct word trigrams, empty below 3 words") {
+    val df = Seq("a b c d", "a b", "x y z x y z").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    val out = df.collect().map(_.getSeq[String](0).toSet)
+    assert(out(0) == Set("a b c", "b c d"))
+    assert(out(1) == Set.empty)
+    assert(out(2) == Set("x y z", "y z x", "z x y")) // distinct-ified
+  }
+
+  test("exactDedup groups identical texts under the minimum id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", "text").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("keeper_id") == 1L && byId(1L).getAs[Boolean]("is_canonical"))
+    assert(byId(2L).getAs[Long]("keeper_id") == 1L && !byId(2L).getAs[Boolean]("is_canonical"))
+    assert(byId(2L).getAs[Long]("n_copies") == 2L)
+    assert(byId(3L).getAs[Boolean]("is_canonical"))
+  }
+
+  test("jaccardPairs computes exact jaccard on a handcrafted corpus") {
+    // doc1/doc2 share 3 of their trigram shingles; doc3 is unrelated.
+    // doc1: "a b c d e" -> {abc, bcd, cde} ; doc2: "a b c d f" -> {abc, bcd, cdf}
+    // jaccard = 2 / (3 + 3 - 2) = 0.5
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.4).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getAs[Long]("common") == 2L)
+    assert(out.head.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("maxShingleDf cap keeps jaccard scores exact (hot-overlap correction)") {
+    // "x y z" is shared by all 4 docs (df=4 > cap=3) so it is excluded
+    // from candidate generation, but pair scores must still count it.
+    val df = Seq(
+      (1L, "x y z a b c"), (2L, "x y z a b d"),
+      (3L, "x y z q q q"), (4L, "x y z w w w")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3, maxShingleDf = Some(3L))
+    val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3, maxShingleDf = None)
+    // docs 1,2 share non-hot shingles ("y z a", "z a b") -> candidates either way,
+    // and their jaccard must include the hot "x y z" shingle in `common`.
+    val c = capped.filter(col("d1") === 1 && col("d2") === 2).collect().head
+    val u = uncapped.filter(col("d1") === 1 && col("d2") === 2).collect().head
+    assert(c.getAs[Long]("common") == u.getAs[Long]("common"))
+    assert(c.getAs[Double]("jaccard") == u.getAs[Double]("jaccard"))
+  }
+
+  test("MinHash+LSH pair set equals the exact Jaccard pair set (sf0.001)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val exact = pairSet(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    val lsh = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // the fixture must actually exercise the op
+  }
+
+  test("MinHash+LSH pair set equals the exact Jaccard pair set (sf0.01)") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val exact = pairSet(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    val lsh = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
+    assert(lsh == exact)
+    assert(exact.size == 25)
+  }
+
+  test("SimHash pigeonhole blocking is recall-complete vs brute-force Hamming scan (sf0.001)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+    val h = Dedup.simhash64(docs, "doc_id", "text")
+    val brute = h.select(col("doc").as("d1"), col("h").as("h1"))
+      .crossJoin(h.select(col("doc").as("d2"), col("h").as("h2")))
+      .filter(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= 7)
+    assert(pairSet(blocked) == pairSet(brute))
+    assert(pairSet(blocked).nonEmpty)
+  }
+
+  test("SimHash pairs respect the Hamming bound and report true distances") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7).collect()
+    assert(out.forall(_.getAs[Long]("hamming") <= 7L))
+    // spot-check one reported distance against a direct computation
+    val h = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.take(20).foreach { r =>
+      val expect = java.lang.Long.bitCount(h(r.getLong(0)) ^ h(r.getLong(1))).toLong
+      assert(r.getAs[Long]("hamming") == expect)
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Verification for the similarity family, including the ANN path that
+  * has no DuckDB oracle: recall vs the brute-force top-k, and coverage
+  * of injected high-similarity near-duplicates by the hyperplane-LSH
+  * blocking (the regime the LSH path is designed for).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineTopK ranks handcrafted vectors correctly") {
+    // 4-dim: query [1,0,0,0]; neighbors at cos 1.0, ~0.707, 0.0
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),   // cos 1.0
+      (2L, Array(1f, 1f, 0f, 0f)),   // cos 0.7071
+      (3L, Array(0f, 1f, 0f, 0f))    // cos 0.0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(df, df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3, dim = 4).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("cos_r4") == 1.0)
+    assert(out(1).getAs[Double]("cos_r4") == 0.7071)
+    assert(out(2).getAs[Double]("cos_r4") == 0.0)
+  }
+
+  test("cosineNearDupPairs finds exactly the pairs above threshold") {
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f, 0f)),  // ~parallel to 0
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0.01f, 0f))   // ~parallel to 2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, dim = 4).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L), (2L, 3L)))
+    assert(out.forall(_.getAs[Double]("cos_r4") > 0.99))
+  }
+
+  test("ANN top-k recall >= 0.9 vs brute force (sf0.01)") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, q, "vec_id", "embedding",
+      k = 10, nbits = 4, tables = 24, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"ANN recall $recall < 0.9 (|brute|=${brute.size}, |ann∩brute|=${(ann & brute).size})")
+  }
+
+  test("hyperplane-LSH blocking covers injected near-duplicates (cos >= 0.99)") {
+    // The scale path for near-dup detection: high-similarity pairs must
+    // collide in at least one hash table. Build 200 random 64-dim
+    // vectors + 20 perturbed copies (cos >= 0.99 with their source).
+    val rnd = new Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 200L).map(i => (i, vec()))
+    val dups = (0L until 20L).map { i =>
+      val src = base(i.toInt)._2
+      (1000L + i, src.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val buckets = Similarity.hyperplaneBuckets(df, "vec_id", "embedding",
+      nbits = 8, tables = 12, dim = 64)
+    val collisions = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = (0L until 20L).map(i => (i, 1000L + i)).toSet
+    val covered = wanted.count(collisions.contains)
+    assert(covered >= 18, s"LSH covered only $covered/20 injected near-dup pairs")
+  }
+
+  test("VecDot matches the sequential fold bit-for-bit") {
+    val a = Array(0.1, -2.5, 3.75, 1e-7, 42.0)
+    val b = Array(1.5, 0.25, -1.125, 2e3, -0.875)
+    val df = Seq((a, b)).toDF("a", "b")
+    val got = df.select(graft.functions.VectorFunctions.vecDot(col("a"), col("b"))).head.getDouble(0)
+    val expect = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    assert(got == expect) // exact equality: same operation sequence
+  }
+}
