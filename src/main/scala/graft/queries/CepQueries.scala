@@ -2,13 +2,19 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.operators.Cep
+import graft.streaming.CepStream
+import org.apache.spark.sql.functions._
 
-/** C1 batch emulation over `events` (FIXTURES.md §C: event_type='error'
-  * plays ERROR, value plays temperature). WITHIN is 72 h — the scaled
+/** C1 over `events` in BOTH forms SURVEY §2.7 requires (FIXTURES.md §C:
+  * event_type='error' plays ERROR, value plays temperature): the
+  * window-function batch emulation and the flatMapGroupsWithState state
+  * machine (the streaming operator, run here in batch mode — identical
+  * code path minus the watermark TTL). Both hash-check against the SAME
+  * DuckDB oracle; StreamingCepSpec additionally proves the streaming
+  * form across MemoryStream micro-batches. WITHIN is 72 h — the scaled
   * analog of the reference's 1 minute for this table's ~10 h inter-event
-  * cadence. The DuckDB oracle mirrors the window formulation operation
-  * for operation; the B-sum accumulates as DECIMAL in both engines so
-  * avg_temperature is independent of accumulation order.
+  * cadence. The B-sum accumulates as DECIMAL in all three formulations
+  * so avg_temperature is independent of accumulation order.
   */
 object CepQueries {
 
@@ -21,7 +27,27 @@ object CepQueries {
     QDef(
       "c1_cep_error_sandwich",
       (s, dir) => Cep.matchesBatch(Tables.events(s, dir), P),
-      Some(
+      oracleSql),
+    QDef(
+      "c1_cep_stream_form",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("sensor_id"),
+          col("ts").as("event_time"),
+          col("value").cast("double").as("temperature"),
+          col("event_type").as("status"),
+          col("event_id").as("event_id")).as[CepStream.SensorEvent]
+        CepStream.matches(ev, CepStream.Params(
+          errorValue = "error", maxB = 5, withinMicros = 259200000000L))
+          .toDF()
+          .withColumn("sensor_id", col("sensor_id").cast("long"))
+          .orderBy(col("sensor_id"), col("event_time"))
+      },
+      oracleSql,
+      headline = true))
+
+  private lazy val oracleSql = Some(
         """WITH base AS (
           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS v, event_type AS s, event_id,
           |         row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
@@ -62,7 +88,5 @@ object CepQueries {
           |              / (c_rn - rn + 1)) * 100 + 0.5) / 100.0 AS avg_temperature,
           |       greatest(v, c_v, b_max) AS max_temperature,
           |       CAST(floor((epoch_us(c_t) - epoch_us(t)) / 1000000.0 + 0.5) AS BIGINT) AS elapsed
-          |FROM matches ORDER BY sensor_id, event_time""".stripMargin),
-      headline = true)
-  )
+          |FROM matches ORDER BY sensor_id, event_time""".stripMargin)
 }

@@ -1,0 +1,113 @@
+package graft
+
+import graft.streaming.CepStream
+import graft.streaming.CepStream.{CepMatch, Params, SensorEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.sql.Timestamp
+import scala.util.Random
+
+/** Parity harness for the two C1 formulations: the streaming
+  * flatMapGroupsWithState operator must produce exactly the rows of the
+  * batch window-function emulation (which is DuckDB-oracle-checked) on
+  * the same input, both within one micro-batch and across micro-batch
+  * boundaries (state carried between batches).
+  */
+class StreamingCepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var qid = 0
+
+  /** Feed events through a MemoryStream in `chunks` pieces and collect
+    * all emitted matches. */
+  private def runStream(events: Seq[SensorEvent], chunks: Int,
+      p: Params = Params()): Seq[CepMatch] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    qid += 1
+    val name = s"cep_stream_out_$qid"
+    val ms = MemoryStream[SensorEvent]
+    val q = CepStream.matches(ms.toDS(), p).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      val size = math.max(1, (events.size + chunks - 1) / chunks)
+      events.grouped(size).foreach { chunk =>
+        ms.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).as[CepMatch].collect().toSeq
+  }
+
+  private def runBatch(events: Seq[SensorEvent], p: Params = Params()): Seq[CepMatch] =
+    CepStream.matchesBatchEmulation(events.toDS(), p).as[CepMatch].collect().toSeq
+
+  private def norm(ms: Seq[CepMatch]) =
+    ms.sortBy(m => (m.sensor_id, m.event_time.getTime))
+
+  private def seq(key: String, t0: Long, statuses: (String, Double)*): Seq[SensorEvent] =
+    statuses.zipWithIndex.map { case ((s, v), i) =>
+      SensorEvent(key, new Timestamp(t0 + i * 1000L), v, s, i.toLong)
+    }
+
+  private val T0 = 1700000000000L
+  private val E = "ERROR" -> 100.0
+  private def ok(v: Double) = "OK" -> v
+
+  test("simple sandwich: streaming matches batch with full measures") {
+    val ev = seq("k1", T0, E, ok(10), ok(20), E)
+    val s = runStream(ev, chunks = 1)
+    assert(norm(s) == norm(runBatch(ev)))
+    assert(s.head.history == "OK-OK" && s.head.non_errors == 2 && s.head.elapsed == 3)
+  }
+
+  test("edge cases: overflow, zero-B, WITHIN expiry, skip-past-last-row") {
+    val cases = Seq(
+      seq("k1", T0, E, ok(1), ok(2), ok(3), ok(4), ok(5), ok(6), E), // B overflow → none
+      seq("k1", T0, E, E),                                           // zero B → none
+      seq("k1", T0, E, ok(1), E, ok(2), E),                          // skip past last row → 1
+      seq("k1", T0, E, ok(1), E, ok(2), E, ok(3), E),                // parity chain → 2
+      seq("k1", T0, E, E, ok(7), E))                                 // reset then match → 1
+    cases.foreach { ev =>
+      assert(norm(runStream(ev, 1)) == norm(runBatch(ev)), s"diverged on $ev")
+    }
+    // WITHIN: 4 events 1 s apart → elapsed 3 s; within 2 s suppresses
+    val tight = Params(withinMicros = 2000000L)
+    val ev = seq("k1", T0, E, ok(1), ok(2), E)
+    assert(runStream(ev, 1, tight).isEmpty && runBatch(ev, tight).isEmpty)
+  }
+
+  test("state survives micro-batch boundaries (A, B, C in separate batches)") {
+    val ev = seq("k1", T0, E, ok(10), ok(20), E)
+    val out = runStream(ev, chunks = 4) // one event per batch
+    assert(norm(out) == norm(runBatch(ev)))
+    assert(out.size == 1 && out.head.history == "OK-OK")
+  }
+
+  test("randomized multi-key parity, single batch and many batches") {
+    val rnd = new Random(99)
+    val keys = Seq("s-01", "s-02", "s-03")
+    val ev = (0 until 600).map { i =>
+      val key = keys(rnd.nextInt(keys.size))
+      val status = if (rnd.nextDouble() < 0.35) "ERROR" else if (rnd.nextBoolean()) "OK" else "WARNING"
+      SensorEvent(key, new Timestamp(T0 + i * 1000L), 10 + rnd.nextInt(170), status, i.toLong)
+    }
+    val batch = norm(runBatch(ev))
+    assert(batch.nonEmpty) // fixture sanity: the pattern must actually fire
+    assert(norm(runStream(ev, chunks = 1)) == batch)
+    assert(norm(runStream(ev, chunks = 9)) == batch)
+  }
+
+  test("WITHIN acts as state TTL: stale partial match never completes") {
+    // A at t0, B at t0+1s, then C far beyond WITHIN (default 60 s)
+    val ev = Seq(
+      SensorEvent("k1", new Timestamp(T0), 100.0, "ERROR", 0L),
+      SensorEvent("k1", new Timestamp(T0 + 1000), 10.0, "OK", 1L),
+      SensorEvent("k1", new Timestamp(T0 + 300000), 100.0, "ERROR", 2L),
+      // the late C starts a NEW pending A; a quick sandwich after it matches
+      SensorEvent("k1", new Timestamp(T0 + 301000), 20.0, "OK", 3L),
+      SensorEvent("k1", new Timestamp(T0 + 302000), 100.0, "ERROR", 4L))
+    val out = runStream(ev, chunks = 3)
+    assert(norm(out) == norm(runBatch(ev)))
+    assert(out.size == 1 && out.head.event_time.getTime == T0 + 300000)
+  }
+}
