@@ -18,6 +18,7 @@ object Registry {
     queries.TimeSeriesQueries.defs ++
       queries.RelationalQueries.defs ++
       queries.CepQueries.defs ++
+      queries.StreamingQueries.defs ++
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs

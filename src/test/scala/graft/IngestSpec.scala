@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.{Generator, Ingest}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+
+/** End-to-end ingest pipeline: JSON-line files → S1 parse → S4 narrow
+  * pivot → checkpointed parquet sink. Asserts batch/stream parity,
+  * append-only incremental pickup, and exactly-once restart behavior
+  * (the checkpoint makes a re-run a no-op — the upgrade over the
+  * reference Lambda's silent-drop at-least-once writes).
+  */
+class IngestSpec extends SparkSpec {
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def writeJsonFile(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes("UTF-8"))
+
+  private def narrowSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("sensor_id", "status", "time", "measure_name", "measure_value")
+      .collect().map(_.toSeq).toSet
+
+  test("toNarrow emits one row per PRESENT measure with dimensions riding along") {
+    import spark.implicits._
+    val wide = Seq(
+      ("s-01", Some(42.5), "OK", 1700000000000000L),
+      ("s-02", None, "ERROR", 1700000001000000L)) // absent measure → no row
+      .toDF("sensor_id", "temperature", "status", "event_time")
+    val narrow = Ingest.toNarrow(wide, Seq("sensor_id", "status"), Seq("temperature"))
+    val rows = narrow.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("sensor_id") == "s-01")
+    assert(rows.head.getAs[String]("measure_name") == "temperature")
+    assert(rows.head.getAs[Double]("measure_value") == 42.5)
+  }
+
+  test("streaming ingest: files → narrow parquet, parity with the batch path") {
+    val in = tmp("ingest_in")
+    val out = tmp("ingest_out")
+    val ckpt = tmp("ingest_ckpt")
+
+    val events = Generator.generate(spark, sensors = 10, ticks = 30)
+    val lines = Generator.toJsonLines(events).collect().map(_.getString(0)).toSeq
+    writeJsonFile(in, "batch1.json", lines.take(100))
+    writeJsonFile(in, "batch2.json", lines.drop(100))
+
+    val q = Ingest.ingestStream(spark, in.toString, out.toString, ckpt.toString)
+    q.awaitTermination()
+
+    val got = narrowSet(spark.read.parquet(out.toString))
+    val expect = narrowSet(Ingest.toNarrow(events, Seq("sensor_id", "status"), Seq("temperature")))
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // partitioned lake layout (S6 shape): event_date=... directories
+    assert(out.toFile.list().exists(_.startsWith("event_date=")))
+  }
+
+  test("restart with same checkpoint is exactly-once; new files append") {
+    val in = tmp("ingest2_in")
+    val out = tmp("ingest2_out")
+    val ckpt = tmp("ingest2_ckpt")
+
+    val events = Generator.generate(spark, sensors = 5, ticks = 20)
+    val lines = Generator.toJsonLines(events).collect().map(_.getString(0)).toSeq
+    writeJsonFile(in, "a.json", lines.take(30))
+
+    Ingest.ingestStream(spark, in.toString, out.toString, ckpt.toString).awaitTermination()
+    val n1 = spark.read.parquet(out.toString).count()
+
+    // restart, no new data → no new rows
+    Ingest.ingestStream(spark, in.toString, out.toString, ckpt.toString).awaitTermination()
+    assert(spark.read.parquet(out.toString).count() == n1)
+
+    // restart with one more file → only its rows appended
+    writeJsonFile(in, "b.json", lines.drop(30))
+    Ingest.ingestStream(spark, in.toString, out.toString, ckpt.toString).awaitTermination()
+    val all = narrowSet(spark.read.parquet(out.toString))
+    assert(all == narrowSet(Ingest.toNarrow(events, Seq("sensor_id", "status"), Seq("temperature"))))
+  }
+}
