@@ -19,6 +19,7 @@ object Registry {
       queries.RelationalQueries.defs ++
       queries.CepQueries.defs ++
       queries.StreamingQueries.defs ++
+      queries.ExportQueries.defs ++
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs

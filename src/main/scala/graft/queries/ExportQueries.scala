@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.operators.TimeSeries.GridParams
+import graft.streaming.Exporter
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+/** C6/S6 — the scheduled incremental export, driven through the
+  * correctness gate: backfill the January window set (the Airflow
+  * catchup loop), re-run one window to exercise idempotent dynamic
+  * partition overwrite, read the partitioned lake layout back and
+  * hash-compare against a per-window DuckDB oracle. Each window's grid
+  * is computed from the observations INSIDE the window — exactly the
+  * semantics of the reference's independent 5-minute exports.
+  */
+object ExportQueries {
+
+  private val P = GridParams(key = "user_id", time = "ts", value = "value",
+    status = "event_type", step = "1 HOUR")
+
+  /** 5 weekly [start, end) windows covering January 2024 (all SFs span
+    * this month — TESTDATA.md). */
+  private val windows: Seq[(String, String)] =
+    (0 until 5).map { i =>
+      val s = LocalDate.of(2024, 1, 1).plusDays(7L * i)
+      (s.toString, s.plusDays(7).toString)
+    }
+
+  private def windowOracle(sfx: String, start: String, end: String): (String, String) = {
+    val where = s" WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$start'" +
+      s" AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$end'"
+    val defs = TimeSeriesQueries.gridCteDefs(sfx, where)
+    val key = s"${start}T00-00"
+    val select =
+      s"""SELECT '$key' AS partition_key, user_id, time, min(status) AS status,
+         |       floor(avg(temperature) * 100 + 0.5) / 100.0 AS temperature
+         |FROM gridded$sfx GROUP BY user_id, time""".stripMargin
+    (defs, select)
+  }
+
+  def defs: Seq[QDef] = Seq(
+    QDef(
+      "c6_incremental_export",
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_export").toString
+        val events = Tables.events(s, dir)
+        Exporter.backfill(events, P, out, windows)
+        // idempotence in the gate: re-running a window must not change
+        // the result (dynamic overwrite replaces exactly its partition)
+        val (s2, e2) = windows(2)
+        Exporter.exportWindow(events, P, out, s2, e2)
+        Exporter.readExport(s, out)
+          .select(col("partition_key").cast("string").as("partition_key"),
+            col("user_id"), col("time"), col("status"), col("temperature"))
+          .orderBy(col("partition_key"), col("user_id"), col("time"))
+      },
+      Some {
+        val parts = windows.zipWithIndex.map { case ((st, en), i) =>
+          windowOracle(s"_w$i", st, en)
+        }
+        val cte = "WITH " + parts.map(_._1).mkString(",\n")
+        val body = parts.map(_._2).mkString("\nUNION ALL\n")
+        s"""$cte
+           |SELECT * FROM (
+           |$body
+           |)
+           |ORDER BY partition_key, user_id, time""".stripMargin
+      })
+  )
+}

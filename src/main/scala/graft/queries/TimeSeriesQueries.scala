@@ -19,39 +19,41 @@ object TimeSeriesQueries {
   private val P = GridParams(key = "user_id", time = "ts", value = "value",
     status = "event_type", step = "1 HOUR")
 
-  /** Window-formulated interpolation, shared by the t3/t4/t9 oracles.
+  /** Window-formulated interpolation, shared by the t3/t4/t9 oracles
+    * and (suffixed, time-windowed) by the incremental-export oracle.
     * Must match TimeSeries.interpolateOnGrid exactly: same tiebreak
     * (observations before grid at equal t), same micros integer math,
     * same operator order in the interpolation formula.
     */
-  private val oracleGridCte: String =
-    """WITH obs AS (
-      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS v, event_type AS s FROM events
-      |), unioned AS (
-      |  SELECT user_id, t, v, s, 0 AS is_grid FROM obs
-      |  UNION ALL
-      |  SELECT user_id, unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)), NULL, NULL, 1
-      |    FROM (SELECT user_id, min(t) AS tmin, max(t) AS tmax FROM obs GROUP BY user_id)
-      |), win AS (
-      |  SELECT user_id, t, is_grid,
-      |    last_value(v IGNORE NULLS) OVER pw AS pv,
-      |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER pw AS pt,
-      |    first_value(v IGNORE NULLS) OVER nw AS nv,
-      |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER nw AS nt,
-      |    last_value(s IGNORE NULLS) OVER pw AS locf
-      |  FROM unioned
-      |  WINDOW pw AS (PARTITION BY user_id ORDER BY t, is_grid, v ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      |         nw AS (PARTITION BY user_id ORDER BY t, is_grid, v ASC NULLS FIRST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-      |), gridded AS (
-      |  SELECT user_id, t AS time,
-      |    CASE WHEN pt = nt THEN pv
-      |         WHEN nt IS NULL THEN pv
-      |         WHEN pt IS NULL THEN nv
-      |         ELSE pv + (nv - pv) * (epoch_us(t) - epoch_us(pt)) / (epoch_us(nt) - epoch_us(pt)) END AS temperature,
-      |    locf AS status
-      |  FROM win WHERE is_grid = 1
-      |)
-      |""".stripMargin
+  def gridCteDefs(sfx: String, where: String): String =
+    s"""obs$sfx AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS v, event_type AS s FROM events$where
+       |), unioned$sfx AS (
+       |  SELECT user_id, t, v, s, 0 AS is_grid FROM obs$sfx
+       |  UNION ALL
+       |  SELECT user_id, unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)), NULL, NULL, 1
+       |    FROM (SELECT user_id, min(t) AS tmin, max(t) AS tmax FROM obs$sfx GROUP BY user_id)
+       |), win$sfx AS (
+       |  SELECT user_id, t, is_grid,
+       |    last_value(v IGNORE NULLS) OVER pw AS pv,
+       |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER pw AS pt,
+       |    first_value(v IGNORE NULLS) OVER nw AS nv,
+       |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER nw AS nt,
+       |    last_value(s IGNORE NULLS) OVER pw AS locf
+       |  FROM unioned$sfx
+       |  WINDOW pw AS (PARTITION BY user_id ORDER BY t, is_grid, v ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         nw AS (PARTITION BY user_id ORDER BY t, is_grid, v ASC NULLS FIRST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |), gridded$sfx AS (
+       |  SELECT user_id, t AS time,
+       |    CASE WHEN pt = nt THEN pv
+       |         WHEN nt IS NULL THEN pv
+       |         WHEN pt IS NULL THEN nv
+       |         ELSE pv + (nv - pv) * (epoch_us(t) - epoch_us(pt)) / (epoch_us(nt) - epoch_us(pt)) END AS temperature,
+       |    locf AS status
+       |  FROM win$sfx WHERE is_grid = 1
+       |)""".stripMargin
+
+  private val oracleGridCte: String = "WITH " + gridCteDefs("", "") + "\n"
 
   def defs: Seq[QDef] = Seq(
 

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.operators.TimeSeries
+import graft.operators.TimeSeries.GridParams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** C6/S6 — the scheduled incremental export of the reference
+  * (mwaa/mwaa-cdk/dags/timestream-airflow-demo.py:37-93): every run
+  * computes the flagship query over one idempotent [start, end) window
+  * and lands it in the lake under a time-derived partition key
+  * (P13: yyyy-MM-dd'T'HH-mm, `:41-43,69`). Backfill = iterating
+  * windows (timestream-backfill.py:33-37).
+  *
+  * Spark-native layout decisions:
+  *  - `partitionBy(partition_key)` instead of raw prefixes: Catalyst
+  *    prunes partitions on `WHERE partition_key …` for free, which raw
+  *    `2021-10-26T11:35/` prefixes would not give (SURVEY §4).
+  *  - dynamic partition overwrite: re-running a window replaces exactly
+  *    that window's partition — idempotence without touching siblings.
+  *  - parquet instead of CSV at rest (S7; the reference suggests it,
+  *    README.md:195); the enrichment query reads it back schema-typed.
+  */
+object Exporter {
+
+  val KeyFormat = "yyyy-MM-dd'T'HH-mm"
+
+  /** One incremental run: flagship over [start, end), written under its
+    * partition key. Idempotent — same window in, same partition out. */
+  def exportWindow(events: DataFrame, p: GridParams, outDir: String,
+      start: String, end: String): Unit = {
+    val windowed = events.filter(
+      col(p.time) >= lit(start).cast("timestamp") &&
+        col(p.time) < lit(end).cast("timestamp"))
+    TimeSeries.flagship(windowed, p)
+      .withColumn("partition_key",
+        date_format(lit(start).cast("timestamp"), KeyFormat))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("partition_key")
+      .parquet(outDir)
+  }
+
+  /** Backfill: run every [start, end) pair — the Airflow catchup loop. */
+  def backfill(events: DataFrame, p: GridParams, outDir: String,
+      windows: Seq[(String, String)]): Unit =
+    windows.foreach { case (s, e) => exportWindow(events, p, outDir, s, e) }
+
+  /** Read the exported lake layout back (partition column included,
+    * partition pruning available to any filter on it). */
+  def readExport(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+
+  /** §1.6 retention: drop export partitions whose key sorts strictly
+    * below `cutoffKey` (the KeyFormat is lexicographically ordered by
+    * time, so string comparison IS time comparison). The Spark analog
+    * of Timestream's magnetic-retention expiry — driver-side metadata
+    * operation, O(partitions), no data scan.
+    */
+  def dropPartitionsOlderThan(spark: SparkSession, outDir: String,
+      cutoffKey: String): Seq[String] = {
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = fs.listStatus(new Path(outDir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { dir =>
+        dir.getName.startsWith("partition_key=") &&
+          dir.getName.stripPrefix("partition_key=") < cutoffKey
+      }
+    dropped.foreach(fs.delete(_, true))
+    dropped.map(_.getName.stripPrefix("partition_key="))
+  }
+}

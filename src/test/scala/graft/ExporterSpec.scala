@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.TimeSeries.GridParams
+import graft.streaming.Exporter
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental export: idempotent windows, time-keyed partition layout
+  * with pruning, and the retention drop job.
+  */
+class ExporterSpec extends SparkSpec {
+
+  private val P = GridParams(key = "user_id", time = "ts", value = "value",
+    status = "event_type", step = "1 HOUR")
+
+  private def freshDir = {
+    val p = Files.createTempDirectory("exporter_spec")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private val windows = Seq(
+    ("2024-01-01", "2024-01-08"),
+    ("2024-01-08", "2024-01-15"),
+    ("2024-01-15", "2024-01-22"))
+
+  test("re-running a window is idempotent (dynamic partition overwrite)") {
+    val out = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    Exporter.backfill(events, P, out, windows)
+    val first = Exporter.readExport(spark, out).collect().map(_.toSeq).toSet
+    Exporter.exportWindow(events, P, out, windows(1)._1, windows(1)._2)
+    val second = Exporter.readExport(spark, out).collect().map(_.toSeq).toSet
+    assert(first == second)
+    assert(first.nonEmpty)
+  }
+
+  test("partition layout prunes: a key filter reads only that partition's files") {
+    val out = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    Exporter.backfill(events, P, out, windows)
+    val all = Exporter.readExport(spark, out)
+    val one = all.filter(col("partition_key") === "2024-01-08T00-00")
+    // files actually read post-pruning (inputFiles ignores filters)
+    val readFiles = one.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(readFiles.nonEmpty && readFiles.forall(_.contains("partition_key=2024-01-08T00-00")))
+    assert(readFiles.length < all.inputFiles.length)
+    assert(one.count() > 0)
+  }
+
+  test("retention drops partitions strictly below the cutoff key") {
+    val out = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    Exporter.backfill(events, P, out, windows)
+    val dropped = Exporter.dropPartitionsOlderThan(spark, out, "2024-01-15T00-00")
+    assert(dropped.sorted == Seq("2024-01-01T00-00", "2024-01-08T00-00"))
+    val left = Exporter.readExport(spark, out)
+      .select("partition_key").distinct().collect().map(_.getString(0)).toSet
+    assert(left == Set("2024-01-15T00-00"))
+  }
+
+  test("windowed export equals flagship computed directly on that window") {
+    val out = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    Exporter.exportWindow(events, P, out, "2024-01-01", "2024-01-08")
+    val exported = Exporter.readExport(spark, out)
+      .select("user_id", "time", "status", "temperature")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.operators.TimeSeries.flagship(
+      events.filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-01-08").cast("timestamp")), P)
+      .collect().map(_.toSeq).toSet
+    assert(exported == direct && direct.nonEmpty)
+  }
+}
