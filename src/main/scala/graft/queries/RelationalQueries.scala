@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Shared by the parquet-native and CSV-schema-on-read enrichment
+    * queries — both must produce this exact relation. */
+  private val enrichmentOracle: String =
+    """SELECT c_custkey, c_name, n_name AS nation, r_name AS region,
+      |       floor(c_acctbal * 100 + 0.5) / 100.0 AS acctbal,
+      |       concat_ws('-', c_mktsegment, n_name) AS segment_key
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE c_acctbal > 0
+      |ORDER BY c_custkey""".stripMargin
+
   def defs: Seq[QDef] = Seq(
 
     // P1-P13 packed scan: filter (P3/P5), projection+alias (P2), casts
@@ -145,6 +157,35 @@ object RelationalQueries {
           |FROM narrow GROUP BY l_orderkey, l_linenumber
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // S5+S8+J5 — the full data-lake path (README.md:359-444): dims
+    // exported as headered CSV, registered schema-on-read (all-string,
+    // casts in the query — OpenCSVSerde semantics), composed into the
+    // persistent enrichment view via SQL text, against the parquet
+    // fact. Same result as j_enrichment_view ⇒ same oracle.
+    QDef(
+      "s5_csv_enrichment_view",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_lake")
+        graft.sources.CsvLake.exportCsv(Tables.nation(s, dir), s"$tmp/nation_csv")
+        graft.sources.CsvLake.exportCsv(Tables.region(s, dir), s"$tmp/region_csv")
+        graft.sources.CsvLake.registerExternalTable(s, s"$tmp/nation_csv", "csv_nation")
+        graft.sources.CsvLake.registerExternalTable(s, s"$tmp/region_csv", "csv_region")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_pq")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW sensor_enriched_data AS
+            |SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+            |       -- 100.0D: Spark SQL parses a bare decimal literal as DECIMAL,
+            |       -- which would make the division DECIMAL instead of DOUBLE
+            |       floor(c.c_acctbal * 100 + 0.5) / 100.0D AS acctbal,
+            |       concat_ws('-', c.c_mktsegment, n.n_name) AS segment_key
+            |FROM customer_pq c
+            |JOIN csv_nation n ON c.c_nationkey = CAST(n.n_nationkey AS BIGINT)
+            |JOIN csv_region r ON CAST(n.n_regionkey AS BIGINT) = CAST(r.r_regionkey AS BIGINT)
+            |WHERE c.c_acctbal > 0""".stripMargin)
+        s.sql("SELECT * FROM sensor_enriched_data ORDER BY c_custkey")
+      },
+      Some(enrichmentOracle)),
+
     // J1+J2+J5 — the Athena enrichment view shape (README.md:430-444):
     // fact enriched through two small dimensions; dims auto-broadcast.
     QDef(
@@ -165,15 +206,7 @@ object RelationalQueries {
             concat_ws("-", col("c_mktsegment"), col("n_name")).as("segment_key"))
           .orderBy(col("c_custkey"))
       },
-      Some(
-        """SELECT c_custkey, c_name, n_name AS nation, r_name AS region,
-          |       floor(c_acctbal * 100 + 0.5) / 100.0 AS acctbal,
-          |       concat_ws('-', c_mktsegment, n_name) AS segment_key
-          |FROM customer
-          |JOIN nation ON c_nationkey = n_nationkey
-          |JOIN region ON n_regionkey = r_regionkey
-          |WHERE c_acctbal > 0
-          |ORDER BY c_custkey""".stripMargin)),
+      Some(enrichmentOracle)),
 
     // J1/J2 at fact scale — revenue per nation (orders ⋈ customer ⋈
     // nation), exact decimal accumulation. Bench headline.

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S5/S8 — the data-lake CSV surface of the reference
+  * (README.md:359-406): master data lives as headered CSV files; the
+  * warehouse registers them as external tables and queries re-cast
+  * columns at read time.
+  *
+  *  - `registerExternalTable` mirrors OpenCSVSerde +
+  *    `skip.header.line.count=1`: header consumed for names, EVERY
+  *    column typed string, casts happen in the query (schema-on-read).
+  *    A UTF-8 BOM on the first header cell — present in the
+  *    reference's sensor_mapping.csv — is stripped from the column
+  *    name (Spark's parser would otherwise keep it, silently breaking
+  *    by-name references).
+  *  - `registerInferred` mirrors the Glue-crawler path (S8): schema
+  *    inference over the same files.
+  *
+  * Registration is `createOrReplaceTempView` — the J5 "persistent
+  * enrichment view" then composes in plain SQL over these views.
+  */
+object CsvLake {
+
+  private def stripBom(df: DataFrame): DataFrame = {
+    val cols = df.columns.map(c => c.stripPrefix("﻿"))
+    df.toDF(cols: _*)
+  }
+
+  /** Schema-on-read external table: header row, all columns string. */
+  def registerExternalTable(spark: SparkSession, path: String, name: String): DataFrame = {
+    val df = stripBom(spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(path))
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Crawler-style registration: same files, inferred types. */
+  def registerInferred(spark: SparkSession, path: String, name: String): DataFrame = {
+    val df = stripBom(spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path))
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Headered CSV export under a prefix (the lake write side). */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
