@@ -20,6 +20,7 @@ object Registry {
       queries.CepQueries.defs ++
       queries.StreamingQueries.defs ++
       queries.ExportQueries.defs ++
+      queries.DialectQueries.defs ++
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import java.sql.Timestamp
+import scala.math.Ordering.Implicits._
+
+/** SURVEY §7 Phase 3 — the Timestream SQL dialect registered as session
+  * functions, so the reference's queries (timestream-queries/
+  * queries.txt:2-19) run as SQL TEXT against this engine:
+  *
+  *   CREATE_TIME_SERIES(time, value)      → UDAF: sorted array<struct>
+  *   CREATE_TIME_SERIES_STR(time, status) → string-valued series
+  *   INTERPOLATE_LINEAR(series, grid)     → UDF over sorted arrays
+  *   INTERPOLATE_LOCF(series, grid)       → last-observation carry
+  *   BIN(time, seconds)                   → fixed-width bucket truncate
+  *   AGO('15m' | '7d' | …) / TS_NOW()     → relative time, frozen-clock
+  *
+  * Interpolation math replicates operators/TimeSeries.interpolateOnGrid
+  * operation for operation (micros integer deltas, identical op order,
+  * ties broken by value), so the SQL-text flagship hash-matches the
+  * window-formulated one — q_sql_flagship shares t9's DuckDB oracle.
+  * The array form is the API-fidelity path (a sensor's history becomes
+  * one array row); the window form remains the scale path (SURVEY
+  * §2.3 T3 design note).
+  *
+  * AGO resolves against an explicit frozen clock when given — queries
+  * in the correctness gate must be deterministic; production use passes
+  * now = None for the wall clock.
+  */
+object Dialect {
+
+  final case class TV(time: Timestamp, value: Double)
+  final case class SV(time: Timestamp, value: String)
+
+  private def us(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Sorted-series UDAF: the merge is list concatenation and the sort
+    * happens once in finish, so partial aggregation order (cluster
+    * nondeterminism) cannot leak into the result. */
+  private class SeriesAgg extends Aggregator[(Timestamp, Double), List[(Timestamp, Double)], Seq[TV]] {
+    def zero: List[(Timestamp, Double)] = Nil
+    def reduce(b: List[(Timestamp, Double)], a: (Timestamp, Double)): List[(Timestamp, Double)] = a :: b
+    def merge(a: List[(Timestamp, Double)], b: List[(Timestamp, Double)]): List[(Timestamp, Double)] = a ::: b
+    def finish(b: List[(Timestamp, Double)]): Seq[TV] =
+      b.sortBy { case (t, v) => (us(t), v) }.map { case (t, v) => TV(t, v) }
+    def bufferEncoder: Encoder[List[(Timestamp, Double)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[TV]] = ExpressionEncoder()
+  }
+
+  private class SeriesStrAgg extends Aggregator[(Timestamp, String), List[(Timestamp, String)], Seq[SV]] {
+    def zero: List[(Timestamp, String)] = Nil
+    def reduce(b: List[(Timestamp, String)], a: (Timestamp, String)): List[(Timestamp, String)] = a :: b
+    def merge(a: List[(Timestamp, String)], b: List[(Timestamp, String)]): List[(Timestamp, String)] = a ::: b
+    def finish(b: List[(Timestamp, String)]): Seq[SV] =
+      b.sortBy { case (t, v) => (us(t), v) }.map { case (t, v) => SV(t, v) }
+    def bufferEncoder: Encoder[List[(Timestamp, String)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[SV]] = ExpressionEncoder()
+  }
+
+  /** Linear interpolation of a sorted (time, double) series onto grid
+    * instants. prev = last observation at-or-before the instant (ties:
+    * greatest value — the window formulation's `_v asc` tiebreak);
+    * next = first strictly after. Identical IEEE op order to
+    * interpolateOnGrid: pv + ((nv - pv) * Δt) / Δtotal on micros longs.
+    */
+  private def interpLinear(series: Seq[Row], grid: Seq[Timestamp]): Seq[TV] = {
+    val obs = series.map(r => (us(r.getTimestamp(0)), r.getDouble(1)))
+    grid.map { g =>
+      val gu = us(g)
+      val before = obs.takeWhile(_._1 <= gu)
+      val after = obs.drop(before.size)
+      val v =
+        if (after.isEmpty) before.last._2
+        else if (before.isEmpty) after.head._2
+        else {
+          val (pt, pv) = before.last
+          val (nt, nv) = after.head
+          pv + ((nv - pv) * (gu - pt).toDouble) / (nt - pt).toDouble
+        }
+      TV(g, v)
+    }
+  }
+
+  /** LOCF of a sorted (time, string) series onto grid instants. */
+  private def interpLocf(series: Seq[Row], grid: Seq[Timestamp]): Seq[SV] = {
+    val obs = series.map(r => (us(r.getTimestamp(0)), r.getString(1)))
+    grid.map { g =>
+      val gu = us(g)
+      val before = obs.takeWhile(_._1 <= gu)
+      SV(g, if (before.isEmpty) null else before.last._2)
+    }
+  }
+
+  private def binTs(t: Timestamp, stepSeconds: Long): Timestamp = {
+    val stepUs = stepSeconds * 1000000L
+    val b = us(t) - math.floorMod(us(t), stepUs)
+    new Timestamp(math.floorDiv(b, 1000L)) // whole-second boundaries: millis exact
+  }
+
+  private val AgoPattern = "(\\d+)\\s*(s|m|h|d)".r
+
+  private[graft] def parseAgoMicros(d: String): Long = d.trim match {
+    case AgoPattern(n, unit) =>
+      val mult = unit match {
+        case "s" => 1000000L
+        case "m" => 60L * 1000000L
+        case "h" => 3600L * 1000000L
+        case "d" => 86400L * 1000000L
+      }
+      n.toLong * mult
+    case other => throw new IllegalArgumentException(s"ago(): cannot parse duration '$other'")
+  }
+
+  /** Register the dialect on a session. `now` freezes AGO()/TS_NOW()
+    * for deterministic queries; None uses the wall clock per call. */
+  def register(spark: SparkSession, now: Option[Timestamp] = None): Unit = {
+    spark.udf.register("create_time_series", udaf(new SeriesAgg))
+    spark.udf.register("create_time_series_str", udaf(new SeriesStrAgg))
+    spark.udf.register("interpolate_linear",
+      (series: Seq[Row], grid: Seq[Timestamp]) => interpLinear(series, grid))
+    spark.udf.register("interpolate_locf",
+      (series: Seq[Row], grid: Seq[Timestamp]) => interpLocf(series, grid))
+    spark.udf.register("bin", (t: Timestamp, s: Long) => binTs(t, s))
+    def nowTs(): Timestamp = now.getOrElse(new Timestamp(System.currentTimeMillis()))
+    spark.udf.register("ts_now", () => nowTs())
+    spark.udf.register("ago",
+      (d: String) => new Timestamp(nowTs().getTime - parseAgoMicros(d) / 1000L))
+  }
+}

@@ -55,17 +55,22 @@ object TimeSeriesQueries {
 
   private val oracleGridCte: String = "WITH " + gridCteDefs("", "") + "\n"
 
+  /** The flagship oracle — shared by t9 (window formulation) and
+    * q_sql_flagship (SQL-dialect array formulation): both engines'
+    * flagship paths must land on this exact relation. */
+  val flagshipOracle: String = oracleGridCte +
+    """SELECT user_id, time, min(status) AS status,
+      |       floor(avg(temperature) * 100 + 0.5) / 100.0 AS temperature
+      |FROM gridded GROUP BY user_id, time
+      |ORDER BY user_id, time""".stripMargin
+
   def defs: Seq[QDef] = Seq(
 
     // T9 — flagship composite: queries.txt:2-19.
     QDef(
       "t9_flagship",
       (s, dir) => TimeSeries.flagship(Tables.events(s, dir), P),
-      Some(oracleGridCte +
-        """SELECT user_id, time, min(status) AS status,
-          |       floor(avg(temperature) * 100 + 0.5) / 100.0 AS temperature
-          |FROM gridded GROUP BY user_id, time
-          |ORDER BY user_id, time""".stripMargin),
+      Some(flagshipOracle),
       headline = true),
 
     // T3 — INTERPOLATE_LINEAR alone (queries.txt:23-26).

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.Dialect
+import graft.operators.TimeSeries
+import graft.operators.TimeSeries.GridParams
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** The SQL dialect surface: registered functions must agree with their
+  * DataFrame-native counterparts, and AGO must honor a frozen clock.
+  */
+class DialectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = GridParams(key = "user_id", time = "ts", value = "value",
+    status = "event_type", step = "1 HOUR")
+
+  test("SQL-text flagship equals the window-formulated flagship (sf0.001)") {
+    Dialect.register(spark)
+    Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("events")
+    val sql = spark.sql(
+      """WITH interpolated AS (
+        |  SELECT user_id,
+        |         INTERPOLATE_LINEAR(CREATE_TIME_SERIES(ts, value),
+        |           SEQUENCE(MIN(ts), MAX(ts), INTERVAL 1 HOUR)) AS it,
+        |         INTERPOLATE_LOCF(CREATE_TIME_SERIES_STR(ts, event_type),
+        |           SEQUENCE(MIN(ts), MAX(ts), INTERVAL 1 HOUR)) AS is
+        |  FROM events GROUP BY user_id
+        |), t AS (SELECT user_id, tt.time AS time, tt.value AS temperature
+        |         FROM interpolated LATERAL VIEW explode(it) x AS tt),
+        |st AS (SELECT user_id, ss.time AS time, ss.value AS status
+        |       FROM interpolated LATERAL VIEW explode(is) y AS ss)
+        |SELECT t.user_id, t.time, MIN(st.status) AS status,
+        |       floor(AVG(t.temperature) * 100 + 0.5) / 100.0D AS temperature
+        |FROM t JOIN st ON t.user_id = st.user_id AND t.time = st.time
+        |GROUP BY t.user_id, t.time""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val dsl = TimeSeries.flagship(Tables.events(spark, sf("sf0.001")), P)
+      .collect().map(_.toSeq).toSet
+    assert(sql == dsl && dsl.nonEmpty)
+  }
+
+  test("interpolate_linear handles exact hits, midpoints, and edges") {
+    Dialect.register(spark)
+    val out = spark.sql(
+      """SELECT interpolate_linear(
+        |  array(struct(TIMESTAMP '2024-01-01 00:00:00' AS time, 10.0D AS value),
+        |        struct(TIMESTAMP '2024-01-01 00:02:00' AS time, 30.0D AS value)),
+        |  array(TIMESTAMP '2023-12-31 23:59:00', TIMESTAMP '2024-01-01 00:00:00',
+        |        TIMESTAMP '2024-01-01 00:01:00', TIMESTAMP '2024-01-01 00:03:00')) AS r""".stripMargin)
+      .select(explode(col("r")).as("e")).select("e.value").as[Double].collect().toSeq
+    // before-first → first obs; exact hit → obs; midpoint → 20; past-last → last obs
+    assert(out == Seq(10.0, 10.0, 20.0, 30.0))
+  }
+
+  test("interpolate_locf carries the last observation forward") {
+    Dialect.register(spark)
+    val out = spark.sql(
+      """SELECT interpolate_locf(
+        |  array(struct(TIMESTAMP '2024-01-01 00:00:00' AS time, 'OK' AS value),
+        |        struct(TIMESTAMP '2024-01-01 00:02:00' AS time, 'ERROR' AS value)),
+        |  array(TIMESTAMP '2024-01-01 00:01:00', TIMESTAMP '2024-01-01 00:02:00',
+        |        TIMESTAMP '2024-01-01 00:05:00')) AS r""".stripMargin)
+      .select(explode(col("r")).as("e")).select("e.value").as[String].collect().toSeq
+    assert(out == Seq("OK", "ERROR", "ERROR"))
+  }
+
+  test("bin() UDF equals the native bin column") {
+    Dialect.register(spark)
+    val df = Tables.events(spark, sf("sf0.001")).limit(200)
+    val diff = df.select(
+      expr("bin(ts, 3600)").as("udf_bin"),
+      TimeSeries.bin(col("ts"), 3600L).as("native_bin"))
+      .filter(col("udf_bin") =!= col("native_bin"))
+    assert(diff.count() == 0)
+  }
+
+  test("ago()/ts_now() honor the frozen clock") {
+    val now = Timestamp.valueOf("2024-01-31 00:00:00")
+    Dialect.register(spark, now = Some(now))
+    val r = spark.sql("SELECT ts_now() AS n, ago('15d') AS a, ago('90m') AS m").collect().head
+    assert(r.getTimestamp(0) == now)
+    assert(r.getTimestamp(1) == Timestamp.valueOf("2024-01-16 00:00:00"))
+    assert(r.getTimestamp(2) == Timestamp.valueOf("2024-01-30 22:30:00"))
+  }
+
+  test("ago() rejects garbage durations") {
+    assertThrows[IllegalArgumentException](Dialect.parseAgoMicros("soon"))
+    assert(Dialect.parseAgoMicros("15 m") == 900000000L)
+  }
+}
