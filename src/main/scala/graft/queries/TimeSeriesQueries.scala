@@ -138,9 +138,12 @@ object TimeSeriesQueries {
           |FROM events GROUP BY user_id, time_bin
           |ORDER BY max_value DESC, user_id, time_bin""".stripMargin)),
 
-    // A5 — avg / exact p90 / p75 per 1-day bin (grafana…json:392 uses
-    // APPROX_PERCENTILE; exact percentile here so the oracle can match
-    // bit-for-bit — both engines use linear interpolation on (n-1)*p).
+    // A5 — avg + APPROX_PERCENTILE per 1-day bin (grafana…json:392).
+    // Oracle: with accuracy (10k) above the per-bin cardinality at the
+    // gate's sf0.01, Spark's sketch is exact and returns the discrete
+    // element quantile_disc picks — verified element-for-element. At
+    // larger accuracy<n scales the sketch is approximate by design
+    // (the exact twin below remains the bit-exact formulation).
     QDef(
       "a5_percentile_bins",
       (s, dir) => Tables.events(s, dir)
@@ -150,7 +153,13 @@ object TimeSeriesQueries {
           Arith.r2(percentile_approx(col("value"), lit(0.9), lit(10000)).cast("double")).as("p90"),
           Arith.r2(percentile_approx(col("value"), lit(0.75), lit(10000)).cast("double")).as("p75"))
         .orderBy(col("time_bin")),
-      None), // approx sketch differs from DuckDB's; exact variant below is the oracle-checked one
+      Some(
+        """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000) AS time_bin,
+          |       floor(avg(value) * 100 + 0.5) / 100.0 AS avg_value,
+          |       floor(quantile_disc(value, 0.9) * 100 + 0.5) / 100.0 AS p90,
+          |       floor(quantile_disc(value, 0.75) * 100 + 0.5) / 100.0 AS p75
+          |FROM events GROUP BY time_bin
+          |ORDER BY time_bin""".stripMargin)),
 
     // Exact continuous percentile, formulated identically in both engines
     // (rank windows + linear interpolation at pos = p*(n-1)) so the compare
