@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the properties the 100 TB design depends on,
+  * pinned as assertions so a regression in plan shape fails CI, not
+  * a production cluster. Checked against the registered queries
+  * themselves (sf0.001 — plan shape is scale-independent).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Registry.byName(name).fn(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    val p = plan("p_scan_scalar")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scans are column-pruned to the referenced columns") {
+    val p = plan("q1_pricing_summary")
+    // lineitem has 16 columns; the scan must read only the 7 used
+    val readSchema = "ReadSchema: struct<" + p.split("ReadSchema: struct<")(1).split(">")(0)
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("dimension joins broadcast; the fact table is never the build side") {
+    val p = plan("j_orders_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // whatever broadcasts, it must not be the fact table (orders): at
+    // test scale Catalyst may legitimately broadcast customer too
+    // (under threshold); at cluster scale statistics push that join to
+    // shuffle. The invariant that holds at EVERY scale is fact-side.
+    assert(!p.split("BroadcastExchange").drop(1).exists(_.contains("orders.parquet")), p)
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("o_topk_values")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("flagship runs on a bounded number of shuffles") {
+    val p = plan("t9_flagship")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"flagship now has $exchanges hash exchanges:\n$p")
+    // interpolation must NOT use quadratic unbounded-following frames
+    assert(!p.contains("unboundedfollowing$()"), p)
+  }
+
+  test("registered queries avoid cartesian products (except the exact all-pairs baseline)") {
+    val allowed = Set("s_embedding_neardup") // exact oracle baseline, documented
+    Registry.all.filterNot(q => allowed(q.name))
+      .filterNot(q => Set("c6_incremental_export", "s5_csv_enrichment_view")(q.name)) // eager side effects
+      .foreach { q =>
+        val p = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"${q.name} plans a CartesianProduct")
+      }
+  }
+
+  test("CEP batch emulation is two window passes, no join") {
+    val p = plan("c1_cep_error_sandwich")
+    assert(!p.contains("Join"), p)
+  }
+}
