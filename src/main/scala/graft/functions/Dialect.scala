@@ -69,17 +69,19 @@ object Dialect {
     * interpolateOnGrid: pv + ((nv - pv) * Δt) / Δtotal on micros longs.
     */
   private def interpLinear(series: Seq[Row], grid: Seq[Timestamp]): Seq[TV] = {
-    val obs = series.map(r => (us(r.getTimestamp(0)), r.getDouble(1)))
+    val obs = series.map(r => (us(r.getTimestamp(0)), r.getDouble(1))).toIndexedSeq
+    // two-pointer merge over the (sorted) series and (ascending) grid —
+    // O(obs + grid) per group; a per-point scan would be O(obs × grid)
+    var i = 0 // count of observations with t <= current grid instant
     grid.map { g =>
       val gu = us(g)
-      val before = obs.takeWhile(_._1 <= gu)
-      val after = obs.drop(before.size)
+      while (i < obs.length && obs(i)._1 <= gu) i += 1
       val v =
-        if (after.isEmpty) before.last._2
-        else if (before.isEmpty) after.head._2
+        if (i == obs.length) obs(i - 1)._2 // past the last observation
+        else if (i == 0) obs.head._2 // before the first observation
         else {
-          val (pt, pv) = before.last
-          val (nt, nv) = after.head
+          val (pt, pv) = obs(i - 1)
+          val (nt, nv) = obs(i)
           pv + ((nv - pv) * (gu - pt).toDouble) / (nt - pt).toDouble
         }
       TV(g, v)
@@ -88,11 +90,12 @@ object Dialect {
 
   /** LOCF of a sorted (time, string) series onto grid instants. */
   private def interpLocf(series: Seq[Row], grid: Seq[Timestamp]): Seq[SV] = {
-    val obs = series.map(r => (us(r.getTimestamp(0)), r.getString(1)))
+    val obs = series.map(r => (us(r.getTimestamp(0)), r.getString(1))).toIndexedSeq
+    var i = 0
     grid.map { g =>
       val gu = us(g)
-      val before = obs.takeWhile(_._1 <= gu)
-      SV(g, if (before.isEmpty) null else before.last._2)
+      while (i < obs.length && obs(i)._1 <= gu) i += 1
+      SV(g, if (i == 0) null else obs(i - 1)._2)
     }
   }
 

@@ -20,15 +20,12 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-gram shingles of a text column (array<string>).
-    * Empty array when the text has fewer than n words.
+    * Empty array when the text has fewer than n words. Native
+    * expression — one compiled loop per row (see
+    * graft.functions.WordShingles for why not higher-order builtins).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = split(text, " ")
-    val grams = transform(
-      sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
-    array_distinct(when(size(w) >= n, grams).otherwise(array()))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.wordShingles(text, n)
 
   /** Exact dedup annotation: every row keeps its content hash, the
     * canonical (minimum) id of its duplicate group, and the group size.
@@ -170,18 +167,29 @@ object Dedup {
       threshold: Double, numPerm: Int = 32, bands: Int = 16): DataFrame = {
     val r = numPerm / bands
     val sets = shingleSets(df, id, text, n)
-    val sig = sets
-      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(MinhashPrime))))
-      .select(col("doc"), sigFromHashes(col("hs"), numPerm).as("sig"))
+
+    // Signatures as ONE whole-stage-codegen hash aggregate over the
+    // exploded shingle index: numPerm min() accumulators per doc, with
+    // map-side partial aggregation (the per-row 32×transform fold it
+    // replaces was interpreted lambda evaluation — same values, ~5×
+    // cheaper, and the shape a 100 TB corpus pass wants).
+    val hashedInv = sets.select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"), pmod(xxhash64(col("s")), lit(MinhashPrime)).as("h"))
+    val sigCols = minhashPerms(numPerm).zipWithIndex.map { case ((a, b), k) =>
+      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"m$k")
+    }
+    val sig = hashedInv.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
 
     // persisted: the candidate self-join consumes both sides; without it
     // the whole signature pipeline runs twice (broadcast-side joins have
     // no exchange boundary to reuse)
-    val banded = sig.select(col("doc"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64((0 until r).map(k => element_at(col("sig"), b * r + k + 1)) :+ b: _*))))
-      .select(col("doc"), col("pos").as("band"), col("col").as("bucket"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until r).map(k => col(s"m${b * r + k}")) :+ lit(b): _*).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cands = banded.as("a")
