@@ -212,18 +212,28 @@ object Dedup {
     * expression, ~10× slower and codegen-opaque). Vote sums are
     * commutative integer adds, so the result is independent of
     * partitioning and row order.
+    *
+    * The 64 token-hash bits are the nibbles of md5(token) (bit b =
+    * bit b%4 of hex digit 15 - b/4), extracted with the same
+    * instr-on-hex-alphabet arithmetic the DuckDB oracle uses — md5 is
+    * the one 64-bit-capable hash both engines evaluate identically,
+    * which is what makes d_simhash hash-checkable end to end.
     */
   def simhash64(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.repartition(col(id))
       .select(col(id).as("doc"), explode(split(col(text), " ")).as("w"))
-      .withColumn("th", xxhash64(col("w")))
+      .withColumn("md", md5(col("w")))
+    val withNibbles = toks.select(col("doc") +: (0 until 16).map { ni =>
+      expr(s"instr('0123456789abcdef', substr(md, ${ni + 1}, 1)) - 1").as(s"nib$ni")
+    }: _*)
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
+      val nib = col(s"nib${15 - b / 4}")
+      sum(when(shiftright(nib, b % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val assemble = (0 until 64).map { b =>
       when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
-    toks.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    withNibbles.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
       .select(col("doc"), assemble.as("h"))
   }
 

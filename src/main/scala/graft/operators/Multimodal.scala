@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Decoded media record: dimensions + a fixed-size feature vector. */
+  /** Decoded media record: dimensions, a fixed-size feature vector, and
+    * the payload content hash (provenance/dedup key in a real pipeline). */
   final case class Decoded(
       media_id: Long,
       width: Int,
       height: Int,
       n_frames: Int,
+      content_hash: Long,
       features: Array[Float])
 
   val FeatureDim = 16
@@ -39,19 +41,22 @@ object Multimodal {
 
   /** STUB CODEC — deterministic pure function of the payload bytes.
     * A real integration decodes the image/audio here; everything else
-    * in this file is the production plumbing.
+    * in this file is the production plumbing. The rolling hash is
+    * modular (never overflows a signed 64-bit value), so the decode is
+    * reproducible in plain SQL and x_multimodal_decode can be
+    * oracle-checked.
     */
-  private[operators] def stubDecode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    var h = 1125899906842597L // FNV-ish rolling hash, deterministic
+  private[operators] def stubDecode(payload: Array[Byte]): (Int, Int, Int, Long, Array[Float]) = {
+    var h = 0L // rolling hash: h = (h*31 + byte) mod 1e9+7
     var i = 0
-    while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
-    val width = (math.abs(h % 64) + 1).toInt * 16
-    val height = (math.abs((h >> 8) % 64) + 1).toInt * 16
-    val nFrames = (math.abs((h >> 16) % 10) + 1).toInt
+    while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+    val width = ((h % 64) + 1).toInt * 16
+    val height = (((h >> 8) % 64) + 1).toInt * 16
+    val nFrames = (((h >> 16) % 10) + 1).toInt
     val features = Array.tabulate(FeatureDim) { k =>
       ((h >> (k * 3)) & 0xff).toFloat / 255f
     }
-    (width, height, nFrames, features)
+    (width, height, nFrames, h, features)
   }
 
   /** Batch decode: mapPartitions over (media_id, payload) so a real
@@ -67,8 +72,8 @@ object Multimodal {
       .mapPartitions { rows =>
         // real codec: init decoder/context HERE, once per partition
         rows.map { case (id, payload) =>
-          val (w, h, f, feat) = stubDecode(payload)
-          Decoded(id, w, h, f, feat)
+          val (w, h, f, hash, feat) = stubDecode(payload)
+          Decoded(id, w, h, f, hash, feat)
         }
       }
   }

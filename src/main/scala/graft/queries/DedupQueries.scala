@@ -92,10 +92,43 @@ object DedupQueries {
         n = 3, threshold = 0.8),
       Some(jaccardOracle(0.8, None))),
 
+    // Oracle is the brute-force formulation over the SAME md5-nibble
+    // simhash (pigeonhole blocking is recall-complete, so the blocked
+    // Spark result must equal the all-pairs Hamming scan).
     QDef(
       "d_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 7),
-      None) // xxhash64 not reproducible in DuckDB; checked vs brute-force Hamming scan in DedupSpec
+      Some(simhashOracle(7)))
   )
+
+  /** DuckDB mirror of Dedup.simhash64 + an all-pairs Hamming scan:
+    * md5-nibble per-bit votes (64 sum aggregates), sign → bit, hamming
+    * = count of differing bits. */
+  private def simhashOracle(maxHamming: Int): String = {
+    val votes = (0 until 64).map { b =>
+      val ni = 15 - b / 4
+      s"sum(CASE WHEN ((instr('0123456789abcdef', substr(md, ${ni + 1}, 1)) - 1) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n         ")
+    val bits = (0 until 64).map(b => s"CASE WHEN v$b >= 0 THEN 1 ELSE 0 END AS b$b").mkString(",\n         ")
+    val diff = (0 until 64).map(b => s"(CASE WHEN a.b$b <> b.b$b THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS md FROM documents
+       |), votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM toks GROUP BY doc_id
+       |), bits AS (
+       |  SELECT doc_id,
+       |         $bits
+       |  FROM votes
+       |), pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |         CAST($diff AS BIGINT) AS hamming
+       |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+       |)
+       |SELECT d1, d2, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY d1, d2""".stripMargin
+  }
 }

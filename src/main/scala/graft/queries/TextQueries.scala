@@ -167,6 +167,47 @@ object TextQueries {
           |  CAST((ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS BIGINT) AS fake_width,
           |  CAST((n_chars % 64 + 1) * 16 AS BIGINT) AS fake_height,
           |  CAST(n_chars % 10 + 1 AS BIGINT) AS fake_frames
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // The mapPartitions batch-decode path itself, oracle-checked: the
+    // stub codec is a modular rolling hash over the payload bytes, so
+    // DuckDB reproduces width/height/frames/content_hash exactly; the
+    // feature vector is compared via its exact integer checksum
+    // (features are nibble/255f — float arrays don't hash-compare).
+    QDef(
+      "x_multimodal_decode",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val media = graft.operators.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+        val checksum = (0 until graft.operators.Multimodal.FeatureDim)
+          .map(k => shiftright(col("content_hash"), k * 3).bitwiseAND(lit(255L)))
+          .reduce[org.apache.spark.sql.Column](_ + _)
+        graft.operators.Multimodal.decode(media).toDF()
+          .select(col("media_id"), col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("content_hash"), checksum.as("feature_checksum"))
+          .orderBy(col("media_id"))
+      },
+      Some {
+        val checksum = (0 until graft.operators.Multimodal.FeatureDim)
+          .map(k => s"((h >> ${k * 3}) & 255)").mkString(" + ")
+        s"""WITH hashed AS (
+           |  SELECT doc_id AS media_id,
+           |         list_reduce(
+           |           list_prepend(CAST(0 AS BIGINT),
+           |             list_transform(generate_series(1, length(text)),
+           |               i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+           |           (a, c) -> (a * 31 + c) % 1000000007) AS h
+           |  FROM documents
+           |)
+           |SELECT media_id,
+           |       CAST((h % 64 + 1) * 16 AS BIGINT) AS width,
+           |       CAST(((h >> 8) % 64 + 1) * 16 AS BIGINT) AS height,
+           |       CAST(((h >> 16) % 10 + 1) AS BIGINT) AS n_frames,
+           |       h AS content_hash,
+           |       CAST($checksum AS BIGINT) AS feature_checksum
+           |FROM hashed ORDER BY media_id""".stripMargin
+      })
   )
 }
