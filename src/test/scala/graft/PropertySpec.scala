@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.TimeSeries
+import graft.operators.TimeSeries.GridParams
+import graft.streaming.CepStream
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import java.sql.Timestamp
+
+/** Property-based invariants (SURVEY §5.2.3) over randomized inputs:
+  * interpolation bounds and idempotence, LOCF stability, and the CEP
+  * pattern-matching contract checked simultaneously against BOTH
+  * implementations (window emulation and state machine).
+  * Samples are drawn with fixed seeds — failures reproduce exactly.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1700000000000L
+
+  /** Deterministic sampler: n cases from fixed seeds. */
+  private def forAllSampled[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong * 7919 + 17)) match {
+        case Some(a) => body(a)
+        case None => fail(s"generator produced no value for seed $i")
+      }
+    }
+
+  /** Random per-key event sequences: seconds-spaced, occasional gaps. */
+  private case class Ev(key: String, offsetS: Int, value: Double, status: String)
+
+  private val evGen: Gen[List[Ev]] = for {
+    nKeys <- Gen.choose(1, 3)
+    n <- Gen.choose(5, 60)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.choose(0, nKeys - 1)
+      off <- Gen.choose(0, 300)
+      v <- Gen.choose(10.0, 180.0)
+      s <- Gen.frequency(5 -> Gen.const("OK"), 2 -> Gen.const("WARNING"), 3 -> Gen.const("ERROR"))
+    } yield Ev(s"k$k", off, math.floor(v), s))
+  } yield evs.distinctBy(e => (e.key, e.offsetS)) // unique (key, time)
+
+  private val P = GridParams("k", "t", "v", "s", "30 SECONDS")
+
+  private def toDf(evs: List[Ev]) =
+    evs.map(e => (e.key, new Timestamp(T0 + e.offsetS * 1000L), e.value, e.status))
+      .toDF("k", "t", "v", "s")
+
+  test("linear interpolation stays within each key's observed value bounds") {
+    forAllSampled(evGen, 8) { evs =>
+      if (evs.nonEmpty) {
+        val out = TimeSeries.interpolateOnGrid(toDf(evs), P)
+          .groupBy(col("k")).agg(min("temperature").as("lo"), max("temperature").as("hi"))
+          .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        val byKey = evs.groupBy(_.key)
+        out.foreach { case (k, (lo, hi)) =>
+          val vs = byKey(k).map(_.value)
+          assert(lo >= vs.min - 1e-9 && hi <= vs.max + 1e-9,
+            s"key $k interpolated outside [${vs.min}, ${vs.max}]: [$lo, $hi]")
+        }
+      }
+    }
+  }
+
+  test("interpolating an already-gridded series is the identity (idempotence)") {
+    forAllSampled(evGen, 5) { evs =>
+      if (evs.nonEmpty) {
+        val once = TimeSeries.interpolateOnGrid(toDf(evs), P)
+          .select(col("k"), col("time").as("t"), col("temperature").as("v"),
+            col("status").as("s"))
+        val twice = TimeSeries.interpolateOnGrid(once, P)
+        val a = once.collect().map(_.toSeq).toSet
+        val b = twice.select(col("k"), col("time").as("t"), col("temperature").as("v"),
+          col("status").as("s")).collect().map(_.toSeq).toSet
+        assert(b == a) // grid points hit observations exactly → identity
+      }
+    }
+  }
+
+  test("CEP contract holds on random sequences, and both implementations agree") {
+    val params = CepStream.Params(errorValue = "ERROR", maxB = 5,
+      withinMicros = 120000000L) // 2 minutes
+    forAllSampled(evGen, 8) { evs =>
+      if (evs.nonEmpty) {
+        val typed = evs.sortBy(e => (e.offsetS, e.key)).zipWithIndex.map { case (e, i) =>
+          CepStream.SensorEvent(e.key, new Timestamp(T0 + e.offsetS * 1000L), e.value, e.status, i.toLong)
+        }
+        val stateMachine = CepStream.matches(typed.toDS(), params)
+          .collect().map(m => (m.sensor_id, m.event_time.getTime, m.non_errors, m.elapsed)).toSet
+        val emulation = CepStream.matchesBatchEmulation(typed.toDS(), params)
+          .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+            r.getLong(2), r.getLong(7))).toSet
+        assert(stateMachine == emulation)
+
+        // contract: 1..maxB buffered events, elapsed within WITHIN, and
+        // matches never overlap per key
+        stateMachine.groupBy(_._1).foreach { case (_, ms) =>
+          val sorted = ms.toSeq.sortBy(_._2)
+          sorted.foreach { case (_, _, nonErrors, elapsed) =>
+            assert(nonErrors >= 1 && nonErrors <= 5)
+            assert(elapsed * 1000000L <= params.withinMicros)
+          }
+          sorted.sliding(2).foreach {
+            case Seq((_, t1, _, e1), (_, t2, _, _)) =>
+              assert(t2 > t1 + e1 * 1000 - 1000) // next A after this C (second rounding)
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+}
