@@ -50,4 +50,15 @@ object CsvLake {
   /** Headered CSV export under a prefix (the lake write side). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Full S8: crawler-style CATALOG registration — inferred schema
+    * persisted as a metastore table (survives the session, visible to
+    * any SQL client of the warehouse), not just a temp view.
+    */
+  def crawlIntoCatalog(spark: SparkSession, path: String, table: String): Unit =
+    stripBom(spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path))
+      .write.mode("overwrite").saveAsTable(table)
 }

@@ -57,6 +57,17 @@ class CsvLakeSpec extends SparkSpec {
     assert(df.schema("price").dataType.typeName == "double")
   }
 
+  test("crawlIntoCatalog persists an inferred-schema metastore table (S8)") {
+    val dir = tmp("crawl_csv")
+    Files.write(dir.resolve("d.csv"), "id,price\n1,10.5\n2,11.0\n".getBytes("UTF-8"))
+    CsvLake.crawlIntoCatalog(spark, dir.toString, "crawled_t")
+    assert(spark.catalog.tableExists("crawled_t"))
+    val t = spark.table("crawled_t")
+    assert(t.schema("price").dataType.typeName == "double")
+    assert(t.count() == 2)
+    spark.sql("DROP TABLE crawled_t")
+  }
+
   test("csv-sourced enrichment equals the parquet-native join") {
     val dir = tmp("lake_csv")
     CsvLake.exportCsv(Tables.nation(spark, sf("sf0.001")), s"$dir/nation_csv")
