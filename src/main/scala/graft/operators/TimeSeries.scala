@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * for any windowed analytic — and streams arbitrarily long per-key history.
   * The array form (`createTimeSeries`) is still provided for API fidelity
   * (UNNEST round-trips, SQL dialect), just not on the hot path.
+  *
+  * 100× caveat (standard for Window.partitionBy): one KEY's rows must fit
+  * a single partition's sort (spilling to disk beyond memory). Keys here
+  * are sensors — per-sensor history is bounded by retention, and a
+  * pathological hot sensor degrades to disk-backed sort, not failure. If
+  * keys were genuinely unbounded, pre-bucket by (key, coarse time range)
+  * and stitch range boundaries.
   */
 object TimeSeries {
 
@@ -157,7 +164,4 @@ object TimeSeries {
     timestamp_micros(unix_micros(time) - pmod(unix_micros(time), lit(stepUs)))
   }
 
-  /** T8 — ago(interval body), e.g. ago("15 MINUTES"). */
-  def ago(step: String): Column =
-    current_timestamp() - expr(s"INTERVAL $step")
 }
