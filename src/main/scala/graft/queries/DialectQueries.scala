@@ -30,18 +30,23 @@ object DialectQueries {
       (s, dir) => {
         Dialect.register(s)
         Tables.events(s, dir).createOrReplaceTempView("events")
+        // the series-building CTE is consumed by BOTH UNNEST branches;
+        // Spark inlines CTEs, so materialize it once (cached view)
+        // instead of running the aggregation twice
         s.sql(
-          """WITH interpolated AS (
-            |  SELECT user_id,
-            |         INTERPOLATE_LINEAR(
-            |           CREATE_TIME_SERIES(ts, value),
-            |           SEQUENCE(MIN(ts), MAX(ts), INTERVAL 1 HOUR)) AS interpolated_temperature,
-            |         INTERPOLATE_LOCF(
-            |           CREATE_TIME_SERIES_STR(ts, event_type),
-            |           SEQUENCE(MIN(ts), MAX(ts), INTERVAL 1 HOUR)) AS interpolated_status
-            |  FROM events
-            |  GROUP BY user_id
-            |), t AS (
+          """SELECT user_id,
+            |       INTERPOLATE_LINEAR(
+            |         CREATE_TIME_SERIES(ts, value),
+            |         SEQUENCE(MIN(ts), MAX(ts), INTERVAL 1 HOUR)) AS interpolated_temperature,
+            |       INTERPOLATE_LOCF(
+            |         CREATE_TIME_SERIES_STR(ts, event_type),
+            |         SEQUENCE(MIN(ts), MAX(ts), INTERVAL 1 HOUR)) AS interpolated_status
+            |FROM events
+            |GROUP BY user_id""".stripMargin)
+          .persist()
+          .createOrReplaceTempView("interpolated")
+        s.sql(
+          """WITH t AS (
             |  SELECT user_id, tt.time AS time, tt.value AS temperature
             |  FROM interpolated LATERAL VIEW explode(interpolated_temperature) x AS tt
             |), st AS (
