@@ -23,6 +23,12 @@ import scala.math.Ordering.Implicits._
   * operation for operation (micros integer deltas, identical op order,
   * ties broken by value), so the SQL-text flagship hash-matches the
   * window-formulated one — q_sql_flagship shares t9's DuckDB oracle.
+  * One documented divergence: at duplicate (key, time) observations the
+  * string-series LOCF breaks the tie by STATUS string here (each series
+  * is built independently) while the fused window path breaks it by
+  * temperature (both columns ride one row there); identical whenever
+  * (key, time) is unique — which the fixtures and any sane sensor feed
+  * guarantee.
   * The array form is the API-fidelity path (a sensor's history becomes
   * one array row); the window form remains the scale path (SURVEY
   * §2.3 T3 design note).

@@ -62,8 +62,40 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Rolling polynomial content fingerprint h = (h·31 + codepoint) mod
+  * 1e9+7 over the text's characters, as one compiled loop — replaces an
+  * interpreted per-character `aggregate(transform(sequence(…)))` chain
+  * (which also allocated a boxed-long array the length of the text per
+  * row). Modular arithmetic keeps it reproducible in the DuckDB oracle.
+  */
+case class RollingPolyHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_poly_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var a = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      a = (a * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    a
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingPolyHash =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     GraftShim.column(WordShingles(GraftShim.expression(text), n))
+
+  /** Column API for [[RollingPolyHash]]. */
+  def rollingPolyHash(text: Column): Column =
+    GraftShim.column(RollingPolyHash(GraftShim.expression(text)))
 }

@@ -125,16 +125,15 @@ object TextQueries {
       }),
 
     // Content fingerprinting: cryptographic (md5) + rolling polynomial
-    // hash (mod 1e9+7) built from an explicit char-position sequence.
+    // hash (mod 1e9+7) — native expression, one compiled loop per row
+    // (graft.functions.RollingPolyHash).
     QDef(
       "x_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .select(
           col("doc_id"),
           md5(col("text")).as("content_md5"),
-          expr("""aggregate(
-                 |  transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint)),
-                 |  0L, (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin).as("rolling_hash"))
+          graft.functions.TextFunctions.rollingPolyHash(col("text")).as("rolling_hash"))
         .orderBy(col("doc_id")),
       Some(
         """SELECT doc_id, md5(text) AS content_md5,
