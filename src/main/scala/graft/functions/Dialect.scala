@@ -126,8 +126,18 @@ object Dialect {
   }
 
   /** Register the dialect on a session. `now` freezes AGO()/TS_NOW()
-    * for deterministic queries; None uses the wall clock per call. */
+    * for deterministic queries; None uses the wall clock per call.
+    * Also exposes the engine's native expressions (VecDot,
+    * WordShingles, RollingPolyHash) as SQL functions — codegen'd /
+    * compiled-loop implementations resolved straight from SQL text, no
+    * UDF SerDe.
+    */
   def register(spark: SparkSession, now: Option[Timestamp] = None): Unit = {
+    import org.apache.spark.sql.GraftShim.registerFunction
+    registerFunction(spark, "vec_dot", es => VecDot(es(0), es(1)))
+    registerFunction(spark, "word_shingles", es => WordShingles(es(0),
+      es(1).eval().asInstanceOf[Int]))
+    registerFunction(spark, "rolling_poly_hash", es => RollingPolyHash(es(0)))
     spark.udf.register("create_time_series", udaf(new SeriesAgg))
     spark.udf.register("create_time_series_str", udaf(new SeriesStrAgg))
     spark.udf.register("interpolate_linear",

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a NATIVE expression builder under a SQL function name on
+    * this session (the runtime equivalent of
+    * SparkSessionExtensions.injectFunction — usable on an already-built
+    * session, e.g. the driver-owned ones in Verify/Bench). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "internal")
 }

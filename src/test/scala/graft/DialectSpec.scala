@@ -89,4 +89,16 @@ class DialectSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Dialect.parseAgoMicros("soon"))
     assert(Dialect.parseAgoMicros("15 m") == 900000000L)
   }
+
+  test("native expressions resolve from SQL text (FunctionRegistry injection)") {
+    Dialect.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       word_shingles('a b c d', 3) AS sh,
+        |       rolling_poly_hash('abc') AS h""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    // ((0*31+97)*31+98)*31+99 = 97*961 + 98*31 + 99
+    assert(r.getLong(2) == 97L * 961 + 98L * 31 + 99)
+  }
 }
