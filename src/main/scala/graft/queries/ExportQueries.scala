@@ -47,9 +47,11 @@ object ExportQueries {
       (s, dir) => {
         val out = Files.createTempDirectory("graft_export").toString
         val events = Tables.events(s, dir)
-        Exporter.backfill(events, P, out, windows)
-        // idempotence in the gate: re-running a window must not change
-        // the result (dynamic overwrite replaces exactly its partition)
+        // the backfill is one windowed pass (every window's grid in a
+        // single job); the scheduled single-window form then re-runs
+        // one window over it — idempotence AND cross-form equivalence
+        // are both inside the hash-checked gate
+        Exporter.backfillOnePass(events, P, out, windows)
         val (s2, e2) = windows(2)
         Exporter.exportWindow(events, P, out, s2, e2)
         Exporter.readExport(s, out)

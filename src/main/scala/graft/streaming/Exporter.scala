@@ -43,10 +43,44 @@ object Exporter {
       .parquet(outDir)
   }
 
-  /** Backfill: run every [start, end) pair — the Airflow catchup loop. */
+  /** Backfill: run every [start, end) pair — the Airflow catchup loop.
+    * Faithful to the scheduled shape (one job per window); for large
+    * backfills prefer [[backfillOnePass]]. */
   def backfill(events: DataFrame, p: GridParams, outDir: String,
       windows: Seq[(String, String)]): Unit =
     windows.foreach { case (s, e) => exportWindow(events, p, outDir, s, e) }
+
+  /** Backfill as ONE job: tag each event with its window, fold the
+    * window id into the interpolation key, and let a single flagship
+    * pass produce every window's independent grid (per-(sensor, window)
+    * min/max — exactly what N separate filtered runs compute), written
+    * as one dynamic-partition overwrite. N scans + N shuffles + N
+    * writes collapse to 1/1/1 — the difference between re-running a
+    * year of 5-minute windows in one job and 100k jobs.
+    */
+  def backfillOnePass(events: DataFrame, p: GridParams, outDir: String,
+      windows: Seq[(String, String)]): Unit = {
+    val windowId = windows.zipWithIndex.foldLeft(lit(-1)) { case (acc, ((s, e), i)) =>
+      when(col(p.time) >= lit(s).cast("timestamp") &&
+        col(p.time) < lit(e).cast("timestamp"), lit(i)).otherwise(acc)
+    }
+    val partitionKey = windows.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((s, _), i)) =>
+        when(col("_w") === i, date_format(lit(s).cast("timestamp"), KeyFormat)).otherwise(acc)
+    }
+    val tagged = events.withColumn("_w", windowId).filter(col("_w") >= 0)
+      .withColumn("_ek", struct(col(p.key).as("k"), col("_w").as("w")))
+    TimeSeries.flagship(tagged, p.copy(key = "_ek"))
+      .select(col("_ek.k").as(p.key), col("_ek.w").as("_w"),
+        col("time"), col("status"), col("temperature"))
+      .withColumn("partition_key", partitionKey)
+      .drop("_w")
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("partition_key")
+      .parquet(outDir)
+  }
 
   /** Read the exported lake layout back (partition column included,
     * partition pruning available to any filter on it). */

@@ -60,6 +60,20 @@ class ExporterSpec extends SparkSpec {
     assert(left == Set("2024-01-15T00-00"))
   }
 
+  test("one-pass backfill equals the serial per-window loop exactly") {
+    val outA = freshDir; val outB = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    Exporter.backfill(events, P, outA, windows)
+    Exporter.backfillOnePass(events, P, outB, windows)
+    val a = Exporter.readExport(spark, outA)
+      .select("partition_key", "user_id", "time", "status", "temperature")
+      .collect().map(_.toSeq).toSet
+    val b = Exporter.readExport(spark, outB)
+      .select("partition_key", "user_id", "time", "status", "temperature")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("windowed export equals flagship computed directly on that window") {
     val out = freshDir
     val events = Tables.events(spark, sf("sf0.001"))
