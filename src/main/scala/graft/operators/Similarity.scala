@@ -107,6 +107,61 @@ object Similarity {
       .agg(sum(col("bit") * pow(lit(2.0), col("plane_id"))).cast("long").as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer assigns
+    * every corpus vector to its nearest centroid cell; each query
+    * probes the `nprobe` nearest cells and ranks the candidates with
+    * exact cosine. The index is the standard IVF layout: candidate
+    * cost ≈ nprobe/nlist of the corpus, centroids are a tiny broadcast
+    * (nlist × dim), and cell assignment is one model pass — at corpus
+    * scale the quantizer trains on a sample and the cell column is
+    * written once at ingest. Complements `annTopK`: IVF wins on
+    * clustered embeddings, hyperplane LSH needs no training.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nlist: Int, nprobe: Int, dim: Int, seed: Long = 11L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val train = corpus.repartition(col(id))
+      .select(col(id).as("doc"), asDouble(col(vec)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    val assigned = model.transform(train).select(col("doc").as("neighbor_id"),
+      col("v").as("nv_raw"), col("prediction").as("cell"))
+
+    // normalize centroids driver-side (nlist of them) so cell probing
+    // ranks by true cosine, not cosine scaled by centroid norm
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val a = c.toArray
+        val n = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+        (i, if (n == 0) a else a.map(_ / n))
+      }.toSeq.toDF("cell", "centroid")
+    val probed = normalized(queries, id, vec, "query_id", "qv", dim)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", dotN(col("qv"), col("centroid"), dim))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cdist"), col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val cands = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("nv", transform(col("nv_raw"),
+        x => x / sqrt(dotN(col("nv_raw"), col("nv_raw"), dim))))
+      .withColumn("cos", dotN(col("qv"), col("nv"), dim))
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates share the query's bucket
     * in ANY of the `tables` hash tables (union via dropDuplicates), then
     * exact cosine ranks the candidate set. Recall grows with `tables`,

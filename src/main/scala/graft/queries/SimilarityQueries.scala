@@ -79,6 +79,19 @@ object SimilarityQueries {
         Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nbits = 4, tables = 24, dim = 64)
       },
-      None) // no SQL-reproducible hash family; recall vs cosineTopK asserted in SimilaritySpec
+      None), // no SQL-reproducible hash family; recall vs cosineTopK asserted in SimilaritySpec
+
+    // IVF variant of the ANN scale path: trained coarse quantizer +
+    // cell probing (k-means not SQL-reproducible → rows-only here;
+    // IvfSpec pins full-probe == brute force and clustered-regime
+    // recall).
+    QDef(
+      "s_ann_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 4, dim = 64)
+      },
+      None)
   )
 }

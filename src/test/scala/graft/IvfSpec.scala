@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** IVF ANN: precision is exact by construction (candidates are ranked
+  * with true cosine), so the tests pin (a) subset-of-brute correctness,
+  * (b) full recall when probing every cell, and (c) near-dup recall in
+  * the clustered regime IVF is built for.
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("probing all cells recovers the exact brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10))
+    val ivfAll = pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 8, dim = 64))
+    assert(ivfAll == brute)
+  }
+
+  test("partial probing returns a subset of candidates ranked exactly") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 3)
+    val out = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 3, dim = 64)
+    // ranks are 1..k, strictly descending scores per query
+    val rows = out.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq == (1L to ranked.length))
+      val scores = ranked.map(_.getAs[Double]("cos_r4")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
+  test("clustered regime: injected near-dups are found with few probes") {
+    val rnd = new Random(29)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 200L).map(i => (i, vec()))
+    val dups = (0L until 20L).map { i =>
+      val src = base(i.toInt)._2
+      (1000L + i, src.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 1000L)
+    val out = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+      k = 1, nlist = 8, nprobe = 2, dim = 64)
+    // each perturbed copy's nearest neighbor is its source vector
+    val found = out.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (0L until 20L).count(i => found.get(1000L + i).contains(i))
+    assert(hits >= 18, s"IVF found only $hits/20 injected near-dup sources")
+  }
+}
