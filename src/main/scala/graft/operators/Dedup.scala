@@ -96,16 +96,25 @@ object Dedup {
       threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
     val sets = shingleSets(df, id, text, n)
     val sizes = sets.select(col("doc"), size(col("sh")).cast("long").as("sz"))
-    val inv = sets.select(col("doc"), explode(col("sh")).as("s"))
+    // inv rows carry the set size so the candidate join can size-prune
+    val inv = sets.select(col("doc"), size(col("sh")).cast("long").as("sz"),
+      explode(col("sh")).as("s"))
+    // provably output-preserving prune: jaccard ≥ t needs common ≥
+    // t·(s1+s2)/(1+t) and common ≤ min(s1,s2), which forces
+    // min(s1,s2)/max(s1,s2) ≥ t — mismatched-size pairs can never pass,
+    // so they are dropped before the count aggregation.
+    def sizeCompatible = greatest(col("a.sz"), col("b.sz")) * threshold <=
+      least(col("a.sz"), col("b.sz"))
     val common = maxShingleDf match {
       case Some(cap) =>
         val hot = inv.groupBy(col("s")).count().filter(col("count") > cap).select(col("s"))
         val filtered = inv.join(hot, Seq("s"), "left_anti")
         val commonCold = filtered.as("a")
-          .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+          .join(filtered.as("b"),
+            col("a.s") === col("b.s") && col("a.doc") < col("b.doc") && sizeCompatible)
           .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
           .agg(count(lit(1)).as("common_cold"))
-        val hotInv = inv.join(hot, Seq("s"))
+        val hotInv = inv.select(col("doc"), col("s")).join(hot, Seq("s"))
         val commonHot = commonFromIndex(commonCold.select(col("d1"), col("d2")), hotInv)
           .withColumnRenamed("common", "common_hot")
         commonCold
@@ -114,7 +123,8 @@ object Dedup {
             (col("common_cold") + coalesce(col("common_hot"), lit(0L))).as("common"))
       case None =>
         inv.as("a")
-          .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+          .join(inv.as("b"),
+            col("a.s") === col("b.s") && col("a.doc") < col("b.doc") && sizeCompatible)
           .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
           .agg(count(lit(1)).as("common"))
     }
@@ -129,29 +139,6 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     Seq.fill(numPerm)((1 + rnd.nextLong(MinhashPrime - 1), rnd.nextLong(MinhashPrime)))
   }
-
-  /** MinHash signature (array<long>, length numPerm) over word n-gram
-    * shingles: min over (a_k * h + b_k) mod p of xxhash64 shingle
-    * hashes reduced mod p.
-    */
-  def minhashSignature(text: Column, n: Int, numPerm: Int): Column =
-    sigFromShingles(shingles(text, n), numPerm)
-
-  /** Signature from a pre-materialized shingle array column. Hashing
-    * the shingles happens ONCE into `hs`; each permutation then folds
-    * over the hashed array — without this split the whole
-    * shingle-extraction subtree would be duplicated numPerm times in
-    * the plan.
-    */
-  private def sigFromShingles(sh: Column, numPerm: Int): Column = {
-    val hs = transform(sh, s => pmod(xxhash64(s), lit(MinhashPrime)))
-    sigFromHashes(hs, numPerm)
-  }
-
-  private def sigFromHashes(hs: Column, numPerm: Int): Column =
-    array(minhashPerms(numPerm).map { case (a, b) =>
-      array_min(transform(hs, h => pmod(h * a + b, lit(MinhashPrime))))
-    }: _*)
 
   /** MinHash+LSH near-dup pairs: signatures → `bands` bands of
     * numPerm/bands rows hashed to a bucket → narrow (doc, band, bucket)
