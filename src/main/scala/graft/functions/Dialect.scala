@@ -76,11 +76,18 @@ object Dialect {
     */
   private def interpLinear(series: Seq[Row], grid: Seq[Timestamp]): Seq[TV] = {
     val obs = series.map(r => (us(r.getTimestamp(0)), r.getDouble(1))).toIndexedSeq
-    // two-pointer merge over the (sorted) series and (ascending) grid —
-    // O(obs + grid) per group; a per-point scan would be O(obs × grid)
+    if (obs.isEmpty) return Seq.empty // nothing to interpolate from
+    // two-pointer merge over the (sorted) series and the grid —
+    // O(obs + grid) per group; a per-point scan would be O(obs × grid).
+    // The pointer rewinds if a caller passes an out-of-order grid
+    // (SEQUENCE always yields ascending instants, but these are general
+    // SQL functions).
     var i = 0 // count of observations with t <= current grid instant
+    var lastGu = Long.MinValue
     grid.map { g =>
       val gu = us(g)
+      if (gu < lastGu) i = 0
+      lastGu = gu
       while (i < obs.length && obs(i)._1 <= gu) i += 1
       val v =
         if (i == obs.length) obs(i - 1)._2 // past the last observation
@@ -97,9 +104,13 @@ object Dialect {
   /** LOCF of a sorted (time, string) series onto grid instants. */
   private def interpLocf(series: Seq[Row], grid: Seq[Timestamp]): Seq[SV] = {
     val obs = series.map(r => (us(r.getTimestamp(0)), r.getString(1))).toIndexedSeq
+    if (obs.isEmpty) return grid.map(SV(_, null))
     var i = 0
+    var lastGu = Long.MinValue
     grid.map { g =>
       val gu = us(g)
+      if (gu < lastGu) i = 0
+      lastGu = gu
       while (i < obs.length && obs(i)._1 <= gu) i += 1
       SV(g, if (i == 0) null else obs(i - 1)._2)
     }

@@ -22,14 +22,11 @@ object Similarity {
     * expression (graft.functions.VecDot): one tight loop over
     * ArrayData, bit-identical to the oracles' list_reduce fold.
     */
-  def dotN(a: Column, b: Column, dim: Int): Column =
+  def dotN(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Cast float embedding to double once. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
-  def cosine(a: Column, b: Column, dim: Int): Column =
-    dotN(a, b, dim) / (sqrt(dotN(a, a, dim)) * sqrt(dotN(b, b, dim)))
 
   /** (idAlias, nv) with nv = v / ||v||: norms computed once per row, so
     * cosine(a, b) = dotN(na, nb) — one dot loop per pair instead of
@@ -37,10 +34,10 @@ object Similarity {
     * per-pair work parallelizes across the cluster.
     */
   private def normalized(df: DataFrame, id: String, vec: String, idAlias: String,
-      vecAlias: String, dim: Int): DataFrame = {
+      vecAlias: String): DataFrame = {
     val v = asDouble(col(vec))
     df.repartition(col(id))
-      .select(col(id).as(idAlias), v.as("_v"), sqrt(dotN(v, v, dim)).as("_norm"))
+      .select(col(id).as(idAlias), v.as("_v"), sqrt(dotN(v, v)).as("_norm"))
       .select(col(idAlias), transform(col("_v"), x => x / col("_norm")).as(vecAlias))
   }
 
@@ -49,12 +46,12 @@ object Similarity {
     * corpus is scanned exactly once regardless of cluster size.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, id: String,
-      vec: String, k: Int, dim: Int = 64): DataFrame = {
+      vec: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = normalized(corpus, id, vec, "neighbor_id", "nv", dim)
-    val q = normalized(queries, id, vec, "query_id", "qv", dim)
+    val c = normalized(corpus, id, vec, "neighbor_id", "nv")
+    val q = normalized(queries, id, vec, "query_id", "qv")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dotN(col("qv"), col("nv"), dim))
+      .withColumn("cos", dotN(col("qv"), col("nv")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))))
@@ -74,11 +71,11 @@ object Similarity {
     * sublinear blocking is sound, so exact is the only correct form.
     */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
-      threshold: Double, dim: Int = 64): DataFrame = {
-    val v = normalized(df, id, vec, "doc", "nv", dim)
+      threshold: Double): DataFrame = {
+    val v = normalized(df, id, vec, "doc", "nv")
     v.select(col("doc").as("d1"), col("nv").as("nv1"))
       .join(v.select(col("doc").as("d2"), col("nv").as("nv2")), col("d1") < col("d2"))
-      .withColumn("cos", dotN(col("nv1"), col("nv2"), dim))
+      .withColumn("cos", dotN(col("nv1"), col("nv2")))
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
       .orderBy(col("d1"), col("d2"))
@@ -101,7 +98,7 @@ object Similarity {
     df.repartition(col(id))
       .select(col(id).as("doc"), asDouble(col(vec)).as("v"))
       .crossJoin(broadcast(planesDf))
-      .withColumn("bit", when(dotN(col("v"), col("w"), dim) >= 0, lit(1L)).otherwise(lit(0L)))
+      .withColumn("bit", when(dotN(col("v"), col("w")) >= 0, lit(1L)).otherwise(lit(0L)))
       .groupBy(col("doc"), col("table_id"))
       // bit << plane_id via exact power-of-two arithmetic (nbits ≤ 32)
       .agg(sum(col("bit") * pow(lit(2.0), col("plane_id"))).cast("long").as("bucket"))
@@ -129,8 +126,13 @@ object Similarity {
       .select(col(id).as("doc"), asDouble(col(vec)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
-    val assigned = model.transform(train).select(col("doc").as("neighbor_id"),
-      col("v").as("nv_raw"), col("prediction").as("cell"))
+    // normalize ONCE per corpus row, before the candidate join — never
+    // per (candidate, query) pair
+    val assigned = model.transform(train)
+      .select(col("doc").as("neighbor_id"), col("v"),
+        sqrt(dotN(col("v"), col("v"))).as("_norm"), col("prediction").as("cell"))
+      .select(col("neighbor_id"), transform(col("v"), x => x / col("_norm")).as("nv"),
+        col("cell"))
 
     // normalize centroids driver-side (nlist of them) so cell probing
     // ranks by true cosine, not cosine scaled by centroid norm
@@ -140,9 +142,9 @@ object Similarity {
         val n = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
         (i, if (n == 0) a else a.map(_ / n))
       }.toSeq.toDF("cell", "centroid")
-    val probed = normalized(queries, id, vec, "query_id", "qv", dim)
+    val probed = normalized(queries, id, vec, "query_id", "qv")
       .crossJoin(broadcast(centroids))
-      .withColumn("cdist", dotN(col("qv"), col("centroid"), dim))
+      .withColumn("cdist", dotN(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cdist"), col("cell"))))
       .filter(col("crank") <= nprobe)
@@ -150,9 +152,7 @@ object Similarity {
 
     val cands = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("nv", transform(col("nv_raw"),
-        x => x / sqrt(dotN(col("nv_raw"), col("nv_raw"), dim))))
-      .withColumn("cos", dotN(col("qv"), col("nv"), dim))
+      .withColumn("cos", dotN(col("qv"), col("nv")))
     cands
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))))
@@ -180,10 +180,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val withVecs = cands
-      .join(normalized(corpus, id, vec, "neighbor_id", "nv", dim), "neighbor_id")
-      .join(broadcast(normalized(queries, id, vec, "query_id", "qv", dim)), "query_id")
+      .join(normalized(corpus, id, vec, "neighbor_id", "nv"), "neighbor_id")
+      .join(broadcast(normalized(queries, id, vec, "query_id", "qv")), "query_id")
     withVecs
-      .withColumn("cos", dotN(col("qv"), col("nv"), dim))
+      .withColumn("cos", dotN(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))))
       .filter(col("rank") <= k)

@@ -139,19 +139,21 @@ object TimeSeriesQueries {
           |ORDER BY max_value DESC, user_id, time_bin""".stripMargin)),
 
     // A5 — avg + APPROX_PERCENTILE per 1-day bin (grafana…json:392).
-    // Oracle: with accuracy (10k) above the per-bin cardinality at the
-    // gate's sf0.01, Spark's sketch is exact and returns the discrete
-    // element quantile_disc picks — verified element-for-element. At
-    // larger accuracy<n scales the sketch is approximate by design
-    // (the exact twin below remains the bit-exact formulation).
+    // Oracle: while the accuracy (1M) exceeds per-bin cardinality,
+    // Spark's sketch is exact and returns the discrete element
+    // quantile_disc picks — verified element-for-element; 1M keeps that
+    // true through sf1-scale bins (sketch memory is bounded by
+    // distinct retained values, far below accuracy here). Beyond that
+    // the op is approximate by design — the exact twin below remains
+    // the bit-exact formulation at any scale.
     QDef(
       "a5_percentile_bins",
       (s, dir) => Tables.events(s, dir)
         .groupBy(TimeSeries.bin(col("ts"), 86400L).as("time_bin"))
         .agg(
           Arith.r2(avg(col("value"))).as("avg_value"),
-          Arith.r2(percentile_approx(col("value"), lit(0.9), lit(10000)).cast("double")).as("p90"),
-          Arith.r2(percentile_approx(col("value"), lit(0.75), lit(10000)).cast("double")).as("p75"))
+          Arith.r2(percentile_approx(col("value"), lit(0.9), lit(1000000)).cast("double")).as("p90"),
+          Arith.r2(percentile_approx(col("value"), lit(0.75), lit(1000000)).cast("double")).as("p75"))
         .orderBy(col("time_bin")),
       Some(
         """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000) AS time_bin,

@@ -146,12 +146,24 @@ object CepStream {
 
     st match {
       case Some(pm) =>
-        state.update(pm)
-        // state TTL = the WITHIN horizon: after that no C can complete
-        // this match without being late beyond the watermark. (Batch
-        // execution has no watermark — timeouts never fire there.)
-        if (streaming)
-          state.setTimeoutTimestamp(pm.aTimeMicros / 1000L + p.withinMicros / 1000L + 1L)
+        val expiryMillis = pm.aTimeMicros / 1000L + p.withinMicros / 1000L + 1L
+        val wm = if (streaming) state.getCurrentWatermarkMs() else 0L
+        if (streaming && wm >= expiryMillis) {
+          // the pending A is already beyond the WITHIN horizon (any
+          // completing C would be late past the watermark) — drop it
+          // now; updating instead would also crash setTimeoutTimestamp,
+          // which rejects timestamps at or below the watermark
+          if (state.exists) state.remove()
+        } else {
+          state.update(pm)
+          // state TTL = the WITHIN horizon: after that no C can
+          // complete this match without being late beyond the
+          // watermark. (Batch execution has no watermark — timeouts
+          // never fire there.) Clamped above the current watermark for
+          // partial matches created just inside the horizon.
+          if (streaming)
+            state.setTimeoutTimestamp(math.max(expiryMillis, wm + 1L))
+        }
       case None =>
         if (state.exists) state.remove()
     }
@@ -162,6 +174,14 @@ object CepStream {
     * a watermark on event_time (bounds state via the WITHIN TTL); batch
     * input runs the same state machine in one pass per key — the same
     * operator serves the continuous and the ad-hoc form.
+    *
+    * Memory shape: streaming STATE is O(keys × maxB), but each
+    * invocation buffers its micro-batch's per-key events for the
+    * in-batch sort — fine for micro-batches, whereas the batch form
+    * hands one invocation a key's FULL history. For unbounded per-key
+    * batch histories prefer `Cep.matchesBatch` (window functions sort
+    * with disk spill); the batch mode here exists for parity testing
+    * and moderate ad-hoc runs.
     */
   def matches(events: Dataset[SensorEvent], p: Params = Params(),
       watermarkDelay: String = "10 seconds"): Dataset[CepMatch] = {

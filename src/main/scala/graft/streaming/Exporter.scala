@@ -60,6 +60,15 @@ object Exporter {
     */
   def backfillOnePass(events: DataFrame, p: GridParams, outDir: String,
       windows: Seq[(String, String)]): Unit = {
+    // the when-chain assigns each event to exactly ONE window, so
+    // overlapping windows would silently diverge from the serial loop
+    // (which recomputes shared events in every covering window)
+    require(
+      windows.sortBy(_._1).sliding(2).forall {
+        case Seq((_, e1), (s2, _)) => e1 <= s2
+        case _ => true
+      },
+      s"backfillOnePass requires non-overlapping [start, end) windows; use backfill() for overlaps: $windows")
     val windowId = windows.zipWithIndex.foldLeft(lit(-1)) { case (acc, ((s, e), i)) =>
       when(col(p.time) >= lit(s).cast("timestamp") &&
         col(p.time) < lit(e).cast("timestamp"), lit(i)).otherwise(acc)

@@ -22,7 +22,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(0f, 1f, 0f, 0f))    // cos 0.0
     ).toDF("vec_id", "embedding")
     val out = Similarity.cosineTopK(df, df.filter(col("vec_id") === 0),
-      "vec_id", "embedding", k = 3, dim = 4).collect()
+      "vec_id", "embedding", k = 3).collect()
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
     assert(out.head.getAs[Double]("cos_r4") == 1.0)
     assert(out(1).getAs[Double]("cos_r4") == 0.7071)
@@ -37,7 +37,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(0f, 1f, 0.01f, 0f))   // ~parallel to 2
     ).toDF("vec_id", "embedding")
     val out = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
-      threshold = 0.9, dim = 4).collect()
+      threshold = 0.9).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L), (2L, 3L)))
     assert(out.forall(_.getAs[Double]("cos_r4") > 0.99))
   }

@@ -97,6 +97,32 @@ class StreamingCepSpec extends SparkSpec {
     assert(norm(runStream(ev, chunks = 9)) == batch)
   }
 
+  test("a pending match whose WITHIN horizon fell behind the watermark is dropped, not crashed") {
+    // batch 1 (4 events): k1's A plus k2 traffic 300 s later — the
+    // watermark jumps past k1's A+WITHIN. batch 2 (3 events): k1
+    // receives data while (potentially) holding the stale pending A.
+    // Under a continuously-fed stream, step() would then call
+    // setTimeoutTimestamp below the watermark → IllegalArgumentException
+    // killing the query; the state machine now drops the
+    // past-horizon partial match and clamps the TTL above the
+    // watermark, so both batch schedules (with or without the engine's
+    // interleaved watermark-commit batch) are safe and agree with the
+    // batch emulation.
+    val ev = Seq(
+      SensorEvent("k1", new Timestamp(T0), 100.0, "ERROR", 0L),
+      SensorEvent("k1", new Timestamp(T0 + 1000), 10.0, "OK", 1L),
+      SensorEvent("k2", new Timestamp(T0 + 300000), 100.0, "ERROR", 2L),
+      SensorEvent("k2", new Timestamp(T0 + 301000), 5.0, "OK", 3L),
+      SensorEvent("k2", new Timestamp(T0 + 302000), 100.0, "ERROR", 4L),
+      SensorEvent("k1", new Timestamp(T0 + 303000), 20.0, "OK", 5L),
+      SensorEvent("k1", new Timestamp(T0 + 304000), 100.0, "ERROR", 6L))
+    val out = runStream(ev, chunks = 2) // → batches of 4 and 3
+    // k2's quick sandwich matches; k1's stale A must NOT (elapsed would
+    // exceed WITHIN) and the query must complete without error
+    assert(out.map(_.sensor_id).toSet == Set("k2"))
+    assert(norm(out) == norm(runBatch(ev)))
+  }
+
   test("WITHIN acts as state TTL: stale partial match never completes") {
     // A at t0, B at t0+1s, then C far beyond WITHIN (default 60 s)
     val ev = Seq(
