@@ -57,32 +57,64 @@ object Exporter {
     * as one dynamic-partition overwrite. N scans + N shuffles + N
     * writes collapse to 1/1/1 — the difference between re-running a
     * year of 5-minute windows in one job and 100k jobs.
+    *
+    * Window assignment is a broadcast join against a tiny (id, start,
+    * end, partition_key) windows TABLE — never a per-window expression
+    * chain (a 100k-window backfill would otherwise hand Catalyst a
+    * 100k-node when() tree and die in optimize/codegen). Two shapes:
+    *  - uniform windows (all the same width, starts aligned to it):
+    *    slot = floor((t − origin) / width) computed arithmetically,
+    *    then a broadcast HASH equi-join on slot — O(1) per event
+    *    regardless of N, and gaps fall out via the inner join.
+    *  - arbitrary windows: a broadcast range join (start ≤ t < end).
+    *    Spark plans a BroadcastNestedLoopJoin — O(N) comparisons per
+    *    event — fine for the low-thousands, at which point real
+    *    schedules are uniform anyway.
     */
   def backfillOnePass(events: DataFrame, p: GridParams, outDir: String,
       windows: Seq[(String, String)]): Unit = {
-    // the when-chain assigns each event to exactly ONE window, so
-    // overlapping windows would silently diverge from the serial loop
-    // (which recomputes shared events in every covering window)
+    // exactly-one-window assignment: overlapping windows would silently
+    // diverge from the serial loop (which recomputes shared events in
+    // every covering window)
     require(
       windows.sortBy(_._1).sliding(2).forall {
         case Seq((_, e1), (s2, _)) => e1 <= s2
         case _ => true
       },
-      s"backfillOnePass requires non-overlapping [start, end) windows; use backfill() for overlaps: $windows")
-    val windowId = windows.zipWithIndex.foldLeft(lit(-1)) { case (acc, ((s, e), i)) =>
-      when(col(p.time) >= lit(s).cast("timestamp") &&
-        col(p.time) < lit(e).cast("timestamp"), lit(i)).otherwise(acc)
-    }
-    val partitionKey = windows.zipWithIndex.foldLeft(lit(null).cast("string")) {
-      case (acc, ((s, _), i)) =>
-        when(col("_w") === i, date_format(lit(s).cast("timestamp"), KeyFormat)).otherwise(acc)
-    }
-    val tagged = events.withColumn("_w", windowId).filter(col("_w") >= 0)
-      .withColumn("_ek", struct(col(p.key).as("k"), col("_w").as("w")))
+      s"backfillOnePass requires non-overlapping [start, end) windows; use backfill() for overlaps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winDf = windows.zipWithIndex
+      .map { case ((s, e), i) => (i, s, e) }.toDF("_w", "_ws", "_we")
+      .select(col("_w"),
+        unix_micros(col("_ws").cast("timestamp")).as("_su"),
+        unix_micros(col("_we").cast("timestamp")).as("_eu"),
+        date_format(col("_ws").cast("timestamp"), KeyFormat).as("partition_key"))
+    // window bounds in micros, resolved by the SAME session-timezone
+    // cast the range join uses (driver-side string parsing could skew)
+    val bounds = winDf.select(col("_w"), col("_su"), col("_eu"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    val widths = bounds.map { case (_, s, e) => e - s }.distinct
+    val origin = bounds.head._2
+    val uniform = widths.length == 1 && widths.head > 0 &&
+      bounds.forall { case (_, s, _) => (s - origin) % widths.head == 0 }
+    val tUs = unix_micros(col(p.time))
+    val tagged0 =
+      if (uniform) {
+        val w = widths.head
+        val slots = winDf.select(((col("_su") - origin) / w).cast("long").as("_slot"), col("_w"))
+        events.withColumn("_slot", floor((tUs - lit(origin)) / lit(w)).cast("long"))
+          .join(broadcast(slots), "_slot").drop("_slot")
+      } else {
+        events.join(broadcast(winDf.select(col("_w"), col("_su"), col("_eu"))),
+          tUs >= col("_su") && tUs < col("_eu")).drop("_su", "_eu")
+      }
+    val tagged = tagged0.withColumn("_ek", struct(col(p.key).as("k"), col("_w").as("w")))
     TimeSeries.flagship(tagged, p.copy(key = "_ek"))
       .select(col("_ek.k").as(p.key), col("_ek.w").as("_w"),
         col("time"), col("status"), col("temperature"))
-      .withColumn("partition_key", partitionKey)
+      .join(broadcast(winDf.select(col("_w"), col("partition_key"))), "_w")
       .drop("_w")
       .write
       .mode("overwrite")

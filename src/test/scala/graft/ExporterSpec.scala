@@ -74,6 +74,49 @@ class ExporterSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("one-pass backfill handles 1000 windows without Catalyst blowup") {
+    // 1000 daily windows spanning 2022-01-01..2024-09-27 (the events
+    // fixture lives inside January 2024). The when-chain formulation
+    // this replaced died in Catalyst optimize/codegen at this N; the
+    // windows-table join must both complete AND equal the same one-pass
+    // run restricted to the windows that actually hold data.
+    val out1000 = freshDir; val outJan = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    def daily(from: java.time.LocalDate, n: Int): Seq[(String, String)] =
+      (0 until n).map { i =>
+        (from.plusDays(i.toLong).toString, from.plusDays(i.toLong + 1).toString)
+      }
+    Exporter.backfillOnePass(events, P, out1000,
+      daily(java.time.LocalDate.of(2022, 1, 1), 1000))
+    Exporter.backfillOnePass(events, P, outJan,
+      daily(java.time.LocalDate.of(2024, 1, 1), 31))
+    val a = Exporter.readExport(spark, out1000)
+      .select("partition_key", "user_id", "time", "status", "temperature")
+      .collect().map(_.toSeq).toSet
+    val b = Exporter.readExport(spark, outJan)
+      .select("partition_key", "user_id", "time", "status", "temperature")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("one-pass backfill with non-uniform windows (range-join path) equals the serial loop") {
+    val outA = freshDir; val outB = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    val mixed = Seq( // different widths => the arithmetic-slot fast path can't apply
+      ("2024-01-01", "2024-01-04"),
+      ("2024-01-04", "2024-01-11"),
+      ("2024-01-11", "2024-01-13"))
+    Exporter.backfill(events, P, outA, mixed)
+    Exporter.backfillOnePass(events, P, outB, mixed)
+    val a = Exporter.readExport(spark, outA)
+      .select("partition_key", "user_id", "time", "status", "temperature")
+      .collect().map(_.toSeq).toSet
+    val b = Exporter.readExport(spark, outB)
+      .select("partition_key", "user_id", "time", "status", "temperature")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("windowed export equals flagship computed directly on that window") {
     val out = freshDir
     val events = Tables.events(spark, sf("sf0.001"))
