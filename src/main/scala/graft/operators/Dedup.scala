@@ -131,6 +131,45 @@ object Dedup {
     scoreJaccard(common, sizes, threshold)
   }
 
+  /** All (doc_1 < doc_2) pairs of rows sharing `keyCols` — the candidate
+    * self-join of every blocking scheme here — made SKEW-SAFE: keys held
+    * by more than `hotKeyThreshold` docs go through a salt-replicated
+    * join (left side replicated `salts` ways on a target-salt column,
+    * right side hashed to one salt), so one degenerate key's quadratic
+    * pair generation spreads across `salts` reducers instead of landing
+    * on one. The output pair set is IDENTICAL to the naive self-join:
+    * each qualifying pair (a, b) meets exactly once, at the left replica
+    * whose target salt equals salt(b) — salting redistributes work,
+    * never drops pairs, so recall (and the exact-pair-set oracles) are
+    * untouched. Non-key columns ride along as c_1 / c_2.
+    */
+  private def saltedSelfPairs(t: DataFrame, keyCols: Seq[String],
+      hotKeyThreshold: Long, salts: Int): DataFrame = {
+    val payload = t.columns.filterNot(keyCols.contains).toSeq
+    def rename(df: DataFrame, sfx: String): DataFrame =
+      payload.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + sfx))
+    def keysEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val outCols = payload.flatMap(c => Seq(col(c + "_1"), col(c + "_2")))
+    // 1-to-1 count tag: the skewed key's partition stays LINEAR in the
+    // key's row count here (one count row per key), unlike the pair join
+    val counts = t.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_kn"))
+    val tagged = t.join(counts, keyCols)
+    val cold = tagged.filter(col("_kn") <= hotKeyThreshold).drop("_kn")
+    val hot = tagged.filter(col("_kn") > hotKeyThreshold).drop("_kn")
+    val coldPairs = rename(cold, "_1").as("a")
+      .join(rename(cold, "_2").as("b"), keysEq && col("a.doc_1") < col("b.doc_2"))
+      .select(outCols: _*)
+    val hotL = rename(hot, "_1")
+      .withColumn("_ts", explode(array((0 until salts).map(lit): _*)))
+    val hotR = rename(hot, "_2")
+      .withColumn("_salt", pmod(xxhash64(col("doc_2")), lit(salts)))
+    val hotPairs = hotL.as("a")
+      .join(hotR.as("b"),
+        keysEq && col("a._ts") === col("b._salt") && col("a.doc_1") < col("b.doc_2"))
+      .select(outCols: _*)
+    coldPairs.unionByName(hotPairs)
+  }
+
   private val MinhashPrime = 1000000007L
 
   /** Permutation constants (a_k, b_k) from a fixed seed — reproducible
@@ -151,7 +190,8 @@ object Dedup {
     * joined back post-blocking for the (small) surviving candidate set.
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
-      threshold: Double, numPerm: Int = 32, bands: Int = 16): DataFrame = {
+      threshold: Double, numPerm: Int = 32, bands: Int = 16,
+      hotBucketThreshold: Long = 100L, salts: Int = 16): DataFrame = {
     val r = numPerm / bands
     val sets = shingleSets(df, id, text, n)
 
@@ -179,11 +219,11 @@ object Dedup {
       .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+    // skew-safe banded self-join: a degenerate corpus (hundreds of
+    // near-identical docs collapsing into one band bucket) would
+    // otherwise hand ONE reducer bands× the quadratic pair work
+    val cands = saltedSelfPairs(banded, Seq("band", "bucket"), hotBucketThreshold, salts)
+      .select(col("doc_1").as("d1"), col("doc_2").as("d2"))
       .dropDuplicates("d1", "d2")
 
     val inv = sets.select(col("doc"), explode(col("sh")).as("s"))
@@ -232,7 +272,8 @@ object Dedup {
     * (pigeonhole guarantees every qualifying pair shares a chunk), so
     * the result is the exact Hamming-ball pair set.
     */
-  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int): DataFrame = {
+  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int,
+      hotChunkThreshold: Long = 100L, salts: Int = 16): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     // persisted: both sides of the chunk self-join consume it, and the
@@ -246,12 +287,12 @@ object Dedup {
     val chunked = hashed
       .select(col("doc"), col("h"), explode(array(chunkCols: _*)).as("ck"))
       .select(col("doc"), col("h"), col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
-        col("a.h").as("h1"), col("b.h").as("h2"))
+    // skew-safe chunk self-join: heavy chunk values (all-zero chunks in
+    // real corpora, or a degenerate near-identical corpus) spread their
+    // pair generation across salted reducers instead of one
+    saltedSelfPairs(chunked, Seq("chunk", "cv"), hotChunkThreshold, salts)
+      .select(col("doc_1").as("d1"), col("doc_2").as("d2"),
+        col("h_1").as("h1"), col("h_2").as("h2"))
       // filter BEFORE dedup: the Hamming test is a codegen'd bit op on
       // the streaming join output, while dropDuplicates is a shuffle —
       // deduplicate only the (tiny) qualifying set, never the full

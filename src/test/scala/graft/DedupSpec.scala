@@ -91,6 +91,33 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(blocked).nonEmpty)
   }
 
+  test("degenerate corpus: salted candidate joins produce the identical pair set") {
+    // 300 near-identical docs (one appended word each): every band
+    // bucket and every simhash chunk collapses to a handful of hot
+    // keys, the skew class the salting guards. The salted path
+    // (hot threshold 10 → everything goes through salt replication)
+    // must produce EXACTLY the pair set of the plain self-join
+    // (threshold high enough that salting never engages).
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 300).map(i => (i.toLong, s"$base tail$i")).toDF("doc_id", "text")
+
+    val lshSalted = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8,
+      hotBucketThreshold = 10L, salts = 8))
+    val lshPlain = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8,
+      hotBucketThreshold = Long.MaxValue))
+    assert(lshSalted == lshPlain)
+    // near-identical docs: jaccard ≈ 58/64 ≈ 0.91 for every pair — the
+    // result is genuinely quadratic, which is exactly the stress shape
+    assert(lshSalted.size == 300 * 299 / 2)
+
+    val shSalted = pairSet(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7,
+      hotChunkThreshold = 10L, salts = 8))
+    val shPlain = pairSet(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7,
+      hotChunkThreshold = Long.MaxValue))
+    assert(shSalted == shPlain)
+    assert(shSalted.nonEmpty)
+  }
+
   test("SimHash pairs respect the Hamming bound and report true distances") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7).collect()
