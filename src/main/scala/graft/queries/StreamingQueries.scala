@@ -60,8 +60,11 @@ object StreamingQueries {
           |)
           |ORDER BY sensor_id, time, measure_name""".stripMargin)),
 
-    // rows-only: the hash-based uniforms aren't reproducible in SQL;
-    // the generator's rules and determinism are asserted in GeneratorSpec
+    // Full oracle: the md5-nibble uniforms are reproducible in DuckDB
+    // (same construction as the d_simhash oracle), so the oracle
+    // re-derives every generated record from the same rules —
+    // temperature, status, dropout, sensor formatting — and must agree
+    // on the aggregate stats bit-for-bit.
     QDef(
       "s3_generator_stats",
       (s, _) => Generator.generate(s, sensors = 100, ticks = 600)
@@ -71,6 +74,43 @@ object StreamingQueries {
           max(col("temperature")).as("max_temp"),
           count_distinct(col("sensor_id")).as("n_sensors"))
         .orderBy(col("status")),
-      None)
+      Some(generatorOracle(sensors = 100, ticks = 600)))
   )
+
+  /** DuckDB mirror of Generator.generate: md5-nibble uniforms (first 6
+    * hex digits over 2^24 — exact binary fractions, so thresholds agree
+    * bit-for-bit), identical temperature/status/dropout derivation. */
+  private def generatorOracle(sensors: Int, ticks: Int): String = {
+    def u(salt: Int): String = {
+      val md = s"md5(CAST(i AS VARCHAR) || ':$salt')"
+      val nibs = (1 to 6).map { k =>
+        s"(CASE WHEN ascii(substr($md, $k, 1)) <= 57" +
+          s" THEN ascii(substr($md, $k, 1)) - 48" +
+          s" ELSE ascii(substr($md, $k, 1)) - 87 END)"
+      }
+      val v = nibs.reduce((a, b) => s"(($a) * 16 + $b)")
+      s"(CAST($v AS DOUBLE) / 16777216)"
+    }
+    s"""WITH ids AS (
+       |  SELECT i FROM generate_series(0, ${sensors.toLong * ticks - 1}) t(i)
+       |), derived AS (
+       |  SELECT printf('sensor-%02d', i % $sensors) AS sensor_id,
+       |         floor(10 + ${u(1)} * 170 + 0.5) AS temperature,
+       |         ${u(2)} < 0.2 AS flaky,
+       |         CASE WHEN ${u(3)} < 0.5 THEN 'WARNING' ELSE 'ERROR' END AS warn_err,
+       |         ${u(4)} < 0.5 AS emitted
+       |  FROM ids
+       |), rows_out AS (
+       |  SELECT sensor_id, temperature,
+       |         CASE WHEN temperature > 160 THEN 'ERROR'
+       |              WHEN temperature > 140 OR flaky THEN warn_err
+       |              ELSE 'OK' END AS status
+       |  FROM derived WHERE emitted
+       |)
+       |SELECT status, count(*) AS n,
+       |       min(temperature) AS min_temp,
+       |       max(temperature) AS max_temp,
+       |       count(DISTINCT sensor_id) AS n_sensors
+       |FROM rows_out GROUP BY status ORDER BY status""".stripMargin
+  }
 }

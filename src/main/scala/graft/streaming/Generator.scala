@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *   temperature > 140 OR 20%    → random WARNING | ERROR
   *   otherwise                    → OK
   *
-  * Randomness is hash-based (xxhash64 of row id + stream salt), NOT
+  * Randomness is hash-based (md5 of row id + stream salt), NOT
   * `rand()`: every value is a pure function of (seed, row id), so
   * output is identical across partitionings, retries, and cluster
   * layouts — the property the deterministic test fixtures and
@@ -20,14 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object Generator {
 
-  /** Uniform [0, 1) from a row id and salt — deterministic. */
-  private def u(id: Column, salt: Int): Column =
-    pmod(xxhash64(id, lit(salt)), lit(1000000L)).cast("double") / 1000000.0
+  /** Uniform [0, 1) from a row id and salt — deterministic AND
+    * engine-portable: the first 6 hex nibbles of md5(id || ':' || salt)
+    * read as a 24-bit integer over 2^24. md5 is the one hash Spark and
+    * DuckDB evaluate identically (the d_simhash oracle proved the
+    * pattern), which makes the generator's whole output
+    * oracle-checkable; the 2^-24 grain is exact in binary, so the
+    * threshold comparisons below agree bit-for-bit across engines.
+    * Catalyst's subexpression elimination collapses the 6 repeated
+    * md5 calls into one per (row, salt).
+    */
+  private def u(id: Column, salt: Int): Column = {
+    val md = md5(concat(id.cast("string"), lit(":" + salt)))
+    val nibs = (1 to 6).map { i =>
+      val c = ascii(substring(md, i, 1))
+      when(c <= 57, c - 48).otherwise(c - 87) // '0'-'9' → 0-9, 'a'-'f' → 10-15
+    }
+    nibs.reduce((a, b) => a * 16 + b).cast("double") / 16777216.0
+  }
 
   private def wideColumns(id: Column, sensors: Int, startMillis: Long): Seq[Column] = {
     val tick = (id / sensors).cast("long")
     val sensor = pmod(id, lit(sensors)).cast("int")
-    val temperature = round(lit(10.0) + u(id, 1) * 170.0)
+    // floor(x + 0.5) == round-half-up for positive x, and is the one
+    // rounding spelled identically in the DuckDB oracle (Arith.r2 note)
+    val temperature = floor(lit(10.0) + u(id, 1) * 170.0 + lit(0.5)).cast("double")
     val flaky = u(id, 2) < 0.2
     val warnErr = when(u(id, 3) < 0.5, "WARNING").otherwise("ERROR")
     val status = when(temperature > 160, lit("ERROR"))
