@@ -23,6 +23,30 @@ object SimilarityQueries {
   private def normSql(a: String): String =
     s"list_transform($a, x -> x / sqrt(${dotSql(a, a).replace("\n", " ")}))"
 
+  /** Exact cosine top-k oracle (queries = vec_id < 5, self excluded):
+    * the ground truth for cosineTopK AND for any ANN configuration that
+    * is provably exhaustive (IVF at nprobe = nlist probes every cell).
+    */
+  private def exactTopKOracle(k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, nv AS qv FROM e WHERE vec_id < 5
+       |), scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         ${dotSql("qv", "nv").replace("\n", "\n    ")} AS cos
+       |  FROM q JOIN e ON e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       floor(cos * 10000 + 0.5) / 10000.0 AS cos_r4
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def defs: Seq[QDef] = Seq(
 
     QDef(
@@ -31,25 +55,7 @@ object SimilarityQueries {
         val emb = Tables.embeddings(s, dir)
         Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       },
-      Some(
-        s"""WITH e AS (
-           |  SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
-           |  FROM embeddings
-           |), q AS (
-           |  SELECT vec_id AS query_id, nv AS qv FROM e WHERE vec_id < 5
-           |), scored AS (
-           |  SELECT query_id, e.vec_id AS neighbor_id,
-           |         ${dotSql("qv", "nv").replace("\n", "\n    ")} AS cos
-           |  FROM q JOIN e ON e.vec_id <> q.query_id
-           |), ranked AS (
-           |  SELECT query_id, neighbor_id, cos,
-           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           |  FROM scored
-           |)
-           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
-           |       floor(cos * 10000 + 0.5) / 10000.0 AS cos_r4
-           |FROM ranked WHERE rank <= 10
-           |ORDER BY query_id, rank""".stripMargin)),
+      Some(exactTopKOracle(10))),
 
     QDef(
       "s_embedding_neardup",
@@ -92,6 +98,19 @@ object SimilarityQueries {
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nlist = 8, nprobe = 4, dim = 64)
       },
-      None)
+      None),
+
+    // IVF's exactness property as a HASH gate: at nprobe = nlist every
+    // cell is probed, so the index must reproduce brute-force cosine
+    // top-k exactly — same oracle as s_cosine_topk. (IvfSpec asserts the
+    // equivalence in-process; this makes it a driver-checked row.)
+    QDef(
+      "s_ann_ivf_fullprobe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 8, dim = 64)
+      },
+      Some(exactTopKOracle(10)))
   )
 }
