@@ -81,6 +81,40 @@ object Similarity {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** LSH-BLOCKED cosine near-dup pairs — the 100 TB scale path for true
+    * near-dup thresholds (≥ ~0.9): candidates are pairs sharing a
+    * hyperplane bucket in ANY of the `tables` hash tables, then exact
+    * cosine verifies, so the corpus-side work is hash joins instead of
+    * an all-pairs product. Output schema and scoring are identical to
+    * [[cosineNearDupPairs]]; the difference is recall — at cos ≥ 0.99
+    * and (nbits=8, tables=16) the per-pair miss probability is
+    * ~(1 − p_bit^nbits)^tables ≈ 2e-15, and SimilaritySpec asserts
+    * equality to the exact form over injected near-dup pairs. For LOW
+    * thresholds (this corpus's max pair cos ≈ 0.51) no sublinear
+    * blocking is sound — use the exact form there.
+    */
+  def cosineNearDupPairsBlocked(df: DataFrame, id: String, vec: String,
+      threshold: Double, nbits: Int, tables: Int, dim: Int,
+      seed: Long = 7L): DataFrame = {
+    // persisted: both sides of the bucket self-join consume it
+    val b = hyperplaneBuckets(df, id, vec, nbits, tables, dim, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = b.as("a")
+      .join(b.as("b"),
+        col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val v = normalized(df, id, vec, "doc", "nv")
+    cands
+      .join(v.select(col("doc").as("d1"), col("nv").as("nv1")), "d1")
+      .join(v.select(col("doc").as("d2"), col("nv").as("nv2")), "d2")
+      .withColumn("cos", dotN(col("nv1"), col("nv2")))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Random-hyperplane LSH bucket signatures, `tables` independent
     * hash tables of `nbits` sign bits each → rows (doc, table, bucket).
     * Hyperplanes are a tiny broadcast DataFrame — the corpus is scanned

@@ -23,6 +23,23 @@ object SimilarityQueries {
   private def normSql(a: String): String =
     s"list_transform($a, x -> x / sqrt(${dotSql(a, a).replace("\n", " ")}))"
 
+  /** The embeddings corpus plus a deterministic near-dup of every
+    * vector (id + 1,000,000; elements alternately ×1.05 / ×0.95 AFTER
+    * the cast to double — cos(v, v') ≈ 0.9987 for any v). The same
+    * construction is spelled in the oracle SQL and in SimilaritySpec,
+    * so blocked recall is checked against real ≥0.9 pairs even though
+    * the raw fixture's max pair cos is ≈ 0.51.
+    */
+  private[graft] def augmentedNearDupCorpus(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val perturbed = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") * when(pmod(i, lit(2)) === 0, lit(1.05)).otherwise(lit(0.95)))
+        .as("embedding"))
+    base.unionByName(perturbed)
+  }
+
   /** Exact cosine top-k oracle (queries = vec_id < 5, self excluded):
     * the ground truth for cosineTopK AND for any ANN configuration that
     * is provably exhaustive (IVF at nprobe = nlist probes every cell).
@@ -57,21 +74,39 @@ object SimilarityQueries {
       },
       Some(exactTopKOracle(10))),
 
+    // The SCALE form of embedding near-dup is the registered gate:
+    // LSH-blocked candidates + exact verify at a true near-dup
+    // threshold (0.9). The fixture corpus's max pair cos is ≈ 0.51, so
+    // the gate injects deterministic near-dups (elementwise ±5%
+    // perturbation, cos ≈ 0.9987 — an op sequence DuckDB reproduces
+    // exactly); the oracle computes the EXACT all-pairs answer over the
+    // same augmented corpus, so any LSH recall miss is a hash failure.
+    // The exact all-pairs operator is demoted to SimilaritySpec's
+    // cross-check (no registered query plans a cartesian product).
     QDef(
-      "s_embedding_neardup",
-      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.4),
+      "s_embedding_neardup_blocked",
+      (s, dir) => Similarity.cosineNearDupPairsBlocked(
+        augmentedNearDupCorpus(Tables.embeddings(s, dir)),
+        "vec_id", "embedding", threshold = 0.9, nbits = 8, tables = 16, dim = 64),
       Some(
-        s"""WITH e AS (
-           |  SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
+        s"""WITH aug AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
            |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |         list_transform(generate_series(1, 64),
+           |           j -> CAST(embedding[j] AS DOUBLE) * (CASE WHEN (j-1) % 2 = 0 THEN 1.05 ELSE 0.95 END))
+           |  FROM embeddings
+           |), e AS (
+           |  SELECT vec_id, ${normSql("embedding")} AS nv
+           |  FROM aug
            |), pairs AS (
            |  SELECT a.vec_id AS d1, b.vec_id AS d2,
            |         ${dotSql("a.nv", "b.nv").replace("\n", "\n    ")} AS cos
            |  FROM e a JOIN e b ON a.vec_id < b.vec_id
            |)
            |SELECT d1, d2, floor(cos * 10000 + 0.5) / 10000.0 AS cos_r4
-           |FROM pairs WHERE cos >= 0.4
+           |FROM pairs WHERE cos >= 0.9
            |ORDER BY d1, d2""".stripMargin)),
 
     // nbits/tables sized for ≥0.9 measured recall on THIS corpus (random

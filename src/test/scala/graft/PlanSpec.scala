@@ -50,9 +50,8 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("unboundedfollowing$()"), p)
   }
 
-  test("registered queries avoid cartesian products (except the exact all-pairs baseline)") {
-    val allowed = Set("s_embedding_neardup") // exact oracle baseline, documented
-    Registry.all.filterNot(q => allowed(q.name))
+  test("registered queries avoid cartesian products") {
+    Registry.all
       .filterNot(q => Set("c6_incremental_export", "s5_csv_enrichment_view")(q.name)) // eager side effects
       .foreach { q =>
         val p = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString

@@ -82,6 +82,25 @@ class SimilaritySpec extends SparkSpec {
     assert(covered >= 18, s"LSH covered only $covered/20 injected near-dup pairs")
   }
 
+  test("blocked near-dup equals the exact all-pairs form on the augmented corpus") {
+    // The registered gate runs the LSH-blocked form; the exact all-pairs
+    // operator (demoted from the registry — it plans a quadratic pair
+    // loop) is the in-process ground truth. Over the injected-near-dup
+    // corpus the two must agree exactly, including scores.
+    val aug = queries.SimilarityQueries.augmentedNearDupCorpus(
+      Tables.embeddings(spark, sf("sf0.001")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = rows(Similarity.cosineNearDupPairsBlocked(aug, "vec_id", "embedding",
+      threshold = 0.9, nbits = 8, tables = 16, dim = 64))
+    val exact = rows(Similarity.cosineNearDupPairs(aug, "vec_id", "embedding",
+      threshold = 0.9))
+    assert(blocked == exact)
+    // every original vector's injected twin must be found
+    val n = Tables.embeddings(spark, sf("sf0.001")).count()
+    assert(blocked.size == n.toInt, s"expected $n injected pairs, got ${blocked.size}")
+  }
+
   test("VecDot matches the sequential fold bit-for-bit") {
     val a = Array(0.1, -2.5, 3.75, 1e-7, 42.0)
     val b = Array(1.5, 0.25, -1.125, 2e3, -0.875)
