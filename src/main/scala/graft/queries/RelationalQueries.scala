@@ -165,9 +165,13 @@ object RelationalQueries {
     QDef(
       "s5_csv_enrichment_view",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_lake")
-        graft.sources.CsvLake.exportCsv(Tables.nation(s, dir), s"$tmp/nation_csv")
-        graft.sources.CsvLake.exportCsv(Tables.region(s, dir), s"$tmp/region_csv")
+        // CSV dirs materialize once per JVM (Fixtures); the gate itself
+        // is a read — repeated invocations measure the query, not the
+        // CSV export's Hadoop commit overhead
+        val tmp = Fixtures.dir("csv_lake", dir) { out =>
+          graft.sources.CsvLake.exportCsv(Tables.nation(s, dir), s"$out/nation_csv")
+          graft.sources.CsvLake.exportCsv(Tables.region(s, dir), s"$out/region_csv")
+        }
         graft.sources.CsvLake.registerExternalTable(s, s"$tmp/nation_csv", "csv_nation")
         graft.sources.CsvLake.registerExternalTable(s, s"$tmp/region_csv", "csv_region")
         Tables.customer(s, dir).createOrReplaceTempView("customer_pq")

@@ -51,9 +51,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("registered queries avoid cartesian products") {
-    Registry.all
-      .filterNot(q => Set("c6_incremental_export", "s5_csv_enrichment_view")(q.name)) // eager side effects
-      .foreach { q =>
+    Registry.all.foreach { q =>
         val p = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
         assert(!p.contains("CartesianProduct"),
           s"${q.name} plans a CartesianProduct")
