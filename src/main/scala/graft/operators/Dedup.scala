@@ -231,6 +231,53 @@ object Dedup {
     scoreJaccard(commonFromIndex(cands, inv), sizes, threshold)
   }
 
+  /** Duplicate-CLUSTER resolution: the near-dup operators stop at pairs,
+    * but a curation pipeline keeps one document per transitive cluster.
+    * Connected components over the pair graph via min-label propagation
+    * with pointer jumping — pure DataFrame iteration (each round is a
+    * hash join + min aggregate, lineage truncated by localCheckpoint),
+    * no driver-side graph walk. Labels decrease monotonically and at
+    * the fixpoint every edge connects equal labels, so each component
+    * converges to its minimum doc id; pointer jumping (label :=
+    * label(label)) makes chains converge in O(log diameter) rounds.
+    * Output: one row per INPUT doc — (doc, cluster_id, cluster_size,
+    * is_canonical), singletons included (their own cluster of 1).
+    */
+  def neardupClusters(docs: DataFrame, id: String, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = docs.select(col(id).as("doc")).distinct()
+    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("label", col("doc")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      iter += 1
+      val nbrMin = und
+        .join(labels.select(col("doc").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("doc")).agg(min(col("nl")).as("nbr_min"))
+      val prop = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val mapping = prop.select(col("doc").as("m_doc"), col("label").as("m_label"))
+      val jumped = prop.join(mapping, prop("label") === mapping("m_doc"), "left")
+        .select(prop("doc").as("doc"), coalesce(col("m_label"), prop("label")).as("label"))
+        .localCheckpoint(true)
+      changed = jumped.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = jumped
+    }
+    und.unpersist()
+    require(changed == 0,
+      s"neardupClusters did not converge within $maxIters pointer-jumping rounds")
+    val w = Window.partitionBy(col("cluster_id"))
+    labels.select(col("doc"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", (col("doc") === col("cluster_id")).cast("boolean"))
+      .orderBy(col("doc"))
+  }
+
   /** 64-bit SimHash per document: (doc, h). Tokens are exploded and the
     * 64 per-bit ±1 vote sums run as ONE whole-stage-codegen hash
     * aggregate with map-side partial aggregation — the scale shape for

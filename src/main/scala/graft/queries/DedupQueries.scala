@@ -15,12 +15,14 @@ import graft.operators.Dedup
   */
 object DedupQueries {
 
-  /** Oracle for jaccard-style pair output: candidates from the
-    * (optionally df-capped) inverted shingle index, exact verify via
-    * list_intersect on the full shingle sets — mirroring
-    * Dedup.jaccardPairs / Dedup.minhashLshPairs output exactly.
+  /** CTE chain ending in `pairs` (d1, d2, common, sz1, sz2, jaccard):
+    * candidates from the (optionally df-capped) inverted shingle index,
+    * exact verify via list_intersect on the full shingle sets —
+    * mirroring Dedup.jaccardPairs / Dedup.minhashLshPairs exactly.
+    * Shared between the pair oracles and the cluster oracle's
+    * recursive closure.
     */
-  private def jaccardOracle(threshold: Double, cap: Option[Long]): String = {
+  private def jaccardCtes(threshold: Double, cap: Option[Long]): String = {
     val candSrc = cap match {
       case Some(c) =>
         s"""hot AS (
@@ -37,7 +39,7 @@ object DedupQueries {
           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
           |)""".stripMargin
     }
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
        |), shl AS (
        |  SELECT doc_id,
@@ -56,13 +58,40 @@ object DedupQueries {
        |  FROM cand
        |  JOIN shl s1 ON d1 = s1.doc_id
        |  JOIN shl s2 ON d2 = s2.doc_id
-       |)
-       |SELECT d1, d2, common, sz1, sz2,
-       |       CAST(common AS DOUBLE) / (sz1 + sz2 - common) AS jaccard
-       |FROM scored
-       |WHERE CAST(common AS DOUBLE) / (sz1 + sz2 - common) >= $threshold
-       |ORDER BY d1, d2""".stripMargin
+       |), pairs AS (
+       |  SELECT d1, d2, common, sz1, sz2,
+       |         CAST(common AS DOUBLE) / (sz1 + sz2 - common) AS jaccard
+       |  FROM scored
+       |  WHERE CAST(common AS DOUBLE) / (sz1 + sz2 - common) >= $threshold
+       |)""".stripMargin
   }
+
+  private def jaccardOracle(threshold: Double, cap: Option[Long]): String =
+    s"""WITH ${jaccardCtes(threshold, cap)}
+       |SELECT d1, d2, common, sz1, sz2, jaccard FROM pairs
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Transitive closure of the near-dup pair graph as a recursive CTE:
+    * every doc reaches every label in its component, min(label) is the
+    * cluster id — the ground truth for Dedup.neardupClusters. */
+  private def clusterOracle(threshold: Double, cap: Option[Long]): String =
+    s"""WITH RECURSIVE ${jaccardCtes(threshold, cap)},
+       |nodes AS (SELECT DISTINCT doc_id AS doc FROM documents),
+       |und AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION ALL
+       |  SELECT d2, d1 FROM pairs
+       |), reach(doc, label) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT u.a, r.label FROM und u JOIN reach r ON r.doc = u.b
+       |), comp AS (
+       |  SELECT doc, min(label) AS cluster_id FROM reach GROUP BY doc
+       |)
+       |SELECT doc, cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       |       doc = cluster_id AS is_canonical
+       |FROM comp ORDER BY doc""".stripMargin
 
   def defs: Seq[QDef] = Seq(
 
@@ -91,6 +120,19 @@ object DedupQueries {
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.8),
       Some(jaccardOracle(0.8, None))),
+
+    // Pairs → transitive clusters → keeper per cluster: the step a
+    // curation pipeline actually acts on. Oracle walks the same pair
+    // graph with a recursive CTE.
+    QDef(
+      "d_neardup_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.neardupClusters(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8,
+            maxShingleDf = Some(100L)))
+      },
+      Some(clusterOracle(0.8, Some(100L)))),
 
     // Oracle is the brute-force formulation over the SAME md5-nibble
     // simhash (pigeonhole blocking is recall-complete, so the blocked

@@ -118,6 +118,30 @@ class DedupSpec extends SparkSpec {
     assert(shSalted.nonEmpty)
   }
 
+  test("neardupClusters: transitive closure, keeper = min id, singletons kept") {
+    // pair graph: 1-2, 2-3 (3 reaches 1 only transitively); 4 singleton
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val out = graft.operators.Dedup.neardupClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true)))
+  }
+
+  test("neardupClusters converges on a long chain (pointer jumping)") {
+    // a 40-node path has diameter 39: plain min-propagation needs ~39
+    // rounds, pointer jumping must land it well inside maxIters
+    val n = 40
+    val docs = (1 to n).map(_.toLong).toDF("doc_id")
+    val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("d1", "d2")
+    val out = graft.operators.Dedup.neardupClusters(docs, "doc_id", pairs, maxIters = 12)
+      .collect()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 1L))
+    assert(out.count(_.getBoolean(3)) == 1)
+  }
+
   test("SimHash pairs respect the Hamming bound and report true distances") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7).collect()
