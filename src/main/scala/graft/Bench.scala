@@ -23,7 +23,11 @@ object Bench {
         errors ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // outside the timed window: drop operator-internal cached blocks
+      // so later queries aren't measured under earlier queries' memory
+      CacheRegistry.clearAll()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

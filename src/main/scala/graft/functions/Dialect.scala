@@ -45,25 +45,50 @@ object Dialect {
   private def us(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** Observations must be (time, value)-sorted for the two-pointer
+    * merge. Series built by create_time_series always are; a hand-built
+    * SQL array may not be — detect in O(n) (free for the composed path)
+    * and sort defensively, matching the aggregator's sort order, so a
+    * raw-SQL caller gets correct interpolation instead of silent
+    * garbage. */
+  private def ensureSorted[T](obs: IndexedSeq[(Long, T)])(
+      implicit ord: Ordering[(Long, T)]): IndexedSeq[(Long, T)] = {
+    var i = 1
+    while (i < obs.length && ord.lteq(obs(i - 1), obs(i))) i += 1
+    if (i >= obs.length) obs else obs.sorted
+  }
+
+  private def checkSeriesSize(n: Int, cap: Int): Unit =
+    if (n > cap) throw new IllegalStateException(
+      s"create_time_series: a single series exceeds $cap elements. The array form holds " +
+        "one key's whole history in one row — for histories this large use the window-form " +
+        "operators (graft.operators.TimeSeries), or raise maxSeriesElements in Dialect.register.")
+
   /** Sorted-series UDAF: the merge is list concatenation and the sort
     * happens once in finish, so partial aggregation order (cluster
-    * nondeterminism) cannot leak into the result. */
-  private class SeriesAgg extends Aggregator[(Timestamp, Double), List[(Timestamp, Double)], Seq[TV]] {
+    * nondeterminism) cannot leak into the result. `cap` fails fast
+    * (clear error instead of a silent executor OOM downstream) when one
+    * key's series exceeds the configured element count. */
+  private class SeriesAgg(cap: Int) extends Aggregator[(Timestamp, Double), List[(Timestamp, Double)], Seq[TV]] {
     def zero: List[(Timestamp, Double)] = Nil
     def reduce(b: List[(Timestamp, Double)], a: (Timestamp, Double)): List[(Timestamp, Double)] = a :: b
     def merge(a: List[(Timestamp, Double)], b: List[(Timestamp, Double)]): List[(Timestamp, Double)] = a ::: b
-    def finish(b: List[(Timestamp, Double)]): Seq[TV] =
+    def finish(b: List[(Timestamp, Double)]): Seq[TV] = {
+      checkSeriesSize(b.size, cap)
       b.sortBy { case (t, v) => (us(t), v) }.map { case (t, v) => TV(t, v) }
+    }
     def bufferEncoder: Encoder[List[(Timestamp, Double)]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[TV]] = ExpressionEncoder()
   }
 
-  private class SeriesStrAgg extends Aggregator[(Timestamp, String), List[(Timestamp, String)], Seq[SV]] {
+  private class SeriesStrAgg(cap: Int) extends Aggregator[(Timestamp, String), List[(Timestamp, String)], Seq[SV]] {
     def zero: List[(Timestamp, String)] = Nil
     def reduce(b: List[(Timestamp, String)], a: (Timestamp, String)): List[(Timestamp, String)] = a :: b
     def merge(a: List[(Timestamp, String)], b: List[(Timestamp, String)]): List[(Timestamp, String)] = a ::: b
-    def finish(b: List[(Timestamp, String)]): Seq[SV] =
+    def finish(b: List[(Timestamp, String)]): Seq[SV] = {
+      checkSeriesSize(b.size, cap)
       b.sortBy { case (t, v) => (us(t), v) }.map { case (t, v) => SV(t, v) }
+    }
     def bufferEncoder: Encoder[List[(Timestamp, String)]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[SV]] = ExpressionEncoder()
   }
@@ -75,7 +100,8 @@ object Dialect {
     * interpolateOnGrid: pv + ((nv - pv) * Δt) / Δtotal on micros longs.
     */
   private def interpLinear(series: Seq[Row], grid: Seq[Timestamp]): Seq[TV] = {
-    val obs = series.map(r => (us(r.getTimestamp(0)), r.getDouble(1))).toIndexedSeq
+    val obs = ensureSorted(
+      series.map(r => (us(r.getTimestamp(0)), r.getDouble(1))).toIndexedSeq)
     if (obs.isEmpty) return Seq.empty // nothing to interpolate from
     // two-pointer merge over the (sorted) series and the grid —
     // O(obs + grid) per group; a per-point scan would be O(obs × grid).
@@ -103,7 +129,8 @@ object Dialect {
 
   /** LOCF of a sorted (time, string) series onto grid instants. */
   private def interpLocf(series: Seq[Row], grid: Seq[Timestamp]): Seq[SV] = {
-    val obs = series.map(r => (us(r.getTimestamp(0)), r.getString(1))).toIndexedSeq
+    val obs = ensureSorted(
+      series.map(r => (us(r.getTimestamp(0)), r.getString(1))).toIndexedSeq)
     if (obs.isEmpty) return grid.map(SV(_, null))
     var i = 0
     var lastGu = Long.MinValue
@@ -138,19 +165,45 @@ object Dialect {
 
   /** Register the dialect on a session. `now` freezes AGO()/TS_NOW()
     * for deterministic queries; None uses the wall clock per call.
+    * `maxSeriesElements` bounds how many observations one key's series
+    * may hold (the array form's per-key memory knob — exceeded series
+    * fail fast instead of OOMing an executor downstream).
     * Also exposes the engine's native expressions (VecDot,
     * WordShingles, RollingPolyHash) as SQL functions — codegen'd /
     * compiled-loop implementations resolved straight from SQL text, no
     * UDF SerDe.
     */
-  def register(spark: SparkSession, now: Option[Timestamp] = None): Unit = {
+  def register(spark: SparkSession, now: Option[Timestamp] = None,
+      maxSeriesElements: Int = 1000000): Unit = {
     import org.apache.spark.sql.GraftShim.registerFunction
-    registerFunction(spark, "vec_dot", es => VecDot(es(0), es(1)))
-    registerFunction(spark, "word_shingles", es => WordShingles(es(0),
-      es(1).eval().asInstanceOf[Int]))
-    registerFunction(spark, "rolling_poly_hash", es => RollingPolyHash(es(0)))
-    spark.udf.register("create_time_series", udaf(new SeriesAgg))
-    spark.udf.register("create_time_series_str", udaf(new SeriesStrAgg))
+    registerFunction(spark, "vec_dot", es => {
+      require(es.length == 2, s"vec_dot requires 2 arguments, got ${es.length}")
+      // cast to array<double> so SQL callers with array<float>/array<int>
+      // get correct numbers (raw ArrayData reads would return garbage)
+      // and non-castable inputs fail at analysis time
+      VecDot(VectorFunctions.asDoubleArray(es(0)), VectorFunctions.asDoubleArray(es(1)))
+    })
+    registerFunction(spark, "word_shingles", es => {
+      // n must be a literal: the shingle width shapes the expression
+      // itself, so a column reference (or non-deterministic foldable)
+      // has no meaningful analysis-time value
+      require(es.length == 2, s"word_shingles requires 2 arguments, got ${es.length}")
+      require(es(1).foldable && es(1).deterministic,
+        "word_shingles requires a literal shingle size n")
+      val n = es(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"word_shingles: n must be an integer literal, got $other")
+      }
+      WordShingles(es(0), n)
+    })
+    registerFunction(spark, "rolling_poly_hash", es => {
+      require(es.length == 1, s"rolling_poly_hash requires 1 argument, got ${es.length}")
+      RollingPolyHash(es(0))
+    })
+    spark.udf.register("create_time_series", udaf(new SeriesAgg(maxSeriesElements)))
+    spark.udf.register("create_time_series_str", udaf(new SeriesStrAgg(maxSeriesElements)))
     spark.udf.register("interpolate_linear",
       (series: Seq[Row], grid: Seq[Timestamp]) => interpLinear(series, grid))
     spark.udf.register("interpolate_locf",

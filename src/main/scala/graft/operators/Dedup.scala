@@ -49,10 +49,11 @@ object Dedup {
     * LRU-evicted, so long-lived sessions self-clean.
     */
   private def shingleSets(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.repartition(col(id))
-      .select(col(id).as("doc"), shingles(col(text), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheRegistry.retain(
+      df.repartition(col(id))
+        .select(col(id).as("doc"), shingles(col(text), n).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Score (d1, d2, common) candidate pairs against set sizes:
     * jaccard = common / (|A| + |B| - common) ≥ threshold. All-narrow
@@ -214,10 +215,10 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((0 until r).map(k => col(s"m${b * r + k}")) :+ lit(b): _*).as("bucket"))
     }
-    val banded = sig
+    val banded = graft.CacheRegistry.retain(sig
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // skew-safe banded self-join: a degenerate corpus (hundreds of
     // near-identical docs collapsing into one band bucket) would
@@ -325,8 +326,8 @@ object Dedup {
     val bitsPer = 64 / chunks
     // persisted: both sides of the chunk self-join consume it, and the
     // stream side of a broadcast join has no exchange to reuse
-    val hashed = simhash64(df, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = graft.CacheRegistry.retain(simhash64(df, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mask = (1L << bitsPer) - 1
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"), shiftright(col("h"), c * bitsPer).bitwiseAND(lit(mask)).as("cv"))

@@ -97,8 +97,9 @@ object Similarity {
       threshold: Double, nbits: Int, tables: Int, dim: Int,
       seed: Long = 7L): DataFrame = {
     // persisted: both sides of the bucket self-join consume it
-    val b = hyperplaneBuckets(df, id, vec, nbits, tables, dim, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = graft.CacheRegistry.retain(
+      hyperplaneBuckets(df, id, vec, nbits, tables, dim, seed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cands = b.as("a")
       .join(b.as("b"),
         col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&

@@ -33,7 +33,7 @@ object DialectQueries {
         // the series-building CTE is consumed by BOTH UNNEST branches;
         // Spark inlines CTEs, so materialize it once (cached view)
         // instead of running the aggregation twice
-        s.sql(
+        graft.CacheRegistry.retain(s.sql(
           """SELECT user_id,
             |       INTERPOLATE_LINEAR(
             |         CREATE_TIME_SERIES(ts, value),
@@ -43,7 +43,7 @@ object DialectQueries {
             |         SEQUENCE(MIN(ts), MAX(ts), INTERVAL 1 HOUR)) AS interpolated_status
             |FROM events
             |GROUP BY user_id""".stripMargin)
-          .persist()
+          .persist())
           .createOrReplaceTempView("interpolated")
         s.sql(
           """WITH t AS (

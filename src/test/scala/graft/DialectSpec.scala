@@ -90,6 +90,60 @@ class DialectSpec extends SparkSpec {
     assert(Dialect.parseAgoMicros("15 m") == 900000000L)
   }
 
+  test("series element cap fails fast with a clear error") {
+    Dialect.register(spark, maxSeriesElements = 10)
+    try {
+      Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("events")
+      val e = intercept[Exception] {
+        spark.sql("SELECT user_id, CREATE_TIME_SERIES(ts, value) AS s FROM events GROUP BY user_id")
+          .collect()
+      }
+      // Spark wraps the UDAF failure; the root message must survive
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(e).exists(m => m != null && m.contains("exceeds 10 elements")), e.toString)
+    } finally Dialect.register(spark) // restore the default cap for other tests
+  }
+
+  test("vec_dot SQL surface casts float arrays and propagates null elements") {
+    Dialect.register(spark)
+    // array<float> input: implicit cast to array<double> must produce the
+    // true dot product (raw ArrayData reinterpretation returned garbage)
+    val f = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(2.0D, 3.0D)) AS d")
+      .head.getDouble(0)
+    assert(f == 1.5 * 2.0 + 2.0 * 3.0)
+    // a null ELEMENT yields a null result, not a silent 0.0 contribution
+    val n = spark.sql(
+      "SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D)) AS d")
+      .head
+    assert(n.isNullAt(0))
+    // wrong arity is an analysis-time failure, not wrong numbers
+    assertThrows[Exception](spark.sql("SELECT vec_dot(array(1.0D))").collect())
+  }
+
+  test("word_shingles requires a literal shingle size") {
+    Dialect.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', CAST(id AS INT)) FROM range(3)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+    // long literals are accepted
+    assert(spark.sql("SELECT word_shingles('a b c', 2L) AS s").head.getSeq[String](0)
+      == Seq("a b", "b c"))
+  }
+
+  test("interpolation UDFs sort an unsorted hand-built series defensively") {
+    Dialect.register(spark)
+    val out = spark.sql(
+      """SELECT interpolate_linear(
+        |  array(struct(TIMESTAMP '2024-01-01 00:02:00' AS time, 30.0D AS value),
+        |        struct(TIMESTAMP '2024-01-01 00:00:00' AS time, 10.0D AS value)),
+        |  array(TIMESTAMP '2024-01-01 00:01:00')) AS r""".stripMargin)
+      .select(explode(col("r")).as("e")).select("e.value").as[Double].collect().toSeq
+    assert(out == Seq(20.0)) // midpoint of the SORTED series, not garbage
+  }
+
   test("native expressions resolve from SQL text (FunctionRegistry injection)") {
     Dialect.register(spark)
     val r = spark.sql(
