@@ -72,6 +72,38 @@ object ExportQueries {
            |$body
            |)
            |ORDER BY partition_key, user_id, time""".stripMargin
+      }),
+
+    // S6 faithful raw-prefix layout (timestream-airflow-demo.py:41-43):
+    // two scheduled windows land under raw YYYY-MM-DDTHH-mm/ prefixes,
+    // the crawler reads the whole lake in one pass and recovers the
+    // window key from the path — hash-checked against the same
+    // per-window oracle as the hive layout.
+    QDef(
+      "s6_raw_prefix_export",
+      (s, dir) => {
+        val out = Fixtures.dir("raw_prefix_lake", dir) { o =>
+          val events = Tables.events(s, dir)
+          windows.take(2).foreach { case (st, en) =>
+            Exporter.exportWindowRawPrefix(events, P, o, st, en)
+          }
+        }
+        Exporter.readRawPrefixExport(s, out)
+          .select(col("partition_key"), col("user_id"), col("time"),
+            col("status"), col("temperature"))
+          .orderBy(col("partition_key"), col("user_id"), col("time"))
+      },
+      Some {
+        val parts = windows.take(2).zipWithIndex.map { case ((st, en), i) =>
+          windowOracle(s"_r$i", st, en)
+        }
+        val cte = "WITH " + parts.map(_._1).mkString(",\n")
+        val body = parts.map(_._2).mkString("\nUNION ALL\n")
+        s"""$cte
+           |SELECT * FROM (
+           |$body
+           |)
+           |ORDER BY partition_key, user_id, time""".stripMargin
       })
   )
 }

@@ -109,6 +109,39 @@ object TimeSeriesQueries {
         """SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value
           |FROM events ORDER BY user_id, time, value""".stripMargin)),
 
+    // T1 UN-FLATTENED — the reference's console queries return the
+    // series ARRAY itself (queries.txt:22-41), one row per sensor. The
+    // gate checks that series-valued shape directly: per-key element
+    // order and values ride in ONE output row, encoded as
+    // "micros:centivalue" CSV (a deterministic string both engines
+    // produce bit-identically; nested types don't hash portably across
+    // the parquet/pandas/DuckDB compare).
+    QDef(
+      "t1_series_value",
+      (s, dir) => {
+        val series = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(TimeSeries.createTimeSeries(col("ts"), col("value")).as("series"))
+        series.select(
+          col("user_id"),
+          size(col("series")).cast("long").as("n_points"),
+          array_join(
+            transform(col("series"), e => concat(
+              unix_micros(e("time")).cast("string"), lit(":"),
+              floor(e("value") * 100 + lit(0.5)).cast("long").cast("string"))),
+            ",").as("series_csv"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """SELECT user_id,
+          |       CAST(count(*) AS BIGINT) AS n_points,
+          |       string_agg(
+          |         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||
+          |         CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR),
+          |         ',' ORDER BY CAST(ts AS TIMESTAMP), value) AS series_csv
+          |FROM events GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)),
+
     // T2 — SEQUENCE grid alone (queries.txt:6).
     QDef(
       "t2_sequence_grid",

@@ -128,6 +128,36 @@ object Exporter {
   def readExport(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
 
+  /** S6 faithful-layout variant: the reference lands each scheduled run
+    * under a RAW time prefix (`2021-10-26T11:35/`,
+    * mwaa/mwaa-cdk/dags/timestream-airflow-demo.py:41-43) rather than a
+    * hive `partition_key=` directory. `partitionBy` stays this engine's
+    * default export layout (it buys Catalyst partition pruning); this
+    * pair exists for interop with lakes already laid out the
+    * reference's way. */
+  def exportWindowRawPrefix(events: DataFrame, p: GridParams, outDir: String,
+      start: String, end: String): Unit = {
+    val windowed = events.filter(
+      col(p.time) >= lit(start).cast("timestamp") &&
+        col(p.time) < lit(end).cast("timestamp"))
+    // resolve the prefix with the same session-timezone cast+format the
+    // hive layout uses, so both layouts name a window identically
+    val key = events.sparkSession.range(1)
+      .select(date_format(lit(start).cast("timestamp"), KeyFormat)).head.getString(0)
+    TimeSeries.flagship(windowed, p)
+      .write.mode("overwrite").parquet(s"$outDir/$key")
+  }
+
+  /** Crawl a raw-prefix lake back into one typed DataFrame: a single
+    * parquet read across every prefix (Spark's distributed file
+    * listing — no per-prefix driver loop), the window key recovered
+    * from the file path. The crawler role of the reference's catalog
+    * (README.md:359-) for layouts `partitionBy` discovery can't parse. */
+  def readRawPrefixExport(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/*")
+      .withColumn("partition_key",
+        regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
+
   /** §1.6 retention: drop export partitions whose key sorts strictly
     * below `cutoffKey` (the KeyFormat is lexicographically ordered by
     * time, so string comparison IS time comparison). The Spark analog

@@ -117,6 +117,19 @@ class ExporterSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("raw-prefix layout holds the same data as the hive layout, key recovered from the path") {
+    val outHive = freshDir; val outRaw = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    Exporter.exportWindow(events, P, outHive, windows(0)._1, windows(0)._2)
+    Exporter.exportWindowRawPrefix(events, P, outRaw, windows(0)._1, windows(0)._2)
+    val cols = Seq("partition_key", "user_id", "time", "status", "temperature")
+    val hive = Exporter.readExport(spark, outHive)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val raw = Exporter.readRawPrefixExport(spark, outRaw)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(raw == hive && raw.nonEmpty)
+  }
+
   test("windowed export equals flagship computed directly on that window") {
     val out = freshDir
     val events = Tables.events(spark, sf("sf0.001"))
