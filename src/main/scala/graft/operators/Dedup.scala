@@ -142,9 +142,10 @@ object Dedup {
     * each qualifying pair (a, b) meets exactly once, at the left replica
     * whose target salt equals salt(b) — salting redistributes work,
     * never drops pairs, so recall (and the exact-pair-set oracles) are
-    * untouched. Non-key columns ride along as c_1 / c_2.
+    * untouched. Non-key columns ride along as c_1 / c_2. Shared with
+    * Similarity's bucket blocking (same skew class, same guarantee).
     */
-  private def saltedSelfPairs(t: DataFrame, keyCols: Seq[String],
+  private[operators] def saltedSelfPairs(t: DataFrame, keyCols: Seq[String],
       hotKeyThreshold: Long, salts: Int): DataFrame = {
     val payload = t.columns.filterNot(keyCols.contains).toSeq
     def rename(df: DataFrame, sfx: String): DataFrame =
@@ -260,14 +261,18 @@ object Dedup {
         .join(labels.select(col("doc").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("doc")).agg(min(col("nl")).as("nbr_min"))
       val prop = labels.join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .select(col("doc"), col("label").as("_old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       val mapping = prop.select(col("doc").as("m_doc"), col("label").as("m_label"))
+      // _chg rides the checkpointed result, so the convergence test is a
+      // scan of cached blocks — not another join against the old labels
       val jumped = prop.join(mapping, prop("label") === mapping("m_doc"), "left")
-        .select(prop("doc").as("doc"), coalesce(col("m_label"), prop("label")).as("label"))
+        .select(prop("doc").as("doc"),
+          coalesce(col("m_label"), prop("label")).as("label"),
+          (col("_old") =!= coalesce(col("m_label"), prop("label"))).as("_chg"))
         .localCheckpoint(true)
-      changed = jumped.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = jumped
+      changed = jumped.filter(col("_chg")).count()
+      labels = jumped.drop("_chg")
     }
     und.unpersist()
     require(changed == 0,

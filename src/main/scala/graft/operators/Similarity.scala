@@ -95,16 +95,15 @@ object Similarity {
     */
   def cosineNearDupPairsBlocked(df: DataFrame, id: String, vec: String,
       threshold: Double, nbits: Int, tables: Int, dim: Int,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, hotBucketThreshold: Long = 1000L, salts: Int = 16): DataFrame = {
     // persisted: both sides of the bucket self-join consume it
     val b = graft.CacheRegistry.retain(
       hyperplaneBuckets(df, id, vec, nbits, tables, dim, seed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cands = b.as("a")
-      .join(b.as("b"),
-        col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+    // skew-safe bucket self-join (a heavily clustered corpus collapses
+    // into few buckets — same degenerate class as the LSH band join)
+    val cands = Dedup.saltedSelfPairs(b, Seq("table_id", "bucket"), hotBucketThreshold, salts)
+      .select(col("doc_1").as("d1"), col("doc_2").as("d2"))
       .dropDuplicates("d1", "d2")
     val v = normalized(df, id, vec, "doc", "nv")
     cands
