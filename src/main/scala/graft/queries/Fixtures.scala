@@ -19,6 +19,11 @@ object Fixtures {
       cache.getOrElseUpdate(s"$kind|$sfDir", {
         val out = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
         build(out)
+        // fail loudly rather than caching a path a failed build left
+        // empty — readers would otherwise see confusing glob misses
+        require(new java.io.File(out).listFiles() != null &&
+          new java.io.File(out).listFiles().nonEmpty,
+          s"fixture $kind built nothing under $out")
         out
       })
     }
