@@ -13,6 +13,13 @@ object Bench {
     // warm the session (codegen, shuffle machinery) so the first timed
     // query doesn't absorb JVM startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // construct every plan once, untimed: gate construction materializes
+    // any one-time fixtures (CSV lake, export lakes), so the timed loop
+    // measures the queries themselves, not first-call fixture builds
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, sfDir) catch { case _: Throwable => () }
+    }
+    CacheRegistry.clearAll()
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

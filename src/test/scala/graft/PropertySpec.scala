@@ -80,6 +80,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("neardupClusters equals driver-side union-find on random pair graphs") {
+    val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.choose(5, 40)
+      m <- Gen.choose(0, 60)
+      raw <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1)
+        b <- Gen.choose(0, n - 1)
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield (n, raw.filter(e => e._1 != e._2).distinct)
+    forAllSampled(graphGen, 8) { case (n, edges) =>
+      val docs = (0 until n).map(_.toLong).toDF("doc_id")
+      val pairs = edges.toDF("d1", "d2")
+      val got = graft.operators.Dedup.neardupClusters(docs, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // ground truth: plain union-find, cluster id = component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val comp = (0 until n).groupBy(find)
+      val expect = comp.values.flatMap { members =>
+        val cid = members.min.toLong
+        members.map(m => m.toLong -> (cid, members.size.toLong))
+      }.toMap
+      assert(got == expect, s"n=$n edges=$edges")
+    }
+  }
+
   test("CEP contract holds on random sequences, and both implementations agree") {
     val params = CepStream.Params(errorValue = "ERROR", maxB = 5,
       withinMicros = 120000000L) // 2 minutes
