@@ -71,8 +71,12 @@ object Exporter {
     *    event — fine for the low-thousands, at which point real
     *    schedules are uniform anyway.
     */
-  def backfillOnePass(events: DataFrame, p: GridParams, outDir: String,
-      windows: Seq[(String, String)]): Unit = {
+  /** Window-id assignment for [[backfillOnePass]]: events tagged with
+    * `_w` via the broadcast windows-table join (uniform → arithmetic
+    * slot + hash equi-join; arbitrary → range join), plus the windows
+    * table carrying `partition_key`. Exposed for plan audits. */
+  private[graft] def tagWindows(events: DataFrame, p: GridParams,
+      windows: Seq[(String, String)]): (DataFrame, DataFrame) = {
     // exactly-one-window assignment: overlapping windows would silently
     // diverge from the serial loop (which recomputes shared events in
     // every covering window)
@@ -100,7 +104,7 @@ object Exporter {
     val uniform = widths.length == 1 && widths.head > 0 &&
       bounds.forall { case (_, s, _) => (s - origin) % widths.head == 0 }
     val tUs = unix_micros(col(p.time))
-    val tagged0 =
+    val tagged =
       if (uniform) {
         val w = widths.head
         val slots = winDf.select(((col("_su") - origin) / w).cast("long").as("_slot"), col("_w"))
@@ -110,6 +114,12 @@ object Exporter {
         events.join(broadcast(winDf.select(col("_w"), col("_su"), col("_eu"))),
           tUs >= col("_su") && tUs < col("_eu")).drop("_su", "_eu")
       }
+    (tagged, winDf)
+  }
+
+  def backfillOnePass(events: DataFrame, p: GridParams, outDir: String,
+      windows: Seq[(String, String)]): Unit = {
+    val (tagged0, winDf) = tagWindows(events, p, windows)
     val tagged = tagged0.withColumn("_ek", struct(col(p.key).as("k"), col("_w").as("w")))
     TimeSeries.flagship(tagged, p.copy(key = "_ek"))
       .select(col("_ek.k").as(p.key), col("_ek.w").as("_w"),

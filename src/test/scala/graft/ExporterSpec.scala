@@ -117,6 +117,21 @@ class ExporterSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("window assignment plans a broadcast HASH join for uniform windows") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val uniform = Exporter.tagWindows(events, P, windows)._1
+      .queryExecution.executedPlan.toString
+    // O(1)-per-event slot lookup at any window count — never a
+    // nested-loop scan over N windows
+    assert(uniform.contains("BroadcastHashJoin"), uniform)
+    assert(!uniform.contains("BroadcastNestedLoopJoin"), uniform)
+    val mixed = Exporter.tagWindows(events, P, Seq(
+      ("2024-01-01", "2024-01-04"), ("2024-01-04", "2024-01-11")))._1
+      .queryExecution.executedPlan.toString
+    // arbitrary widths legitimately fall back to the broadcast range join
+    assert(mixed.contains("BroadcastNestedLoopJoin"), mixed)
+  }
+
   test("raw-prefix layout holds the same data as the hive layout, key recovered from the path") {
     val outHive = freshDir; val outRaw = freshDir
     val events = Tables.events(spark, sf("sf0.001"))
