@@ -104,6 +104,46 @@ object ExportQueries {
            |$body
            |)
            |ORDER BY partition_key, user_id, time""".stripMargin
+      }),
+
+    // S8/P2/P7/P8 faithful positional-crawl round-trip
+    // (README.md:407-424): flagship window exported as headered CSV,
+    // crawled WITHOUT names (all-string col1..colN, header lines
+    // surfacing as garbage data rows), rebuilt typed by positional
+    // rename + CAST with the reference's substr(col2,1,1)='2' guard.
+    // CSV value round-trip is exact: doubles print shortest-roundtrip,
+    // grid timestamps are whole hours.
+    QDef(
+      "s8_positional_crawl_view",
+      (s, dir) => {
+        val out = Fixtures.dir("csv_export_lake", dir) { o =>
+          val events = Tables.events(s, dir)
+          val (st, en) = windows(0)
+          graft.sources.CsvLake.exportCsv(
+            graft.operators.TimeSeries.flagship(
+              events.filter(col("ts") >= lit(st).cast("timestamp") &&
+                col("ts") < lit(en).cast("timestamp")), P),
+            s"$o/ts_csv")
+        }
+        graft.sources.CsvLake.registerPositional(s, s"$out/ts_csv", "csv_positional")
+        s.sql(
+          """SELECT CAST(col1 AS BIGINT) AS user_id,
+            |       CAST(col2 AS TIMESTAMP) AS time,
+            |       col3 AS status,
+            |       CAST(col4 AS DOUBLE) AS temperature
+            |FROM csv_positional
+            |WHERE substr(col2, 1, 1) = '2'
+            |ORDER BY user_id, time""".stripMargin)
+      },
+      Some {
+        val (st, en) = windows(0)
+        val where = s" WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$st'" +
+          s" AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$en'"
+        s"""WITH ${TimeSeriesQueries.gridCteDefs("_pc", where)}
+           |SELECT user_id, time, min(status) AS status,
+           |       floor(avg(temperature) * 100 + 0.5) / 100.0 AS temperature
+           |FROM gridded_pc GROUP BY user_id, time
+           |ORDER BY user_id, time""".stripMargin
       })
   )
 }

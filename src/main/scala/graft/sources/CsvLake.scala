@@ -47,9 +47,31 @@ object CsvLake {
     df
   }
 
-  /** Headered CSV export under a prefix (the lake write side). */
+  /** Headered CSV export under a prefix (the lake write side).
+    * Timestamps are written with MICROsecond precision — Spark's CSV
+    * default is millis, which silently truncates and breaks the typed
+    * round-trip (CAST on read parses the 6-digit fraction fine). */
   def exportCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  /** Positional crawler registration (README.md:407-424): the crawl of
+    * an UN-NAMED CSV prefix — every column string, named col1..colN by
+    * position. Consumers rebuild a typed relation with positional
+    * renames + CASTs, and must carry the reference's garbage-row guard
+    * (`substr(col2,1,1) = '2'`): the exported part files embed their
+    * header line, which a positional crawl surfaces as a data row. */
+  def registerPositional(spark: SparkSession, path: String, name: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "false")
+      .option("inferSchema", "false")
+      .csv(path)
+    val df = raw.toDF(raw.columns.indices.map(i => s"col${i + 1}"): _*)
+    df.createOrReplaceTempView(name)
+    df
+  }
 
   /** Full S8: crawler-style CATALOG registration — inferred schema
     * persisted as a metastore table (survives the session, visible to

@@ -68,6 +68,22 @@ class CsvLakeSpec extends SparkSpec {
     spark.sql("DROP TABLE crawled_t")
   }
 
+  test("positional crawl: col1..colN all-string, header line surfaces as a guarded data row") {
+    val dir = tmp("positional_csv")
+    Files.write(dir.resolve("d.csv"), "id,price\n1,10.5\n2,11.0\n".getBytes("UTF-8"))
+    val df = CsvLake.registerPositional(spark, dir.toString, "positional_t")
+    assert(df.columns.toSeq == Seq("col1", "col2"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    // the header line is a data row in a positional crawl — 3 rows total
+    assert(df.count() == 3)
+    // the reference's guard drops it; typed view parses what remains
+    val typed = spark.sql(
+      """SELECT CAST(col1 AS BIGINT) AS id, CAST(col2 AS DOUBLE) AS price
+        |FROM positional_t WHERE substr(col1, 1, 1) <> 'i' ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(typed.toSeq == Seq((1L, 10.5), (2L, 11.0)))
+  }
+
   test("csv-sourced enrichment equals the parquet-native join") {
     val dir = tmp("lake_csv")
     CsvLake.exportCsv(Tables.nation(spark, sf("sf0.001")), s"$dir/nation_csv")
