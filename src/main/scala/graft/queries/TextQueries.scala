@@ -207,6 +207,42 @@ object TextQueries {
            |       h AS content_hash,
            |       CAST($checksum AS BIGINT) AS feature_checksum
            |FROM hashed ORDER BY media_id""".stripMargin
+      }),
+
+    // Deterministic dataset split + shuffle-key assignment — the last
+    // step of every training-data pipeline. Split from an md5-uniform
+    // (80/10/10), shuffle order from an independent md5 key: a reader
+    // ORDER BY shuffle_key gets a reproducible global shuffle as a
+    // range-partitioned sort. Pure codegen'd column math, no window —
+    // embarrassingly parallel at any corpus size (a per-split
+    // row_number() would serialize 80% of the corpus through one
+    // partition, the classic split-rank scale trap).
+    QDef(
+      "x_train_split",
+      (s, dir) => {
+        val u = graft.functions.HashRandom.uniform(
+          concat(lit("split:"), col("doc_id").cast("string")))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"),
+            md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("shuffle_key"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val md = "md5('split:' || CAST(doc_id AS VARCHAR))"
+        val nibs = (1 to 6).map { k =>
+          s"(CASE WHEN ascii(substr($md, $k, 1)) <= 57" +
+            s" THEN ascii(substr($md, $k, 1)) - 48" +
+            s" ELSE ascii(substr($md, $k, 1)) - 87 END)"
+        }
+        val u = s"(CAST(${nibs.reduce((a, b) => s"(($a) * 16 + $b)")} AS DOUBLE) / 16777216)"
+        s"""SELECT doc_id,
+           |       CASE WHEN $u < 0.8 THEN 'train'
+           |            WHEN $u < 0.9 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |       md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+           |FROM documents ORDER BY doc_id""".stripMargin
       })
   )
 }

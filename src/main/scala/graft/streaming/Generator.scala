@@ -21,23 +21,12 @@ import org.apache.spark.sql.functions._
 object Generator {
 
   /** Uniform [0, 1) from a row id and salt — deterministic AND
-    * engine-portable: the first 6 hex nibbles of md5(id || ':' || salt)
-    * read as a 24-bit integer over 2^24. md5 is the one hash Spark and
-    * DuckDB evaluate identically (the d_simhash oracle proved the
-    * pattern), which makes the generator's whole output
-    * oracle-checkable; the 2^-24 grain is exact in binary, so the
-    * threshold comparisons below agree bit-for-bit across engines.
-    * Catalyst's subexpression elimination collapses the 6 repeated
-    * md5 calls into one per (row, salt).
-    */
-  private def u(id: Column, salt: Int): Column = {
-    val md = md5(concat(id.cast("string"), lit(":" + salt)))
-    val nibs = (1 to 6).map { i =>
-      val c = ascii(substring(md, i, 1))
-      when(c <= 57, c - 48).otherwise(c - 87) // '0'-'9' → 0-9, 'a'-'f' → 10-15
-    }
-    nibs.reduce((a, b) => a * 16 + b).cast("double") / 16777216.0
-  }
+    * engine-portable (graft.functions.HashRandom: md5-nibble fraction,
+    * exact in binary), which is what makes the generator's whole
+    * output oracle-checkable. Catalyst's subexpression elimination
+    * collapses the repeated md5 calls into one per (row, salt). */
+  private def u(id: Column, salt: Int): Column =
+    graft.functions.HashRandom.uniform(concat(id.cast("string"), lit(":" + salt)))
 
   private def wideColumns(id: Column, sensors: Int, startMillis: Long): Seq[Column] = {
     val tick = (id / sensors).cast("long")
