@@ -22,7 +22,8 @@ object DedupQueries {
     * Shared between the pair oracles and the cluster oracle's
     * recursive closure.
     */
-  private def jaccardCtes(threshold: Double, cap: Option[Long]): String = {
+  private[queries] def jaccardCtes(threshold: Double, cap: Option[Long],
+      src: String = "documents"): String = {
     val candSrc = cap match {
       case Some(c) =>
         s"""hot AS (
@@ -40,7 +41,7 @@ object DedupQueries {
           |)""".stripMargin
     }
     s"""w AS (
-       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM $src
        |), shl AS (
        |  SELECT doc_id,
        |         CASE WHEN len(words) >= 3 THEN list_distinct(list_transform(
@@ -74,9 +75,10 @@ object DedupQueries {
   /** Transitive closure of the near-dup pair graph as a recursive CTE:
     * every doc reaches every label in its component, min(label) is the
     * cluster id — the ground truth for Dedup.neardupClusters. */
-  private def clusterOracle(threshold: Double, cap: Option[Long]): String =
-    s"""WITH RECURSIVE ${jaccardCtes(threshold, cap)},
-       |nodes AS (SELECT DISTINCT doc_id AS doc FROM documents),
+  private[queries] def clusterCtes(threshold: Double, cap: Option[Long],
+      src: String = "documents"): String =
+    s"""${jaccardCtes(threshold, cap, src)},
+       |nodes AS (SELECT DISTINCT doc_id AS doc FROM $src),
        |und AS (
        |  SELECT d1 AS a, d2 AS b FROM pairs
        |  UNION ALL
@@ -87,7 +89,10 @@ object DedupQueries {
        |  SELECT u.a, r.label FROM und u JOIN reach r ON r.doc = u.b
        |), comp AS (
        |  SELECT doc, min(label) AS cluster_id FROM reach GROUP BY doc
-       |)
+       |)""".stripMargin
+
+  private def clusterOracle(threshold: Double, cap: Option[Long]): String =
+    s"""WITH RECURSIVE ${clusterCtes(threshold, cap)}
        |SELECT doc, cluster_id,
        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        |       doc = cluster_id AS is_canonical

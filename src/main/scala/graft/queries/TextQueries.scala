@@ -230,19 +230,78 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        val md = "md5('split:' || CAST(doc_id AS VARCHAR))"
-        val nibs = (1 to 6).map { k =>
-          s"(CASE WHEN ascii(substr($md, $k, 1)) <= 57" +
-            s" THEN ascii(substr($md, $k, 1)) - 48" +
-            s" ELSE ascii(substr($md, $k, 1)) - 87 END)"
-        }
-        val u = s"(CAST(${nibs.reduce((a, b) => s"(($a) * 16 + $b)")} AS DOUBLE) / 16777216)"
+        val u = mdUniformSql("'split:' || CAST(doc_id AS VARCHAR)")
         s"""SELECT doc_id,
            |       CASE WHEN $u < 0.8 THEN 'train'
            |            WHEN $u < 0.9 THEN 'val'
            |            ELSE 'test' END AS split,
            |       md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
            |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // The LLM-op family composed end to end — the curation pipeline a
+    // training-data run actually executes: quality gate → exact-dedup
+    // keepers → near-dup cluster keepers → deterministic split +
+    // shuffle key. One gate proves the operators COMPOSE (each is
+    // individually gated above/in DedupQueries); the oracle chains the
+    // identical SQL pieces, including the recursive-CTE closure.
+    QDef(
+      "x_curation_pipeline",
+      (s, dir) => {
+        import graft.operators.Dedup
+        val docs = Tables.documents(s, dir)
+        val quality = docs.filter(size(split(col("text"), " ")) >= 20)
+        val exactKeep = Dedup.exactDedup(quality, "doc_id", "text")
+          .filter(col("is_canonical")).select(col("doc_id"))
+        val kept = quality.join(exactKeep, "doc_id")
+        val clusters = Dedup.neardupClusters(kept, "doc_id",
+          Dedup.jaccardPairs(kept, "doc_id", "text", n = 3, threshold = 0.8,
+            maxShingleDf = Some(100L)))
+        val keepers = clusters.filter(col("is_canonical"))
+          .select(col("doc").as("doc_id"), col("cluster_size"))
+        val u = graft.functions.HashRandom.uniform(
+          concat(lit("split:"), col("doc_id").cast("string")))
+        kept.join(keepers, "doc_id")
+          .select(col("doc_id"), col("cluster_size"),
+            when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"),
+            md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("shuffle_key"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val u = mdUniformSql("'split:' || CAST(s.doc AS VARCHAR)")
+        s"""WITH RECURSIVE quality AS (
+           |  SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 20
+           |), exact_keep AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM quality
+           |  ) WHERE doc_id = keeper
+           |), kept AS (
+           |  SELECT q.doc_id, q.text FROM quality q JOIN exact_keep USING (doc_id)
+           |), ${DedupQueries.clusterCtes(0.8, Some(100L), "kept")},
+           |sized AS (
+           |  SELECT doc, cluster_id,
+           |         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+           |  FROM comp
+           |)
+           |SELECT s.doc AS doc_id, s.cluster_size,
+           |       CASE WHEN $u < 0.8 THEN 'train'
+           |            WHEN $u < 0.9 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |       md5('shuffle:' || CAST(s.doc AS VARCHAR)) AS shuffle_key
+           |FROM sized s WHERE s.doc = s.cluster_id
+           |ORDER BY doc_id""".stripMargin
       })
   )
+
+  /** md5-nibble uniform [0,1) in DuckDB SQL — the oracle twin of
+    * graft.functions.HashRandom.uniform. */
+  private def mdUniformSql(key: String): String = {
+    val md = s"md5($key)"
+    val nibs = (1 to 6).map { k =>
+      s"(CASE WHEN ascii(substr($md, $k, 1)) <= 57" +
+        s" THEN ascii(substr($md, $k, 1)) - 48" +
+        s" ELSE ascii(substr($md, $k, 1)) - 87 END)"
+    }
+    s"(CAST(${nibs.reduce((a, b) => s"(($a) * 16 + $b)")} AS DOUBLE) / 16777216)"
+  }
 }
