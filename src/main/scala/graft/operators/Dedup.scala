@@ -265,12 +265,14 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       val mapping = prop.select(col("doc").as("m_doc"), col("label").as("m_label"))
       // _chg rides the checkpointed result, so the convergence test is a
-      // scan of cached blocks — not another join against the old labels
+      // scan of cached blocks — not another join against the old labels.
+      // LAZY checkpoint: the count() below is the materializing action,
+      // so each round runs ONE job, not checkpoint-then-count.
       val jumped = prop.join(mapping, prop("label") === mapping("m_doc"), "left")
         .select(prop("doc").as("doc"),
           coalesce(col("m_label"), prop("label")).as("label"),
           (col("_old") =!= coalesce(col("m_label"), prop("label"))).as("_chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = jumped.filter(col("_chg")).count()
       labels = jumped.drop("_chg")
     }

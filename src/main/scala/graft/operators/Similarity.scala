@@ -149,7 +149,8 @@ object Similarity {
     * clustered embeddings, hyperplane LSH needs no training.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, nlist: Int, nprobe: Int, dim: Int, seed: Long = 11L): DataFrame = {
+      k: Int, nlist: Int, nprobe: Int, dim: Int, seed: Long = 11L,
+      trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -159,7 +160,16 @@ object Similarity {
     val train = corpus.repartition(col(id))
       .select(col(id).as("doc"), asDouble(col(vec)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    // the quantizer only needs a REPRESENTATIVE sample: at corpus scale
+    // train k-means on trainFraction of the data (one cheap pass), then
+    // assign the FULL corpus with the fitted model — cell assignment is
+    // the only full-corpus cost. Full-probe exactness is independent of
+    // the centroids (every cell is probed), so sampling never affects
+    // the nprobe = nlist configuration.
+    val fitOn =
+      if (trainFraction >= 1.0) train
+      else train.sample(withReplacement = false, trainFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(fitOn)
     // normalize ONCE per corpus row, before the candidate join — never
     // per (candidate, query) pair
     val assigned = model.transform(train)

@@ -26,6 +26,18 @@ class IvfSpec extends SparkSpec {
     assert(ivfAll == brute)
   }
 
+  test("sampled quantizer training preserves full-probe exactness (the 100 TB shape)") {
+    // full probe visits every cell regardless of where the centroids
+    // landed, so training k-means on a 30% sample — the scale path —
+    // must still reproduce brute force exactly
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10))
+    val sampled = pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 8, dim = 64, trainFraction = 0.3))
+    assert(sampled == brute)
+  }
+
   test("partial probing returns a subset of candidates ranked exactly") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     val q = emb.filter(col("vec_id") < 3)
