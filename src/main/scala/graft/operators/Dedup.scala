@@ -252,7 +252,13 @@ object Dedup {
     val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.withColumn("label", col("doc")).localCheckpoint(true)
+    // iterate ONLY over nodes that have edges: a singleton's label can
+    // never change, so it rides along as identity at the end. In a real
+    // corpus near-dup members are a small fraction of the documents —
+    // the loop's join/agg tables shrink from corpus-size to
+    // pair-graph-size, at any scale.
+    val edgeNodes = und.select(col("a").as("doc")).distinct()
+    var labels = edgeNodes.withColumn("label", col("doc")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -280,7 +286,9 @@ object Dedup {
     require(changed == 0,
       s"neardupClusters did not converge within $maxIters pointer-jumping rounds")
     val w = Window.partitionBy(col("cluster_id"))
-    labels.select(col("doc"), col("label").as("cluster_id"))
+    nodes
+      .join(labels, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("label"), col("doc")).as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", (col("doc") === col("cluster_id")).cast("boolean"))
       .orderBy(col("doc"))
