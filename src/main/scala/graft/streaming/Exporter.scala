@@ -77,6 +77,7 @@ object Exporter {
     * table carrying `partition_key`. Exposed for plan audits. */
   private[graft] def tagWindows(events: DataFrame, p: GridParams,
       windows: Seq[(String, String)]): (DataFrame, DataFrame) = {
+    require(windows.nonEmpty, "backfillOnePass requires at least one window")
     // exactly-one-window assignment: overlapping windows would silently
     // diverge from the serial loop (which recomputes shared events in
     // every covering window)
@@ -170,9 +171,12 @@ object Exporter {
 
   /** §1.6 retention: drop export partitions whose key sorts strictly
     * below `cutoffKey` (the KeyFormat is lexicographically ordered by
-    * time, so string comparison IS time comparison). The Spark analog
-    * of Timestream's magnetic-retention expiry — driver-side metadata
-    * operation, O(partitions), no data scan.
+    * time, so string comparison IS time comparison). Works on BOTH lake
+    * layouts — hive `partition_key=<key>/` dirs and raw `<key>/`
+    * prefixes (a raw key starts with a year digit, which also keeps
+    * non-partition dirs like `_spark_metadata` untouched). The Spark
+    * analog of Timestream's magnetic-retention expiry — driver-side
+    * metadata operation, O(partitions), no data scan.
     */
   def dropPartitionsOlderThan(spark: SparkSession, outDir: String,
       cutoffKey: String): Seq[String] = {
@@ -181,8 +185,8 @@ object Exporter {
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter { dir =>
-        dir.getName.startsWith("partition_key=") &&
-          dir.getName.stripPrefix("partition_key=") < cutoffKey
+        val key = dir.getName.stripPrefix("partition_key=")
+        key.headOption.exists(_.isDigit) && key < cutoffKey
       }
     dropped.foreach(fs.delete(_, true))
     dropped.map(_.getName.stripPrefix("partition_key="))

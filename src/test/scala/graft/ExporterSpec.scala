@@ -117,6 +117,17 @@ class ExporterSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("retention also drops raw-prefix partitions below the cutoff") {
+    val out = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    windows.foreach { case (s, e) => Exporter.exportWindowRawPrefix(events, P, out, s, e) }
+    val dropped = Exporter.dropPartitionsOlderThan(spark, out, "2024-01-15T00-00")
+    assert(dropped.sorted == Seq("2024-01-01T00-00", "2024-01-08T00-00"))
+    val left = Exporter.readRawPrefixExport(spark, out)
+      .select("partition_key").distinct().collect().map(_.getString(0)).toSet
+    assert(left == Set("2024-01-15T00-00"))
+  }
+
   test("window assignment plans a broadcast HASH join for uniform windows") {
     val events = Tables.events(spark, sf("sf0.001"))
     val uniform = Exporter.tagWindows(events, P, windows)._1
