@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * after dedup/quality filtering: benchmark decontamination and
+  * token-budget shard packing. Both are pure DataFrame plans with
+  * DuckDB-oracle-checked gates (TextQueries), and both are shaped for
+  * 100 TB: inverted-index joins instead of pairwise scans, and a
+  * two-level distributed prefix sum instead of a global single-partition
+  * window.
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word n-gram with an evaluation/benchmark document — the standard
+    * guard against test-set leakage into a pretraining corpus.
+    *
+    * Shape: build the benchmark's n-gram set once (typically tiny next
+    * to the corpus — Spark broadcasts it under the configured
+    * threshold), inverted-index join the training side's n-grams
+    * against it, and aggregate per training doc. No pairwise doc scan
+    * anywhere; the join key is the n-gram itself. Long n-grams (n ≥ 5
+    * in practice) keep per-key fan-out near 1, which is why
+    * decontamination pipelines use them — a hot-key cap would silently
+    * drop true contamination, so none is applied here by design.
+    *
+    * Returns one row per CONTAMINATED training doc:
+    * (doc_id, hits = distinct shared n-grams, bench_docs = distinct
+    * benchmark docs sharing at least one n-gram).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int): DataFrame = {
+    def ngrams(df: DataFrame, idAlias: String) = df
+      .select(col(id).as(idAlias), split(col(text), " ").as("w"))
+      .select(col(idAlias), explode(
+        when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .dropDuplicates(idAlias, "g")
+    val tg = ngrams(train, "doc_id")
+    val bg = ngrams(bench, "bench_id")
+    tg.join(bg, "g")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("hits"),
+        count_distinct(col("bench_id")).as("bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget shard packing: lay the corpus out in its deterministic
+    * shuffle order (md5 shuffle key — same convention as the dataset
+    * split) and cut it into shards of ~`budget` tokens: each document's
+    * shard is `floor(global_token_start / budget)` — the shard its first
+    * token lands in.
+    *
+    * Logically this is one global running sum over the shuffle order.
+    * Executing it as `Window.orderBy(...)` with no partition key would
+    * collapse 100 TB into a single task, so the plan is the classic
+    * two-level prefix sum instead:
+    *   1. bucket = first byte of the md5 shuffle key — 256 deterministic
+    *      range buckets whose ORDER matches the global key order (hex
+    *      string order is byte order);
+    *   2. per-bucket running sums in parallel (window PARTITIONed BY
+    *      bucket);
+    *   3. per-bucket totals (256 rows) → cumulative offsets on the
+    *      driver-scale side, broadcast back.
+    * The result is bit-identical to the single global window — the
+    * oracle computes THAT form — while every big stage stays parallel.
+    * At 1000 executors, widen the prefix to 2 bytes (65k buckets) the
+    * same way.
+    *
+    * Returns (doc_id, tokens, shard_id, shard_pos) — shard_pos = token
+    * offset of the document within its shard. Documents longer than
+    * `budget` overflow their shard (standard packing semantics: a shard
+    * owns every document STARTING in it).
+    */
+  def packShards(docs: DataFrame, id: String, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"shard budget must be positive, got $budget")
+    val keyed = docs.select(
+      col(id).as("doc_id"),
+      tokens.cast("long").as("tokens"),
+      md5(concat(lit("shuffle:"), col(id).cast("string"))).as("sk"))
+      .withColumn("bucket", conv(substring(col("sk"), 1, 2), 16, 10).cast("int"))
+    val inBucket = keyed.withColumn("cum",
+      sum(col("tokens")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("sk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // 256-row side: cumulative token count of all PRECEDING buckets
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(sum(col("tokens")).as("btotal"))
+      .withColumn("boffset",
+        coalesce(sum(col("btotal")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boffset"))
+    inBucket.join(broadcast(offsets), "bucket")
+      .withColumn("gstart", col("boffset") + col("cum") - col("tokens"))
+      .withColumn("shard_id", floor(col("gstart") / budget.toDouble).cast("long"))
+      .select(col("doc_id"), col("tokens"), col("shard_id"),
+        (col("gstart") - col("shard_id") * budget).as("shard_pos"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -115,17 +115,35 @@ object Similarity {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** One hyperplane component: the md5-nibble uniform of
+    * "plane:seed:table:plane:dim" shifted to [-0.5, 0.5). The 24-bit
+    * fraction is an exact binary double, and DuckDB's md5() produces
+    * the same hex — so an oracle can rebuild the planes bit-for-bit
+    * (see SimilarityQueries.planesSql). Cube-uniform (vs Gaussian)
+    * directions lose nothing at dim = 64: the projection of any fixed
+    * vector onto such a plane is a 64-term CLT sum, so sign-collision
+    * probability tracks 1 − θ/π as with Gaussian planes (recall floor
+    * re-asserted empirically in SimilaritySpec).
+    */
+  private[graft] def planeComponent(seed: Long, table: Int, plane: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$seed:$table:$plane:$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Integer.parseInt(hex.substring(0, 6), 16) / 16777216.0 - 0.5
+  }
+
   /** Random-hyperplane LSH bucket signatures, `tables` independent
     * hash tables of `nbits` sign bits each → rows (doc, table, bucket).
     * Hyperplanes are a tiny broadcast DataFrame — the corpus is scanned
     * once and never replicated; per-table buckets come out of one
-    * groupBy over (doc, table).
+    * groupBy over (doc, table). Plane components are md5-derived
+    * (see [[planeComponent]]), so the whole bucketing — and therefore
+    * the ANN candidate set — is reproducible in a DuckDB oracle.
     */
   def hyperplaneBuckets(df: DataFrame, id: String, vec: String, nbits: Int,
       tables: Int, dim: Int, seed: Long = 7L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
     val planes = for (t <- 0 until tables; p <- 0 until nbits)
-      yield (t, p, Array.fill(dim)(rnd.nextGaussian()))
+      yield (t, p, Array.tabulate(dim)(d => planeComponent(seed, t, p, d)))
     val spark = df.sparkSession
     import spark.implicits._
     val planesDf = planes.toDF("table_id", "plane_id", "w")

@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * exact paths are DuckDB-oracle-checked: both engines L2-normalize
   * each vector once (element / sqrt(sequential-fold dot)) and score
   * pairs with a single sequential-fold dot product, so the float op
-  * sequence is identical bit-for-bit. The LSH ANN path has no DuckDB
-  * oracle (the hyperplane family isn't reproducible in SQL) and is
-  * recall-tested against cosineTopK in SimilaritySpec.
+  * sequence is identical bit-for-bit. The LSH ANN path is ALSO
+  * hash-checked: hyperplane components are md5-nibble uniforms
+  * (Similarity.planeComponent), so the oracle rebuilds the exact same
+  * planes, signs, buckets and candidate set in SQL — an ANN recall
+  * miss or bucket divergence shows up as a hash failure, not just a
+  * spec assertion.
   */
 object SimilarityQueries {
 
@@ -22,6 +25,63 @@ object SimilarityQueries {
   /** DuckDB L2 normalization, mirroring Similarity.normalized. */
   private def normSql(a: String): String =
     s"list_transform($a, x -> x / sqrt(${dotSql(a, a).replace("\n", " ")}))"
+
+  /** DuckDB mirror of Similarity.planeComponent: md5-nibble uniform of
+    * "plane:seed:t:p:d" minus 0.5 — exact binary fractions, so the
+    * plane vectors are bit-identical to the Spark side's. */
+  private def planeU(seed: Long): String = {
+    val md = s"md5('plane:$seed:' || t || ':' || p || ':' || (d - 1))"
+    val nibs = (1 to 6).map { k =>
+      s"(CASE WHEN ascii(substr($md, $k, 1)) <= 57" +
+        s" THEN ascii(substr($md, $k, 1)) - 48" +
+        s" ELSE ascii(substr($md, $k, 1)) - 87 END)"
+    }
+    val v = nibs.reduce((a, b) => s"(($a) * 16 + $b)")
+    s"(CAST($v AS DOUBLE) / 16777216 - 0.5)"
+  }
+
+  /** Full SQL twin of Similarity.annTopK: rebuild the md5 hyperplanes,
+    * compute every (doc, table) sign-bucket with the same sequential
+    * dot fold, take candidates from bucket equality in any table, and
+    * rank the candidate set by exact cosine. Bit-for-bit: plane
+    * components are exact fractions, dot folds run in the same order,
+    * and bucket ids are exact sums of powers of two.
+    */
+  private def annLshOracle(k: Int, nbits: Int, tables: Int, seed: Long): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), planes AS (
+       |  SELECT t, p,
+       |         list_transform(generate_series(1, 64), d -> ${planeU(seed)}) AS w
+       |  FROM generate_series(0, ${tables - 1}) ts(t), generate_series(0, ${nbits - 1}) ps(p)
+       |), buckets AS (
+       |  SELECT ev.vec_id, pl.t,
+       |         CAST(sum(CASE WHEN ${dotSql("v", "w").replace("\n", " ")} >= 0
+       |                       THEN power(2, pl.p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM ev CROSS JOIN planes pl
+       |  GROUP BY ev.vec_id, pl.t
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+       |), e AS (
+       |  SELECT vec_id, ${normSql("v")} AS nv FROM ev
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${dotSql("qe.nv", "ne.nv").replace("\n", "\n    ")} AS cos
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = query_id
+       |  JOIN e ne ON ne.vec_id = neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       floor(cos * 10000 + 0.5) / 10000.0 AS cos_r4
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   /** The embeddings corpus plus a deterministic near-dup of every
     * vector (id + 1,000,000; elements alternately ×1.05 / ×0.95 AFTER
@@ -112,7 +172,9 @@ object SimilarityQueries {
     // nbits/tables sized for ≥0.9 measured recall on THIS corpus (random
     // near-orthogonal vectors — the hardest LSH regime; recall=0.98 at
     // sf0.01, asserted in SimilaritySpec). Clustered real-world
-    // embeddings allow more bits per table / fewer tables.
+    // embeddings allow more bits per table / fewer tables. The oracle
+    // rebuilds the md5 hyperplanes + buckets in SQL, so this is a full
+    // hash gate on the ANN output itself, not just a recall floor.
     QDef(
       "s_ann_lsh_topk",
       (s, dir) => {
@@ -120,7 +182,7 @@ object SimilarityQueries {
         Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nbits = 4, tables = 24, dim = 64)
       },
-      None), // no SQL-reproducible hash family; recall vs cosineTopK asserted in SimilaritySpec
+      Some(annLshOracle(10, nbits = 4, tables = 24, seed = 7L))),
 
     // IVF variant of the ANN scale path: trained coarse quantizer +
     // cell probing (k-means not SQL-reproducible → rows-only here;

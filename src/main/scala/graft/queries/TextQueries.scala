@@ -290,8 +290,76 @@ object TextQueries {
            |       md5('shuffle:' || CAST(s.doc AS VARCHAR)) AS shuffle_key
            |FROM sized s WHERE s.doc = s.cluster_id
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Benchmark decontamination: training docs sharing any word 5-gram
+    // with the held-out benchmark slice (doc_id % 10 = 0 — the same
+    // corpus plays both roles, so overlap genuinely occurs through the
+    // fixture's duplicated/near-duplicated docs and common phrases).
+    // Inverted-index join on the n-gram — no pairwise doc scan; the
+    // benchmark side is the small broadcast side at corpus scale.
+    QDef(
+      "x_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Curation.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5)
+      },
+      Some(decontaminateOracle(n = 5))),
+
+    // Token-budget shard packing: documents laid out in md5-shuffle
+    // order and cut into ~2,000-token shards. The oracle computes the
+    // ONE GLOBAL running sum this logically is; the Spark plan executes
+    // it as a two-level distributed prefix sum (256 md5-prefix range
+    // buckets → parallel per-bucket windows → 256-row offset
+    // broadcast) — bit-identical result, no single-partition window.
+    QDef(
+      "x_pack_shards",
+      (s, dir) => graft.operators.Curation.packShards(
+        Tables.documents(s, dir), "doc_id",
+        size(split(col("text"), " ")).cast("long"), budget = 2000L),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+          |         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sk
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, tokens,
+          |         sum(tokens) OVER (ORDER BY sk, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM t
+          |), g AS (
+          |  SELECT doc_id, tokens, cum - tokens AS gstart,
+          |         CAST(floor((cum - tokens) / CAST(2000 AS DOUBLE)) AS BIGINT) AS shard_id
+          |  FROM c
+          |)
+          |SELECT doc_id, tokens, shard_id, gstart - shard_id * 2000 AS shard_pos
+          |FROM g ORDER BY doc_id""".stripMargin))
   )
+
+  /** DuckDB twin of Curation.decontaminate at word n-grams. */
+  private def decontaminateOracle(n: Int): String = {
+    val gram = (0 until n).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(words) >= $n THEN list_distinct(list_transform(
+       |           generate_series(1, len(words) - ${n - 1}), i -> $gram))
+       |         ELSE [] END) AS ng
+       |  FROM w
+       |)
+       |SELECT t.doc_id,
+       |       CAST(count(DISTINCT t.ng) AS BIGINT) AS hits,
+       |       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS bench_docs
+       |FROM g t JOIN g b ON t.ng = b.ng
+       |WHERE t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
 
   /** md5-nibble uniform [0,1) in DuckDB SQL — the oracle twin of
     * graft.functions.HashRandom.uniform. */

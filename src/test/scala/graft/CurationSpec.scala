@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation operators: token-budget shard packing (distributed prefix
+  * sum ≡ the global running sum it stands for) and benchmark
+  * decontamination (inverted-index join ≡ brute-force overlap).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("packShards equals the single global running sum") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"doc $i " + ("w " * (i % 37).toInt))).toDF("doc_id", "text")
+    val out = Curation.packShards(docs, "doc_id",
+      size(split(col("text"), " ")).cast("long"), budget = 100L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // brute force: one global order by (md5 shuffle key, id)
+    val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    var cum = 0L
+    val expected = toks.keys.toSeq
+      .sortBy(id => (md5Hex(s"shuffle:$id"), id))
+      .map { id =>
+        val start = cum; cum += toks(id)
+        val shard = math.floor(start / 100.0).toLong
+        id -> ((toks(id), shard, start - shard * 100L))
+      }.toMap
+    assert(out == expected)
+  }
+
+  test("packShards is partition-invariant and conserves the token total") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, "w " * (1 + (i % 11)).toInt)).toDF("doc_id", "text")
+    val tok = size(split(col("text"), " ")).cast("long")
+    val a = Curation.packShards(docs, "doc_id", tok, budget = 64L).collect().toSeq
+    val b = Curation.packShards(docs.repartition(7), "doc_id", tok, budget = 64L).collect().toSeq
+    assert(a == b)
+    // every position is inside its shard's budget window
+    assert(a.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 64L))
+    // shard ids are dense from 0 to ceil(total/budget) - 1
+    val total = a.map(_.getLong(1)).sum
+    val shards = a.map(_.getLong(2)).distinct.sorted
+    assert(shards.head == 0L && shards.last == (total - 1) / 64L)
+  }
+
+  test("decontaminate equals brute-force n-gram overlap") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with no overlap at all"),
+      (3L, "shared benchmark phrase one two three four five tail"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix shared benchmark phrase one two three four five"),
+      (101L, "the quick brown fox jumps elsewhere entirely")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    def grams(s: String, n: Int) =
+      s.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val bg = Seq(100L -> grams("prefix shared benchmark phrase one two three four five", 5),
+      101L -> grams("the quick brown fox jumps elsewhere entirely", 5))
+    val expected = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely unrelated text with no overlap at all",
+      3L -> "shared benchmark phrase one two three four five tail",
+      4L -> "tiny").flatMap { case (id, t) =>
+      val g = grams(t, 5)
+      val hits = g.filter(x => bg.exists(_._2.contains(x)))
+      val docs = bg.count(_._2.exists(g.contains))
+      if (hits.nonEmpty) Some((id, hits.size.toLong, docs.toLong)) else None
+    }
+    assert(out == expected)
+  }
+
+  test("packShards rejects a non-positive budget") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.packShards(docs, "doc_id", lit(2L), budget = 0L)
+    }
+  }
+}

@@ -62,4 +62,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("c1_cep_error_sandwich")
     assert(!p.contains("Join"), p)
   }
+
+  test("shard packing windows are bucket-partitioned; offsets broadcast") {
+    val p = plan("x_pack_shards")
+    // the corpus-scale running sum must be PARTITIONed BY bucket — a
+    // global Window.orderBy would serialize 100 TB through one task
+    assert(p.contains("windowspecdefinition(bucket"), p)
+    // the 256-row bucket-offset side joins back as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
