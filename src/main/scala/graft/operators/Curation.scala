@@ -50,6 +50,28 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Data-mixing sampler: per-stratum target weights, fractional AND
+    * upsampling (w = 1.5 → every doc once plus a second copy with
+    * probability 0.5 — epoch mixing for high-quality sources). The
+    * draw is the deterministic md5-uniform of "mix:<id>", so the
+    * result is identical across partitionings, retries and engines;
+    * weights should be exact binary fractions (0.25, 0.5, 1.5, …) so
+    * `w - floor(w)` threshold comparisons are bit-exact too.
+    * Returns (doc_id, stratum, n_copies); n_copies = 0 means dropped.
+    * Pure codegen'd column math — embarrassingly parallel.
+    */
+  def mixtureSample(df: DataFrame, id: String, stratum: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(stratum) === k, lit(v)).otherwise(acc)
+    }
+    val u = graft.functions.HashRandom.uniform(
+      concat(lit("mix:"), col(id).cast("string")))
+    df.select(col(id).as("doc_id"), col(stratum).as("stratum"),
+      (floor(w) + when(u < w - floor(w), 1L).otherwise(0L)).cast("long").as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget shard packing: lay the corpus out in its deterministic
     * shuffle order (md5 shuffle key — same convention as the dataset
     * split) and cut it into shards of ~`budget` tokens: each document's

@@ -224,6 +224,115 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic integer-quantized Lloyd's k-means — the coarse
+    * quantizer for [[ivfQuantizedTopK]]. Vectors are quantized to
+    * 20-bit fixed point (`floor(x * 2^20 + 0.5)`), so every distance is
+    * an exact integer (≤ 2^50 — exact in doubles too) and every
+    * centroid mean is `floor(sum / count)` of exact integers:
+    * order-independent, retry-independent, and bit-reproducible in any
+    * engine — a DuckDB oracle replays the exact same `iters` rounds.
+    * Init = the quantized vectors of the `nlist` smallest ids. Empty
+    * cells keep their previous centroid. Returns (id, cell,
+    * assignments DF) and the final centroids.
+    *
+    * Scale shape: each round is one broadcast-join argmin + one
+    * per-dimension partial aggregate (posexplode → sum), with only the
+    * nlist × dim sum table (tiny) collected to the driver. The corpus
+    * is never collected; 100 TB runs `iters` distributed passes — and
+    * as with the ml-KMeans path, a sample suffices to train at scale.
+    */
+  private[graft] def quantizedKMeans(df: DataFrame, id: String, vec: String,
+      nlist: Int, dim: Int, iters: Int): (DataFrame, Array[Array[Long]]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qv = graft.CacheRegistry.retain(
+      df.repartition(col(id))
+        .select(col(id).as("doc"),
+          transform(asDouble(col(vec)), x => floor(x * (1L << 20) + 0.5).cast("long")).as("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var centroids: Array[Array[Long]] = qv.orderBy(col("doc")).limit(nlist)
+      .collect().map(_.getSeq[Long](1).toArray)
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(centroids.zipWithIndex
+        .map { case (c, j) => (j, c) }.toSeq.toDF("cell", "cv"))
+      // exact integer distances evaluated in doubles (≤ 2^50 < 2^53)
+      val dist = aggregate(
+        zip_with(transform(col("qv"), _.cast("double")),
+          transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      assigned = qv.crossJoin(cdf)
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc")).orderBy(col("dist"), col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("doc"), col("qv"), col("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("d", "q")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      centroids = Array.tabulate(nlist) { j =>
+        sums.get((j, 0)) match {
+          case None => centroids(j) // empty cell: carry previous centroid
+          case Some(_) => Array.tabulate(dim) { d =>
+            val (s, n) = sums((j, d))
+            math.floor(s.toDouble / n).toLong
+          }
+        }
+      }
+    }
+    (assigned.select(col("doc"), col("cell")), centroids)
+  }
+
+  /** IVF ANN top-k with the DETERMINISTIC quantized coarse quantizer —
+    * the configuration where even PARTIAL probing (nprobe < nlist) is
+    * hash-checkable: the whole index build is exact integer math a SQL
+    * oracle replays, and candidate ranking is the same exact-cosine
+    * fold as everywhere else. Complements [[ivfTopK]] (ml-KMeans —
+    * float means, better centroids, spec-verified) by pinning the IVF
+    * mechanics — cell assignment, cell probing, candidate ranking —
+    * under the driver's hash gate at a real operating point.
+    */
+  def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nlist: Int, nprobe: Int, dim: Int,
+      iters: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (assigned, centroids) = quantizedKMeans(corpus, id, vec, nlist, dim, iters)
+    val cdf = broadcast(centroids.zipWithIndex
+      .map { case (c, j) => (j, c) }.toSeq.toDF("cell", "cv"))
+    val qdist = aggregate(
+      zip_with(transform(col("qqv"), _.cast("double")),
+        transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val probed = queries
+      .select(col(id).as("query_id"),
+        transform(asDouble(col(vec)), x => floor(x * (1L << 20) + 0.5).cast("long")).as("qqv"))
+      .crossJoin(cdf)
+      .select(col("query_id"), col("cell"),
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(qdist, col("cell"))).as("crank"))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val cands = assigned.withColumnRenamed("doc", "neighbor_id")
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(normalized(corpus, id, vec, "neighbor_id", "nv"), "neighbor_id")
+      .join(broadcast(normalized(queries, id, vec, "query_id", "qv")), "query_id")
+      .withColumn("cos", dotN(col("qv"), col("nv")))
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates share the query's bucket
     * in ANY of the `tables` hash tables (union via dropDuplicates), then
     * exact cosine ranks the candidate set. Recall grows with `tables`,

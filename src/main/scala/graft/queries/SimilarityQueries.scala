@@ -40,6 +40,80 @@ object SimilarityQueries {
     s"(CAST($v AS DOUBLE) / 16777216 - 0.5)"
   }
 
+  /** Full SQL twin of Similarity.ivfQuantizedTopK: replay the
+    * deterministic integer-quantized Lloyd's rounds (each an unrolled
+    * CTE stage — assignment by exact integer distance, centroid =
+    * floor(sum/count) of exact integers), then probe nprobe cells and
+    * rank candidates by exact cosine. Every arithmetic step is either
+    * exact integer math or the same IEEE double op sequence as the
+    * Spark side, so even PARTIAL probing hash-matches.
+    */
+  private def ivfQuantizedOracle(k: Int, nlist: Int, nprobe: Int, iters: Int): String = {
+    val q20 = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
+    def idist(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, 64),
+         |        d -> (CAST($a[d] AS DOUBLE) - CAST($b[d] AS DOUBLE))
+         |           * (CAST($a[d] AS DOUBLE) - CAST($b[d] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT q.vec_id, q.qv, c.cell, ${idist("q.qv", "c.cv").replace("\n", "\n  ")} AS dist
+         |  FROM qv q CROSS JOIN c${i - 1} c
+         |), a$i AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT vec_id, qv, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM s$i) WHERE rn = 1
+         |), m$i AS (
+         |  SELECT cell, d, CAST(floor(CAST(sum(qv[d]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+         |  FROM a$i, generate_series(1, 64) g(d)
+         |  GROUP BY cell, d
+         |), c$i AS (
+         |  SELECT p.cell, COALESCE(m.l, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cell, list(cd ORDER BY d) AS l FROM m$i GROUP BY cell) m USING (cell)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id, $q20 AS qv FROM embeddings
+       |), c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, qv AS cv
+       |  FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id LIMIT $nlist)
+       |),
+       |$rounds,
+       |qp AS (
+       |  SELECT vec_id AS query_id, qv AS qqv FROM qv WHERE vec_id < 5
+       |), ps AS (
+       |  SELECT query_id, c.cell, ${idist("qqv", "c.cv").replace("\n", "\n  ")} AS dist
+       |  FROM qp CROSS JOIN c$iters c
+       |), probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS crank
+       |    FROM ps) WHERE crank <= $nprobe
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probed p JOIN a$iters a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |), e AS (
+       |  SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${dotSql("qe.nv", "ne.nv").replace("\n", "\n    ")} AS cos
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = query_id
+       |  JOIN e ne ON ne.vec_id = neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       floor(cos * 10000 + 0.5) / 10000.0 AS cos_r4
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Full SQL twin of Similarity.annTopK: rebuild the md5 hyperplanes,
     * compute every (doc, table) sign-bucket with the same sequential
     * dot fold, take candidates from bucket equality in any table, and
@@ -196,6 +270,20 @@ object SimilarityQueries {
           k = 10, nlist = 8, nprobe = 4, dim = 64)
       },
       None),
+
+    // IVF at a REAL operating point (nprobe < nlist) as a HASH gate:
+    // the deterministic integer-quantized Lloyd's quantizer makes the
+    // whole index build — init, 10 assignment/update rounds, cell
+    // probing — exact portable arithmetic, so the oracle replays it
+    // bit-for-bit and partial probing is hash-checked, not rows-only.
+    QDef(
+      "s_ann_ivf_quantized",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfQuantizedTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 4, dim = 64)
+      },
+      Some(ivfQuantizedOracle(10, nlist = 8, nprobe = 4, iters = 10))),
 
     // IVF's exactness property as a HASH gate: at nprobe = nlist every
     // cell is probed, so the index must reproduce brute-force cosine

@@ -309,6 +309,105 @@ object TextQueries {
       },
       Some(decontaminateOracle(n = 5))),
 
+    // Data-mixing sampler: per-language target weights incl. an
+    // upsampled stratum (en ×1.5 — floor copies + md5-uniform draw for
+    // the fraction). All weights exact binary fractions, so the
+    // threshold arithmetic is bit-identical in the oracle.
+    QDef(
+      "x_mix_sample",
+      (s, dir) => graft.operators.Curation.mixtureSample(
+        Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 1.5, "de" -> 1.0, "es" -> 0.75, "fr" -> 0.5, "zh" -> 0.25)),
+      Some {
+        val u = mdUniformSql("'mix:' || CAST(doc_id AS VARCHAR)")
+        s"""SELECT doc_id, lang AS stratum,
+           |       CAST(CASE lang
+           |              WHEN 'en' THEN 1 + (CASE WHEN $u < 0.5 THEN 1 ELSE 0 END)
+           |              WHEN 'de' THEN 1
+           |              WHEN 'es' THEN (CASE WHEN $u < 0.75 THEN 1 ELSE 0 END)
+           |              WHEN 'fr' THEN (CASE WHEN $u < 0.5 THEN 1 ELSE 0 END)
+           |              WHEN 'zh' THEN (CASE WHEN $u < 0.25 THEN 1 ELSE 0 END)
+           |              ELSE 1 END AS BIGINT) AS n_copies
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // PII scrubbing: emails and phone-shaped tokens replaced with
+    // placeholder tags. The fixture corpus is digit-free, so the gate
+    // INJECTS deterministic PII (doc_id-derived email + phone appended
+    // to every doc in BOTH engines) — the scrub path is exercised on
+    // every row, and a regex divergence becomes a hash failure.
+    QDef(
+      "x_pii_scrub",
+      (s, dir) => {
+        val injected = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example or call 555-0"), (col("doc_id") % 100).cast("string"))
+        val scrubbed = regexp_replace(
+          regexp_replace(injected, "[a-z0-9.]+@[a-z][a-z.]*[a-z]", "<EMAIL>"),
+          "[0-9]{3}-[0-9]+", "<PHONE>")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          regexp_count(injected, lit("[a-z0-9.]+@[a-z][a-z.]*[a-z]")).cast("long").as("n_emails"),
+          regexp_count(injected, lit("[0-9]{3}-[0-9]+")).cast("long").as("n_phones"),
+          md5(scrubbed).as("scrubbed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH inj AS (
+          |  SELECT doc_id,
+          |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |              || '@mail.example or call 555-0' || CAST(doc_id % 100 AS VARCHAR) AS t
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z][a-z.]*[a-z]')) AS BIGINT) AS n_emails,
+          |       CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]+')) AS BIGINT) AS n_phones,
+          |       md5(regexp_replace(
+          |             regexp_replace(t, '[a-z0-9.]+@[a-z][a-z.]*[a-z]', '<EMAIL>', 'g'),
+          |             '[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS scrubbed_md5
+          |FROM inj ORDER BY doc_id""".stripMargin)),
+
+    // Within-document repetition (Gopher-style quality rule): the
+    // fraction of repeated word 2-grams — high values flag loopy,
+    // low-information text a pretraining filter drops.
+    QDef(
+      "x_doc_repetition",
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val grams = when(size(words) >= 2,
+          transform(sequence(lit(0), size(words) - 2),
+            i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(grams).cast("long").as("bigrams"),
+          size(array_distinct(grams)).cast("long").as("distinct_bigrams"),
+          when(size(grams) > 0,
+            (floor((lit(1.0) - size(array_distinct(grams)).cast("double") /
+              size(grams).cast("double")) * 10000 + 0.5) / 10000.0))
+            .otherwise(lit(0.0)).as("rep_ratio_r4"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+          |), g AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(words) >= 2 THEN list_transform(
+          |                generate_series(1, len(words) - 1),
+          |                i -> words[i] || ' ' || words[i+1])
+          |              ELSE [] END AS grams
+          |  FROM w
+          |)
+          |SELECT doc_id,
+          |       CAST(len(grams) AS BIGINT) AS bigrams,
+          |       CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_bigrams,
+          |       CASE WHEN len(grams) > 0
+          |            THEN floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+          |                            / len(grams)) * 10000 + 0.5) / 10000.0
+          |            ELSE 0.0 END AS rep_ratio_r4
+          |FROM g ORDER BY doc_id""".stripMargin)),
+
     // Token-budget shard packing: documents laid out in md5-shuffle
     // order and cut into ~2,000-token shards. The oracle computes the
     // ONE GLOBAL running sum this logically is; the Spark plan executes

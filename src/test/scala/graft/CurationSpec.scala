@@ -79,6 +79,26 @@ class CurationSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("mixtureSample honors integral weights and bounds fractional ones") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, Seq("en", "de", "zh")((i % 3).toInt))).toDF("doc_id", "lang")
+    val out = Curation.mixtureSample(docs, "doc_id", "lang",
+      Map("en" -> 1.5, "de" -> 1.0, "zh" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.filter(_._2 == "de").forall(_._3 == 1L))
+    assert(out.filter(_._2 == "en").forall(c => c._3 == 1L || c._3 == 2L))
+    assert(out.filter(_._2 == "zh").forall(c => c._3 == 0L || c._3 == 1L))
+    // deterministic: same draws under a different partitioning
+    val again = Curation.mixtureSample(docs.repartition(7), "doc_id", "lang",
+      Map("en" -> 1.5, "de" -> 1.0, "zh" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+    // the fractional strata actually exercise both branches
+    assert(out.filter(_._2 == "zh").map(_._3).distinct.length == 2)
+    assert(out.filter(_._2 == "en").map(_._3).distinct.length == 2)
+  }
+
   test("packShards rejects a non-positive budget") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")

@@ -71,4 +71,20 @@ class IvfSpec extends SparkSpec {
     val hits = (0L until 20L).count(i => found.get(1000L + i).contains(i))
     assert(hits >= 18, s"IVF found only $hits/20 injected near-dup sources")
   }
+
+  test("quantized IVF: full probe equals brute force; partition-invariant") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10))
+    val full = pairs(Similarity.ivfQuantizedTopK(emb, q, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 8, dim = 64))
+    assert(full == brute)
+    // the deterministic quantizer must be layout-independent: same
+    // result under a different partitioning of the corpus
+    val a = Similarity.ivfQuantizedTopK(emb, q, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 4, dim = 64).collect().toSeq
+    val b = Similarity.ivfQuantizedTopK(emb.repartition(13), q, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 4, dim = 64).collect().toSeq
+    assert(a == b)
+  }
 }
