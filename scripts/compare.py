@@ -60,6 +60,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         bad = None
         for c in got.columns:
             g, w = got[c], want[c]
+            if pd.api.types.is_float_dtype(g) != pd.api.types.is_float_dtype(w):
+                # the driver hashes raw values: 0 vs 0.0 is a hash miss even
+                # when isclose passes (e.g. DuckDB HUGEINT sums -> float64)
+                bad = (c, f"dtype {g.dtype} vs {w.dtype}")
+                break
             if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
                 eq = np.isclose(g.astype(float), w.astype(float), rtol=0, atol=0, equal_nan=True)
                 exact = eq.all()

@@ -111,12 +111,16 @@ object Curation {
       sum(col("tokens")).over(
         Window.partitionBy(col("bucket")).orderBy(col("sk"), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // 256-row side: cumulative token count of all PRECEDING buckets
+    // 256-row side: cumulative token count of all PRECEDING buckets.
+    // The single-group partition key (bucket mod 1 — non-foldable, so
+    // Catalyst keeps it) makes the deliberate single-task window explicit
+    // in the plan instead of tripping WindowExec's no-partition warning —
+    // this side is bounded by the bucket count, never by the corpus.
     val offsets = keyed.groupBy(col("bucket"))
       .agg(sum(col("tokens")).as("btotal"))
       .withColumn("boffset",
         coalesce(sum(col("btotal")).over(
-          Window.orderBy(col("bucket"))
+          Window.partitionBy(pmod(col("bucket"), lit(1))).orderBy(col("bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("bucket"), col("boffset"))
     inBucket.join(broadcast(offsets), "bucket")

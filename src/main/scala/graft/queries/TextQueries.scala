@@ -435,7 +435,8 @@ object TextQueries {
           |         CAST(floor((cum - tokens) / CAST(2000 AS DOUBLE)) AS BIGINT) AS shard_id
           |  FROM c
           |)
-          |SELECT doc_id, tokens, shard_id, gstart - shard_id * 2000 AS shard_pos
+          |SELECT doc_id, tokens, shard_id,
+          |       CAST(gstart - shard_id * 2000 AS BIGINT) AS shard_pos
           |FROM g ORDER BY doc_id""".stripMargin))
   )
 
