@@ -62,6 +62,58 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** One-pass word n-gram counts: struct(total, distinct) over the
+  * space-split words of a text column.
+  *
+  * Serves repetition scoring (Gopher-style repeated-n-gram ratio),
+  * which only needs the two counts — materializing the gram array
+  * just to take `size` and `size(array_distinct(…))` of it costs an
+  * interpreted lambda per gram plus a per-row array, and the
+  * `when`-guarded gram expression is re-evaluated per referencing
+  * column (higher-order functions are CodegenFallback, outside CSE).
+  * Same word semantics as [[WordShingles]]: split keeps trailing
+  * empties; below n words both counts are 0.
+  */
+case class ShingleStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.types.StructField("total",
+      org.apache.spark.sql.types.LongType, nullable = false) ::
+    org.apache.spark.sql.types.StructField("distinct",
+      org.apache.spark.sql.types.LongType, nullable = false) :: Nil)
+  override def prettyName: String = "shingle_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < n) {
+      org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+    } else {
+      val total = words.length - n + 1
+      val seen = new java.util.HashSet[String](total * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(total.toLong, seen.size.toLong)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStats =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial content fingerprint h = (h·31 + codepoint) mod
   * 1e9+7 over the text's characters, as one compiled loop — replaces an
   * interpreted per-character `aggregate(transform(sequence(…)))` chain
@@ -94,6 +146,10 @@ object TextFunctions {
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     GraftShim.column(WordShingles(GraftShim.expression(text), n))
+
+  /** Column API for [[ShingleStats]]. */
+  def shingleStats(text: Column, n: Int): Column =
+    GraftShim.column(ShingleStats(GraftShim.expression(text), n))
 
   /** Column API for [[RollingPolyHash]]. */
   def rollingPolyHash(text: Column): Column =

@@ -373,19 +373,19 @@ object TextQueries {
     QDef(
       "x_doc_repetition",
       (s, dir) => {
-        val words = split(col("text"), " ")
-        val grams = when(size(words) >= 2,
-          transform(sequence(lit(0), size(words) - 2),
-            i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2))))
-          .otherwise(array().cast("array<string>"))
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          size(grams).cast("long").as("bigrams"),
-          size(array_distinct(grams)).cast("long").as("distinct_bigrams"),
-          when(size(grams) > 0,
-            (floor((lit(1.0) - size(array_distinct(grams)).cast("double") /
-              size(grams).cast("double")) * 10000 + 0.5) / 10000.0))
-            .otherwise(lit(0.0)).as("rep_ratio_r4"))
+        // one compiled pass per doc (ShingleStats); staged projection so
+        // the struct is evaluated once, not once per referencing column
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.shingleStats(col("text"), 2).as("st"))
+          .select(
+            col("doc_id"),
+            col("st.total").as("bigrams"),
+            col("st.distinct").as("distinct_bigrams"),
+            when(col("st.total") > 0,
+              (floor((lit(1.0) - col("st.distinct").cast("double") /
+                col("st.total").cast("double")) * 10000 + 0.5) / 10000.0))
+              .otherwise(lit(0.0)).as("rep_ratio_r4"))
           .orderBy(col("doc_id"))
       },
       Some(

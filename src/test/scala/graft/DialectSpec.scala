@@ -133,6 +133,30 @@ class DialectSpec extends SparkSpec {
       == Seq("a b", "b c"))
   }
 
+  test("shingle_stats equals the higher-order size/array_distinct formulation") {
+    import spark.implicits._
+    // empty, single word, all-same, trailing-space empties, repeats
+    val texts = Seq("", "one", "a a a a a", "a b ", "x y x y x y z", "a  b")
+    val df = texts.toDF("text")
+    val words = split(col("text"), " ")
+    val grams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val hof = df.select(col("text"), size(grams).cast("long").as("t"),
+      size(array_distinct(grams)).cast("long").as("d")).collect()
+    val nat = df.select(col("text"),
+      graft.functions.TextFunctions.shingleStats(col("text"), 2).as("st"))
+      .select(col("text"), col("st.total"), col("st.distinct")).collect()
+    assert(nat.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == hof.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // n=3 on a short doc: both counts zero
+    val z = df.filter(col("text") === "one")
+      .select(graft.functions.TextFunctions.shingleStats(col("text"), 3).as("st"))
+      .select(col("st.total"), col("st.distinct")).head
+    assert((z.getLong(0), z.getLong(1)) == ((0L, 0L)))
+  }
+
   test("interpolation UDFs sort an unsorted hand-built series defensively") {
     Dialect.register(spark)
     val out = spark.sql(
