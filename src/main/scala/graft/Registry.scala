@@ -23,7 +23,8 @@ object Registry {
       queries.DialectQueries.defs ++
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
-      queries.SimilarityQueries.defs
+      queries.SimilarityQueries.defs ++
+      queries.TemporalQueries.defs
 
   def byName(name: String): QDef = all.find(_.name == name).get
 }

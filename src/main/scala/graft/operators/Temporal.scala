@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators beyond the reference surface: as-of join and
+  * sessionization. The reference has no as-of join (SURVEY.md §2.5 —
+  * "as-of semantics are subsumed by LOCF"), but a time-series engine
+  * used for training-data pipelines needs the real operator: enrich
+  * each fact row with the latest dimension/state row at-or-before its
+  * timestamp (point-in-time-correct feature joins).
+  *
+  * Scale shape: NOT a range join. The as-of join is the
+  * union + running-window formulation — one hash shuffle on the key,
+  * per-key streaming sort (disk-spillable), zero row amplification.
+  * A range/theta join with the same semantics either explodes candidate
+  * pairs (every right row ≤ t) or needs a broadcast, neither of which
+  * survives 100 TB; the LOCF-over-union form is the same plan family
+  * Catalyst already executes for T4 and scales identically.
+  */
+object Temporal {
+
+  /** As-of join (backward, inclusive): for every left row, attach the
+    * payload of the right row with the greatest `rightTime` ≤ the left
+    * row's `leftTime`, per join key — or nulls when no such row exists
+    * (left-outer semantics, like DuckDB's `ASOF LEFT JOIN`).
+    *
+    * Mechanics: tag right rows side=0 and left rows side=1, union on a
+    * common schema, wrap each right row's (time, payload) in ONE struct
+    * and LOCF it with `last(ignoreNulls)` over a running window ordered
+    * by (time, side, tiebreak). The struct wrapper is what keeps the
+    * semantics honest: a right row whose payload VALUE is null still
+    * wins the match (its struct is non-null), exactly like a real
+    * as-of join — per-column LOCF would silently skip back to an older
+    * row. Right-before-left at equal timestamps gives the inclusive
+    * (≥) match; `tiebreak` makes the pick among right rows with
+    * identical (key, time) deterministic (greatest value wins —
+    * callers needing an engine-portable oracle should pre-reduce the
+    * right side to one row per (key, time), where every engine agrees).
+    *
+    * `tolerance`: when set, a match older than `leftTime − tolerance`
+    * is nulled out (the row is kept — left-outer, not a filter), the
+    * usual staleness bound in point-in-time feature lookups.
+    *
+    * Output: all left columns, then each payload column `c` as
+    * `asof_c`, then `asof_time` (the matched right timestamp).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Column] = None, tiebreak: Option[String] = None): DataFrame = {
+    require(payload.nonEmpty, "asOf requires at least one payload column")
+    require(!payload.contains("_mt"), "payload column name _mt is reserved")
+    val leftCols = left.columns.toSeq
+
+    val mStruct = struct(col(rightTime).as("_mt") +: payload.map(col): _*)
+    val mType = right.select(mStruct.as("_m")).schema("_m").dataType
+    val l = left.select(
+      leftCols.map(col) :+
+        col(leftTime).as("_t") :+ lit(1).as("_side") :+ lit(0L).as("_tb") :+
+        lit(null).cast(mType).as("_m"): _*)
+    val leftOnly = leftCols.filterNot(keys.contains)
+    val r0 = right.select(
+      keys.map(col) :+
+        col(rightTime).as("_t") :+ lit(0).as("_side") :+
+        tiebreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("_tb") :+
+        mStruct.as("_m"): _*)
+    val r = leftOnly.foldLeft(r0) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("_m", last(col("_m"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val stale = tolerance
+      .map(tol => col("_m._mt") < (col("_t") - tol))
+      .getOrElse(lit(false))
+    filled
+      .withColumn("_m", when(stale, lit(null).cast(mType)).otherwise(col("_m")))
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"_m.$c").as(s"asof_$c")) :+
+        col("_m._mt").as("asof_time"): _*)
+  }
+
+  /** Sessionization via Spark's native `session_window`: merge each
+    * key's events into sessions separated by gaps ≥ `gap`; one shuffle
+    * on the key, and the SAME aggregation runs unchanged under
+    * Structured Streaming (session_window is watermark-mergeable state,
+    * the engine-native way to sessionize an unbounded stream).
+    *
+    * Output per session: key, session_start (first event),
+    * session_end (last event + gap, the half-open session bound),
+    * n_events, and `value` summed in exact integer cents
+    * (engine-portable — float sums are order-dependent).
+    */
+  def sessionize(events: DataFrame, key: String, time: String,
+      value: String, gap: String): DataFrame =
+    events
+      .groupBy(col(key), session_window(col(time), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col(value) * 100).cast("long")).as("value_cents"))
+      .select(col(key), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("value_cents"))
+      .orderBy(col(key), col("session_start"))
+
+  /** Gaps-and-islands sessionization — the classic two-window
+    * formulation (lag → break flag → running sum), kept as the
+    * cross-check for [[sessionize]]: TemporalSpec asserts both produce
+    * identical sessions, which pins session_window's merge rule (new
+    * session iff the gap since the previous event STRICTLY exceeds
+    * `gap` — adjacent windows merge, verified empirically in
+    * TemporalSpec) to the explicit SQL-expressible definition the
+    * DuckDB oracle runs.
+    */
+  def sessionizeIslands(events: DataFrame, key: String, time: String,
+      value: String, gap: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(time))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev", lag(col(time), 1).over(wOrd))
+      .withColumn("_brk",
+        when(col("_prev").isNull ||
+          col(time) > col("_prev") + expr(s"INTERVAL $gap"), 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_brk")).over(wRun))
+      .groupBy(col(key), col("_sid"))
+      .agg(
+        min(col(time)).as("session_start"),
+        (max(col(time)) + expr(s"INTERVAL $gap")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(round(col(value) * 100).cast("long")).as("value_cents"))
+      .select(col(key), col("session_start"), col("session_end"),
+        col("n_events"), col("value_cents"))
+      .orderBy(col(key), col("session_start"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** As-of join and sessionization semantics, pinned on handcrafted
+  * corpora where every expected match is known by hand, plus the
+  * session_window ≡ gaps-and-islands equivalence on real data (the
+  * property the x_sessionize oracle depends on).
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, 10L, ts("2024-01-01 00:00:05"), 1.0),
+    (2L, 10L, ts("2024-01-01 00:00:10"), 2.0), // exactly at a right row
+    (3L, 10L, ts("2024-01-01 00:00:30"), 3.0),
+    (4L, 20L, ts("2024-01-01 00:00:10"), 4.0)  // key with no right rows
+  ).toDF("event_id", "user_id", "ts", "v")
+
+  private val right = Seq(
+    (10L, ts("2024-01-01 00:00:10"), 100.0),
+    (10L, ts("2024-01-01 00:00:20"), 200.0)
+  ).toDF("user_id", "ts", "state")
+
+  test("asOf: backward inclusive match, left-outer on misses") {
+    val out = Temporal.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("state"))
+      .orderBy("event_id").collect()
+    // before any right row -> null
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_state")))
+    // equal timestamp matches (inclusive >=)
+    assert(out(1).getDouble(out(1).fieldIndex("asof_state")) == 100.0)
+    // latest at-or-before, not first
+    assert(out(2).getDouble(out(2).fieldIndex("asof_state")) == 200.0)
+    assert(out(2).getTimestamp(out(2).fieldIndex("asof_time")) == ts("2024-01-01 00:00:20"))
+    // key absent from right -> null, row kept
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_state")))
+    assert(out.length == 4)
+  }
+
+  test("asOf: tolerance nulls stale matches but keeps rows") {
+    val farLeft = Seq((9L, 10L, ts("2024-01-01 02:00:00"), 9.0))
+      .toDF("event_id", "user_id", "ts", "v")
+    val out = Temporal.asOf(farLeft.union(left.limit(0)), right,
+      Seq("user_id"), "ts", "ts", Seq("state"),
+      tolerance = Some(expr("INTERVAL 10 MINUTES")))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_state")))
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_time")))
+  }
+
+  test("asOf: a right row with null payload still wins the match") {
+    val r2 = Seq(
+      (10L, ts("2024-01-01 00:00:10"), Some(100.0)),
+      (10L, ts("2024-01-01 00:00:20"), Option.empty[Double])
+    ).toDF("user_id", "ts", "state")
+    val out = Temporal.asOf(
+      Seq((1L, 10L, ts("2024-01-01 00:00:30"), 0.0)).toDF("event_id", "user_id", "ts", "v"),
+      r2, Seq("user_id"), "ts", "ts", Seq("state")).collect()
+    // the 00:00:20 row matches (struct non-null) even though its payload
+    // is null — per-column LOCF would wrongly fall back to 100.0
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_state")))
+    assert(out(0).getTimestamp(out(0).fieldIndex("asof_time")) == ts("2024-01-01 00:00:20"))
+  }
+
+  test("asOf: tiebreak picks the greatest among equal right timestamps") {
+    val dup = Seq(
+      (10L, ts("2024-01-01 00:00:10"), 1.0, 7L),
+      (10L, ts("2024-01-01 00:00:10"), 2.0, 9L),
+      (10L, ts("2024-01-01 00:00:10"), 3.0, 8L)
+    ).toDF("user_id", "ts", "state", "rid")
+    val out = Temporal.asOf(
+      Seq((1L, 10L, ts("2024-01-01 00:00:15"), 0.0)).toDF("event_id", "user_id", "ts", "v"),
+      dup, Seq("user_id"), "ts", "ts", Seq("state"), tiebreak = Some("rid")).collect()
+    assert(out(0).getDouble(out(0).fieldIndex("asof_state")) == 2.0) // rid 9 wins
+  }
+
+  test("asOf agrees with a brute-force per-row scan on real events") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("sv"))
+    val out = Temporal.asOf(l, r, Seq("user_id"), "ts", "ts", Seq("sv"))
+      .select("event_id", "asof_sv").as[(Long, Option[Double])].collect().toMap
+    // brute force: theta-join all at-or-before rows, keep max ts
+    val brute = l.as("l").join(r.as("r"),
+        col("l.user_id") === col("r.user_id") && col("l.ts") >= col("r.ts"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l.event_id")).orderBy(col("r.ts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("l.event_id"), col("r.sv"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == brute)
+    assert(out.values.exists(_.isDefined) && out.values.exists(_.isEmpty))
+  }
+
+  test("sessionize: session_window form equals gaps-and-islands form") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val a = Temporal.sessionize(ev, "user_id", "ts", "value", "4 hours").collect()
+    val b = Temporal.sessionizeIslands(ev, "user_id", "ts", "value", "4 hours").collect()
+    assert(a.length == b.length && a.length > 0)
+    assert(a.sameElements(b))
+    // sessions actually merge events (not all singletons) and split
+    val sizes = a.map(_.getAs[Long]("n_events"))
+    assert(sizes.exists(_ > 1))
+    val users = a.map(_.getAs[Long]("user_id")).distinct
+    assert(a.length > users.length)
+  }
+
+  test("sessionize: boundary — exactly gap-after merges, beyond splits") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 01:00:00"), 1.0), // exactly gap after -> MERGES
+      (1L, ts("2024-01-01 02:00:00.000001"), 1.0), // 1 µs beyond gap -> new
+      (1L, ts("2024-01-01 02:30:00"), 1.0)  // < gap after prev -> same
+    ).toDF("user_id", "ts", "value")
+    val out = Temporal.sessionize(df, "user_id", "ts", "value", "1 hour")
+      .orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Long]("n_events") == 2L)
+    assert(out(0).getAs[java.sql.Timestamp]("session_end") == ts("2024-01-01 02:00:00"))
+    val islands = Temporal.sessionizeIslands(df, "user_id", "ts", "value", "1 hour")
+      .orderBy("session_start").collect()
+    assert(out.sameElements(islands))
+  }
+}
