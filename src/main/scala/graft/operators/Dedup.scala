@@ -235,23 +235,47 @@ object Dedup {
 
   /** Duplicate-CLUSTER resolution: the near-dup operators stop at pairs,
     * but a curation pipeline keeps one document per transitive cluster.
-    * Connected components over the pair graph via min-label propagation
-    * with pointer jumping — pure DataFrame iteration (each round is a
-    * hash join + min aggregate, lineage truncated by localCheckpoint),
-    * no driver-side graph walk. Labels decrease monotonically and at
-    * the fixpoint every edge connects equal labels, so each component
-    * converges to its minimum doc id; pointer jumping (label :=
-    * label(label)) makes chains converge in O(log diameter) rounds.
-    * Output: one row per INPUT doc — (doc, cluster_id, cluster_size,
-    * is_canonical), singletons included (their own cluster of 1).
+    * Connected components over the pair graph, min-labeled (each
+    * component converges to its minimum doc id).
+    *
+    * Two paths, chosen by MEASURED edge count (the pair graph is
+    * materialized either way):
+    *
+    *  - edges ≤ `driverEdgeLimit` (long ids): collect the edge list and
+    *    run union-find on the driver — O(E α(E)) in microseconds, zero
+    *    iterative Spark jobs. This is the same size-bounded
+    *    driver-materialization contract as Spark's broadcast-join
+    *    threshold: bounded by pair count (near-dups are a small
+    *    fraction of any real corpus), NEVER by corpus size — the
+    *    corpus-sized work before (pair generation) and after (the
+    *    labels join below) stays distributed.
+    *  - larger graphs: min-label propagation with pointer jumping
+    *    (label := label(label)) — pure DataFrame iteration (each round
+    *    a hash join + min aggregate, lineage truncated by
+    *    localCheckpoint), no driver-side graph walk. Labels decrease
+    *    monotonically and at the fixpoint every edge connects equal
+    *    labels; pointer jumping converges chains in O(log diameter)
+    *    rounds. Billions of edges run here unchanged.
+    *
+    * Both paths produce the identical labeling (PropertySpec asserts
+    * loop ≡ union-find on random graphs). Output: one row per INPUT
+    * doc — (doc, cluster_id, cluster_size, is_canonical), singletons
+    * included (their own cluster of 1).
     */
   def neardupClusters(docs: DataFrame, id: String, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, driverEdgeLimit: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nodes = docs.select(col(id).as("doc")).distinct()
     val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val longIds = und.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (und.count() / 2 <= driverEdgeLimit && longIds) {
+      val labels = unionFindLabels(und)
+      und.unpersist()
+      return clusterOutput(nodes, labels)
+    }
     // iterate ONLY over nodes that have edges: a singleton's label can
     // never change, so it rides along as identity at the end. In a real
     // corpus near-dup members are a small fraction of the documents —
@@ -285,6 +309,40 @@ object Dedup {
     und.unpersist()
     require(changed == 0,
       s"neardupClusters did not converge within $maxIters pointer-jumping rounds")
+    clusterOutput(nodes, labels)
+  }
+
+  /** Driver union-find over the (cached) undirected edge table: roots
+    * are component minima because union always attaches the larger
+    * root under the smaller. Returns the (doc, label) DataFrame for
+    * edge-touched nodes only — same contract as the loop's labels.
+    */
+  private def unionFindLabels(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    und.filter(col("a") < col("b")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      seen += a; seen += b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    seen.iterator.map(x => (x, find(x))).toSeq.toDF("doc", "label")
+  }
+
+  /** Shared tail of [[neardupClusters]]: attach labels to ALL input
+    * docs (singletons label themselves), size each cluster, flag the
+    * canonical (minimum-id) member. */
+  private def clusterOutput(nodes: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("cluster_id"))
     nodes
       .join(labels, Seq("doc"), "left")

@@ -92,8 +92,16 @@ class PropertySpec extends SparkSpec {
     forAllSampled(graphGen, 8) { case (n, edges) =>
       val docs = (0 until n).map(_.toLong).toDF("doc_id")
       val pairs = edges.toDF("d1", "d2")
-      val got = graft.operators.Dedup.neardupClusters(docs, "doc_id", pairs)
+      // force the DISTRIBUTED loop (driverEdgeLimit = 0) — the default
+      // path on graphs this size is the driver union-find, which would
+      // make this test oracle-vs-itself
+      val got = graft.operators.Dedup.neardupClusters(docs, "doc_id", pairs,
+          driverEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // and the fast path must agree with the loop
+      val fast = graft.operators.Dedup.neardupClusters(docs, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(fast == got, s"fast-path mismatch: n=$n edges=$edges")
       // ground truth: plain union-find, cluster id = component minimum
       val parent = Array.tabulate(n)(identity)
       def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
