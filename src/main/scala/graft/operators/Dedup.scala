@@ -362,26 +362,36 @@ object Dedup {
     * partitioning and row order.
     *
     * The 64 token-hash bits are the nibbles of md5(token) (bit b =
-    * bit b%4 of hex digit 15 - b/4), extracted with the same
-    * instr-on-hex-alphabet arithmetic the DuckDB oracle uses — md5 is
-    * the one 64-bit-capable hash both engines evaluate identically,
-    * which is what makes d_simhash hash-checkable end to end.
+    * bit b%4 of hex digit 15 - b/4) — md5 is the one 64-bit-capable
+    * hash both engines evaluate identically, which is what makes
+    * d_simhash hash-checkable end to end. The DuckDB oracle extracts
+    * nibbles with instr-on-hex-alphabet arithmetic; here the same 64
+    * bits come from one big-endian hex parse (see below) — identical
+    * values, cheaper per row.
     */
   def simhash64(df: DataFrame, id: String, text: String): DataFrame = {
+    // Parse the first 16 hex digits as ONE 64-bit integer (two 32-bit
+    // conv halves — conv of 16 digits would overflow the signed-long
+    // cast): big-endian hex places digit i at bits 4·(15−i)..4·(15−i)+3,
+    // which is exactly the nibble→bit mapping documented above, so the
+    // per-token hash value is bit-identical to the nibble arithmetic —
+    // at 2 substr+conv per row instead of 16 instr string scans.
     val toks = df.repartition(col(id))
       .select(col(id).as("doc"), explode(split(col(text), " ")).as("w"))
       .withColumn("md", md5(col("w")))
-    val withNibbles = toks.select(col("doc") +: (0 until 16).map { ni =>
-      expr(s"instr('0123456789abcdef', substr(md, ${ni + 1}, 1)) - 1").as(s"nib$ni")
-    }: _*)
-    val votes = (0 until 64).map { b =>
-      val nib = col(s"nib${15 - b / 4}")
-      sum(when(shiftright(nib, b % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"v$b")
+      .select(col("doc"),
+        shiftleft(expr("cast(conv(substr(md, 1, 8), 16, 10) as long)"), 32)
+          .bitwiseOR(expr("cast(conv(substr(md, 9, 8), 16, 10) as long)")).as("th"))
+    // ±1 votes as plain bit sums: vote_b = 2·ones_b − n, so the
+    // majority test vote_b ≥ 0 is 2·ones_b ≥ n — same h, no per-row
+    // branching in the aggregate.
+    val ones = (0 until 64).map { b =>
+      sum(shiftright(col("th"), b).bitwiseAND(lit(1L))).as(s"o$b")
     }
     val assemble = (0 until 64).map { b =>
-      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+      when(col(s"o$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
-    withNibbles.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    toks.groupBy(col("doc")).agg(count(lit(1)).as("n"), ones: _*)
       .select(col("doc"), assemble.as("h"))
   }
 
