@@ -113,6 +113,43 @@ class TemporalSpec extends SparkSpec {
     assert(a.length > users.length)
   }
 
+  test("sessionize runs unchanged under Structured Streaming (watermarked append)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.5),
+      (1L, ts("2024-01-01 00:20:00"), 2.5), // same session
+      (2L, ts("2024-01-01 00:10:00"), 3.0),
+      (1L, ts("2024-01-01 02:00:00"), 4.0), // new session for user 1
+      // sentinel far in the future: advances the watermark past every
+      // real session so append mode emits them all
+      (99L, ts("2024-02-01 00:00:00"), 0.0))
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = ms.toDS().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("value_cents"))
+    val q = stream.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // two batches: the second's sentinel closes the first's sessions
+      ms.addData(events.take(3)); q.processAllAvailable()
+      ms.addData(events.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_out")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start").collect()
+    val batch = Temporal.sessionize(
+      events.toDF("user_id", "ts", "value"), "user_id", "ts", "value", "1 hour")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start").collect()
+    assert(streamed.length == 3)
+    assert(streamed.sameElements(batch))
+  }
+
   test("sessionize: boundary — exactly gap-after merges, beyond splits") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0),
