@@ -107,6 +107,37 @@ object Temporal {
         col("sw.end").as("session_end"), col("n_events"), col("value_cents"))
       .orderBy(col(key), col("session_start"))
 
+  /** Trailing time-range aggregate: for EVERY event, aggregates over
+    * the key's events in `[t − window, t]` (the SQL RANGE INTERVAL
+    * PRECEDING frame, inclusive at both bounds) — the per-event moving
+    * count/sum/max of monitoring and feature pipelines ("events in the
+    * last hour", "rolling max").
+    *
+    * A RANGE-frame window over the epoch-micros order column: one hash
+    * shuffle on the key, per-key streaming sort, and Spark evaluates
+    * the sliding frame incrementally (two moving pointers), so cost is
+    * O(rows), not O(rows × frame size). Range frames include ALL rows
+    * whose order value ties the frame bounds — the same peer rule as
+    * SQL engines' RANGE, which is what makes the DuckDB oracle an
+    * independent check rather than a re-derivation.
+    *
+    * The summed value rides as exact integer cents (order-portable);
+    * max needs no such care (no arithmetic, exact in any order).
+    */
+  def trailingAgg(events: DataFrame, key: String, time: String,
+      value: String, windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_tl"))
+      .rangeBetween(-windowMicros, Window.currentRow)
+    events
+      .withColumn("_tl", unix_micros(col(time)))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_cents_window",
+        sum(round(col(value) * 100).cast("long")).over(w))
+      .withColumn("max_value_window", max(col(value)).over(w))
+      .drop("_tl")
+  }
+
   /** Gaps-and-islands sessionization — the classic two-window
     * formulation (lag → break flag → running sum), kept as the
     * cross-check for [[sessionize]]: TemporalSpec asserts both produce

@@ -71,6 +71,28 @@ object TemporalQueries {
         "CASE WHEN r.rt < l.ts - INTERVAL 1 HOUR THEN NULL ELSE r.err_value END",
         "CASE WHEN r.rt < l.ts - INTERVAL 1 HOUR THEN NULL ELSE r.rt END"))),
 
+    // Trailing time-range aggregate: per event, count/sum/max over the
+    // user's events in the last hour (inclusive RANGE frame). The
+    // oracle uses DuckDB's native RANGE INTERVAL PRECEDING frame —
+    // independent frame machinery, same SQL semantics.
+    QDef(
+      "t10_trailing_window",
+      (s, dir) => Temporal.trailingAgg(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        key = "user_id", time = "ts", value = "value",
+        windowMicros = 3600L * 1000000L)
+        .orderBy(col("event_id")),
+      Some(
+        """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          |       CAST(count(*) OVER w AS BIGINT) AS n_window,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_window,
+          |       max(value) OVER w AS max_value_window
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+          |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)),
+
     // Sessionization: per-user activity sessions at a 4-hour gap, via
     // Spark's native session_window (the streaming-compatible form);
     // the oracle is the explicit gaps-and-islands definition.

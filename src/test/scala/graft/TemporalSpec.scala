@@ -113,6 +113,25 @@ class TemporalSpec extends SparkSpec {
     assert(a.length > users.length)
   }
 
+  test("trailingAgg equals a brute-force theta-join on real events") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val got = Temporal.trailingAgg(ev, "user_id", "ts", "value", 3600L * 1000000L)
+      .select("event_id", "n_window", "sum_cents_window", "max_value_window")
+      .as[(Long, Long, Long, Double)].collect().map { case (e, n, s2, m) => e -> ((n, s2, m)) }.toMap
+    val brute = ev.as("l").join(ev.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") <= col("l.ts") &&
+          col("r.ts") >= col("l.ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("l.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("r.value") * 100).cast("long")).as("s"),
+        max(col("r.value")).as("m"))
+      .as[(Long, Long, Long, Double)].collect().map { case (e, n, s2, m) => e -> ((n, s2, m)) }.toMap
+    assert(got == brute)
+    assert(got.values.exists(_._1 > 1)) // windows actually span events
+  }
+
   test("sessionize runs unchanged under Structured Streaming (watermarked append)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
