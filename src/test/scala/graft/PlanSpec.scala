@@ -58,6 +58,24 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("as-of join is union + one key window — no join operator at all") {
+    val p = plan("j_asof_latest")
+    assert(!p.contains("Join"), p)
+    // one exchange for the right side's (user, ts) pre-reduce, one for
+    // the as-of window itself; a range-join formulation would add a
+    // candidate-pair explosion here
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"as-of now has $exchanges hash exchanges:\n$p")
+  }
+
+  test("trailing window is one key shuffle, RANGE frame, no join") {
+    val p = plan("t10_trailing_window")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"trailing window has $exchanges hash exchanges:\n$p")
+    assert(p.contains("specifiedwindowframe(RangeFrame"), p)
+  }
+
   test("CEP batch emulation is two window passes, no join") {
     val p = plan("c1_cep_error_sandwich")
     assert(!p.contains("Join"), p)
