@@ -24,7 +24,8 @@ object Registry {
       queries.TextQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++
-      queries.TemporalQueries.defs
+      queries.TemporalQueries.defs ++
+      queries.BucketQueries.defs
 
   def byName(name: String): QDef = all.find(_.name == name).get
 }

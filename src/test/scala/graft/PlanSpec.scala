@@ -76,6 +76,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("specifiedwindowframe(RangeFrame"), p)
   }
 
+  test("bucketed join reads co-located buckets — zero shuffle before the join") {
+    val p = plan("j_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the only hash exchange allowed is the post-join groupBy; the
+    // join inputs come straight from bucketed scans
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"bucketed join has $exchanges hash exchanges:\n$p")
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("CEP batch emulation is two window passes, no join") {
     val p = plan("c1_cep_error_sandwich")
     assert(!p.contains("Join"), p)
