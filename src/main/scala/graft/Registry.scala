@@ -25,7 +25,8 @@ object Registry {
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++
       queries.TemporalQueries.defs ++
-      queries.BucketQueries.defs
+      queries.BucketQueries.defs ++
+      queries.SketchQueries.defs
 
   def byName(name: String): QDef = all.find(_.name == name).get
 }

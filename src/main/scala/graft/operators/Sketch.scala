@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Approximate-aggregation sketches with EXACTLY reproducible results:
+  * HyperLogLog distinct counting and Misra-Gries heavy hitters.
+  *
+  * The usual objection to gating a sketch against a second engine is
+  * that the sketch's internals (hash function, register layout,
+  * estimator arithmetic) are implementation-private, so only weak
+  * "within ε" checks are possible. Both sketches here are built from
+  * md5 — the one hash Spark and DuckDB evaluate identically (the same
+  * trick as [[Dedup.simhash64]] and [[graft.functions.HashRandom]]) —
+  * and every estimator step is either exact integer arithmetic or a
+  * single IEEE double op, so a DuckDB oracle can replay the WHOLE
+  * sketch bit-for-bit and the gates are hash-green, not tolerance
+  * checks.
+  *
+  * Scale shape (the reason sketches exist at 100 TB):
+  *  - HLL: one narrow projection → hash aggregate on (group, bucket)
+  *    with map-side partial max (shuffle ≤ groups × m rows after
+  *    combine, regardless of input size) → tiny final aggregate. No
+  *    distinct-shuffle of the raw keys, which is the whole point: the
+  *    exact `count(distinct)` this replaces shuffles every distinct
+  *    (group, key) pair.
+  *  - Heavy hitters: one streaming pass per partition bounded at
+  *    `capacity` counters (Misra-Gries), then an exact count of ONLY
+  *    the surviving candidates — a join against a candidate set
+  *    bounded by capacity × partitions (in practice by the vocabulary),
+  *    never a full-vocabulary top-k shuffle of a skewed key space.
+  */
+object Sketch {
+
+  // ---------------------------------------------------------------------------
+  // HyperLogLog
+  // ---------------------------------------------------------------------------
+
+  /** Register layout, fixed regardless of precision p ≤ 12: md5(key)
+    * hex chars 1..3 (12 bits) pmod m give the bucket; chars 4..16
+    * (13 nibbles = 52 bits) give rho = 1 + leading-zero-bit count
+    * (53 when all 52 bits are zero). Estimator: raw HLL,
+    * E = alpha_m · m² / Σ_j 2^(−M_j) (Flajolet et al. 2007).
+    *
+    * Exactness discipline: the harmonic sum runs SCALED BY 2^53 in
+    * BIGINT — every term 2^(53−M_j) ≤ 2^52 is an exact integer, and
+    * with at least one occupied bucket the total is < m·2^53 ≤ 2^63,
+    * so 64-bit addition is exact and order-independent across
+    * partitionings AND engines (a double sum would round
+    * order-dependently once the exponent spread exceeds the mantissa).
+    * Only the final step happens in doubles: one cast, one divide, one
+    * half-up round — each a single deterministic IEEE op.
+    */
+  private val RhoWindowNibbles = 13 // 52 bits of rho material
+  private val RhoScale = 53 // rho ∈ [1, 53]; sum scaled by 2^53
+  private val TermScale = 1L << RhoScale // 2^53, the empty-bucket term
+
+  /** alpha_m · m² · 2^53 as one double constant; embedding the SAME
+    * shortest-repr literal in the oracle SQL makes the final division
+    * bit-identical in both engines. Small-m alphas are the published
+    * bias correctors. */
+  private[operators] def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m * math.pow(2.0, RhoScale)
+  }
+
+  /** (bucket, rho) columns for a string key. */
+  private[operators] def hllCols(key: Column, p: Int): (Column, Column) = {
+    require(p >= 4 && p <= 12, s"hll precision must be in [4, 12], got $p")
+    val md = md5(key)
+    val m = 1 << p
+    val bucket = pmod(conv(substring(md, 1, 3), 16, 10).cast("int"), lit(m))
+    // Leading-zero nibble run of the rho window, then the bit position
+    // inside the first non-zero nibble. When the window is all zeros
+    // firstNib reads past the string (ascii('') = 0) but that branch's
+    // value is unused — rho takes the all-zero arm.
+    val rest = substring(md, 4, RhoWindowNibbles)
+    val z = length(regexp_extract(rest, "^(0*)", 1))
+    val fnChar = ascii(rest.substr(z + lit(1), lit(1)))
+    val firstNib = when(fnChar <= 57, fnChar - 48).otherwise(fnChar - 87)
+    val lzInNib = when(firstNib >= 8, 0).when(firstNib >= 4, 1)
+      .when(firstNib >= 2, 2).otherwise(3)
+    val rho = when(z === RhoWindowNibbles, lit(RhoScale))
+      .otherwise(z * 4 + lzInNib + 1)
+    (bucket, rho)
+  }
+
+  /** Per-group HLL distinct estimate of `key` (a string-typed column),
+    * with the exact `count(distinct)` alongside for calibration (drop
+    * the exact leg at scale — it IS the distinct-shuffle the sketch
+    * replaces).
+    *
+    * Output: groupCols..., hll_estimate (half-up 2dp), exact_distinct,
+    * rel_err_pct (half-up 2dp).
+    */
+  def hllDistinct(df: DataFrame, key: Column, groupCols: Seq[String], p: Int): DataFrame = {
+    import graft.functions.Arith.r2
+    val m = 1 << p
+    val (bucket, rho) = hllCols(key, p)
+    val gs = groupCols.map(col)
+    val regs = df
+      .select(gs :+ bucket.as("b") :+ rho.as("r"): _*)
+      .groupBy(gs :+ col("b"): _*)
+      .agg(max(col("r")).as("mr"))
+    val harmonic = regs
+      .groupBy(gs: _*)
+      .agg(
+        sum(pow(lit(2.0), lit(RhoScale) - col("mr")).cast("long")).as("s_present"),
+        count(lit(1)).as("nb"))
+      .withColumn(
+        "s_total",
+        col("s_present") + (lit(m.toLong) - col("nb")) * lit(TermScale))
+      .withColumn(
+        "hll_estimate",
+        r2(lit(hllNumerator(p)) / col("s_total").cast("double")))
+    val exact = df
+      .groupBy(gs: _*)
+      .agg(countDistinct(key).as("exact_distinct"))
+    val joined =
+      if (groupCols.isEmpty) harmonic.crossJoin(exact)
+      else harmonic.join(exact, groupCols)
+    val out = joined
+      .withColumn(
+        "rel_err_pct",
+        r2((col("hll_estimate") - col("exact_distinct")) * 100.0 /
+          col("exact_distinct")))
+      .select(gs ++ Seq(col("hll_estimate"), col("exact_distinct"),
+        col("rel_err_pct")): _*)
+    if (groupCols.isEmpty) out else out.orderBy(gs: _*)
+  }
+
+  /** DuckDB replay of [[hllDistinct]] over table `src`: identical
+    * bucket/rho extraction (instr-on-hex-alphabet nibble arithmetic),
+    * identical BIGINT harmonic sum, identical final double ops.
+    * `keySql` must render the key exactly as the Spark column does
+    * (bigints print identically in both engines). */
+  def hllOracleSql(src: String, keySql: String, groupCols: Seq[String], p: Int): String = {
+    val m = 1 << p
+    val numer = hllNumerator(p).toString
+    val gSel = groupCols.map(g => s"$g, ").mkString
+    val gBy = if (groupCols.isEmpty) "" else s"GROUP BY ${groupCols.mkString(", ")}"
+    val gJoin =
+      if (groupCols.isEmpty) "ON TRUE"
+      else "USING (" + groupCols.mkString(", ") + ")"
+    val ord = if (groupCols.isEmpty) "" else s"\nORDER BY ${groupCols.mkString(", ")}"
+    s"""WITH h AS (
+       |  SELECT $gSel md5($keySql) AS md FROM $src
+       |), zr AS (
+       |  SELECT $gSel
+       |         (instr('0123456789abcdef', substr(md, 1, 1)) - 1) * 256
+       |         + (instr('0123456789abcdef', substr(md, 2, 1)) - 1) * 16
+       |         + (instr('0123456789abcdef', substr(md, 3, 1)) - 1) AS b12,
+       |         length(regexp_extract(substr(md, 4, $RhoWindowNibbles), '^(0*)', 1)) AS z,
+       |         instr('0123456789abcdef',
+       |               substr(substr(md, 4, $RhoWindowNibbles),
+       |                      length(regexp_extract(substr(md, 4, $RhoWindowNibbles), '^(0*)', 1)) + 1,
+       |                      1)) - 1 AS fn
+       |  FROM h
+       |), rho AS (
+       |  SELECT $gSel b12 % $m AS b,
+       |         CASE WHEN z = $RhoWindowNibbles THEN $RhoScale
+       |              ELSE z * 4
+       |                   + (CASE WHEN fn >= 8 THEN 0 WHEN fn >= 4 THEN 1
+       |                           WHEN fn >= 2 THEN 2 ELSE 3 END) + 1
+       |         END AS r
+       |  FROM zr
+       |), regs AS (
+       |  SELECT $gSel b, max(r) AS mr FROM rho GROUP BY ${gSel}b
+       |), est AS (
+       |  SELECT $gSel
+       |         floor($numer / CAST(
+       |             sum(CAST(power(2.0, $RhoScale - mr) AS BIGINT))
+       |             + ($m - count(*)) * ${TermScale}
+       |           AS DOUBLE) * 100 + 0.5) / 100.0 AS hll_estimate
+       |  FROM regs $gBy
+       |), ex AS (
+       |  SELECT $gSel count(DISTINCT $keySql) AS exact_distinct FROM $src $gBy
+       |)
+       |SELECT $gSel hll_estimate, exact_distinct,
+       |       floor((hll_estimate - exact_distinct) * 100.0 / exact_distinct
+       |             * 100 + 0.5) / 100.0 AS rel_err_pct
+       |FROM est JOIN ex $gJoin$ord""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // Misra-Gries heavy hitters
+  // ---------------------------------------------------------------------------
+
+  /** One Misra-Gries pass: at most `capacity` counters; surviving keys
+    * are returned. Guarantee (Misra & Gries 1982): any key whose
+    * frequency in this stream exceeds n/(capacity+1) survives. Exposed
+    * for the property test. */
+  private[graft] def misraGries(it: Iterator[String], capacity: Int): Iterator[String] = {
+    val counts = mutable.HashMap.empty[String, Long]
+    it.foreach { g =>
+      counts.get(g) match {
+        case Some(c) => counts.update(g, c + 1)
+        case None if counts.size < capacity => counts.update(g, 1L)
+        case None =>
+          // Decrement-all eviction: amortized O(1) per input item
+          // (each decrement pays for one prior increment).
+          val dead = List.newBuilder[String]
+          counts.foreachEntry { (k, c) =>
+            if (c == 1L) dead += k else counts.update(k, c - 1)
+          }
+          dead.result().foreach(counts.remove)
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** Exact top-k n-grams by frequency via sketch-candidates +
+    * exact-verify:
+    *
+    *  1. CANDIDATES: per-partition Misra-Gries over the n-gram stream.
+    *     Pigeonhole lifts the per-partition guarantee to a global one:
+    *     if freq(g) > N/(capacity+1) globally then freq_p(g) >
+    *     n_p/(capacity+1) in some partition, so g survives there.
+    *  2. VERIFY: exact counts of ONLY the candidates (join + hash
+    *     aggregate), then top-k under the total order (count DESC,
+    *     gram ASC).
+    *
+    * The result EQUALS the exact top-k whenever the k-th frequency
+    * exceeds N/(capacity+1) — SketchSpec asserts both that bound and
+    * the equality on the real corpus. Output: gram, cnt.
+    */
+  def topKNgrams(docs: DataFrame, text: String, n: Int, k: Int,
+      capacity: Int = 16384): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = ngramStream(docs, text, n)
+    val cands = grams.as[String]
+      .mapPartitions(it => misraGries(it, capacity))
+      .toDF("gram").distinct()
+    // Candidate set is bounded by capacity × partitions and in practice
+    // by the vocabulary — leave the join strategy to stats/AQE (it
+    // broadcasts when small), never a full-vocabulary top-k shuffle.
+    grams.join(cands, "gram")
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** Word n-grams WITH multiplicity (unlike the dedup shingles, which
+    * are per-doc sets), one row per occurrence, column `gram`. */
+  private[graft] def ngramStream(docs: DataFrame, text: String, n: Int): DataFrame = {
+    val lam = (0 until n).map(j => s"element_at(ws, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .select(split(col(text), " ").as("ws"))
+      .select(explode(when(size(col("ws")) >= n,
+        expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> $lam)"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+  }
+
+  /** DuckDB replay of [[topKNgrams]]'s SEMANTICS (exact top-k; the
+    * sketch side is exact under the asserted frequency bound). */
+  def topKNgramsOracleSql(src: String, text: String, n: Int, k: Int): String = {
+    val parts = (1 to n).map(j => s"ws[i + ${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT string_split($text, ' ') AS ws FROM $src
+       |), g AS (
+       |  SELECT unnest(CASE WHEN len(ws) >= $n THEN list_transform(
+       |           generate_series(1, len(ws) - ${n - 1}), i -> $parts)
+       |         ELSE [] END) AS gram
+       |  FROM w
+       |)
+       |SELECT gram, count(*) AS cnt FROM g
+       |GROUP BY gram ORDER BY cnt DESC, gram LIMIT $k""".stripMargin
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Sketch
+import org.apache.spark.sql.functions._
+
+/** Verification for the sketch family beyond the hash gates: the HLL
+  * estimator against an independent Scala reference and under
+  * repartitioning, and the Misra-Gries guarantee that makes the
+  * heavy-hitter gate's sketch+verify result EXACTLY the top-k.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+  private def events = Tables.events(spark, sf("sf0.001"))
+
+  // Independent reference: java.security MD5, plain bit twiddling — no
+  // shared code with the Column-math implementation under test.
+  private def refHll(keys: Seq[String], p: Int): Double = {
+    val m = 1 << p
+    val regs = new Array[Int](m)
+    keys.foreach { k =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      val b = Integer.parseInt(hex.substring(0, 3), 16) % m
+      val rest = hex.substring(3, 16) // 13 nibbles
+      val v = java.lang.Long.parseLong(rest, 16) // 52 bits
+      val rho = if (v == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+      regs(b) = math.max(regs(b), rho)
+    }
+    val s = regs.map(r => math.pow(2.0, -r)).sum
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m / s
+  }
+
+  test("hllDistinct matches the independent reference estimator") {
+    val keys = (1 to 2000).map(i => s"user-$i")
+    val df = keys.toDF("k")
+    val got = Sketch.hllDistinct(df, col("k"), Seq.empty, p = 8)
+      .select("hll_estimate").as[Double].head()
+    val want = refHll(keys, 8)
+    // got is half-up rounded to 2dp; reference is unrounded
+    assert(math.abs(got - want) < 0.01, s"got $got want $want")
+  }
+
+  test("hllDistinct is invariant under repartitioning") {
+    val base = events.select(col("user_id").cast("string").as("k"))
+    val a = Sketch.hllDistinct(base, col("k"), Seq.empty, p = 6)
+      .select("hll_estimate").as[Double].head()
+    val b = Sketch.hllDistinct(base.repartition(13), col("k"), Seq.empty, p = 6)
+      .select("hll_estimate").as[Double].head()
+    assert(a == b)
+  }
+
+  test("hllDistinct error is within 3 standard errors at m=256") {
+    val keys = (1 to 5000).map(i => s"id-$i").toDF("k")
+    val est = Sketch.hllDistinct(keys, col("k"), Seq.empty, p = 8)
+      .select("hll_estimate").as[Double].head()
+    val se = 1.04 / math.sqrt(256.0) // ~6.5%
+    assert(math.abs(est - 5000.0) / 5000.0 < 3 * se, s"estimate $est")
+  }
+
+  test("misraGries retains every key above n/(capacity+1)") {
+    // 3 heavy keys in a sea of 200 singletons, capacity 8
+    val stream = Seq.fill(60)("hot1") ++ Seq.fill(40)("hot2") ++
+      Seq.fill(30)("hot3") ++ (1 to 200).map(i => s"cold-$i")
+    val shuffled = new scala.util.Random(7).shuffle(stream)
+    val out = Sketch.misraGries(shuffled.iterator, 8).toSet
+    val n = shuffled.size
+    Seq("hot1" -> 60, "hot2" -> 40, "hot3" -> 30).foreach { case (k, f) =>
+      if (f > n / 9.0) assert(out.contains(k), s"$k (freq $f) evicted")
+    }
+    assert(out.size <= 8)
+  }
+
+  test("topKNgrams equals the exact top-k on the real corpus, and the MG bound holds") {
+    val grams = Sketch.ngramStream(docs, "text", 3)
+    val exact = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sketch = Sketch.topKNgrams(docs, "text", n = 3, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sketch.toSeq == exact.toSeq)
+    // The exactness precondition the gate relies on: k-th frequency
+    // strictly above N/(capacity+1).
+    val n = grams.count()
+    assert(exact.last._2 > n / 16385.0,
+      s"MG bound violated: kth=${exact.last._2}, N/(c+1)=${n / 16385.0}")
+  }
+
+  test("ngramStream keeps multiplicity and skips short docs") {
+    val df = Seq("a b a b a", "x y").toDF("text")
+    val grams = Sketch.ngramStream(df, "text", 3).as[String].collect().sorted
+    assert(grams.toSeq == Seq("a b a", "b a b", "a b a").sorted)
+  }
+}
