@@ -138,6 +138,52 @@ object Temporal {
       .drop("_tl")
   }
 
+  /** Interval (range) join: pair every left point row with every right
+    * interval row of the same key whose `[start, end)` contains the
+    * point — "which maintenance window / incident / session was this
+    * event inside?".
+    *
+    * Scale shape: a BINNED EQUI-JOIN, not a theta join. Both sides map
+    * to fixed-width time bins — a point to the one bin containing it,
+    * an interval to every bin it covers (≤ ceil(len/width) + 1 rows,
+    * ~2 when `binMicros` is chosen near the typical interval length) —
+    * and the join runs hash-partitioned on (key, bin) with the exact
+    * containment predicate as a post-filter. Each qualifying pair
+    * emerges EXACTLY once (the point lives in exactly one bin), so no
+    * dedup pass is needed. A raw inequality join on the same inputs
+    * would plan a per-key cross product (or, keys absent, a broadcast
+    * nested loop) — the classic 100 TB range-join trap this
+    * formulation avoids; candidate amplification is bounded by the
+    * bin expansion factor instead of per-key row counts.
+    *
+    * Intervals with `end ≤ start` are empty and dropped. Non-key
+    * column names must be disjoint between the two inputs.
+    *
+    * Output: all left columns, then the interval's non-key columns.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      time: String, start: String, end: String, binMicros: Long): DataFrame = {
+    require(binMicros > 0, "binMicros must be positive")
+    val dup = points.columns.toSet
+      .intersect(intervals.columns.filterNot(keys.contains).toSet)
+    require(dup.isEmpty, s"overlapping non-key columns: ${dup.mkString(", ")}")
+    // `div` (exact integer division), never `/`: a double quotient can
+    // round across the bin boundary for micros near 2^53-scale values,
+    // silently dropping boundary pairs. Timestamps are non-negative, so
+    // div == floor-div here.
+    val p = points.withColumn("_bin",
+      expr(s"unix_micros($time) div ${binMicros}L"))
+    val iv = intervals
+      .filter(col(end) > col(start))
+      .withColumn("_bin", explode(expr(
+        s"sequence(unix_micros($start) div ${binMicros}L, " +
+          s"(unix_micros($end) - 1) div ${binMicros}L)")))
+    p.join(iv, keys :+ "_bin")
+      .filter(col(time) >= col(start) && col(time) < col(end))
+      .select(points.columns.map(col) ++
+        intervals.columns.filterNot(keys.contains).map(col): _*)
+  }
+
   /** Gaps-and-islands sessionization — the classic two-window
     * formulation (lag → break flag → running sum), kept as the
     * cross-check for [[sessionize]]: TemporalSpec asserts both produce

@@ -239,6 +239,37 @@ object RelationalQueries {
           |ORDER BY revenue DESC, nation""".stripMargin),
       headline = true),
 
+    // Multi-level OLAP aggregation: one pass produces per-(priority,
+    // status) cells, per-priority subtotals, and the grand total, with
+    // GROUPING() ids disambiguating genuine NULLs from subtotal rows.
+    // Spark expands rollup into a single Expand + hash aggregate — no
+    // extra scan per level, which is what makes rollup preferable to
+    // N separate GROUP BYs at 100 TB. Exact integer cents, so the
+    // multi-level sums are bit-stable.
+    QDef(
+      "a8_rollup_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"))
+        .orderBy(
+          col("g_priority"), col("g_status"),
+          col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+      Some(
+        """SELECT o_orderpriority, o_orderstatus,
+          |       count(*) AS n_orders,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+          |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+          |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+          |FROM orders
+          |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+          |ORDER BY g_priority, g_status,
+          |         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+
     // O2+O3 — top-k with a unique tiebreak: Catalyst plans
     // TakeOrderedAndProject (no global sort).
     QDef(

@@ -93,6 +93,39 @@ object TemporalQueries {
           |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
           |ORDER BY event_id""".stripMargin)),
 
+    // Range join: clicks inside 30-minute incident windows opened by
+    // each user's errors, as a binned equi-join (bin width = window
+    // width, so each interval expands to ≤ 2 bins). The oracle is
+    // DuckDB's native inequality join (IEJoin) — independent range-join
+    // machinery checking the same containment semantics.
+    QDef(
+      "j_range_incidents",
+      (s, dir) => {
+        val windows = errors(s, dir)
+          .select(col("user_id"), col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"),
+            col("err_value"))
+        Temporal.rangeJoin(
+          clicks(s, dir), windows, keys = Seq("user_id"),
+          time = "ts", start = "w_start", end = "w_end",
+          binMicros = 30L * 60L * 1000000L)
+          .orderBy(col("event_id"), col("w_start"))
+      },
+      Some(
+        """WITH l AS (
+          |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value AS click_value
+          |  FROM events WHERE event_type = 'click'),
+          |r AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS w_start,
+          |         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS w_end,
+          |         max(value) AS err_value
+          |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.ts, l.click_value,
+          |       r.w_start, r.w_end, r.err_value
+          |FROM l JOIN r ON l.user_id = r.user_id
+          |              AND l.ts >= r.w_start AND l.ts < r.w_end
+          |ORDER BY l.event_id, r.w_start""".stripMargin)),
+
     // Sessionization: per-user activity sessions at a 4-hour gap, via
     // Spark's native session_window (the streaming-compatible form);
     // the oracle is the explicit gaps-and-islands definition.

@@ -58,6 +58,14 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("range join is a binned equi-join — hash join on (key, bin), no nested loop") {
+    val p = plan("j_range_incidents")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("_bin"), p) // the containment filter rides an equi-join on bins
+  }
+
   test("as-of join is union + one key window — no join operator at all") {
     val p = plan("j_asof_latest")
     assert(!p.contains("Join"), p)

@@ -186,4 +186,55 @@ class TemporalSpec extends SparkSpec {
       .orderBy("session_start").collect()
     assert(out.sameElements(islands))
   }
+
+  test("rangeJoin: half-open containment, boundaries exact") {
+    val pts = Seq(
+      (1L, 10L, ts("2024-01-01 00:10:00")), // inside
+      (2L, 10L, ts("2024-01-01 00:00:00")), // == start -> IN (inclusive)
+      (3L, 10L, ts("2024-01-01 00:30:00")), // == end -> OUT (half-open)
+      (4L, 10L, ts("2024-01-01 00:29:59.999999")), // 1 µs before end -> IN
+      (5L, 20L, ts("2024-01-01 00:10:00"))  // other key -> no window
+    ).toDF("event_id", "user_id", "ts")
+    val ivs = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"), 7.0)
+    ).toDF("user_id", "w_start", "w_end", "sev")
+    val out = Temporal.rangeJoin(pts, ivs, Seq("user_id"),
+      "ts", "w_start", "w_end", binMicros = 10L * 60L * 1000000L)
+      .select("event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("rangeJoin: interval spanning many bins matches each pair exactly once") {
+    // 3-hour interval over 10-minute bins (19 expanded rows) — every
+    // contained point must appear exactly once, never per-bin.
+    val pts = (0 until 12).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 0${i / 4}:${(i % 4) * 15}%02d:00")))
+      .toDF("event_id", "user_id", "ts")
+    val ivs = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 03:00:00"), 1.0))
+      .toDF("user_id", "w_start", "w_end", "sev")
+    val out = Temporal.rangeJoin(pts, ivs, Seq("user_id"),
+      "ts", "w_start", "w_end", binMicros = 10L * 60L * 1000000L)
+      .groupBy("event_id").count().collect()
+    assert(out.length == 12 && out.forall(_.getLong(1) == 1L))
+  }
+
+  test("rangeJoin: empty and overlapping intervals; brute-force equivalence on real events") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val pts = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ivs = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("w_start"))
+      .agg(max(col("value")).as("sev"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 47 MINUTES"))
+    val got = Temporal.rangeJoin(pts, ivs, Seq("user_id"),
+      "ts", "w_start", "w_end", binMicros = 30L * 60L * 1000000L)
+      .select("event_id", "w_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val brute = pts.as("l").join(ivs.as("r"),
+      col("l.user_id") === col("r.user_id") &&
+        col("l.ts") >= col("w_start") && col("l.ts") < col("w_end"))
+      .select("event_id", "w_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
 }
