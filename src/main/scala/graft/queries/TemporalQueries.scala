@@ -126,6 +126,41 @@ object TemporalQueries {
           |              AND l.ts >= r.w_start AND l.ts < r.w_end
           |ORDER BY l.event_id, r.w_start""".stripMargin)),
 
+    // The SAME containment join written as the NATURAL theta predicate,
+    // relying on the graft.plans.RangeJoinBinRewrite optimizer rule to
+    // produce the binned plan — proving the rule end-to-end against the
+    // identical cross-engine oracle (RangeRuleSpec pins the plan shape
+    // and rule-off equivalence).
+    QDef(
+      "j_range_rewrite",
+      (s, dir) => {
+        graft.plans.RangeJoinBinRewrite.install(s)
+        val l = clicks(s, dir)
+        val w = errors(s, dir)
+          .select(col("user_id").as("uid"), col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"),
+            col("err_value"))
+        l.join(w, l("user_id") === w("uid") &&
+            l("ts") >= w("w_start") && l("ts") < w("w_end"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("click_value"), col("w_start"), col("w_end"), col("err_value"))
+          .orderBy(col("event_id"), col("w_start"))
+      },
+      Some(
+        """WITH l AS (
+          |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value AS click_value
+          |  FROM events WHERE event_type = 'click'),
+          |r AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS w_start,
+          |         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS w_end,
+          |         max(value) AS err_value
+          |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.ts, l.click_value,
+          |       r.w_start, r.w_end, r.err_value
+          |FROM l JOIN r ON l.user_id = r.user_id
+          |              AND l.ts >= r.w_start AND l.ts < r.w_end
+          |ORDER BY l.event_id, r.w_start""".stripMargin)),
+
     // Sessionization: per-user activity sessions at a 4-hour gap, via
     // Spark's native session_window (the streaming-compatible form);
     // the oracle is the explicit gaps-and-islands definition.
