@@ -103,24 +103,8 @@ object Sketch {
     */
   def hllDistinct(df: DataFrame, key: Column, groupCols: Seq[String], p: Int): DataFrame = {
     import graft.functions.Arith.r2
-    val m = 1 << p
-    val (bucket, rho) = hllCols(key, p)
     val gs = groupCols.map(col)
-    val regs = df
-      .select(gs :+ bucket.as("b") :+ rho.as("r"): _*)
-      .groupBy(gs :+ col("b"): _*)
-      .agg(max(col("r")).as("mr"))
-    val harmonic = regs
-      .groupBy(gs: _*)
-      .agg(
-        sum(pow(lit(2.0), lit(RhoScale) - col("mr")).cast("long")).as("s_present"),
-        count(lit(1)).as("nb"))
-      .withColumn(
-        "s_total",
-        col("s_present") + (lit(m.toLong) - col("nb")) * lit(TermScale))
-      .withColumn(
-        "hll_estimate",
-        r2(lit(hllNumerator(p)) / col("s_total").cast("double")))
+    val harmonic = hllEstimate(hllRegisters(df, key, groupCols, p), groupCols, p)
     val exact = df
       .groupBy(gs: _*)
       .agg(countDistinct(key).as("exact_distinct"))
@@ -137,6 +121,43 @@ object Sketch {
     if (groupCols.isEmpty) out else out.orderBy(gs: _*)
   }
 
+  /** Per-group register SETS — the mergeable partial state a pipeline
+    * persists (e.g. one register set per day): one row per occupied
+    * (group..., bucket) with the max rho. ≤ m rows per group however
+    * large the input. */
+  def hllRegisters(df: DataFrame, key: Column, groupCols: Seq[String], p: Int): DataFrame = {
+    val (bucket, rho) = hllCols(key, p)
+    val gs = groupCols.map(col)
+    df.select(gs :+ bucket.as("b") :+ rho.as("r"): _*)
+      .groupBy(gs :+ col("b"): _*)
+      .agg(max(col("r")).as("mr"))
+  }
+
+  /** Estimate from register sets (per `groupCols` subset of the
+    * registers' group columns — pass Seq.empty to MERGE all register
+    * sets into one estimate, the sketch-union that lets persisted
+    * daily sketches roll up to any period without rescanning raw
+    * data: max is associative, so max-of-daily-maxes ≡ the registers
+    * of the unioned data). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    import graft.functions.Arith.r2
+    val m = 1 << p
+    val gs = groupCols.map(col)
+    regs
+      .groupBy(gs :+ col("b"): _*)
+      .agg(max(col("mr")).as("mr")) // no-op when groupCols == the regs' grouping
+      .groupBy(gs: _*)
+      .agg(
+        sum(pow(lit(2.0), lit(RhoScale) - col("mr")).cast("long")).as("s_present"),
+        count(lit(1)).as("nb"))
+      .withColumn(
+        "s_total",
+        col("s_present") + (lit(m.toLong) - col("nb")) * lit(TermScale))
+      .withColumn(
+        "hll_estimate",
+        r2(lit(hllNumerator(p)) / col("s_total").cast("double")))
+  }
+
   /** DuckDB replay of [[hllDistinct]] over table `src`: identical
     * bucket/rho extraction (instr-on-hex-alphabet nibble arithmetic),
     * identical BIGINT harmonic sum, identical final double ops.
@@ -151,7 +172,25 @@ object Sketch {
       if (groupCols.isEmpty) "ON TRUE"
       else "USING (" + groupCols.mkString(", ") + ")"
     val ord = if (groupCols.isEmpty) "" else s"\nORDER BY ${groupCols.mkString(", ")}"
-    s"""WITH h AS (
+    s"""WITH ${regsCtes(src, keySql, gSel, m)}, est AS (
+       |  SELECT $gSel
+       |         floor($numer / CAST(
+       |             sum(CAST(power(2.0, $RhoScale - mr) AS BIGINT))
+       |             + ($m - count(*)) * ${TermScale}
+       |           AS DOUBLE) * 100 + 0.5) / 100.0 AS hll_estimate
+       |  FROM regs $gBy
+       |), ex AS (
+       |  SELECT $gSel count(DISTINCT $keySql) AS exact_distinct FROM $src $gBy
+       |)
+       |SELECT $gSel hll_estimate, exact_distinct,
+       |       floor((hll_estimate - exact_distinct) * 100.0 / exact_distinct
+       |             * 100 + 0.5) / 100.0 AS rel_err_pct
+       |FROM est JOIN ex $gJoin$ord""".stripMargin
+  }
+
+  /** The h → zr → rho → regs CTE chain shared by the HLL oracles. */
+  private def regsCtes(src: String, keySql: String, gSel: String, m: Int): String =
+    s"""h AS (
        |  SELECT $gSel md5($keySql) AS md FROM $src
        |), zr AS (
        |  SELECT $gSel
@@ -174,20 +213,28 @@ object Sketch {
        |  FROM zr
        |), regs AS (
        |  SELECT $gSel b, max(r) AS mr FROM rho GROUP BY ${gSel}b
-       |), est AS (
-       |  SELECT $gSel
-       |         floor($numer / CAST(
+       |)""".stripMargin
+
+  /** DuckDB twin of the merge gate: one register pass (merging
+    * per-period register maxes is associatively identical to the
+    * single pass — that equality is exactly what the gate checks on
+    * the Spark side, where the two estimates run as genuinely
+    * different plans). */
+  def hllMergeOracleSql(src: String, keySql: String, p: Int): String = {
+    val m = 1 << p
+    val numer = hllNumerator(p).toString
+    s"""WITH ${regsCtes(src, keySql, "", m)}, est AS (
+       |  SELECT floor($numer / CAST(
        |             sum(CAST(power(2.0, $RhoScale - mr) AS BIGINT))
        |             + ($m - count(*)) * ${TermScale}
-       |           AS DOUBLE) * 100 + 0.5) / 100.0 AS hll_estimate
-       |  FROM regs $gBy
+       |           AS DOUBLE) * 100 + 0.5) / 100.0 AS e
+       |  FROM regs
        |), ex AS (
-       |  SELECT $gSel count(DISTINCT $keySql) AS exact_distinct FROM $src $gBy
+       |  SELECT count(DISTINCT $keySql) AS exact_distinct FROM $src
        |)
-       |SELECT $gSel hll_estimate, exact_distinct,
-       |       floor((hll_estimate - exact_distinct) * 100.0 / exact_distinct
-       |             * 100 + 0.5) / 100.0 AS rel_err_pct
-       |FROM est JOIN ex $gJoin$ord""".stripMargin
+       |SELECT est.e AS merged_estimate, est.e AS direct_estimate,
+       |       ex.exact_distinct
+       |FROM est JOIN ex ON TRUE""".stripMargin
   }
 
   // ---------------------------------------------------------------------------

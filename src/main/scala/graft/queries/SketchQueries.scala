@@ -42,6 +42,28 @@ object SketchQueries {
       Some(Sketch.hllOracleSql(
         "events", "CAST(event_id AS VARCHAR)", Seq.empty, p = 10))),
 
+    // Sketch MERGEABILITY — the property that makes sketches worth
+    // having at 100 TB: per-day register sets (what a pipeline
+    // persists) merged via bucket-max must estimate exactly like one
+    // pass over the union. Spark runs the two paths as genuinely
+    // different plans; the oracle replays the single pass.
+    QDef(
+      "k_hll_merge",
+      (s, dir) => {
+        val key = col("user_id").cast("string")
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        val daily = Sketch.hllRegisters(ev, key, Seq("day"), p = 5)
+        val merged = Sketch.hllEstimate(daily, Seq.empty, p = 5)
+          .select(col("hll_estimate").as("merged_estimate"))
+        val direct = Sketch.hllEstimate(
+          Sketch.hllRegisters(ev, key, Seq.empty, p = 5), Seq.empty, p = 5)
+          .select(col("hll_estimate").as("direct_estimate"))
+        val exact = ev.agg(countDistinct(key).as("exact_distinct"))
+        merged.crossJoin(direct).crossJoin(exact)
+      },
+      Some(Sketch.hllMergeOracleSql("events", "CAST(user_id AS VARCHAR)", p = 5))),
+
     // Top-20 trigrams by frequency: Misra-Gries candidates (16384
     // counters per partition) + exact verify of the survivors.
     QDef(
