@@ -77,4 +77,41 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** [[ingestStream]] with DEDUP AT THE DOOR: at-least-once upstreams
+    * (retried producer sends, replayed shards — exactly the reference
+    * Lambda's retry behavior) re-deliver records, and a training-data
+    * lake wants them dropped before they land, not N jobs later.
+    * `dropDuplicatesWithinWatermark` keys on the natural record
+    * identity (sensor, event time, measure) and keeps dedup state ONLY
+    * within the watermark horizon — bounded state (O(keys seen in the
+    * last `watermark`)), unlike an unbounded distinct, which is what
+    * makes this safe on an unbounded 100 TB/day stream. Re-deliveries
+    * beyond the horizon are out of contract (the upstream's retry
+    * window must be ≤ `watermark`).
+    *
+    * The checkpoint carries the dedup state across restarts, so the
+    * exactly-once guarantee of the sink extends end to end:
+    * IngestSpec asserts a duplicate arriving in a LATER micro-batch —
+    * and across a restart — lands exactly once.
+    */
+  def ingestDedupStream(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, dims: Seq[String] = Seq("sensor_id", "status"),
+      measures: Seq[String] = Seq("temperature"),
+      watermark: String = "1 hour"): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inputDir)
+    val narrow = toNarrow(parseSensorJson(raw), dims, measures)
+      .withWatermark("time", watermark)
+      .dropDuplicatesWithinWatermark("sensor_id", "time", "measure_name")
+      .withColumn("event_date", to_date(col("time")))
+    narrow.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -83,4 +83,30 @@ class IngestSpec extends SparkSpec {
     val all = narrowSet(spark.read.parquet(out.toString))
     assert(all == narrowSet(Ingest.toNarrow(events, Seq("sensor_id", "status"), Seq("temperature"))))
   }
+
+  test("dedup ingest: re-delivered records land exactly once, within and across restarts") {
+    val in = tmp("ingest3_in")
+    val out = tmp("ingest3_out")
+    val ckpt = tmp("ingest3_ckpt")
+
+    val events = Generator.generate(spark, sensors = 5, ticks = 10)
+    val lines = Generator.toJsonLines(events).collect().map(_.getString(0)).toSeq
+    // batch 1: first 30 records, 10 of them duplicated WITHIN the batch
+    writeJsonFile(in, "a.json", lines.take(30) ++ lines.take(10))
+    Ingest.ingestDedupStream(spark, in.toString, out.toString, ckpt.toString)
+      .awaitTermination()
+
+    // batch 2 after restart: 15 re-deliveries of batch-1 records
+    // (within the watermark horizon) plus the genuinely new tail
+    writeJsonFile(in, "b.json", lines.slice(15, 30) ++ lines.drop(30))
+    Ingest.ingestDedupStream(spark, in.toString, out.toString, ckpt.toString)
+      .awaitTermination()
+
+    val got = narrowSet(spark.read.parquet(out.toString))
+    val expect = narrowSet(
+      Ingest.toNarrow(events, Seq("sensor_id", "status"), Seq("temperature")))
+    assert(got == expect) // every record exactly once, no dup survived
+    val n = spark.read.parquet(out.toString).count()
+    assert(n == spark.read.parquet(out.toString).dropDuplicates().count())
+  }
 }
