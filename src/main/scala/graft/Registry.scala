@@ -26,7 +26,8 @@ object Registry {
       queries.SimilarityQueries.defs ++
       queries.TemporalQueries.defs ++
       queries.BucketQueries.defs ++
-      queries.SketchQueries.defs
+      queries.SketchQueries.defs ++
+      queries.SurfaceQueries.defs
 
   def byName(name: String): QDef = all.find(_.name == name).get
 }

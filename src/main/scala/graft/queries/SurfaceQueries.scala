@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SQL-surface breadth gates: the everyday analytic operators a user
+  * switching engines reaches for on day one — ranking/offset window
+  * functions, semi-structured JSON extraction, per-group top-k, and
+  * bag/set operations — each hash-checked against DuckDB's independent
+  * implementation of the same ANSI semantics.
+  */
+object SurfaceQueries {
+
+  def defs: Seq[QDef] = Seq(
+
+    // Ranking + offset + frame window functions in one pass over one
+    // shuffle (all functions share the same (user_id, ts, event_id)
+    // window): rank vs dense_rank vs row_number tie behavior, lag/lead
+    // offsets, and first/last over a running frame. event_id tiebreak
+    // makes every function deterministic in both engines.
+    QDef(
+      "w_window_suite",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          // rank by purchase DAY: same-day purchases tie and share a
+          // rank — the rank ≠ row_number distinction under test
+          .withColumn("rnk", rank().over(Window.partitionBy(col("user_id"))
+            .orderBy(to_date(col("ts")))))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_id", lead(col("event_id"), 2).over(w))
+          .withColumn("first_ts", first(col("ts")).over(wRun))
+          .withColumn("run_cnt", count(lit(1)).over(wRun))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          |       CAST(row_number() OVER w AS INT) AS rn,
+          |       CAST(rank() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS INT) AS rnk,
+          |       lag(value, 1) OVER w AS prev_value,
+          |       lead(event_id, 2) OVER w AS next_id,
+          |       first_value(CAST(ts AS TIMESTAMP)) OVER wr AS first_ts,
+          |       CAST(count(*) OVER wr AS BIGINT) AS run_cnt
+          |FROM events WHERE event_type = 'purchase'
+          |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+          |       wr AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+          |              ROWS UNBOUNDED PRECEDING)
+          |ORDER BY event_id""".stripMargin)),
+
+    // Semi-structured extraction: events.props is a JSON document
+    // column; pull a typed field out and aggregate on it — the
+    // schema-on-read path every telemetry/doc pipeline runs before
+    // anything relational happens. get_json_object stays a narrow
+    // codegen'd projection (no shuffle until the aggregate).
+    QDef(
+      "p14_json_props",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some(
+        """SELECT event_type,
+          |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+          |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Per-group top-k: each user's 3 highest-value purchases. The
+    // window row_number + filter form — one hash shuffle, per-key sort,
+    // early-out at k per key; the total order (value DESC, event_id)
+    // makes the cut deterministic.
+    QDef(
+      "o_topk_per_user",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy(col("user_id"), col("rk"))
+      },
+      Some(
+        """SELECT event_id, user_id, value, CAST(rk AS INT) AS rk FROM (
+          |  SELECT event_id, user_id, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY value DESC, event_id) AS rk
+          |  FROM events WHERE event_type = 'purchase')
+          |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin)),
+
+    // Set operations over non-trivial cohorts (every user touches every
+    // event type, so cohorts are frequency-thresholded): heavy clickers
+    // INTERSECT heavy purchasers, EXCEPT heavy error-ers — distinct-set
+    // semantics, each leg one aggregate + the set-op shuffles.
+    QDef(
+      "set_ops_users",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def heavy(t: String, n: Long) = ev.filter(col("event_type") === t)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= n).select(col("user_id"))
+        heavy("click", 14).intersect(heavy("purchase", 14))
+          .except(heavy("error", 16))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT event_type, user_id, count(*) AS c FROM events
+          |  GROUP BY event_type, user_id)
+          |(SELECT user_id FROM h WHERE event_type = 'click' AND c >= 14
+          | INTERSECT
+          | SELECT user_id FROM h WHERE event_type = 'purchase' AND c >= 14)
+          |EXCEPT
+          |SELECT user_id FROM h WHERE event_type = 'error' AND c >= 16
+          |ORDER BY user_id""".stripMargin)))
+}
