@@ -107,4 +107,38 @@ class PlanSpec extends SparkSpec {
     // the 256-row bucket-offset side joins back as a broadcast
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("HLL registers aggregate with map-side partial max — the sketch's scale property") {
+    // partial_max on (group, bucket) BEFORE the exchange: the shuffle
+    // carries ≤ groups × m rows however large the input — remove the
+    // partial aggregation and the sketch degrades to shuffling raw keys
+    assert(plan("k_hll_users").contains("partial_max"))
+    // The SKETCH path never ships a raw key across a shuffle (the
+    // registered gate also carries the exact count(distinct) leg as a
+    // calibration column, which legitimately does — at scale that leg
+    // is dropped, so pin the property on the sketch path itself).
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val regs = graft.operators.Sketch
+      .hllRegisters(ev, col("user_id").cast("string"), Seq("day"), p = 5)
+    val rp = regs.queryExecution.executedPlan.toString
+    assert(rp.contains("partial_max"), rp)
+    // the one exchange partitions on (day, bucket) — raw keys are
+    // consumed map-side and never cross the wire
+    assert("Exchange hashpartitioning\\(day#\\d+, b#\\d+".r.findFirstIn(rp).isDefined, rp)
+    assert("Exchange hashpartitioning\\([^)]*user_id".r.findFirstIn(rp).isEmpty, rp)
+  }
+
+  test("heavy hitters: Misra-Gries pass feeds an equi-join, no full-vocabulary topk shuffle") {
+    val p = plan("k_heavy_ngrams")
+    assert(p.contains("MapPartitions"), p) // the bounded-memory candidate pass
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k, not a global sort
+  }
+
+  test("window suite runs on one key shuffle shared by all window functions") {
+    val p = plan("w_window_suite")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"window suite has $exchanges hash exchanges:\n$p")
+  }
 }
