@@ -106,6 +106,77 @@ object ExportQueries {
            |ORDER BY partition_key, user_id, time""".stripMargin
       }),
 
+    // Lake maintenance 1: small-file compaction. The fixture writes the
+    // events lake the way a micro-batching sink leaves it (24 files per
+    // date partition), compacts to one file per partition, and the gate
+    // hash-checks the COMPACTED lake's per-date aggregate against the
+    // source-of-truth oracle — layout changed, content provably not.
+    // LakeOpsSpec asserts the file-count collapse and layout.
+    QDef(
+      "s9_compacted_lake",
+      (s, dir) => {
+        val out = Fixtures.dir("compact_lake", dir) { o =>
+          Tables.events(s, dir)
+            .withColumn("event_date", to_date(col("ts")).cast("string"))
+            .repartition(24)
+            .write.partitionBy("event_date").parquet(s"$o/src")
+          graft.sources.LakeOps.compact(s, s"$o/src", s"$o/dst", Seq("event_date"))
+        }
+        s.read.parquet(s"$out/dst")
+          .groupBy(col("event_date").cast("string").as("event_date"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_date"))
+      },
+      Some(
+        """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+          |       count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Lake maintenance 2: schema evolution, merge-on-read. Batch 1
+    // predates the `quality` column; batch 2 carries it. The evolved
+    // read unions by name (old rows surface nulls), and the gate checks
+    // per-batch row counts, null accounting, and the new column's sum
+    // against the oracle's re-derivation — no history rewrite anywhere.
+    QDef(
+      "s10_evolved_lake",
+      (s, dir) => {
+        val boundary = "2024-01-15"
+        val out = Fixtures.dir("evolved_lake", dir) { o =>
+          val ev = Tables.events(s, dir)
+          ev.filter(col("ts") < lit(boundary).cast("timestamp"))
+            .drop("props")
+            .write.parquet(s"$o/batch=1")
+          ev.filter(col("ts") >= lit(boundary).cast("timestamp"))
+            .withColumn("quality",
+              pmod(round(col("value") * 100).cast("long"), lit(5L)))
+            .write.parquet(s"$o/batch=2")
+        }
+        graft.sources.LakeOps.readEvolved(s, out)
+          .groupBy(col("batch"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when(col("quality").isNull, lit(1))).as("n_quality_null"),
+            sum(col("quality")).as("sum_quality"))
+          .orderBy(col("batch"))
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT value,
+          |         CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+          |              THEN 1 ELSE 2 END AS batch
+          |  FROM events)
+          |SELECT batch, count(*) AS n_rows,
+          |       count(CASE WHEN batch = 1 THEN 1 END) AS n_quality_null,
+          |       CAST(sum(CASE WHEN batch = 2
+          |                     THEN CAST(round(value * 100) AS BIGINT) % 5 END)
+          |            AS BIGINT) AS sum_quality
+          |FROM e GROUP BY batch ORDER BY batch""".stripMargin)),
+
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,
     // crawled WITHOUT names (all-string col1..colN, header lines
