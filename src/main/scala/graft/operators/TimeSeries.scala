@@ -164,4 +164,18 @@ object TimeSeries {
     timestamp_micros(unix_micros(time) - pmod(unix_micros(time), lit(stepUs)))
   }
 
+  /** T7 in the engine-native tumbling-window spelling: identical
+    * semantics to `groupBy(bin(time, step))` (window start == bin
+    * floor), but expressed through `window()`, which is what lets the
+    * SAME function run UNCHANGED over a batch DataFrame or a
+    * watermarked stream in append mode — the streaming-compatible
+    * per-bin aggregate (state per open window, closed by the
+    * watermark). TimeSeriesSpec pins both equivalences: bin-form
+    * equality on batch, and batch/stream parity through MemoryStream.
+    */
+  def binMaxWindowed(df: DataFrame, key: String, time: String,
+      value: String, step: String): DataFrame =
+    df.groupBy(col(key), window(col(time), step).as("w"))
+      .agg(max(col(value)).as("max_value"))
+      .select(col(key), col("w.start").as("bin_ts"), col("max_value"))
 }

@@ -88,4 +88,43 @@ class TimeSeriesSpec extends SparkSpec {
     val flat = TimeSeries.unnestSeries(series, "series", "time", "value")
     assert(flat.orderBy("time").select("value").as[Double].collect().toSeq == Seq(0.0, 1.0, 2.0))
   }
+
+  test("binMaxWindowed == bin() formulation on batch, and runs unchanged as a stream") {
+    val events = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), col("ts"), col("value"))
+    val windowed = TimeSeries.binMaxWindowed(events, "user_id", "ts", "value", "1 hour")
+      .orderBy("user_id", "bin_ts").collect()
+    val binned = events
+      .groupBy(col("user_id"), TimeSeries.bin(col("ts"), 3600L).as("bin_ts"))
+      .agg(max(col("value")).as("max_value"))
+      .orderBy("user_id", "bin_ts").collect()
+    assert(windowed.sameElements(binned) && windowed.nonEmpty)
+
+    // the SAME function over a MemoryStream, watermarked append mode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.limit(200)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val stream = TimeSeries.binMaxWindowed(
+      ms.toDS().toDF("user_id", "ts", "value").withWatermark("ts", "0 seconds"),
+      "user_id", "ts", "value", "1 hour")
+    val q = stream.writeStream.format("memory").queryName("binmax_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      // sentinel advances the watermark past every real bin
+      ms.addData(Seq((999L, ts("2030-01-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("binmax_out")
+      .filter(col("user_id") =!= 999L)
+      .orderBy("user_id", "bin_ts").collect()
+    // batch side built from the SAME collected rows (limit() alone is
+    // not a deterministic subset across evaluations)
+    val batch200 = TimeSeries.binMaxWindowed(
+      rows.toDF("user_id", "ts", "value"), "user_id", "ts", "value", "1 hour")
+      .orderBy("user_id", "bin_ts").collect()
+    assert(streamed.sameElements(batch200) && streamed.nonEmpty)
+  }
 }
