@@ -333,6 +333,132 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------------
+  // Product quantization — compressed-domain ANN
+  // ---------------------------------------------------------------------------
+
+  /** The 20-bit fixed-point quantization shared with [[quantizedKMeans]]. */
+  private def quant20(vec: Column): Column =
+    transform(asDouble(vec), x => floor(x * (1L << 20) + 0.5).cast("long"))
+
+  /** One row per (doc, subspace): the quantized sub-vector. */
+  private def subspaceRows(df: DataFrame, id: String, vec: String,
+      m: Int, dsub: Int): DataFrame =
+    df.select(col(id).as("doc"), quant20(col(vec)).as("qv"))
+      .select(col("doc"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), mm -> " +
+          s"struct(cast(mm as int) AS m, slice(qv, mm * $dsub + 1, $dsub) AS sv))")).as("e"))
+      .select(col("doc"), col("e.m").as("m"), col("e.sv").as("sv"))
+
+  /** Product-quantization training: split `dim` into `m` subspaces of
+    * dim/m dims and train `ksub` centroids per subspace with the SAME
+    * deterministic integer Lloyd's as [[quantizedKMeans]] — but ALL
+    * subspaces train in ONE distributed pass per round (the subspace
+    * index is just another grouping key), so driver round-trips stay
+    * `iters` regardless of m. Init: subspace codebook j = sub-vectors
+    * of the ksub smallest ids; empty cells carry their previous
+    * centroid; every distance and mean is exact integer arithmetic, so
+    * a DuckDB oracle replays the whole build (s_ann_pq_adc).
+    *
+    * Returns (codes (doc, m, cell), codebooks[m][cell][d]).
+    */
+  private[graft] def pqTrain(df: DataFrame, id: String, vec: String,
+      m: Int, ksub: Int, dim: Int, iters: Int): (DataFrame, Array[Array[Array[Long]]]) = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val spark = df.sparkSession
+    import spark.implicits._
+    val subs = graft.CacheRegistry.retain(
+      subspaceRows(df.repartition(col(id)), id, vec, m, dsub)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val initRows = df
+      .select(col(id).as("doc"), quant20(col(vec)).as("qv"))
+      .orderBy(col("doc")).limit(ksub)
+      .collect().map(_.getSeq[Long](1).toArray)
+    var books: Array[Array[Array[Long]]] = Array.tabulate(m) { mm =>
+      initRows.map(_.slice(mm * dsub, mm * dsub + dsub))
+    }
+    val dist = aggregate(
+      zip_with(transform(col("sv"), _.cast("double")),
+        transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    var codes: DataFrame = null
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(bookRows(books).toDF("m", "cell", "cv"))
+      val assigned = subs.join(cdf, "m")
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc"), col("m")).orderBy(col("dist"), col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("doc"), col("m"), col("sv"), col("cell"))
+      val sums = assigned
+        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("d", "q")))
+        .groupBy(col("m"), col("cell"), col("d"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4))))
+        .toMap
+      books = Array.tabulate(m) { mm =>
+        Array.tabulate(ksub) { j =>
+          if (!sums.contains((mm, j, 0))) books(mm)(j)
+          else Array.tabulate(dsub) { d =>
+            val (s, n) = sums((mm, j, d))
+            math.floor(s.toDouble / n).toLong
+          }
+        }
+      }
+      codes = assigned.select(col("doc"), col("m"), col("cell"))
+    }
+    (codes, books)
+  }
+
+  private def bookRows(books: Array[Array[Array[Long]]]): Seq[(Int, Int, Seq[Long])] =
+    books.zipWithIndex.flatMap { case (cents, mm) =>
+      cents.zipWithIndex.map { case (c, j) => (mm, j, c.toSeq) }
+    }.toSeq
+
+  /** PQ ANN top-k by ASYMMETRIC DISTANCE (ADC): the corpus lives as
+    * m-byte codes (here m cells per doc — 8 codes instead of 64 floats,
+    * the memory story that makes billion-vector search feasible), and a
+    * query scans CODES, not vectors: its distance to every codebook
+    * centroid is tabulated once (m × ksub integers, broadcast), and a
+    * candidate's approximate distance is m table lookups summed. All
+    * arithmetic is exact integers, so ranking (adist ASC, neighbor_id)
+    * is totally ordered and the gate hash-checks at full precision —
+    * approximation error relative to exact cosine is SimilaritySpec's
+    * recall assertion, not hash noise.
+    */
+  def pqTopKAdc(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, m: Int, ksub: Int, dim: Int, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val (codes, books) = pqTrain(corpus, id, vec, m, ksub, dim, iters)
+    val cdf = bookRows(books).toDF("m", "cell", "cv")
+    val dist = aggregate(
+      zip_with(transform(col("qsv"), _.cast("double")),
+        transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val dtab = subspaceRows(queries, id, vec, m, dsub)
+      .withColumnRenamed("doc", "query_id").withColumnRenamed("sv", "qsv")
+      .join(cdf, "m")
+      .select(col("query_id"), col("m"), col("cell"), dist.cast("long").as("sdist"))
+    val adc = codes
+      .join(broadcast(dtab), Seq("m", "cell"))
+      .filter(col("query_id") =!= col("doc"))
+      .groupBy(col("query_id"), col("doc").as("neighbor_id"))
+      .agg(sum(col("sdist")).as("adist"))
+    adc
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates share the query's bucket
     * in ANY of the `tables` hash tables (union via dropDuplicates), then
     * exact cosine ranks the candidate set. Recall grows with `tables`,

@@ -114,6 +114,74 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Full SQL twin of Similarity.pqTopKAdc: replay the per-subspace
+    * integer Lloyd's rounds (all subspaces in each CTE stage, keyed by
+    * (m, cell)), tabulate query-to-centroid subspace distances, and
+    * rank by the summed ADC distance — every step exact integers, so
+    * the gate hash-checks the FULL ranking including the distance
+    * values.
+    */
+  private def pqAdcOracle(k: Int, m: Int, ksub: Int, dim: Int, iters: Int): String = {
+    val dsub = dim / m
+    val q20 = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
+    def idist(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, $dsub),
+         |        d -> (CAST($a[d] AS DOUBLE) - CAST($b[d] AS DOUBLE))
+         |           * (CAST($a[d] AS DOUBLE) - CAST($b[d] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT q.doc, q.m, q.sv, c.cell, ${idist("q.sv", "c.cv").replace("\n", "\n  ")} AS dist
+         |  FROM subs q JOIN c${i - 1} c USING (m)
+         |), a$i AS (
+         |  SELECT doc, m, sv, cell FROM (
+         |    SELECT doc, m, sv, cell,
+         |           row_number() OVER (PARTITION BY doc, m ORDER BY dist, cell) AS rn
+         |    FROM s$i) WHERE rn = 1
+         |), u$i AS (
+         |  SELECT m, cell, d, CAST(floor(CAST(sum(sv[d]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+         |  FROM a$i, generate_series(1, $dsub) g(d)
+         |  GROUP BY m, cell, d
+         |), c$i AS (
+         |  SELECT p.m, p.cell, COALESCE(u.l, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT m, cell, list(cd ORDER BY d) AS l FROM u$i GROUP BY m, cell) u
+         |    USING (m, cell)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id AS doc, $q20 AS qv FROM embeddings
+       |), subs AS (
+       |  SELECT doc, CAST(mm AS INTEGER) AS m,
+       |         list_transform(generate_series(1, $dsub), d -> qv[mm * $dsub + d]) AS sv
+       |  FROM qv, generate_series(0, ${m - 1}) ms(mm)
+       |), c0 AS (
+       |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY doc) - 1 AS INTEGER) AS cell,
+       |         sv AS cv
+       |  FROM subs WHERE doc IN (SELECT doc FROM qv ORDER BY doc LIMIT $ksub)
+       |),
+       |$rounds,
+       |dtab AS (
+       |  SELECT q.doc AS query_id, q.m, c.cell,
+       |         CAST(${idist("q.sv", "c.cv").replace("\n", "\n  ")} AS BIGINT) AS sdist
+       |  FROM subs q JOIN c$iters c USING (m)
+       |  WHERE q.doc < 5
+       |), adc AS (
+       |  SELECT d.query_id, a.doc AS neighbor_id,
+       |         CAST(sum(d.sdist) AS BIGINT) AS adist
+       |  FROM a$iters a JOIN dtab d ON a.m = d.m AND a.cell = d.cell
+       |  WHERE a.doc <> d.query_id
+       |  GROUP BY d.query_id, a.doc
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM adc
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Full SQL twin of Similarity.annTopK: rebuild the md5 hyperplanes,
     * compute every (doc, table) sign-bucket with the same sequential
     * dot fold, take candidates from bucket equality in any table, and
@@ -288,6 +356,22 @@ object SimilarityQueries {
           k = 10, nlist = 8, nprobe = 4, dim = 64, iters = 4)
       },
       Some(ivfQuantizedOracle(10, nlist = 8, nprobe = 4, iters = 4))),
+
+    // Product quantization with asymmetric distance: the corpus is m=8
+    // codes per vector (the compressed-domain memory story), queries
+    // rank candidates by m codebook lookups summed. Training and
+    // search are exact integer arithmetic end to end, so the oracle
+    // replays codebook training AND the full ADC ranking — a hash gate
+    // at full precision. Approximation QUALITY vs exact cosine is
+    // SimilaritySpec's recall assertion.
+    QDef(
+      "s_ann_pq_adc",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqTopKAdc(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, m = 8, ksub = 16, dim = 64, iters = 3)
+      },
+      Some(pqAdcOracle(10, m = 8, ksub = 16, dim = 64, iters = 3))),
 
     // IVF's exactness property as a HASH gate: at nprobe = nlist every
     // cell is probed, so the index must reproduce brute-force cosine
