@@ -40,6 +40,36 @@ object Ingest {
       .select(col("r.*"))
       .withColumn("ptime", current_timestamp())
 
+  /** S1 with QUARANTINE: real feeds carry malformed lines (truncated
+    * producer writes, wrong-typed fields), and silently nulling them —
+    * what a bare from_json does, and what the reference Lambda does by
+    * dropping rejects on the floor — destroys the audit trail. Parse
+    * PERMISSIVE with a corrupt-record column: rows that fail to parse
+    * (or parse to a record with no usable identity/time) keep their
+    * raw line under `_corrupt`, good rows carry `_corrupt` = null, and
+    * the caller routes each side — same narrow stateless shape as the
+    * plain parse, so it runs identically under batch and streaming.
+    */
+  def parseSensorJsonQuarantine(raw: DataFrame, jsonCol: String = "value",
+      schema: StructType = sensorSchema): DataFrame = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt", StringType))
+    raw
+      .select(col(jsonCol).cast("string").as("_raw"))
+      .select(col("_raw"),
+        from_json(col("_raw"), withCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+      .select(col("r.*"), col("_raw"))
+      // a record without identity or time is unusable even if the JSON
+      // technically parsed — quarantine it with the raw line
+      .withColumn("_corrupt",
+        when(col("_corrupt").isNotNull, col("_raw"))
+          .when(col("sensor_id").isNull || col("event_time").isNull, col("_raw")))
+      .drop("_raw")
+      .withColumn("ptime", current_timestamp())
+  }
+
   /** S4/S9: wide → narrow. One output row per measure whose value is
     * present (the Lambda emits only present measures); dimensions ride
     * along as columns. Output is the canonical narrow model §1.3:

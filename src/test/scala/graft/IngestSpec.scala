@@ -84,6 +84,24 @@ class IngestSpec extends SparkSpec {
     assert(all == narrowSet(Ingest.toNarrow(events, Seq("sensor_id", "status"), Seq("temperature"))))
   }
 
+  test("quarantine parse: malformed lines keep their raw text; good rows parse clean") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"sensor_id": "s-1", "temperature": 20.5, "status": "OK", "event_time": 1700000000000000}""",
+      """{"sensor_id": "s-2", "temperature": 21.0, "status": "OK", "event_time": 1700000001000000""", // truncated
+      """not json at all""",
+      """{"temperature": 3.0, "status": "OK", "event_time": 1700000002000000}""", // no identity
+      """{"sensor_id": "s-3", "status": "ERROR"}""") // parses but no time
+    val out = graft.streaming.Ingest
+      .parseSensorJsonQuarantine(lines.toDF("value")).collect()
+    val good = out.filter(_.getAs[String]("_corrupt") == null)
+    val bad = out.filter(_.getAs[String]("_corrupt") != null)
+    assert(good.length == 1 && good.head.getAs[String]("sensor_id") == "s-1")
+    assert(bad.length == 4)
+    // every quarantined row carries its ORIGINAL raw line for replay
+    assert(bad.map(_.getAs[String]("_corrupt")).toSet == lines.drop(1).toSet)
+  }
+
   test("dedup ingest: re-delivered records land exactly once, within and across restarts") {
     val in = tmp("ingest3_in")
     val out = tmp("ingest3_out")
