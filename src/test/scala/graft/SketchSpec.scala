@@ -94,6 +94,34 @@ class SketchSpec extends SparkSpec {
       s"MG bound violated: kth=${exact.last._2}, N/(c+1)=${n / 16385.0}")
   }
 
+  test("HLL registers accumulate identically under Structured Streaming") {
+    // the register table is a plain (bucket → max rho) aggregate, so the
+    // SAME hllRegisters call is streaming-legal — sketches keep their
+    // exactness guarantee on unbounded streams (state = m rows, ever)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keys = (1 to 3000).map(i => s"stream-user-$i")
+    val ms = MemoryStream[String]
+    val regs = Sketch.hllRegisters(ms.toDS().toDF("k"), col("k"), Seq.empty, p = 6)
+    val q = regs.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      ms.addData(keys.take(1000)); q.processAllAvailable()
+      ms.addData(keys.drop(1000)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_regs").orderBy("b")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val batch = Sketch.hllRegisters(keys.toDF("k"), col("k"), Seq.empty, p = 6)
+      .orderBy("b").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // and the estimate computed off the streamed registers matches batch
+    val se = Sketch.hllEstimate(spark.table("hll_regs"), Seq.empty, p = 6)
+      .select("hll_estimate").as[Double].head()
+    val be = Sketch.hllDistinct(keys.toDF("k"), col("k"), Seq.empty, p = 6)
+      .select("hll_estimate").as[Double].head()
+    assert(se == be)
+  }
+
   test("ngramStream keeps multiplicity and skips short docs") {
     val df = Seq("a b a b a", "x y").toDF("text")
     val grams = Sketch.ngramStream(df, "text", 3).as[String].collect().sorted
