@@ -147,4 +147,40 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rangeJoin equals the brute-force theta join on random point/interval sets") {
+    val caseGen = for {
+      nPts <- Gen.choose(5, 40)
+      nIvs <- Gen.choose(2, 15)
+      binS <- Gen.oneOf(7L, 60L, 97L, 3600L) // including non-divisor widths
+      pts <- Gen.listOfN(nPts, for {
+        k <- Gen.choose(0, 2)
+        off <- Gen.choose(0, 7200)
+      } yield (k.toLong, off))
+      ivs <- Gen.listOfN(nIvs, for {
+        k <- Gen.choose(0, 2)
+        s <- Gen.choose(0, 7200)
+        len <- Gen.choose(-60, 3600) // includes EMPTY and negative spans
+      } yield (k.toLong, s, len))
+    } yield (pts, ivs, binS)
+    forAllSampled(caseGen, 8) { case (pts, ivs, binS) =>
+      val ptsDf = pts.zipWithIndex
+        .map { case ((k, off), i) => (i.toLong, k, new Timestamp(T0 + off * 1000L)) }
+        .toDF("pid", "k", "t")
+      val ivsDf = ivs.map { case (k, s, len) =>
+        (k, new Timestamp(T0 + s * 1000L), new Timestamp(T0 + (s + len) * 1000L))
+      }.toDF("k", "ws", "we")
+      val got = graft.operators.Temporal
+        .rangeJoin(ptsDf, ivsDf, Seq("k"), "t", "ws", "we", binS * 1000000L)
+        .select("pid", "ws").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toList.sorted
+      // brute force over the driver-side lists — fully independent
+      val want = (for {
+        ((k, off), i) <- pts.zipWithIndex
+        (ik, s, len) <- ivs
+        if ik == k && off >= s && off < s + len
+      } yield (i.toLong, T0 + s * 1000L)).sorted
+      assert(got == want, s"bin=${binS}s pts=$pts ivs=$ivs")
+    }
+  }
 }
