@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
+import graft.functions.Arith
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,6 +100,68 @@ object SurfaceQueries {
           |                            ORDER BY value DESC, event_id) AS rk
           |  FROM events WHERE event_type = 'purchase')
           |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin)),
+
+    // Statistical aggregates with EXACT moment accumulation: builtin
+    // one-pass stddev/corr accumulate floating co-moments whose
+    // rounding is engine- and order-dependent — unusable under a hash
+    // gate and nondeterministic under retries at scale. Instead the
+    // raw moments (Σx, Σx², Σxy …) accumulate as exact integers
+    // (decimal for the squares), and the textbook formulas run as one
+    // deterministic double-op sequence spelled identically in the
+    // oracle. Map-side combine still applies — exact sums are
+    // commutative — so the scale shape matches a builtin aggregate.
+    QDef(
+      "a9_stats_moments",
+      (s, dir) => {
+        val x = expr("CAST(round(o_totalprice * 100) AS BIGINT)") // cents
+        val y = dayofmonth(col("o_orderdate")).cast("long")
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"),
+            sum((x * x).cast("decimal(38,0)")).as("sxx"),
+            sum(y).as("sy"),
+            sum((y * y).cast("decimal(38,0)")).as("syy"),
+            sum((x * y).cast("decimal(38,0)")).as("sxy"))
+          .select(
+            col("o_orderpriority"),
+            col("n"),
+            Arith.r2(col("sx").cast("double") / col("n")).as("mean_cents"),
+            Arith.r2(sqrt(
+              (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+                / (col("n") - 1))).as("stddev_cents"),
+            Arith.r4(
+              (col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+                (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+                  sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+              .as("corr_price_day"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT o_orderpriority,
+          |         count(*) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx,
+          |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+          |         CAST(sum(y) AS BIGINT) AS sy,
+          |         CAST(sum(y * y) AS DOUBLE) AS syy,
+          |         CAST(sum(x * y) AS DOUBLE) AS sxy
+          |  FROM (
+          |    SELECT o_orderpriority,
+          |           CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+          |           CAST(day(o_orderdate) AS BIGINT) AS y
+          |    FROM orders)
+          |  GROUP BY o_orderpriority)
+          |SELECT o_orderpriority, n,
+          |       floor((CAST(sx AS DOUBLE) / n) * 100 + 0.5) / 100.0 AS mean_cents,
+          |       floor(sqrt((sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+          |             * 100 + 0.5) / 100.0 AS stddev_cents,
+          |       floor(((n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          |              (sqrt(n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |               sqrt(n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+          |             * 10000 + 0.5) / 10000.0 AS corr_price_day
+          |FROM m ORDER BY o_orderpriority""".stripMargin)),
 
     // Set operations over non-trivial cohorts (every user touches every
     // event type, so cohorts are frequency-thresholded): heavy clickers
