@@ -178,4 +178,31 @@ object TimeSeries {
     df.groupBy(col(key), window(col(time), step).as("w"))
       .agg(max(col(value)).as("max_value"))
       .select(col(key), col("w.start").as("bin_ts"), col("max_value"))
+
+  /** Min/max downsampling for time-series rendering: per (key, bin)
+    * keep the extreme OBSERVATIONS — true timestamps and values, not
+    * bin aggregates — so a plot over the downsampled series preserves
+    * every spike the full series had. One hash shuffle on (key, bin),
+    * two ranks over the same sorted partition; a single-row bin
+    * surfaces as both its own min and max (one row per role, always —
+    * deterministic cardinality). `tiebreak` must be a unique column:
+    * equal values in a bin need a total order for reproducible picks.
+    */
+  def downsampleMinMax(df: DataFrame, key: String, time: String,
+      value: String, tiebreak: String, stepSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = df.withColumn("bin_ts", bin(col(time), stepSeconds))
+    def pick(role: String, w: Window.type => org.apache.spark.sql.expressions.WindowSpec) =
+      binned
+        .withColumn("_rn", row_number().over(w(Window)))
+        .filter(col("_rn") === 1)
+        .select(col(key), col("bin_ts"), lit(role).as("role"),
+          col(tiebreak), col(time), col(value))
+    val lows = pick("min", _.partitionBy(col(key), col("bin_ts"))
+      .orderBy(col(value).asc, col(tiebreak).asc))
+    val highs = pick("max", _.partitionBy(col(key), col("bin_ts"))
+      .orderBy(col(value).desc, col(tiebreak).asc))
+    lows.unionByName(highs)
+      .orderBy(col(key), col("bin_ts"), col("role"))
+  }
 }

@@ -239,6 +239,59 @@ object RelationalQueries {
           |ORDER BY revenue DESC, nation""".stripMargin),
       headline = true),
 
+    // TPC-H Q3 shape — selective join + aggregate + top-k: unshipped
+    // orders' revenue by order, priority date cutoff on BOTH sides
+    // (pushed to both scans), exact cents accumulation, and the final
+    // top-10 as TakeOrderedAndProject, not a global sort.
+    QDef(
+      "q3_shipping_priority",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+          .orderBy(desc("revenue_cents"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some(
+        """SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+          |       o_orderpriority,
+          |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-06-01'
+          |  AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1997-06-01'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q6 shape — pure filter + global aggregate (the "how much
+    // would we have made" scan): three band predicates, all pushed to
+    // the parquet scan, one exact-cents sum, one output row.
+    QDef(
+      "q6_forecast_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(
+          sum(expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_items")),
+      Some(
+        """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+          |  AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)),
+
     // Multi-level OLAP aggregation: one pass produces per-(priority,
     // status) cells, per-priority subtotals, and the grand total, with
     // GROUPING() ids disambiguating genuine NULLs from subtotal rows.

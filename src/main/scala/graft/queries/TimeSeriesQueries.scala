@@ -171,6 +171,35 @@ object TimeSeriesQueries {
           |FROM events GROUP BY user_id, time_bin
           |ORDER BY max_value DESC, user_id, time_bin""".stripMargin)),
 
+    // Rendering-grade downsample: per (user, 6h bin) keep the extreme
+    // OBSERVATIONS (true timestamps, not bin aggregates) so plots
+    // preserve spikes; event_id tiebreaks equal values for a
+    // deterministic pick in both engines.
+    QDef(
+      "t11_downsample_minmax",
+      (s, dir) => TimeSeries.downsampleMinMax(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+        key = "user_id", time = "ts", value = "value",
+        tiebreak = "event_id", stepSeconds = 6L * 3600L),
+      Some(
+        """WITH b AS (
+          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          |         make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600000000) AS bin_ts
+          |  FROM events),
+          |lo AS (
+          |  SELECT user_id, bin_ts, 'min' AS role, event_id, ts, value FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id, bin_ts
+          |                                 ORDER BY value ASC, event_id) AS rn
+          |    FROM b) WHERE rn = 1),
+          |hi AS (
+          |  SELECT user_id, bin_ts, 'max' AS role, event_id, ts, value FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id, bin_ts
+          |                                 ORDER BY value DESC, event_id) AS rn
+          |    FROM b) WHERE rn = 1)
+          |SELECT * FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi)
+          |ORDER BY user_id, bin_ts, role""".stripMargin)),
+
     // A5 — avg + APPROX_PERCENTILE per 1-day bin (grafana…json:392).
     // Oracle: while the accuracy (1M) exceeds per-bin cardinality,
     // Spark's sketch is exact and returns the discrete element

@@ -136,6 +136,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // top-k, not a global sort
   }
 
+  test("Q3 pushes date cutoffs to BOTH scans and plans top-k, not a global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // each side's date predicate reaches its own parquet scan
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined, p)
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined, p)
+  }
+
   test("window suite runs on one key shuffle shared by all window functions") {
     val p = plan("w_window_suite")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
