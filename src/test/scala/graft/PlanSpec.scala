@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan audits: the properties the 100 TB design depends on,
   * pinned as assertions so a regression in plan shape fails CI, not
@@ -134,6 +135,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("k_heavy_ngrams")
     assert(p.contains("MapPartitions"), p) // the bounded-memory candidate pass
     assert(p.contains("TakeOrderedAndProject"), p) // top-k, not a global sort
+  }
+
+  test("export-lake reads prune to the requested partition directory") {
+    // the reason the export lake partitions by key at all: a one-window
+    // read must scan ONE directory, not the whole lake
+    val dir = sf("sf0.001")
+    val q = Registry.byName("c6_incremental_export")
+    q.fn(spark, dir) // materializes the lake fixture on first call
+    val lake = queries.Fixtures.dir("export_lake", dir)(_ => fail("fixture missing"))
+    val pruned = graft.streaming.Exporter.readExport(spark, lake)
+      .filter(col("partition_key") === "2024-01-08T00-00")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*partition_key".r.findFirstIn(p).isDefined, p)
+    assert(pruned.count() > 0)
   }
 
   test("Q3 pushes date cutoffs to BOTH scans and plans top-k, not a global sort") {
