@@ -48,7 +48,29 @@ object Temporal {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      tolerance: Option[Column] = None, tiebreak: Option[String] = None): DataFrame = {
+      tolerance: Option[Column] = None, tiebreak: Option[String] = None): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, payload, tolerance,
+      tiebreak, forward = false)
+
+  /** FORWARD as-of join (inclusive): for every left row, the right row
+    * with the SMALLEST `rightTime` ≥ its `leftTime` — "the next
+    * maintenance event / deploy / rate change at-or-after this point".
+    * The exact mirror of [[asOf]]: same union + one-key-window plan
+    * (first-over-following instead of last-over-preceding), same
+    * left-outer and tolerance semantics (a match further than
+    * `tolerance` AHEAD is nulled), same greatest-tiebreak among equal
+    * right timestamps.
+    */
+  def asOfNext(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Column] = None, tiebreak: Option[String] = None): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, payload, tolerance,
+      tiebreak, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Column], tiebreak: Option[String],
+      forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "asOf requires at least one payload column")
     require(!payload.contains("_mt"), "payload column name _mt is reserved")
     val leftCols = left.columns.toSeq
@@ -69,14 +91,30 @@ object Temporal {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc, col("_tb").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Tie layout at equal _t: backward sorts right BEFORE left (side
+    // asc) so the inclusive ≤ match sees it in the preceding frame;
+    // forward sorts left BEFORE right (side desc) so the inclusive ≥
+    // match sees it in the following frame. Tiebreak direction flips
+    // with the frame so "greatest _tb wins" holds in both.
+    val base = Window.partitionBy(keys.map(col): _*)
+    val w =
+      if (forward)
+        base.orderBy(col("_t").asc, col("_side").desc, col("_tb").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        base.orderBy(col("_t").asc, col("_side").asc, col("_tb").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fill =
+      if (forward) first(col("_m"), ignoreNulls = true)
+      else last(col("_m"), ignoreNulls = true)
     val filled = l.unionByName(r.select(l.columns.map(col): _*))
-      .withColumn("_m", last(col("_m"), ignoreNulls = true).over(w))
+      .withColumn("_m", fill.over(w))
       .filter(col("_side") === 1)
     val stale = tolerance
-      .map(tol => col("_m._mt") < (col("_t") - tol))
+      .map { tol =>
+        if (forward) col("_m._mt") > (col("_t") + tol)
+        else col("_m._mt") < (col("_t") - tol)
+      }
       .getOrElse(lit(false))
     filled
       .withColumn("_m", when(stale, lit(null).cast(mType)).otherwise(col("_m")))

@@ -71,6 +71,34 @@ object TemporalQueries {
         "CASE WHEN r.rt < l.ts - INTERVAL 1 HOUR THEN NULL ELSE r.err_value END",
         "CASE WHEN r.rt < l.ts - INTERVAL 1 HOUR THEN NULL ELSE r.rt END"))),
 
+    // FORWARD as-of: each click enriched with the user's NEXT error
+    // at-or-after it. DuckDB has no forward ASOF — the oracle runs its
+    // BACKWARD ASOF on negated epoch-micros (order reversal maps
+    // "smallest rt ≥ t" onto "greatest −rt ≤ −t"), so the engine's
+    // forward operator is checked by independent backward machinery.
+    QDef(
+      "j_asof_next",
+      (s, dir) => Temporal.asOfNext(
+        clicks(s, dir), errors(s, dir),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("err_value"))
+        .orderBy(col("event_id")),
+      Some(
+        """WITH l AS (
+          |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value AS click_value,
+          |         -epoch_us(CAST(ts AS TIMESTAMP)) AS nt
+          |  FROM events WHERE event_type = 'click'),
+          |r AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS rt,
+          |         -epoch_us(CAST(ts AS TIMESTAMP)) AS nt,
+          |         max(value) AS err_value
+          |  FROM events WHERE event_type = 'error' GROUP BY 1, 2, 3)
+          |SELECT l.event_id, l.user_id, l.ts, l.click_value,
+          |       r.err_value AS asof_err_value,
+          |       r.rt AS asof_time
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.nt >= r.nt
+          |ORDER BY l.event_id""".stripMargin)),
+
     // Trailing time-range aggregate: per event, count/sum/max over the
     // user's events in the last hour (inclusive RANGE frame). The
     // oracle uses DuckDB's native RANGE INTERVAL PRECEDING frame —

@@ -187,6 +187,44 @@ class TemporalSpec extends SparkSpec {
     assert(out.sameElements(islands))
   }
 
+  test("asOfNext: forward inclusive match, tolerance, left-outer on misses") {
+    val out = Temporal.asOfNext(left, right, Seq("user_id"), "ts", "ts", Seq("state"))
+      .orderBy("event_id").collect()
+    // before both right rows -> the earliest one (00:00:10)
+    assert(out(0).getDouble(out(0).fieldIndex("asof_state")) == 100.0)
+    // equal timestamp matches (inclusive >=)
+    assert(out(1).getDouble(out(1).fieldIndex("asof_state")) == 100.0)
+    // after the last right row -> null, row kept
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_state")))
+    // key absent from right -> null
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_state")))
+    // tolerance: a match too far AHEAD is nulled
+    val tight = Temporal.asOfNext(left, right, Seq("user_id"), "ts", "ts",
+      Seq("state"), tolerance = Some(expr("INTERVAL 2 SECONDS")))
+      .orderBy("event_id").collect()
+    assert(tight(0).isNullAt(tight(0).fieldIndex("asof_state"))) // 00:00:05 → 00:00:10 is 5s ahead
+    assert(tight(1).getDouble(tight(1).fieldIndex("asof_state")) == 100.0) // exact hit
+  }
+
+  test("asOfNext agrees with a brute-force per-row scan on real events") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("sev"))
+    val got = Temporal.asOfNext(l, r, Seq("user_id"), "ts", "ts", Seq("sev"))
+      .select("event_id", "asof_time").collect()
+      .map(row => row.getLong(0) -> Option(row.getTimestamp(1))).toMap
+    val rights = r.collect()
+      .map(row => (row.getLong(0), row.getTimestamp(1))).groupBy(_._1)
+    val want = l.collect().map { row =>
+      val cands = rights.getOrElse(row.getLong(1), Array.empty)
+        .map(_._2).filter(_.getTime >= row.getTimestamp(2).getTime)
+      row.getLong(0) -> (if (cands.isEmpty) None else Some(cands.minBy(_.getTime)))
+    }.toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("rangeJoin: half-open containment, boundaries exact") {
     val pts = Seq(
       (1L, 10L, ts("2024-01-01 00:10:00")), // inside
