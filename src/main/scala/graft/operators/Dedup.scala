@@ -340,16 +340,27 @@ object Dedup {
 
   /** Shared tail of [[neardupClusters]]: attach labels to ALL input
     * docs (singletons label themselves), size each cluster, flag the
-    * canonical (minimum-id) member. */
+    * canonical (minimum-id) member.
+    *
+    * Sizing is a `groupBy(cluster_id).count()` + equi-join, NOT a
+    * count-over-window: a window partitioned by cluster_id puts every
+    * member of a cluster in ONE task's sort buffer, so a degenerate
+    * corpus that resolves to a single mega-cluster serializes on one
+    * core (and spills). The hash aggregate partial-combines map-side
+    * and the join redistributes only (cluster_id, size) — both stay
+    * parallel however skewed the clustering. No ORDER BY here either:
+    * a total sort is presentation, not semantics — gates that need
+    * deterministic row order sort at the edge.
+    */
   private def clusterOutput(nodes: DataFrame, labels: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("cluster_id"))
-    nodes
+    val labeled = nodes
       .join(labels, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("label"), col("doc")).as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("is_canonical", (col("doc") === col("cluster_id")).cast("boolean"))
-      .orderBy(col("doc"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc"), col("cluster_id"), col("cluster_size"),
+        (col("doc") === col("cluster_id")).cast("boolean").as("is_canonical"))
   }
 
   /** 64-bit SimHash per document: (doc, h). Tokens are exploded and the

@@ -243,6 +243,7 @@ object Similarity {
     */
   private[graft] def quantizedKMeans(df: DataFrame, id: String, vec: String,
       nlist: Int, dim: Int, iters: Int): (DataFrame, Array[Array[Long]]) = {
+    require(iters >= 1, s"quantizedKMeans needs at least one Lloyd's round, got $iters")
     val spark = df.sparkSession
     import spark.implicits._
     val qv = graft.CacheRegistry.retain(
@@ -366,6 +367,7 @@ object Similarity {
       m: Int, ksub: Int, dim: Int, iters: Int): (DataFrame, Array[Array[Array[Long]]]) = {
     import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(iters >= 1, s"pqTrain needs at least one Lloyd's round, got $iters")
     val dsub = dim / m
     val spark = df.sparkSession
     import spark.implicits._

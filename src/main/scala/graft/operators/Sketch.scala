@@ -38,7 +38,7 @@ object Sketch {
   // HyperLogLog
   // ---------------------------------------------------------------------------
 
-  /** Register layout, fixed regardless of precision p ≤ 12: md5(key)
+  /** Register layout, fixed regardless of precision p ≤ 10: md5(key)
     * hex chars 1..3 (12 bits) pmod m give the bucket; chars 4..16
     * (13 nibbles = 52 bits) give rho = 1 + leading-zero-bit count
     * (53 when all 52 bits are zero). Estimator: raw HLL,
@@ -72,9 +72,16 @@ object Sketch {
     alpha * m * m * math.pow(2.0, RhoScale)
   }
 
-  /** (bucket, rho) columns for a string key. */
+  /** (bucket, rho) columns for a string key. The upper bound is 10, not
+    * an implementation whim: the BIGINT-scaled harmonic sum needs
+    * m·2^53 ≤ 2^63 (every empty bucket contributes the full 2^53 term),
+    * i.e. m ≤ 1024. At p ≥ 11 the sum can wrap int64 — silently under
+    * non-ANSI Spark, while DuckDB's HUGEINT would not — so estimates
+    * diverge between engines exactly where the gate can't see it.
+    */
   private[operators] def hllCols(key: Column, p: Int): (Column, Column) = {
-    require(p >= 4 && p <= 12, s"hll precision must be in [4, 12], got $p")
+    require(p >= 4 && p <= 10,
+      s"hll precision must be in [4, 10] (m*2^53 must fit int64), got $p")
     val md = md5(key)
     val m = 1 << p
     val bucket = pmod(conv(substring(md, 1, 3), 16, 10).cast("int"), lit(m))

@@ -209,14 +209,19 @@ object Temporal {
     // round across the bin boundary for micros near 2^53-scale values,
     // silently dropping boundary pairs. Timestamps are non-negative, so
     // div == floor-div here.
-    val p = points.withColumn("_bin",
+    // The bin column uses RangeJoinBinRewrite's marker name: the
+    // optimizer rule skips any join whose condition already references
+    // it, so installing the rule never re-bins (and so re-explodes)
+    // a plan this operator built.
+    val bin = graft.plans.RangeJoinBinRewrite.BinName
+    val p = points.withColumn(bin,
       expr(s"unix_micros($time) div ${binMicros}L"))
     val iv = intervals
       .filter(col(end) > col(start))
-      .withColumn("_bin", explode(expr(
+      .withColumn(bin, explode(expr(
         s"sequence(unix_micros($start) div ${binMicros}L, " +
           s"(unix_micros($end) - 1) div ${binMicros}L)")))
-    p.join(iv, keys :+ "_bin")
+    p.join(iv, keys :+ bin)
       .filter(col(time) >= col(start) && col(time) < col(end))
       .select(points.columns.map(col) ++
         intervals.columns.filterNot(keys.contains).map(col): _*)

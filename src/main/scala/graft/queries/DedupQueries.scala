@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.col
 
 /** Dedup operators over `documents`. Exact dedup, exact n-gram Jaccard
   * and MinHash+LSH are DuckDB-oracle-checked (LSH verifies candidates
@@ -133,9 +134,13 @@ object DedupQueries {
       "d_neardup_clusters",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // total order at the gate edge — the operator itself returns
+        // unordered rows (a global sort inside it would serialize the
+        // mega-cluster case and every caller that doesn't need order)
         Dedup.neardupClusters(docs, "doc_id",
           Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8,
             maxShingleDf = Some(100L)))
+          .orderBy(col("doc"))
       },
       Some(clusterOracle(0.8, Some(100L)))),
 

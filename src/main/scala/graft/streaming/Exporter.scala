@@ -66,10 +66,14 @@ object Exporter {
     *    slot = floor((t − origin) / width) computed arithmetically,
     *    then a broadcast HASH equi-join on slot — O(1) per event
     *    regardless of N, and gaps fall out via the inner join.
-    *  - arbitrary windows: a broadcast range join (start ≤ t < end).
-    *    Spark plans a BroadcastNestedLoopJoin — O(N) comparisons per
-    *    event — fine for the low-thousands, at which point real
-    *    schedules are uniform anyway.
+    *  - arbitrary windows: a BINNED broadcast equi-join (the
+    *    Temporal.rangeJoin shape specialised to long-micros bounds):
+    *    bin width = the smallest window width, each window explodes to
+    *    its covered bins (the exploded table stays driver-tiny — it is
+    *    windows × expansion, not events), each event computes its one
+    *    bin, and the join hash-partitions on the bin with the exact
+    *    containment predicate as a post-filter. O(1) probes per event
+    *    at ANY window count — no BroadcastNestedLoopJoin anywhere.
     */
   /** Window-id assignment for [[backfillOnePass]]: events tagged with
     * `_w` via the broadcast windows-table join (uniform → arithmetic
@@ -112,8 +116,18 @@ object Exporter {
         events.withColumn("_slot", floor((tUs - lit(origin)) / lit(w)).cast("long"))
           .join(broadcast(slots), "_slot").drop("_slot")
       } else {
-        events.join(broadcast(winDf.select(col("_w"), col("_su"), col("_eu"))),
-          tUs >= col("_su") && tUs < col("_eu")).drop("_su", "_eu")
+        // `div`, not `/`: exact floor division (micros are non-negative)
+        // so no boundary event can round across a bin edge
+        val binW = widths.filter(_ > 0).min
+        val ivBins = winDf
+          .filter(col("_eu") > col("_su"))
+          .select(col("_w"), col("_su"), col("_eu"),
+            explode(expr(s"sequence(_su div ${binW}L, (_eu - 1) div ${binW}L)")).as("_wbin"))
+        events
+          .withColumn("_wbin", expr(s"unix_micros(${p.time}) div ${binW}L"))
+          .join(broadcast(ivBins), "_wbin")
+          .filter(tUs >= col("_su") && tUs < col("_eu"))
+          .drop("_wbin", "_su", "_eu")
       }
     (tagged, winDf)
   }

@@ -124,9 +124,28 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
     val out = graft.operators.Dedup.neardupClusters(docs, "doc_id", pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1) // operator output is unordered (no global sort inside it)
     assert(out.toSeq == Seq(
       (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
       (4L, 4L, 1L, true)))
+  }
+
+  test("neardupClusters: one mega-cluster sizes via hash agg, not a single-task window") {
+    // the degenerate corpus: EVERY doc joins one cluster. With sizing
+    // as count-over-window(cluster_id) this would funnel all rows into
+    // one window partition; the groupBy+join form must both complete
+    // and stay window-free in the plan.
+    val n = 500
+    val docs = (1 to n).map(_.toLong).toDF("doc_id")
+    val pairs = (2 to n).map(i => (1L, i.toLong)).toDF("d1", "d2")
+    val out = graft.operators.Dedup.neardupClusters(docs, "doc_id", pairs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"cluster sizing planned a window:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == n)
+    assert(rows.forall(_.getLong(1) == 1L))
+    assert(rows.forall(_.getLong(2) == n.toLong))
+    assert(rows.count(_.getBoolean(3)) == 1)
   }
 
   test("neardupClusters converges on a long chain (pointer jumping)") {

@@ -139,8 +139,40 @@ class ExporterSpec extends SparkSpec {
     val mixed = Exporter.tagWindows(events, P, Seq(
       ("2024-01-01", "2024-01-04"), ("2024-01-04", "2024-01-11")))._1
       .queryExecution.executedPlan.toString
-    // arbitrary widths legitimately fall back to the broadcast range join
-    assert(mixed.contains("BroadcastNestedLoopJoin"), mixed)
+    // arbitrary widths take the binned equi-join — also a hash join
+    assert(mixed.contains("BroadcastHashJoin"), mixed)
+    assert(!mixed.contains("BroadcastNestedLoopJoin"), mixed)
+  }
+
+  test("10,000 non-uniform windows: hash-join plan and the serial-loop answer") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    // 10k windows alternating 5 and 7 minutes wide, covering Jan 2 on —
+    // widths differ so the arithmetic-slot fast path can't apply; the
+    // binned equi-join must keep this a broadcast HASH join (the BNLJ
+    // this replaced did 10k comparisons per event here)
+    val base = java.time.LocalDateTime.of(2024, 1, 2, 0, 0)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    var t = base
+    val wins = (0 until 10000).map { i =>
+      val width = if (i % 2 == 0) 5L else 7L
+      val s = t; t = t.plusMinutes(width)
+      (s.format(fmt), t.format(fmt))
+    }
+    val (tagged, _) = Exporter.tagWindows(events, P, wins)
+    val plan = tagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // correctness vs the O(N)-scan definition, computed driver-side
+    val bounds = wins.map { case (s, e) =>
+      (java.sql.Timestamp.valueOf(s).getTime, java.sql.Timestamp.valueOf(e).getTime) }
+    val got = tagged.select(col("event_id"), col("_w")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = events.select(col("event_id"), col("ts")).collect().flatMap { r =>
+      val ms = r.getTimestamp(1).getTime
+      val w = bounds.indexWhere { case (s, e) => ms >= s && ms < e }
+      if (w >= 0) Some(r.getLong(0) -> w) else None
+    }.toMap
+    assert(got == want && got.nonEmpty)
   }
 
   test("raw-prefix layout holds the same data as the hive layout, key recovered from the path") {

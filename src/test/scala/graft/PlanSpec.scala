@@ -67,6 +67,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_bin"), p) // the containment filter rides an equi-join on bins
   }
 
+  test("near-dup cluster output sizes clusters with a hash agg, not a window") {
+    // a count-over-window on cluster_id would put a whole cluster in
+    // one task's sort buffer (fatal on a mega-cluster corpus); the
+    // operator must size via groupBy + join. The gate's plan may window
+    // elsewhere (pair generation) but never partitioned by cluster_id.
+    val p = plan("d_neardup_clusters")
+    assert(!p.split("Window").drop(1).exists(_.take(200).contains("cluster_id")),
+      s"cluster sizing went through a window:\n$p")
+  }
+
   test("as-of join is union + one key window — no join operator at all") {
     val p = plan("j_asof_latest")
     assert(!p.contains("Join"), p)

@@ -92,6 +92,22 @@ class RangeRuleSpec extends SparkSpec {
     assert("explode\\(sequence\\(".r.findAllIn(opt).size == 1, opt)
   }
 
+  test("rule does not re-bin plans built by the rangeJoin operator") {
+    // the operator's containment post-filter gets pushed back into the
+    // join condition by Catalyst, making the join LOOK eligible; the
+    // shared bin-marker name must stop a second explode/equi-conjunct
+    // from stacking on top of the operator's own binning.
+    val df = Temporal.rangeJoin(
+      pts, ivs.withColumnRenamed("uid", "user_id"), Seq("user_id"),
+      "ts", "w_start", "w_end", RangeJoinBinRewrite.DefaultBinMicros)
+    val opt = optimized(df)
+    assert("explode\\(sequence\\(".r.findAllIn(opt).size == 1,
+      s"operator plan was re-binned by the rule:\n$opt")
+    val got = df.select("event_id", "sev").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 7.0), (2L, 7.0), (4L, 8.0)))
+  }
+
   test("non-eligible joins are untouched") {
     // equi-only
     val equi = pts.join(ivs, pts("user_id") === ivs("uid"))
