@@ -238,37 +238,34 @@ object Similarity {
     * Scale shape: each round is one broadcast-join argmin + one
     * per-dimension partial aggregate (posexplode → sum), with only the
     * nlist × dim sum table (tiny) collected to the driver. The corpus
-    * is never collected; 100 TB runs `iters` distributed passes — and
-    * as with the ml-KMeans path, a sample suffices to train at scale.
+    * is never collected; 100 TB runs `iters` distributed passes over
+    * `trainFraction` of it — the quantizer only needs a representative
+    * SAMPLE to place centroids (the tested scale path, not a scaladoc
+    * promise), and only the final cell-assignment pass must see every
+    * row. `trainFraction = 1.0` (the gates' replayable config) trains
+    * on everything and the last round's assignment IS the index.
     */
   private[graft] def quantizedKMeans(df: DataFrame, id: String, vec: String,
-      nlist: Int, dim: Int, iters: Int): (DataFrame, Array[Array[Long]]) = {
+      nlist: Int, dim: Int, iters: Int, trainFraction: Double = 1.0,
+      seed: Long = 17L): (DataFrame, Array[Array[Long]]) = {
     require(iters >= 1, s"quantizedKMeans needs at least one Lloyd's round, got $iters")
-    val spark = df.sparkSession
-    import spark.implicits._
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val qv = graft.CacheRegistry.retain(
       df.repartition(col(id))
         .select(col(id).as("doc"),
           transform(asDouble(col(vec)), x => floor(x * (1L << 20) + 0.5).cast("long")).as("qv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var centroids: Array[Array[Long]] = qv.orderBy(col("doc")).limit(nlist)
+    val trainQv =
+      if (trainFraction >= 1.0) qv
+      else graft.CacheRegistry.retain(
+        qv.sample(withReplacement = false, trainFraction, seed)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var centroids: Array[Array[Long]] = trainQv.orderBy(col("doc")).limit(nlist)
       .collect().map(_.getSeq[Long](1).toArray)
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
-      val cdf = broadcast(centroids.zipWithIndex
-        .map { case (c, j) => (j, c) }.toSeq.toDF("cell", "cv"))
-      // exact integer distances evaluated in doubles (≤ 2^50 < 2^53)
-      val dist = aggregate(
-        zip_with(transform(col("qv"), _.cast("double")),
-          transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      assigned = qv.crossJoin(cdf)
-        .withColumn("dist", dist)
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("doc")).orderBy(col("dist"), col("cell"))))
-        .filter(col("rn") === 1)
-        .select(col("doc"), col("qv"), col("cell"))
+      assigned = assignCells(trainQv, centroids)
       val sums = assigned
         .select(col("cell"), posexplode(col("qv")).as(Seq("d", "q")))
         .groupBy(col("cell"), col("d"))
@@ -285,7 +282,34 @@ object Similarity {
         }
       }
     }
-    (assigned.select(col("doc"), col("cell")), centroids)
+    // full training: the last round's assignment already covers every
+    // row (and is what the SQL oracle replays). Sampled training: one
+    // extra argmin pass assigns the FULL corpus with the fitted
+    // centroids — the only unavoidably full-corpus step.
+    val full = if (trainFraction >= 1.0) assigned else assignCells(qv, centroids)
+    (full.select(col("doc"), col("cell")), centroids)
+  }
+
+  /** One argmin pass of the quantized Lloyd's: nearest centroid per
+    * row by exact integer distance (evaluated in doubles, ≤ 2^50 <
+    * 2^53), ties to the lower cell. */
+  private def assignCells(qv: DataFrame,
+      centroids: Array[Array[Long]]): DataFrame = {
+    val spark = qv.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.zipWithIndex
+      .map { case (c, j) => (j, c) }.toSeq.toDF("cell", "cv"))
+    val dist = aggregate(
+      zip_with(transform(col("qv"), _.cast("double")),
+        transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    qv.crossJoin(cdf)
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc")).orderBy(col("dist"), col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("doc"), col("qv"), col("cell"))
   }
 
   /** IVF ANN top-k with the DETERMINISTIC quantized coarse quantizer —
@@ -299,13 +323,29 @@ object Similarity {
     */
   def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int, nlist: Int, nprobe: Int, dim: Int,
-      iters: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      iters: Int = 10, trainFraction: Double = 1.0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (assigned, centroids) = quantizedKMeans(corpus, id, vec, nlist, dim, iters)
-    val cdf = broadcast(centroids.zipWithIndex
-      .map { case (c, j) => (j, c) }.toSeq.toDF("cell", "cv"))
+    val (assigned, centroids) =
+      quantizedKMeans(corpus, id, vec, nlist, dim, iters, trainFraction)
+    ivfQuantizedSearch(corpus, queries, id, vec, k, nprobe, assigned,
+      centroids.zipWithIndex.map { case (c, j) => (j, c) }.toSeq.toDF("cell", "cv"))
+  }
+
+  /** The SEARCH half of [[ivfQuantizedTopK]], taking a pre-built index
+    * (`assigned` = (doc, cell) rows, `centroids` = (cell, cv) rows —
+    * exactly what [[quantizedKMeans]] returns, round-trippable through
+    * parquet since every value is integral). At scale the index is
+    * built once at ingest and persisted; per-query cost is cell
+    * probing + exact-cosine ranking of the probed cells only. The
+    * registered gates read a session-fixture index through this entry
+    * point, so the bench measures search, not training.
+    */
+  def ivfQuantizedSearch(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nprobe: Int, assigned: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cdf = broadcast(centroids)
     val qdist = aggregate(
       zip_with(transform(col("qqv"), _.cast("double")),
         transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
@@ -364,36 +404,35 @@ object Similarity {
     * Returns (codes (doc, m, cell), codebooks[m][cell][d]).
     */
   private[graft] def pqTrain(df: DataFrame, id: String, vec: String,
-      m: Int, ksub: Int, dim: Int, iters: Int): (DataFrame, Array[Array[Array[Long]]]) = {
-    import org.apache.spark.sql.expressions.Window
+      m: Int, ksub: Int, dim: Int, iters: Int, trainFraction: Double = 1.0,
+      seed: Long = 17L): (DataFrame, Array[Array[Array[Long]]]) = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(iters >= 1, s"pqTrain needs at least one Lloyd's round, got $iters")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val dsub = dim / m
-    val spark = df.sparkSession
-    import spark.implicits._
     val subs = graft.CacheRegistry.retain(
       subspaceRows(df.repartition(col(id)), id, vec, m, dsub)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val initRows = df
+    // sample DOCUMENTS, not (doc, subspace) rows — a codebook trained
+    // on half a vector's subspaces would skew per-subspace statistics
+    val trainDf = if (trainFraction >= 1.0) df
+      else df.sample(withReplacement = false, trainFraction, seed)
+    val trainSubs =
+      if (trainFraction >= 1.0) subs
+      else graft.CacheRegistry.retain(
+        subspaceRows(trainDf.repartition(col(id)), id, vec, m, dsub)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val initRows = trainDf
       .select(col(id).as("doc"), quant20(col(vec)).as("qv"))
       .orderBy(col("doc")).limit(ksub)
       .collect().map(_.getSeq[Long](1).toArray)
     var books: Array[Array[Array[Long]]] = Array.tabulate(m) { mm =>
       initRows.map(_.slice(mm * dsub, mm * dsub + dsub))
     }
-    val dist = aggregate(
-      zip_with(transform(col("sv"), _.cast("double")),
-        transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
     var codes: DataFrame = null
     for (_ <- 0 until iters) {
-      val cdf = broadcast(bookRows(books).toDF("m", "cell", "cv"))
-      val assigned = subs.join(cdf, "m")
-        .withColumn("dist", dist)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc"), col("m")).orderBy(col("dist"), col("cell"))))
-        .filter(col("rn") === 1)
-        .select(col("doc"), col("m"), col("sv"), col("cell"))
+      val assigned = assignSubs(trainSubs, books)
       val sums = assigned
         .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("d", "q")))
         .groupBy(col("m"), col("cell"), col("d"))
@@ -412,10 +451,35 @@ object Similarity {
       }
       codes = assigned.select(col("doc"), col("m"), col("cell"))
     }
+    // sampled training: one extra encode pass assigns EVERY doc's
+    // sub-vectors with the fitted codebooks (full training already
+    // encoded everything in the last round)
+    if (trainFraction < 1.0)
+      codes = assignSubs(subs, books).select(col("doc"), col("m"), col("cell"))
     (codes, books)
   }
 
-  private def bookRows(books: Array[Array[Array[Long]]]): Seq[(Int, Int, Seq[Long])] =
+  /** One encode pass: nearest codebook centroid per (doc, subspace) by
+    * exact integer distance, ties to the lower cell. */
+  private def assignSubs(subs: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = subs.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(bookRows(books).toDF("m", "cell", "cv"))
+    val dist = aggregate(
+      zip_with(transform(col("sv"), _.cast("double")),
+        transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    subs.join(cdf, "m")
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc"), col("m")).orderBy(col("dist"), col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("doc"), col("m"), col("sv"), col("cell"))
+  }
+
+  private[graft] def bookRows(books: Array[Array[Array[Long]]]): Seq[(Int, Int, Seq[Long])] =
     books.zipWithIndex.flatMap { case (cents, mm) =>
       cents.zipWithIndex.map { case (c, j) => (mm, j, c.toSeq) }
     }.toSeq
@@ -432,13 +496,29 @@ object Similarity {
     * recall assertion, not hash noise.
     */
   def pqTopKAdc(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, m: Int, ksub: Int, dim: Int, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int, m: Int, ksub: Int, dim: Int, iters: Int = 3,
+      trainFraction: Double = 1.0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val (codes, books) = pqTrain(corpus, id, vec, m, ksub, dim, iters, trainFraction)
+    pqSearchAdc(queries, id, vec, k, m, dim, codes,
+      bookRows(books).toDF("m", "cell", "cv"))
+  }
+
+  /** The SEARCH half of [[pqTopKAdc]], taking a pre-built index
+    * (`codes` = (doc, m, cell), `books` = (m, cell, cv) — what
+    * [[pqTrain]] returns, parquet-round-trippable: all integral). At
+    * scale the codes table IS the compressed corpus at rest; per-query
+    * cost is the m × ksub distance tabulation plus one aggregate over
+    * the codes. The registered gate reads a session-fixture index
+    * through this entry point, so the bench measures ADC search, not
+    * codebook training.
+    */
+  def pqSearchAdc(queries: DataFrame, id: String, vec: String, k: Int,
+      m: Int, dim: Int, codes: DataFrame, books: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dsub = dim / m
-    val (codes, books) = pqTrain(corpus, id, vec, m, ksub, dim, iters)
-    val cdf = bookRows(books).toDF("m", "cell", "cv")
+    val cdf = books
     val dist = aggregate(
       zip_with(transform(col("qsv"), _.cast("double")),
         transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),

@@ -72,6 +72,40 @@ class IvfSpec extends SparkSpec {
     assert(hits >= 18, s"IVF found only $hits/20 injected near-dup sources")
   }
 
+  test("partial-probe ml-KMeans IVF is a recall probe (the deliberately unregistered config)") {
+    // nprobe=4 of nlist=8 on random near-orthogonal vectors measures
+    // ~0.74 recall — real ANN behavior, but no recall-1 operating point
+    // exists to pin against the exact oracle, and float centroids are
+    // not SQL-replayable. Hence: spec-probed here, gate surface owned
+    // by s_ann_ivf_fullprobe + s_ann_ivf_quantized.
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10))
+    val ivf = pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 4, dim = 64))
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"nprobe=4/8 recall $recall below probe floor")
+  }
+
+  test("sampled quantized-IVF training keeps full-probe exactness and partial-probe recall") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10))
+    // full probe is exact whatever the (sampled) centroids look like
+    val sampledFull = pairs(Similarity.ivfQuantizedTopK(emb, q, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 8, dim = 64, iters = 4, trainFraction = 0.3))
+    assert(sampledFull == brute)
+    // partial probe: recall within a modest dip of full training
+    def recall(tf: Double): Double = {
+      val got = pairs(Similarity.ivfQuantizedTopK(emb, q, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 4, dim = 64, iters = 4, trainFraction = tf))
+      (got & brute).size.toDouble / brute.size
+    }
+    val full = recall(1.0)
+    val sampled = recall(0.3)
+    assert(sampled >= full - 0.2, s"sampled-training recall $sampled vs full $full")
+  }
+
   test("quantized IVF: full probe equals brute force; partition-invariant") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     val q = emb.filter(col("vec_id") < 3)

@@ -79,6 +79,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ recall $recall below floor")
   }
 
+  test("PQ sampled codebook training: recall parity with full training") {
+    // the 100 TB path: Lloyd's rounds see trainFraction of the corpus,
+    // then ONE encode pass covers every doc. Quality must track full
+    // training — ADC results can differ row-for-row (different
+    // codebooks) but recall vs exact cosine has to hold up.
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(tf: Double): Double = {
+      val pq = Similarity.pqTopKAdc(emb, q, "vec_id", "embedding",
+        k = 10, m = 8, ksub = 16, dim = 64, iters = 3, trainFraction = tf)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (pq & brute).size.toDouble / brute.size
+    }
+    val full = recall(1.0)
+    val sampled = recall(0.3)
+    // a 30% sample must not cost more than a modest recall dip (and
+    // must clear the same absolute floor as the full-training test)
+    assert(sampled >= full - 0.15 && sampled >= 0.2,
+      s"sampled-training recall $sampled vs full $full")
+  }
+
   test("PQ/ADC distance equals a driver-side reference on the trained codebooks") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val (codes, books) = Similarity.pqTrain(emb, "vec_id", "embedding",
