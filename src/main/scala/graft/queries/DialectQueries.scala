@@ -20,8 +20,10 @@ import java.sql.Timestamp
 object DialectQueries {
 
   /** Frozen "now" for gate queries: just past the last event in the
-    * fixtures' January 2024 span. */
-  private val FrozenNow = Timestamp.valueOf("2024-01-31 00:00:00")
+    * fixtures' January 2024 span. Shared with ExportQueries' ad-hoc
+    * relative-window export so every ago()-anchored gate agrees on the
+    * clock. */
+  private[queries] val FrozenNow = Timestamp.valueOf("2024-01-31 00:00:00")
 
   def defs: Seq[QDef] = Seq(
 

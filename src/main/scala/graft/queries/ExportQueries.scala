@@ -177,6 +177,104 @@ object ExportQueries {
           |            AS BIGINT) AS sum_quality
           |FROM e GROUP BY batch ORDER BY batch""".stripMargin)),
 
+    // §1.6 retention as a GATE (was spec-only): both lake layouts are
+    // built, partitions below a cutoff are expired, and the SURVIVING
+    // lakes' per-partition aggregates hash-check against an oracle
+    // re-deriving the same windows from source — proving expiry
+    // removed exactly the partitions below the cutoff and byte-touched
+    // nothing else. The Spark analog of Timestream's magnetic-store
+    // retention (README.md:87-90: configurable retention per table).
+    QDef(
+      "s11_retention_expiry",
+      (s, dir) => {
+        val lakes = Fixtures.dir("retention_lakes", dir) { o =>
+          val events = Tables.events(s, dir)
+          // hive layout: all five weekly windows, expire the first two
+          Exporter.backfillOnePass(events, P, s"$o/hive", windows)
+          Exporter.dropPartitionsOlderThan(s, s"$o/hive", s"${windows(2)._1}T00-00")
+          // raw-prefix layout: two windows, expire the first
+          windows.take(2).foreach { case (st, en) =>
+            Exporter.exportWindowRawPrefix(events, P, s"$o/raw", st, en)
+          }
+          Exporter.dropPartitionsOlderThan(s, s"$o/raw", s"${windows(1)._1}T00-00")
+        }
+        val hive = Exporter.readExport(s, s"$lakes/hive")
+          .select(lit("hive").as("layout"),
+            col("partition_key").cast("string").as("partition_key"),
+            col("user_id"), col("temperature"))
+        val raw = Exporter.readRawPrefixExport(s, s"$lakes/raw")
+          .select(lit("raw").as("layout"), col("partition_key"),
+            col("user_id"), col("temperature"))
+        hive.unionByName(raw)
+          .groupBy(col("layout"), col("partition_key"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(round(col("temperature") * 100).cast("long")).as("sum_cents"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("layout"), col("partition_key"))
+      },
+      Some {
+        val survivors =
+          windows.drop(2).map(("hive", _)) ++ Seq(("raw", windows(1)))
+        val parts = survivors.zipWithIndex.map { case ((layout, (st, en)), i) =>
+          val where = s" WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$st'" +
+            s" AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$en'"
+          val defs = TimeSeriesQueries.gridCteDefs(s"_rt$i", where)
+          val select =
+            s"""SELECT '$layout' AS layout, '${st}T00-00' AS partition_key,
+               |       count(*) AS n_rows,
+               |       CAST(sum(CAST(round(temperature * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+               |       count(DISTINCT user_id) AS n_users
+               |FROM (
+               |  SELECT user_id, time, floor(avg(temperature) * 100 + 0.5) / 100.0 AS temperature
+               |  FROM gridded_rt$i GROUP BY user_id, time
+               |)""".stripMargin
+          (defs, select)
+        }
+        s"""WITH ${parts.map(_._1).mkString(",\n")}
+           |SELECT * FROM (
+           |${parts.map(_._2).mkString("\nUNION ALL\n")}
+           |)
+           |ORDER BY layout, partition_key""".stripMargin
+      }),
+
+    // The reference's AD-HOC export DAG
+    // (mwaa/mwaa-cdk/dags/timestream-airflow-glue-adhoc.py:45-47): a
+    // sliding now()-offset window resolved AT RUN TIME — the
+    // deliberately non-idempotent contrast to c6's fixed [start, end)
+    // (re-running it under a moving clock lands a different window).
+    // Composed here from the dialect's ago()/ts_now() under the shared
+    // frozen gate clock, widened from the DAG's 65m..60m offsets to
+    // 48h..24h so every SF has observations inside the window; the
+    // export itself is the same idempotent-per-key exportWindow.
+    QDef(
+      "c7_adhoc_export",
+      (s, dir) => {
+        graft.functions.Dialect.register(s, now = Some(DialectQueries.FrozenNow))
+        val b = s.sql(
+          "SELECT date_format(ago('48h'), 'yyyy-MM-dd HH:mm:ss') AS st, " +
+            "date_format(ago('24h'), 'yyyy-MM-dd HH:mm:ss') AS en").head()
+        val (st, en) = (b.getString(0), b.getString(1))
+        val out = Fixtures.dir("adhoc_export", dir) { o =>
+          Exporter.exportWindow(Tables.events(s, dir), P, o, st, en)
+        }
+        Exporter.readExport(s, out)
+          .select(col("partition_key").cast("string").as("partition_key"),
+            col("user_id"), col("time"), col("status"), col("temperature"))
+          .orderBy(col("user_id"), col("time"))
+      },
+      Some {
+        // FrozenNow − 48h .. − 24h, resolved statically for the oracle
+        val where = " WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-29 00:00:00'" +
+          " AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-30 00:00:00'"
+        s"""WITH ${TimeSeriesQueries.gridCteDefs("_ad", where)}
+           |SELECT '2024-01-29T00-00' AS partition_key, user_id, time,
+           |       min(status) AS status,
+           |       floor(avg(temperature) * 100 + 0.5) / 100.0 AS temperature
+           |FROM gridded_ad GROUP BY user_id, time
+           |ORDER BY user_id, time""".stripMargin
+      }),
+
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,
     // crawled WITHOUT names (all-string col1..colN, header lines

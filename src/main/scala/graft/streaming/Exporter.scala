@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.operators.TimeSeries
 import graft.operators.TimeSeries.GridParams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.hadoop.fs.Path
 
 /** C6/S6 — the scheduled incremental export of the reference
@@ -182,6 +183,95 @@ object Exporter {
     spark.read.parquet(s"$outDir/*")
       .withColumn("partition_key",
         regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
+
+  /** The reference's LIVE scheduled export — a 5-minute cron DAG,
+    * catchup=False (mwaa/mwaa-cdk/dags/timestream-airflow-demo.py:88,
+    * `:79`) — as a Structured Streaming query, so no external scheduler
+    * is needed: the event stream itself drives the ticks. Per
+    * micro-batch (`Trigger.ProcessingTime(cadence)` live, matching the
+    * DAG's cadence; `Trigger.AvailableNow()` to drain-and-stop):
+    *
+    *  1. the batch's raw events land under `stagingDir/b<batchId>`
+    *     (overwrite BY BATCH ID — a replayed batch rewrites the same
+    *     prefix, so staging is idempotent under foreachBatch replay);
+    *  2. every step-aligned window that is COMPLETE with respect to
+    *     the staged data — a staged event at-or-after the window end
+    *     proves it closed; the deterministic, replay-stable analog of
+    *     the DAG's wall-clock `now()-5m..now()` — and whose partition
+    *     is not yet in the lake is exported through the same
+    *     idempotent [[exportWindow]] the scheduled and backfill forms
+    *     use. Complete-but-missing is exactly catchup=False: missed
+    *     ticks are picked up once, on the next tick that sees them.
+    *
+    * Restart with the same checkpoint resumes source offsets
+    * exactly-once; a crash mid-export replays one batch, which
+    * re-stages the same rows and re-overwrites the same partitions —
+    * the lake converges to the batch-backfill answer with no duplicate
+    * partitions (ExporterSpec: stream-vs-batch parity + restart).
+    *
+    * Scale shape: the per-tick cost is one partition-name listing plus
+    * one windowed flagship per NEW window; the min/max completeness
+    * probe reads parquet footer stats. In production the staging lake
+    * is the (date-partitioned) ingest lake, so each window's filter
+    * partition-prunes instead of scanning history.
+    */
+  def continuousExport(events: DataFrame, p: GridParams, stagingDir: String,
+      outDir: String, checkpointDir: String, stepMicros: Long,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(events.isStreaming, "continuousExport expects a streaming DataFrame")
+    require(stepMicros > 0 && stepMicros % 1000000L == 0,
+      s"stepMicros must be a positive whole number of seconds, got $stepMicros")
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$stagingDir/b$id")
+        val spark = batch.sparkSession
+        val staged = spark.read.parquet(s"$stagingDir/b*")
+        exportCompleteWindows(staged, p, outDir, stepMicros)
+        ()
+      }
+      .start()
+  }
+
+  /** One tick of [[continuousExport]]: export every step-aligned
+    * window complete w.r.t. `staged` and absent from `outDir`. Window
+    * k = [k·step, (k+1)·step) is complete iff (k+1)·step ≤ max staged
+    * event time. Returns the exported partition keys (testing hook).
+    * Bounds and keys are rendered THROUGH the session-timezone cast
+    * (driver-side string formatting could skew an hour against
+    * [[exportWindow]]'s own casts).
+    */
+  private[graft] def exportCompleteWindows(staged: DataFrame, p: GridParams,
+      outDir: String, stepMicros: Long): Seq[String] = {
+    val spark = staged.sparkSession
+    val mm = staged.agg(
+      min(unix_micros(col(p.time))).as("lo"),
+      max(unix_micros(col(p.time))).as("hi")).head()
+    if (mm.isNullAt(0)) return Nil
+    val first = Math.floorDiv(mm.getLong(0), stepMicros)
+    val lastComplete = Math.floorDiv(mm.getLong(1), stepMicros) - 1
+    if (lastComplete < first) return Nil
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing: Set[String] =
+      if (fs.exists(new Path(outDir)))
+        fs.listStatus(new Path(outDir)).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(_.startsWith("partition_key="))
+          .map(_.stripPrefix("partition_key=")).toSet
+      else Set.empty
+    val todo = spark.range(first, lastComplete + 1)
+      .select(
+        date_format(timestamp_micros(col("id") * stepMicros),
+          "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format(timestamp_micros((col("id") + 1) * stepMicros),
+          "yyyy-MM-dd HH:mm:ss").as("e"),
+        date_format(timestamp_micros(col("id") * stepMicros), KeyFormat).as("k"))
+      .collect()
+      .filterNot(r => existing.contains(r.getString(2)))
+    todo.foreach(r => exportWindow(staged, p, outDir, r.getString(0), r.getString(1)))
+    todo.map(_.getString(2)).toSeq
+  }
 
   /** §1.6 retention: drop export partitions whose key sorts strictly
     * below `cutoffKey` (the KeyFormat is lexicographically ordered by

@@ -175,6 +175,68 @@ class ExporterSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("continuous exporter: streaming ticks equal batch backfill; restart adds no duplicate partitions") {
+    val in = freshDir; val staging = freshDir; val out = freshDir; val ckpt = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    // the stream source: January's events arriving in TIME ORDER (4
+    // sequential files, one per ~week), drained over several
+    // micro-batches. Completeness-by-max-event-time assumes a roughly
+    // time-ordered stream — the same contract as the reference DAG's
+    // wall-clock window (its C2 processing-time divergence, documented
+    // there), so the fixture must honor it.
+    Seq(("2024-01-01", "2024-01-09"), ("2024-01-09", "2024-01-17"),
+      ("2024-01-17", "2024-01-25"), ("2024-01-25", "2024-02-01")).foreach {
+      case (s, e) =>
+        events.filter(col("ts") >= lit(s).cast("timestamp") &&
+          col("ts") < lit(e).cast("timestamp"))
+          .coalesce(1).write.mode("append").parquet(in)
+    }
+    val step = 7L * 24 * 3600 * 1000000L // weekly windows, epoch-aligned
+    def run(): Unit = {
+      val src = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Exporter.continuousExport(src, P, staging, out, ckpt, step)
+      q.awaitTermination()
+    }
+    run()
+    val gotKeys = Exporter.readExport(spark, out)
+      .select("partition_key").distinct().collect().map(_.getString(0)).toSet
+    // batch ground truth: backfill exactly the windows the stream saw
+    // as complete (an event at-or-after each window's end exists)
+    val hi = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val windows = gotKeys.toSeq.sorted.map { k =>
+      val s = java.time.LocalDateTime.parse(k, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm"))
+      (s.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")),
+        s.plusDays(7).format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+    }
+    // every streamed window really is complete, and nothing complete is missing
+    windows.foreach { case (_, e) =>
+      assert(java.sql.Timestamp.valueOf(e).getTime * 1000 <= hi, s"incomplete window exported: $e") }
+    val outB = freshDir
+    Exporter.backfill(events, P, outB, windows)
+    val cols = Seq("partition_key", "user_id", "time", "status", "temperature")
+    val a = Exporter.readExport(spark, out).select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    val b = Exporter.readExport(spark, outB).select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // restart with the same checkpoint: one late file closes the next
+    // window; the rerun exports ONLY that window, no duplicates
+    val closer = events.limit(1)
+      .withColumn("ts", lit("2024-02-12 00:00:00").cast("timestamp"))
+    closer.write.mode("append").parquet(in)
+    run()
+    val after = Exporter.readExport(spark, out)
+      .select("partition_key").distinct().collect().map(_.getString(0)).toSet
+    assert(gotKeys.subsetOf(after), "restart dropped existing partitions")
+    assert((after -- gotKeys).size >= 1, "restart exported nothing new")
+    // previously exported windows are untouched row-for-row
+    val aAfter = Exporter.readExport(spark, out)
+      .filter(col("partition_key").isin(gotKeys.toSeq: _*))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(aAfter == a)
+  }
+
   test("raw-prefix layout holds the same data as the hive layout, key recovered from the path") {
     val outHive = freshDir; val outRaw = freshDir
     val events = Tables.events(spark, sf("sf0.001"))
