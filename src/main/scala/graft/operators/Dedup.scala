@@ -353,13 +353,19 @@ object Dedup {
     * deterministic row order sort at the edge.
     */
   private def clusterOutput(nodes: DataFrame, labels: DataFrame): DataFrame = {
-    val labeled = nodes
+    // sizes come from the (checkpointed, pair-graph-sized) label table,
+    // not from the full corpus: every member of a non-trivial cluster
+    // is edge-touched, so counting labels counts the cluster — and
+    // docs without a label are singletons (size 1 via the left join).
+    // This also scans the nodes⋈labels join exactly once.
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    nodes
       .join(labels, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("label"), col("doc")).as("cluster_id"))
-    val sizes = labeled.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, "cluster_id")
-      .select(col("doc"), col("cluster_id"), col("cluster_size"),
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         (col("doc") === col("cluster_id")).cast("boolean").as("is_canonical"))
   }
 
