@@ -315,6 +315,64 @@ object Sketch {
         .otherwise(array().cast("array<string>"))).as("gram"))
   }
 
+  // ---------------------------------------------------------------------------
+  // Bloom filter — semi-join pruning
+  // ---------------------------------------------------------------------------
+
+  /** The k bucket positions of a string key in an m-bit Bloom filter:
+    * bucket j = first 8 md5 hex chars of "bloom:j:key" (32 uniform
+    * bits) pmod m. md5-derived like every sketch here, so a DuckDB
+    * oracle reproduces every bucket — and therefore every false
+    * positive — bit-for-bit: the pruning gate is a hash check, not a
+    * tolerance check. m ≤ 2^30 keeps pmod well inside the 32-bit
+    * uniform's range (bias ≤ 2^-2 of a ulp per bucket, identical in
+    * both engines since the arithmetic is).
+    */
+  def bloomBuckets(key: Column, k: Int, m: Int): Column = {
+    require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
+    require(m >= 64 && m <= (1 << 30) && (m & 63) == 0,
+      s"bloom m must be a multiple of 64 in [64, 2^30], got $m")
+    array((0 until k).map { j =>
+      pmod(conv(substring(md5(concat(lit(s"bloom:$j:"), key)), 1, 8), 16, 10)
+        .cast("long"), lit(m.toLong))
+    }: _*)
+  }
+
+  /** Build the packed bitset from the build side's keys: one distinct
+    * hash-aggregate over ≤ n·k bucket values (map-side combined, never
+    * more than m distinct rows shuffle), then m/64 longs — m=2^20 is
+    * 128 KiB — collect to the driver. The ONLY driver-side data is the
+    * filter itself, exactly like the centroid/codebook model state of
+    * the ANN family.
+    */
+  def bloomBuild(build: DataFrame, key: String, k: Int, m: Int): Array[Long] = {
+    val words = new Array[Long](m / 64)
+    build
+      .select(explode(bloomBuckets(col(key).cast("string"), k, m)).as("bucket"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val b = r.getLong(0)
+        words((b >>> 6).toInt) |= 1L << (b & 63L).toInt
+      }
+    words
+  }
+
+  /** Probe-side pruning: keep rows whose key MIGHT be in the filter.
+    * A map-side codegen'd filter ([[graft.functions.BloomMightContain]]
+    * — the bitset rides the plan) — the probe table is never shuffled
+    * and never joined, which is the entire value of Bloom pruning at
+    * 100 TB: the exact semi-join this precedes only sees the rows that
+    * survive. False positives pass (by design, deterministically);
+    * false negatives are impossible.
+    */
+  def bloomPrune(probe: DataFrame, key: String, words: Array[Long],
+      k: Int, m: Int): DataFrame = {
+    require(words.length * 64 == m, s"bitset has ${words.length * 64} bits, expected $m")
+    probe.filter(graft.functions.BloomFunctions.bloomMightContain(
+      bloomBuckets(col(key).cast("string"), k, m), words))
+  }
+
   /** DuckDB replay of [[topKNgrams]]'s SEMANTICS (exact top-k; the
     * sketch side is exact under the asserted frequency bound). */
   def topKNgramsOracleSql(src: String, text: String, n: Int, k: Int): String = {

@@ -70,5 +70,76 @@ object SketchQueries {
       "k_heavy_ngrams",
       (s, dir) => Sketch.topKNgrams(
         Tables.documents(s, dir), "text", n = 3, k = 20),
-      Some(Sketch.topKNgramsOracleSql("documents", "text", n = 3, k = 20))))
+      Some(Sketch.topKNgramsOracleSql("documents", "text", n = 3, k = 20))),
+
+    // Bloom semi-join pruning: the filter is built from the "hot"
+    // users (≥ 17 error events), the whole events table is pruned by a
+    // MAP-SIDE membership test (no shuffle, no join — the packed
+    // bitset rides the plan inside a native codegen'd expression), and
+    // the gate hash-checks per-type row counts / bloom passes / true
+    // members. Because the buckets are md5-derived, the oracle
+    // rebuilds the exact bitset in SQL — every FALSE POSITIVE is
+    // reproduced bit-for-bit, so the approximation itself is under the
+    // hash, not a tolerance. (At sf0.01 the filter is sparse and FPs
+    // are ~0; at sf0.1 load factor ≈ 0.45 makes pruning-with-FPs the
+    // measured behavior.)
+    QDef(
+      "k_bloom_prune",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val build = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+          .filter(col("n_err") >= 17)
+          .select(col("user_id"))
+        val words = Sketch.bloomBuild(build, "user_id", k = BloomK, m = BloomM)
+        val pass = Sketch.bloomPrune(ev, "user_id", words, BloomK, BloomM)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_pass"))
+        val truth = ev.join(broadcast(build), Seq("user_id"), "left_semi")
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+        ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+          .join(pass, "event_type")
+          .join(truth, "event_type")
+          .select(col("event_type"), col("n_rows"), col("n_pass"), col("n_true"))
+          .orderBy(col("event_type"))
+      },
+      Some(bloomOracle)))
+
+  private val BloomK = 3
+  private val BloomM = 1024
+
+  /** DuckDB BIGINT parse of the first 8 md5 hex chars of `arg` —
+    * the same 32 uniform bits Spark's conv(substring(md5, 1, 8), 16,
+    * 10) extracts (first term cast keeps the fold in BIGINT). */
+  private def parse8(arg: String): String =
+    (1 to 8).map { i =>
+      s"(instr('0123456789abcdef', substr(md5($arg), $i, 1)) - 1)"
+    }.reduceLeft((a, b) => s"(CAST($a AS BIGINT) * 16 + $b)")
+
+  private def bloomOracle: String = {
+    val keyHash = parse8("'bloom:' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    s"""WITH build AS (
+       |  SELECT user_id FROM events WHERE event_type = 'error'
+       |  GROUP BY user_id HAVING count(*) >= 17
+       |), bits AS (
+       |  SELECT DISTINCT $keyHash % $BloomM AS bucket
+       |  FROM build, generate_series(0, ${BloomK - 1}) js(j)
+       |), pu AS (
+       |  SELECT DISTINCT user_id FROM events
+       |), pb AS (
+       |  SELECT user_id, $keyHash % $BloomM AS bucket
+       |  FROM pu, generate_series(0, ${BloomK - 1}) js(j)
+       |), pass AS (
+       |  SELECT pb.user_id FROM pb JOIN bits USING (bucket)
+       |  GROUP BY pb.user_id HAVING count(*) = $BloomK
+       |)
+       |SELECT event_type,
+       |       count(*) AS n_rows,
+       |       count(CASE WHEN p.user_id IS NOT NULL THEN 1 END) AS n_pass,
+       |       count(CASE WHEN b.user_id IS NOT NULL THEN 1 END) AS n_true
+       |FROM events e
+       |LEFT JOIN pass p ON p.user_id = e.user_id
+       |LEFT JOIN build b ON b.user_id = e.user_id
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
 }

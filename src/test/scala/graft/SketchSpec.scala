@@ -127,4 +127,52 @@ class SketchSpec extends SparkSpec {
     val grams = Sketch.ngramStream(df, "text", 3).as[String].collect().sorted
     assert(grams.toSeq == Seq("a b a", "b a b", "a b a").sorted)
   }
+
+  test("bloom: no false negatives, FPs match a driver-side reference bitset") {
+    val (k, m) = (3, 512)
+    val members = (0 until 40).map(i => s"member_$i")
+    val others = (0 until 200).map(i => s"other_$i")
+    val build = members.toDF("key")
+    val words = Sketch.bloomBuild(build, "key", k, m)
+    // driver-side reference: same md5 construction, independent code
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def buckets(key: String): Seq[Long] = (0 until k).map { j =>
+      val hex = md.digest(s"bloom:$j:$key".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    val refBits = members.flatMap(buckets).toSet
+    def refMight(key: String): Boolean = buckets(key).forall(refBits.contains)
+    val got = Sketch.bloomPrune((members ++ others).toDF("key"), "key", words, k, m)
+      .as[String].collect().toSet
+    val want = (members ++ others).filter(refMight).toSet
+    assert(got == want)
+    assert(members.toSet.subsetOf(got), "false negative!") // impossible by construction
+    assert((got -- members).nonEmpty, // at this load factor FPs must occur
+      s"expected false positives at load ${refBits.size}/$m")
+  }
+
+  test("bloom pruning is a map-side filter: no join, no shuffle, codegen'd membership") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val words = Sketch.bloomBuild(ev.select(col("user_id")).limit(10), "user_id", 3, 1024)
+    val plan = Sketch.bloomPrune(ev, "user_id", words, 3, 1024)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.contains("Join"), s"bloom pruning planned a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"bloom pruning planned a shuffle:\n$plan")
+  }
+
+  test("bloom membership expression: out-of-range buckets fail closed, null elements null out") {
+    import graft.functions.BloomFunctions.bloomMightContain
+    val words = Array.fill(4)(-1L) // all 256 bits set
+    val df = Seq(
+      (1L, Seq[java.lang.Long](0L, 255L)),   // in range, set -> true
+      (2L, Seq[java.lang.Long](256L)),       // beyond bitset -> false, not OOB read
+      (3L, Seq[java.lang.Long](-1L)),        // negative -> false
+      (4L, Seq[java.lang.Long](0L, null))    // null element -> null
+    ).toDF("id", "buckets")
+    val got = df.select(col("id"), bloomMightContain(col("buckets"), words).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> null))
+  }
 }
