@@ -373,6 +373,52 @@ object Sketch {
       bloomBuckets(col(key).cast("string"), k, m), words))
   }
 
+  // ---------------------------------------------------------------------------
+  // CountMin — point-frequency sketch
+  // ---------------------------------------------------------------------------
+
+  /** Row-i bucket of a key in a width-w CountMin sketch: first 8 md5
+    * hex chars of "cm:i:key" (32 uniform bits) pmod w — md5-derived
+    * like the whole sketch family, so a DuckDB oracle rebuilds every
+    * counter, and therefore every collision-overcount, bit-for-bit. */
+  private def cmBucket(key: Column, i: Int, w: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cm:$i:"), key)), 1, 8), 16, 10)
+      .cast("long"), lit(w.toLong))
+
+  private def cmPairs(key: Column, d: Int, w: Int): Column =
+    array((0 until d).map { i =>
+      struct(lit(i).as("i"), cmBucket(key, i, w).as("bucket"))
+    }: _*)
+
+  /** Build the d×w counter table from an item stream (one row per
+    * OCCURRENCE): each item increments one counter per row. One hash
+    * aggregate over d×N exploded pairs with map-side combine — the
+    * shuffle is bounded by d×w rows REGARDLESS of vocabulary or input
+    * size, which is the sketch's scale property (an exact frequency
+    * table shuffles every distinct key). Counters are plain sums, so
+    * shard sketches merge by adding counters (roll-up, spec'd). */
+  def countMinBuild(items: DataFrame, key: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"countMin depth must be in [1, 8], got $d")
+    require(w >= 16, s"countMin width must be >= 16, got $w")
+    items
+      .select(explode(cmPairs(col(key).cast("string"), d, w)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates: est(key) = min over rows of the key's
+    * counter — the classic CountMin upper bound (never undercounts;
+    * overcounts only by colliding keys, ≈ N/w per row). The query set
+    * is tiny and broadcast against the (≤ d×w row) sketch. */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame, key: String,
+      d: Int, w: Int): DataFrame =
+    queries
+      .select(col(key), explode(cmPairs(col(key).cast("string"), d, w)).as("e"))
+      .select(col(key), col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .join(sketch, Seq("i", "bucket"), "left")
+      .groupBy(col(key))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
+
   /** DuckDB replay of [[topKNgrams]]'s SEMANTICS (exact top-k; the
     * sketch side is exact under the asserted frequency bound). */
   def topKNgramsOracleSql(src: String, text: String, n: Int, k: Int): String = {

@@ -102,10 +102,72 @@ object SketchQueries {
           .select(col("event_type"), col("n_rows"), col("n_pass"), col("n_true"))
           .orderBy(col("event_type"))
       },
-      Some(bloomOracle)))
+      Some(bloomOracle)),
+
+    // CountMin point-frequency: the d×w counter table built over every
+    // trigram occurrence (shuffle bounded by d×w whatever the
+    // vocabulary), then the exact top-20 grams plus two known-absent
+    // probes estimated by the row-minimum rule. The oracle rebuilds
+    // every counter from the same md5 buckets, so collision overcounts
+    // — the sketch's entire error story — are hash-checked exactly.
+    // (This corpus is CM's adversarial case: near-uniform counts mean
+    // estimates ride ≈ N/w above truth; the gate pins that behavior
+    // rather than hiding it, and SketchSpec asserts the one-sided
+    // bound est ≥ exact.)
+    QDef(
+      "k_cm_freq",
+      (s, dir) => {
+        val sp = s; import sp.implicits._
+        val grams = Sketch.ngramStream(Tables.documents(s, dir), "text", n = 3)
+        val cm = Sketch.countMinBuild(grams, "gram", d = CmD, w = CmW)
+        val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("exact_cnt"))
+        val qset = exact.orderBy(desc("exact_cnt"), col("gram")).limit(20)
+          .select(col("gram"))
+          .unionByName(Seq("zz zz zz", "qq qq qq").toDF("gram"))
+        Sketch.countMinEstimate(cm, qset, "gram", d = CmD, w = CmW)
+          .join(exact, Seq("gram"), "left")
+          .select(col("gram"), col("cm_estimate"),
+            coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+          .orderBy(col("gram"))
+      },
+      Some(cmOracle)))
 
   private val BloomK = 3
   private val BloomM = 1024
+  private val CmD = 4
+  private val CmW = 65536
+
+  private def cmOracle: String = {
+    val gramHash = parse8("'cm:' || CAST(j AS VARCHAR) || ':' || gram")
+    s"""WITH w AS (
+       |  SELECT string_split(text, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT unnest(CASE WHEN len(ws) >= 3 THEN list_transform(
+       |           generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+       |         ELSE [] END) AS gram
+       |  FROM w
+       |), ex AS (
+       |  SELECT gram, count(*) AS exact_cnt FROM g GROUP BY gram
+       |), cm AS (
+       |  SELECT j AS i, $gramHash % $CmW AS bucket, count(*) AS cnt
+       |  FROM g, generate_series(0, ${CmD - 1}) js(j)
+       |  GROUP BY 1, 2
+       |), qs AS (
+       |  SELECT gram FROM (SELECT gram FROM ex ORDER BY exact_cnt DESC, gram LIMIT 20)
+       |  UNION ALL SELECT 'zz zz zz' UNION ALL SELECT 'qq qq qq'
+       |), qb AS (
+       |  SELECT gram, j AS i, $gramHash % $CmW AS bucket
+       |  FROM qs, generate_series(0, ${CmD - 1}) js(j)
+       |), est AS (
+       |  SELECT qb.gram, min(COALESCE(cm.cnt, 0)) AS cm_estimate
+       |  FROM qb LEFT JOIN cm USING (i, bucket)
+       |  GROUP BY qb.gram
+       |)
+       |SELECT est.gram, CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       |       CAST(COALESCE(ex.exact_cnt, 0) AS BIGINT) AS exact_cnt
+       |FROM est LEFT JOIN ex ON ex.gram = est.gram
+       |ORDER BY est.gram""".stripMargin
+  }
 
   /** DuckDB BIGINT parse of the first 8 md5 hex chars of `arg` —
     * the same 32 uniform bits Spark's conv(substring(md5, 1, 8), 16,

@@ -128,6 +128,41 @@ class SketchSpec extends SparkSpec {
     assert(grams.toSeq == Seq("a b a", "b a b", "a b a").sorted)
   }
 
+  test("countMin never undercounts, hits exactly when collision-free, and merges by summing") {
+    val items = (Seq.fill(50)("alpha") ++ Seq.fill(7)("beta") ++
+      (0 until 200).map(i => s"tail_$i")).toDF("k")
+    val (d, w) = (4, 4096)
+    val cm = Sketch.countMinBuild(items, "k", d, w)
+    val queries = Seq("alpha", "beta", "tail_0", "absent").toDF("k")
+    val est = Sketch.countMinEstimate(cm, queries, "k", d, w)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("alpha" -> 50L, "beta" -> 7L, "tail_0" -> 1L, "absent" -> 0L)
+    // one-sided error: min-of-counters can only overcount
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"$k: ${est(k)} < $n") }
+    // at 257 items over 4096 buckets collisions are overwhelmingly
+    // unlikely in all 4 rows at once for every probe — demand exactness
+    assert(est == exact, s"collision where none expected: $est")
+    // merge = counter addition: shard sketches summed == one-pass sketch
+    val shardA = Sketch.countMinBuild(items.limit(100), "k", d, w)
+    val shardB = Sketch.countMinBuild(
+      items.exceptAll(items.limit(100)), "k", d, w)
+    val merged = shardA.unionByName(shardB)
+      .groupBy(col("i"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val onePass = cm.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == onePass)
+  }
+
+  test("countMin is invariant under repartitioning") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val grams = Sketch.ngramStream(docs, "text", 3)
+    val a = Sketch.countMinBuild(grams, "gram", 4, 1024)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Sketch.countMinBuild(grams.repartition(13), "gram", 4, 1024)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bloom: no false negatives, FPs match a driver-side reference bitset") {
     val (k, m) = (3, 512)
     val members = (0 until 40).map(i => s"member_$i")
