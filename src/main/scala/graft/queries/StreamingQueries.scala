@@ -74,7 +74,40 @@ object StreamingQueries {
           max(col("temperature")).as("max_temp"),
           count_distinct(col("sensor_id")).as("n_sensors"))
         .orderBy(col("status")),
-      Some(generatorOracle(sensors = 100, ticks = 600)))
+      Some(generatorOracle(sensors = 100, ticks = 600))),
+
+    // The stream-stream interval join's BATCH semantics as a hash gate
+    // (the attribution shape: purchases within 1 hour after a click,
+    // same user). StreamJoin.intervalJoin is ONE implementation for
+    // both modes — StreamJoinSpec pins streamed micro-batches ≡ this
+    // exact batch answer, and this row pins the batch answer against
+    // an independent DuckDB range join.
+    QDef(
+      "j_stream_interval",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        graft.streaming.StreamJoin.intervalJoin(clicks, purchases, "user_id",
+          "click_ts", "purchase_ts", watermark = "2 hours",
+          before = "0 seconds", after = "1 hour")
+          .select(col("user_id"), col("click_id"), col("purchase_id"), col("cents"))
+          .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      },
+      Some(
+        """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+          |       CAST(round(p.value * 100) AS BIGINT) AS cents
+          |FROM (SELECT * FROM events WHERE event_type = 'click') c
+          |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          |  ON p.user_id = c.user_id
+          | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+          | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+          |ORDER BY c.user_id, click_id, purchase_id""".stripMargin))
   )
 
   /** DuckDB mirror of Generator.generate: md5-nibble uniforms (first 6

@@ -153,6 +153,29 @@ class SketchSpec extends SparkSpec {
     assert(merged == onePass)
   }
 
+  test("countMin counters accumulate identically under Structured Streaming") {
+    // like the HLL registers, the counter table is one aggregate, so
+    // the SAME countMinBuild call is streaming-legal with state
+    // bounded at d×w rows forever — frequency sketching on an
+    // unbounded stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val items = (1 to 500).map(i => s"it_${i % 37}")
+    val ms = MemoryStream[String]
+    val q = Sketch.countMinBuild(ms.toDS().toDF("k"), "k", 4, 256)
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(items.take(200)); q.processAllAvailable()
+      ms.addData(items.drop(200)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cm_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketch.countMinBuild(items.toDF("k"), "k", 4, 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("countMin is invariant under repartitioning") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val grams = Sketch.ngramStream(docs, "text", 3)
