@@ -205,4 +205,54 @@ object TimeSeries {
     lows.unionByName(highs)
       .orderBy(col(key), col("bin_ts"), col("role"))
   }
+
+  /** OHLC candle downsampling: per (key, bin) the first (open), max
+    * (high), min (low), and last (close) value — the other classic
+    * rendering/feature reduction next to [[downsampleMinMax]]. ONE
+    * hash aggregate with map-side combine (min_by/max_by partials —
+    * no window sort, no second pass): at 100 TB the shuffle carries
+    * (key, bin) groups, never observations. Open/close are picked by
+    * `min_by`/`max_by` over a composite (time, tiebreak) BIGINT so
+    * ties are deterministic; the tiebreak must be unique and <
+    * 1,000,000 to keep the composite exact in int64 (micros × 10^6 +
+    * id — fine through this fixture family; widen the multiplier
+    * discipline before reusing on larger id spaces).
+    */
+  def ohlc(df: DataFrame, key: String, time: String, value: String,
+      tiebreak: String, stepSeconds: Long): DataFrame = {
+    // epoch-relative micros keep (micros × 1e6 + id) inside int64
+    val ord = (unix_micros(col(time)) -
+      unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))) * 1000000L +
+      col(tiebreak)
+    df.groupBy(col(key), bin(col(time), stepSeconds).as("bin_ts"))
+      .agg(
+        graft.functions.Arith.r2(min_by(col(value), ord)).as("open"),
+        graft.functions.Arith.r2(max(col(value))).as("high"),
+        graft.functions.Arith.r2(min(col(value))).as("low"),
+        graft.functions.Arith.r2(max_by(col(value), ord)).as("close"),
+        count(lit(1)).as("n_obs"))
+      .orderBy(col(key), col("bin_ts"))
+  }
+
+  /** Per-series rate of change (discrete derivative): for every
+    * observation after a key's first, (Δvalue / Δseconds) against the
+    * predecessor in (time, tiebreak) order — the monitoring "rate()"
+    * next to [[trailingAgg]]. One key shuffle + streaming sort, lag
+    * is O(1) per row. The quotient is two IEEE ops (multiply, divide)
+    * on exact integer micros, so a SQL oracle reproduces it
+    * bit-for-bit; zero/negative Δt (duplicate timestamps) yields null
+    * rather than ±Infinity.
+    */
+  def rateOfChange(df: DataFrame, key: String, time: String, value: String,
+      tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(tiebreak))
+    val dt = unix_micros(col(time)) - lag(unix_micros(col(time)), 1).over(w)
+    val dv = col(value) - lag(col(value), 1).over(w)
+    df.select(col(key), col(time), col(tiebreak), col(value))
+      .withColumn("rate_r4",
+        when(dt > 0,
+          floor(dv * 1000000L / dt * 10000 + lit(0.5)) / 10000.0))
+      .orderBy(col(key), col(time), col(tiebreak))
+  }
 }

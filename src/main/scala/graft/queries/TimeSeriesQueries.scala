@@ -200,6 +200,60 @@ object TimeSeriesQueries {
           |SELECT * FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi)
           |ORDER BY user_id, bin_ts, role""".stripMargin)),
 
+    // OHLC candle downsampling next to t11's min/max form: first /
+    // high / low / last per (user, 6h bin) as ONE map-side-combined
+    // hash aggregate (min_by/max_by over a composite (time, id)
+    // ordinal — no window sort). Oracle = DuckDB arg_min/arg_max over
+    // the identical ordinal.
+    QDef(
+      "t12_ohlc_candles",
+      (s, dir) => graft.operators.TimeSeries.ohlc(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+        key = "user_id", time = "ts", value = "value",
+        tiebreak = "event_id", stepSeconds = 6L * 3600L),
+      Some(
+        """WITH b AS (
+          |  SELECT user_id, value, event_id,
+          |         make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600000000) AS bin_ts,
+          |         (epoch_us(CAST(ts AS TIMESTAMP))
+          |            - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) * 1000000 + event_id AS ord
+          |  FROM events)
+          |SELECT user_id, bin_ts,
+          |       floor(arg_min(value, ord) * 100 + 0.5) / 100.0 AS open,
+          |       floor(max(value) * 100 + 0.5) / 100.0 AS high,
+          |       floor(min(value) * 100 + 0.5) / 100.0 AS low,
+          |       floor(arg_max(value, ord) * 100 + 0.5) / 100.0 AS close,
+          |       count(*) AS n_obs
+          |FROM b GROUP BY user_id, bin_ts
+          |ORDER BY user_id, bin_ts""".stripMargin)),
+
+    // Per-series discrete derivative (the monitoring rate()): value
+    // delta over seconds delta against the (time, id)-ordered
+    // predecessor; duplicate-timestamp pairs yield null, not ±Inf.
+    // The quotient is the same two IEEE ops in both engines, so the
+    // gate hash-checks the rates at 4 decimals.
+    QDef(
+      "t13_rate_of_change",
+      (s, dir) => graft.operators.TimeSeries.rateOfChange(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+        key = "user_id", time = "ts", value = "value", tiebreak = "event_id"),
+      Some(
+        """WITH b AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+          |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          |  FROM events),
+          |l AS (
+          |  SELECT user_id, ts, event_id, value,
+          |         us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dt,
+          |         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+          |  FROM b)
+          |SELECT user_id, ts, event_id, value,
+          |       CASE WHEN dt > 0
+          |            THEN floor(dv * 1000000 / dt * 10000 + 0.5) / 10000.0 END AS rate_r4
+          |FROM l ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // A5 — avg + APPROX_PERCENTILE per 1-day bin (grafana…json:392).
     // Oracle: while the accuracy (1M) exceeds per-bin cardinality,
     // Spark's sketch is exact and returns the discrete element

@@ -127,4 +127,26 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("user_id", "bin_ts").collect()
     assert(streamed.sameElements(batch200) && streamed.nonEmpty)
   }
+
+  test("ohlc picks first/last by (time, tiebreak); rate nulls on duplicate timestamps") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 00:10:00"), 30.0, 2L),
+      (1L, ts("2024-01-01 00:20:00"), 5.0, 3L),
+      // same timestamp as id=3: tiebreak decides close; rate goes null
+      (1L, ts("2024-01-01 00:20:00"), 8.0, 4L)
+    ).toDF("k", "t", "v", "id")
+    val candle = TimeSeries.ohlc(rows, "k", "t", "v", "id", 3600L).collect()
+    assert(candle.length == 1)
+    val r = candle.head
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 30.0 &&
+      r.getDouble(4) == 5.0 && r.getDouble(5) == 8.0 && r.getLong(6) == 4L)
+    val rates = TimeSeries.rateOfChange(rows, "k", "t", "v", "id")
+      .select("id", "rate_r4").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+    assert(rates(1L) == null) // first of series
+    assert(rates(2L) == math.floor(20.0 / 300.0 * 10000 + 0.5) / 10000.0)
+    assert(rates(3L) == math.floor(-25.0 / 600.0 * 10000 + 0.5) / 10000.0)
+    assert(rates(4L) == null) // dt = 0 → null, never ±Infinity
+  }
 }
