@@ -323,6 +323,38 @@ object RelationalQueries {
           |ORDER BY g_priority, g_status,
           |         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
 
+    // Arbitrary GROUPING SETS (beyond a8's ROLLUP lattice): disjoint
+    // per-dimension slices plus the grand total in ONE Expand + hash
+    // aggregate pass — the cube-fragment shape dashboards issue
+    // (N independent GROUP BYs would scan N times at 100 TB).
+    // GROUPING() ids disambiguate subtotal rows from genuine NULLs;
+    // exact integer cents keep the multi-slice sums bit-stable.
+    QDef(
+      "a10_grouping_sets",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+        s.sql(
+          """SELECT o_orderpriority, o_orderstatus,
+            |       count(*) AS n_orders,
+            |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+            |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+            |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+            |FROM orders_gs
+            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+            |ORDER BY g_priority, g_status,
+            |         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderpriority, o_orderstatus,
+          |       count(*) AS n_orders,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+          |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+          |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY g_priority, g_status,
+          |         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+
     // O2+O3 — top-k with a unique tiebreak: Catalyst plans
     // TakeOrderedAndProject (no global sort).
     QDef(
