@@ -275,6 +275,36 @@ object ExportQueries {
            |ORDER BY user_id, time""".stripMargin
       }),
 
+    // Lake maintenance 3: Z-order clustering. The fixture rewrites the
+    // events lake along the Morton curve of (user_id, day) — the
+    // data-layout half of pruning, where a box predicate on either
+    // dimension skips files via parquet min/max stats instead of
+    // scanning the lake. Content must survive the rewrite untouched:
+    // the gate hash-checks the clustered lake's per-type aggregate
+    // against the source-of-truth oracle (LakeOpsSpec measures the
+    // actual file-skipping win).
+    QDef(
+      "s12_zordered_lake",
+      (s, dir) => {
+        val out = Fixtures.dir("zorder_lake", dir) { o =>
+          val ev = Tables.events(s, dir).withColumn("day",
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long"))
+          graft.sources.LakeOps.zorderWrite(ev, "user_id", "day", s"$o/z", numFiles = 16)
+        }
+        s.read.parquet(s"$out/z")
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+          |       count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,
     // crawled WITHOUT names (all-string col1..colN, header lines

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lake maintenance operators: small-file compaction and
@@ -57,6 +57,53 @@ object LakeOps {
       else if (f.getName.endsWith(".parquet")) 1
       else 0
     walk(new java.io.File(dir))
+  }
+
+  /** Morton (Z-order) interleave of two quantized dimensions: bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1. All shifts are
+    * literal, so the whole value is one codegen'd arithmetic
+    * expression. `bits` ≤ 31 keeps the result in int64. */
+  private[sources] def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-ORDER CLUSTERING rewrite: lay the lake out along the Morton
+    * curve of TWO filter dimensions, so a box predicate on either or
+    * both dims touches few files instead of all of them. Linear
+    * layouts can only localize one column; the Z-curve keeps rows
+    * close in BOTH dims close in file order, and parquet min/max
+    * footer stats then skip everything outside the box — the
+    * data-layout half of pruning, complementing partition dirs (which
+    * would explode at per-key granularity) and bucketing (which
+    * co-locates joins, not range scans).
+    *
+    * Shape: two-row min/max collect (quantization bounds), then ONE
+    * range shuffle on the z-value + per-task sort + write. Content is
+    * untouched — the gate hash-checks the clustered lake's aggregate
+    * against the source oracle; LakeOpsSpec measures the actual
+    * file-skipping win vs an insertion-ordered layout.
+    */
+  def zorderWrite(df: DataFrame, dim1: String, dim2: String, dst: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val r = df.agg(
+      min(col(dim1)).cast("double"), max(col(dim1)).cast("double"),
+      min(col(dim2)).cast("double"), max(col(dim2)).cast("double")).head()
+    val top = (1L << bits) - 1
+    def quantized(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else floor((col(c).cast("double") - lit(lo)) * top / (hi - lo)).cast("long")
+    val z = zValue(
+      quantized(dim1, r.getDouble(0), r.getDouble(1)),
+      quantized(dim2, r.getDouble(2), r.getDouble(3)), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(dst)
   }
 
   /** Schema-evolution read: union the lake's batches by COLUMN NAME,

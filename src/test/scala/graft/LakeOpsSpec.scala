@@ -70,4 +70,31 @@ class LakeOpsSpec extends SparkSpec {
     assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
     assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 9.5)
   }
+
+  test("z-order clustering: a 2D box filter touches far fewer files than time order") {
+    val ev = Tables.events(spark, sf("sf0.01")).withColumn("day",
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long"))
+    val rowDir = java.nio.file.Files.createTempDirectory("lake_row").toString
+    val zDir = java.nio.file.Files.createTempDirectory("lake_z").toString
+    // fair baseline: the usual insertion layout, time-ordered — the
+    // day half of the box DOES localize there; only user_id spreads
+    ev.repartitionByRange(16, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(rowDir)
+    LakeOps.zorderWrite(ev, "user_id", "day", zDir, numFiles = 16)
+    def box(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("user_id") <= 7 && col("day") < 8)
+    def filesTouched(dir: String): Long =
+      box(spark.read.parquet(dir)).select(input_file_name()).distinct().count()
+    // content identical through the rewrite
+    val a = box(spark.read.parquet(rowDir)).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = box(spark.read.parquet(zDir)).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // the layout win: both dims localized → the box lives in a corner
+    // of the curve; time order only localizes one dim
+    val (tRow, tZ) = (filesTouched(rowDir), filesTouched(zDir))
+    assert(tZ < tRow, s"z-order touched $tZ files vs time-order $tRow")
+    assert(tZ <= 4, s"z-order box should live in a few files, touched $tZ of 16")
+  }
 }
