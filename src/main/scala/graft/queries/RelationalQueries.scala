@@ -268,6 +268,55 @@ object RelationalQueries {
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
           |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q5 shape — the DEEP star join: region→nation filter the
+    // customer and supplier dims, which filter orders→lineitem, with
+    // the local-supplier condition (c_nationkey = s_nationkey) closing
+    // the cycle. The scale story: every dim side broadcasts (region 5
+    // rows … customer ~thousands), so the only shuffles are the fact
+    // tables' — Catalyst orders the joins from statistics; the date
+    // filter pushes to the orders scan. Exact-cents revenue keeps the
+    // 6-table sum bit-stable.
+    QDef(
+      "q5_local_supplier",
+      (s, dir) => {
+        val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, dir)
+          .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val c = Tables.customer(s, dir)
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+          .orderBy(desc("revenue_cents"), col("n_name"))
+      },
+      Some(
+        """SELECT n_name,
+          |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM customer, orders, lineitem, supplier, nation, region
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+          |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name
+          |ORDER BY revenue_cents DESC, n_name""".stripMargin)),
+
     // TPC-H Q6 shape — pure filter + global aggregate (the "how much
     // would we have made" scan): three band predicates, all pushed to
     // the parquet scan, one exact-cents sum, one output row.

@@ -169,6 +169,15 @@ class PlanSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined, p)
   }
 
+  test("Q5's six-table star join broadcasts every dimension; the fact table never does") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // lineitem (the fact) must never be a broadcast build side
+    assert(!p.split("BroadcastExchange").drop(1).exists(_.contains("lineitem.parquet")), p)
+    // the date filter reaches the orders scan
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined, p)
+  }
+
   test("window suite runs on one key shuffle shared by all window functions") {
     val p = plan("w_window_suite")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
