@@ -266,8 +266,15 @@ object Dedup {
       maxIters: Int = 50, driverEdgeLimit: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nodes = docs.select(col(id).as("doc")).distinct()
-    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
-    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    // one explode, not union-of-two-selects: a union's branches are
+    // separate subtrees, so an expensive un-persisted `pairs` plan
+    // (e.g. the full Jaccard candidate join) would execute TWICE to
+    // materialize the undirected table — explode duplicates each row
+    // in-place on a single scan
+    val und = pairs.select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("b")),
+        struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val longIds = und.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
