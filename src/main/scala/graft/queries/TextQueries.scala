@@ -253,7 +253,12 @@ object TextQueries {
         val quality = docs.filter(size(split(col("text"), " ")) >= 20)
         val exactKeep = Dedup.exactDedup(quality, "doc_id", "text")
           .filter(col("is_canonical")).select(col("doc_id"))
-        val kept = quality.join(exactKeep, "doc_id")
+        // persisted: four downstream stages consume `kept` (shingle
+        // candidates, cluster nodes, the final join) — without the
+        // cache each re-runs the quality filter + exact-dedup window
+        val kept = graft.CacheRegistry.retain(
+          quality.join(exactKeep, "doc_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val clusters = Dedup.neardupClusters(kept, "doc_id",
           Dedup.jaccardPairs(kept, "doc_id", "text", n = 3, threshold = 0.8,
             maxShingleDf = Some(100L)))
