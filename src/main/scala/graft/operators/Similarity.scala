@@ -169,41 +169,62 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, nlist: Int, nprobe: Int, dim: Int, seed: Long = 11L,
       trainFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (assigned, centroids) =
+      ivfBuild(corpus, id, vec, nlist, seed, trainFraction)
+    ivfSearchCosine(corpus, queries, id, vec, k, nprobe, assigned, centroids)
+  }
+
+  /** The INDEX half of [[ivfTopK]]: fit the ml-KMeans coarse quantizer
+    * and return (assignments (neighbor_id, cell), normalized centroids
+    * (cell, centroid)) — both parquet-round-trippable, so a session
+    * fixture can persist the index once and gates search it.
+    *
+    * The quantizer only needs a REPRESENTATIVE sample: at corpus scale
+    * train k-means on trainFraction of the data (one cheap pass), then
+    * assign the FULL corpus with the fitted model — cell assignment is
+    * the only full-corpus cost. Full-probe exactness is independent of
+    * the centroids (every cell is probed), so sampling never affects
+    * the nprobe = nlist configuration. Centroids are normalized
+    * driver-side (nlist of them) so cell probing ranks by true cosine,
+    * not cosine scaled by centroid norm.
+    */
+  def ivfBuild(corpus: DataFrame, id: String, vec: String, nlist: Int,
+      seed: Long = 11L, trainFraction: Double = 1.0): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-
     val train = corpus.repartition(col(id))
       .select(col(id).as("doc"), asDouble(col(vec)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-    // the quantizer only needs a REPRESENTATIVE sample: at corpus scale
-    // train k-means on trainFraction of the data (one cheap pass), then
-    // assign the FULL corpus with the fitted model — cell assignment is
-    // the only full-corpus cost. Full-probe exactness is independent of
-    // the centroids (every cell is probed), so sampling never affects
-    // the nprobe = nlist configuration.
     val fitOn =
       if (trainFraction >= 1.0) train
       else train.sample(withReplacement = false, trainFraction, seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(fitOn)
-    // normalize ONCE per corpus row, before the candidate join — never
-    // per (candidate, query) pair
     val assigned = model.transform(train)
-      .select(col("doc").as("neighbor_id"), col("v"),
-        sqrt(dotN(col("v"), col("v"))).as("_norm"), col("prediction").as("cell"))
-      .select(col("neighbor_id"), transform(col("v"), x => x / col("_norm")).as("nv"),
-        col("cell"))
-
-    // normalize centroids driver-side (nlist of them) so cell probing
-    // ranks by true cosine, not cosine scaled by centroid norm
+      .select(col("doc").as("neighbor_id"), col("prediction").as("cell"))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         val a = c.toArray
         val n = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
         (i, if (n == 0) a else a.map(_ / n))
       }.toSeq.toDF("cell", "centroid")
+    (assigned, centroids)
+  }
+
+  /** The SEARCH half of [[ivfTopK]] over a pre-built index: probe the
+    * query's `nprobe` best cells by centroid cosine, rank the probed
+    * cells' members by exact cosine. Corpus rows are normalized ONCE,
+    * before the candidate join — never per (candidate, query) pair.
+    * The registered full-probe gate reads a session-fixture index
+    * through this entry point, so the bench measures search.
+    */
+  def ivfSearchCosine(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nprobe: Int, assigned: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withVecs = assigned.join(normalized(corpus, id, vec, "neighbor_id", "nv"),
+      "neighbor_id")
     val probed = normalized(queries, id, vec, "query_id", "qv")
       .crossJoin(broadcast(centroids))
       .withColumn("cdist", dotN(col("qv"), col("centroid")))
@@ -211,8 +232,7 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(desc("cdist"), col("cell"))))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-
-    val cands = assigned.join(broadcast(probed), Seq("cell"))
+    val cands = withVecs.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dotN(col("qv"), col("nv")))
     cands

@@ -317,6 +317,45 @@ object RelationalQueries {
           |GROUP BY n_name
           |ORDER BY revenue_cents DESC, n_name""".stripMargin)),
 
+    // TPC-H Q10 shape — returned-item revenue: which customers sent
+    // the most revenue back last quarter. Fact⋈fact (orders⋈lineitem)
+    // shuffles; customer and nation broadcast; the quarter filter and
+    // the returnflag filter push to their scans; top-20 plans
+    // TakeOrderedAndProject. Exact-cents revenue as everywhere.
+    QDef(
+      "q10_returned_items",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+        val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(sum(expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+          .orderBy(desc("revenue_cents"), col("c_custkey"))
+          .limit(20)
+      },
+      Some(
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+          |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM customer, orders, lineitem, nation
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+          |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-04-01'
+          |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+          |GROUP BY c_custkey, c_name, c_acctbal, n_name
+          |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // TPC-H Q6 shape — pure filter + global aggregate (the "how much
     // would we have made" scan): three band predicates, all pushed to
     // the parquet scan, one exact-cents sum, one output row.

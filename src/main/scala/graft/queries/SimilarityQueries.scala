@@ -402,12 +402,21 @@ object SimilarityQueries {
     // cell is probed, so the index must reproduce brute-force cosine
     // top-k exactly — same oracle as s_cosine_topk. (IvfSpec asserts the
     // equivalence in-process; this makes it a driver-checked row.)
+    // Like the quantized/PQ gates, the ml-KMeans index materializes
+    // once per session as a parquet fixture and the gate searches it.
     QDef(
       "s_ann_ivf_fullprobe",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, nlist = 8, nprobe = 8, dim = 64)
+        val ix = Fixtures.dir("ivf_ml_index", dir) { o =>
+          val (assigned, centroids) = Similarity.ivfBuild(
+            emb, "vec_id", "embedding", nlist = 8)
+          assigned.write.parquet(s"$o/assigned")
+          centroids.write.parquet(s"$o/centroids")
+        }
+        Similarity.ivfSearchCosine(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 8,
+          s.read.parquet(s"$ix/assigned"), s.read.parquet(s"$ix/centroids"))
       },
       Some(exactTopKOracle(10)))
   )
