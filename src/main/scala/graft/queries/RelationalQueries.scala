@@ -356,6 +356,41 @@ object RelationalQueries {
           |GROUP BY c_custkey, c_name, c_acctbal, n_name
           |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // TPC-H Q18 shape — large-volume customers: a fact-side aggregate
+    // DERIVES the semi-join key set (orders whose line quantities sum
+    // past a threshold), which then filters orders⋈customer. The
+    // shape to pin: the HAVING aggregate partial-combines map-side
+    // before its shuffle, the qualifying-key set is small and joins
+    // hash-side, and top-k plans TakeOrderedAndProject. Quantities
+    // are integer-valued, so the double sum is exact in any order.
+    QDef(
+      "q18_large_volume",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_totalprice"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+        o.join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some(
+        """SELECT c_name, c_custkey, o_orderkey,
+          |       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+          |       total_qty
+          |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) b
+          |JOIN orders ON o_orderkey = b.l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     // TPC-H Q6 shape — pure filter + global aggregate (the "how much
     // would we have made" scan): three band predicates, all pushed to
     // the parquet scan, one exact-cents sum, one output row.
