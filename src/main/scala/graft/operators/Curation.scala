@@ -130,4 +130,29 @@ object Curation {
         (col("gstart") - col("shard_id") * budget).as("shard_pos"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-group quota cap — "at most `cap` documents per source/domain",
+    * the curation step that stops over-represented sources from
+    * dominating a training mix. The kept subset is the `cap` SMALLEST
+    * md5("cap:" ++ id) values per group: a uniform, reproducible draw
+    * (insertion order would keep whatever happened to land first in
+    * the files — crawl-order bias), and the same construction a SQL
+    * oracle replays.
+    *
+    * Shape: one hash shuffle on the group key + per-group sort. Group
+    * cardinality is source domains — naturally bounded — and the rows
+    * carried are (group, id, hash), never payloads; join text back
+    * post-cap. For a pathological mega-group the md5 order admits a
+    * two-pass rank-threshold form (sample the hash quantile ≈
+    * cap/|group|, filter, exact-rank the survivors — the packShards
+    * bucketing pattern); the window form is the exact baseline.
+    */
+  def capPerGroup(df: DataFrame, group: String, id: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    df.withColumn("_ck", md5(concat(lit("cap:"), col(id).cast("string"))))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(group)).orderBy(col("_ck"), col(id))))
+      .filter(col("_rn") <= cap)
+      .drop("_ck", "_rn")
+  }
 }

@@ -336,6 +336,26 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Per-source quota cap: at most 10 docs per source, chosen as the
+    // 10 smallest md5-of-id draws per group — the reproducible uniform
+    // selection (insertion order would encode crawl-order bias). The
+    // oracle replays the identical hash ranking, so the EXACT kept set
+    // is hash-checked, not just the per-source counts.
+    QDef(
+      "x_source_cap",
+      (s, dir) => graft.operators.Curation.capPerGroup(
+        Tables.documents(s, dir), "source", "doc_id", cap = 10)
+        .select(col("source"), col("doc_id"), col("lang"))
+        .orderBy(col("source"), col("doc_id")),
+      Some(
+        """SELECT source, doc_id, lang FROM (
+          |  SELECT source, doc_id, lang,
+          |         row_number() OVER (PARTITION BY source
+          |           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 10
+          |ORDER BY source, doc_id""".stripMargin)),
+
     // PII scrubbing: emails and phone-shaped tokens replaced with
     // placeholder tags. The fixture corpus is digit-free, so the gate
     // INJECTS deterministic PII (doc_id-derived email + phone appended
