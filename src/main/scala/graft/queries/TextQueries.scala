@@ -462,7 +462,54 @@ object TextQueries {
           |)
           |SELECT doc_id, tokens, shard_id,
           |       CAST(gstart - shard_id * 2000 AS BIGINT) AS shard_pos
-          |FROM g ORDER BY doc_id""".stripMargin))
+          |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // The packing pipeline's LAST step: materialize each shard as one
+    // training sequence — documents concatenated in shard-position
+    // order with an EOS separator. The cross-engine hazard this gate
+    // pins is ORDERED aggregation: collect_list has no order
+    // guarantee, so the sequence is built sort_array(struct(pos,
+    // text)) → transform → array_join, which IS deterministic — and
+    // must equal DuckDB's string_agg(... ORDER BY pos) byte-for-byte
+    // (compared by md5; sequences run to ~100 KB).
+    QDef(
+      "x_pack_concat",
+      (s, dir) => {
+        val packed = graft.operators.Curation.packShards(
+          Tables.documents(s, dir), "doc_id",
+          size(split(col("text"), " ")).cast("long"), budget = 2000L)
+        packed.join(Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id")
+          .groupBy(col("shard_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tokens")).as("total_tokens"),
+            md5(array_join(
+              transform(
+                sort_array(collect_list(struct(col("shard_pos"), col("text")))),
+                x => x.getField("text")),
+              "<|eos|>")).as("seq_md5"))
+          .orderBy(col("shard_id"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+          |         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sk
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, text, tokens,
+          |         sum(tokens) OVER (ORDER BY sk, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM t
+          |), g AS (
+          |  SELECT doc_id, text, tokens, cum - tokens AS gstart,
+          |         CAST(floor((cum - tokens) / CAST(2000 AS DOUBLE)) AS BIGINT) AS shard_id
+          |  FROM c
+          |)
+          |SELECT shard_id, count(*) AS n_docs,
+          |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+          |       md5(string_agg(text, '<|eos|>' ORDER BY gstart - shard_id * 2000, doc_id)) AS seq_md5
+          |FROM g GROUP BY shard_id ORDER BY shard_id""".stripMargin))
   )
 
   /** DuckDB twin of Curation.decontaminate at word n-grams. */
