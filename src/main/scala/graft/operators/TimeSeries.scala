@@ -234,6 +234,30 @@ object TimeSeries {
       .orderBy(col(key), col("bin_ts"))
   }
 
+  /** Gap detection — the monitoring question "which sensors went
+    * SILENT, and when": per key, every grid step in the key's observed
+    * [first, last] span with NO observation inside it. Dual of
+    * interpolation (same per-key SEQUENCE grid; instead of filling
+    * gaps, report them). One distinct-project of (key, bin), one tiny
+    * per-key bounds aggregate, and a LEFT ANTI hash join grid−observed
+    * — at 100 TB the anti join shuffles (key, bin) pairs only, never
+    * event payloads.
+    */
+  def detectGaps(df: DataFrame, key: String, time: String,
+      stepSeconds: Long): DataFrame = {
+    val observed = df
+      .select(col(key), bin(col(time), stepSeconds).as("gap_start"))
+      .distinct()
+    val grid = df
+      .groupBy(col(key))
+      .agg(min(col(time)).as("_lo"), max(col(time)).as("_hi"))
+      .select(col(key), explode(sequence(
+        bin(col("_lo"), stepSeconds), bin(col("_hi"), stepSeconds),
+        expr(s"INTERVAL $stepSeconds SECONDS"))).as("gap_start"))
+    grid.join(observed, Seq(key, "gap_start"), "left_anti")
+      .orderBy(col(key), col("gap_start"))
+  }
+
   /** Per-series rate of change (discrete derivative): for every
     * observation after a key's first, (Δvalue / Δseconds) against the
     * predecessor in (time, tiebreak) order — the monitoring "rate()"

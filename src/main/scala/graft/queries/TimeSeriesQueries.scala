@@ -254,6 +254,43 @@ object TimeSeriesQueries {
           |            THEN floor(dv * 1000000 / dt * 10000 + 0.5) / 10000.0 END AS rate_r4
           |FROM l ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // Gap detection over the first January week: hours inside each
+    // user's observed span with NO event — the dead-sensor monitoring
+    // view, and the registry's LEFT ANTI join shape (grid minus
+    // observed, (key, bin) pairs only through the shuffle).
+    QDef(
+      "t14_gap_detection",
+      (s, dir) => graft.operators.TimeSeries.detectGaps(
+        Tables.events(s, dir)
+          .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+            col("ts") < lit("2024-01-08").cast("timestamp"))
+          .select(col("user_id"), col("ts")),
+        key = "user_id", time = "ts", stepSeconds = 3600L),
+      Some(
+        """WITH b AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |         make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000) AS hour
+          |  FROM events
+          |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+          |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
+          |), o AS (
+          |  SELECT DISTINCT user_id, hour FROM b
+          |), r AS (
+          |  SELECT user_id,
+          |         make_timestamp((epoch_us(min(ts)) // 3600000000) * 3600000000) AS lo,
+          |         make_timestamp((epoch_us(max(ts)) // 3600000000) * 3600000000) AS hi
+          |  FROM b GROUP BY user_id
+          |), g AS (
+          |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          |  FROM r
+          |)
+          |SELECT user_id, hour AS gap_start FROM (
+          |  SELECT user_id, hour FROM g
+          |  EXCEPT
+          |  SELECT user_id, hour FROM o
+          |)
+          |ORDER BY user_id, gap_start""".stripMargin)),
+
     // A5 — avg + APPROX_PERCENTILE per 1-day bin (grafana…json:392).
     // Oracle: while the accuracy (1M) exceeds per-bin cardinality,
     // Spark's sketch is exact and returns the discrete element

@@ -178,6 +178,19 @@ class PlanSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined, p)
   }
 
+  test("gap detection is a hash LEFT ANTI join of (key, bin) pairs — no payloads, no BNLJ") {
+    val p = plan("t14_gap_detection")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("CountMin builds through a map-side partial count — d×w-bounded shuffle") {
+    val p = plan("k_cm_freq")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    // the counter aggregate must hash-aggregate, never sort-aggregate
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("window suite runs on one key shuffle shared by all window functions") {
     val p = plan("w_window_suite")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
