@@ -391,6 +391,36 @@ object RelationalQueries {
           |JOIN customer ON c_custkey = o_custkey
           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // TPC-H Q17 shape — the DECORRELATED correlated subquery: each
+    // lineitem compares against 20% of its part's average quantity.
+    // The correlated scalar subquery becomes a per-part aggregate
+    // joined back to the fact — one aggregate pass + one equi-join
+    // instead of a subquery per row. Quantities are integer-valued
+    // doubles, so sum/count (and the ×0.2 threshold) are exact and
+    // order-independent in both engines.
+    QDef(
+      "q17_small_quantity",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val thresh = l.groupBy(col("l_partkey"))
+          .agg((avg(col("l_quantity")) * 0.2).as("thresh"))
+        l.join(thresh, "l_partkey")
+          .filter(col("l_quantity") < col("thresh"))
+          .agg(
+            count(lit(1)).as("n_small"),
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+              .as("revenue_cents"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT l_partkey, avg(l_quantity) * 0.2 AS thresh
+          |  FROM lineitem GROUP BY l_partkey)
+          |SELECT count(*) AS n_small,
+          |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM lineitem JOIN t USING (l_partkey)
+          |WHERE l_quantity < thresh""".stripMargin)),
+
     // TPC-H Q6 shape — pure filter + global aggregate (the "how much
     // would we have made" scan): three band predicates, all pushed to
     // the parquet scan, one exact-cents sum, one output row.
