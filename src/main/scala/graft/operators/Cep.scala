@@ -98,6 +98,5 @@ object Cep {
       greatest(col("_v"), col("_c_v"), col("_b_max")).as("max_temperature"),
       floor((unix_micros(col("_c_t")) - unix_micros(col("_t"))) / 1000000.0 + lit(0.5))
         .cast("long").as("elapsed"))
-      .orderBy(col("sensor_id"), col("event_time"))
   }
 }

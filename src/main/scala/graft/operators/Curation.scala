@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * 100 TB: inverted-index joins instead of pairwise scans, and a
   * two-level distributed prefix sum instead of a global single-partition
   * window.
+  *
+  * Every operator here returns UNSORTED rows: a total ORDER BY is
+  * presentation, not semantics, and on an input-sized result it is a
+  * full-dataset range exchange the consumer never asked for. The
+  * oracle gates sort at the edge; PlanSpec audits that no operator
+  * plan ends in a global Sort.
   */
 object Curation {
 
@@ -47,7 +53,6 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("g")).as("hits"),
         count_distinct(col("bench_id")).as("bench_docs"))
-      .orderBy(col("doc_id"))
   }
 
   /** Data-mixing sampler: per-stratum target weights, fractional AND
@@ -69,7 +74,6 @@ object Curation {
       concat(lit("mix:"), col(id).cast("string")))
     df.select(col(id).as("doc_id"), col(stratum).as("stratum"),
       (floor(w) + when(u < w - floor(w), 1L).otherwise(0L)).cast("long").as("n_copies"))
-      .orderBy(col("doc_id"))
   }
 
   /** Token-budget shard packing: lay the corpus out in its deterministic
@@ -128,7 +132,6 @@ object Curation {
       .withColumn("shard_id", floor(col("gstart") / budget.toDouble).cast("long"))
       .select(col("doc_id"), col("tokens"), col("shard_id"),
         (col("gstart") - col("shard_id") * budget).as("shard_pos"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-group quota cap — "at most `cap` documents per source/domain",
@@ -139,20 +142,41 @@ object Curation {
     * the files — crawl-order bias), and the same construction a SQL
     * oracle replays.
     *
-    * Shape: one hash shuffle on the group key + per-group sort. Group
-    * cardinality is source domains — naturally bounded — and the rows
-    * carried are (group, id, hash), never payloads; join text back
-    * post-cap. For a pathological mega-group the md5 order admits a
-    * two-pass rank-threshold form (sample the hash quantile ≈
-    * cap/|group|, filter, exact-rank the survivors — the packShards
-    * bucketing pattern); the window form is the exact baseline.
+    * Shape: TWO-PHASE quota, because the single `row_number() OVER
+    * (PARTITION BY group)` form funnels the hottest source — by
+    * definition the largest — through one task's sort, the exact skew
+    * this operator exists to tame.
+    *
+    *   Phase 1 (pre-prune): rank within (group, bucket) where bucket =
+    *     the first `bucketChars` hex chars of the md5 draw. The hash is
+    *     uniform, so a mega-group splits evenly across the 16^bucketChars
+    *     sub-sorts; keep per-bucket rank <= cap. Lossless: every member
+    *     of the group's global cap-smallest set has fewer than `cap`
+    *     group-mates hashing below it ANYWHERE, hence per-bucket rank
+    *     <= cap — the global winners always survive.
+    *   Phase 2 (exact): the surviving <= 16^bucketChars * cap rows per
+    *     group get the exact `row_number` the oracle replays.
+    *
+    * The hot group's largest single-task sort drops from |group| to
+    * |group| / 16^bucketChars; widen `bucketChars` to 3-4 on a
+    * 1000-executor cluster the same way packShards widens its prefix.
     */
-  def capPerGroup(df: DataFrame, group: String, id: String, cap: Int): DataFrame = {
+  def capPerGroup(df: DataFrame, group: String, id: String, cap: Int,
+      bucketChars: Int = 2): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    df.withColumn("_ck", md5(concat(lit("cap:"), col(id).cast("string"))))
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1,8], got $bucketChars")
+    val hashed = df
+      .withColumn("_ck", md5(concat(lit("cap:"), col(id).cast("string"))))
+    val pruned = hashed
+      .withColumn("_pn", row_number().over(
+        Window.partitionBy(col(group), substring(col("_ck"), 1, bucketChars))
+          .orderBy(col("_ck"), col(id))))
+      .filter(col("_pn") <= cap)
+    pruned
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(group)).orderBy(col("_ck"), col(id))))
       .filter(col("_rn") <= cap)
-      .drop("_ck", "_rn")
+      .drop("_ck", "_pn", "_rn")
   }
 }

@@ -37,7 +37,6 @@ object Dedup {
       .withColumn("keeper_id", min(col(id)).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("is_canonical", (col(id) === col("keeper_id")).cast("boolean"))
-      .orderBy(col(id))
   }
 
   /** (doc, sh) shingle sets, repartitioned off the (typically few)
@@ -66,7 +65,6 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("common"), col("sz1"), col("sz2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
 
   /** Exact common-shingle counts for narrow (d1, d2) candidate pairs,
     * via the inverted index: expand each pair by d1's shingles, keep
@@ -456,6 +454,5 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("d1", "d2")
       .select(col("d1"), col("d2"), col("hamming"))
-      .orderBy(col("d1"), col("d2"))
   }
 }

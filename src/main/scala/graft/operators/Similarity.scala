@@ -58,7 +58,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup). Exact
@@ -78,7 +77,6 @@ object Similarity {
       .withColumn("cos", dotN(col("nv1"), col("nv2")))
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** LSH-BLOCKED cosine near-dup pairs — the 100 TB scale path for true
@@ -112,7 +110,6 @@ object Similarity {
       .withColumn("cos", dotN(col("nv1"), col("nv2")))
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** One hyperplane component: the md5-nibble uniform of
@@ -241,7 +238,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Deterministic integer-quantized Lloyd's k-means — the coarse
@@ -391,7 +387,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   // ---------------------------------------------------------------------------
@@ -558,7 +553,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("adist"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** ANN top-k via multi-table LSH: candidates share the query's bucket
@@ -588,6 +582,5 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
-      .orderBy(col("query_id"), col("rank"))
   }
 }

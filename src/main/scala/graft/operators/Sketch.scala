@@ -125,7 +125,7 @@ object Sketch {
           col("exact_distinct")))
       .select(gs ++ Seq(col("hll_estimate"), col("exact_distinct"),
         col("rel_err_pct")): _*)
-    if (groupCols.isEmpty) out else out.orderBy(gs: _*)
+    out
   }
 
   /** Per-group register SETS — the mergeable partial state a pipeline

@@ -143,7 +143,6 @@ object Temporal {
         sum(round(col(value) * 100).cast("long")).as("value_cents"))
       .select(col(key), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("value_cents"))
-      .orderBy(col(key), col("session_start"))
 
   /** Trailing time-range aggregate: for EVERY event, aggregates over
     * the key's events in `[t − window, t]` (the SQL RANGE INTERVAL
@@ -254,6 +253,5 @@ object Temporal {
         sum(round(col(value) * 100).cast("long")).as("value_cents"))
       .select(col(key), col("session_start"), col("session_end"),
         col("n_events"), col("value_cents"))
-      .orderBy(col(key), col("session_start"))
   }
 }

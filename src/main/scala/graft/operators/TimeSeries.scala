@@ -150,7 +150,6 @@ object TimeSeries {
       .agg(
         min(col("status")).as("status"),
         graft.functions.Arith.r2(avg(col("temperature"))).as("temperature"))
-      .orderBy(col(p.key), col("time"))
   }
 
   /** T7 — BIN(time, step): truncate a timestamp to a fixed-width bucket.
@@ -203,7 +202,6 @@ object TimeSeries {
     val highs = pick("max", _.partitionBy(col(key), col("bin_ts"))
       .orderBy(col(value).desc, col(tiebreak).asc))
     lows.unionByName(highs)
-      .orderBy(col(key), col("bin_ts"), col("role"))
   }
 
   /** OHLC candle downsampling: per (key, bin) the first (open), max
@@ -212,18 +210,15 @@ object TimeSeries {
     * hash aggregate with map-side combine (min_by/max_by partials —
     * no window sort, no second pass): at 100 TB the shuffle carries
     * (key, bin) groups, never observations. Open/close are picked by
-    * `min_by`/`max_by` over a composite (time, tiebreak) BIGINT so
-    * ties are deterministic; the tiebreak must be unique and <
-    * 1,000,000 to keep the composite exact in int64 (micros × 10^6 +
-    * id — fine through this fixture family; widen the multiplier
-    * discipline before reusing on larger id spaces).
+    * `min_by`/`max_by` over a `struct(time, tiebreak)` ordinal —
+    * struct ordering is lexicographic, so (time, then unique tiebreak)
+    * is a total order with no arithmetic and therefore no overflow at
+    * any time span or id width (a scaled-BIGINT composite wraps int64
+    * ~106 days past its origin under non-ANSI mode — silently).
     */
   def ohlc(df: DataFrame, key: String, time: String, value: String,
       tiebreak: String, stepSeconds: Long): DataFrame = {
-    // epoch-relative micros keep (micros × 1e6 + id) inside int64
-    val ord = (unix_micros(col(time)) -
-      unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))) * 1000000L +
-      col(tiebreak)
+    val ord = struct(col(time), col(tiebreak))
     df.groupBy(col(key), bin(col(time), stepSeconds).as("bin_ts"))
       .agg(
         graft.functions.Arith.r2(min_by(col(value), ord)).as("open"),
@@ -231,7 +226,6 @@ object TimeSeries {
         graft.functions.Arith.r2(min(col(value))).as("low"),
         graft.functions.Arith.r2(max_by(col(value), ord)).as("close"),
         count(lit(1)).as("n_obs"))
-      .orderBy(col(key), col("bin_ts"))
   }
 
   /** Gap detection — the monitoring question "which sensors went
@@ -255,7 +249,6 @@ object TimeSeries {
         bin(col("_lo"), stepSeconds), bin(col("_hi"), stepSeconds),
         expr(s"INTERVAL $stepSeconds SECONDS"))).as("gap_start"))
     grid.join(observed, Seq(key, "gap_start"), "left_anti")
-      .orderBy(col(key), col("gap_start"))
   }
 
   /** Per-series rate of change (discrete derivative): for every
@@ -277,6 +270,5 @@ object TimeSeries {
       .withColumn("rate_r4",
         when(dt > 0,
           floor(dv * 1000000L / dt * 10000 + lit(0.5)) / 10000.0))
-      .orderBy(col(key), col(time), col(tiebreak))
   }
 }

@@ -26,7 +26,8 @@ object CepQueries {
   def defs: Seq[QDef] = Seq(
     QDef(
       "c1_cep_error_sandwich",
-      (s, dir) => Cep.matchesBatch(Tables.events(s, dir), P),
+      (s, dir) => Cep.matchesBatch(Tables.events(s, dir), P)
+        .orderBy(col("sensor_id"), col("event_time")),
       oracleSql),
     QDef(
       "c1_cep_stream_form",

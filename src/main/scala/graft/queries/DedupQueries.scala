@@ -103,7 +103,8 @@ object DedupQueries {
 
     QDef(
       "d_exact_dedup",
-      (s, dir) => Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text"),
+      (s, dir) => Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
       Some(
         """SELECT doc_id, md5(text) AS content_md5,
           |       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
@@ -118,13 +119,15 @@ object DedupQueries {
     QDef(
       "d_ngram_jaccard",
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8, maxShingleDf = Some(100L)),
+        n = 3, threshold = 0.8, maxShingleDf = Some(100L))
+        .orderBy(col("d1"), col("d2")),
       Some(jaccardOracle(0.8, Some(100L)))),
 
     QDef(
       "d_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8),
+        n = 3, threshold = 0.8)
+        .orderBy(col("d1"), col("d2")),
       Some(jaccardOracle(0.8, None))),
 
     // Pairs → transitive clusters → keeper per cluster: the step a
@@ -150,7 +153,8 @@ object DedupQueries {
     QDef(
       "d_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 7),
+        maxHamming = 7)
+        .orderBy(col("d1"), col("d2")),
       Some(simhashOracle(7)))
   )
 

@@ -273,6 +273,7 @@ object SimilarityQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(exactTopKOracle(10))),
 
@@ -289,7 +290,8 @@ object SimilarityQueries {
       "s_embedding_neardup_blocked",
       (s, dir) => Similarity.cosineNearDupPairsBlocked(
         augmentedNearDupCorpus(Tables.embeddings(s, dir)),
-        "vec_id", "embedding", threshold = 0.9, nbits = 8, tables = 16, dim = 64),
+        "vec_id", "embedding", threshold = 0.9, nbits = 8, tables = 16, dim = 64)
+        .orderBy(col("d1"), col("d2")),
       Some(
         s"""WITH aug AS (
            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
@@ -323,6 +325,7 @@ object SimilarityQueries {
         val emb = Tables.embeddings(s, dir)
         Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nbits = 4, tables = 24, dim = 64)
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(annLshOracle(10, nbits = 4, tables = 24, seed = 7L))),
 
@@ -367,6 +370,7 @@ object SimilarityQueries {
         Similarity.ivfQuantizedSearch(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nprobe = 4,
           s.read.parquet(s"$ix/assigned"), s.read.parquet(s"$ix/centroids"))
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(ivfQuantizedOracle(10, nlist = 8, nprobe = 4, iters = 4))),
 
@@ -395,6 +399,7 @@ object SimilarityQueries {
         Similarity.pqSearchAdc(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, m = 8, dim = 64,
           s.read.parquet(s"$ix/codes"), s.read.parquet(s"$ix/books"))
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(pqAdcOracle(10, m = 8, ksub = 16, dim = 64, iters = 3))),
 
@@ -417,6 +422,7 @@ object SimilarityQueries {
         Similarity.ivfSearchCosine(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nprobe = 8,
           s.read.parquet(s"$ix/assigned"), s.read.parquet(s"$ix/centroids"))
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(exactTopKOracle(10)))
   )

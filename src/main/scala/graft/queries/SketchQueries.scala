@@ -26,7 +26,8 @@ object SketchQueries {
         Tables.events(s, dir)
           .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
         col("user_id").cast("string"),
-        groupCols = Seq("day"), p = 5),
+        groupCols = Seq("day"), p = 5)
+        .orderBy(col("day")),
       Some(Sketch.hllOracleSql(
         "(SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, user_id FROM events) ev",
         "CAST(user_id AS VARCHAR)", Seq("day"), p = 5))),

@@ -196,7 +196,8 @@ object TemporalQueries {
       "x_sessionize",
       (s, dir) => Temporal.sessionize(
         Tables.events(s, dir), key = "user_id", time = "ts",
-        value = "value", gap = "4 hours"),
+        value = "value", gap = "4 hours")
+        .orderBy(col("user_id"), col("session_start")),
       Some(
         """WITH e AS (
           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),

@@ -311,6 +311,7 @@ object TextQueries {
           docs.filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"))
       },
       Some(decontaminateOracle(n = 5))),
 
@@ -322,7 +323,8 @@ object TextQueries {
       "x_mix_sample",
       (s, dir) => graft.operators.Curation.mixtureSample(
         Tables.documents(s, dir), "doc_id", "lang",
-        Map("en" -> 1.5, "de" -> 1.0, "es" -> 0.75, "fr" -> 0.5, "zh" -> 0.25)),
+        Map("en" -> 1.5, "de" -> 1.0, "es" -> 0.75, "fr" -> 0.5, "zh" -> 0.25))
+        .orderBy(col("doc_id")),
       Some {
         val u = mdUniformSql("'mix:' || CAST(doc_id AS VARCHAR)")
         s"""SELECT doc_id, lang AS stratum,
@@ -443,7 +445,8 @@ object TextQueries {
       "x_pack_shards",
       (s, dir) => graft.operators.Curation.packShards(
         Tables.documents(s, dir), "doc_id",
-        size(split(col("text"), " ")).cast("long"), budget = 2000L),
+        size(split(col("text"), " ")).cast("long"), budget = 2000L)
+        .orderBy(col("doc_id")),
       Some(
         """WITH t AS (
           |  SELECT doc_id,

@@ -69,7 +69,8 @@ object TimeSeriesQueries {
     // T9 — flagship composite: queries.txt:2-19.
     QDef(
       "t9_flagship",
-      (s, dir) => TimeSeries.flagship(Tables.events(s, dir), P),
+      (s, dir) => TimeSeries.flagship(Tables.events(s, dir), P)
+        .orderBy(col("user_id"), col("time")),
       Some(flagshipOracle),
       headline = true),
 
@@ -181,7 +182,8 @@ object TimeSeriesQueries {
         Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("value"), col("event_id")),
         key = "user_id", time = "ts", value = "value",
-        tiebreak = "event_id", stepSeconds = 6L * 3600L),
+        tiebreak = "event_id", stepSeconds = 6L * 3600L)
+        .orderBy(col("user_id"), col("bin_ts"), col("role")),
       Some(
         """WITH b AS (
           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
@@ -211,7 +213,8 @@ object TimeSeriesQueries {
         Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("value"), col("event_id")),
         key = "user_id", time = "ts", value = "value",
-        tiebreak = "event_id", stepSeconds = 6L * 3600L),
+        tiebreak = "event_id", stepSeconds = 6L * 3600L)
+        .orderBy(col("user_id"), col("bin_ts")),
       Some(
         """WITH b AS (
           |  SELECT user_id, value, event_id,
@@ -238,7 +241,8 @@ object TimeSeriesQueries {
       (s, dir) => graft.operators.TimeSeries.rateOfChange(
         Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("value"), col("event_id")),
-        key = "user_id", time = "ts", value = "value", tiebreak = "event_id"),
+        key = "user_id", time = "ts", value = "value", tiebreak = "event_id")
+        .orderBy(col("user_id"), col("ts"), col("event_id")),
       Some(
         """WITH b AS (
           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
@@ -265,7 +269,8 @@ object TimeSeriesQueries {
           .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
             col("ts") < lit("2024-01-08").cast("timestamp"))
           .select(col("user_id"), col("ts")),
-        key = "user_id", time = "ts", stepSeconds = 3600L),
+        key = "user_id", time = "ts", stepSeconds = 3600L)
+        .orderBy(col("user_id"), col("gap_start")),
       Some(
         """WITH b AS (
           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -38,8 +38,10 @@ class CurationSpec extends SparkSpec {
     import spark.implicits._
     val docs = (1L to 300L).map(i => (i, "w " * (1 + (i % 11)).toInt)).toDF("doc_id", "text")
     val tok = size(split(col("text"), " ")).cast("long")
-    val a = Curation.packShards(docs, "doc_id", tok, budget = 64L).collect().toSeq
-    val b = Curation.packShards(docs.repartition(7), "doc_id", tok, budget = 64L).collect().toSeq
+    val a = Curation.packShards(docs, "doc_id", tok, budget = 64L)
+      .collect().toSeq.sortBy(_.getLong(0))
+    val b = Curation.packShards(docs.repartition(7), "doc_id", tok, budget = 64L)
+      .collect().toSeq.sortBy(_.getLong(0))
     assert(a == b)
     // every position is inside its shard's budget window
     assert(a.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 64L))
@@ -60,7 +62,7 @@ class CurationSpec extends SparkSpec {
       (100L, "prefix shared benchmark phrase one two three four five"),
       (101L, "the quick brown fox jumps elsewhere entirely")).toDF("doc_id", "text")
     val out = Curation.decontaminate(train, bench, "doc_id", "text", n = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
 
     def grams(s: String, n: Int) =
       s.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
@@ -85,14 +87,14 @@ class CurationSpec extends SparkSpec {
       (i, Seq("en", "de", "zh")((i % 3).toInt))).toDF("doc_id", "lang")
     val out = Curation.mixtureSample(docs, "doc_id", "lang",
       Map("en" -> 1.5, "de" -> 1.0, "zh" -> 0.25))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(out.filter(_._2 == "de").forall(_._3 == 1L))
     assert(out.filter(_._2 == "en").forall(c => c._3 == 1L || c._3 == 2L))
     assert(out.filter(_._2 == "zh").forall(c => c._3 == 0L || c._3 == 1L))
     // deterministic: same draws under a different partitioning
     val again = Curation.mixtureSample(docs.repartition(7), "doc_id", "lang",
       Map("en" -> 1.5, "de" -> 1.0, "zh" -> 0.25))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(out.toSeq == again.toSeq)
     // the fractional strata actually exercise both branches
     assert(out.filter(_._2 == "zh").map(_._3).distinct.length == 2)
@@ -105,5 +107,51 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.packShards(docs, "doc_id", lit(2L), budget = 0L)
     }
+  }
+
+  test("capPerGroup two-phase quota equals the single-window form under 90% skew") {
+    import spark.implicits._
+    // one mega-source holds 90% of the corpus — the exact regime the
+    // pre-prune exists for; the kept set must still be the cap
+    // smallest md5 draws per group, identical to the naive window
+    val docs = (1L to 2000L).map { i =>
+      (i, if (i <= 1800L) "hot.example" else s"site${i % 7}.example")
+    }.toDF("doc_id", "source")
+    val got = Curation.capPerGroup(docs, "source", "doc_id", cap = 25)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val naive = docs
+      .withColumn("_ck", md5(concat(lit("cap:"), col("doc_id").cast("string"))))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("_ck"), col("doc_id"))))
+      .filter(col("_rn") <= 25)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got == naive)
+    assert(got.count(_._1 == "hot.example") == 25)
+    // groups under the cap keep everything
+    val small = got.groupBy(_._1).view.mapValues(_.size).toMap
+    (0 until 7).map(k => s"site$k.example").filter(small.contains).foreach { g =>
+      assert(small(g) <= 25)
+    }
+    // partition-invariant
+    val again = Curation.capPerGroup(docs.repartition(13), "source", "doc_id", cap = 25)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == got)
+  }
+
+  test("capPerGroup pre-prune is bucket-partitioned — the hot group never hits one task's sort") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, "one.source")).toDF("doc_id", "source")
+    val plan = Curation.capPerGroup(docs, "source", "doc_id", cap = 5)
+      .queryExecution.executedPlan.toString
+    // phase 1 windows over (group, md5-prefix bucket): its partition
+    // spec carries the extracted bucket expression (_wN) next to the
+    // group key, so the hot group's sort splits across 256 sub-sorts
+    assert("windowspecdefinition\\(\\w+#\\d+, _w\\d+#\\d+,".r.findFirstIn(plan).isDefined, plan)
+    // two window passes: the bucketed pre-prune and the exact rank
+    assert("Window \\[".r.findAllIn(plan).size >= 2, plan)
+    // and Spark's rank-limit pushdown prunes each sub-sort to cap rows
+    // BEFORE the exchange — the shuffle never carries the full group
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 }

@@ -191,6 +191,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("global sorts live at the gate edge only — operators return unsorted rows") {
+    // A total ORDER BY is presentation, not semantics: embedded in an
+    // operator it is a full-dataset range exchange every consumer pays
+    // whether or not they want order (fatal on input-sized outputs at
+    // 100 TB). The contract: operators return unsorted; the oracle
+    // gates sort once, at the edge. Audited at the optimized LOGICAL
+    // level so the local SortExecs that EnsureRequirements inserts for
+    // SMJ/window never false-positive. Allowed global sorts: the root
+    // presentation sort (possibly under column-pruning Projects) and
+    // top-k Sort-under-Limit (which executes as TakeOrderedAndProject).
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+    def violations(p: LogicalPlan, edgeOk: Boolean, limitOk: Boolean): Seq[Sort] = p match {
+      case s: Sort if s.global =>
+        val bad = if (edgeOk || limitOk) Seq.empty else Seq(s)
+        bad ++ violations(s.child, edgeOk = false, limitOk = false)
+      case pr: Project =>
+        // projections are transparent: a root Project over a Sort is
+        // still the edge; a Limit>Project>Sort chain is still top-k
+        violations(pr.child, edgeOk, limitOk)
+      case l @ (_: GlobalLimit | _: LocalLimit) =>
+        l.children.flatMap(violations(_, edgeOk = false, limitOk = true))
+      case other =>
+        other.children.flatMap(violations(_, edgeOk = false, limitOk = false))
+    }
+    Registry.all.foreach { q =>
+      val plan = q.fn(spark, sf("sf0.001")).queryExecution.optimizedPlan
+      val embedded = violations(plan, edgeOk = true, limitOk = false)
+      assert(embedded.isEmpty,
+        s"${q.name} embeds ${embedded.size} non-edge global sort(s):\n$plan")
+    }
+  }
+
   test("window suite runs on one key shuffle shared by all window functions") {
     val p = plan("w_window_suite")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -22,7 +22,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(0f, 1f, 0f, 0f))    // cos 0.0
     ).toDF("vec_id", "embedding")
     val out = Similarity.cosineTopK(df, df.filter(col("vec_id") === 0),
-      "vec_id", "embedding", k = 3).collect()
+      "vec_id", "embedding", k = 3).orderBy(col("rank")).collect()
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
     assert(out.head.getAs[Double]("cos_r4") == 1.0)
     assert(out(1).getAs[Double]("cos_r4") == 0.7071)

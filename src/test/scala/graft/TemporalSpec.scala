@@ -102,8 +102,10 @@ class TemporalSpec extends SparkSpec {
 
   test("sessionize: session_window form equals gaps-and-islands form") {
     val ev = Tables.events(spark, sf("sf0.001"))
-    val a = Temporal.sessionize(ev, "user_id", "ts", "value", "4 hours").collect()
-    val b = Temporal.sessionizeIslands(ev, "user_id", "ts", "value", "4 hours").collect()
+    val a = Temporal.sessionize(ev, "user_id", "ts", "value", "4 hours")
+      .orderBy("user_id", "session_start").collect()
+    val b = Temporal.sessionizeIslands(ev, "user_id", "ts", "value", "4 hours")
+      .orderBy("user_id", "session_start").collect()
     assert(a.length == b.length && a.length > 0)
     assert(a.sameElements(b))
     // sessions actually merge events (not all singletons) and split
