@@ -338,23 +338,23 @@ object Sketch {
     }: _*)
   }
 
-  /** Build the packed bitset from the build side's keys: one distinct
-    * hash-aggregate over ≤ n·k bucket values (map-side combined, never
-    * more than m distinct rows shuffle), then m/64 longs — m=2^20 is
-    * 128 KiB — collect to the driver. The ONLY driver-side data is the
-    * filter itself, exactly like the centroid/codebook model state of
-    * the ANN family.
+  /** Build the packed bitset from the build side's keys: buckets pack
+    * into 64-bit words DISTRIBUTIVELY — groupBy(bucket >> 6) with a
+    * bit_or of the shifted bits, map-side combined — so the shuffle
+    * and the driver collect are both bounded by m/64 word rows (m=2^20
+    * is 16 K rows / 128 KiB packed), never by the n·k bucket stream.
+    * The ONLY driver-side data is the filter itself — which the API
+    * returns anyway — exactly like the centroid/codebook model state
+    * of the ANN family.
     */
   def bloomBuild(build: DataFrame, key: String, k: Int, m: Int): Array[Long] = {
     val words = new Array[Long](m / 64)
     build
       .select(explode(bloomBuckets(col(key).cast("string"), k, m)).as("bucket"))
-      .distinct()
+      .groupBy(shiftright(col("bucket"), 6).as("word"))
+      .agg(expr("bit_or(shiftleft(1L, int(bucket % 64)))").as("bits"))
       .collect()
-      .foreach { r =>
-        val b = r.getLong(0)
-        words((b >>> 6).toInt) |= 1L << (b & 63L).toInt
-      }
+      .foreach { r => words(r.getLong(0).toInt) = r.getLong(1) }
     words
   }
 

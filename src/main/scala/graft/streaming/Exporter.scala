@@ -116,6 +116,11 @@ object Exporter {
         val slots = winDf.select(((col("_su") - origin) / w).cast("long").as("_slot"), col("_w"))
         events.withColumn("_slot", floor((tUs - lit(origin)) / lit(w)).cast("long"))
           .join(broadcast(slots), "_slot").drop("_slot")
+      } else if (!widths.exists(_ > 0)) {
+        // every window is zero-width/empty ([s, e <= s)): no event can
+        // match, and there is no positive width to bin by — return the
+        // empty tagged frame directly instead of tripping on empty.min
+        events.filter(lit(false)).withColumn("_w", lit(0))
       } else {
         // `div`, not `/`: exact floor division (micros are non-negative)
         // so no boundary event can round across a bin edge
@@ -217,10 +222,12 @@ object Exporter {
     */
   def continuousExport(events: DataFrame, p: GridParams, stagingDir: String,
       outDir: String, checkpointDir: String, stepMicros: Long,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      slackMicros: Long = 0L): StreamingQuery = {
     require(events.isStreaming, "continuousExport expects a streaming DataFrame")
     require(stepMicros > 0 && stepMicros % 1000000L == 0,
       s"stepMicros must be a positive whole number of seconds, got $stepMicros")
+    require(slackMicros >= 0, s"slackMicros must be >= 0, got $slackMicros")
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -228,7 +235,7 @@ object Exporter {
         batch.write.mode("overwrite").parquet(s"$stagingDir/b$id")
         val spark = batch.sparkSession
         val staged = spark.read.parquet(s"$stagingDir/b*")
-        exportCompleteWindows(staged, p, outDir, stepMicros)
+        exportCompleteWindows(staged, p, outDir, stepMicros, slackMicros)
         ()
       }
       .start()
@@ -236,21 +243,30 @@ object Exporter {
 
   /** One tick of [[continuousExport]]: export every step-aligned
     * window complete w.r.t. `staged` and absent from `outDir`. Window
-    * k = [k·step, (k+1)·step) is complete iff (k+1)·step ≤ max staged
-    * event time. Returns the exported partition keys (testing hook).
-    * Bounds and keys are rendered THROUGH the session-timezone cast
-    * (driver-side string formatting could skew an hour against
-    * [[exportWindow]]'s own casts).
+    * k = [k·step, (k+1)·step) is complete iff (k+1)·step + slack ≤
+    * max staged event time. Returns the exported partition keys
+    * (testing hook). Bounds and keys are rendered THROUGH the
+    * session-timezone cast (driver-side string formatting could skew
+    * an hour against [[exportWindow]]'s own casts).
+    *
+    * COMPLETENESS CONTRACT: the max staged event time is a watermark
+    * proxy — exported partitions are never revisited, so an event
+    * arriving more than `slackMicros` out of time order behind the
+    * stream head lands in an already-exported window and is dropped.
+    * slack = 0 (the default) assumes a time-ordered stream (the
+    * generator/ingest path here is); set `slackMicros` to the source's
+    * max expected disorder otherwise — exports then trail the head by
+    * that much, the streaming analog of a watermark delay.
     */
   private[graft] def exportCompleteWindows(staged: DataFrame, p: GridParams,
-      outDir: String, stepMicros: Long): Seq[String] = {
+      outDir: String, stepMicros: Long, slackMicros: Long = 0L): Seq[String] = {
     val spark = staged.sparkSession
     val mm = staged.agg(
       min(unix_micros(col(p.time))).as("lo"),
       max(unix_micros(col(p.time))).as("hi")).head()
     if (mm.isNullAt(0)) return Nil
     val first = Math.floorDiv(mm.getLong(0), stepMicros)
-    val lastComplete = Math.floorDiv(mm.getLong(1), stepMicros) - 1
+    val lastComplete = Math.floorDiv(mm.getLong(1) - slackMicros, stepMicros) - 1
     if (lastComplete < first) return Nil
     val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: Set[String] =

@@ -250,6 +250,45 @@ class ExporterSpec extends SparkSpec {
     assert(raw == hive && raw.nonEmpty)
   }
 
+  test("all-empty windows tag nothing instead of throwing (non-uniform path)") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    // every window zero-width: no positive width exists to bin by —
+    // the guard must return an empty tagged frame, not trip empty.min
+    val degenerate = Seq(
+      ("2024-01-01", "2024-01-01"),
+      ("2024-01-08", "2024-01-08"))
+    val (tagged, _) = graft.streaming.Exporter.tagWindows(events, P, degenerate)
+    assert(tagged.count() == 0)
+    // a mix of empty and real windows still tags the real one only
+    val mixed = Seq(
+      ("2024-01-01", "2024-01-01"),
+      ("2024-01-01", "2024-01-04"),
+      ("2024-01-04", "2024-01-04"))
+    val (tagged2, _) = graft.streaming.Exporter.tagWindows(events, P, mixed)
+    val ws = tagged2.select("_w").distinct().collect().map(_.getInt(0)).toSet
+    assert(ws == Set(1))
+  }
+
+  test("completeness slack holds back the stream-head window until max >= end + slack") {
+    val staging = freshDir; val outNoSlack = freshDir; val outSlack = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    // epoch-aligned weekly windows break on Thursdays: ..., 2024-01-04,
+    // 2024-01-11, ... — stage data to 6h past the 2024-01-11 boundary
+    events.filter(col("ts") < lit("2024-01-11 06:00:00").cast("timestamp"))
+      .write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val step = 7L * 24 * 3600 * 1000000L // weekly, epoch-aligned
+    // no slack: max(ts) just past the Jan-8..Jan-15 window end exports it
+    val k0 = graft.streaming.Exporter.exportCompleteWindows(
+      staged, P, outNoSlack, step)
+    // 12h slack: the same window is NOT yet complete (max < end + slack),
+    // so only the first window exports — the export trails the head
+    val k1 = graft.streaming.Exporter.exportCompleteWindows(
+      staged, P, outSlack, step, slackMicros = 12L * 3600 * 1000000L)
+    assert(k0.size == k1.size + 1, s"noSlack=$k0 slack=$k1")
+    assert(k1.toSet.subsetOf(k0.toSet))
+  }
+
   test("windowed export equals flagship computed directly on that window") {
     val out = freshDir
     val events = Tables.events(spark, sf("sf0.001"))
