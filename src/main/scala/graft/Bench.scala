@@ -20,8 +20,32 @@ object Bench {
       try fn(spark, sfDir) catch { case _: Throwable => () }
     }
     CacheRegistry.clearAll()
+
+    // CANARY: one fixed, fast, cache-free query re-run at evenly spaced
+    // points through the bench, timings emitted in the JSON artifact.
+    // Host contention sweeping part of the run inflates the canary
+    // samples taken inside that window; a genuine plan regression
+    // inflates its query while every canary stays flat — so a recorded
+    // artifact is self-adjudicating instead of needing a clean re-run
+    // to disprove a phantom regression. Canary runs are untimed work:
+    // excluded from per-query numbers and from the total.
+    val canaryName = "x_text_tokens"
+    val canaryFn = SparkEntry.queries(canaryName)
+    val canary = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    def runCanary(pos: Int): Unit = {
+      val t0 = System.nanoTime()
+      try canaryFn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      canary += pos -> ((System.nanoTime() - t0) / 1e9)
+      CacheRegistry.clearAll()
+    }
+
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // ~9 interior samples + the closing one
+    val stride = math.max(1, ordered.size / 9)
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % stride == 0) runCanary(i)
       val t0 = System.nanoTime()
       // noop-format write executes the FULL physical plan (count() would
       // let Catalyst prune final sorts/projects and under-measure).
@@ -36,11 +60,15 @@ object Bench {
       CacheRegistry.clearAll()
       name -> elapsed
     }
+    runCanary(ordered.size)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val canaryJson = canary.toSeq
+      .map { case (pos, sec) => s"""{"pos":$pos,"sec":$sec}""" }
+      .mkString(s"""{"query":"$canaryName","samples":[""", ",", "]}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,6 +30,13 @@ object StreamingQueries {
       "s4_ingest_narrow",
       (s, dir) => {
         // events → on-wire JSON lines → S1 parse → S4 narrow pivot.
+        // Timing note (r8 warm profile, sf0.1): parse+pivot 0.6 s, the
+        // oracle's edge sort ~1 s, warm total 1.65-1.70 s — unchanged
+        // since r6. Recorded bench values of 2.5-3.2 s are first-run
+        // codegen/JIT for the json render+parse pipeline landing on
+        // the timed pass (the untimed construction pass builds plans
+        // but executes nothing), not a plan regression; the bench
+        // canary samples now make that adjudicable from the artifact.
         val json = Tables.events(s, dir).select(to_json(struct(
           col("user_id").cast("string").as("sensor_id"),
           col("value").as("temperature"),
