@@ -46,7 +46,73 @@ object CepQueries {
           .orderBy(col("sensor_id"), col("event_time"))
       },
       oracleSql,
-      headline = true))
+      headline = true),
+
+    // The generic pattern surface on a SECOND pattern shape:
+    // signup (click|view){0,3} purchase WITHIN 72h — distinct A/C
+    // predicates, a zero-minimum quantifier, and rows matching NO
+    // variable ('error') breaking B runs, none of which the fixed
+    // error-sandwich exercises. Output keeps matchesPattern's fixed
+    // schema (sensor_id/.../temperature names), so the generic
+    // operator is drop-in for the fixed one. The oracle replays the
+    // boundary/parity construction with the same generalized
+    // classification (B wins, non-B rows are boundaries).
+    QDef(
+      "c8_cep_funnel",
+      (s, dir) => Cep.matchesPattern(Tables.events(s, dir), P, Cep.PatternSpec(
+        a = col("event_type") === "signup",
+        b = col("event_type").isin("click", "view"),
+        c = col("event_type") === "purchase",
+        minB = 0, maxB = 3, withinMicros = 259200000000L))
+        .orderBy(col("sensor_id"), col("event_time")),
+      funnelOracle))
+
+  private lazy val funnelOracle = Some(
+        """WITH base AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS v, event_type AS s, event_id,
+          |         NOT (event_type IN ('click', 'view')) AS bd,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+          |         sum(CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END)
+          |           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+          |  FROM events
+          |), epochstats AS (
+          |  SELECT *,
+          |    min(CASE WHEN NOT bd THEN v END) OVER (PARTITION BY user_id, epoch) AS b_min,
+          |    max(CASE WHEN NOT bd THEN v END) OVER (PARTITION BY user_id, epoch) AS b_max,
+          |    sum(CASE WHEN NOT bd THEN CAST(v AS DECIMAL(18,2)) END) OVER (PARTITION BY user_id, epoch) AS b_sum,
+          |    list(s) OVER (PARTITION BY user_id, epoch ORDER BY rn
+          |                  ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS b_hist
+          |  FROM base
+          |), bds AS (
+          |  SELECT user_id, t, v, s, rn, epoch, b_min, b_max, b_sum, b_hist,
+          |         lead(rn) OVER w AS c_rn,
+          |         lead(t) OVER w AS c_t,
+          |         lead(v) OVER w AS c_v,
+          |         lead(s) OVER w AS c_s
+          |  FROM epochstats WHERE bd
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+          |), cands AS (
+          |  SELECT *, epoch - row_number() OVER (PARTITION BY user_id ORDER BY epoch) AS grp
+          |  FROM bds
+          |  WHERE s = 'signup' AND c_s = 'purchase'
+          |    AND c_rn - rn - 1 BETWEEN 0 AND 3
+          |    AND epoch_us(c_t) - epoch_us(t) <= 259200000000
+          |), matches AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY epoch) AS pos FROM cands
+          |  ) WHERE pos % 2 = 1
+          |)
+          |SELECT user_id AS sensor_id, t AS event_time,
+          |       c_rn - rn - 1 AS non_errors,
+          |       coalesce(array_to_string(b_hist, '-'), '') AS history,
+          |       least(v, c_v, b_min) AS min_temperature,
+          |       floor((CAST(CAST(v AS DECIMAL(18,2)) + CAST(c_v AS DECIMAL(18,2))
+          |                   + coalesce(b_sum, 0) AS DOUBLE)
+          |              / (c_rn - rn + 1)) * 100 + 0.5) / 100.0 AS avg_temperature,
+          |       greatest(v, c_v, b_max) AS max_temperature,
+          |       CAST(floor((epoch_us(c_t) - epoch_us(t)) / 1000000.0 + 0.5) AS BIGINT) AS elapsed
+          |FROM matches ORDER BY sensor_id, event_time""".stripMargin)
 
   private lazy val oracleSql = Some(
         """WITH base AS (

@@ -101,4 +101,87 @@ class CepSpec extends SparkSpec {
     }
     assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5))
   }
+
+  test("generic pattern: fixed-form equals matchesPattern(errorSandwichSpec) on random sequences") {
+    // property-style: 40 pseudo-random status/value sequences (seeded,
+    // reproducible) — the fixed two-shuffle machinery and the generic
+    // pattern machinery must emit identical match sets and measures
+    val rnd = new scala.util.Random(42)
+    val statuses = Seq("ERROR", "OK", "WARN")
+    (1 to 40).foreach { trial =>
+      val n = 5 + rnd.nextInt(40)
+      val rows = (0 until n).map { i =>
+        (s"k${i % 2}", new Timestamp(1700000000000L + i * 1000L),
+          math.floor(rnd.nextDouble() * 1000) / 10.0,
+          statuses(rnd.nextInt(statuses.length)), i.toLong)
+      }
+      val df = rows.toDF("k", "t", "v", "s", "id")
+      val p = Cep.Params("k", "t", "v", "s", "id",
+        errorValue = "ERROR", maxB = 1 + rnd.nextInt(5),
+        withinMicros = (2 + rnd.nextInt(10)) * 1000000L)
+      val fixed = Cep.matchesBatch(df, p)
+        .collect().map(_.toSeq).toSet
+      val generic = Cep.matchesPattern(df, p, Cep.errorSandwichSpec(p))
+        .collect().map(_.toSeq).toSet
+      assert(fixed == generic, s"trial $trial diverged (params $p)")
+    }
+  }
+
+  test("generic pattern: distinct A/C, minB=0, and non-variable rows breaking runs") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // signup -> click,view -> purchase: match with 2 B rows
+      ("k1", new Timestamp(1700000000000L), 10.0, "signup", 0L),
+      ("k1", new Timestamp(1700000001000L), 20.0, "click", 1L),
+      ("k1", new Timestamp(1700000002000L), 30.0, "view", 2L),
+      ("k1", new Timestamp(1700000003000L), 40.0, "purchase", 3L),
+      // signup -> purchase adjacent: minB=0 admits the empty B run
+      ("k1", new Timestamp(1700000010000L), 50.0, "signup", 4L),
+      ("k1", new Timestamp(1700000011000L), 60.0, "purchase", 5L),
+      // signup -> click -> ERROR (no variable) -> purchase: run broken
+      ("k1", new Timestamp(1700000020000L), 70.0, "signup", 6L),
+      ("k1", new Timestamp(1700000021000L), 80.0, "click", 7L),
+      ("k1", new Timestamp(1700000022000L), 90.0, "error", 8L),
+      ("k1", new Timestamp(1700000023000L), 95.0, "purchase", 9L)
+    ).toDF("k", "t", "v", "s", "id")
+    val p = Cep.Params("k", "t", "v", "s", "id")
+    val spec = Cep.PatternSpec(
+      a = col("s") === "signup",
+      b = col("s").isin("click", "view"),
+      c = col("s") === "purchase",
+      minB = 0, maxB = 3, withinMicros = 10000000L)
+    val out = Cep.matchesPattern(df, p, spec)
+      .orderBy(col("event_time")).collect()
+    assert(out.length == 2, out.mkString("\n"))
+    assert(out(0).getAs[Long]("non_errors") == 2L)
+    assert(out(0).getAs[String]("history") == "click-view")
+    assert(out(0).getAs[Double]("avg_temperature") == 25.0)
+    assert(out(0).getAs[Long]("elapsed") == 3L)
+    // the empty-B match: measures degrade to the A/C pair alone
+    assert(out(1).getAs[Long]("non_errors") == 0L)
+    assert(out(1).getAs[String]("history") == "")
+    assert(out(1).getAs[Double]("min_temperature") == 50.0)
+    assert(out(1).getAs[Double]("max_temperature") == 60.0)
+    assert(out(1).getAs[Double]("avg_temperature") == 55.0)
+  }
+
+  test("generic pattern: minB filters short runs; quantifier upper bound still applies") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("k1", new Timestamp(1700000000000L), 1.0, "A", 0L),
+      ("k1", new Timestamp(1700000001000L), 2.0, "b", 1L),
+      ("k1", new Timestamp(1700000002000L), 3.0, "C", 2L), // 1 B row
+      ("k1", new Timestamp(1700000010000L), 4.0, "A", 3L),
+      ("k1", new Timestamp(1700000011000L), 5.0, "b", 4L),
+      ("k1", new Timestamp(1700000012000L), 6.0, "b", 5L),
+      ("k1", new Timestamp(1700000013000L), 7.0, "C", 6L)  // 2 B rows
+    ).toDF("k", "t", "v", "s", "id")
+    val p = Cep.Params("k", "t", "v", "s", "id")
+    def spec(m: Int, x: Int) = Cep.PatternSpec(
+      a = col("s") === "A", b = col("s") === "b", c = col("s") === "C",
+      minB = m, maxB = x, withinMicros = 10000000L)
+    assert(Cep.matchesPattern(df, p, spec(2, 5)).count() == 1) // only the 2-B run
+    assert(Cep.matchesPattern(df, p, spec(1, 1)).count() == 1) // only the 1-B run
+    assert(Cep.matchesPattern(df, p, spec(1, 5)).count() == 2)
+  }
 }
