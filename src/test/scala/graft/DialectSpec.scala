@@ -179,4 +179,64 @@ class DialectSpec extends SparkSpec {
     // ((0*31+97)*31+98)*31+99 = 97*961 + 98*31 + 99
     assert(r.getLong(2) == 97L * 961 + 98L * 31 + 99)
   }
+
+  test("pipeline table functions: one SQL round-trip per family equals the Scala API") {
+    graft.functions.PipelineSql.register(spark)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    docs.createOrReplaceTempView("psql_docs")
+    val events = Tables.events(spark, sf("sf0.001"))
+    events.createOrReplaceTempView("psql_events")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+
+    // dedup family
+    assert(rows(spark.sql(
+      "SELECT * FROM minhash_lsh_pairs('psql_docs', 'doc_id', 'text', 3, 0.8D)")) ==
+      rows(graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)))
+
+    // packing family (tokens as a SQL expression over the table)
+    assert(rows(spark.sql(
+      """SELECT * FROM pack_shards('psql_docs', 'doc_id',
+        |  'CAST(size(split(text, " ")) AS BIGINT)', 2000)""".stripMargin)) ==
+      rows(graft.operators.Curation.packShards(docs, "doc_id",
+        size(split(col("text"), " ")).cast("long"), 2000L)))
+
+    // quota family
+    assert(rows(spark.sql(
+      "SELECT * FROM cap_per_group('psql_docs', 'source', 'doc_id', 10)")) ==
+      rows(graft.operators.Curation.capPerGroup(docs, "source", "doc_id", 10)))
+
+    // temporal family: as-of join of late events onto early events
+    events.filter(col("event_id") % 2 === 0).createOrReplaceTempView("psql_left")
+    events.filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("ts"), col("value")).createOrReplaceTempView("psql_right")
+    assert(rows(spark.sql(
+      "SELECT * FROM asof_join('psql_left', 'psql_right', 'user_id', 'ts', 'ts', 'value')")) ==
+      rows(graft.operators.Temporal.asOf(
+        spark.table("psql_left"), spark.table("psql_right"),
+        Seq("user_id"), "ts", "ts", Seq("value"))))
+    assert(rows(spark.sql(
+      "SELECT * FROM sessionize('psql_events', 'user_id', 'ts', 'value', '4 hours')")) ==
+      rows(graft.operators.Temporal.sessionize(events, "user_id", "ts", "value", "4 hours")))
+
+    // the TVF output composes like any relation: filter + aggregate on top
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM (
+        |  SELECT * FROM cap_per_group('psql_docs', 'source', 'doc_id', 10)
+        |) WHERE lang = 'en'""".stripMargin).head().getLong(0)
+    assert(n > 0)
+  }
+
+  test("pipeline table functions reject non-literal and mistyped arguments") {
+    graft.functions.PipelineSql.register(spark)
+    Tables.documents(spark, sf("sf0.001")).createOrReplaceTempView("psql_docs2")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM cap_per_group('psql_docs2', 'source', 'doc_id', 'ten')").collect()
+    }
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM minhash_lsh_pairs('psql_docs2', 'doc_id', 'text', 3)").collect()
+    }
+    assert(e2.getMessage.contains("expects 5 arguments"), e2.getMessage)
+  }
 }
