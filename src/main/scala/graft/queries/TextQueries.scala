@@ -175,9 +175,16 @@ object TextQueries {
     // (features are nibble/255f — float arrays don't hash-compare).
     QDef(
       "x_multimodal_decode",
+      // REAL decode: each payload is a valid 24-bit BMP whose pixels
+      // are the document's text bytes (25 px rows → 76-byte stride,
+      // genuine padding), parsed by the pure-JVM BMP codec. The oracle
+      // PREDICTS the decode arithmetically — dims from the encoding
+      // geometry, content hash over text bytes plus the last row's
+      // zero fill — so a header/stride/row-order bug in the parser is
+      // a hash mismatch, not a silently-agreeing stub.
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val media = graft.operators.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+        val media = graft.operators.Multimodal.asBmpMedia(Tables.documents(s, dir), "doc_id", "text")
         val checksum = (0 until graft.operators.Multimodal.FeatureDim)
           .map(k => shiftright(col("content_hash"), k * 3).bitwiseAND(lit(255L)))
           .reduce[org.apache.spark.sql.Column](_ + _)
@@ -191,19 +198,27 @@ object TextQueries {
       Some {
         val checksum = (0 until graft.operators.Multimodal.FeatureDim)
           .map(k => s"((h >> ${k * 3}) & 255)").mkString(" + ")
-        s"""WITH hashed AS (
-           |  SELECT doc_id AS media_id,
+        val rowBytes = graft.operators.Multimodal.BmpMediaWidth * 3
+        s"""WITH geom AS (
+           |  SELECT doc_id AS media_id, text,
+           |         greatest(CAST(ceil(length(text) / $rowBytes.0) AS BIGINT), 1) AS hgt
+           |  FROM documents
+           |), hashed AS (
+           |  SELECT media_id, hgt,
            |         list_reduce(
            |           list_prepend(CAST(0 AS BIGINT),
-           |             list_transform(generate_series(1, length(text)),
-           |               i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+           |             list_concat(
+           |               list_transform(generate_series(1, length(text)),
+           |                 i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+           |               list_transform(generate_series(1, hgt * $rowBytes - length(text)),
+           |                 i -> CAST(0 AS BIGINT)))),
            |           (a, c) -> (a * 31 + c) % 1000000007) AS h
-           |  FROM documents
+           |  FROM geom
            |)
            |SELECT media_id,
-           |       CAST((h % 64 + 1) * 16 AS BIGINT) AS width,
-           |       CAST(((h >> 8) % 64 + 1) * 16 AS BIGINT) AS height,
-           |       CAST(((h >> 16) % 10 + 1) AS BIGINT) AS n_frames,
+           |       CAST(${graft.operators.Multimodal.BmpMediaWidth} AS BIGINT) AS width,
+           |       hgt AS height,
+           |       CAST(1 AS BIGINT) AS n_frames,
            |       h AS content_hash,
            |       CAST($checksum AS BIGINT) AS feature_checksum
            |FROM hashed ORDER BY media_id""".stripMargin

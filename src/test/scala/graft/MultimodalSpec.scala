@@ -54,4 +54,61 @@ class MultimodalSpec extends SparkSpec {
       assert(rs.length == (nFrames(id) + 2) / 3) // ceil(n/3)
     }
   }
+
+  test("BMP codec round-trips: encode -> decode recovers dims and padded pixel bytes") {
+    import graft.operators.Multimodal
+    // odd width => every row carries stride padding the decoder must strip
+    val pixels = Array.tabulate(200)(i => (i % 251).toByte)
+    val bmp = Multimodal.encodeBmp24(pixels, width = 25)
+    val Some((w, h, decoded)) = Multimodal.decodeBmp(bmp)
+    assert(w == 25 && h == 3) // ceil(200 / 75) rows
+    assert(decoded.length == 3 * 75)
+    assert(decoded.take(200).sameElements(pixels))
+    assert(decoded.drop(200).forall(_ == 0)) // last-row zero fill
+    // exact single row, no fill
+    val one = Array.tabulate(75)(_.toByte)
+    val Some((_, h1, d1)) = Multimodal.decodeBmp(Multimodal.encodeBmp24(one, 25))
+    assert(h1 == 1 && d1.sameElements(one))
+  }
+
+  test("BMP decoder handles top-down row order and rejects non-BMP payloads") {
+    import graft.operators.Multimodal
+    val pixels = Array.tabulate(150)(i => (i + 1).toByte)
+    val bmp = Multimodal.encodeBmp24(pixels, width = 25)
+    // flip to top-down: negate height and reverse the stored rows
+    val stride = 76
+    val buf = java.nio.ByteBuffer.wrap(bmp.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -2)
+    val flipped = buf.array()
+    val rows = (0 until 2).map(r => bmp.slice(54 + r * stride, 54 + (r + 1) * stride))
+    rows.reverse.zipWithIndex.foreach { case (row, r) =>
+      System.arraycopy(row, 0, flipped, 54 + r * stride, stride)
+    }
+    val Some((_, hTd, dTd)) = Multimodal.decodeBmp(flipped)
+    assert(hTd == 2 && dTd.sameElements(pixels))
+    // sniffing: truncated / foreign payloads fall through to None
+    assert(Multimodal.decodeBmp("not a bitmap".getBytes).isEmpty)
+    assert(Multimodal.decodeBmp(bmp.take(40)).isEmpty)
+    // 8bpp (unsupported) rejected: corrupt the bpp field
+    val bad = java.nio.ByteBuffer.wrap(bmp.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.putShort(28, 8)
+    assert(Multimodal.decodeBmp(bad.array()).isEmpty)
+  }
+
+  test("asBmpMedia payloads really decode through the sniffing codec") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 10), (2L, "b" * 75), (3L, "c" * 151)).toDF("doc_id", "text")
+    val out = Multimodal.decode(Multimodal.asBmpMedia(docs, "doc_id", "text"))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).width == 25 && out(1L).height == 1)
+    assert(out(2L).width == 25 && out(2L).height == 1)
+    assert(out(3L).width == 25 && out(3L).height == 3) // ceil(151/75)
+    assert(out.values.forall(_.n_frames == 1))
+    // content hash is over DECODED pixels: text bytes + zero fill
+    def roll(bytes: Seq[Int]): Long =
+      bytes.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val expect3 = roll(Seq.fill(151)('c'.toInt) ++ Seq.fill(3 * 75 - 151)(0))
+    assert(out(3L).content_hash == expect3)
+  }
 }
