@@ -22,6 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM asof_join('trades', 'quotes', 'sym', 't', 't', 'bid,ask')
   *   SELECT * FROM sessionize('events', 'user_id', 'ts', 'value', '4 hours')
   *
+  * plus `exact_dedup`, `ngram_jaccard_pairs`, `simhash_pairs`,
+  * `neardup_clusters`, `cosine_topk`, `decontaminate`,
+  * `mixture_sample` (weights as 'stratum=weight,...'), `trailing_agg`,
+  * `range_join`, `ohlc`, `downsample_minmax`, `rate_of_change`, and
+  * `detect_gaps` — the whole extension-operator inventory.
+  *
   * The builder resolves the named table THROUGH the session catalog at
   * analysis time and splices the operator's analyzed plan into the
   * outer query — the resulting query plans, optimizes, and scales
@@ -145,6 +151,135 @@ object PipelineSql {
         time = str("sessionize", es(2), "time column"),
         value = str("sessionize", es(3), "value column"),
         gap = str("sessionize", es(4), "session gap"))
+    }
+    reg("trailing_agg") { es =>
+      argc("trailing_agg", es, 5)
+      graft.operators.Temporal.trailingAgg(
+        table("trailing_agg", es(0)),
+        key = str("trailing_agg", es(1), "key column"),
+        time = str("trailing_agg", es(2), "time column"),
+        value = str("trailing_agg", es(3), "value column"),
+        windowMicros = long("trailing_agg", es(4), "window micros"))
+    }
+    reg("range_join") { es =>
+      argc("range_join", es, 7)
+      graft.operators.Temporal.rangeJoin(
+        table("range_join", es(0)),
+        table("range_join", es(1)),
+        keys = csv(str("range_join", es(2), "keys csv")),
+        time = str("range_join", es(3), "point time column"),
+        start = str("range_join", es(4), "interval start column"),
+        end = str("range_join", es(5), "interval end column"),
+        binMicros = long("range_join", es(6), "bin micros"))
+    }
+
+    // more dedup surface
+    reg("ngram_jaccard_pairs") { es =>
+      argc("ngram_jaccard_pairs", es, 5)
+      graft.operators.Dedup.jaccardPairs(
+        table("ngram_jaccard_pairs", es(0)),
+        id = str("ngram_jaccard_pairs", es(1), "id column"),
+        text = str("ngram_jaccard_pairs", es(2), "text column"),
+        n = int("ngram_jaccard_pairs", es(3), "shingle size n"),
+        threshold = dbl("ngram_jaccard_pairs", es(4), "jaccard threshold"))
+    }
+    reg("simhash_pairs") { es =>
+      argc("simhash_pairs", es, 4)
+      graft.operators.Dedup.simhashPairs(
+        table("simhash_pairs", es(0)),
+        id = str("simhash_pairs", es(1), "id column"),
+        text = str("simhash_pairs", es(2), "text column"),
+        maxHamming = int("simhash_pairs", es(3), "max hamming distance"))
+    }
+    reg("neardup_clusters") { es =>
+      argc("neardup_clusters", es, 5)
+      val t = table("neardup_clusters", es(0))
+      graft.operators.Dedup.neardupClusters(
+        t,
+        id = str("neardup_clusters", es(1), "id column"),
+        pairs = graft.operators.Dedup.jaccardPairs(
+          t,
+          id = str("neardup_clusters", es(1), "id column"),
+          text = str("neardup_clusters", es(2), "text column"),
+          n = int("neardup_clusters", es(3), "shingle size n"),
+          threshold = dbl("neardup_clusters", es(4), "jaccard threshold")))
+    }
+
+    // similarity family
+    reg("cosine_topk") { es =>
+      argc("cosine_topk", es, 5)
+      graft.operators.Similarity.cosineTopK(
+        table("cosine_topk", es(0)),
+        table("cosine_topk", es(1)),
+        id = str("cosine_topk", es(2), "id column"),
+        vec = str("cosine_topk", es(3), "vector column"),
+        k = int("cosine_topk", es(4), "k"))
+    }
+
+    // curation family
+    reg("decontaminate") { es =>
+      argc("decontaminate", es, 5)
+      graft.operators.Curation.decontaminate(
+        table("decontaminate", es(0)),
+        table("decontaminate", es(1)),
+        id = str("decontaminate", es(2), "id column"),
+        text = str("decontaminate", es(3), "text column"),
+        n = int("decontaminate", es(4), "n-gram size"))
+    }
+    reg("mixture_sample") { es =>
+      argc("mixture_sample", es, 4)
+      // weights as 'stratum=weight,...' (e.g. 'en=1.5,de=1.0,zh=0.25')
+      val fn = "mixture_sample"
+      val weights = csv(str(fn, es(3), "weights csv")).map { kv =>
+        kv.split("=") match {
+          case Array(k, v) => k.trim -> v.trim.toDouble
+          case _ => fail(fn, s"weights must be 'stratum=weight,...', got '$kv'")
+        }
+      }.toMap
+      graft.operators.Curation.mixtureSample(
+        table(fn, es(0)),
+        id = str(fn, es(1), "id column"),
+        stratum = str(fn, es(2), "stratum column"),
+        weights = weights)
+    }
+
+    // time-series reductions
+    reg("ohlc") { es =>
+      argc("ohlc", es, 6)
+      graft.operators.TimeSeries.ohlc(
+        table("ohlc", es(0)),
+        key = str("ohlc", es(1), "key column"),
+        time = str("ohlc", es(2), "time column"),
+        value = str("ohlc", es(3), "value column"),
+        tiebreak = str("ohlc", es(4), "tiebreak column"),
+        stepSeconds = long("ohlc", es(5), "step seconds"))
+    }
+    reg("downsample_minmax") { es =>
+      argc("downsample_minmax", es, 6)
+      graft.operators.TimeSeries.downsampleMinMax(
+        table("downsample_minmax", es(0)),
+        key = str("downsample_minmax", es(1), "key column"),
+        time = str("downsample_minmax", es(2), "time column"),
+        value = str("downsample_minmax", es(3), "value column"),
+        tiebreak = str("downsample_minmax", es(4), "tiebreak column"),
+        stepSeconds = long("downsample_minmax", es(5), "step seconds"))
+    }
+    reg("rate_of_change") { es =>
+      argc("rate_of_change", es, 5)
+      graft.operators.TimeSeries.rateOfChange(
+        table("rate_of_change", es(0)),
+        key = str("rate_of_change", es(1), "key column"),
+        time = str("rate_of_change", es(2), "time column"),
+        value = str("rate_of_change", es(3), "value column"),
+        tiebreak = str("rate_of_change", es(4), "tiebreak column"))
+    }
+    reg("detect_gaps") { es =>
+      argc("detect_gaps", es, 4)
+      graft.operators.TimeSeries.detectGaps(
+        table("detect_gaps", es(0)),
+        key = str("detect_gaps", es(1), "key column"),
+        time = str("detect_gaps", es(2), "time column"),
+        stepSeconds = long("detect_gaps", es(3), "step seconds"))
     }
   }
 }

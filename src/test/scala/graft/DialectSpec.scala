@@ -239,4 +239,64 @@ class DialectSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("expects 5 arguments"), e2.getMessage)
   }
+
+  test("pipeline table functions cover every extension family (SQL == Scala API)") {
+    graft.functions.PipelineSql.register(spark)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    docs.createOrReplaceTempView("pq_docs")
+    val events = Tables.events(spark, sf("sf0.001"))
+    events.createOrReplaceTempView("pq_events")
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    emb.createOrReplaceTempView("pq_emb")
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("pq_queries")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+
+    assert(rows(spark.sql("SELECT * FROM exact_dedup('pq_docs', 'doc_id', 'text')")) ==
+      rows(graft.operators.Dedup.exactDedup(docs, "doc_id", "text")))
+    assert(rows(spark.sql("SELECT * FROM ngram_jaccard_pairs('pq_docs', 'doc_id', 'text', 3, 0.8D)")) ==
+      rows(graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)))
+    assert(rows(spark.sql("SELECT * FROM simhash_pairs('pq_docs', 'doc_id', 'text', 7)")) ==
+      rows(graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 7)))
+    assert(rows(spark.sql("SELECT * FROM neardup_clusters('pq_docs', 'doc_id', 'text', 3, 0.8D)")) ==
+      rows(graft.operators.Dedup.neardupClusters(docs, "doc_id",
+        graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))))
+    assert(rows(spark.sql("SELECT * FROM cosine_topk('pq_emb', 'pq_queries', 'vec_id', 'embedding', 5)")) ==
+      rows(graft.operators.Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 5)))
+    docs.filter(col("doc_id") % 10 =!= 0).createOrReplaceTempView("pq_train")
+    docs.filter(col("doc_id") % 10 === 0).createOrReplaceTempView("pq_bench")
+    assert(rows(spark.sql("SELECT * FROM decontaminate('pq_train', 'pq_bench', 'doc_id', 'text', 5)")) ==
+      rows(graft.operators.Curation.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 5)))
+    assert(rows(spark.sql(
+      "SELECT * FROM mixture_sample('pq_docs', 'doc_id', 'lang', 'en=1.5,de=1.0,zh=0.25')")) ==
+      rows(graft.operators.Curation.mixtureSample(docs, "doc_id", "lang",
+        Map("en" -> 1.5, "de" -> 1.0, "zh" -> 0.25))))
+    assert(rows(spark.sql("SELECT * FROM trailing_agg('pq_events', 'user_id', 'ts', 'value', 3600000000)")) ==
+      rows(graft.operators.Temporal.trailingAgg(events, "user_id", "ts", "value", 3600000000L)))
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .createOrReplaceTempView("pq_pts")
+    events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"), col("event_id").as("incident_id"))
+      .createOrReplaceTempView("pq_iv")
+    assert(rows(spark.sql(
+      "SELECT * FROM range_join('pq_pts', 'pq_iv', 'user_id', 'ts', 'w_start', 'w_end', 21600000000)")) ==
+      rows(graft.operators.Temporal.rangeJoin(
+        spark.table("pq_pts"), spark.table("pq_iv"), Seq("user_id"),
+        "ts", "w_start", "w_end", 21600000000L)))
+    assert(rows(spark.sql("SELECT * FROM ohlc('pq_pts', 'user_id', 'ts', 'value', 'event_id', 21600)")) ==
+      rows(graft.operators.TimeSeries.ohlc(spark.table("pq_pts"),
+        "user_id", "ts", "value", "event_id", 21600L)))
+    assert(rows(spark.sql("SELECT * FROM downsample_minmax('pq_pts', 'user_id', 'ts', 'value', 'event_id', 21600)")) ==
+      rows(graft.operators.TimeSeries.downsampleMinMax(spark.table("pq_pts"),
+        "user_id", "ts", "value", "event_id", 21600L)))
+    assert(rows(spark.sql("SELECT * FROM rate_of_change('pq_pts', 'user_id', 'ts', 'value', 'event_id')")) ==
+      rows(graft.operators.TimeSeries.rateOfChange(spark.table("pq_pts"),
+        "user_id", "ts", "value", "event_id")))
+    assert(rows(spark.sql("SELECT * FROM detect_gaps('pq_events', 'user_id', 'ts', 86400)")) ==
+      rows(graft.operators.TimeSeries.detectGaps(events, "user_id", "ts", 86400L)))
+  }
 }
