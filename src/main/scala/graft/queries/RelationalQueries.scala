@@ -518,6 +518,254 @@ object RelationalQueries {
         .limit(10),
       Some(
         """SELECT event_id, user_id, value
-          |FROM events ORDER BY value DESC, event_id LIMIT 10""".stripMargin))
+          |FROM events ORDER BY value DESC, event_id LIMIT 10""".stripMargin)),
+
+    // TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join: orders
+    // in one quarter having at least one returned line, counted by
+    // priority. The semi join never duplicates orders however many
+    // lines match (the correctness property EXISTS demands; a plain
+    // inner join + distinct would shuffle the duplication first).
+    // (The fixture has no l_commitdate/l_receiptdate, so the returned
+    // flag plays the late-delivery predicate — identical plan shape.)
+    QDef(
+      "q4_priority_returns",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        val returned = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+        o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+          |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-04-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q13 shape — LEFT OUTER join with the filter INSIDE the
+    // join condition (customers whose only orders are filtered out
+    // must still count as zero), then the two-level count-of-counts
+    // distribution.
+    QDef(
+      "q13_order_distribution",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(col("c_custkey"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") =!= "F")
+          .select(col("o_custkey"), col("o_orderkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some(
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer
+          |  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+          |  GROUP BY c_custkey)
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q14 shape — promo revenue ratio over one month: the join
+    // to part is the dimension lookup (broadcast side), the two sums
+    // ride as exact cents so the percentage is order-independent
+    // (identical double division of two exact integers in both
+    // engines).
+    QDef(
+      "q14_promo_revenue",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        l.join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+              .otherwise(0L)).as("promo_cents"),
+            sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+              .as("total_cents"))
+          .select(col("promo_cents"), col("total_cents"),
+            (floor(col("promo_cents") * 1000000L / col("total_cents")) / 10000.0)
+              .as("promo_pct"))
+      },
+      Some(
+        """SELECT CAST(promo_cents AS BIGINT) AS promo_cents,
+          |       CAST(total_cents AS BIGINT) AS total_cents,
+          |       floor(promo_cents * 1000000 / total_cents) / 10000.0 AS promo_pct
+          |FROM (
+          |  SELECT sum(CASE WHEN p_type = 'PROMO'
+          |                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |                  ELSE 0 END) AS promo_cents,
+          |         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-03-01'
+          |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-04-01')""".stripMargin)),
+
+    // TPC-H Q15 shape — the decorrelated "supplier(s) with maximum
+    // revenue": a quarter's per-supplier revenue (exact cents), a
+    // 1-row global max, joined back (broadcastable). Ties all emit —
+    // the reason this cannot be a LIMIT 1.
+    QDef(
+      "q15_top_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("total_cents"))
+        val top = rev.agg(max(col("total_cents")).as("max_cents"))
+        rev.join(broadcast(top), col("total_cents") === col("max_cents"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |  FROM lineitem
+          |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+          |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_cents
+          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q19 shape — the OR-of-ANDs join predicate: three disjunct
+    // (brand, size band, quantity band) clauses spanning both tables.
+    // Catalyst extracts the per-table common factors for pushdown and
+    // the rest rides the hash join on p_partkey — never a nested loop.
+    QDef(
+      "q19_discounted_bands",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        val pt = Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val bands =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#7" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(1, 40) &&
+            col("l_quantity").between(20, 30))
+        l.join(pt, col("l_partkey") === col("p_partkey"))
+          .filter(bands)
+          .agg(
+            sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+              .as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(
+        """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q21 shape — the double-nested EXISTS / NOT EXISTS: for a
+    // multi-supplier order, the supplier whose lines alone were
+    // returned takes the blame. One LEFT SEMI (some other supplier on
+    // the order) + one LEFT ANTI (no OTHER supplier had a return) over
+    // the same narrow (orderkey, suppkey) projections; top-20 blame
+    // counts plan as TakeOrderedAndProject.
+    QDef(
+      "q21_sole_returner",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val mine = l.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val others = l.select(col("l_orderkey").as("o2_orderkey"),
+          col("l_suppkey").as("o2_suppkey")).distinct()
+        val otherReturns = l.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3_orderkey"),
+            col("l_suppkey").as("o3_suppkey")).distinct()
+        mine
+          .join(others,
+            col("l_orderkey") === col("o2_orderkey") &&
+              col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+          .join(otherReturns,
+            col("l_orderkey") === col("o3_orderkey") &&
+              col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some(
+        """WITH mine AS (
+          |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+          |SELECT s_name, count(*) AS numwait
+          |FROM mine JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = mine.l_orderkey
+          |                AND l2.l_suppkey <> mine.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = mine.l_orderkey
+          |                    AND l3.l_suppkey <> mine.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 20""".stripMargin)),
+
+    // TPC-H Q22 shape — the scalar-subquery threshold + NOT EXISTS
+    // anti join: rich customers (above the positive-balance average)
+    // with no 1997 order (every fixture customer has SOME order, so
+    // the anti side carries a pushed date filter to keep the gate
+    // non-vacuous). The average comparison runs in EXACT integers
+    // (acctbal_cents * n > total_cents) so no float-threshold row can
+    // flip between engines; the anti join is a hash join on custkey.
+    QDef(
+      "q22_idle_rich",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("_cents"))
+        val thresh = c.filter(col("c_acctbal") > 0)
+          .agg(sum(col("_cents")).as("_total"), count(lit(1)).as("_n"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        c.join(broadcast(thresh))
+          .filter(col("_cents") * col("_n") > col("_total"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), sum(col("_cents")).as("totacctbal_cents"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total,
+          |         count(*) AS n
+          |  FROM customer WHERE c_acctbal > 0)
+          |SELECT c_nationkey, count(*) AS numcust,
+          |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+          |FROM customer, t
+          |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > total
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+          |                    AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01')
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin))
   )
 }

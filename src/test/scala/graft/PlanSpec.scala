@@ -223,6 +223,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semi/anti/outer TPC-H shapes plan hash joins — no BNLJ, no row duplication") {
+    // Q4: EXISTS decorrelates to LeftSemi (an inner join would
+    // duplicate an order per matching line before the distinct)
+    val q4 = plan("q4_priority_returns")
+    assert(q4.contains("LeftSemi"), q4)
+    // Q21: both nested EXISTS / NOT EXISTS are hash joins, and the
+    // top-20 is TakeOrderedAndProject, not a global sort
+    val q21 = plan("q21_sole_returner")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    assert(q21.contains("TakeOrderedAndProject"), q21)
+    assert(!q21.contains("BroadcastNestedLoopJoin") && !q21.contains("CartesianProduct"), q21)
+    // Q22: the NOT EXISTS is a hash LeftAnti and its date filter is
+    // pushed to the orders scan (the anti side never scans all years)
+    val q22 = plan("q22_idle_rich")
+    assert(q22.contains("LeftAnti"), q22)
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(q22).isDefined, q22)
+    // Q13: the zero-order customers survive, so the join must be outer
+    val q13 = plan("q13_order_distribution")
+    assert(q13.contains("LeftOuter"), q13)
+    // Q19: the OR-of-ANDs predicate rides an equi join on partkey
+    val q19 = plan("q19_discounted_bands")
+    assert(!q19.contains("BroadcastNestedLoopJoin") && !q19.contains("CartesianProduct"), q19)
+    // Q14: the raw fact table (lineitem) is never a broadcast side
+    val q14 = plan("q14_promo_revenue")
+    assert(!q14.split("BroadcastExchange").drop(1)
+      .exists(_.takeWhile(_ != '\n').contains("lineitem.parquet")), q14)
+    // Q15: the 1-row global max and the supplier dim both broadcast
+    // (an aggregate OF the fact table is the legitimate broadcast side)
+    val q15 = plan("q15_top_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(q15).size >= 2, q15)
+  }
+
   test("window suite runs on one key shuffle shared by all window functions") {
     val p = plan("w_window_suite")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
