@@ -766,6 +766,117 @@ object RelationalQueries {
           |                    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
           |                    AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01')
           |GROUP BY c_nationkey
-          |ORDER BY c_nationkey""".stripMargin))
+          |ORDER BY c_nationkey""".stripMargin)),
+
+    // TPC-H Q7 shape — volume shipping between two nations: the same
+    // nation dimension joins TWICE under different roles (supplier
+    // side, customer side) with a cross-pair predicate, revenue by
+    // (supp nation, cust nation, year). All four dimension hops
+    // broadcast; lineitem drives the only data-sized shuffle.
+    QDef(
+      "q7_volume_shipping",
+      (s, dir) => {
+        val pair = Seq("NATION_2", "NATION_11")
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"), year(col("l_shipdate")).cast("long").as("l_year"))
+        val sn = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cn = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        l.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+          .filter(
+            (col("supp_nation") === pair(0) && col("cust_nation") === pair(1)) ||
+              (col("supp_nation") === pair(1) && col("cust_nation") === pair(0)))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(
+        """SELECT supp_nation, cust_nation, l_year,
+          |       CAST(sum(volume) AS BIGINT) AS revenue_cents
+          |FROM (
+          |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+          |         CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_year,
+          |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS volume
+          |  FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+          |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+          |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+          |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+          |    AND ((ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_11')
+          |      OR (ns.n_name = 'NATION_11' AND nc.n_name = 'NATION_2')))
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // TPC-H Q8 shape — market share: one nation's fraction of total
+    // regional revenue per year, i.e. a ratio of two aggregates over
+    // the same joined relation (sum(CASE)/sum). Both sums ride as
+    // exact cents; the share divides two exact integers, so the
+    // double result is bit-identical in both engines.
+    QDef(
+      "q8_market_share",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val pt = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))
+        val sn = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+        l.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_2",
+              expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+              .otherwise(0L)).as("nation_cents"),
+            sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+              .as("total_cents"))
+          .select(col("o_year"), col("nation_cents"), col("total_cents"),
+            (floor(col("nation_cents") * 1000000L / col("total_cents")) / 10000.0)
+              .as("mkt_share_pct"))
+          .orderBy(col("o_year"))
+      },
+      Some(
+        """SELECT o_year, CAST(nation_cents AS BIGINT) AS nation_cents,
+          |       CAST(total_cents AS BIGINT) AS total_cents,
+          |       floor(nation_cents * 1000000 / total_cents) / 10000.0 AS mkt_share_pct
+          |FROM (
+          |  SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+          |         sum(CASE WHEN n_name = 'NATION_2'
+          |                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |                  ELSE 0 END) AS nation_cents,
+          |         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  WHERE p_type = 'PROMO'
+          |    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+          |    AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+          |  GROUP BY 1)
+          |ORDER BY o_year""".stripMargin))
   )
 }

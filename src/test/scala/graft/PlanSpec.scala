@@ -253,6 +253,13 @@ class PlanSpec extends SparkSpec {
     // (an aggregate OF the fact table is the legitimate broadcast side)
     val q15 = plan("q15_top_supplier")
     assert("BroadcastHashJoin".r.findAllIn(q15).size >= 2, q15)
+    // Q7/Q8: the dimension hops (supplier+nation, customer+nation /
+    // part) all broadcast — at least two broadcast joins per star and
+    // no nested-loop fallback anywhere
+    Seq(plan("q7_volume_shipping"), plan("q8_market_share")).foreach { p =>
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    }
   }
 
   test("window suite runs on one key shuffle shared by all window functions") {
