@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * plus `exact_dedup`, `ngram_jaccard_pairs`, `simhash_pairs`,
   * `neardup_clusters`, `cosine_topk`, `decontaminate`,
-  * `mixture_sample` (weights as 'stratum=weight,...'), `trailing_agg`,
+  * `mixture_sample` (weights as 'stratum=weight,...'), `line_dedup`,
+  * `trailing_agg`,
   * `range_join`, `ohlc`, `downsample_minmax`, `rate_of_change`, and
   * `detect_gaps` — the whole extension-operator inventory.
   *
@@ -225,6 +226,14 @@ object PipelineSql {
         id = str("decontaminate", es(2), "id column"),
         text = str("decontaminate", es(3), "text column"),
         n = int("decontaminate", es(4), "n-gram size"))
+    }
+    reg("line_dedup") { es =>
+      argc("line_dedup", es, 4)
+      graft.operators.Curation.lineDedup(
+        table("line_dedup", es(0)),
+        id = str("line_dedup", es(1), "id column"),
+        text = str("line_dedup", es(2), "text column"),
+        spanWords = int("line_dedup", es(3), "span width in words"))
     }
     reg("mixture_sample") { es =>
       argc("mixture_sample", es, 4)

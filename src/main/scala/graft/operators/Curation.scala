@@ -134,6 +134,62 @@ object Curation {
         (col("gstart") - col("shard_id") * budget).as("shard_pos"))
   }
 
+  /** C4-style LINE-level dedup: split every document into fixed-width
+    * word spans ("lines" — the fixture corpus has no newlines, so the
+    * span width parameterizes the line notion), drop every occurrence
+    * of a span that appears elsewhere in the corpus EXCEPT one global
+    * keeper, and reassemble each document from its surviving spans in
+    * order. The standard pretraining cleanup for boilerplate repeated
+    * across pages (nav bars, license headers, cookie banners).
+    *
+    * Keeper rule: the occurrence with the smallest (doc_id, pos) —
+    * deterministic, engine-replayable, no dependence on partitioning.
+    *
+    * Shape, all corpus-sized stages distributed:
+    *   1. explode to (doc_id, pos, span) — narrow rows;
+    *   2. global keeper per distinct span: ONE hash aggregate
+    *      (min_by struct — map-side combined, shuffle carries distinct
+    *      spans, not occurrences);
+    *   3. equi-join occurrences to keepers on the span (broadcast when
+    *      the distinct side is small, shuffle join at corpus scale) —
+    *      keep occurrences that ARE their span's keeper;
+    *   4. per-doc ordered reassembly: sort_array(struct(pos, span)) in
+    *      a hash aggregate — per-DOC state only, never a window.
+    * Returns (doc_id, text, n_spans, n_kept) with `text` rebuilt from
+    * kept spans; docs whose every span was deduplicated away keep a
+    * row with empty text (the caller decides whether to drop them).
+    */
+  def lineDedup(df: DataFrame, id: String, text: String,
+      spanWords: Int): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val spans = df
+      .select(col(id).as("doc_id"), split(col(text), " ").as("w"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0), floor((size(col("w")) - 1) / spanWords).cast("int")),
+          i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " "))))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "span")
+    val keepers = spans
+      .groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .select(col("span"), col("keep.doc_id").as("k_doc"), col("keep.pos").as("k_pos"))
+    spans
+      .join(keepers, "span")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("doc_id") === col("k_doc") && col("pos") === col("k_pos"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("doc_id") === col("k_doc") && col("pos") === col("k_pos"),
+                struct(col("pos"), col("span"))))),
+            x => x.getField("span")),
+          " ").as("text"))
+      .select(col("doc_id"), col("text"), col("n_spans"), col("n_kept"))
+  }
+
   /** Per-group quota cap — "at most `cap` documents per source/domain",
     * the curation step that stops over-represented sources from
     * dominating a training mix. The kept subset is the `cap` SMALLEST

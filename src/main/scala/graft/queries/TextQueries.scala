@@ -312,6 +312,40 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // C4-style line-level dedup: 5-word spans repeated anywhere in the
+    // corpus collapse to one global keeper (smallest (doc_id, pos));
+    // documents reassemble from their surviving spans. The 31-word
+    // fixture vocabulary makes span collisions plentiful, so the
+    // keeper join and ordered reassembly are both exercised hard. The
+    // oracle replays the same keeper rule (doc_id*1e6+pos composite —
+    // docs are <= 100 words so pos < 1e6 keeps it exact) and rebuilds
+    // the text with string_agg ORDER BY pos.
+    QDef(
+      "x_line_dedup",
+      (s, dir) => graft.operators.Curation.lineDedup(
+        Tables.documents(s, dir), "doc_id", "text", spanWords = 5)
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+          |), spans AS (
+          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          |         array_to_string(words[(i-1)*5+1:(i-1)*5+5], ' ') AS span
+          |  FROM w, UNNEST(generate_series(1, CAST(ceil(len(words) / 5.0) AS BIGINT))) AS t(i)
+          |), keepers AS (
+          |  SELECT span, min(doc_id * 1000000 + pos) AS k
+          |  FROM spans GROUP BY span
+          |)
+          |SELECT doc_id,
+          |       coalesce(string_agg(
+          |         CASE WHEN doc_id * 1000000 + pos = k THEN span END, ' '
+          |         ORDER BY pos), '') AS text,
+          |       count(*) AS n_spans,
+          |       CAST(sum(CASE WHEN doc_id * 1000000 + pos = k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |FROM spans JOIN keepers USING (span)
+          |GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: training docs sharing any word 5-gram
     // with the held-out benchmark slice (doc_id % 10 = 0 — the same
     // corpus plays both roles, so overlap genuinely occurs through the

@@ -154,4 +154,28 @@ class CurationSpec extends SparkSpec {
     // BEFORE the exchange — the shuffle never carries the full group
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("lineDedup keeps one global occurrence per span and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // spans (w=3): "a b c", "d e f"
+      (2L, "a b c x y z"),        // "a b c" duplicates doc 1 pos 0 -> dropped here
+      (3L, "x y z a b c d e f"),  // all three spans are dups of earlier keepers
+      (4L, "p q r")               // unique span, untouched
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "doc_id", "text", spanWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f", 2L, 2L)))       // keeper of both spans
+    assert(out(2L) == (("x y z", 2L, 1L)))             // lost "a b c", kept "x y z"
+    assert(out(3L) == (("", 3L, 0L)))                  // every span already kept elsewhere
+    assert(out(4L) == (("p q r", 1L, 1L)))
+    // each distinct span of the input survives exactly once, corpus-wide
+    val keptSpans = out.values.toSeq.flatMap(_._1.split(" ").grouped(3).map(_.mkString(" ")))
+      .filter(_.nonEmpty)
+    assert(keptSpans.distinct.length == keptSpans.length)
+    // partition invariance: the keeper rule is (doc_id, pos), not arrival order
+    val again = Curation.lineDedup(docs.repartition(5), "doc_id", "text", spanWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == out)
+  }
 }

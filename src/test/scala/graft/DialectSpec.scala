@@ -298,5 +298,7 @@ class DialectSpec extends SparkSpec {
         "user_id", "ts", "value", "event_id")))
     assert(rows(spark.sql("SELECT * FROM detect_gaps('pq_events', 'user_id', 'ts', 86400)")) ==
       rows(graft.operators.TimeSeries.detectGaps(events, "user_id", "ts", 86400L)))
+    assert(rows(spark.sql("SELECT * FROM line_dedup('pq_docs', 'doc_id', 'text', 5)")) ==
+      rows(graft.operators.Curation.lineDedup(docs, "doc_id", "text", 5)))
   }
 }
