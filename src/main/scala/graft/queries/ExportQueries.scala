@@ -305,6 +305,72 @@ object ExportQueries {
           |       count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Lake maintenance 4: copy-on-write MERGE. The fixture builds the
+    // date-partitioned events lake, then applies one change-set to the
+    // first half of January: event_id%7 rows re-typed 'adjusted'
+    // (update in place), %13 rows deleted, %11 rows re-inserted under
+    // a fresh key as 'backfill'. Only touched partitions rewrite
+    // (LakeOpsSpec pins untouched-partition files byte-identical); the
+    // gate hash-checks the MERGED lake's per-date accounting against
+    // an oracle replaying the same upsert/delete/insert algebra from
+    // source — update, delete, and insert effects all land in the hash.
+    QDef(
+      "s13_upsert_lake",
+      (s, dir) => {
+        val out = Fixtures.dir("upsert_lake", dir) { o =>
+          val ev = Tables.events(s, dir)
+            .withColumn("event_date", to_date(col("ts")).cast("string"))
+          ev.write.partitionBy("event_date").parquet(s"$o/lake")
+          val scope = ev.filter(col("event_date") <= "2024-01-15")
+          val changes = scope
+            .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
+            .withColumn("event_type", lit("adjusted"))
+            .withColumn("_deleted", lit(false))
+            .unionByName(scope.filter(col("event_id") % 13 === 0)
+              .withColumn("_deleted", lit(true)))
+            .unionByName(scope.filter(col("event_id") % 11 === 0)
+              .withColumn("event_id", col("event_id") + lit(1000000000L))
+              .withColumn("event_type", lit("backfill"))
+              .withColumn("_deleted", lit(false)))
+          graft.sources.LakeOps.mergeUpsert(
+            s, s"$o/lake", changes, Seq("event_id"), "event_date")
+        }
+        s.read.parquet(s"$out/lake")
+          .groupBy(col("event_date").cast("string").as("event_date"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when(col("event_type") === "adjusted", lit(1))).as("n_adjusted"),
+            count(when(col("event_type") === "backfill", lit(1))).as("n_backfill"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_date"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, event_type, value,
+          |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+          |  FROM events),
+          |scope AS (SELECT * FROM ev WHERE event_date <= '2024-01-15'),
+          |changed AS (
+          |  SELECT event_id, user_id, 'adjusted' AS event_type, value, event_date
+          |  FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT event_id + 1000000000, user_id, 'backfill', value, event_date
+          |  FROM scope WHERE event_id % 11 = 0),
+          |removed AS (
+          |  SELECT event_id FROM scope WHERE event_id % 13 = 0
+          |  UNION ALL
+          |  SELECT event_id FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0),
+          |merged AS (
+          |  SELECT * FROM ev WHERE event_id NOT IN (SELECT event_id FROM removed)
+          |  UNION ALL SELECT * FROM changed)
+          |SELECT event_date, count(*) AS n_rows,
+          |       count(CASE WHEN event_type = 'adjusted' THEN 1 END) AS n_adjusted,
+          |       count(CASE WHEN event_type = 'backfill' THEN 1 END) AS n_backfill,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+          |       count(DISTINCT user_id) AS n_users
+          |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,
     // crawled WITHOUT names (all-string col1..colN, header lines

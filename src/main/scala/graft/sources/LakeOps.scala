@@ -106,6 +106,102 @@ object LakeOps {
       .write.mode("overwrite").parquet(dst)
   }
 
+  /** Copy-on-write MERGE (upsert + delete) into a partitioned parquet
+    * lake: rows in `changes` replace the lake row with the same key
+    * (or insert when no such row exists); change rows whose
+    * `deleteCol` is true remove the matching row. Only the partitions
+    * the change-set touches are rewritten — everything else is never
+    * read, never written, byte-identical after the merge (the
+    * `LakeOpsSpec` pin). The plain-parquet analog of a lakehouse
+    * MERGE INTO with partition-level copy-on-write.
+    *
+    * Contract: a change row targets the row with equal `keyCols`
+    * INSIDE the partition the change row carries — keys must not move
+    * between partitions (the universal partitioned-CoW contract; a
+    * moving key is a delete in one partition plus an insert in the
+    * other, which this API expresses directly).
+    *
+    * Scale shape, per merge:
+    *  - touched-partition discovery is `changes.select(part).distinct`
+    *    — collected, but bounded by the number of TOUCHED PARTITIONS
+    *    (metadata-sized), never by rows;
+    *  - the lake read is pruned to touched partitions by a literal
+    *    IN filter (partition pruning at planning — untouched
+    *    directories are not even listed);
+    *  - survivors = one LEFT ANTI join of touched-partition rows
+    *    against change keys, shuffle bounded by touched data; AQE
+    *    broadcasts the key side when the change-set is small (the
+    *    common case);
+    *  - the merged result stages to a scratch dir, then lands via
+    *    dynamic partition overwrite (parquet refuses to overwrite an
+    *    input path; on an object store the same two-phase shape is
+    *    write-new-files + pointer swap). Both passes move touched
+    *    partitions only.
+    * Dynamic overwrite only replaces partitions PRESENT in the
+    * output, so a partition whose every row was deleted would
+    * otherwise survive untouched — those are enumerated (metadata
+    * diff) and their directories dropped explicitly.
+    */
+  def mergeUpsert(spark: SparkSession, lakeDir: String, changes: DataFrame,
+      keyCols: Seq[String], partitionCol: String,
+      deleteCol: String = "_deleted"): Unit = {
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val lake = spark.read.parquet(lakeDir)
+    // canonical STRING forms throughout: the lake read may infer the
+    // partition column as date/int from directory names while the
+    // change-set carries strings — set algebra on mixed types would
+    // silently miss, and directory names ARE the string forms
+    val touched = changes.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty) return
+    // filter with bare attribute vs string literals (Catalyst coerces
+    // the LITERAL side) so partition pruning still sees the raw column
+    val existing = lake.filter(col(partitionCol).isin(touched: _*))
+    val changeKeys = changes.select(keyCols.map(col): _*).distinct()
+    val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
+      .select(lake.columns.map(col): _*)
+    val merged = existing.join(changeKeys, keyCols, "left_anti")
+      .unionByName(upserts)
+
+    val stagingRoot = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val staging = s"$stagingRoot/staged"
+    try {
+      merged.write.partitionBy(partitionCol).parquet(staging)
+      // staged partition inventory from the directory listing (free
+      // metadata; also survives the all-rows-deleted case, where an
+      // empty staged dataset has no schema to read back)
+      val stagedPartitions = Option(new java.io.File(staging).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(partitionCol + "="))
+        .map(_.getName.substring(partitionCol.length + 1)).toSet
+      if (stagedPartitions.nonEmpty) {
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          spark.read.parquet(staging)
+            .write.mode("overwrite").partitionBy(partitionCol).parquet(lakeDir)
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      // partitions the change-set emptied entirely: dynamic overwrite
+      // never saw them, so drop their directories (metadata-only)
+      touched.filterNot(stagedPartitions.contains).foreach { v =>
+        val dir = new java.io.File(s"$lakeDir/$partitionCol=$v")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (dir.exists()) rm(dir)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(stagingRoot))
+    }
+  }
+
   /** Schema-evolution read: union the lake's batches by COLUMN NAME,
     * with columns absent from older batches read as nulls —
     * `mergeSchema` over the batch-partitioned layout. The reader is

@@ -71,6 +71,70 @@ class LakeOpsSpec extends SparkSpec {
     assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 9.5)
   }
 
+  test("mergeUpsert applies update/insert/delete; untouched partitions stay byte-identical") {
+    import spark.implicits._
+    val root = tmp("lakeops_merge")
+    Seq(
+      (1L, "a", 10.0, "p1"), (2L, "b", 20.0, "p1"), (3L, "c", 30.0, "p1"),
+      (4L, "d", 40.0, "p2"), (5L, "e", 50.0, "p2"))
+      .toDF("id", "name", "score", "part")
+      .write.partitionBy("part").parquet(s"$root/lake")
+    def snapshot(p: String): Seq[(String, Long, Long)] =
+      new java.io.File(s"$root/lake/part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .map(f => (f.getName, f.length(), f.lastModified())).sorted
+    val p2Before = snapshot("p2")
+
+    // update id=1, delete id=2, insert id=9 — all inside p1
+    val changes = Seq(
+      (1L, "a2", 11.0, "p1", false),
+      (2L, "b", 20.0, "p1", true),
+      (9L, "z", 90.0, "p1", false))
+      .toDF("id", "name", "score", "part", "_deleted")
+    LakeOps.mergeUpsert(spark, s"$root/lake", changes, Seq("id"), "part")
+
+    val out = spark.read.parquet(s"$root/lake")
+      .select("id", "name", "score", "part").as[(Long, String, Double, String)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, "a2", 11.0, "p1"), (3L, "c", 30.0, "p1"), (9L, "z", 90.0, "p1"),
+      (4L, "d", 40.0, "p2"), (5L, "e", 50.0, "p2")))
+    // the untouched partition was neither read nor rewritten
+    assert(snapshot("p2") == p2Before, "untouched partition files changed")
+  }
+
+  test("mergeUpsert drops a partition whose every row was deleted") {
+    import spark.implicits._
+    val root = tmp("lakeops_merge_empty")
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+      .toDF("id", "name", "part")
+      .write.partitionBy("part").parquet(s"$root/lake")
+    val changes = Seq((1L, "a", "p1", true), (2L, "b", "p1", true))
+      .toDF("id", "name", "part", "_deleted")
+    LakeOps.mergeUpsert(spark, s"$root/lake", changes, Seq("id"), "part")
+    assert(!new java.io.File(s"$root/lake/part=p1").exists(),
+      "fully-deleted partition directory should be dropped")
+    val out = spark.read.parquet(s"$root/lake")
+      .select("id", "part").as[(Long, String)].collect().toSet
+    assert(out == Set((3L, "p2")))
+  }
+
+  test("mergeUpsert prunes the lake scan to touched partitions") {
+    import spark.implicits._
+    val root = tmp("lakeops_merge_prune")
+    Seq((1L, "p1"), (2L, "p2"), (3L, "p3"))
+      .toDF("id", "part").write.partitionBy("part").parquet(s"$root/lake")
+    // the pruning shape mergeUpsert builds internally: bare attribute
+    // vs literals, so PartitionFilters carries it (not PushedFilters)
+    val lake = spark.read.parquet(s"$root/lake")
+    val plan = lake.filter(col("part").isin("p1"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("part#"), plan)
+    val scanned = lake.filter(col("part").isin("p1"))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(scanned.forall(_.contains("part=p1")), scanned.mkString(","))
+  }
+
   test("z-order clustering: a 2D box filter touches far fewer files than time order") {
     val ev = Tables.events(spark, sf("sf0.01")).withColumn("day",
       datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long"))
