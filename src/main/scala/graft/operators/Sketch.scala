@@ -419,6 +419,70 @@ object Sketch {
       .groupBy(col(key))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
 
+  // ---------------------------------------------------------------------------
+  // Equi-width histogram quantile sketch
+  // ---------------------------------------------------------------------------
+
+  /** Mergeable equi-width histogram over a numeric column: one row per
+    * (group, bin) with the bin's occupancy. `bin = clamp(floor((v-lo)
+    * ·bins/(hi-lo)), 0, bins-1)` — out-of-range values land in the edge
+    * bins (standard histogram-sketch behavior; the oracle replays the
+    * clamp, so it is hash-checked, not tolerated).
+    *
+    * This is the quantile sketch that survives 100 TB: ONE hash
+    * aggregate with map-side combine, shuffle bounded by
+    * groups × bins rows regardless of input size, and shard histograms
+    * merge by ADDING counts (associative/commutative — the
+    * `SketchSpec` merge pin), so per-day partials roll up to any
+    * horizon without touching raw data again. The exact alternative
+    * (`percentile`) shuffles every value per group.
+    */
+  def histogramBuild(df: DataFrame, value: Column, groupCols: Seq[String],
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val raw = floor((value - lit(lo)) * bins / (hi - lo)).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    df.groupBy(groupCols.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[histogramBuild]] sketch: for each q,
+    * rank = ceil(q·total); walk the cumulative histogram to the first
+    * bin holding that rank and interpolate linearly inside it —
+    * est = lo + (bin + (rank − cum_before)/cnt) · width.
+    *
+    * Every stage here runs over SKETCH-sized data (≤ groups × bins
+    * rows), so the windows are per-group cumulative sums over at most
+    * `bins` rows — never over the raw values. Each arithmetic step is
+    * exact-integer or a single IEEE double op in a fixed order, so the
+    * DuckDB oracle replays estimates bit-for-bit.
+    */
+  def histogramQuantiles(histo: DataFrame, groupCols: Seq[String],
+      lo: Double, hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val width = (hi - lo) / bins
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val cum = histo
+      .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy(col("bin"))))
+      .withColumn("total", sum(col("cnt")).over(byGroup))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+    val rank = ceil(col("q") * col("total"))
+    val sel = cum.filter(col("cum") >= rank)
+      .groupBy(groupCols.map(col) :+ col("q"): _*)
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"), col("total"))).as("s"))
+      .select(groupCols.map(col) ++ Seq(col("q"),
+        col("s.bin").as("bin"), col("s.cnt").as("cnt"),
+        col("s.cum").as("cum"), col("s.total").as("total")): _*)
+    val rankSel = ceil(col("q") * col("total"))
+    sel.select(groupCols.map(col) ++ Seq(col("q"),
+      graft.functions.Arith.r2(lit(lo) +
+        (col("bin") + (rankSel - col("cum") + col("cnt")) / col("cnt")) * lit(width))
+        .as("est")): _*)
+  }
+
   /** DuckDB replay of [[topKNgrams]]'s SEMANTICS (exact top-k; the
     * sketch side is exact under the asserted frequency bound). */
   def topKNgramsOracleSql(src: String, text: String, n: Int, k: Int): String = {

@@ -16,6 +16,47 @@ object SketchQueries {
 
   def defs: Seq[QDef] = Seq(
 
+    // Mergeable equi-width histogram quantile sketch: per-event-type
+    // value quantiles from a (group × 120-bin) histogram — the
+    // bounded-shuffle replacement for exact per-group percentile at
+    // corpus scale. The oracle replays the whole sketch (bin clamp,
+    // cumulative walk, in-bin linear interpolation) bit-for-bit, so
+    // the estimates are hash-checked, not tolerance-checked.
+    QDef(
+      "k_hist_quantiles",
+      (s, dir) => {
+        val histo = Sketch.histogramBuild(Tables.events(s, dir),
+          col("value"), Seq("event_type"), lo = 0.0, hi = 600.0, bins = 120)
+        Sketch.histogramQuantiles(histo, Seq("event_type"),
+          lo = 0.0, hi = 600.0, bins = 120, qs = Seq(0.1, 0.5, 0.9, 0.99))
+          .orderBy(col("event_type"), col("q"))
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT event_type,
+          |         LEAST(GREATEST(CAST(floor((value - 0.0) * 120 / 600.0) AS BIGINT), 0), 119) AS bin,
+          |         count(*) AS cnt
+          |  FROM events GROUP BY 1, 2
+          |), c AS (
+          |  SELECT event_type, bin, cnt,
+          |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+          |         sum(cnt) OVER (PARTITION BY event_type) AS total
+          |  FROM h
+          |), qx AS (
+          |  SELECT event_type, q, bin, cnt, cum, total
+          |  FROM c, (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+          |                  (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qs(q)
+          |  WHERE cum >= CAST(ceil(q * total) AS BIGINT)
+          |), sel AS (
+          |  SELECT event_type, q, min(bin) AS bin, arg_min(cnt, bin) AS cnt,
+          |         arg_min(cum, bin) AS cum, arg_min(total, bin) AS total
+          |  FROM qx GROUP BY 1, 2
+          |)
+          |SELECT event_type, q,
+          |       floor((0.0 + (bin + (CAST(ceil(q * total) AS BIGINT) - cum + cnt) / cnt) * 5.0)
+          |             * 100 + 0.5) / 100.0 AS est
+          |FROM sel ORDER BY event_type, q""".stripMargin)),
+
     // Distinct users per day at m=32 registers: the grouped sketch
     // (30 groups, each its own register set). exact_distinct /
     // rel_err_pct ride along as calibration columns (both engines

@@ -186,6 +186,46 @@ class SketchSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("histogram sketch: shard histograms merge by addition to the one-pass build") {
+    val (lo, hi, bins) = (0.0, 600.0, 120)
+    val onePass = Sketch.histogramBuild(events, col("value"), Seq("event_type"), lo, hi, bins)
+    // shard by day, build per shard, merge by summing counts
+    val sharded = Sketch.histogramBuild(
+      events.withColumn("day", to_date(col("ts")).cast("string")),
+      col("value"), Seq("event_type", "day"), lo, hi, bins)
+      .groupBy(col("event_type"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    assert(onePass.exceptAll(sharded).isEmpty && sharded.exceptAll(onePass).isEmpty)
+    // and the estimates are partition-invariant
+    val q = Seq(0.1, 0.5, 0.9)
+    val a = Sketch.histogramQuantiles(onePass, Seq("event_type"), lo, hi, bins, q)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val b = Sketch.histogramQuantiles(
+      Sketch.histogramBuild(events.repartition(13), col("value"), Seq("event_type"), lo, hi, bins),
+      Seq("event_type"), lo, hi, bins, q)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+
+  test("histogram quantile estimates land within one bin width of the exact percentile") {
+    val (lo, hi, bins) = (0.0, 600.0, 120)
+    val width = (hi - lo) / bins
+    val histo = Sketch.histogramBuild(events, col("value"), Seq("event_type"), lo, hi, bins)
+    val est = Sketch.histogramQuantiles(histo, Seq("event_type"), lo, hi, bins, Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"), expr("percentile(value, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    exact.foreach { case (t, (p50, p90)) =>
+      assert(math.abs(est((t, 0.5)) - p50) <= width, s"$t p50: ${est((t, 0.5))} vs $p50")
+      assert(math.abs(est((t, 0.9)) - p90) <= width, s"$t p90: ${est((t, 0.9))} vs $p90")
+    }
+    // out-of-range values clamp into the edge bins instead of vanishing
+    val tiny = Seq(("a", -5.0), ("a", 1000.0), ("a", 3.0)).toDF("g", "v")
+    val h = Sketch.histogramBuild(tiny, col("v"), Seq("g"), lo, hi, bins)
+    assert(h.agg(sum("cnt")).head.getLong(0) == 3L)
+    assert(h.filter(col("bin") === 0).head.getLong(2) == 2L) // -5.0 and 3.0
+  }
+
   test("bloom: no false negatives, FPs match a driver-side reference bitset") {
     val (k, m) = (3, 512)
     val members = (0 until 40).map(i => s"member_$i")
