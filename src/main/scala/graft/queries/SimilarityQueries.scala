@@ -313,6 +313,60 @@ object SimilarityQueries {
            |FROM pairs WHERE cos >= 0.9
            |ORDER BY d1, d2""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: embedding near-dup pairs
+    // (LSH-blocked, the gate above) resolved into transitive clusters
+    // with one canonical keeper each — the embedding-space twin of
+    // d_neardup_clusters, and the decision a curation pipeline acts on
+    // when pruning semantically redundant documents. The oracle walks
+    // the brute-force cosine pair graph with a recursive CTE; the
+    // Spark side must produce the identical component labeling from
+    // the BLOCKED pair set (recall-complete on this corpus by the
+    // blocking pin above).
+    QDef(
+      "s_semantic_dedup",
+      (s, dir) => {
+        val emb = augmentedNearDupCorpus(Tables.embeddings(s, dir))
+        val pairs = Similarity.cosineNearDupPairsBlocked(
+          emb, "vec_id", "embedding",
+          threshold = 0.9, nbits = 8, tables = 16, dim = 64)
+        graft.operators.Dedup.neardupClusters(emb, "vec_id",
+          pairs.select(col("d1"), col("d2")))
+          .orderBy(col("doc"))
+      },
+      Some(
+        s"""WITH RECURSIVE aug AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |         list_transform(generate_series(1, 64),
+           |           j -> CAST(embedding[j] AS DOUBLE) * (CASE WHEN (j-1) % 2 = 0 THEN 1.05 ELSE 0.95 END))
+           |  FROM embeddings
+           |), e AS (
+           |  SELECT vec_id, ${normSql("embedding")} AS nv
+           |  FROM aug
+           |), pairs AS (
+           |  SELECT a.vec_id AS d1, b.vec_id AS d2
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |  WHERE ${dotSql("a.nv", "b.nv").replace("\n", "\n    ")} >= 0.9
+           |), nodes AS (
+           |  SELECT vec_id AS doc FROM aug
+           |), und AS (
+           |  SELECT d1 AS a, d2 AS b FROM pairs
+           |  UNION ALL
+           |  SELECT d2, d1 FROM pairs
+           |), reach(doc, label) AS (
+           |  SELECT doc, doc FROM nodes
+           |  UNION
+           |  SELECT u.a, r.label FROM und u JOIN reach r ON r.doc = u.b
+           |), comp AS (
+           |  SELECT doc, min(label) AS cluster_id FROM reach GROUP BY doc
+           |)
+           |SELECT doc, cluster_id,
+           |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           |       doc = cluster_id AS is_canonical
+           |FROM comp ORDER BY doc""".stripMargin)),
+
     // nbits/tables sized for ≥0.9 measured recall on THIS corpus (random
     // near-orthogonal vectors — the hardest LSH regime; recall=0.98 at
     // sf0.01, asserted in SimilaritySpec). Clustered real-world
