@@ -371,6 +371,83 @@ object ExportQueries {
           |       count(DISTINCT user_id) AS n_users
           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Lake maintenance 5: snapshot versioning + time travel. The same
+    // merge algebra as s13, but committed as a VERSION of a
+    // manifest-tracked lake: v1 is the pre-merge snapshot, v2 the
+    // merged one, and both are read back FROM THE SAME LAKE after the
+    // merge — the gate hashes v1's aggregate (proving the merge did
+    // not disturb history) and v2's (proving the merge applied)
+    // against per-version oracles. Untouched-partition file reuse and
+    // manifest-level pruning are pinned in VersionedLakeSpec.
+    QDef(
+      "s14_time_travel",
+      (s, dir) => {
+        val out = Fixtures.dir("versioned_lake", dir) { o =>
+          val ev = Tables.events(s, dir)
+            .withColumn("event_date", to_date(col("ts")).cast("string"))
+          graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date")
+          val scope = ev.filter(col("event_date") <= "2024-01-15")
+          val changes = scope
+            .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
+            .withColumn("event_type", lit("adjusted"))
+            .withColumn("_deleted", lit(false))
+            .unionByName(scope.filter(col("event_id") % 13 === 0)
+              .withColumn("_deleted", lit(true)))
+            .unionByName(scope.filter(col("event_id") % 11 === 0)
+              .withColumn("event_id", col("event_id") + lit(1000000000L))
+              .withColumn("event_type", lit("backfill"))
+              .withColumn("_deleted", lit(false)))
+          graft.sources.VersionedLake.mergeUpsert(
+            s, s"$o/lake", changes, Seq("event_id"), "event_date")
+        }
+        def versionAgg(v: Int) =
+          graft.sources.VersionedLake.read(s, s"$out/lake", Some(v))
+            .groupBy(col("event_date").cast("string").as("event_date"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              count(when(col("event_type") === "adjusted", lit(1))).as("n_adjusted"),
+              count(when(col("event_type") === "backfill", lit(1))).as("n_backfill"),
+              sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+            .withColumn("version", lit(v.toLong))
+        versionAgg(1).unionByName(versionAgg(2))
+          .select(col("version"), col("event_date"), col("n_rows"),
+            col("n_adjusted"), col("n_backfill"), col("sum_cents"))
+          .orderBy(col("version"), col("event_date"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, event_type, value,
+          |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+          |  FROM events),
+          |scope AS (SELECT * FROM ev WHERE event_date <= '2024-01-15'),
+          |changed AS (
+          |  SELECT event_id, user_id, 'adjusted' AS event_type, value, event_date
+          |  FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT event_id + 1000000000, user_id, 'backfill', value, event_date
+          |  FROM scope WHERE event_id % 11 = 0),
+          |removed AS (
+          |  SELECT event_id FROM scope WHERE event_id % 13 = 0
+          |  UNION ALL
+          |  SELECT event_id FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0),
+          |merged AS (
+          |  SELECT * FROM ev WHERE event_id NOT IN (SELECT event_id FROM removed)
+          |  UNION ALL SELECT * FROM changed),
+          |v1 AS (
+          |  SELECT CAST(1 AS BIGINT) AS version, event_date, count(*) AS n_rows,
+          |         count(CASE WHEN event_type = 'adjusted' THEN 1 END) AS n_adjusted,
+          |         count(CASE WHEN event_type = 'backfill' THEN 1 END) AS n_backfill,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |  FROM ev GROUP BY 2),
+          |v2 AS (
+          |  SELECT CAST(2 AS BIGINT) AS version, event_date, count(*) AS n_rows,
+          |         count(CASE WHEN event_type = 'adjusted' THEN 1 END) AS n_adjusted,
+          |         count(CASE WHEN event_type = 'backfill' THEN 1 END) AS n_backfill,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |  FROM merged GROUP BY 2)
+          |SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+          |ORDER BY version, event_date""".stripMargin)),
+
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,
     // crawled WITHOUT names (all-string col1..colN, header lines

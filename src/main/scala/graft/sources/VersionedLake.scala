@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Snapshot-versioned partitioned lake: every commit writes IMMUTABLE
+  * parquet files plus a manifest naming exactly the files that make up
+  * that version, and readers resolve a version's manifest instead of
+  * listing directories. The core lakehouse-table idea (Iceberg/Delta
+  * style) in its minimal Spark-first form:
+  *
+  *  - **Time travel**: any prior version stays readable — its files
+  *    are never mutated or deleted by later commits.
+  *  - **File reuse**: a merge commit rewrites only the partitions the
+  *    change-set touches; the new manifest carries the UNTOUCHED
+  *    partitions' existing file entries forward verbatim (no data
+  *    copy — the `VersionedLakeSpec` identity pin).
+  *  - **Atomic visibility**: a commit is data files, then the new
+  *    manifest, then a same-filesystem atomic rename of the CURRENT
+  *    pointer. Readers see the old version or the new one, never a
+  *    half-written mix. (On an object store the rename becomes a
+  *    conditional put of the pointer object — same protocol.)
+  *
+  * Layout under `lakeDir`:
+  * {{{
+  *   data/c<commit>/<partitionCol>=<v>/part-*.parquet   immutable
+  *   _versions/v<N>.manifest    one "partitionValue\tpath" line per file
+  *   _versions/CURRENT          the committed version number
+  * }}}
+  *
+  * Scale shape: manifests are file-count-sized metadata (the same
+  * scaling argument as any table format); reads hand Spark an explicit
+  * file list with `basePath` so partition columns still resolve and
+  * partition pruning happens at the manifest level — a time-travel
+  * read of one partition opens that partition's files only.
+  */
+object VersionedLake {
+
+  private def versionsDir(lakeDir: String) = s"$lakeDir/_versions"
+
+  /** The committed version number, 0 if the lake has no commit yet. */
+  def currentVersion(lakeDir: String): Int = {
+    val f = new File(s"${versionsDir(lakeDir)}/CURRENT")
+    if (f.exists()) new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toInt
+    else 0
+  }
+
+  /** (partitionValue, absolutePath) entries of a version's manifest. */
+  def manifest(lakeDir: String, version: Int): Seq[(String, String)] = {
+    val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
+    require(Files.exists(f), s"version $version does not exist under $lakeDir")
+    new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('\t')
+        (line.substring(0, i), line.substring(i + 1))
+      }
+  }
+
+  /** Create version 1 from `df`, partitioned by `partitionCol`. */
+  def create(df: DataFrame, lakeDir: String, partitionCol: String): Unit = {
+    require(!new File(s"${versionsDir(lakeDir)}/CURRENT").exists(),
+      s"$lakeDir already has commits; use mergeUpsert")
+    val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol)
+    commitManifest(lakeDir, version = 1, entries)
+  }
+
+  /** Read a version (default: current) as a DataFrame with the
+    * partition column restored. Pruning note: `partitions` narrows the
+    * file list at the MANIFEST (metadata) level — the Spark scan never
+    * sees the other partitions' files at all. */
+  def read(spark: SparkSession, lakeDir: String, version: Option[Int] = None,
+      partitions: Option[Seq[String]] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(lakeDir))
+    val entries = manifest(lakeDir, v)
+    val wanted = partitions match {
+      case Some(ps) => entries.filter(e => ps.contains(e._1))
+      case None => entries
+    }
+    // every commit dir shares the partition-dir naming, so basePath on
+    // data/ recovers the partition column from any mix of commits;
+    // empty version (all rows deleted) still needs a schema — surface
+    // an empty frame from the newest non-empty ancestor's schema
+    if (wanted.isEmpty) {
+      val any = (v to 1 by -1).iterator.map(manifest(lakeDir, _))
+        .find(_.nonEmpty).getOrElse(
+          throw new IllegalStateException(s"lake $lakeDir has no files in any version"))
+      val schema = spark.read.option("basePath", s"$lakeDir/data")
+        .parquet(any.map(_._2): _*).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      spark.read.option("basePath", s"$lakeDir/data").parquet(wanted.map(_._2): _*)
+    }
+  }
+
+  /** Copy-on-write MERGE as a new VERSION: same upsert/delete
+    * semantics and contract as [[LakeOps.mergeUpsert]], but instead of
+    * overwriting partition directories, the merged touched partitions
+    * become new immutable files and the new manifest reuses every
+    * untouched partition's entries — so the pre-merge version remains
+    * readable (time travel) and untouched data is never copied.
+    */
+  def mergeUpsert(spark: SparkSession, lakeDir: String, changes: DataFrame,
+      keyCols: Seq[String], partitionCol: String,
+      deleteCol: String = "_deleted"): Unit = {
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val v = currentVersion(lakeDir)
+    require(v >= 1, s"$lakeDir has no committed version to merge into")
+    val entries = manifest(lakeDir, v)
+    val touched = changes.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return
+
+    val existingTouched = {
+      val files = entries.filter(e => touched.contains(e._1)).map(_._2)
+      if (files.isEmpty) None
+      else Some(spark.read.option("basePath", s"$lakeDir/data").parquet(files: _*))
+    }
+    val changeKeys = changes.select(keyCols.map(col): _*).distinct()
+    val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
+    val merged = existingTouched match {
+      case Some(ex) =>
+        ex.join(changeKeys, keyCols, "left_anti")
+          .unionByName(upserts.select(ex.columns.map(col): _*))
+      case None => upserts
+    }
+    val newEntries = writeCommitFiles(merged, lakeDir, commitId = v + 1, partitionCol)
+    commitManifest(lakeDir, v + 1,
+      entries.filterNot(e => touched.contains(e._1)) ++ newEntries)
+  }
+
+  /** Write `df`'s files into the shared `data/<partitionCol>=<v>/`
+    * tree under commit-prefixed names (stage with partitionBy, then
+    * per-file rename — metadata ops on new files only) and return the
+    * (partitionValue, path) entries produced. One uniform directory
+    * depth keeps a single basePath scan valid across any mix of
+    * commits. */
+  private def writeCommitFiles(df: DataFrame, lakeDir: String, commitId: Int,
+      partitionCol: String): Seq[(String, String)] = {
+    val staging = s"$lakeDir/_staging_c$commitId"
+    df.write.partitionBy(partitionCol).parquet(staging)
+    val prefix = partitionCol + "="
+    val entries = Option(new File(staging).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .flatMap { d =>
+        val value = d.getName.substring(prefix.length)
+        val destDir = new File(s"$lakeDir/data/${d.getName}")
+        destDir.mkdirs()
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val dest = new File(destDir, s"c$commitId-${f.getName}")
+          Files.move(f.toPath, dest.toPath)
+          (value, dest.getAbsolutePath)
+        }
+      }.toSeq.sortBy(_._2)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(staging))
+    entries
+  }
+
+  /** Write v<N>.manifest, then flip CURRENT with an atomic rename. */
+  private def commitManifest(lakeDir: String, version: Int,
+      entries: Seq[(String, String)]): Unit = {
+    val dir = new File(versionsDir(lakeDir))
+    dir.mkdirs()
+    val body = entries.map { case (p, f) => s"$p\t$f" }.mkString("\n")
+    Files.write(Paths.get(s"$dir/v$version.manifest"),
+      body.getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(s"$dir/CURRENT.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(s"$dir/CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
