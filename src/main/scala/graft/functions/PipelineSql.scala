@@ -23,9 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM sessionize('events', 'user_id', 'ts', 'value', '4 hours')
   *
   * plus `exact_dedup`, `ngram_jaccard_pairs`, `simhash_pairs`,
-  * `neardup_clusters`, `cosine_topk`, `decontaminate`,
+  * `neardup_clusters`, `cosine_topk`, `semantic_dedup`,
+  * `decontaminate`,
   * `mixture_sample` (weights as 'stratum=weight,...'), `line_dedup`,
-  * `trailing_agg`,
+  * `trailing_agg`, `hist_quantiles` (quantiles as 'q1,q2,...'),
   * `range_join`, `ohlc`, `downsample_minmax`, `rate_of_change`, and
   * `detect_gaps` — the whole extension-operator inventory.
   *
@@ -289,6 +290,39 @@ object PipelineSql {
         key = str("detect_gaps", es(1), "key column"),
         time = str("detect_gaps", es(2), "time column"),
         stepSeconds = long("detect_gaps", es(3), "step seconds"))
+    }
+
+    // sketch family: quantile estimates straight from a table
+    // (build + walk fused; quantiles as 'q1,q2,...')
+    reg("hist_quantiles") { es =>
+      argc("hist_quantiles", es, 7)
+      val groups = csv(str("hist_quantiles", es(2), "group columns"))
+      val lo = dbl("hist_quantiles", es(3), "histogram lower bound")
+      val hi = dbl("hist_quantiles", es(4), "histogram upper bound")
+      val bins = int("hist_quantiles", es(5), "bin count")
+      val qs = csv(str("hist_quantiles", es(6), "quantiles")).map(_.toDouble)
+      graft.operators.Sketch.histogramQuantiles(
+        graft.operators.Sketch.histogramBuild(
+          table("hist_quantiles", es(0)),
+          org.apache.spark.sql.functions.col(
+            str("hist_quantiles", es(1), "value column")),
+          groups, lo, hi, bins),
+        groups, lo, hi, bins, qs)
+    }
+
+    // semantic dedup: embedding near-dup pairs -> canonical clusters
+    reg("semantic_dedup") { es =>
+      argc("semantic_dedup", es, 7)
+      val t = table("semantic_dedup", es(0))
+      val id = str("semantic_dedup", es(1), "id column")
+      graft.operators.Dedup.neardupClusters(t, id,
+        graft.operators.Similarity.cosineNearDupPairsBlocked(
+          t, id,
+          str("semantic_dedup", es(2), "embedding column"),
+          threshold = dbl("semantic_dedup", es(3), "cosine threshold"),
+          nbits = int("semantic_dedup", es(4), "bits per LSH table"),
+          tables = int("semantic_dedup", es(5), "LSH table count"),
+          dim = int("semantic_dedup", es(6), "embedding dimension")))
     }
   }
 }

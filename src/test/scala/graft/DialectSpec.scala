@@ -300,5 +300,15 @@ class DialectSpec extends SparkSpec {
       rows(graft.operators.TimeSeries.detectGaps(events, "user_id", "ts", 86400L)))
     assert(rows(spark.sql("SELECT * FROM line_dedup('pq_docs', 'doc_id', 'text', 5)")) ==
       rows(graft.operators.Curation.lineDedup(docs, "doc_id", "text", 5)))
+    assert(rows(spark.sql(
+      "SELECT * FROM hist_quantiles('pq_events', 'value', 'event_type', 0.0D, 600.0D, 120, '0.5,0.9')")) ==
+      rows(graft.operators.Sketch.histogramQuantiles(
+        graft.operators.Sketch.histogramBuild(events, col("value"), Seq("event_type"), 0.0, 600.0, 120),
+        Seq("event_type"), 0.0, 600.0, 120, Seq(0.5, 0.9))))
+    assert(rows(spark.sql(
+      "SELECT * FROM semantic_dedup('pq_emb', 'vec_id', 'embedding', 0.9D, 8, 16, 64)")) ==
+      rows(graft.operators.Dedup.neardupClusters(emb, "vec_id",
+        graft.operators.Similarity.cosineNearDupPairsBlocked(
+          emb, "vec_id", "embedding", 0.9, nbits = 8, tables = 16, dim = 64))))
   }
 }

@@ -226,6 +226,30 @@ class SketchSpec extends SparkSpec {
     assert(h.filter(col("bin") === 0).head.getLong(2) == 2L) // -5.0 and 3.0
   }
 
+  test("histogram bins accumulate identically under Structured Streaming") {
+    // the build is one hash aggregate, so the SAME histogramBuild call
+    // is streaming-legal with state bounded at groups × bins forever —
+    // per-group quantile sketching on an unbounded stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vals = (1 to 400).map(i => (s"g${i % 3}", (i % 97) * 6.1))
+    val ms = MemoryStream[(String, Double)]
+    val q = Sketch.histogramBuild(ms.toDS().toDF("g", "v"), col("v"), Seq("g"),
+      lo = 0.0, hi = 600.0, bins = 120)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(vals.take(150)); q.processAllAvailable()
+      ms.addData(vals.drop(150)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hist_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketch.histogramBuild(vals.toDF("g", "v"), col("v"), Seq("g"),
+      lo = 0.0, hi = 600.0, bins = 120)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("bloom: no false negatives, FPs match a driver-side reference bitset") {
     val (k, m) = (3, 512)
     val members = (0 until 40).map(i => s"member_$i")
