@@ -55,6 +55,46 @@ object Curation {
         count_distinct(col("bench_id")).as("bench_docs"))
   }
 
+  /** Graded contamination: per TRAIN document, what fraction of its
+    * distinct word n-grams also occur anywhere in the benchmark set —
+    * the scoring form of [[decontaminate]] (which returns matched docs
+    * only). Every train doc gets a row, so a pipeline can threshold at
+    * any strictness without re-running the join.
+    *
+    * Same scale shape as decontaminate: inverted-index equi-join on
+    * the n-gram (benchmark side distinct-gram set, broadcastable at
+    * corpus scale), one hash aggregate per side — never a doc×doc
+    * comparison.
+    */
+  def contaminationScore(train: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int): DataFrame = {
+    def ngrams(df: DataFrame) = df
+      .select(col(id).as("doc_id"), split(col(text), " ").as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .dropDuplicates("doc_id", "g")
+    val tg = ngrams(train)
+    val totals = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val benchGrams = ngrams(bench).select(col("g")).distinct()
+    val hits = tg.join(benchGrams, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    // left joins from the full train id set: docs too short for any
+    // n-gram (or with zero overlap) still score, at 0
+    train.select(col(id).as("doc_id")).distinct()
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(floor(coalesce(col("hits"), lit(0L)).cast("double")
+            / col("n_grams").cast("double")
+            * 10000 + lit(0.5)) / 10000.0).as("overlap_r4"))
+  }
+
   /** Data-mixing sampler: per-stratum target weights, fractional AND
     * upsampling (w = 1.5 → every doc once plus a second copy with
     * probability 0.5 — epoch mixing for high-quality sources). The

@@ -85,6 +85,77 @@ object TextQueries {
            |       + alpha * 0.3) * 10000 + 0.5) / 10000.0 AS quality_score
            |FROM q ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1): the published
+    // DECISION rules, not a blended score — word-count band, mean word
+    // length band, symbol-to-word ratio, alphabetic-word ratio, and
+    // stop-word presence, each surfaced as its own boolean plus the
+    // conjunctive keep. Stop list adapted to the fixture vocabulary
+    // ({the, a, of, and, to}; the corpus carries 'the' and 'a') so the
+    // presence rule actually splits the corpus. Pure codegen'd column
+    // math; the oracle replays every rule.
+    QDef(
+      "x_quality_gopher",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val nWords = size(ws).cast("long")
+        val lenSum = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+        val meanWlen = lenSum.cast("double") / nWords.cast("double")
+        val sym = (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("double")
+        val alphaWords = size(filter(ws, w => w.rlike("[a-z]"))).cast("double")
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val stopHits = Seq("the", "a", "of", "and", "to")
+          .map(sw => when(instr(padded, s" $sw ") > 0, 1L).otherwise(0L))
+          .reduce(_ + _)
+        val rWc = nWords >= 50L && nWords <= 100000L
+        val rMwl = meanWlen >= 3.0 && meanWlen <= 10.0
+        val rSym = sym / nWords.cast("double") < 0.1
+        val rAlpha = alphaWords / nWords.cast("double") >= 0.8
+        val rStop = stopHits >= 2L
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            nWords.as("n_words"),
+            (floor(meanWlen * 10000 + lit(0.5)) / 10000.0).as("mean_wlen"),
+            stopHits.as("stop_hits"),
+            rWc.as("r_word_count"),
+            rMwl.as("r_mean_word_len"),
+            rSym.as("r_symbol_ratio"),
+            rAlpha.as("r_alpha_words"),
+            rStop.as("r_stopwords"),
+            (rWc && rMwl && rSym && rAlpha && rStop).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |    CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS len_sum,
+          |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS sym,
+          |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS alpha_words,
+          |    (CASE WHEN instr(' ' || text || ' ', ' the ') > 0 THEN 1 ELSE 0 END
+          |   + CASE WHEN instr(' ' || text || ' ', ' a ') > 0 THEN 1 ELSE 0 END
+          |   + CASE WHEN instr(' ' || text || ' ', ' of ') > 0 THEN 1 ELSE 0 END
+          |   + CASE WHEN instr(' ' || text || ' ', ' and ') > 0 THEN 1 ELSE 0 END
+          |   + CASE WHEN instr(' ' || text || ' ', ' to ') > 0 THEN 1 ELSE 0 END) AS stop_hits,
+          |    CAST(len_sum AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wlen
+          |  FROM documents
+          |)
+          |SELECT doc_id, n_words,
+          |  floor(mean_wlen * 10000 + 0.5) / 10000.0 AS mean_wlen,
+          |  CAST(stop_hits AS BIGINT) AS stop_hits,
+          |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+          |  mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS r_mean_word_len,
+          |  sym / CAST(n_words AS DOUBLE) < 0.1 AS r_symbol_ratio,
+          |  alpha_words / CAST(n_words AS DOUBLE) >= 0.8 AS r_alpha_words,
+          |  stop_hits >= 2 AS r_stopwords,
+          |  (n_words >= 50 AND n_words <= 100000)
+          |    AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+          |    AND (sym / CAST(n_words AS DOUBLE) < 0.1)
+          |    AND (alpha_words / CAST(n_words AS DOUBLE) >= 0.8)
+          |    AND (stop_hits >= 2) AS keep
+          |FROM q ORDER BY doc_id""".stripMargin)),
+
     // Language-ID: marker-word scoring with deterministic precedence.
     // (The synthetic corpus shares one vocabulary across `lang` values,
     // so the interesting property is the scoring pipeline, not recall.)
@@ -363,6 +434,52 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some(decontaminateOracle(n = 5))),
+
+    // Graded contamination scoring: the fraction of each train doc's
+    // distinct 5-grams that appear in the benchmark slice — the
+    // thresholdable form of x_decontaminate (every train doc scored,
+    // zero-overlap and too-short docs included at 0).
+    QDef(
+      "x_contamination_score",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Curation.contaminationScore(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val gram = (0 until 5).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           |), g AS (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(words) >= 5 THEN list_distinct(list_transform(
+           |           generate_series(1, len(words) - 4), i -> $gram))
+           |         ELSE [] END) AS ng
+           |  FROM w
+           |), bench AS (
+           |  SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0
+           |), totals AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           |  FROM g WHERE doc_id % 10 <> 0 GROUP BY doc_id
+           |), hits AS (
+           |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits
+           |  FROM g JOIN bench USING (ng)
+           |  WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id
+           |)
+           |SELECT d.doc_id,
+           |       coalesce(t.n_grams, 0) AS n_grams,
+           |       coalesce(h.hits, 0) AS hits,
+           |       CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+           |            ELSE floor(CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+           |                       * 10000 + 0.5) / 10000.0 END AS overlap_r4
+           |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+           |LEFT JOIN totals t USING (doc_id)
+           |LEFT JOIN hits h USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
 
     // Data-mixing sampler: per-language target weights incl. an
     // upsampled stratum (en ×1.5 — floor copies + md5-uniform draw for

@@ -86,7 +86,9 @@ object VersionedLake {
     // empty version (all rows deleted) still needs a schema — surface
     // an empty frame from the newest non-empty ancestor's schema
     if (wanted.isEmpty) {
-      val any = (v to 1 by -1).iterator.map(manifest(lakeDir, _))
+      val any = (v to 1 by -1).iterator
+        .filter(i => Files.exists(Paths.get(s"${versionsDir(lakeDir)}/v$i.manifest")))
+        .map(manifest(lakeDir, _))
         .find(_.nonEmpty).getOrElse(
           throw new IllegalStateException(s"lake $lakeDir has no files in any version"))
       val schema = spark.read.option("basePath", s"$lakeDir/data")
@@ -162,6 +164,28 @@ object VersionedLake {
     }
     rm(new File(staging))
     entries
+  }
+
+  /** Expire history: drop every version below `keepFrom` and delete
+    * the data files ONLY they referenced. A file shared with any
+    * surviving version survives (manifest set difference — the whole
+    * operation is metadata-sized, no data read). The time-travel
+    * window becomes [keepFrom, current]; reads of expired versions
+    * fail at manifest resolution, exactly like any table format's
+    * vacuum. */
+  def vacuum(lakeDir: String, keepFrom: Int): Unit = {
+    val cur = currentVersion(lakeDir)
+    require(keepFrom >= 1 && keepFrom <= cur,
+      s"keepFrom must be in [1, $cur], got $keepFrom")
+    val keptFiles = (keepFrom to cur).flatMap(manifest(lakeDir, _)).map(_._2).toSet
+    (1 until keepFrom).foreach { v =>
+      val f = Paths.get(s"${versionsDir(lakeDir)}/v$v.manifest")
+      if (Files.exists(f)) {
+        manifest(lakeDir, v).map(_._2).filterNot(keptFiles.contains)
+          .foreach(p => Files.deleteIfExists(Paths.get(p)))
+        Files.delete(f)
+      }
+    }
   }
 
   /** Write v<N>.manifest, then flip CURRENT with an atomic rename. */

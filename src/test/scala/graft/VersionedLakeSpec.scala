@@ -79,6 +79,24 @@ class VersionedLakeSpec extends SparkSpec {
     assert(out == Seq("p1"))
   }
 
+  test("vacuum deletes only files no surviving version references") {
+    val root = tmp("vlake_vacuum")
+    buildTwoVersions(root)
+    val m1 = VersionedLake.manifest(s"$root/lake", 1)
+    val m2 = VersionedLake.manifest(s"$root/lake", 2).map(_._2).toSet
+    val v1Only = m1.map(_._2).filterNot(m2.contains) // p1's old files + p2's
+    assert(v1Only.nonEmpty)
+    VersionedLake.vacuum(s"$root/lake", keepFrom = 2)
+    // v1-only files are gone; shared files (p3) survive
+    assert(v1Only.forall(p => !new java.io.File(p).exists()))
+    assert(m2.forall(p => new java.io.File(p).exists()))
+    // v1 is no longer resolvable; v2 still reads in full
+    intercept[IllegalArgumentException] {
+      VersionedLake.manifest(s"$root/lake", 1)
+    }
+    assert(VersionedLake.read(spark, s"$root/lake", Some(2)).count() == 4)
+  }
+
   test("merging every row away yields a readable empty version") {
     val root = tmp("vlake_empty")
     val df = Seq((1L, "a", "p1")).toDF("id", "name", "part")
