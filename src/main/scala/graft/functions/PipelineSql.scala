@@ -310,6 +310,21 @@ object PipelineSql {
         groups, lo, hi, bins, qs)
     }
 
+    // vocab-induction family
+    reg("bpe_pairs") { es =>
+      argc("bpe_pairs", es, 2)
+      graft.operators.Vocab.bpePairCounts(
+        table("bpe_pairs", es(0)),
+        text = str("bpe_pairs", es(1), "text column"))
+    }
+    reg("ngram_count_of_counts") { es =>
+      argc("ngram_count_of_counts", es, 3)
+      graft.operators.Vocab.ngramCountOfCounts(
+        table("ngram_count_of_counts", es(0)),
+        text = str("ngram_count_of_counts", es(1), "text column"),
+        n = int("ngram_count_of_counts", es(2), "n-gram size"))
+    }
+
     // semantic dedup: embedding near-dup pairs -> canonical clusters
     reg("semantic_dedup") { es =>
       argc("semantic_dedup", es, 7)

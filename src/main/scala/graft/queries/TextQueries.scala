@@ -435,6 +435,51 @@ object TextQueries {
       },
       Some(decontaminateOracle(n = 5))),
 
+    // BPE pair statistics: the counting step of a BPE merge iteration,
+    // computed over the DISTINCT word table weighted by word frequency
+    // (vocabulary-sized explode, corpus-sized only in the first
+    // aggregate). Top-30 with lexicographic tiebreak at the gate edge.
+    QDef(
+      "x_bpe_pairs",
+      (s, dir) => graft.operators.Vocab.bpePairCounts(
+        Tables.documents(s, dir), "text")
+        .orderBy(desc("cnt"), col("pair")).limit(30),
+      Some(
+        """WITH w AS (
+          |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          |), wf AS (
+          |  SELECT w, count(*) AS wf FROM w WHERE length(w) >= 2 GROUP BY w
+          |), p AS (
+          |  SELECT substr(w, i, 2) AS pair, wf
+          |  FROM wf, UNNEST(generate_series(1, length(w) - 1)) t(i)
+          |)
+          |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+          |FROM p GROUP BY pair
+          |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin)),
+
+    // Good-Turing count-of-counts over word trigrams: the smoothing
+    // table an n-gram-LM quality filter is built from. Second
+    // aggregate runs over the n-gram vocabulary, not the corpus.
+    QDef(
+      "x_ngram_count_of_counts",
+      (s, dir) => graft.operators.Vocab.ngramCountOfCounts(
+        Tables.documents(s, dir), "text", n = 3)
+        .orderBy(col("freq")),
+      Some(
+        """WITH w AS (
+          |  SELECT string_split(text, ' ') AS words FROM documents
+          |), g AS (
+          |  SELECT unnest(CASE WHEN len(words) >= 3 THEN list_transform(
+          |           generate_series(1, len(words) - 2),
+          |           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+          |         ELSE [] END) AS g
+          |  FROM w
+          |), f AS (
+          |  SELECT g, count(*) AS freq FROM g GROUP BY g
+          |)
+          |SELECT freq, count(*) AS n_grams
+          |FROM f GROUP BY freq ORDER BY freq""".stripMargin)),
+
     // Graded contamination scoring: the fraction of each train doc's
     // distinct 5-grams that appear in the benchmark slice — the
     // thresholdable form of x_decontaminate (every train doc scored,
