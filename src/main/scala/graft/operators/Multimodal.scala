@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *    No native libraries — the format is simple enough to decode
   *    from first principles, which makes the gate exercise genuine
   *    byte decoding (a stride or row-order bug is a hash mismatch).
+  *  - PNG signature → a REAL pure-JVM PNG parse ([[decodePng]]):
+  *    chunk walk with CRC validation, multi-IDAT zlib inflate (JDK
+  *    Inflater), and full scanline filter reconstruction
+  *    (None/Sub/Up/Average/Paeth) for 8-bit non-interlaced RGB.
   *  - anything else → the deterministic [[stubDecode]], standing in
   *    for codecs that DO need native libraries (JPEG/audio/video) in
   *    an environment that has none. Swapping one in changes one
@@ -155,13 +159,185 @@ object Multimodal {
   /** 25 px = 75 payload bytes/row, stride 76 — real padding every row. */
   val BmpMediaWidth = 25
 
+  // --- real pure-JVM PNG codec (8-bit RGB, non-interlaced) ---------------
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def crc32(typ: Array[Byte], data: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(typ); c.update(data)
+    c.getValue.toInt
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val b = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+    val t = typ.getBytes("US-ASCII")
+    out.write(b); out.write(t); out.write(data)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc32(t, data)).array())
+  }
+
+  /** Encode a logical top-down byte array as an 8-bit RGB
+    * non-interlaced PNG (`width` pixels per row = 3·width payload
+    * bytes, zero-padded to fill the last row — the same logical-pixel
+    * contract as [[encodeBmp24]], so the two formats decode to
+    * identical pixel bytes). Scanlines are filter-type-0; the IDAT
+    * stream is JDK Deflater zlib.
+    */
+  def encodePng(pixels: Array[Byte], width: Int): Array[Byte] = {
+    require(width >= 1, s"png width must be >= 1, got $width")
+    val rowBytes = width * 3
+    val height = math.max(1, (pixels.length + rowBytes - 1) / rowBytes)
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    var r = 0
+    while (r < height) {
+      // raw(r * (rowBytes + 1)) stays 0: filter type None
+      var i = 0
+      while (i < rowBytes) {
+        val src = r * rowBytes + i
+        if (src < pixels.length) raw(r * (rowBytes + 1) + 1 + i) = pixels(src)
+        i += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    val out = new java.io.ByteArrayOutputStream
+    out.write(PngSig)
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", comp.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse an 8-bit RGB non-interlaced PNG: signature, chunk walk with
+    * CRC validation, multi-IDAT concatenation, zlib inflate, and FULL
+    * scanline filter reconstruction (None/Sub/Up/Average/Paeth — a
+    * spec-compliant decoder must handle all five regardless of what
+    * the encoder emitted). Returns (width, height, top-down pixel
+    * bytes); None when the payload is not such a PNG.
+    */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < PngSig.length + 12 ||
+      !payload.take(PngSig.length).sameElements(PngSig)) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    buf.position(PngSig.length)
+    var width = 0
+    var height = 0
+    var headerOk = false
+    val idat = new java.io.ByteArrayOutputStream
+    var done = false
+    while (!done) {
+      if (buf.remaining() < 8) return None
+      val len = buf.getInt
+      if (len < 0 || buf.remaining() < len + 8) return None
+      val typ = new Array[Byte](4); buf.get(typ)
+      val data = new Array[Byte](len); buf.get(data)
+      val crc = buf.getInt
+      if (crc != crc32(typ, data)) return None
+      new String(typ, "US-ASCII") match {
+        case "IHDR" =>
+          if (len != 13) return None
+          val h = java.nio.ByteBuffer.wrap(data)
+          width = h.getInt; height = h.getInt
+          val depth = h.get(); val color = h.get()
+          val interlace = data(12)
+          // this decoder: 8-bit truecolor RGB, no interlace
+          if (width <= 0 || height <= 0 || depth != 8 || color != 2 ||
+            interlace != 0) return None
+          headerOk = true
+        case "IDAT" => idat.write(data)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+    }
+    if (!headerOk || idat.size() == 0) return None
+    val rowBytes = width * 3
+    val expected = height * (1 + rowBytes)
+    val raw = new Array[Byte](expected)
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < expected && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, expected - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        off += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (off != expected) return None
+    // filter reconstruction, 3 bytes per pixel
+    val px = new Array[Byte](height * rowBytes)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (1 + rowBytes)) & 0xff
+      val src = r * (1 + rowBytes) + 1
+      val dst = r * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + i) & 0xff
+        val left = if (i >= 3) px(dst + i - 3) & 0xff else 0
+        val up = if (r > 0) px(dst - rowBytes + i) & 0xff else 0
+        val ul = if (r > 0 && i >= 3) px(dst - rowBytes + i - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => x + paeth(left, up, ul)
+          case _ => return None
+        }
+        px(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some((width, height, px))
+  }
+
+  /** Wrap an id+text corpus as real media rows in a MIX of formats:
+    * even ids encode as BMP, odd ids as PNG — same width, same
+    * logical-pixel contract, so both codecs must decode any document
+    * to identical pixel bytes (which is exactly what the
+    * format-agnostic oracle predicts).
+    */
+  def asMixedMedia(df: DataFrame, id: String, text: String,
+      width: Int = BmpMediaWidth): DataFrame = {
+    val encB = udf((t: String) => encodeBmp24(t.getBytes("UTF-8"), width))
+    val encP = udf((t: String) => encodePng(t.getBytes("UTF-8"), width))
+    df.select(
+      col(id).cast("long").as("media_id"),
+      when(col(id) % 2 === 0, encB(col(text)))
+        .otherwise(encP(col(text))).as("payload"),
+      when(col(id) % 2 === 0, lit("image/bmp"))
+        .otherwise(lit("image/png")).as("mime"))
+  }
+
   /** The codec behind [[decode]]: sniff the magic bytes, real-parse
-    * what we can, stub the rest. Content hash is the rolling modular
-    * hash of the DECODED pixel bytes (so a decode bug is a hash-gate
-    * failure); features derive from the hash as in the stub.
+    * what we can (BMP and PNG), stub the rest. Content hash is the
+    * rolling modular hash of the DECODED pixel bytes (so a decode bug
+    * is a hash-gate failure); features derive from the hash as in the
+    * stub.
     */
   private[operators] def sniffDecode(payload: Array[Byte]): (Int, Int, Int, Long, Array[Float]) =
-    decodeBmp(payload) match {
+    decodeBmp(payload).orElse(decodePng(payload)) match {
       case Some((w, h, pixels)) =>
         var hash = 0L
         var i = 0

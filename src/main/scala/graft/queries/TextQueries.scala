@@ -246,16 +246,18 @@ object TextQueries {
     // (features are nibble/255f — float arrays don't hash-compare).
     QDef(
       "x_multimodal_decode",
-      // REAL decode: each payload is a valid 24-bit BMP whose pixels
-      // are the document's text bytes (25 px rows → 76-byte stride,
-      // genuine padding), parsed by the pure-JVM BMP codec. The oracle
-      // PREDICTS the decode arithmetically — dims from the encoding
-      // geometry, content hash over text bytes plus the last row's
-      // zero fill — so a header/stride/row-order bug in the parser is
-      // a hash mismatch, not a silently-agreeing stub.
+      // REAL decode, TWO formats: even ids land as 24-bit BMPs (76-byte
+      // stride, genuine padding), odd ids as 8-bit RGB PNGs (zlib IDAT,
+      // filtered scanlines) — both carrying the document's text bytes
+      // under the same logical-pixel contract. The oracle PREDICTS the
+      // decode arithmetically and format-agnostically — dims from the
+      // encoding geometry, content hash over text bytes plus the last
+      // row's zero fill — so a stride, row-order, inflate, or filter
+      // bug in EITHER parser is a hash mismatch, not a
+      // silently-agreeing stub.
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val media = graft.operators.Multimodal.asBmpMedia(Tables.documents(s, dir), "doc_id", "text")
+        val media = graft.operators.Multimodal.asMixedMedia(Tables.documents(s, dir), "doc_id", "text")
         val checksum = (0 until graft.operators.Multimodal.FeatureDim)
           .map(k => shiftright(col("content_hash"), k * 3).bitwiseAND(lit(255L)))
           .reduce[org.apache.spark.sql.Column](_ + _)
