@@ -310,6 +310,16 @@ object PipelineSql {
         groups, lo, hi, bins, qs)
     }
 
+    reg("anomaly_zscore") { es =>
+      argc("anomaly_zscore", es, 5)
+      graft.operators.TimeSeries.anomalyZScore(
+        table("anomaly_zscore", es(0)),
+        key = str("anomaly_zscore", es(1), "key column"),
+        time = str("anomaly_zscore", es(2), "time column"),
+        value = str("anomaly_zscore", es(3), "value column"),
+        windowMicros = long("anomaly_zscore", es(4), "trailing window micros"))
+    }
+
     // vocab-induction family
     reg("bpe_pairs") { es =>
       argc("bpe_pairs", es, 2)

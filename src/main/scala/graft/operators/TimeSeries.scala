@@ -271,4 +271,39 @@ object TimeSeries {
         when(dt > 0,
           floor(dv * 1000000L / dt * 10000 + lit(0.5)) / 10000.0))
   }
+
+  /** Trailing-window z-score anomaly flagging — "is this reading ≥ k
+    * standard deviations from its own recent history?", the standard
+    * per-sensor outlier monitor. The frame is a trailing RANGE window
+    * (time-bounded, order-insensitive within ties), and every windowed
+    * sum is over EXACT integer cents, so mean and variance come out of
+    * integer algebra and the only float ops are a fixed division /
+    * sqrt sequence a SQL oracle replays bit-for-bit:
+    * z = (x·n − Σx) / (n · √((n·Σx² − (Σx)²) / (n·(n−1)))).
+    *
+    * The anomaly flag derives from the ROUNDED z (both engines emit
+    * identical r4 values, so the boolean can't flip on a last-ulp
+    * boundary). Null z when the window is thin (n < minN) or flat
+    * (zero variance). One key shuffle; state is O(frame) per key.
+    */
+  def anomalyZScore(df: DataFrame, key: String, time: String, value: String,
+      windowMicros: Long, minN: Long = 8L, zThreshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col("_tz"))
+      .rangeBetween(-windowMicros, Window.currentRow)
+    val n = col("n_win"); val s = col("_s"); val q = col("_q"); val x = col("_c")
+    val a = n * q - s * s
+    val z = (x * n - s).cast("double") /
+      (n.cast("double") * sqrt(a.cast("double") / (n * (n - 1)).cast("double")))
+    df
+      .withColumn("_tz", unix_micros(col(time)))
+      .withColumn("_c", round(col(value) * 100).cast("long"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("_s", sum(col("_c")).over(w))
+      .withColumn("_q", sum(col("_c") * col("_c")).over(w))
+      .withColumn("z_r4",
+        when(n >= minN && a > 0, floor(z * 10000 + lit(0.5)) / 10000.0))
+      .withColumn("is_anomaly", coalesce(abs(col("z_r4")) > zThreshold, lit(false)))
+      .drop("_tz", "_c", "_s", "_q")
+  }
 }

@@ -258,6 +258,47 @@ object TimeSeriesQueries {
           |            THEN floor(dv * 1000000 / dt * 10000 + 0.5) / 10000.0 END AS rate_r4
           |FROM l ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // Trailing z-score anomaly monitor: each reading scored against
+    // its user's trailing 3-day window — exact-integer cent sums feed
+    // the variance, so the z arithmetic is a fixed IEEE sequence both
+    // engines evaluate identically, and the anomaly flag derives from
+    // the ROUNDED z (no last-ulp boolean flips). Thin (< 8 obs) and
+    // flat windows yield null scores.
+    QDef(
+      "t15_anomaly_zscore",
+      (s, dir) => graft.operators.TimeSeries.anomalyZScore(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+        key = "user_id", time = "ts", value = "value",
+        windowMicros = 3L * 86400L * 1000000L)
+        .orderBy(col("event_id")),
+      Some(
+        """WITH b AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+          |         CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events),
+          |wnd AS (
+          |  SELECT user_id, ts, event_id, value, c,
+          |         CAST(count(*) OVER w AS BIGINT) AS n_win,
+          |         CAST(sum(c) OVER w AS BIGINT) AS s,
+          |         CAST(sum(c * c) OVER w AS BIGINT) AS q
+          |  FROM b
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |               RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)),
+          |z AS (
+          |  SELECT user_id, ts, event_id, value, n_win,
+          |         CASE WHEN n_win >= 8 AND n_win * q - s * s > 0 THEN
+          |           floor(CAST(c * n_win - s AS DOUBLE)
+          |                 / (CAST(n_win AS DOUBLE)
+          |                    * sqrt(CAST(n_win * q - s * s AS DOUBLE)
+          |                           / CAST(n_win * (n_win - 1) AS DOUBLE)))
+          |                 * 10000 + 0.5) / 10000.0
+          |         END AS z_r4
+          |  FROM wnd)
+          |SELECT user_id, ts, value, event_id, n_win, z_r4,
+          |       coalesce(abs(z_r4) > 3.0, FALSE) AS is_anomaly
+          |FROM z ORDER BY event_id""".stripMargin)),
+
     // Gap detection over the first January week: hours inside each
     // user's observed span with NO event — the dead-sensor monitoring
     // view, and the registry's LEFT ANTI join shape (grid minus

@@ -305,6 +305,10 @@ class DialectSpec extends SparkSpec {
       rows(graft.operators.Sketch.histogramQuantiles(
         graft.operators.Sketch.histogramBuild(events, col("value"), Seq("event_type"), 0.0, 600.0, 120),
         Seq("event_type"), 0.0, 600.0, 120, Seq(0.5, 0.9))))
+    assert(rows(spark.sql(
+      "SELECT * FROM anomaly_zscore('pq_events', 'user_id', 'ts', 'value', 259200000000)")) ==
+      rows(graft.operators.TimeSeries.anomalyZScore(
+        events, "user_id", "ts", "value", 259200000000L)))
     assert(rows(spark.sql("SELECT * FROM bpe_pairs('pq_docs', 'text')")) ==
       rows(graft.operators.Vocab.bpePairCounts(docs, "text")))
     assert(rows(spark.sql("SELECT * FROM ngram_count_of_counts('pq_docs', 'text', 3)")) ==
