@@ -327,6 +327,35 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Leakage-safe split: the train/val/test draw keyed by NEAR-DUP
+    // CLUSTER id instead of doc id, so a document and its near
+    // duplicates can never straddle train and test — the split
+    // hygiene that makes held-out evaluation honest. Composes the
+    // cluster resolver with the hash-uniform splitter; the oracle
+    // chains the recursive closure and the same md5 draw.
+    QDef(
+      "x_leakage_safe_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = graft.operators.Dedup.neardupClusters(docs, "doc_id",
+          graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.8, maxShingleDf = Some(100L)))
+        val u = graft.functions.HashRandom.uniform(
+          concat(lit("split:"), col("cluster_id").cast("string")))
+        clusters.select(col("doc"), col("cluster_id"),
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+          .orderBy(col("doc"))
+      },
+      Some {
+        val u = mdUniformSql("'split:' || CAST(cluster_id AS VARCHAR)")
+        s"""WITH RECURSIVE ${DedupQueries.clusterCtes(0.8, Some(100L))}
+           |SELECT doc, cluster_id,
+           |       CASE WHEN $u < 0.8 THEN 'train'
+           |            WHEN $u < 0.9 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM comp ORDER BY doc""".stripMargin
+      }),
+
     // The LLM-op family composed end to end — the curation pipeline a
     // training-data run actually executes: quality gate → exact-dedup
     // keepers → near-dup cluster keepers → deterministic split +
