@@ -97,6 +97,45 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, s"$root/lake", Some(2)).count() == 4)
   }
 
+  test("streaming commits: one version per micro-batch, replay-idempotent, time-travel-readable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("vlake_stream")
+    val ms = MemoryStream[(Long, String, String)]
+    def run(): Unit = {
+      val q = VersionedLake.streamingCommit(
+        ms.toDS().toDF("id", "name", "part"),
+        s"$root/lake", "part", s"$root/ckpt")
+      q.awaitTermination()
+    }
+    ms.addData(Seq((1L, "a", "p1"), (2L, "b", "p2")))
+    run()
+    ms.addData(Seq((3L, "c", "p1")))
+    run()
+    assert(VersionedLake.currentVersion(s"$root/lake") == 2)
+    // each batch is its own time-travel point
+    assert(VersionedLake.read(spark, s"$root/lake", Some(1)).count() == 2)
+    assert(VersionedLake.read(spark, s"$root/lake", Some(2)).count() == 3)
+    // v1's files carried forward verbatim into v2 (append never rewrites)
+    val m1 = VersionedLake.manifest(s"$root/lake", 1)
+    val m2 = VersionedLake.manifest(s"$root/lake", 2)
+    assert(m1.forall(m2.contains))
+    // the committed watermark is batch 1; a replayed foreachBatch
+    // invocation (id <= watermark) takes the skip branch of the guard
+    import spark.implicits._
+    assert(VersionedLake.committedBatchId(s"$root/lake") == 1L)
+    val before = VersionedLake.currentVersion(s"$root/lake")
+    val replayedId = 1L
+    if (replayedId > VersionedLake.committedBatchId(s"$root/lake"))
+      VersionedLake.append(Seq((9L, "dup", "p1")).toDF("id", "name", "part"),
+        s"$root/lake", "part", Some(replayedId))
+    assert(VersionedLake.currentVersion(s"$root/lake") == before)
+    // restarting against the same checkpoint with no new data commits nothing
+    run()
+    assert(VersionedLake.currentVersion(s"$root/lake") == before)
+    assert(VersionedLake.read(spark, s"$root/lake").count() == 3)
+  }
+
   test("merging every row away yields a readable empty version") {
     val root = tmp("vlake_empty")
     val df = Seq((1L, "a", "p1")).toDF("id", "name", "part")
