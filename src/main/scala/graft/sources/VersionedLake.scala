@@ -50,23 +50,43 @@ object VersionedLake {
     else 0
   }
 
-  /** (partitionValue, absolutePath) entries of a version's manifest. */
-  def manifest(lakeDir: String, version: Int): Seq[(String, String)] = {
+  /** One manifest line: a data file, its partition value, and (when
+    * the commit recorded them) the zone-map min/max of the stats
+    * column — the planning-time file-skipping metadata. */
+  final case class Entry(partition: String, path: String,
+      min: Option[Double], max: Option[Double])
+
+  /** Full manifest entries of a version, zone maps included. */
+  def manifestEntries(lakeDir: String, version: Int): Seq[Entry] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
     require(Files.exists(f), s"version $version does not exist under $lakeDir")
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
       .map { line =>
-        val i = line.indexOf('\t')
-        (line.substring(0, i), line.substring(i + 1))
+        line.split("\t", -1) match {
+          case Array(p, path) => Entry(p, path, None, None)
+          case Array(p, path, mn, mx) =>
+            Entry(p, path, Some(mn.toDouble), Some(mx.toDouble))
+          case other =>
+            throw new IllegalStateException(
+              s"malformed manifest line (${other.length} fields): $line")
+        }
       }
   }
 
-  /** Create version 1 from `df`, partitioned by `partitionCol`. */
-  def create(df: DataFrame, lakeDir: String, partitionCol: String): Unit = {
+  /** (partitionValue, absolutePath) entries of a version's manifest. */
+  def manifest(lakeDir: String, version: Int): Seq[(String, String)] =
+    manifestEntries(lakeDir, version).map(e => (e.partition, e.path))
+
+  /** Create version 1 from `df`, partitioned by `partitionCol`.
+    * `statsCol` (numeric) turns on zone maps: every commit records the
+    * column's per-file min/max in the manifest, and
+    * [[readRange]] then skips files at planning time. */
+  def create(df: DataFrame, lakeDir: String, partitionCol: String,
+      statsCol: Option[String] = None): Unit = {
     require(!new File(s"${versionsDir(lakeDir)}/CURRENT").exists(),
       s"$lakeDir already has commits; use mergeUpsert")
-    val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol)
+    val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol, statsCol)
     commitManifest(lakeDir, version = 1, entries)
   }
 
@@ -82,11 +102,36 @@ object VersionedLake {
       case Some(ps) => entries.filter(e => ps.contains(e._1))
       case None => entries
     }
+    readFiles(spark, lakeDir, v, wanted.map(_._2))
+  }
+
+  /** Zone-map read: only the files whose recorded [min, max] for the
+    * commit-time stats column OVERLAPS [lo, hi] are handed to the
+    * scan — file skipping decided from manifest metadata alone, the
+    * complement of partition pruning for range predicates on a
+    * non-partition column. Files without stats are conservatively
+    * kept. The caller still applies the exact row filter (zone maps
+    * bound files, not rows). */
+  def readRange(spark: SparkSession, lakeDir: String, lo: Double, hi: Double,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(lakeDir))
+    val wanted = manifestEntries(lakeDir, v).filter { e =>
+      (e.min, e.max) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
+    readFiles(spark, lakeDir, v, wanted.map(_.path))
+  }
+
+  private def readFiles(spark: SparkSession, lakeDir: String, v: Int,
+      files: Seq[String]): DataFrame = {
     // every commit dir shares the partition-dir naming, so basePath on
     // data/ recovers the partition column from any mix of commits;
-    // empty version (all rows deleted) still needs a schema — surface
-    // an empty frame from the newest non-empty ancestor's schema
-    if (wanted.isEmpty) {
+    // empty file list (all rows deleted / everything skipped) still
+    // needs a schema — surface an empty frame from the newest
+    // non-empty ancestor's schema
+    if (files.isEmpty) {
       val any = (v to 1 by -1).iterator
         .filter(i => Files.exists(Paths.get(s"${versionsDir(lakeDir)}/v$i.manifest")))
         .map(manifest(lakeDir, _))
@@ -96,7 +141,7 @@ object VersionedLake {
         .parquet(any.map(_._2): _*).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      spark.read.option("basePath", s"$lakeDir/data").parquet(wanted.map(_._2): _*)
+      spark.read.option("basePath", s"$lakeDir/data").parquet(files: _*)
     }
   }
 
@@ -109,17 +154,17 @@ object VersionedLake {
     */
   def mergeUpsert(spark: SparkSession, lakeDir: String, changes: DataFrame,
       keyCols: Seq[String], partitionCol: String,
-      deleteCol: String = "_deleted"): Unit = {
+      deleteCol: String = "_deleted", statsCol: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val v = currentVersion(lakeDir)
     require(v >= 1, s"$lakeDir has no committed version to merge into")
-    val entries = manifest(lakeDir, v)
+    val entries = manifestEntries(lakeDir, v)
     val touched = changes.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touched.isEmpty) return
 
     val existingTouched = {
-      val files = entries.filter(e => touched.contains(e._1)).map(_._2)
+      val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
       if (files.isEmpty) None
       else Some(spark.read.option("basePath", s"$lakeDir/data").parquet(files: _*))
     }
@@ -131,9 +176,10 @@ object VersionedLake {
           .unionByName(upserts.select(ex.columns.map(col): _*))
       case None => upserts
     }
-    val newEntries = writeCommitFiles(merged, lakeDir, commitId = v + 1, partitionCol)
+    val newEntries = writeCommitFiles(merged, lakeDir, commitId = v + 1,
+      partitionCol, statsCol)
     commitManifest(lakeDir, v + 1,
-      entries.filterNot(e => touched.contains(e._1)) ++ newEntries)
+      entries.filterNot(e => touched.contains(e.partition)) ++ newEntries)
   }
 
   /** Write `df`'s files into the shared `data/<partitionCol>=<v>/`
@@ -143,11 +189,11 @@ object VersionedLake {
     * depth keeps a single basePath scan valid across any mix of
     * commits. */
   private def writeCommitFiles(df: DataFrame, lakeDir: String, commitId: Int,
-      partitionCol: String): Seq[(String, String)] = {
+      partitionCol: String, statsCol: Option[String] = None): Seq[Entry] = {
     val staging = s"$lakeDir/_staging_c$commitId"
     df.write.partitionBy(partitionCol).parquet(staging)
     val prefix = partitionCol + "="
-    val entries = Option(new File(staging).listFiles())
+    val bare = Option(new File(staging).listFiles())
       .getOrElse(Array.empty[File])
       .filter(d => d.isDirectory && d.getName.startsWith(prefix))
       .flatMap { d =>
@@ -157,25 +203,53 @@ object VersionedLake {
         d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
           val dest = new File(destDir, s"c$commitId-${f.getName}")
           Files.move(f.toPath, dest.toPath)
-          (value, dest.getAbsolutePath)
+          Entry(value, dest.getAbsolutePath, None, None)
         }
-      }.toSeq.sortBy(_._2)
+      }.toSeq.sortBy(_.path)
     def rm(f: File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new File(staging))
-    entries
+    statsCol match {
+      case Some(c) if bare.nonEmpty =>
+        // one job over ONLY the new files: per-file min/max of the
+        // stats column, keyed by input_file_name (the commit-time
+        // stats pass every zone-mapped table format pays)
+        val spark = df.sparkSession
+        val stats = spark.read.option("basePath", s"$lakeDir/data")
+          .parquet(bare.map(_.path): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c).cast("double")).as("mn"),
+            max(col(c).cast("double")).as("mx"))
+          .collect()
+          .map(r => normalizePath(r.getString(0)) -> ((r.getDouble(1), r.getDouble(2))))
+          .toMap
+        bare.map { e =>
+          stats.get(normalizePath(e.path)) match {
+            case Some((mn, mx)) => e.copy(min = Some(mn), max = Some(mx))
+            case None => e // an all-null or empty file: no zone map
+          }
+        }
+      case _ => bare
+    }
   }
+
+  /** input_file_name() yields a (possibly URI-encoded) file: URI while
+    * manifest entries carry plain absolute paths — compare on the
+    * decoded filesystem path. */
+  private def normalizePath(p: String): String =
+    if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
 
   /** Append `df` as a new version: the new manifest is the old one
     * plus this batch's files — the insert-only commit a streaming
     * sink makes. Creates version 1 on an empty lake. `batchId`, when
     * given, is recorded beside the manifest for replay detection. */
   def append(df: DataFrame, lakeDir: String, partitionCol: String,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, statsCol: Option[String] = None): Unit = {
     val v = currentVersion(lakeDir)
-    val entries = if (v >= 1) manifest(lakeDir, v) else Seq.empty
-    val newEntries = writeCommitFiles(df, lakeDir, commitId = v + 1, partitionCol)
+    val entries = if (v >= 1) manifestEntries(lakeDir, v) else Seq.empty
+    val newEntries = writeCommitFiles(df, lakeDir, commitId = v + 1,
+      partitionCol, statsCol)
     commitManifest(lakeDir, v + 1, entries ++ newEntries)
     batchId.foreach { id =>
       Files.write(Paths.get(s"${versionsDir(lakeDir)}/v${v + 1}.batchid"),
@@ -248,10 +322,13 @@ object VersionedLake {
 
   /** Write v<N>.manifest, then flip CURRENT with an atomic rename. */
   private def commitManifest(lakeDir: String, version: Int,
-      entries: Seq[(String, String)]): Unit = {
+      entries: Seq[Entry]): Unit = {
     val dir = new File(versionsDir(lakeDir))
     dir.mkdirs()
-    val body = entries.map { case (p, f) => s"$p\t$f" }.mkString("\n")
+    val body = entries.map {
+      case Entry(p, f, Some(mn), Some(mx)) => s"$p\t$f\t$mn\t$mx"
+      case Entry(p, f, _, _) => s"$p\t$f"
+    }.mkString("\n")
     Files.write(Paths.get(s"$dir/v$version.manifest"),
       body.getBytes(StandardCharsets.UTF_8))
     val tmp = Paths.get(s"$dir/CURRENT.tmp")

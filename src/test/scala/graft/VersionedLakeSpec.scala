@@ -136,6 +136,29 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, s"$root/lake").count() == 3)
   }
 
+  test("zone maps: a range read opens only files whose recorded min/max overlap") {
+    import spark.implicits._
+    val root = tmp("vlake_zone")
+    // one partition value, four range-disjoint files: skipping here is
+    // purely the manifest zone maps, not partition pruning
+    val df = (1 to 400).map(i => (i.toLong, i.toDouble, "all")).toDF("id", "score", "part")
+      .repartitionByRange(4, col("score"))
+    VersionedLake.create(df, s"$root/lake", "part", statsCol = Some("score"))
+    val entries = VersionedLake.manifestEntries(s"$root/lake", 1)
+    assert(entries.length == 4 && entries.forall(e => e.min.isDefined && e.max.isDefined))
+    // a box inside one file's range opens exactly that file
+    val narrow = VersionedLake.readRange(spark, s"$root/lake", 120.0, 140.0)
+    val opened = narrow.select(input_file_name()).distinct().count()
+    assert(opened == 1, s"expected 1 file, opened $opened")
+    // zone maps bound files, not rows: exact filter on top is correct
+    val got = narrow.filter(col("score") >= 120.0 && col("score") <= 140.0)
+      .select("id").as[Long].collect().toSet
+    assert(got == (120L to 140L).toSet)
+    // stats survive an unrelated-partition merge (carry-forward) and
+    // a full read is unaffected
+    assert(VersionedLake.read(spark, s"$root/lake").count() == 400)
+  }
+
   test("merging every row away yields a readable empty version") {
     val root = tmp("vlake_empty")
     val df = Seq((1L, "a", "p1")).toDF("id", "name", "part")
