@@ -327,6 +327,56 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Source reputation: the per-domain scorecard a crawler's quota /
+    // filter decisions read — volume, exact-dup rate, and mean length
+    // per source, one hash aggregate (distinct-inside-group via md5).
+    QDef(
+      "x_source_reputation",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          (floor((lit(1.0) - countDistinct(md5(col("text"))).cast("double")
+            / count(lit(1)).cast("double")) * 10000 + lit(0.5)) / 10000.0)
+            .as("dup_ratio_r4"),
+          (floor(sum(size(split(col("text"), " "))).cast("double")
+            / count(lit(1)).cast("double") * 100 + lit(0.5)) / 100.0)
+            .as("mean_words_r2"))
+        .orderBy(col("source")),
+      Some(
+        """SELECT source,
+          |       count(*) AS n_docs,
+          |       count(DISTINCT md5(text)) AS n_distinct,
+          |       floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+          |              / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS dup_ratio_r4,
+          |       floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+          |             / CAST(count(*) AS DOUBLE) * 100 + 0.5) / 100.0 AS mean_words_r2
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Curriculum buckets: shortest-first quartiles per language —
+    // ntile over the (n_words, doc_id) total order inside each
+    // stratum, the deterministic curriculum a staged training run
+    // consumes. Per-stratum windows only (no global sort).
+    QDef(
+      "x_curriculum_buckets",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nWords = size(split(col("text"), " ")).cast("long")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_words"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), nWords.as("n_words"))
+          .withColumn("bucket", ntile(4).over(w).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id, lang,
+          |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |       CAST(ntile(4) OVER (PARTITION BY lang
+          |              ORDER BY len(string_split(text, ' ')), doc_id) AS BIGINT) AS bucket
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Leakage-safe split: the train/val/test draw keyed by NEAR-DUP
     // CLUSTER id instead of doc id, so a document and its near
     // duplicates can never straddle train and test — the split
