@@ -115,6 +115,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lineDedup invariants hold on random corpora: global span uniqueness + order") {
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 20)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllSampled(corpusGen, 20) { corpus =>
+      val span = 3
+      val out = graft.operators.Curation.lineDedup(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", span)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // every doc gets a row
+      assert(out.keySet == corpus.map(_._1).toSet)
+      // each distinct input span survives exactly once corpus-wide, and
+      // the survivor set equals the distinct input span set
+      def spansOf(t: String): Seq[String] =
+        if (t.isEmpty) Seq.empty
+        else t.split(" ").grouped(span).map(_.mkString(" ")).toSeq
+      val kept = out.values.toSeq.flatMap(v => spansOf(v._1))
+      assert(kept.distinct.length == kept.length, s"duplicate survivor in $kept")
+      val inputSpans = corpus.flatMap { case (_, t) => spansOf(t) }.toSet
+      assert(kept.toSet == inputSpans)
+      // counts are consistent: n_kept = surviving spans of that doc
+      out.foreach { case (id, (text, nSpans, nKept)) =>
+        assert(spansOf(text).length.toLong == nKept, s"doc $id")
+        val orig = corpus.find(_._1 == id).get._2
+        assert(spansOf(orig).length.toLong == nSpans, s"doc $id")
+        // surviving spans appear in original relative order
+        val origSpans = spansOf(orig)
+        val surviving = spansOf(text)
+        assert(surviving.forall(origSpans.contains), s"doc $id")
+      }
+    }
+  }
+
+  test("histogram quantiles are partition-invariant and rank-correct on random data") {
+    val dataGen: Gen[List[(String, Double)]] = for {
+      n <- Gen.choose(20, 200)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("g1", "g2")
+        v <- Gen.choose(0.0, 100.0)
+      } yield (g, math.floor(v * 4) / 4))
+    } yield rows
+    forAllSampled(dataGen, 15) { rows =>
+      val (lo, hi, bins) = (0.0, 100.0, 50)
+      val df = rows.toDF("g", "v")
+      val h1 = graft.operators.Sketch.histogramBuild(df, col("v"), Seq("g"), lo, hi, bins)
+      val h2 = graft.operators.Sketch.histogramBuild(df.repartition(7), col("v"), Seq("g"), lo, hi, bins)
+      val q1 = graft.operators.Sketch.histogramQuantiles(h1, Seq("g"), lo, hi, bins, Seq(0.5))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val q2 = graft.operators.Sketch.histogramQuantiles(h2, Seq("g"), lo, hi, bins, Seq(0.5))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(q1 == q2)
+      // estimate within one bin width of the exact median, per group
+      val width = (hi - lo) / bins
+      rows.groupBy(_._1).foreach { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val exact = sorted((math.ceil(0.5 * sorted.length) - 1).toInt.max(0))
+        assert(math.abs(q1(g) - exact) <= width,
+          s"$g: est ${q1(g)} vs exact $exact (n=${sorted.length})")
+      }
+    }
+  }
+
   test("CEP contract holds on random sequences, and both implementations agree") {
     val params = CepStream.Params(errorValue = "ERROR", maxB = 5,
       withinMicros = 120000000L) // 2 minutes
