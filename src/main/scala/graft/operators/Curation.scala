@@ -76,16 +76,19 @@ object Curation {
             i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("g"))
       .dropDuplicates("doc_id", "g")
-    val tg = ngrams(train)
-    val totals = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val benchGrams = ngrams(bench).select(col("g")).distinct()
-    val hits = tg.join(benchGrams, "g")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
-    // left joins from the full train id set: docs too short for any
-    // n-gram (or with zero overlap) still score, at 0
+    // ONE pass over the train n-gram table: a LEFT join against the
+    // (broadcastable) benchmark gram set marks hits, and a single
+    // aggregate counts totals and hits together — the naive
+    // totals-aggregate + hits-aggregate form would execute the
+    // explode/dropDuplicates plan twice
+    val marked = ngrams(train)
+      .join(ngrams(bench).select(col("g"), lit(1).as("_hit")).distinct(), Seq("g"), "left")
+    val scored = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("hits"))
+    // left join from the full train id set: docs too short for any
+    // n-gram still score, at 0
     train.select(col(id).as("doc_id")).distinct()
-      .join(totals, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("hits"), lit(0L)).as("hits"),

@@ -295,15 +295,21 @@ object TimeSeries {
     val a = n * q - s * s
     val z = (x * n - s).cast("double") /
       (n.cast("double") * sqrt(a.cast("double") / (n * (n - 1)).cast("double")))
+    // squared cents pre-projected and all three frame aggregates in
+    // ONE select: window expressions over plain attributes with a
+    // shared spec collapse into a single Window node (one sort, one
+    // pass) — chained withColumn + an inline product plans TWO
     df
       .withColumn("_tz", unix_micros(col(time)))
       .withColumn("_c", round(col(value) * 100).cast("long"))
-      .withColumn("n_win", count(lit(1)).over(w))
-      .withColumn("_s", sum(col("_c")).over(w))
-      .withColumn("_q", sum(col("_c") * col("_c")).over(w))
+      .withColumn("_c2", col("_c") * col("_c"))
+      .select(col("*"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(col("_c")).over(w).as("_s"),
+        sum(col("_c2")).over(w).as("_q"))
       .withColumn("z_r4",
         when(n >= minN && a > 0, floor(z * 10000 + lit(0.5)) / 10000.0))
       .withColumn("is_anomaly", coalesce(abs(col("z_r4")) > zThreshold, lit(false)))
-      .drop("_tz", "_c", "_s", "_q")
+      .drop("_tz", "_c", "_c2", "_s", "_q")
   }
 }

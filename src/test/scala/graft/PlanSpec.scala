@@ -95,6 +95,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("specifiedwindowframe(RangeFrame"), p)
   }
 
+  test("anomaly z-score fuses its three frame aggregates into one Window, one key shuffle") {
+    val p = plan("t15_anomaly_zscore")
+    assert(!p.contains("Join"), p)
+    // count/sum/sumsq share one window spec -> ONE Window node (plus
+    // nothing else); a second Window would mean a re-sort per aggregate
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"z-score has $exchanges hash exchanges:\n$p")
+    assert(p.contains("specifiedwindowframe(RangeFrame"), p)
+  }
+
+  test("contamination scoring marks hits via one broadcast join, no duplicated gram build") {
+    val p = plan("x_contamination_score")
+    // the benchmark gram set is the small side at corpus scale
+    assert(p.contains("BroadcastHashJoin"), p)
+    // one pass over the train gram table: the explode appears ONCE per
+    // input side (train + bench = 2), not twice for train
+    val explodes = "Generate explode".r.findAllIn(p).size
+    assert(explodes == 2, s"expected 2 explodes (train+bench), got $explodes:\n$p")
+  }
+
   test("bucketed join reads co-located buckets — zero shuffle before the join") {
     val p = plan("j_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
