@@ -508,6 +508,33 @@ object RelationalQueries {
           |ORDER BY g_priority, g_status,
           |         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
 
+    // Full CUBE (completing the ROLLUP / GROUPING SETS lattice family):
+    // all four (priority, status) groupings in ONE Expand + hash
+    // aggregate pass, GROUPING() ids disambiguating subtotal rows.
+    QDef(
+      "a11_cube_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"))
+        .orderBy(
+          col("g_priority"), col("g_status"),
+          col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+      Some(
+        """SELECT o_orderpriority, o_orderstatus,
+          |       count(*) AS n_orders,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+          |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+          |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+          |FROM orders
+          |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+          |ORDER BY g_priority, g_status,
+          |         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+
     // O2+O3 — top-k with a unique tiebreak: Catalyst plans
     // TakeOrderedAndProject (no global sort).
     QDef(
