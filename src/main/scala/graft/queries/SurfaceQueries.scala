@@ -38,18 +38,32 @@ object SurfaceQueries {
           .withColumn("next_id", lead(col("event_id"), 2).over(w))
           .withColumn("first_ts", first(col("ts")).over(wRun))
           .withColumn("run_cnt", count(lit(1)).over(wRun))
+          // the tied-day window again: dense_rank's gapless contract and
+          // the two exact-rational distribution functions
+          .withColumn("drnk", dense_rank().over(Window.partitionBy(col("user_id"))
+            .orderBy(to_date(col("ts")))))
+          .withColumn("pr", percent_rank().over(Window.partitionBy(col("user_id"))
+            .orderBy(to_date(col("ts")))))
+          .withColumn("cd", cume_dist().over(Window.partitionBy(col("user_id"))
+            .orderBy(to_date(col("ts")))))
+          .withColumn("second_value", nth_value(col("value"), 2).over(wRun))
           .orderBy(col("event_id"))
       },
       Some(
         """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
           |       CAST(row_number() OVER w AS INT) AS rn,
-          |       CAST(rank() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS INT) AS rnk,
+          |       CAST(rank() OVER wd AS INT) AS rnk,
           |       lag(value, 1) OVER w AS prev_value,
           |       lead(event_id, 2) OVER w AS next_id,
           |       first_value(CAST(ts AS TIMESTAMP)) OVER wr AS first_ts,
-          |       CAST(count(*) OVER wr AS BIGINT) AS run_cnt
+          |       CAST(count(*) OVER wr AS BIGINT) AS run_cnt,
+          |       CAST(dense_rank() OVER wd AS INT) AS drnk,
+          |       percent_rank() OVER wd AS pr,
+          |       cume_dist() OVER wd AS cd,
+          |       nth_value(value, 2) OVER wr AS second_value
           |FROM events WHERE event_type = 'purchase'
           |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+          |       wd AS (PARTITION BY user_id ORDER BY CAST(ts AS DATE)),
           |       wr AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
           |              ROWS UNBOUNDED PRECEDING)
           |ORDER BY event_id""".stripMargin)),
