@@ -68,6 +68,40 @@ object SurfaceQueries {
           |              ROWS UNBOUNDED PRECEDING)
           |ORDER BY event_id""".stripMargin)),
 
+    // Datetime function breadth: truncation grains, field extraction,
+    // calendar arithmetic — the scalar time toolkit around the binning
+    // operators, each spelled against its DuckDB twin.
+    QDef(
+      "p15_datetime_suite",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_id") % 100 === 0)
+        .select(
+          col("event_id"),
+          date_trunc("week", col("ts")).as("week_start"),
+          date_trunc("hour", col("ts")).as("hour_start"),
+          dayofweek(col("ts")).cast("long").as("dow_1sun"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
+          hour(col("ts")).cast("long").as("hh"),
+          date_add(to_date(col("ts")), 30).cast("timestamp").as("plus_30d"),
+          add_months(to_date(col("ts")), 2).cast("timestamp").as("plus_2mo"),
+          last_day(to_date(col("ts"))).cast("timestamp").as("month_end"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("days_since_jan1"))
+        .orderBy(col("event_id")),
+      Some(
+        """SELECT event_id,
+          |       date_trunc('week', CAST(ts AS TIMESTAMP)) AS week_start,
+          |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+          |       CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow_1sun,
+          |       CAST(dayofmonth(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dom,
+          |       CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hh,
+          |       CAST(CAST(CAST(ts AS DATE) + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS plus_30d,
+          |       CAST(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS TIMESTAMP) AS plus_2mo,
+          |       CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end,
+          |       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_jan1
+          |FROM events WHERE event_id % 100 = 0
+          |ORDER BY event_id""".stripMargin)),
+
     // Semi-structured extraction: events.props is a JSON document
     // column; pull a typed field out and aggregate on it — the
     // schema-on-read path every telemetry/doc pipeline runs before
