@@ -102,6 +102,37 @@ object SurfaceQueries {
           |FROM events WHERE event_id % 100 = 0
           |ORDER BY event_id""".stripMargin)),
 
+    // String scalar breadth: padding, translation, slicing, search,
+    // and edit distance over the document corpus — each against
+    // DuckDB's independent implementation.
+    QDef(
+      "p16_string_suite",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("doc_id") % 25 === 0)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          upper(substring(col("text"), 1, 12)).as("head_upper"),
+          lpad(col("lang"), 5, "_").as("lang_pad"),
+          translate(col("source"), "aeiou", "AEIOU").as("source_vowels"),
+          reverse(col("lang")).as("lang_rev"),
+          instr(col("text"), "data").cast("long").as("first_data"),
+          levenshtein(col("lang"), lit("en")).cast("long").as("lang_dist"),
+          regexp_replace(col("text"), "\\bthe\\b", "THE").as("the_marked"))
+        .orderBy(col("doc_id")),
+      Some(
+        """SELECT doc_id,
+          |       CAST(length(text) AS BIGINT) AS len,
+          |       upper(substr(text, 1, 12)) AS head_upper,
+          |       lpad(lang, 5, '_') AS lang_pad,
+          |       translate(source, 'aeiou', 'AEIOU') AS source_vowels,
+          |       reverse(lang) AS lang_rev,
+          |       CAST(instr(text, 'data') AS BIGINT) AS first_data,
+          |       CAST(levenshtein(lang, 'en') AS BIGINT) AS lang_dist,
+          |       regexp_replace(text, '\b(the)\b', 'THE', 'g') AS the_marked
+          |FROM documents WHERE doc_id % 25 = 0
+          |ORDER BY doc_id""".stripMargin)),
+
     // Semi-structured extraction: events.props is a JSON document
     // column; pull a typed field out and aggregate on it — the
     // schema-on-read path every telemetry/doc pipeline runs before
