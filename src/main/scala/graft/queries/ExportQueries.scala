@@ -448,6 +448,59 @@ object ExportQueries {
           |SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
           |ORDER BY version, event_date""".stripMargin)),
 
+    // Lake maintenance 6: changed-data capture between versions. The
+    // diff reads ONLY files present in exactly one manifest (untouched
+    // partitions contribute zero I/O) and resolves row-level changes
+    // with EXCEPT ALLs — updates decompose into delete+insert. The
+    // oracle re-derives the exact change algebra the s14 merge
+    // applied, so the CDC stream is hash-checked end to end.
+    QDef(
+      "s15_version_diff",
+      (s, dir) => {
+        val out = Fixtures.dir("versioned_lake", dir) { o =>
+          val ev = Tables.events(s, dir)
+            .withColumn("event_date", to_date(col("ts")).cast("string"))
+          graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date")
+          val scope = ev.filter(col("event_date") <= "2024-01-15")
+          val changes = scope
+            .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
+            .withColumn("event_type", lit("adjusted"))
+            .withColumn("_deleted", lit(false))
+            .unionByName(scope.filter(col("event_id") % 13 === 0)
+              .withColumn("_deleted", lit(true)))
+            .unionByName(scope.filter(col("event_id") % 11 === 0)
+              .withColumn("event_id", col("event_id") + lit(1000000000L))
+              .withColumn("event_type", lit("backfill"))
+              .withColumn("_deleted", lit(false)))
+          graft.sources.VersionedLake.mergeUpsert(
+            s, s"$o/lake", changes, Seq("event_id"), "event_date")
+        }
+        graft.sources.VersionedLake.diff(s, s"$out/lake", 1, 2)
+          .groupBy(col("_change"), col("event_date").cast("string").as("event_date"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .orderBy(col("_change"), col("event_date"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT event_id, event_type, value,
+          |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+          |  FROM events),
+          |scope AS (SELECT * FROM ev WHERE event_date <= '2024-01-15'),
+          |changes AS (
+          |  SELECT 'delete' AS _change, event_date, value FROM scope
+          |  WHERE event_id % 13 = 0 OR (event_id % 7 = 0 AND event_id % 13 <> 0)
+          |  UNION ALL
+          |  SELECT 'insert', event_date, value FROM scope
+          |  WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT 'insert', event_date, value FROM scope
+          |  WHERE event_id % 11 = 0)
+          |SELECT _change, event_date, count(*) AS n_rows,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,
     // crawled WITHOUT names (all-string col1..colN, header lines

@@ -298,6 +298,35 @@ object VersionedLake {
       .start()
   }
 
+  /** Changed-data capture between two versions: every row deleted or
+    * inserted going fromV → toV, tagged `_change` ∈ {'delete',
+    * 'insert'} (an update surfaces as the old row's delete plus the
+    * new row's insert — the standard CDC decomposition).
+    *
+    * The file-level manifest diff does the pruning: rows are read
+    * ONLY from files present in exactly one of the two manifests, so
+    * partitions untouched between the versions (identical file
+    * entries) contribute zero I/O — CDC cost scales with the churn,
+    * not the lake. Row-level changes inside rewritten files resolve
+    * with two EXCEPT ALLs over just those files.
+    */
+  def diff(spark: SparkSession, lakeDir: String, fromV: Int, toV: Int): DataFrame = {
+    val from = manifest(lakeDir, fromV).map(_._2).toSet
+    val to = manifest(lakeDir, toV).map(_._2).toSet
+    val removedFiles = (from -- to).toSeq.sorted
+    val addedFiles = (to -- from).toSeq.sorted
+    def readSome(files: Seq[String]): DataFrame =
+      readFiles(spark, lakeDir, math.max(fromV, toV), files)
+    val old = readSome(removedFiles)
+    val nw = readSome(addedFiles)
+    val cols = (if (removedFiles.nonEmpty) old else nw).columns.map(col).toSeq
+    old.select(cols: _*).exceptAll(nw.select(cols: _*))
+      .withColumn("_change", lit("delete"))
+      .unionByName(
+        nw.select(cols: _*).exceptAll(old.select(cols: _*))
+          .withColumn("_change", lit("insert")))
+  }
+
   /** Expire history: drop every version below `keepFrom` and delete
     * the data files ONLY they referenced. A file shared with any
     * surviving version survives (manifest set difference — the whole

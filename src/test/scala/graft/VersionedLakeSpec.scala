@@ -159,6 +159,23 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, s"$root/lake").count() == 400)
   }
 
+  test("diff captures delete+insert pairs for updates; untouched partitions contribute nothing") {
+    import spark.implicits._
+    val root = tmp("vlake_diff")
+    buildTwoVersions(root)
+    val d = VersionedLake.diff(spark, s"$root/lake", 1, 2)
+      .select("_change", "id", "name", "score", "part")
+      .as[(String, Long, String, Double, String)].collect().toSet
+    assert(d == Set(
+      ("delete", 1L, "a", 10.0, "p1"),   // update: old form out...
+      ("insert", 1L, "a2", 11.0, "p1"),  // ...new form in
+      ("insert", 9L, "z", 90.0, "p1"),
+      ("delete", 3L, "c", 30.0, "p2")))  // emptied partition
+    // unchanged row 2 cancels in the EXCEPT; p3 is not even in the
+    // file-level diff (identical manifest entries)
+    assert(!d.exists(_._2 == 2L) && !d.exists(_._5 == "p3"))
+  }
+
   test("merging every row away yields a readable empty version") {
     val root = tmp("vlake_empty")
     val df = Seq((1L, "a", "p1")).toDF("id", "name", "part")
