@@ -228,6 +228,15 @@ object PipelineSql {
         text = str("decontaminate", es(3), "text column"),
         n = int("decontaminate", es(4), "n-gram size"))
     }
+    reg("contamination_score") { es =>
+      argc("contamination_score", es, 5)
+      graft.operators.Curation.contaminationScore(
+        table("contamination_score", es(0)),
+        table("contamination_score", es(1)),
+        id = str("contamination_score", es(2), "id column"),
+        text = str("contamination_score", es(3), "text column"),
+        n = int("contamination_score", es(4), "n-gram size"))
+    }
     reg("line_dedup") { es =>
       argc("line_dedup", es, 4)
       graft.operators.Curation.lineDedup(

@@ -270,6 +270,10 @@ class DialectSpec extends SparkSpec {
       rows(graft.operators.Curation.decontaminate(
         docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", 5)))
+    assert(rows(spark.sql("SELECT * FROM contamination_score('pq_train', 'pq_bench', 'doc_id', 'text', 5)")) ==
+      rows(graft.operators.Curation.contaminationScore(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 5)))
     assert(rows(spark.sql(
       "SELECT * FROM mixture_sample('pq_docs', 'doc_id', 'lang', 'en=1.5,de=1.0,zh=0.25')")) ==
       rows(graft.operators.Curation.mixtureSample(docs, "doc_id", "lang",
