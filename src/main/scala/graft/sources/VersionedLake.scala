@@ -258,13 +258,19 @@ object VersionedLake {
     }
   }
 
-  /** The batch id recorded with the CURRENT version, -1 when none. */
+  /** The highest batch id recorded by ANY committed version, -1 when
+    * none. The max over all versions — not just CURRENT — so the
+    * replay guard survives a merge or manual append landing BETWEEN
+    * streaming commits (the interleaved commit carries no batch id,
+    * and reading only the newest version would reset the watermark
+    * and let a replayed batch double-commit). */
   def committedBatchId(lakeDir: String): Long = {
-    val v = currentVersion(lakeDir)
-    val f = new File(s"${versionsDir(lakeDir)}/v$v.batchid")
-    if (v >= 1 && f.exists())
-      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toLong
-    else -1L
+    val files = Option(new File(versionsDir(lakeDir)).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".batchid"))
+    if (files.isEmpty) -1L
+    else files.map(f =>
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toLong).max
   }
 
   /** Structured-Streaming sink: every micro-batch commits as a new

@@ -134,6 +134,11 @@ class VersionedLakeSpec extends SparkSpec {
     run()
     assert(VersionedLake.currentVersion(s"$root/lake") == before)
     assert(VersionedLake.read(spark, s"$root/lake").count() == 3)
+    // an interleaved NON-streaming commit (no batch id) must not reset
+    // the replay watermark — it is the max over ALL versions
+    VersionedLake.append(Seq((7L, "g", "p3")).toDF("id", "name", "part"),
+      s"$root/lake", "part")
+    assert(VersionedLake.committedBatchId(s"$root/lake") == 1L)
   }
 
   test("zone maps: a range read opens only files whose recorded min/max overlap") {
