@@ -31,12 +31,12 @@ object AnomalyStream {
 
   /** Window contents, ascending micros. Cents alongside so the scoring
     * algebra is exact-integer, same as the batch form. */
-  final case class WindowState(entries: List[(Long, Long)])
+  final case class WindowState(entries: Vector[(Long, Long)])
 
   /** Score one event against the window INCLUDING itself — the literal
     * batch arithmetic: z = (x·n − Σx)/(n·√((n·Σx² − (Σx)²)/(n·(n−1)))),
     * rounded half-up to 4 decimals; None when thin or flat. */
-  private def score(entries: List[(Long, Long)], cents: Long, minN: Long,
+  private def score(entries: Vector[(Long, Long)], cents: Long, minN: Long,
       zThreshold: Double): (Long, Option[Double], Boolean) = {
     val n = entries.length.toLong
     val s = entries.iterator.map(_._2).sum
@@ -71,7 +71,8 @@ object AnomalyStream {
       .flatMapGroupsWithState[WindowState, Scored](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (k: String, it: Iterator[Reading], state: GroupState[WindowState]) =>
-          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+          var entries = state.getOption.map(_.entries)
+            .getOrElse(Vector.empty[(Long, Long)])
           val out = it.toSeq.sortBy(r => (r.micros, r.tiebreak)).map { r =>
             // HALF_UP on the double product — the same rounding Spark's
             // round(value * 100) applies in the batch operator
