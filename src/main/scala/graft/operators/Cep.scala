@@ -69,10 +69,14 @@ object Cep {
     require(withinMicros > 0, s"withinMicros must be positive, got $withinMicros")
   }
 
-  /** The reference pattern as a [[PatternSpec]] instance. */
+  /** The reference pattern as a [[PatternSpec]] instance. `b` uses
+    * null-safe negation so a NULL status classifies as B — matching
+    * [[matchesBatch]] (whose epoch counter treats NULL `_err` as 0) and
+    * the streaming machine (Scala `==` on a null status is false): the
+    * three formulations agree on null-status rows. */
   def errorSandwichSpec(p: Params): PatternSpec = PatternSpec(
     a = col(p.status).cast("string") === lit(p.errorValue),
-    b = col(p.status).cast("string") =!= lit(p.errorValue),
+    b = !(col(p.status).cast("string") <=> lit(p.errorValue)),
     c = col(p.status).cast("string") === lit(p.errorValue),
     minB = 1, maxB = p.maxB, withinMicros = p.withinMicros)
 
@@ -84,7 +88,10 @@ object Cep {
       col(p.value).cast("double").as("_v"),
       col(p.status).cast("string").as("_s"),
       col(p.id).as("_id"))
-      .withColumn("_err", col("_s") === lit(p.errorValue))
+      // null-safe: a NULL status is a B row in full (epoch counter,
+      // B min/max/sum) — keeps matchesBatch ≡ matchesPattern(
+      // errorSandwichSpec) ≡ the streaming machine on null statuses
+      .withColumn("_err", col("_s") <=> lit(p.errorValue))
       .withColumn("_rn", row_number().over(wOrd))
       .withColumn("_epoch", sum(when(col("_err"), 1).otherwise(0))
         .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

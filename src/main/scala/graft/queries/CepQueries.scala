@@ -124,9 +124,9 @@ object CepQueries {
           |  FROM events
           |), epochstats AS (
           |  SELECT *,
-          |    min(CASE WHEN s <> 'error' THEN v END) OVER (PARTITION BY user_id, epoch) AS b_min,
-          |    max(CASE WHEN s <> 'error' THEN v END) OVER (PARTITION BY user_id, epoch) AS b_max,
-          |    sum(CASE WHEN s <> 'error' THEN CAST(v AS DECIMAL(18,2)) END) OVER (PARTITION BY user_id, epoch) AS b_sum,
+          |    min(CASE WHEN s IS DISTINCT FROM 'error' THEN v END) OVER (PARTITION BY user_id, epoch) AS b_min,
+          |    max(CASE WHEN s IS DISTINCT FROM 'error' THEN v END) OVER (PARTITION BY user_id, epoch) AS b_max,
+          |    sum(CASE WHEN s IS DISTINCT FROM 'error' THEN CAST(v AS DECIMAL(18,2)) END) OVER (PARTITION BY user_id, epoch) AS b_sum,
           |    list(s) OVER (PARTITION BY user_id, epoch ORDER BY rn
           |                  ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS b_hist
           |  FROM base

@@ -2,26 +2,41 @@ package graft.streaming
 
 import graft.operators.Cep
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import java.sql.Timestamp
 import scala.math.BigDecimal.RoundingMode
 
-/** C1 (streaming form) — the reference's MATCH_RECOGNIZE ERROR-sandwich
-  * pattern as a Structured Streaming operator
-  * (kinesis-studio-notebook/notebook.txt:47-68): per sensor, pattern
-  * A B{1,5} C WITHIN interval, AFTER MATCH SKIP PAST LAST ROW, where
-  * A/C are ERROR events and B non-ERROR.
+/** C1 (streaming form) — the reference's MATCH_RECOGNIZE as a Structured
+  * Streaming operator (kinesis-studio-notebook/notebook.txt:47-68),
+  * generic over [[Cep.PatternSpec]]: per key, pattern
+  * `A B{minB,maxB} C WITHIN interval`, AFTER MATCH SKIP PAST LAST ROW,
+  * with arbitrary A/B/C predicates — the same pattern surface as the
+  * batch [[Cep.matchesPattern]], so the funnel shape proven in
+  * `c8_cep_funnel` (and any other spec) runs live. The reference treats
+  * MATCH_RECOGNIZE as a *streaming* operator; this is its generic form.
   *
-  * Engine shape: `groupByKey(sensor).flatMapGroupsWithState` with
-  * event-time timeout — per-key state is a bounded partial match
-  * (pending A + ≤maxB buffered B events, ≤7 events total, mirroring the
-  * NFA the Flink CEP operator would build). The WITHIN clause doubles
-  * as the state TTL: once the watermark passes A + within, the partial
-  * match can never complete (a qualifying C would be late beyond the
-  * watermark), so the state store stays O(keys × maxB) regardless of
-  * stream length — the property that lets this run indefinitely on an
-  * unbounded 100 TB/day stream.
+  * Engine shape: the spec's predicate Columns are evaluated IN THE PLAN
+  * (a projection before `groupByKey` — codegen'd, no closure capture of
+  * Catalyst trees), yielding a typed event with isA/isB/isC booleans.
+  * `flatMapGroupsWithState` with event-time timeout then runs a bounded
+  * state machine: per-key state is one partial match (pending A +
+  * ≤maxB buffered B events). The WITHIN clause doubles as the state
+  * TTL: once the watermark passes A + within, the partial match can
+  * never complete, so the state store stays O(keys × maxB) regardless
+  * of stream length — the property that lets this run indefinitely on
+  * an unbounded 100 TB/day stream.
+  *
+  * Equivalence to the batch window-function formulation
+  * (operators/Cep.scala): classification first (B wins; non-B rows are
+  * boundaries), so rows strictly between consecutive boundaries are all
+  * B and every candidate match is a consecutive-boundary pair — two
+  * candidates overlap only by sharing an endpoint. The greedy machine
+  * (emit and consume C; a consumed C starts nothing) therefore takes
+  * positions 1,3,5,… of every endpoint-chain — exactly the batch
+  * operator's gaps-and-islands parity. StreamingCepSpec asserts parity
+  * on the sandwich AND funnel shapes, single- and multi-batch.
   *
   * Ordering (C2): the reference orders by processing time; its measures
   * use event_time, so results agree whenever arrival is in order.
@@ -29,11 +44,9 @@ import scala.math.BigDecimal.RoundingMode
   * cross-batch reordering is not repaired (documented divergence,
   * matching at-most-once arrival order of a Kinesis shard).
   *
-  * Measure semantics replicate the batch emulation (operators/Cep.scala
-  * — window-function formulation, DuckDB-oracle-checked) bit for bit:
+  * Measure semantics replicate the batch emulation bit for bit:
   * decimal(18,2) exact accumulation for the average, half-up rounding
   * to 2 decimals, elapsed = half-up seconds between A and C.
-  * StreamingCepSpec asserts parity on identical inputs.
   */
 object CepStream {
 
@@ -53,6 +66,19 @@ object CepStream {
       avg_temperature: Double,
       max_temperature: Double,
       elapsed: Long)
+
+  /** A pattern-classified event: the spec's predicates evaluated in the
+    * plan, null-coalesced to false. `_s` keeps the raw status string
+    * for the `history` measure. */
+  final case class ClassifiedEvent(
+      _k: String,
+      _t: Timestamp,
+      _v: Double,
+      _s: String,
+      _id: Long,
+      _isA: Boolean,
+      _isB: Boolean,
+      _isC: Boolean)
 
   /** Partial-match state: the pending A plus buffered B measures —
     * bounded at maxB entries by construction. A's instant is kept in
@@ -84,10 +110,12 @@ object CepStream {
     t
   }
 
-  private def emit(p: Params, key: String, st: PartialMatch,
+  private def emit(key: String, st: PartialMatch,
       cTimeMicros: Long, cValue: Double): CepMatch = {
-    val bMin = st.bValues.min
-    val bMax = st.bValues.max
+    // least/greatest over A, C and the (possibly empty — minB=0) B run;
+    // batch's least()/min() ignore the null b_min the same way
+    val lo = (st.aValue :: cValue :: st.bValues).min
+    val hi = (st.aValue :: cValue :: st.bValues).max
     val total = st.bValues.size + 2
     val sum = d2(st.aValue) + d2(cValue) + st.bValues.map(d2).sum
     val avg = math.floor((sum.toDouble / total) * 100 + 0.5) / 100.0
@@ -97,22 +125,29 @@ object CepStream {
       event_time = toTimestamp(st.aTimeMicros),
       non_errors = st.bValues.size.toLong,
       history = st.bStatuses.reverse.mkString("-"),
-      min_temperature = math.min(math.min(st.aValue, cValue), bMin),
+      min_temperature = lo,
       avg_temperature = avg,
-      max_temperature = math.max(math.max(st.aValue, cValue), bMax),
+      max_temperature = hi,
       elapsed = elapsed)
   }
 
-  /** The per-key state machine. Mirrors the batch candidate/parity
-    * semantics exactly:
-    *  - ERROR with a pending A and 1..maxB B's inside WITHIN → match;
-    *    state cleared (SKIP PAST LAST ROW: C cannot start a match).
-    *  - any other ERROR → becomes the new pending A.
-    *  - non-ERROR with a pending A → buffered; overflow (> maxB) kills
-    *    the pending match (the pair can never be a candidate).
-    *  - non-ERROR without a pending A → ignored.
+  /** The per-key state machine, generic over the pattern's scalar
+    * parameters (the predicates were already evaluated in the plan).
+    * Mirrors the batch candidate/parity semantics exactly:
+    *  - B row (isB wins over isA/isC — the batch classification rule)
+    *    with a pending A → buffered; overflow (> maxB) kills the
+    *    pending match (the consecutive-boundary pair can never be a
+    *    candidate, and A pairs with no later boundary). Without a
+    *    pending A → ignored.
+    *  - boundary row completing a candidate (pending A, isC, B count in
+    *    [minB,maxB], C-A within the bound) → match; state cleared
+    *    (SKIP PAST LAST ROW: the consumed C starts nothing).
+    *  - any other boundary → becomes the new pending A iff isA, else
+    *    clears the state (a failed consecutive-boundary pair leaves A
+    *    unmatchable forever).
     */
-  private def step(p: Params, streaming: Boolean)(key: String, events: Iterator[SensorEvent],
+  private def stepPattern(minB: Int, maxB: Int, withinMicros: Long, streaming: Boolean)(
+      key: String, events: Iterator[ClassifiedEvent],
       state: GroupState[PartialMatch]): Iterator[CepMatch] = {
     if (state.hasTimedOut) {
       state.remove()
@@ -121,32 +156,36 @@ object CepStream {
     var st: Option[PartialMatch] = state.getOption
     val out = List.newBuilder[CepMatch]
 
-    events.toSeq.sortBy(e => (micros(e.event_time), e.event_id)).foreach { e =>
-      val t = micros(e.event_time)
-      if (e.status == p.errorValue) {
-        st match {
-          case Some(pm) if pm.bValues.nonEmpty && pm.bValues.size <= p.maxB &&
-              (t - pm.aTimeMicros) <= p.withinMicros =>
-            out += emit(p, key, pm, t, e.temperature)
-            st = None // SKIP PAST LAST ROW
-          case _ =>
-            st = Some(PartialMatch(t, e.temperature, Nil, Nil))
-        }
-      } else {
+    events.toSeq.sortBy(e => (micros(e._t), e._id)).foreach { e =>
+      val t = micros(e._t)
+      if (e._isB) {
         st match {
           case Some(pm) =>
-            if (pm.bValues.size >= p.maxB) st = None // B{1,5} overflow: abort
+            if (pm.bValues.size >= maxB) st = None // B{minB,maxB} overflow: abort
             else st = Some(pm.copy(
-              bStatuses = e.status :: pm.bStatuses,
-              bValues = e.temperature :: pm.bValues))
-          case None => // non-error outside any pending match
+              // collect_list (the batch history) skips a null status;
+              // the value still counts toward every other measure
+              bStatuses = if (e._s == null) pm.bStatuses else e._s :: pm.bStatuses,
+              bValues = e._v :: pm.bValues))
+          case None => // B row outside any pending match
+        }
+      } else {
+        val completes = st.exists { pm =>
+          e._isC && pm.bValues.size >= minB &&
+            (t - pm.aTimeMicros) <= withinMicros
+        }
+        if (completes) {
+          out += emit(key, st.get, t, e._v)
+          st = None // SKIP PAST LAST ROW
+        } else {
+          st = if (e._isA) Some(PartialMatch(t, e._v, Nil, Nil)) else None
         }
       }
     }
 
     st match {
       case Some(pm) =>
-        val expiryMillis = pm.aTimeMicros / 1000L + p.withinMicros / 1000L + 1L
+        val expiryMillis = pm.aTimeMicros / 1000L + withinMicros / 1000L + 1L
         val wm = if (streaming) state.getCurrentWatermarkMs() else 0L
         if (streaming && wm >= expiryMillis) {
           // the pending A is already beyond the WITHIN horizon (any
@@ -170,33 +209,61 @@ object CepStream {
     out.result().iterator
   }
 
-  /** Streaming (or batch) Dataset in, matches out. Streaming input gets
-    * a watermark on event_time (bounds state via the WITHIN TTL); batch
-    * input runs the same state machine in one pass per key — the same
-    * operator serves the continuous and the ad-hoc form.
+  /** Generic streaming MATCH_RECOGNIZE: any [[Cep.PatternSpec]] over a
+    * streaming (or batch) DataFrame with the columns named by `p`.
+    * Streaming input gets a watermark on the event time (bounds state
+    * via the WITHIN TTL); batch input runs the same state machine in
+    * one pass per key — the same operator serves the continuous and the
+    * ad-hoc form. Output keeps the fixed measure schema of
+    * [[Cep.matchesPattern]], so the two are drop-in interchangeable.
     *
     * Memory shape: streaming STATE is O(keys × maxB), but each
     * invocation buffers its micro-batch's per-key events for the
     * in-batch sort — fine for micro-batches, whereas the batch form
     * hands one invocation a key's FULL history. For unbounded per-key
-    * batch histories prefer `Cep.matchesBatch` (window functions sort
-    * with disk spill); the batch mode here exists for parity testing
-    * and moderate ad-hoc runs.
+    * batch histories prefer [[Cep.matchesPattern]] (window functions
+    * sort with disk spill); the batch mode here exists for parity
+    * testing and moderate ad-hoc runs.
     */
-  def matches(events: Dataset[SensorEvent], p: Params = Params(),
+  def matchesPattern(df: DataFrame, p: Cep.Params, spec: Cep.PatternSpec,
       watermarkDelay: String = "10 seconds"): Dataset[CepMatch] = {
-    val spark = events.sparkSession
+    val spark = df.sparkSession
     import spark.implicits._
-    val streaming = events.isStreaming
+    val streaming = df.isStreaming
+    // predicate evaluation stays in the plan (codegen'd); only scalar
+    // pattern parameters cross into the executor closure
+    val classified = df.select(
+      col(p.key).cast("string").as("_k"),
+      col(p.time).as("_t"),
+      col(p.value).cast("double").as("_v"),
+      col(p.status).cast("string").as("_s"),
+      col(p.id).cast("long").as("_id"),
+      coalesce(spec.a, lit(false)).as("_isA"),
+      coalesce(spec.b, lit(false)).as("_isB"),
+      coalesce(spec.c, lit(false)).as("_isC")).as[ClassifiedEvent]
     val withWm =
-      if (streaming) events.withWatermark("event_time", watermarkDelay)
-      else events
+      if (streaming) classified.withWatermark("_t", watermarkDelay)
+      else classified
+    // copy the scalars OUT of the spec before building the closure:
+    // referencing spec.minB inside would make scalac capture the whole
+    // PatternSpec — whose Columns are not serializable
+    val (minB, maxB, within) = (spec.minB, spec.maxB, spec.withinMicros)
     withWm
-      .groupByKey(_.sensor_id)
+      .groupByKey(_._k)
       .flatMapGroupsWithState[PartialMatch, CepMatch](
         OutputMode.Append,
         if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout)(
-        step(p, streaming))
+        stepPattern(minB, maxB, within, streaming))
+  }
+
+  /** The reference's ERROR-sandwich as an instance of the generic
+    * operator — [[Cep.errorSandwichSpec]] over the fixed SensorEvent
+    * column names. (Rounds ≤8 hardcoded this state machine; it is now
+    * one PatternSpec instantiation.) */
+  def matches(events: Dataset[SensorEvent], p: Params = Params(),
+      watermarkDelay: String = "10 seconds"): Dataset[CepMatch] = {
+    val bp = batchParams(p)
+    matchesPattern(events.toDF(), bp, Cep.errorSandwichSpec(bp), watermarkDelay)
   }
 
   /** The batch emulation's params for the same semantics, for parity

@@ -123,6 +123,84 @@ class StreamingCepSpec extends SparkSpec {
     assert(norm(out) == norm(runBatch(ev)))
   }
 
+  // ——— generic PatternSpec streaming (round 9): the funnel shape of
+  // c8_cep_funnel, live ———
+
+  private val funnelP = CepStream.batchParams(Params())
+  private def funnelSpec(minB: Int = 0, maxB: Int = 3,
+      within: Long = 259200000000L) = graft.operators.Cep.PatternSpec(
+    a = org.apache.spark.sql.functions.col("status") === "signup",
+    b = org.apache.spark.sql.functions.col("status").isin("click", "view"),
+    c = org.apache.spark.sql.functions.col("status") === "purchase",
+    minB = minB, maxB = maxB, withinMicros = within)
+
+  /** Feed events through a MemoryStream and run the GENERIC streaming
+    * operator with the given spec. */
+  private def runStreamPattern(events: Seq[SensorEvent], chunks: Int,
+      spec: graft.operators.Cep.PatternSpec): Seq[CepMatch] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    qid += 1
+    val name = s"cep_pattern_out_$qid"
+    val ms = MemoryStream[SensorEvent]
+    val q = CepStream.matchesPattern(ms.toDF(), funnelP, spec).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      val size = math.max(1, (events.size + chunks - 1) / chunks)
+      events.grouped(size).foreach { chunk =>
+        ms.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).as[CepMatch].collect().toSeq
+  }
+
+  private def runBatchPattern(events: Seq[SensorEvent],
+      spec: graft.operators.Cep.PatternSpec): Seq[CepMatch] =
+    graft.operators.Cep.matchesPattern(events.toDF(), funnelP, spec)
+      .as[CepMatch].collect().toSeq
+
+  test("generic pattern: funnel stream equals batch, minB=0 empty history") {
+    val ev = seq("u1", T0,
+      "signup" -> 10.0, "click" -> 20.0, "view" -> 30.0, "purchase" -> 40.0,
+      "signup" -> 50.0, "purchase" -> 60.0, // minB=0: adjacent A C
+      "signup" -> 70.0, "click" -> 80.0, "error" -> 90.0, "purchase" -> 95.0) // broken run
+    val spec = funnelSpec()
+    val s = norm(runStreamPattern(ev, chunks = 1, spec))
+    assert(s == norm(runBatchPattern(ev, spec)))
+    assert(s.size == 2)
+    assert(s(0).history == "click-view" && s(0).non_errors == 2)
+    assert(s(1).history == "" && s(1).non_errors == 0 &&
+      s(1).min_temperature == 50.0 && s(1).max_temperature == 60.0)
+  }
+
+  test("generic pattern: funnel parity across micro-batch boundaries and minB/maxB bounds") {
+    val ev = seq("u1", T0,
+      "signup" -> 1.0, "click" -> 2.0, "purchase" -> 3.0,
+      "signup" -> 4.0, "click" -> 5.0, "view" -> 6.0, "click" -> 7.0, "view" -> 8.0,
+      "purchase" -> 9.0, // 4 B rows > maxB=3 → no match
+      "signup" -> 10.0, "purchase" -> 11.0)
+    Seq(funnelSpec(minB = 0), funnelSpec(minB = 1), funnelSpec(minB = 2)).foreach { spec =>
+      val batch = norm(runBatchPattern(ev, spec))
+      assert(norm(runStreamPattern(ev, 1, spec)) == batch, s"single-batch, minB=${spec.minB}")
+      assert(norm(runStreamPattern(ev, 5, spec)) == batch, s"multi-batch, minB=${spec.minB}")
+    }
+  }
+
+  test("generic pattern: randomized funnel parity, state across many micro-batches") {
+    val rnd = new Random(7)
+    val kinds = Seq("signup", "click", "view", "purchase", "error", "other")
+    val keys = Seq("u-01", "u-02", "u-03", "u-04")
+    val ev = (0 until 500).map { i =>
+      SensorEvent(keys(rnd.nextInt(keys.size)), new Timestamp(T0 + i * 1000L),
+        math.floor(rnd.nextDouble() * 1000) / 10.0, kinds(rnd.nextInt(kinds.size)), i.toLong)
+    }
+    val spec = funnelSpec(within = 30000000L) // 30 s — exercises the bound too
+    val batch = norm(runBatchPattern(ev, spec))
+    assert(batch.nonEmpty)
+    assert(norm(runStreamPattern(ev, 1, spec)) == batch)
+    assert(norm(runStreamPattern(ev, 8, spec)) == batch)
+  }
+
   test("WITHIN acts as state TTL: stale partial match never completes") {
     // A at t0, B at t0+1s, then C far beyond WITHIN (default 60 s)
     val ev = Seq(
