@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Lake maintenance operators: small-file compaction and
@@ -186,9 +187,18 @@ object LakeOps {
         }
       }
       // partitions the change-set emptied entirely: dynamic overwrite
-      // never saw them, so drop their directories (metadata-only)
-      touched.filterNot(stagedPartitions.contains).foreach { v =>
-        val dir = new java.io.File(s"$lakeDir/$partitionCol=$v")
+      // never saw them, so drop their directories (metadata-only).
+      // The staged inventory holds DIRECTORY names, which Spark writes
+      // Hive-escaped (%-encoding of special chars, the
+      // __HIVE_DEFAULT_PARTITION__ sentinel for null) — diff and
+      // delete in that escaped namespace, or a special-char partition
+      // never matches and its stale directory survives
+      val escapedTouched = touched.map {
+        case null => ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        case v => ExternalCatalogUtils.escapePathName(v)
+      }
+      escapedTouched.filterNot(stagedPartitions.contains).foreach { esc =>
+        val dir = new java.io.File(s"$lakeDir/$partitionCol=$esc")
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }

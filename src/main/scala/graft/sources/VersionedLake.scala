@@ -20,17 +20,32 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    change-set touches; the new manifest carries the UNTOUCHED
   *    partitions' existing file entries forward verbatim (no data
   *    copy — the `VersionedLakeSpec` identity pin).
-  *  - **Atomic visibility**: a commit is data files, then the new
-  *    manifest, then a same-filesystem atomic rename of the CURRENT
-  *    pointer. Readers see the old version or the new one, never a
-  *    half-written mix. (On an object store the rename becomes a
-  *    conditional put of the pointer object — same protocol.)
+  *  - **Atomic visibility + optimistic concurrency**: a commit is data
+  *    files, then one atomic EXCLUSIVE claim of the next version slot —
+  *    the manifest body is staged to a temp file and hard-linked to
+  *    `v<N>.manifest` (link(2) is atomic and fails with EEXIST if the
+  *    slot is taken). Readers see the old version or the new one, never
+  *    a half-written mix, and two concurrent writers can never both
+  *    claim the same version: the loser re-reads the new current
+  *    manifest, REBASES if its touched partitions are untouched by the
+  *    interleaved commits (carrying the winner's entries forward), and
+  *    ABORTS with `ConcurrentModificationException` if they overlap —
+  *    the Iceberg/Delta optimistic-concurrency protocol. (On an object
+  *    store the hard link becomes a conditional `If-None-Match` put of
+  *    the manifest object — same protocol.)
+  *  - **Exactly-once streaming**: a streaming commit's batch id is a
+  *    header INSIDE the manifest, so replay detection is atomic with
+  *    data visibility — there is no crash window where data committed
+  *    but the replay marker did not (or vice versa).
   *
   * Layout under `lakeDir`:
   * {{{
-  *   data/c<commit>/<partitionCol>=<v>/part-*.parquet   immutable
-  *   _versions/v<N>.manifest    one "partitionValue\tpath" line per file
-  *   _versions/CURRENT          the committed version number
+  *   data/<partitionCol>=<v>/c<commit>-part-*.parquet   immutable
+  *   _versions/v<N>.manifest    optional "#batchid=<id>" header, then
+  *                              one "partitionValue\tpath[\tmin\tmax]"
+  *                              line per file
+  *   _versions/CURRENT          advisory hint; the source of truth is
+  *                              the set of committed manifests
   * }}}
   *
   * Scale shape: manifests are file-count-sized metadata (the same
@@ -43,25 +58,47 @@ object VersionedLake {
 
   private def versionsDir(lakeDir: String) = s"$lakeDir/_versions"
 
-  /** The committed version number, 0 if the lake has no commit yet. */
+  private val ManifestName = """v(\d+)\.manifest""".r
+
+  /** The committed version number, 0 if the lake has no commit yet.
+    * Derived from the committed manifests themselves (a manifest file
+    * EXISTS iff its version committed — the hard-link claim is the
+    * commit point), not from the CURRENT hint: a hint writer can lose
+    * a race with a later version's writer, and trusting it would
+    * resurrect the lost-update hole the CAS protocol closes. One
+    * directory listing of version-count metadata files — the same cost
+    * class as any table format's log listing. */
   def currentVersion(lakeDir: String): Int = {
-    val f = new File(s"${versionsDir(lakeDir)}/CURRENT")
-    if (f.exists()) new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toInt
-    else 0
+    val names = Option(new File(versionsDir(lakeDir)).listFiles())
+      .getOrElse(Array.empty[File]).map(_.getName)
+    val vs = names.collect { case ManifestName(v) => v.toInt }
+    if (vs.isEmpty) 0 else vs.max
   }
 
-  /** One manifest line: a data file, its partition value, and (when
+  /** One manifest line: a data file, its partition value (in the
+    * Hive-ESCAPED directory form Spark writes — %-encoded special
+    * chars, `__HIVE_DEFAULT_PARTITION__` for null; raw caller values
+    * go through [[escapedPartition]] before comparing), and (when
     * the commit recorded them) the zone-map min/max of the stats
     * column — the planning-time file-skipping metadata. */
   final case class Entry(partition: String, path: String,
       min: Option[Double], max: Option[Double])
 
-  /** Full manifest entries of a version, zone maps included. */
+  /** A raw partition VALUE in the escaped directory namespace the
+    * manifests (and the filesystem) use. */
+  private def escapedPartition(v: String): String =
+    if (v == null)
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    else
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  /** Full manifest entries of a version, zone maps included. Header
+    * lines (`#key=value` — e.g. the streaming batch id) are skipped. */
   def manifestEntries(lakeDir: String, version: Int): Seq[Entry] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
     require(Files.exists(f), s"version $version does not exist under $lakeDir")
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty)
+      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         line.split("\t", -1) match {
           case Array(p, path) => Entry(p, path, None, None)
@@ -84,10 +121,14 @@ object VersionedLake {
     * [[readRange]] then skips files at planning time. */
   def create(df: DataFrame, lakeDir: String, partitionCol: String,
       statsCol: Option[String] = None): Unit = {
-    require(!new File(s"${versionsDir(lakeDir)}/CURRENT").exists(),
+    require(currentVersion(lakeDir) == 0,
       s"$lakeDir already has commits; use mergeUpsert")
     val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol, statsCol)
-    commitManifest(lakeDir, version = 1, entries)
+    if (!tryCommitManifest(lakeDir, version = 1, entries, batchId = None)) {
+      entries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
+      throw new java.util.ConcurrentModificationException(
+        s"another writer created $lakeDir concurrently")
+    }
   }
 
   /** Read a version (default: current) as a DataFrame with the
@@ -99,7 +140,9 @@ object VersionedLake {
     val v = version.getOrElse(currentVersion(lakeDir))
     val entries = manifest(lakeDir, v)
     val wanted = partitions match {
-      case Some(ps) => entries.filter(e => ps.contains(e._1))
+      case Some(ps) =>
+        val esc = ps.map(escapedPartition).toSet
+        entries.filter(e => esc.contains(e._1))
       case None => entries
     }
     readFiles(spark, lakeDir, v, wanted.map(_._2))
@@ -151,17 +194,53 @@ object VersionedLake {
     * become new immutable files and the new manifest reuses every
     * untouched partition's entries — so the pre-merge version remains
     * readable (time travel) and untouched data is never copied.
+    *
+    * Concurrency: optimistic. The merge is planned and its files
+    * written against the current version; if another writer commits
+    * first, the commit REBASES onto the winner when the interleaved
+    * commits left this merge's touched partitions untouched, and
+    * aborts with `ConcurrentModificationException` (staged files
+    * deleted) when they overlap — rebasing then would silently drop
+    * the winner's rows in those partitions, since the merged files
+    * were computed from the pre-race snapshot.
     */
   def mergeUpsert(spark: SparkSession, lakeDir: String, changes: DataFrame,
       keyCols: Seq[String], partitionCol: String,
       deleteCol: String = "_deleted", statsCol: Option[String] = None): Unit = {
+    val pending = planMerge(spark, lakeDir, changes, keyCols, partitionCol,
+      deleteCol, statsCol)
+    if (pending.touched.nonEmpty) { commitPending(lakeDir, pending); () }
+  }
+
+  /** A planned-but-uncommitted commit: everything [[commitPending]]
+    * needs to claim a version slot, rebase, or abort. `baseEntries` is
+    * the manifest snapshot the plan was computed against — conflict
+    * detection compares per-partition file sets base → current. */
+  private[graft] final case class PendingCommit(
+      baseVersion: Int,
+      baseEntries: Seq[Entry],
+      touched: Set[String],
+      newEntries: Seq[Entry],
+      insertOnly: Boolean,
+      batchId: Option[Long])
+
+  /** Plan a merge against the CURRENT version and stage its data
+    * files, without committing. Split from [[mergeUpsert]] so the
+    * two-writer interleaving in VersionedLakeSpec can hold a stale
+    * plan while another writer commits. */
+  private[graft] def planMerge(spark: SparkSession, lakeDir: String,
+      changes: DataFrame, keyCols: Seq[String], partitionCol: String,
+      deleteCol: String = "_deleted", statsCol: Option[String] = None): PendingCommit = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val v = currentVersion(lakeDir)
     require(v >= 1, s"$lakeDir has no committed version to merge into")
     val entries = manifestEntries(lakeDir, v)
+    // manifest partitions are escaped directory names — compare the
+    // change-set's raw values in that namespace
     val touched = changes.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (touched.isEmpty) return
+      .collect().map(r => escapedPartition(r.getString(0))).toSet
+    if (touched.isEmpty)
+      return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false, None)
 
     val existingTouched = {
       val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
@@ -178,8 +257,46 @@ object VersionedLake {
     }
     val newEntries = writeCommitFiles(merged, lakeDir, commitId = v + 1,
       partitionCol, statsCol)
-    commitManifest(lakeDir, v + 1,
-      entries.filterNot(e => touched.contains(e.partition)) ++ newEntries)
+    PendingCommit(v, entries, touched, newEntries, insertOnly = false, None)
+  }
+
+  /** Commit a pending plan under optimistic concurrency: claim the
+    * next version slot; on a lost race re-read the winner's manifest
+    * and either rebase (touched partitions' file sets unchanged since
+    * the plan's base — the staged files are still a correct rewrite,
+    * and every untouched entry is carried forward from the WINNER) or
+    * abort, deleting the staged files. Insert-only commits (appends)
+    * always rebase — they rewrite nothing, so they conflict with
+    * nothing. Returns the committed version. */
+  private[graft] def commitPending(lakeDir: String, p: PendingCommit,
+      maxAttempts: Int = 50): Int = {
+    val baseByPart = p.baseEntries.groupBy(_.partition)
+      .view.mapValues(_.map(_.path).sorted).toMap
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = currentVersion(lakeDir)
+      val curEntries = if (cur >= 1) manifestEntries(lakeDir, cur) else Seq.empty
+      if (!p.insertOnly && cur != p.baseVersion) {
+        val curByPart = curEntries.groupBy(_.partition)
+          .view.mapValues(_.map(_.path).sorted).toMap
+        val conflicting = p.touched.filter(pt =>
+          baseByPart.getOrElse(pt, Nil) != curByPart.getOrElse(pt, Nil))
+        if (conflicting.nonEmpty) {
+          p.newEntries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
+          throw new java.util.ConcurrentModificationException(
+            s"partitions [${conflicting.mkString(", ")}] changed between " +
+              s"v${p.baseVersion} and v$cur; merge aborted, staged files deleted")
+        }
+      }
+      val manifest =
+        if (p.insertOnly) curEntries ++ p.newEntries
+        else curEntries.filterNot(e => p.touched.contains(e.partition)) ++ p.newEntries
+      if (tryCommitManifest(lakeDir, cur + 1, manifest, p.batchId)) return cur + 1
+      // lost the slot race: loop re-reads the new current and retries
+    }
+    throw new IllegalStateException(
+      s"failed to commit to $lakeDir after $maxAttempts attempts")
   }
 
   /** Write `df`'s files into the shared `data/<partitionCol>=<v>/`
@@ -190,7 +307,9 @@ object VersionedLake {
     * commits. */
   private def writeCommitFiles(df: DataFrame, lakeDir: String, commitId: Int,
       partitionCol: String, statsCol: Option[String] = None): Seq[Entry] = {
-    val staging = s"$lakeDir/_staging_c$commitId"
+    // unique per write: concurrent writers may plan the same commitId
+    // before the CAS resolves the race — staging must never collide
+    val staging = s"$lakeDir/_staging_c$commitId-${java.util.UUID.randomUUID()}"
     df.write.partitionBy(partitionCol).parquet(staging)
     val prefix = partitionCol + "="
     val bare = Option(new File(staging).listFiles())
@@ -243,19 +362,18 @@ object VersionedLake {
   /** Append `df` as a new version: the new manifest is the old one
     * plus this batch's files — the insert-only commit a streaming
     * sink makes. Creates version 1 on an empty lake. `batchId`, when
-    * given, is recorded beside the manifest for replay detection. */
+    * given, is recorded as a HEADER INSIDE the manifest, making replay
+    * detection atomic with data visibility (a batch id is committed
+    * iff its rows are). Appends rewrite nothing, so a lost slot race
+    * rebases unconditionally — concurrent appenders all land. */
   def append(df: DataFrame, lakeDir: String, partitionCol: String,
       batchId: Option[Long] = None, statsCol: Option[String] = None): Unit = {
     val v = currentVersion(lakeDir)
-    val entries = if (v >= 1) manifestEntries(lakeDir, v) else Seq.empty
     val newEntries = writeCommitFiles(df, lakeDir, commitId = v + 1,
       partitionCol, statsCol)
-    commitManifest(lakeDir, v + 1, entries ++ newEntries)
-    batchId.foreach { id =>
-      Files.write(Paths.get(s"${versionsDir(lakeDir)}/v${v + 1}.batchid"),
-        id.toString.getBytes(StandardCharsets.UTF_8))
-      ()
-    }
+    commitPending(lakeDir, PendingCommit(v, Seq.empty, Set.empty, newEntries,
+      insertOnly = true, batchId))
+    ()
   }
 
   /** The highest batch id recorded by ANY committed version, -1 when
@@ -263,28 +381,38 @@ object VersionedLake {
     * replay guard survives a merge or manual append landing BETWEEN
     * streaming commits (the interleaved commit carries no batch id,
     * and reading only the newest version would reset the watermark
-    * and let a replayed batch double-commit). */
+    * and let a replayed batch double-commit). Batch ids live in
+    * manifest headers, so only committed (visible) batches count. */
   def committedBatchId(lakeDir: String): Long = {
-    val files = Option(new File(versionsDir(lakeDir)).listFiles())
+    val ids = Option(new File(versionsDir(lakeDir)).listFiles())
       .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".batchid"))
-    if (files.isEmpty) -1L
-    else files.map(f =>
-      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toLong).max
+      .filter(f => ManifestName.pattern.matcher(f.getName).matches())
+      .flatMap { f =>
+        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .split("\n").takeWhile(_.startsWith("#"))
+          .collectFirst { case BatchIdHeader(id) => id.toLong }
+      }
+    if (ids.isEmpty) -1L else ids.max
   }
+
+  private val BatchIdHeader = """#batchid=(-?\d+)""".r
 
   /** Structured-Streaming sink: every micro-batch commits as a new
     * VERSION of the lake, exactly-once end to end:
     *
     *  - the checkpoint resumes source offsets, so each batch id is
     *    delivered at-least-once with stable contents;
-    *  - a replayed batch (crash between data write and watermark
-    *    advance) is detected by `batchId <= committedBatchId` and
-    *    skipped — the version sequence never double-commits, readers
-    *    never see a duplicate row. A crash BETWEEN file write and
-    *    manifest commit leaves orphan data files no manifest
-    *    references (harmless; the same maintenance that vacuums old
-    *    versions collects them), never a half-visible version.
+    *  - a replayed batch is detected by `batchId <= committedBatchId`
+    *    and skipped — and because the batch id is a header inside the
+    *    manifest itself, detection is ATOMIC with data visibility:
+    *    a crash before the manifest claim leaves orphan data files no
+    *    manifest references (harmless; the same maintenance that
+    *    vacuums old versions collects them) and an unrecorded batch id,
+    *    so the replay correctly re-appends; a crash after the claim
+    *    leaves both, so the replay is correctly skipped. There is no
+    *    ordering between "rows visible" and "batch id recorded" for a
+    *    crash to land between — the version sequence never
+    *    double-commits, readers never see a duplicate row.
     *
     * Each tick's cost is the batch write plus two metadata files —
     * and every historical micro-batch stays time-travel-readable.
@@ -355,20 +483,41 @@ object VersionedLake {
     }
   }
 
-  /** Write v<N>.manifest, then flip CURRENT with an atomic rename. */
-  private def commitManifest(lakeDir: String, version: Int,
-      entries: Seq[Entry]): Unit = {
+  /** Atomically claim version slot `version`: stage the full manifest
+    * body to a temp file, then hard-link it to `v<version>.manifest`.
+    * link(2) is atomic and fails with EEXIST when the name exists, so
+    * exactly one writer can ever claim a slot, and the manifest
+    * appears to readers complete or not at all (the link exposes the
+    * fully-written temp content — never a partial file). Returns
+    * false when another writer holds the slot. A crash at any point
+    * leaves either nothing visible or a complete committed manifest;
+    * the only litter is a temp file / orphan data files that version
+    * maintenance collects. CURRENT is refreshed afterwards as an
+    * ADVISORY hint (racy across writers by design — all readers
+    * derive the version from the manifests). */
+  private def tryCommitManifest(lakeDir: String, version: Int,
+      entries: Seq[Entry], batchId: Option[Long]): Boolean = {
     val dir = new File(versionsDir(lakeDir))
     dir.mkdirs()
-    val body = entries.map {
-      case Entry(p, f, Some(mn), Some(mx)) => s"$p\t$f\t$mn\t$mx"
-      case Entry(p, f, _, _) => s"$p\t$f"
-    }.mkString("\n")
-    Files.write(Paths.get(s"$dir/v$version.manifest"),
-      body.getBytes(StandardCharsets.UTF_8))
-    val tmp = Paths.get(s"$dir/CURRENT.tmp")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(s"$dir/CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val body = batchId.map(id => s"#batchid=$id\n").getOrElse("") +
+      entries.map {
+        case Entry(p, f, Some(mn), Some(mx)) => s"$p\t$f\t$mn\t$mx"
+        case Entry(p, f, _, _) => s"$p\t$f"
+      }.mkString("\n")
+    val tmp = Paths.get(s"$dir/.staged-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(Paths.get(s"$dir/v$version.manifest"), tmp)
+      val ctmp = Paths.get(s"$dir/.current-${java.util.UUID.randomUUID()}")
+      Files.write(ctmp, version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(ctmp, Paths.get(s"$dir/CURRENT"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
+      ()
+    }
   }
 }

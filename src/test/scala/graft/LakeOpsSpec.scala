@@ -119,6 +119,29 @@ class LakeOpsSpec extends SparkSpec {
     assert(out == Set((3L, "p2")))
   }
 
+  test("mergeUpsert drops an emptied partition whose value needs Hive escaping") {
+    import spark.implicits._
+    val root = tmp("lakeops_merge_escape")
+    // ':' and ' ' are Hive-escaped in directory names: the on-disk dir
+    // is part=2026-01-01 10%3A00 — the emptied-partition diff must
+    // compare in that escaped namespace
+    val weird = "2026-01-01 10:00"
+    Seq((1L, "a", weird), (2L, "b", "plain"))
+      .toDF("id", "name", "part")
+      .write.partitionBy("part").parquet(s"$root/lake")
+    val escapedDirs = new java.io.File(s"$root/lake").listFiles()
+      .map(_.getName).filter(_.startsWith("part="))
+    assert(escapedDirs.exists(_.contains("%3A")), escapedDirs.mkString(","))
+    val changes = Seq((1L, "a", weird, true)).toDF("id", "name", "part", "_deleted")
+    LakeOps.mergeUpsert(spark, s"$root/lake", changes, Seq("id"), "part")
+    assert(!escapedDirs.filter(_.contains("%3A"))
+      .exists(d => new java.io.File(s"$root/lake/$d").exists()),
+      "escaped emptied-partition directory should be dropped")
+    val out = spark.read.parquet(s"$root/lake")
+      .select("id", "part").as[(Long, String)].collect().toSet
+    assert(out == Set((2L, "plain")))
+  }
+
   test("mergeUpsert prunes the lake scan to touched partitions") {
     import spark.implicits._
     val root = tmp("lakeops_merge_prune")

@@ -181,6 +181,96 @@ class VersionedLakeSpec extends SparkSpec {
     assert(!d.exists(_._2 == 2L) && !d.exists(_._5 == "p3"))
   }
 
+  test("optimistic concurrency: stale disjoint-partition merge rebases onto the winner") {
+    val root = tmp("vlake_occ_disjoint")
+    buildTwoVersions(root) // v2 current: p1 {1,2,9}, p3 {4}
+    val lake = s"$root/lake"
+    // writer W2 plans a merge touching ONLY p3, against v2 …
+    val w2changes = Seq((4L, "d2", 44.0, "p3", false))
+      .toDF("id", "name", "score", "part", "_deleted")
+    val stale = VersionedLake.planMerge(spark, lake, w2changes, Seq("id"), "part")
+    assert(stale.baseVersion == 2)
+    // … then W1 commits first, touching p1 → v3
+    val w1changes = Seq((2L, "b2", 22.0, "p1", false))
+      .toDF("id", "name", "score", "part", "_deleted")
+    VersionedLake.mergeUpsert(spark, lake, w1changes, Seq("id"), "part")
+    assert(VersionedLake.currentVersion(lake) == 3)
+    // W2's commit arrives with a stale base: disjoint partitions → rebase lands as v4
+    val v = VersionedLake.commitPending(lake, stale)
+    assert(v == 4)
+    val rows = VersionedLake.read(spark, lake)
+      .select("id", "name", "score", "part").as[(Long, String, Double, String)]
+      .collect().toSet
+    // both writers' effects present: W1's b2 AND W2's d2
+    assert(rows == Set(
+      (1L, "a2", 11.0, "p1"), (2L, "b2", 22.0, "p1"),
+      (9L, "z", 90.0, "p1"), (4L, "d2", 44.0, "p3")))
+  }
+
+  test("optimistic concurrency: overlapping-partition merge aborts and cleans its staged files") {
+    val root = tmp("vlake_occ_conflict")
+    buildTwoVersions(root)
+    val lake = s"$root/lake"
+    // both writers touch p1; W2 plans first against v2
+    val w2changes = Seq((9L, "z9", 99.0, "p1", false))
+      .toDF("id", "name", "score", "part", "_deleted")
+    val stale = VersionedLake.planMerge(spark, lake, w2changes, Seq("id"), "part")
+    assert(stale.newEntries.nonEmpty &&
+      stale.newEntries.forall(e => new java.io.File(e.path).exists()))
+    // W1 wins the race on p1
+    val w1changes = Seq((1L, "a3", 12.0, "p1", false))
+      .toDF("id", "name", "score", "part", "_deleted")
+    VersionedLake.mergeUpsert(spark, lake, w1changes, Seq("id"), "part")
+    // W2's commit must abort (rebasing would drop W1's a3) and delete its staging
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitPending(lake, stale)
+    }
+    assert(stale.newEntries.forall(e => !new java.io.File(e.path).exists()))
+    // the lake is exactly W1's outcome, no half-commit
+    assert(VersionedLake.currentVersion(lake) == 3)
+    val rows = VersionedLake.read(spark, lake)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(rows.contains((1L, "a3")) && !rows.contains((9L, "z9")))
+  }
+
+  test("optimistic concurrency: parallel appenders all land, none lost") {
+    val root = tmp("vlake_occ_append")
+    val lake = s"$root/lake"
+    VersionedLake.create(Seq((0L, "seed", "p0")).toDF("id", "name", "part"), lake, "part")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 6).map { i =>
+      Future {
+        VersionedLake.append(Seq((i.toLong, s"w$i", s"p$i")).toDF("id", "name", "part"),
+          lake, "part")
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // every append claimed its own version: 1 (create) + 6 appends
+    assert(VersionedLake.currentVersion(lake) == 7)
+    val ids = VersionedLake.read(spark, lake).select("id").as[Long].collect().toSet
+    assert(ids == (0L to 6L).toSet, s"lost a concurrent append: $ids")
+  }
+
+  test("merge and partition-scoped read work for Hive-escaped partition values") {
+    val root = tmp("vlake_escape")
+    val lake = s"$root/lake"
+    val weird = "2026-01-01 10:00" // ':' and ' ' escape to %XX in dir names
+    val df = Seq((1L, "a", weird), (2L, "b", "plain")).toDF("id", "name", "part")
+    VersionedLake.create(df, lake, "part")
+    assert(VersionedLake.manifest(lake, 1).exists(_._1.contains("%3A")))
+    // partition-scoped read takes the RAW value
+    assert(VersionedLake.read(spark, lake, Some(1), Some(Seq(weird))).count() == 1)
+    // a merge touching the escaped partition finds its existing files
+    val changes = Seq((1L, "a2", weird, false), (9L, "n", weird, false))
+      .toDF("id", "name", "part", "_deleted")
+    VersionedLake.mergeUpsert(spark, lake, changes, Seq("id"), "part")
+    val rows = VersionedLake.read(spark, lake)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a2"), (9L, "n"), (2L, "b")))
+  }
+
   test("merging every row away yields a readable empty version") {
     val root = tmp("vlake_empty")
     val df = Seq((1L, "a", "p1")).toDF("id", "name", "part")
