@@ -69,6 +69,14 @@ object Bench {
       .map { case (pos, sec) => s"""{"pos":$pos,"sec":$sec}""" }
       .mkString(s"""{"query":"$canaryName","samples":[""", ",", "]}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}""")
+    // Compact summary printed LAST: the driver records only the tail of
+    // sbt output, so the full line above can lose its own total when the
+    // per-query map grows. Any 2 kB tail now always contains the total,
+    // the canary verdict (min/max over all samples), and the error count.
+    val canarySecs = canary.toSeq.map(_._2)
+    val cMin = if (canarySecs.isEmpty) 0.0 else canarySecs.min
+    val cMax = if (canarySecs.isEmpty) 0.0 else canarySecs.max
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gates":${ordered.size},"errors":${errors.size},"canary_min":$cMin,"canary_max":$cMax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
