@@ -10,15 +10,24 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. Read nanos as long (legacy conf) and truncate to micros —
-    * the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
-    * so oracle comparisons stay exact.
+  /** events.parquet's `ts` physical type has varied across driver-generated
+    * datasets: TIMESTAMP(NANOS) (read as long via the legacy conf, truncated
+    * to micros — DuckDB's TIMESTAMP_NS → TIMESTAMP truncation), or plain
+    * TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ).
+    * Normalize every variant to session-TZ TimestampType (session TZ is
+    * pinned to UTC by every entrypoint, so the NTZ cast is value-preserving
+    * and matches DuckDB reading the same file).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
