@@ -344,6 +344,24 @@ object PipelineSql {
         n = int("ngram_count_of_counts", es(2), "n-gram size"))
     }
 
+    // versioned-lake surface: read any committed version / the
+    // row-level change stream between two versions, from SQL text —
+    // the same manifest-pruned plans as the Scala API (the argument
+    // is the lake DIRECTORY, not a catalog table).
+    reg("time_travel") { es =>
+      argc("time_travel", es, 2)
+      graft.sources.VersionedLake.read(spark,
+        str("time_travel", es(0), "lake directory"),
+        Some(int("time_travel", es(1), "version")))
+    }
+    reg("version_diff") { es =>
+      argc("version_diff", es, 3)
+      graft.sources.VersionedLake.diff(spark,
+        str("version_diff", es(0), "lake directory"),
+        int("version_diff", es(1), "from version"),
+        int("version_diff", es(2), "to version"))
+    }
+
     // semantic dedup: embedding near-dup pairs -> canonical clusters
     reg("semantic_dedup") { es =>
       argc("semantic_dedup", es, 7)

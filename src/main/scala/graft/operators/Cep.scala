@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -136,6 +136,39 @@ object Cep {
         .cast("long").as("elapsed"))
   }
 
+  /** The match-level quantities a measures clause can draw on — the
+    * MATCH_RECOGNIZE MEASURES vocabulary for this pattern shape, as
+    * Columns over the resolved match row. `bMin`/`bMax`/`bSum` are
+    * null for an empty B run; `bSum` is DECIMAL(18,2) (exact,
+    * order-independent); `avgValue` is the exact decimal mean over
+    * A+B+C rounded half-up to 2 dp; `elapsedSeconds` is C−A rounded
+    * to whole seconds. */
+  final case class MatchMeasures(
+      key: Column,
+      aTime: Column, aValue: Column, aStatus: Column,
+      cTime: Column, cValue: Column, cStatus: Column,
+      bCount: Column, bMin: Column, bMax: Column, bSum: Column,
+      bHistory: Column,
+      totalRows: Column,
+      minValue: Column, maxValue: Column, avgValue: Column,
+      elapsedSeconds: Column)
+
+  /** The reference notebook's measure list (notebook.txt:54-61) —
+    * [[matchesPattern]]'s output when no measures are given, and the
+    * schema [[matchesBatch]] pins. */
+  def defaultMeasures(m: MatchMeasures): Seq[Column] = Seq(
+    m.key.as("sensor_id"),
+    m.aTime.as("event_time"),
+    m.bCount.cast("long").as("non_errors"),
+    // A's epoch holds exactly its match's B rows (C starts the next
+    // epoch), so the [1,maxB]-following collect IS the history; an
+    // empty B run (minB=0) joins to the empty string
+    array_join(m.bHistory, "-").as("history"),
+    m.minValue.as("min_temperature"),
+    m.avgValue.as("avg_temperature"),
+    m.maxValue.as("max_temperature"),
+    m.elapsedSeconds.as("elapsed"))
+
   /** Generic `A B{minB,maxB} C WITHIN within`, AFTER MATCH SKIP PAST
     * LAST ROW — the same two-shuffle epoch/parity machinery as
     * [[matchesBatch]], with the pattern variables as parameters.
@@ -163,7 +196,16 @@ object Cep {
     * it property-style; the output schema (column names included) is
     * identical, so the two are drop-in interchangeable.
     */
-  def matchesPattern(df: DataFrame, p: Params, spec: PatternSpec): DataFrame = {
+  def matchesPattern(df: DataFrame, p: Params, spec: PatternSpec): DataFrame =
+    matchesPattern(df, p, spec, defaultMeasures)
+
+  /** [[matchesPattern]] with a caller-supplied measures clause: the
+    * output schema is whatever `measures` names over the
+    * [[MatchMeasures]] vocabulary, so non-sensor domains (funnels,
+    * order flows) get domain-named outputs instead of the notebook's
+    * sensor_id/temperature schema. */
+  def matchesPattern(df: DataFrame, p: Params, spec: PatternSpec,
+      measures: MatchMeasures => Seq[Column]): DataFrame = {
     val wOrd = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_id"))
     val base = df.select(
       col(p.key).as("_k"),
@@ -196,6 +238,7 @@ object Cep {
       .withColumn("_c_rn", lead(col("_rn"), 1).over(wBd))
       .withColumn("_c_t", lead(col("_t"), 1).over(wBd))
       .withColumn("_c_v", lead(col("_v"), 1).over(wBd))
+      .withColumn("_c_s", lead(col("_s"), 1).over(wBd))
       .withColumn("_c_isC", lead(col("_isC"), 1).over(wBd))
 
     val cands = bds.filter(
@@ -214,18 +257,19 @@ object Cep {
     val bCnt = col("_c_rn") - col("_rn") - 1
     val avgNum = (col("_v").cast("decimal(18,2)") + col("_c_v").cast("decimal(18,2)") +
       coalesce(col("_b_sum"), lit(0).cast("decimal(18,2)")))
-    matches.select(
-      col("_k").as("sensor_id"),
-      col("_t").as("event_time"),
-      bCnt.cast("long").as("non_errors"),
-      // A's epoch holds exactly its match's B rows (C starts the next
-      // epoch), so the [1,maxB]-following collect IS the history; an
-      // empty B run (minB=0) joins to the empty string
-      array_join(col("_b_hist"), "-").as("history"),
-      least(col("_v"), col("_c_v"), col("_b_min")).as("min_temperature"),
-      (floor((avgNum.cast("double") / total) * 100 + lit(0.5)) / 100.0).as("avg_temperature"),
-      greatest(col("_v"), col("_c_v"), col("_b_max")).as("max_temperature"),
-      floor((unix_micros(col("_c_t")) - unix_micros(col("_t"))) / 1000000.0 + lit(0.5))
-        .cast("long").as("elapsed"))
+    val m = MatchMeasures(
+      key = col("_k"),
+      aTime = col("_t"), aValue = col("_v"), aStatus = col("_s"),
+      cTime = col("_c_t"), cValue = col("_c_v"), cStatus = col("_c_s"),
+      bCount = bCnt, bMin = col("_b_min"), bMax = col("_b_max"),
+      bSum = col("_b_sum"), bHistory = col("_b_hist"),
+      totalRows = total,
+      minValue = least(col("_v"), col("_c_v"), col("_b_min")),
+      maxValue = greatest(col("_v"), col("_c_v"), col("_b_max")),
+      avgValue = floor((avgNum.cast("double") / total) * 100 + lit(0.5)) / 100.0,
+      elapsedSeconds = floor(
+        (unix_micros(col("_c_t")) - unix_micros(col("_t"))) / 1000000.0 + lit(0.5))
+        .cast("long"))
+    matches.select(measures(m): _*)
   }
 }

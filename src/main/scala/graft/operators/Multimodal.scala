@@ -312,6 +312,389 @@ object Multimodal {
     Some((width, height, px))
   }
 
+  // --- real pure-JVM baseline JPEG codec (sequential, 8-bit, grayscale) --
+
+  /** Zigzag order: zigzag(i) = natural (row-major) index of the i-th
+    * coefficient in the entropy-coded stream (ITU T.81 Figure A.6). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** ITU T.81 Annex K.3.3.1 typical luminance DC table: code counts per
+    * length 1..16, then the symbol list (categories 0..11). */
+  private val DcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+
+  /** ITU T.81 Annex K.3.3.2 typical luminance AC table. */
+  private val AcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman code assignment (T.81 Annex C): returns
+    * symbol → (code, length). */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += vals(k) -> (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 F.1.2.3). */
+    def flush(): Unit = if (nbits > 0) put(0xff, 8 - nbits)
+  }
+
+  /** Bit category of a DC/AC value (T.81 F.1.2.1.2): smallest s with
+    * |v| < 2^s; the appended raw bits are v (v ≥ 0) or v - 1 + 2^s. */
+  private def bitCategory(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode one input byte per constant 8×8 block as a baseline
+    * sequential grayscale JPEG (SOI/DQT/SOF0/DHT/SOS/EOI, Annex K
+    * Huffman tables, flat quantization): image is `blocksPerRow` blocks
+    * across, ceil(len/blocksPerRow) block-rows down (min 1), missing
+    * trailing blocks zero-filled. Constant blocks carry ONLY a DC
+    * coefficient, and flat quantization keeps that DC exact — so this
+    * lossy format round-trips these payloads bit-exactly, which is what
+    * lets the decode gate hash-check a REAL entropy-decode + IDCT
+    * pipeline. */
+  def encodeJpegBlocks(bytes: Array[Byte], blocksPerRow: Int): Array[Byte] = {
+    require(blocksPerRow >= 1 && blocksPerRow <= 1024,
+      s"blocksPerRow must be in [1, 1024], got $blocksPerRow")
+    val blockRows = math.max(1, (bytes.length + blocksPerRow - 1) / blocksPerRow)
+    val width = blocksPerRow * 8
+    val height = blockRows * 8
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    marker(0xd8) // SOI
+    segment(0xdb, Array.tabulate(65)(i => if (i == 0) 0 else 1).map(_.toByte)) // DQT: Pq=0 Tq=0, flat 1s
+    segment(0xc0, Array[Int]( // SOF0: 8-bit, 1 component, 1x1 sampling
+      8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      1, 1, 0x11, 0).map(_.toByte))
+    segment(0xc4, (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte)) // DHT DC 0
+    segment(0xc4, (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte)) // DHT AC 0
+    segment(0xda, Array[Int](1, 1, 0x00, 0, 63, 0).map(_.toByte))  // SOS
+    val dc = huffCodes(DcBits, DcVals)
+    val ac = huffCodes(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    val (eobCode, eobLen) = ac(0x00)
+    var prevDc = 0
+    var b = 0
+    val nBlocks = blockRows * blocksPerRow
+    while (b < nBlocks) {
+      val v = if (b < bytes.length) bytes(b) & 0xff else 0
+      val dcCoef = 8 * (v - 128) // flat quant: stored value IS the coefficient
+      val diff = dcCoef - prevDc
+      prevDc = dcCoef
+      val s = bitCategory(diff)
+      val (c, l) = dc(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff - 1 + (1 << s), s)
+      bw.put(eobCode, eobLen) // all AC zero
+      b += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  private final class BitReader(data: Array[Byte], private var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var bad = false
+    /** Next bit, honoring 0xFF00 stuffing; sets `bad` past data end. */
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= data.length) { bad = true; return 0 }
+        val b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= data.length || (data(pos) & 0xff) != 0x00) {
+            // a marker (e.g. EOI) — entropy data exhausted; padding bits
+            // requested past it read as 1s per T.81 F.2.2.5
+            bad = pos >= data.length && false
+            acc = 0xff; nbits = 8
+            pos -= 1 // stay on the marker
+            return bit()
+          }
+          pos += 1 // skip stuffed 0x00
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** Huffman decode table: (length-indexed min-code ranges) per T.81
+    * F.2.2.3, built from a DHT segment's BITS/HUFFVAL. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      for (l <- 1 to 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+      }
+    }
+    /** Decode the next symbol; -1 on an invalid code. */
+    def decode(br: BitReader): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        code = (code << 1) | br.bit()
+        if (br.bad) return -1
+        if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** Extend a `s`-bit magnitude to its signed value (T.81 F.2.2.1). */
+  private def huffExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private val IdctCos: Array[Double] =
+    Array.tabulate(8, 8) { (x, u) =>
+      (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+        StrictMath.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }.flatten
+
+  /** Parse a baseline sequential 8-bit GRAYSCALE JPEG (SOF0, one 1×1
+    * component, no restart intervals — the subset the fixture encoder
+    * emits, decoded the way any baseline decoder works): marker walk,
+    * DQT/DHT table collection, Huffman entropy decode with byte
+    * unstuffing, dequantize + dezigzag, separable floating IDCT with a
+    * DC-only fast path, level shift and clamp. Returns (width, height,
+    * top-down pixel bytes cropped to the SOF dimensions); None when the
+    * payload is not such a JPEG. */
+  def decodeJpeg(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
+      (payload(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    var width = 0
+    var height = 0
+    var qTab: Array[Int] = null
+    var qId = -1
+    var dcTables = Map.empty[Int, HuffTable]
+    var acTables = Map.empty[Int, HuffTable]
+    var dcId = -1
+    var acId = -1
+    var sosAt = -1
+    val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    while (sosAt < 0) {
+      if (pos + 4 > payload.length || (payload(pos) & 0xff) != 0xff) return None
+      val m = payload(pos + 1) & 0xff
+      if (m == 0xd9) return None // EOI before SOS
+      val len = ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      if (len < 2 || pos + 2 + len > payload.length) return None
+      val body = payload.slice(pos + 4, pos + 2 + len)
+      m match {
+        case 0xdb => // DQT — possibly several tables per segment
+          var o = 0
+          while (o < body.length) {
+            val pq = (body(o) & 0xf0) >> 4
+            val tq = body(o) & 0x0f
+            if (pq != 0 || o + 65 > body.length) return None // 8-bit only
+            quant(tq) = Array.tabulate(64)(i => body(o + 1 + i) & 0xff)
+            o += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          if (body.length < 9 || (body(0) & 0xff) != 8) return None
+          height = ((body(1) & 0xff) << 8) | (body(2) & 0xff)
+          width = ((body(3) & 0xff) << 8) | (body(4) & 0xff)
+          val nComp = body(5) & 0xff
+          if (nComp != 1 || (body(7) & 0xff) != 0x11) return None // grayscale 1×1
+          qId = body(8) & 0xff
+          if (width <= 0 || height <= 0) return None
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline-sequential frame
+        case 0xc4 => // DHT — possibly several tables per segment
+          var o = 0
+          while (o < body.length) {
+            val tc = (body(o) & 0xf0) >> 4
+            val th = body(o) & 0x0f
+            if (o + 17 > body.length) return None
+            val bits = Array.tabulate(16)(i => body(o + 1 + i) & 0xff)
+            val n = bits.sum
+            if (o + 17 + n > body.length) return None
+            val vals = Array.tabulate(n)(i => body(o + 17 + i) & 0xff)
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcTables += th -> t
+            else if (tc == 1) acTables += th -> t
+            else return None
+            o += 17 + n
+          }
+        case 0xdd => return None // restart intervals: outside this subset
+        case 0xda => // SOS
+          if (body.length < 6 || (body(0) & 0xff) != 1) return None
+          dcId = (body(2) & 0xf0) >> 4
+          acId = body(2) & 0x0f
+          sosAt = pos + 2 + len
+        case _ => () // APPn/COM/etc: skipped
+      }
+      pos += 2 + len
+    }
+    if (width == 0 || !quant.contains(qId) ||
+      !dcTables.contains(dcId) || !acTables.contains(acId)) return None
+    val q = quant(qId)
+    val dcT = dcTables(dcId)
+    val acT = acTables(acId)
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val px = new Array[Byte](width * height)
+    val br = new BitReader(payload, sosAt)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var prevDc = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coef, 0)
+        // DC
+        val s = dcT.decode(br)
+        if (s < 0 || s > 15) return None
+        val diff = huffExtend(br.bits(s), s)
+        prevDc += diff
+        coef(0) = prevDc * q(0)
+        // AC run-length
+        var k = 1
+        var acOnly0 = true
+        while (k < 64) {
+          val rs = acT.decode(br)
+          if (rs < 0) return None
+          val run = (rs >> 4) & 0xf
+          val size = rs & 0xf
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += run
+            if (k > 63) return None
+            coef(Zigzag(k)) = huffExtend(br.bits(size), size) * q(k)
+            acOnly0 = false
+            k += 1
+          }
+        }
+        if (br.bad) return None
+        // IDCT
+        val base = (by * 8) * width + bx * 8
+        if (acOnly0) {
+          // DC-only: every sample is DC/8 (exact for flat-quant
+          // constant blocks — the lossless round-trip the gate pins)
+          val v = math.max(0, math.min(255,
+            math.round(coef(0) / 8.0).toInt + 128))
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val yy = by * 8 + y; val xx = bx * 8 + x
+              if (yy < height && xx < width) px(yy * width + xx) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          // separable: rows (u over columns), then columns
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var u = 0
+              while (u < 8) { sum += IdctCos(x * 8 + u) * coef(y * 8 + u); u += 1 }
+              tmp(y * 8 + x) = sum
+              x += 1
+            }
+            y += 1
+          }
+          var x = 0
+          while (x < 8) {
+            var y = 0
+            while (y < 8) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) { sum += IdctCos(y * 8 + v) * tmp(v * 8 + x); v += 1 }
+              val out = math.max(0, math.min(255, math.round(sum / 4.0).toInt + 128))
+              val yy = by * 8 + y; val xx = bx * 8 + x
+              if (yy < height && xx < width) px(yy * width + xx) = out.toByte
+              y += 1
+            }
+            x += 1
+          }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((width, height, px))
+  }
+
+  /** Blocks per row of the JPEG fixture: 25 (matching the BMP/PNG pixel
+    * width), so a JPEG payload is 200×(8·ceil(len/25)) px. */
+  val JpegBlocksPerRow = 25
+
   /** Wrap an id+text corpus as real media rows in a MIX of formats:
     * even ids encode as BMP, odd ids as PNG — same width, same
     * logical-pixel contract, so both codecs must decode any document

@@ -483,6 +483,69 @@ object Sketch {
         .as("est")): _*)
   }
 
+  /** [[histogramBuild]] + [[histogramQuantiles]] with bounds DERIVED
+    * from the data instead of caller-supplied: pass 1 is one exact
+    * global min/max aggregate (2 doubles of driver model state — the
+    * cheapest full-scan agg there is, map-side combined to one row per
+    * partition), pass 2 is the existing histogram sketch over those
+    * bounds. Degenerate constant columns (hi == lo) widen hi by 1.0 so
+    * the bin width stays positive — the oracle replays the same guard.
+    *
+    * Bounds are GLOBAL (not per-group) on purpose: shared bounds keep
+    * shard histograms mergeable by count-addition across groups and
+    * time ranges, which is the property that makes this sketch useful
+    * at 100 TB (per-day partials roll up without re-reading data).
+    */
+  def histogramQuantilesAuto(df: DataFrame, value: Column,
+      groupCols: Seq[String], bins: Int, qs: Seq[Double]): DataFrame = {
+    val row = df.agg(min(value.cast("double")).as("lo"),
+      max(value.cast("double")).as("hi")).head()
+    require(!row.isNullAt(0), "histogramQuantilesAuto: input has no rows")
+    val lo = row.getDouble(0)
+    val hi0 = row.getDouble(1)
+    val hi = if (hi0 > lo) hi0 else lo + 1.0
+    histogramQuantiles(histogramBuild(df, value, groupCols, lo, hi, bins),
+      groupCols, lo, hi, bins, qs)
+  }
+
+  /** DuckDB replay of [[histogramQuantilesAuto]]: the same two passes —
+    * min/max bounds CTE (with the hi==lo widening guard), then the
+    * identical bin/cumulate/interpolate arithmetic in the same IEEE
+    * operation order, so estimates match bit-for-bit. */
+  def histogramAutoOracleSql(src: String, valueExpr: String,
+      groupCols: Seq[String], bins: Int, qs: Seq[Double]): String = {
+    val g = groupCols.mkString(", ")
+    val qsVals = qs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")
+    s"""WITH b0 AS (
+       |  SELECT CAST(min($valueExpr) AS DOUBLE) AS lo,
+       |         CAST(max($valueExpr) AS DOUBLE) AS hi0 FROM $src
+       |), b AS (
+       |  SELECT lo, CASE WHEN hi0 > lo THEN hi0 ELSE lo + 1.0 END AS hi FROM b0
+       |), h AS (
+       |  SELECT $g,
+       |         LEAST(GREATEST(CAST(floor(($valueExpr - b.lo) * $bins / (b.hi - b.lo)) AS BIGINT), 0), ${bins - 1}) AS bin,
+       |         count(*) AS cnt
+       |  FROM $src, b GROUP BY ALL
+       |), c AS (
+       |  SELECT $g, bin, cnt,
+       |         sum(cnt) OVER (PARTITION BY $g ORDER BY bin) AS cum,
+       |         sum(cnt) OVER (PARTITION BY $g) AS total
+       |  FROM h
+       |), qx AS (
+       |  SELECT $g, q, bin, cnt, cum, total
+       |  FROM c, (VALUES $qsVals) AS qs(q)
+       |  WHERE cum >= CAST(ceil(q * total) AS BIGINT)
+       |), sel AS (
+       |  SELECT $g, q, min(bin) AS bin, arg_min(cnt, bin) AS cnt,
+       |         arg_min(cum, bin) AS cum, arg_min(total, bin) AS total
+       |  FROM qx GROUP BY ALL
+       |)
+       |SELECT $g, q,
+       |       ${graft.functions.Arith.sqlR2(
+            s"b.lo + (bin + (CAST(ceil(q * total) AS BIGINT) - cum + cnt) / cnt) * ((b.hi - b.lo) / $bins)")} AS est
+       |FROM sel, b ORDER BY $g, q""".stripMargin
+  }
+
   /** DuckDB replay of [[topKNgrams]]'s SEMANTICS (exact top-k; the
     * sketch side is exact under the asserted frequency bound). */
   def topKNgramsOracleSql(src: String, text: String, n: Int, k: Int): String = {

@@ -35,6 +35,133 @@ object Vocab {
       .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
   }
 
+  /** One merge rule learned by [[bpeTrain]]: at `step`, the corpus's
+    * most frequent adjacent symbol pair (`left`, `right`) — ties broken
+    * lexicographically on the pair — was fused into `merged`, having
+    * been observed `cnt` times (weighted by word frequency). */
+  final case class BpeMerge(step: Int, left: String, right: String,
+      merged: String, cnt: Long)
+
+  /** Iterative BPE vocabulary induction: `k` merge rounds of
+    * count-pairs → argmax → apply-merge, each deterministic (exact
+    * integer counts; lexicographic tiebreak), so the whole merge
+    * sequence is replayable by any engine.
+    *
+    * Scale shape: the corpus is compressed to the distinct-word table
+    * once (the only corpus-sized aggregate); every iteration then runs
+    * over the VOCABULARY — a pair-count hash aggregate (shuffle bounded
+    * by the symbol-pair vocabulary), a 1-row argmax collect (the merge
+    * rule — model state, the thing BPE training exists to produce), and
+    * a codegen'd `replace` over the word table. Each iteration's word
+    * table is persisted via [[graft.CacheRegistry]] and the previous
+    * one released, so iteration i never re-runs iterations 1..i-1.
+    *
+    * Words are held as symbol sequences joined by `sep` (a control
+    * char that never appears in text words — words containing it are
+    * dropped identically by the oracle). Merge application is
+    * left-to-right non-overlapping `replace(seq, a+sep+b, a+b)` —
+    * exactly the standard greedy BPE merge scan ("aaa" under (a,a)
+    * becomes ["aa","a"]).
+    *
+    * Returns the merge-rule table (step, left, right, merged, cnt) —
+    * k rows, the trained vocabulary's delta from the char alphabet.
+    */
+  def bpeTrain(df: DataFrame, text: String, k: Int,
+      sep: String = "\u001f"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // Corpus → distinct words with frequency; symbols start as chars.
+    var vocab = graft.CacheRegistry.retain(
+      df.select(explode(split(col(text), " ")).as("w"))
+        .filter(length(col("w")) >= 2 && !col("w").contains(sep))
+        .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+        // char alphabet via substring (not split(w, "") — that keeps a
+        // trailing empty token under Spark's limit=-1 split semantics)
+        .select(array_join(
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))), sep).as("seq"), col("wf"))
+        .persist())
+
+    val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val syms = split(col("seq"), java.util.regex.Pattern.quote(sep))
+      val pairs = vocab
+        .select(col("wf"), explode(
+          when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              i => concat(element_at(syms, i), lit(sep),
+                element_at(syms, i + 1))))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+      // 1-row argmax: the learned merge rule (driver-side model state).
+      val best = pairs.orderBy(desc("cnt"), col("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val i = pair.indexOf(sep) // symbols never contain sep: one split point
+        val (a, b) = (pair.substring(0, i), pair.substring(i + 1))
+        merges += BpeMerge(step, a, b, a + b, cnt)
+        // exact (non-regex) replace — left-to-right non-overlapping,
+        // same semantics as the oracle's replace()
+        val next = graft.CacheRegistry.retain(
+          vocab.withColumn("seq",
+            replace(col("seq"), lit(a + sep + b), lit(a + b)))
+            .persist())
+        next.count() // materialize before releasing the parent
+        vocab.unpersist(false)
+        vocab = next
+        step += 1
+      }
+    }
+    merges.toSeq.toDF()
+      .select(col("step"), col("left").as("left_sym"),
+        col("right").as("right_sym"), col("merged"), col("cnt"))
+  }
+
+  /** DuckDB replay of [[bpeTrain]]: the same count → argmax → replace
+    * loop unrolled as k CTE stages (each deterministic, so the merge
+    * sequences match row-for-row). `chr(31)` is the symbol separator. */
+  def bpeTrainOracleSql(src: String, text: String, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v0 AS (
+              |  SELECT array_to_string(list_transform(
+              |           generate_series(1, length(w)), i -> w[i]), chr(31)) AS seq,
+              |         count(*) AS wf
+              |  FROM (SELECT unnest(string_split($text, ' ')) AS w FROM $src)
+              |  WHERE length(w) >= 2 AND NOT contains(w, chr(31))
+              |  GROUP BY 1
+              |)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+                |p$i AS (
+                |  SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+                |    SELECT wf, unnest(list_transform(
+                |             generate_series(1, len(syms) - 1),
+                |             j -> syms[j] || chr(31) || syms[j + 1])) AS pair
+                |    FROM (SELECT wf, string_split(seq, chr(31)) AS syms FROM v${i - 1})
+                |  ) GROUP BY pair
+                |),
+                |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+                |v$i AS (
+                |  SELECT replace(seq, (SELECT pair FROM b$i),
+                |                 replace((SELECT pair FROM b$i), chr(31), '')) AS seq, wf
+                |  FROM v${i - 1}
+                |)""".stripMargin
+    }
+    val union = (1 to k).map { i =>
+      s"""SELECT $i AS step, split_part(pair, chr(31), 1) AS left_sym,
+         |       split_part(pair, chr(31), 2) AS right_sym,
+         |       replace(pair, chr(31), '') AS merged, cnt FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb ++= s"\n$union\nORDER BY step"
+    sb.toString
+  }
+
   /** Good-Turing count-of-counts for word n-grams: how many DISTINCT
     * n-grams occur exactly `freq` times. Two hash aggregates, the
     * second over the n-gram-vocabulary-sized first. */

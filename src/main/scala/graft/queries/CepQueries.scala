@@ -65,9 +65,56 @@ object CepQueries {
         c = col("event_type") === "purchase",
         minB = 0, maxB = 3, withinMicros = 259200000000L))
         .orderBy(col("sensor_id"), col("event_time")),
-      funnelOracle))
+      funnelOracle),
 
-  private lazy val funnelOracle = Some(
+    // The same funnel with a caller-supplied MEASURES clause: the
+    // match vocabulary (A/C rows, B stats, history, derived means)
+    // renamed into the funnel domain — signup/purchase times, journey
+    // string, conversion latency — instead of the notebook's
+    // sensor/temperature schema. Same match set as c8 (the oracle
+    // shares c8's CTE chain verbatim; only the final SELECT differs).
+    QDef(
+      "c9_cep_funnel_measures",
+      (s, dir) => Cep.matchesPattern(Tables.events(s, dir), P,
+        Cep.PatternSpec(
+          a = col("event_type") === "signup",
+          b = col("event_type").isin("click", "view"),
+          c = col("event_type") === "purchase",
+          minB = 0, maxB = 3, withinMicros = 259200000000L),
+        measures = m => Seq(
+          m.key.as("user_id"),
+          m.aTime.as("signup_time"),
+          m.cTime.as("purchase_time"),
+          m.bCount.cast("long").as("mid_events"),
+          array_join(m.bHistory, ">").as("journey"),
+          m.cValue.as("purchase_value"),
+          m.avgValue.as("avg_value"),
+          m.elapsedSeconds.as("seconds_to_convert")))
+        .orderBy(col("user_id"), col("signup_time")),
+      Some(funnelCtes +
+        """SELECT user_id, t AS signup_time, c_t AS purchase_time,
+          |       c_rn - rn - 1 AS mid_events,
+          |       coalesce(array_to_string(b_hist, '>'), '') AS journey,
+          |       c_v AS purchase_value,
+          |       floor((CAST(CAST(v AS DECIMAL(18,2)) + CAST(c_v AS DECIMAL(18,2))
+          |                   + coalesce(b_sum, 0) AS DOUBLE)
+          |              / (c_rn - rn + 1)) * 100 + 0.5) / 100.0 AS avg_value,
+          |       CAST(floor((epoch_us(c_t) - epoch_us(t)) / 1000000.0 + 0.5) AS BIGINT) AS seconds_to_convert
+          |FROM matches ORDER BY user_id, signup_time""".stripMargin)))
+
+  private lazy val funnelOracle = Some(funnelCtes +
+    """SELECT user_id AS sensor_id, t AS event_time,
+      |       c_rn - rn - 1 AS non_errors,
+      |       coalesce(array_to_string(b_hist, '-'), '') AS history,
+      |       least(v, c_v, b_min) AS min_temperature,
+      |       floor((CAST(CAST(v AS DECIMAL(18,2)) + CAST(c_v AS DECIMAL(18,2))
+      |                   + coalesce(b_sum, 0) AS DOUBLE)
+      |              / (c_rn - rn + 1)) * 100 + 0.5) / 100.0 AS avg_temperature,
+      |       greatest(v, c_v, b_max) AS max_temperature,
+      |       CAST(floor((epoch_us(c_t) - epoch_us(t)) / 1000000.0 + 0.5) AS BIGINT) AS elapsed
+      |FROM matches ORDER BY sensor_id, event_time""".stripMargin)
+
+  private lazy val funnelCtes = (
         """WITH base AS (
           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS v, event_type AS s, event_id,
           |         NOT (event_type IN ('click', 'view')) AS bd,
@@ -103,16 +150,7 @@ object CepQueries {
           |    SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY epoch) AS pos FROM cands
           |  ) WHERE pos % 2 = 1
           |)
-          |SELECT user_id AS sensor_id, t AS event_time,
-          |       c_rn - rn - 1 AS non_errors,
-          |       coalesce(array_to_string(b_hist, '-'), '') AS history,
-          |       least(v, c_v, b_min) AS min_temperature,
-          |       floor((CAST(CAST(v AS DECIMAL(18,2)) + CAST(c_v AS DECIMAL(18,2))
-          |                   + coalesce(b_sum, 0) AS DOUBLE)
-          |              / (c_rn - rn + 1)) * 100 + 0.5) / 100.0 AS avg_temperature,
-          |       greatest(v, c_v, b_max) AS max_temperature,
-          |       CAST(floor((epoch_us(c_t) - epoch_us(t)) / 1000000.0 + 0.5) AS BIGINT) AS elapsed
-          |FROM matches ORDER BY sensor_id, event_time""".stripMargin)
+          |""".stripMargin)
 
   private lazy val oracleSql = Some(
         """WITH base AS (

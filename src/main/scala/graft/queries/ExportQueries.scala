@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import graft.operators.TimeSeries.GridParams
 import graft.streaming.Exporter
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import java.time.LocalDate
@@ -39,6 +40,87 @@ object ExportQueries {
          |FROM gridded$sfx GROUP BY user_id, time""".stripMargin
     (defs, select)
   }
+
+  /** Shared versioned-lake fixture (s14/s15 and their SQL-TVF forms):
+    * v1 = raw events partitioned by day; v2 = the s13 merge algebra
+    * (update %7, delete %13, insert %11 with shifted ids) committed on
+    * top. Returns the lake directory. */
+  private def versionedLakeFixture(s: SparkSession, dir: String): String = {
+    val out = Fixtures.dir("versioned_lake", dir) { o =>
+      val ev = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")).cast("string"))
+      graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date")
+      val scope = ev.filter(col("event_date") <= "2024-01-15")
+      val changes = scope
+        .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
+        .withColumn("event_type", lit("adjusted"))
+        .withColumn("_deleted", lit(false))
+        .unionByName(scope.filter(col("event_id") % 13 === 0)
+          .withColumn("_deleted", lit(true)))
+        .unionByName(scope.filter(col("event_id") % 11 === 0)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("event_type", lit("backfill"))
+          .withColumn("_deleted", lit(false)))
+      graft.sources.VersionedLake.mergeUpsert(
+        s, s"$o/lake", changes, Seq("event_id"), "event_date")
+    }
+    s"$out/lake"
+  }
+
+  /** Per-version aggregate oracle shared by s14 and its SQL-TVF form. */
+  private val timeTravelOracle =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+      |  FROM events),
+      |scope AS (SELECT * FROM ev WHERE event_date <= '2024-01-15'),
+      |changed AS (
+      |  SELECT event_id, user_id, 'adjusted' AS event_type, value, event_date
+      |  FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT event_id + 1000000000, user_id, 'backfill', value, event_date
+      |  FROM scope WHERE event_id % 11 = 0),
+      |removed AS (
+      |  SELECT event_id FROM scope WHERE event_id % 13 = 0
+      |  UNION ALL
+      |  SELECT event_id FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0),
+      |merged AS (
+      |  SELECT * FROM ev WHERE event_id NOT IN (SELECT event_id FROM removed)
+      |  UNION ALL SELECT * FROM changed),
+      |v1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS version, event_date, count(*) AS n_rows,
+      |         count(CASE WHEN event_type = 'adjusted' THEN 1 END) AS n_adjusted,
+      |         count(CASE WHEN event_type = 'backfill' THEN 1 END) AS n_backfill,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM ev GROUP BY 2),
+      |v2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS version, event_date, count(*) AS n_rows,
+      |         count(CASE WHEN event_type = 'adjusted' THEN 1 END) AS n_adjusted,
+      |         count(CASE WHEN event_type = 'backfill' THEN 1 END) AS n_backfill,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM merged GROUP BY 2)
+      |SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |ORDER BY version, event_date""".stripMargin
+
+  /** Change-stream aggregate oracle shared by s15 and its SQL-TVF form. */
+  private val versionDiffOracle =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value,
+      |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+      |  FROM events),
+      |scope AS (SELECT * FROM ev WHERE event_date <= '2024-01-15'),
+      |changes AS (
+      |  SELECT 'delete' AS _change, event_date, value FROM scope
+      |  WHERE event_id % 13 = 0 OR (event_id % 7 = 0 AND event_id % 13 <> 0)
+      |  UNION ALL
+      |  SELECT 'insert', event_date, value FROM scope
+      |  WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT 'insert', event_date, value FROM scope
+      |  WHERE event_id % 11 = 0)
+      |SELECT _change, event_date, count(*) AS n_rows,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def defs: Seq[QDef] = Seq(
     QDef(
@@ -382,26 +464,9 @@ object ExportQueries {
     QDef(
       "s14_time_travel",
       (s, dir) => {
-        val out = Fixtures.dir("versioned_lake", dir) { o =>
-          val ev = Tables.events(s, dir)
-            .withColumn("event_date", to_date(col("ts")).cast("string"))
-          graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date")
-          val scope = ev.filter(col("event_date") <= "2024-01-15")
-          val changes = scope
-            .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
-            .withColumn("event_type", lit("adjusted"))
-            .withColumn("_deleted", lit(false))
-            .unionByName(scope.filter(col("event_id") % 13 === 0)
-              .withColumn("_deleted", lit(true)))
-            .unionByName(scope.filter(col("event_id") % 11 === 0)
-              .withColumn("event_id", col("event_id") + lit(1000000000L))
-              .withColumn("event_type", lit("backfill"))
-              .withColumn("_deleted", lit(false)))
-          graft.sources.VersionedLake.mergeUpsert(
-            s, s"$o/lake", changes, Seq("event_id"), "event_date")
-        }
+        val lake = versionedLakeFixture(s, dir)
         def versionAgg(v: Int) =
-          graft.sources.VersionedLake.read(s, s"$out/lake", Some(v))
+          graft.sources.VersionedLake.read(s, lake, Some(v))
             .groupBy(col("event_date").cast("string").as("event_date"))
             .agg(
               count(lit(1)).as("n_rows"),
@@ -414,39 +479,31 @@ object ExportQueries {
             col("n_adjusted"), col("n_backfill"), col("sum_cents"))
           .orderBy(col("version"), col("event_date"))
       },
-      Some(
-        """WITH ev AS (
-          |  SELECT event_id, user_id, event_type, value,
-          |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
-          |  FROM events),
-          |scope AS (SELECT * FROM ev WHERE event_date <= '2024-01-15'),
-          |changed AS (
-          |  SELECT event_id, user_id, 'adjusted' AS event_type, value, event_date
-          |  FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0
-          |  UNION ALL
-          |  SELECT event_id + 1000000000, user_id, 'backfill', value, event_date
-          |  FROM scope WHERE event_id % 11 = 0),
-          |removed AS (
-          |  SELECT event_id FROM scope WHERE event_id % 13 = 0
-          |  UNION ALL
-          |  SELECT event_id FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0),
-          |merged AS (
-          |  SELECT * FROM ev WHERE event_id NOT IN (SELECT event_id FROM removed)
-          |  UNION ALL SELECT * FROM changed),
-          |v1 AS (
-          |  SELECT CAST(1 AS BIGINT) AS version, event_date, count(*) AS n_rows,
-          |         count(CASE WHEN event_type = 'adjusted' THEN 1 END) AS n_adjusted,
-          |         count(CASE WHEN event_type = 'backfill' THEN 1 END) AS n_backfill,
-          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-          |  FROM ev GROUP BY 2),
-          |v2 AS (
-          |  SELECT CAST(2 AS BIGINT) AS version, event_date, count(*) AS n_rows,
-          |         count(CASE WHEN event_type = 'adjusted' THEN 1 END) AS n_adjusted,
-          |         count(CASE WHEN event_type = 'backfill' THEN 1 END) AS n_backfill,
-          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-          |  FROM merged GROUP BY 2)
-          |SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-          |ORDER BY version, event_date""".stripMargin)),
+      Some(timeTravelOracle)),
+
+    // The same per-version aggregates reached purely from SQL text via
+    // the time_travel TVF (PipelineSql) — proving the lake is
+    // SQL-first like every other capability, against the identical
+    // oracle as s14.
+    QDef(
+      "q_sql_time_travel",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        graft.functions.PipelineSql.register(s)
+        def leg(v: Int) =
+          s"""SELECT CAST($v AS BIGINT) AS version,
+             |       CAST(event_date AS STRING) AS event_date,
+             |       count(*) AS n_rows,
+             |       count(CASE WHEN event_type = 'adjusted' THEN 1 END) AS n_adjusted,
+             |       count(CASE WHEN event_type = 'backfill' THEN 1 END) AS n_backfill,
+             |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+             |FROM time_travel('$lake', $v)
+             |GROUP BY CAST(event_date AS STRING)""".stripMargin
+        s.sql(
+          s"""SELECT * FROM (${leg(1)} UNION ALL ${leg(2)})
+             |ORDER BY version, event_date""".stripMargin)
+      },
+      Some(timeTravelOracle)),
 
     // Lake maintenance 6: changed-data capture between versions. The
     // diff reads ONLY files present in exactly one manifest (untouched
@@ -457,49 +514,31 @@ object ExportQueries {
     QDef(
       "s15_version_diff",
       (s, dir) => {
-        val out = Fixtures.dir("versioned_lake", dir) { o =>
-          val ev = Tables.events(s, dir)
-            .withColumn("event_date", to_date(col("ts")).cast("string"))
-          graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date")
-          val scope = ev.filter(col("event_date") <= "2024-01-15")
-          val changes = scope
-            .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
-            .withColumn("event_type", lit("adjusted"))
-            .withColumn("_deleted", lit(false))
-            .unionByName(scope.filter(col("event_id") % 13 === 0)
-              .withColumn("_deleted", lit(true)))
-            .unionByName(scope.filter(col("event_id") % 11 === 0)
-              .withColumn("event_id", col("event_id") + lit(1000000000L))
-              .withColumn("event_type", lit("backfill"))
-              .withColumn("_deleted", lit(false)))
-          graft.sources.VersionedLake.mergeUpsert(
-            s, s"$o/lake", changes, Seq("event_id"), "event_date")
-        }
-        graft.sources.VersionedLake.diff(s, s"$out/lake", 1, 2)
+        graft.sources.VersionedLake.diff(s, versionedLakeFixture(s, dir), 1, 2)
           .groupBy(col("_change"), col("event_date").cast("string").as("event_date"))
           .agg(
             count(lit(1)).as("n_rows"),
             sum(round(col("value") * 100).cast("long")).as("sum_cents"))
           .orderBy(col("_change"), col("event_date"))
       },
-      Some(
-        """WITH ev AS (
-          |  SELECT event_id, event_type, value,
-          |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
-          |  FROM events),
-          |scope AS (SELECT * FROM ev WHERE event_date <= '2024-01-15'),
-          |changes AS (
-          |  SELECT 'delete' AS _change, event_date, value FROM scope
-          |  WHERE event_id % 13 = 0 OR (event_id % 7 = 0 AND event_id % 13 <> 0)
-          |  UNION ALL
-          |  SELECT 'insert', event_date, value FROM scope
-          |  WHERE event_id % 7 = 0 AND event_id % 13 <> 0
-          |  UNION ALL
-          |  SELECT 'insert', event_date, value FROM scope
-          |  WHERE event_id % 11 = 0)
-          |SELECT _change, event_date, count(*) AS n_rows,
-          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-          |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+      Some(versionDiffOracle)),
+
+    // The CDC stream reached purely from SQL text via the version_diff
+    // TVF — same manifest-pruned plan, same oracle as s15.
+    QDef(
+      "q_sql_version_diff",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        graft.functions.PipelineSql.register(s)
+        s.sql(
+          s"""SELECT _change, CAST(event_date AS STRING) AS event_date,
+             |       count(*) AS n_rows,
+             |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+             |FROM version_diff('$lake', 1, 2)
+             |GROUP BY _change, CAST(event_date AS STRING)
+             |ORDER BY _change, event_date""".stripMargin)
+      },
+      Some(versionDiffOracle)),
 
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,

@@ -57,6 +57,19 @@ object SketchQueries {
           |             * 100 + 0.5) / 100.0 AS est
           |FROM sel ORDER BY event_type, q""".stripMargin)),
 
+    // Histogram quantiles with DERIVED bounds: pass 1 exact min/max
+    // (one cheap agg), pass 2 the same histogram sketch — no
+    // caller-supplied [lo, hi]. The oracle replays both passes in the
+    // same IEEE operation order, so estimates are bit-exact.
+    QDef(
+      "k_hist_quantiles_auto",
+      (s, dir) => Sketch.histogramQuantilesAuto(Tables.events(s, dir),
+        col("value"), Seq("event_type"), bins = 120,
+        qs = Seq(0.1, 0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("q")),
+      Some(Sketch.histogramAutoOracleSql("events", "value",
+        Seq("event_type"), bins = 120, qs = Seq(0.1, 0.5, 0.9, 0.99)))),
+
     // Distinct users per day at m=32 registers: the grouped sketch
     // (30 groups, each its own register set). exact_distinct /
     // rel_err_pct ride along as calibration columns (both engines

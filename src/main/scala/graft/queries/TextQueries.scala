@@ -538,6 +538,18 @@ object TextQueries {
           |FROM p GROUP BY pair
           |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin)),
 
+    // Full BPE training loop: 8 merge rounds of count → argmax
+    // (lexicographic tiebreak) → greedy replace, over the
+    // vocab-compressed word table. Every iteration is deterministic,
+    // so the DuckDB oracle replays the exact merge sequence as 8
+    // unrolled CTE stages.
+    QDef(
+      "x_bpe_train",
+      (s, dir) => graft.operators.Vocab.bpeTrain(
+        Tables.documents(s, dir), "text", k = 8),
+      Some(graft.operators.Vocab.bpeTrainOracleSql(
+        "documents", "text", k = 8))),
+
     // Good-Turing count-of-counts over word trigrams: the smoothing
     // table an n-gram-LM quality filter is built from. Second
     // aggregate runs over the n-gram vocabulary, not the corpus.
