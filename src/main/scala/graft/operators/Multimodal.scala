@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   *    chunk walk with CRC validation, multi-IDAT zlib inflate (JDK
   *    Inflater), and full scanline filter reconstruction
   *    (None/Sub/Up/Average/Paeth) for 8-bit non-interlaced RGB.
+  *  - JPEG SOI → a REAL pure-JVM baseline sequential decoder
+  *    ([[decodeJpeg]]): marker walk, DQT/DHT collection, Huffman
+  *    entropy decode with byte unstuffing, dequantize/dezigzag,
+  *    separable IDCT — grayscale subset.
   *  - anything else → the deterministic [[stubDecode]], standing in
-  *    for codecs that DO need native libraries (JPEG/audio/video) in
-  *    an environment that has none. Swapping one in changes one
-  *    branch of the dispatch and nothing about the distributed plan.
+  *    for codecs that DO need native libraries (audio/video) in an
+  *    environment that has none. Swapping one in changes one branch
+  *    of the dispatch and nothing about the distributed plan.
   */
 object Multimodal {
 
@@ -455,11 +459,11 @@ object Multimodal {
         pos += 1
         if (b == 0xff) {
           if (pos >= data.length || (data(pos) & 0xff) != 0x00) {
-            // a marker (e.g. EOI) — entropy data exhausted; padding bits
-            // requested past it read as 1s per T.81 F.2.2.5
-            bad = pos >= data.length && false
+            // a marker (e.g. EOI): entropy data is exhausted — bits
+            // requested past it read as 1s (T.81 pads with 1-bits),
+            // and `pos` stays parked on the marker
             acc = 0xff; nbits = 8
-            pos -= 1 // stay on the marker
+            pos -= 1
             return bit()
           }
           pos += 1 // skip stuffed 0x00
@@ -696,31 +700,35 @@ object Multimodal {
   val JpegBlocksPerRow = 25
 
   /** Wrap an id+text corpus as real media rows in a MIX of formats:
-    * even ids encode as BMP, odd ids as PNG — same width, same
-    * logical-pixel contract, so both codecs must decode any document
-    * to identical pixel bytes (which is exactly what the
-    * format-agnostic oracle predicts).
+    * id%3==0 encodes as BMP, 1 as PNG (same 25-px width, pixels = the
+    * document's text bytes), 2 as baseline JPEG (one constant 8×8
+    * block per text byte — the DC-only construction that makes the
+    * lossy format round-trip exactly). Every payload REALLY decodes;
+    * the oracle predicts each geometry and pixel hash arithmetically.
     */
   def asMixedMedia(df: DataFrame, id: String, text: String,
       width: Int = BmpMediaWidth): DataFrame = {
     val encB = udf((t: String) => encodeBmp24(t.getBytes("UTF-8"), width))
     val encP = udf((t: String) => encodePng(t.getBytes("UTF-8"), width))
+    val encJ = udf((t: String) => encodeJpegBlocks(t.getBytes("UTF-8"), JpegBlocksPerRow))
     df.select(
       col(id).cast("long").as("media_id"),
-      when(col(id) % 2 === 0, encB(col(text)))
-        .otherwise(encP(col(text))).as("payload"),
-      when(col(id) % 2 === 0, lit("image/bmp"))
-        .otherwise(lit("image/png")).as("mime"))
+      when(col(id) % 3 === 0, encB(col(text)))
+        .when(col(id) % 3 === 1, encP(col(text)))
+        .otherwise(encJ(col(text))).as("payload"),
+      when(col(id) % 3 === 0, lit("image/bmp"))
+        .when(col(id) % 3 === 1, lit("image/png"))
+        .otherwise(lit("image/jpeg")).as("mime"))
   }
 
   /** The codec behind [[decode]]: sniff the magic bytes, real-parse
-    * what we can (BMP and PNG), stub the rest. Content hash is the
-    * rolling modular hash of the DECODED pixel bytes (so a decode bug
-    * is a hash-gate failure); features derive from the hash as in the
-    * stub.
+    * what we can (BMP, PNG, baseline JPEG), stub the rest (audio/
+    * video). Content hash is the rolling modular hash of the DECODED
+    * pixel bytes (so a decode bug is a hash-gate failure); features
+    * derive from the hash as in the stub.
     */
   private[operators] def sniffDecode(payload: Array[Byte]): (Int, Int, Int, Long, Array[Float]) =
-    decodeBmp(payload).orElse(decodePng(payload)) match {
+    decodeBmp(payload).orElse(decodePng(payload)).orElse(decodeJpeg(payload)) match {
       case Some((w, h, pixels)) =>
         var hash = 0L
         var i = 0

@@ -246,14 +246,18 @@ object TextQueries {
     // (features are nibble/255f — float arrays don't hash-compare).
     QDef(
       "x_multimodal_decode",
-      // REAL decode, TWO formats: even ids land as 24-bit BMPs (76-byte
-      // stride, genuine padding), odd ids as 8-bit RGB PNGs (zlib IDAT,
-      // filtered scanlines) — both carrying the document's text bytes
-      // under the same logical-pixel contract. The oracle PREDICTS the
-      // decode arithmetically and format-agnostically — dims from the
-      // encoding geometry, content hash over text bytes plus the last
-      // row's zero fill — so a stride, row-order, inflate, or filter
-      // bug in EITHER parser is a hash mismatch, not a
+      // REAL decode, THREE formats: id%3==0 lands as a 24-bit BMP
+      // (76-byte stride, genuine padding), 1 as an 8-bit RGB PNG (zlib
+      // IDAT, filtered scanlines) — both carrying the document's text
+      // bytes as pixels — and 2 as a baseline sequential JPEG (one
+      // constant 8×8 block per text byte: DC-only blocks under flat
+      // quantization round-trip the lossy format exactly). The oracle
+      // PREDICTS every decode arithmetically — dims from each
+      // encoding's geometry, content hash over the decoded pixel
+      // stream (for JPEG, the block expansion is replayed in closed
+      // form via rolling-hash composition with precomputed 31^k mod p
+      // constants) — so a stride, row-order, inflate, filter, Huffman,
+      // or IDCT bug in ANY parser is a hash mismatch, not a
       // silently-agreeing stub.
       (s, dir) => {
         import org.apache.spark.sql.functions._
@@ -272,10 +276,23 @@ object TextQueries {
         val checksum = (0 until graft.operators.Multimodal.FeatureDim)
           .map(k => s"((h >> ${k * 3}) & 255)").mkString(" + ")
         val rowBytes = graft.operators.Multimodal.BmpMediaWidth * 3
+        val bpr = graft.operators.Multimodal.JpegBlocksPerRow
+        // rolling-hash composition constants for the JPEG block
+        // expansion: h over the pixel stream decomposes into a fold
+        // over text bytes because every byte occupies a fixed 8×8
+        // block — scanline: h*T + b*S8; ×8 scanlines: *R8; block-rows
+        // chain with *Q (all mod p; overflow-safe in BIGINT since
+        // every operand stays below 2^30 or 2^43).
+        val p = 1000000007L
+        val t31 = BigInt(31).modPow(8, p)
+        val s8 = (0 to 7).map(j => BigInt(31).pow(j)).sum
+        val p200 = BigInt(31).modPow(8 * bpr, p)
+        val r8 = (0 to 7).map(j => p200.modPow(j, p)).sum % p
+        val q = p200.modPow(8, p)
         s"""WITH geom AS (
            |  SELECT doc_id AS media_id, text,
            |         greatest(CAST(ceil(length(text) / $rowBytes.0) AS BIGINT), 1) AS hgt
-           |  FROM documents
+           |  FROM documents WHERE doc_id % 3 < 2
            |), hashed AS (
            |  SELECT media_id, hgt,
            |         list_reduce(
@@ -285,16 +302,44 @@ object TextQueries {
            |                 i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
            |               list_transform(generate_series(1, hgt * $rowBytes - length(text)),
            |                 i -> CAST(0 AS BIGINT)))),
-           |           (a, c) -> (a * 31 + c) % 1000000007) AS h
+           |           (a, c) -> (a * 31 + c) % $p) AS h
            |  FROM geom
+           |), jg AS (
+           |  SELECT doc_id AS media_id, text, length(text) AS len,
+           |         greatest(CAST(ceil(length(text) / $bpr.0) AS BIGINT), 1) AS nrows
+           |  FROM documents WHERE doc_id % 3 = 2
+           |), jr AS (
+           |  SELECT media_id, nrows, r,
+           |         list_reduce(
+           |           list_prepend(CAST(0 AS BIGINT),
+           |             list_transform(generate_series(1, $bpr),
+           |               c -> CAST(CASE WHEN (r - 1) * $bpr + c <= len
+           |                              THEN ascii(substr(text, (r - 1) * $bpr + c, 1))
+           |                              ELSE 0 END AS BIGINT))),
+           |           (a, b) -> (a * $t31 + b * $s8) % $p) AS hrow
+           |  FROM jg, UNNEST(generate_series(1, nrows)) t(r)
+           |), jh AS (
+           |  SELECT media_id, max(nrows) AS nrows,
+           |         list_reduce(
+           |           list_prepend(CAST(0 AS BIGINT),
+           |             list((hrow * $r8) % $p ORDER BY r)),
+           |           (a, h) -> (a * $q + h) % $p) AS h
+           |  FROM jr GROUP BY media_id
+           |), allrows AS (
+           |  SELECT media_id,
+           |         CAST(${graft.operators.Multimodal.BmpMediaWidth} AS BIGINT) AS width,
+           |         hgt AS height, h
+           |  FROM hashed
+           |  UNION ALL
+           |  SELECT media_id, CAST(${bpr * 8} AS BIGINT) AS width,
+           |         nrows * 8 AS height, h
+           |  FROM jh
            |)
-           |SELECT media_id,
-           |       CAST(${graft.operators.Multimodal.BmpMediaWidth} AS BIGINT) AS width,
-           |       hgt AS height,
+           |SELECT media_id, width, height,
            |       CAST(1 AS BIGINT) AS n_frames,
            |       h AS content_hash,
            |       CAST($checksum AS BIGINT) AS feature_checksum
-           |FROM hashed ORDER BY media_id""".stripMargin
+           |FROM allrows ORDER BY media_id""".stripMargin
       }),
 
     // Deterministic dataset split + shuffle-key assignment — the last

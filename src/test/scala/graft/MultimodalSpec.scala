@@ -185,18 +185,89 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng("not a png at all".getBytes).isEmpty)
   }
 
-  test("asMixedMedia routes both formats through the sniffing codec to equal records") {
+  test("asMixedMedia routes all three formats through the sniffing codec") {
     import graft.operators.Multimodal
     import spark.implicits._
-    val docs = Seq((2L, "x" * 100), (3L, "x" * 100)).toDF("doc_id", "text")
+    val docs = Seq((3L, "x" * 100), (4L, "x" * 100), (5L, "x" * 100))
+      .toDF("doc_id", "text")
     val out = Multimodal.decode(Multimodal.asMixedMedia(docs, "doc_id", "text"))
       .collect().map(d => d.media_id -> d).toMap
-    // same text, different container: identical decoded record fields
-    assert(out(2L).width == out(3L).width && out(2L).height == out(3L).height)
-    assert(out(2L).content_hash == out(3L).content_hash)
-    // and the mime split really happened
+    // same text, BMP (id 3) vs PNG (id 4): identical decoded records
+    assert(out(3L).width == out(4L).width && out(3L).height == out(4L).height)
+    assert(out(3L).content_hash == out(4L).content_hash)
+    // JPEG (id 5): block-expanded geometry — 25 blocks across, 8 px
+    // per block, ceil(100/25) = 4 block-rows
+    assert(out(5L).width == 200 && out(5L).height == 32)
+    def roll(bytes: Seq[Int]): Long =
+      bytes.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val scan = Seq.fill(25)(Seq.fill(8)('x'.toInt)).flatten
+    val expected = roll(Seq.fill(4)(Seq.fill(8)(scan).flatten).flatten)
+    assert(out(5L).content_hash == expected)
     val mimes = Multimodal.asMixedMedia(docs, "doc_id", "text")
       .select("media_id", "mime").as[(Long, String)].collect().toMap
-    assert(mimes(2L) == "image/bmp" && mimes(3L) == "image/png")
+    assert(mimes(3L) == "image/bmp" && mimes(4L) == "image/png" &&
+      mimes(5L) == "image/jpeg")
+  }
+
+  test("JPEG codec round-trips: constant 8x8 blocks decode bit-exactly") {
+    import graft.operators.Multimodal
+    val bytes = Array.tabulate(10)(i => (i * 29 + 3).toByte)
+    val jpeg = Multimodal.encodeJpegBlocks(bytes, blocksPerRow = 4)
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val Some((w, h, px)) = Multimodal.decodeJpeg(jpeg)
+    assert(w == 32 && h == 24) // 4 blocks across, ceil(10/4)=3 block-rows
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = (y / 8) * 4 + (x / 8)
+      val want = if (idx < bytes.length) bytes(idx) & 0xff else 0
+      assert((px(y * w + x) & 0xff) == want, s"pixel ($x,$y)")
+    }
+    // rejection: foreign payloads and progressive frames fall through
+    assert(Multimodal.decodeJpeg("not a jpeg".getBytes).isEmpty)
+    val progressive = jpeg.clone()
+    // find the SOF0 marker and rewrite it to SOF2 (progressive)
+    val sof = (2 until progressive.length - 1).find(i =>
+      (progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0).get
+    progressive(sof + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpeg(progressive).isEmpty)
+  }
+
+  test("JPEG encoder emits spec-valid files (JDK ImageIO reads them identically)") {
+    import graft.operators.Multimodal
+    val bytes = Array.tabulate(60)(i => (i * 7 + 1).toByte)
+    val jpeg = Multimodal.encodeJpegBlocks(bytes, blocksPerRow = 8)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    assert(img != null, "ImageIO could not parse the encoded JPEG")
+    val Some((w, h, px)) = Multimodal.decodeJpeg(jpeg)
+    assert(img.getWidth == w && img.getHeight == h)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      assert(raster.getSample(x, y, 0) == (px(y * w + x) & 0xff), s"pixel ($x,$y)")
+  }
+
+  test("JPEG decoder handles AC coefficients: ImageIO-written photo decodes within rounding") {
+    import graft.operators.Multimodal
+    // a non-constant grayscale image: ImageIO's encoder quantizes real
+    // AC coefficients, exercising the run-length/ZRL/receive-extend and
+    // full IDCT paths the DC-only fixture never touches
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 53 + y * 31 + (x * y) % 17) % 256)
+    val out = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val jpeg = out.toByteArray
+    val decoded = Multimodal.decodeJpeg(jpeg)
+    assert(decoded.isDefined, "decoder rejected an ImageIO baseline JPEG")
+    val Some((dw, dh, px)) = decoded
+    assert(dw == w && dh == h)
+    // reference decode: the JDK's own (libjpeg-based) reader; IDCT
+    // implementations may legitimately differ by ±1/LSB
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs(ref.getRaster.getSample(x, y, 0) - (px(y * w + x) & 0xff)))
+    assert(maxDiff <= 1, s"decoders disagree by $maxDiff")
   }
 }
