@@ -184,4 +184,43 @@ class CepSpec extends SparkSpec {
     assert(Cep.matchesPattern(df, p, spec(1, 1)).count() == 1) // only the 1-B run
     assert(Cep.matchesPattern(df, p, spec(1, 5)).count() == 2)
   }
+
+  test("measures clause: custom names draw from the same match vocabulary") {
+    import org.apache.spark.sql.functions.{array_join, col}
+    // two disjoint sandwiches (the adjacent E-E pair between them is
+    // not a candidate, so the second match survives SKIP PAST LAST ROW)
+    val df = seq(E, ok(10.0), ok(20.0), E, E, ok(5.0), E)
+    val p = Cep.Params("k", "t", "v", "s", "id",
+      errorValue = "ERROR", maxB = 5, withinMicros = 10000000L)
+    val spec = Cep.errorSandwichSpec(p)
+    val dflt = Cep.matchesPattern(df, p, spec)
+      .collect().sortBy(_.getAs[Timestamp]("event_time").getTime)
+    val custom = Cep.matchesPattern(df, p, spec, m => Seq(
+      m.key.as("who"),
+      m.aTime.as("started"),
+      m.cTime.as("ended"),
+      m.bCount.cast("long").as("quiet_rows"),
+      array_join(m.bHistory, "|").as("trail"),
+      m.aValue.as("first_v"),
+      m.cValue.as("last_v"),
+      m.totalRows.cast("long").as("span"),
+      m.avgValue.as("mean_v"),
+      m.elapsedSeconds.as("secs")))
+      .collect().sortBy(_.getAs[Timestamp]("started").getTime)
+    assert(dflt.length == 2 && custom.length == 2)
+    dflt.zip(custom).foreach { case (d, c) =>
+      assert(c.getAs[String]("who") == d.getAs[String]("sensor_id"))
+      assert(c.getAs[Timestamp]("started") == d.getAs[Timestamp]("event_time"))
+      assert(c.getAs[Long]("quiet_rows") == d.getAs[Long]("non_errors"))
+      assert(c.getAs[String]("trail") == d.getAs[String]("history").replace("-", "|"))
+      assert(c.getAs[Double]("mean_v") == d.getAs[Double]("avg_temperature"))
+      assert(c.getAs[Long]("secs") == d.getAs[Long]("elapsed"))
+      assert(c.getAs[Long]("span") == d.getAs[Long]("non_errors") + 2)
+      assert(c.getAs[Double]("first_v") == 100.0 && c.getAs[Double]("last_v") == 100.0)
+    }
+    // the default-measures overload IS defaultMeasures
+    val viaDefault = Cep.matchesPattern(df, p, spec, Cep.defaultMeasures)
+      .collect().map(_.toSeq).toSet
+    assert(viaDefault == dflt.map(_.toSeq).toSet)
+  }
 }

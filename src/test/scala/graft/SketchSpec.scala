@@ -250,6 +250,56 @@ class SketchSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("auto-bounds histogram: equals the manual sketch at exact min/max; constant columns survive") {
+    val (bins, qs) = (120, Seq(0.1, 0.5, 0.9))
+    val bounds = events.agg(min(col("value")), max(col("value"))).head()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val auto = Sketch.histogramQuantilesAuto(events, col("value"), Seq("event_type"), bins, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val manual = Sketch.histogramQuantiles(
+      Sketch.histogramBuild(events, col("value"), Seq("event_type"), lo, hi, bins),
+      Seq("event_type"), lo, hi, bins, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(auto == manual && auto.nonEmpty)
+    // degenerate constant column: hi widens to lo + 1, estimates stay
+    // within the (widened) bin width of the constant
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val cq = Sketch.histogramQuantilesAuto(const, col("v"), Seq("g"), 10, Seq(0.5, 1.0))
+      .collect()
+    assert(cq.length == 4)
+    cq.foreach(r => assert(math.abs(r.getDouble(2) - 5.0) <= 0.1, r.toString))
+  }
+
+  test("auto-derived bounds drive the same streaming-legal histogram accumulation") {
+    // the auto operator's pass 2 is histogramBuild — so a stream can
+    // accumulate under bounds derived from a bootstrap batch (the
+    // standard deployment: derive once, stream forever) and the
+    // quantile walk over the streamed sketch equals the batch auto form
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vals = (1 to 300).map(i => (s"g${i % 2}", (i % 89) * 3.7))
+    val batchDf = vals.toDF("g", "v")
+    val bounds = batchDf.agg(min(col("v")), max(col("v"))).head()
+    val (lo, hi0) = (bounds.getDouble(0), bounds.getDouble(1))
+    val hi = if (hi0 > lo) hi0 else lo + 1.0
+    val (bins, qs) = (50, Seq(0.25, 0.75))
+    val ms = MemoryStream[(String, Double)]
+    val q = Sketch.histogramBuild(ms.toDS().toDF("g", "v"), col("v"), Seq("g"),
+      lo, hi, bins)
+      .writeStream.format("memory").queryName("hist_auto_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(vals.take(100)); q.processAllAvailable()
+      ms.addData(vals.drop(100)); q.processAllAvailable()
+    } finally q.stop()
+    val streamedQ = Sketch.histogramQuantiles(
+      spark.table("hist_auto_stream"), Seq("g"), lo, hi, bins, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val batchAuto = Sketch.histogramQuantilesAuto(batchDf, col("v"), Seq("g"), bins, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(streamedQ == batchAuto && streamedQ.nonEmpty)
+  }
+
   test("bloom: no false negatives, FPs match a driver-side reference bitset") {
     val (k, m) = (3, 512)
     val members = (0 until 40).map(i => s"member_$i")

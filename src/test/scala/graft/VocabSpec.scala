@@ -25,6 +25,38 @@ class VocabSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("bpeTrain: greedy merges with lexicographic tiebreak, replayed by a reference fold") {
+    // "abab" x3, "abc" x2: iter 1 most frequent pair is a+b (8 = 3*2+2)
+    // -> merge "ab"; iter 2 pairs are ab+ab (3), ab+c (2) -> "abab"
+    val docs = Seq("abab abab abab abc", "abc").toDF("text")
+    // NB the word split is per-document: doc 1 carries abab x3 + abc
+    val out = Vocab.bpeTrain(docs, "text", k = 2).collect()
+    assert(out.length == 2)
+    val m1 = out.find(_.getAs[Int]("step") == 1).get
+    assert(m1.getAs[String]("left_sym") == "a" && m1.getAs[String]("right_sym") == "b")
+    assert(m1.getAs[String]("merged") == "ab" && m1.getAs[Long]("cnt") == 8L)
+    val m2 = out.find(_.getAs[Int]("step") == 2).get
+    assert(m2.getAs[String]("merged") == "abab" && m2.getAs[Long]("cnt") == 3L)
+
+    // greedy left-to-right within a word: "aaa" under (a,a) yields one
+    // merge ("aa","a"), so iteration 2's top pair is aa+a
+    val tri = Seq("aaa aaa").toDF("text")
+    val t = Vocab.bpeTrain(tri, "text", k = 2).collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(t(0).getAs[String]("merged") == "aa" && t(0).getAs[Long]("cnt") == 4L)
+    assert(t(1).getAs[String]("left_sym") == "aa" && t(1).getAs[String]("right_sym") == "a")
+    assert(t(1).getAs[Long]("cnt") == 2L)
+
+    // lexicographic tiebreak at equal counts: "ba" vs "ab" both count 1
+    val tie = Seq("ab ba").toDF("text")
+    val k1 = Vocab.bpeTrain(tie, "text", k = 1).head()
+    assert(k1.getAs[String]("merged") == "ab")
+
+    // exhaustion: fewer pairs than k rounds returns the shorter table
+    val tiny = Seq("xy").toDF("text")
+    assert(Vocab.bpeTrain(tiny, "text", k = 5).count() <= 2)
+  }
+
   test("ngramCountOfCounts: the table sums back to the distinct n-gram count") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val coc = Vocab.ngramCountOfCounts(docs, "text", 3)
