@@ -319,6 +319,18 @@ object PipelineSql {
         groups, lo, hi, bins, qs)
     }
 
+    // derived-bounds variant: no [lo, hi] arguments
+    reg("hist_quantiles_auto") { es =>
+      argc("hist_quantiles_auto", es, 5)
+      graft.operators.Sketch.histogramQuantilesAuto(
+        table("hist_quantiles_auto", es(0)),
+        org.apache.spark.sql.functions.col(
+          str("hist_quantiles_auto", es(1), "value column")),
+        csv(str("hist_quantiles_auto", es(2), "group columns")),
+        bins = int("hist_quantiles_auto", es(3), "bin count"),
+        qs = csv(str("hist_quantiles_auto", es(4), "quantiles")).map(_.toDouble))
+    }
+
     reg("anomaly_zscore") { es =>
       argc("anomaly_zscore", es, 5)
       graft.operators.TimeSeries.anomalyZScore(
@@ -335,6 +347,13 @@ object PipelineSql {
       graft.operators.Vocab.bpePairCounts(
         table("bpe_pairs", es(0)),
         text = str("bpe_pairs", es(1), "text column"))
+    }
+    reg("bpe_train") { es =>
+      argc("bpe_train", es, 3)
+      graft.operators.Vocab.bpeTrain(
+        table("bpe_train", es(0)),
+        text = str("bpe_train", es(1), "text column"),
+        k = int("bpe_train", es(2), "merge rounds"))
     }
     reg("ngram_count_of_counts") { es =>
       argc("ngram_count_of_counts", es, 3)

@@ -123,12 +123,44 @@ object Vocab {
         col("right").as("right_sym"), col("merged"), col("cnt"))
   }
 
-  /** DuckDB replay of [[bpeTrain]]: the same count → argmax → replace
-    * loop unrolled as k CTE stages (each deterministic, so the merge
-    * sequences match row-for-row). `chr(31)` is the symbol separator. */
-  def bpeTrainOracleSql(src: String, text: String, k: Int): String = {
+  /** Tokenize the corpus with a TRAINED merge list ([[bpeTrain]]'s
+    * output, in step order): the encode half of the BPE pipeline.
+    * Returns the token-frequency table (token, cnt).
+    *
+    * Scale shape: one corpus-sized word aggregate, then k chained
+    * non-regex `replace`s over the DISTINCT word table — a single
+    * codegen'd projection, no shuffle — and one vocabulary-sized token
+    * explode/aggregate. Applying merges in training order over the
+    * separator representation replays training exactly, so encoding
+    * the training corpus reproduces the trained segmentation.
+    */
+  def bpeApply(df: DataFrame, text: String,
+      merges: Seq[(String, String)], sep: String = "\u001f"): DataFrame = {
+    val wordFreq = df.select(explode(split(col(text), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains(sep))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .select(array_join(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), sep).as("seq"), col("wf"))
+    val encoded = merges.foldLeft(col("seq")) { case (c, (a, b)) =>
+      replace(c, lit(a + sep + b), lit(a + b))
+    }
+    wordFreq
+      .select(col("wf"), explode(split(encoded,
+        java.util.regex.Pattern.quote(sep))).as("token"))
+      .groupBy(col("token")).agg(sum(col("wf")).as("cnt"))
+  }
+
+  /** The CTE chain shared by the train and encode oracles: v0 (the
+    * char-alphabet word table) plus k unrolled count/argmax/replace
+    * stages — `p$i` / `b$i` / `v$i` for i in 1..k. Every stage is
+    * MATERIALIZED: each v$i is referenced by both p$(i+1) and v$(i+1),
+    * so DuckDB's default CTE inlining would re-evaluate the chain
+    * exponentially (2^k base scans); materialization keeps the oracle
+    * linear in k, like the engine's persisted iteration. */
+  private def bpeCtes(src: String, text: String, k: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH v0 AS (
+    sb ++= s"""WITH v0 AS MATERIALIZED (
               |  SELECT array_to_string(list_transform(
               |           generate_series(1, length(w)), i -> w[i]), chr(31)) AS seq,
               |         count(*) AS wf
@@ -138,7 +170,7 @@ object Vocab {
               |)""".stripMargin
     for (i <- 1 to k) {
       sb ++= s""",
-                |p$i AS (
+                |p$i AS MATERIALIZED (
                 |  SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM (
                 |    SELECT wf, unnest(list_transform(
                 |             generate_series(1, len(syms) - 1),
@@ -146,20 +178,38 @@ object Vocab {
                 |    FROM (SELECT wf, string_split(seq, chr(31)) AS syms FROM v${i - 1})
                 |  ) GROUP BY pair
                 |),
-                |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
-                |v$i AS (
+                |b$i AS MATERIALIZED (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+                |v$i AS MATERIALIZED (
                 |  SELECT replace(seq, (SELECT pair FROM b$i),
                 |                 replace((SELECT pair FROM b$i), chr(31), '')) AS seq, wf
                 |  FROM v${i - 1}
                 |)""".stripMargin
     }
+    sb.toString
+  }
+
+  /** DuckDB replay of [[bpeApply]] over merges learned by a k-round
+    * [[bpeTrain]] on the SAME corpus: the final vocabulary stage v$k
+    * IS the encoded word table; unnest its symbols weighted by word
+    * frequency. Rank/limit matches the gate edge. */
+  def bpeEncodeOracleSql(src: String, text: String, k: Int, topN: Int): String =
+    bpeCtes(src, text, k) +
+      s"""
+         |SELECT token, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+         |  SELECT wf, unnest(string_split(seq, chr(31))) AS token FROM v$k
+         |)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT $topN""".stripMargin
+
+  /** DuckDB replay of [[bpeTrain]]: the same count → argmax → replace
+    * loop unrolled as k CTE stages (each deterministic, so the merge
+    * sequences match row-for-row). `chr(31)` is the symbol separator. */
+  def bpeTrainOracleSql(src: String, text: String, k: Int): String = {
     val union = (1 to k).map { i =>
       s"""SELECT $i AS step, split_part(pair, chr(31), 1) AS left_sym,
          |       split_part(pair, chr(31), 2) AS right_sym,
          |       replace(pair, chr(31), '') AS merged, cnt FROM b$i""".stripMargin
     }.mkString("\nUNION ALL\n")
-    sb ++= s"\n$union\nORDER BY step"
-    sb.toString
+    bpeCtes(src, text, k) + s"\n$union\nORDER BY step"
   }
 
   /** Good-Turing count-of-counts for word n-grams: how many DISTINCT

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the large-scale training-data pipeline
@@ -24,6 +25,21 @@ object TextQueries {
 
   private def occSql(m: String) =
     s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}"
+
+  /** Once-per-JVM BPE training for the encode gate (the merge list is
+    * k rows of driver-side model state — the Fixtures discipline
+    * applied to a model instead of a directory, so bench measures the
+    * ENCODE, not a retrain per invocation). */
+  private val bpeMergeCache =
+    scala.collection.mutable.Map.empty[String, Seq[(String, String)]]
+  private def trainedMerges(s: SparkSession, dir: String, k: Int): Seq[(String, String)] =
+    bpeMergeCache.synchronized {
+      bpeMergeCache.getOrElseUpdate(s"$dir|$k",
+        graft.operators.Vocab.bpeTrain(Tables.documents(s, dir), "text", k)
+          .orderBy(col("step")).collect()
+          .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+          .toSeq)
+    }
 
   def defs: Seq[QDef] = Seq(
 
@@ -594,6 +610,19 @@ object TextQueries {
         Tables.documents(s, dir), "text", k = 8),
       Some(graft.operators.Vocab.bpeTrainOracleSql(
         "documents", "text", k = 8))),
+
+    // The encode half of the pipeline: tokenize the corpus with the
+    // k=8 trained merges (train once per JVM — the merge list is model
+    // state) and emit the top-30 token frequencies. The oracle's final
+    // vocabulary stage v8 IS the encoded word table, so encode == the
+    // training replay by construction on both engines.
+    QDef(
+      "x_bpe_encode",
+      (s, dir) => graft.operators.Vocab.bpeApply(
+        Tables.documents(s, dir), "text", trainedMerges(s, dir, k = 8))
+        .orderBy(desc("cnt"), col("token")).limit(30),
+      Some(graft.operators.Vocab.bpeEncodeOracleSql(
+        "documents", "text", k = 8, topN = 30))),
 
     // Good-Turing count-of-counts over word trigrams: the smoothing
     // table an n-gram-LM quality filter is built from. Second

@@ -322,5 +322,37 @@ class DialectSpec extends SparkSpec {
       rows(graft.operators.Dedup.neardupClusters(emb, "vec_id",
         graft.operators.Similarity.cosineNearDupPairsBlocked(
           emb, "vec_id", "embedding", 0.9, nbits = 8, tables = 16, dim = 64))))
+    assert(rows(spark.sql(
+      "SELECT * FROM hist_quantiles_auto('pq_events', 'value', 'event_type', 120, '0.5,0.9')")) ==
+      rows(graft.operators.Sketch.histogramQuantilesAuto(
+        events, col("value"), Seq("event_type"), 120, Seq(0.5, 0.9))))
+    assert(rows(spark.sql("SELECT * FROM bpe_train('pq_docs', 'text', 4)")) ==
+      rows(graft.operators.Vocab.bpeTrain(docs, "text", 4)))
+  }
+
+  test("versioned-lake table functions: time_travel / version_diff from SQL text") {
+    graft.functions.PipelineSql.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_lake").toString
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "part", "v")
+    graft.sources.VersionedLake.create(v1, s"$dir/lake", "part")
+    val changes = Seq((2L, "a", 25.0, false), (4L, "b", 40.0, false))
+      .toDF("id", "part", "v", "_deleted")
+    graft.sources.VersionedLake.mergeUpsert(
+      spark, s"$dir/lake", changes, Seq("id"), "part")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(s"SELECT * FROM time_travel('$dir/lake', 1)")) ==
+      rows(graft.sources.VersionedLake.read(spark, s"$dir/lake", Some(1))))
+    assert(rows(spark.sql(s"SELECT * FROM time_travel('$dir/lake', 2)")) ==
+      rows(graft.sources.VersionedLake.read(spark, s"$dir/lake", Some(2))))
+    assert(rows(spark.sql(s"SELECT * FROM version_diff('$dir/lake', 1, 2)")) ==
+      rows(graft.sources.VersionedLake.diff(spark, s"$dir/lake", 1, 2)))
+    // and the change algebra is visible from SQL alone
+    val byChange = spark.sql(
+      s"""SELECT _change, count(*) AS n FROM version_diff('$dir/lake', 1, 2)
+         |GROUP BY _change""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange == Map("delete" -> 1L, "insert" -> 2L)) // update = del+ins, plus the new row
   }
 }

@@ -57,6 +57,22 @@ class VocabSpec extends SparkSpec {
     assert(Vocab.bpeTrain(tiny, "text", k = 5).count() <= 2)
   }
 
+  test("bpeApply: trained merges reproduce the training segmentation") {
+    val docs = Seq("abab abab abab abc", "abc").toDF("text")
+    val merges = Vocab.bpeTrain(docs, "text", k = 2)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"))).toSeq
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+    val tokens = Vocab.bpeApply(docs, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // abab -> [abab]; abc -> [ab, c]
+    assert(tokens == Map("abab" -> 3L, "ab" -> 2L, "c" -> 2L))
+    // no merges: pure character tokens
+    val chars = Vocab.bpeApply(docs, "text", Seq.empty)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chars == Map("a" -> 8L, "b" -> 8L, "c" -> 2L))
+  }
+
   test("ngramCountOfCounts: the table sums back to the distinct n-gram count") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val coc = Vocab.ngramCountOfCounts(docs, "text", 3)
