@@ -67,6 +67,24 @@ object CepStream {
       max_temperature: Double,
       elapsed: Long)
 
+  /** The FULL match vocabulary — every [[graft.operators.Cep.MatchMeasures]]
+    * quantity, emitted by the state machine so a caller-supplied
+    * measures clause can project it after the fact (Columns cannot run
+    * inside flatMapGroupsWithState; a post-projection over this record
+    * can). `b_sum` is the exact 2-dp decimal the batch operator
+    * accumulates; [[CepMatch]] is one fixed projection of this. */
+  final case class CepMatchVocab(
+      key: String,
+      a_time: Timestamp, a_value: Double, a_status: String,
+      c_time: Timestamp, c_value: Double, c_status: String,
+      b_count: Long,
+      b_min: Option[Double], b_max: Option[Double],
+      b_sum: Option[java.math.BigDecimal],
+      b_history: Seq[String],
+      total_rows: Long,
+      min_value: Double, max_value: Double, avg_value: Double,
+      elapsed_seconds: Long)
+
   /** A pattern-classified event: the spec's predicates evaluated in the
     * plan, null-coalesced to false. `_s` keeps the raw status string
     * for the `history` measure. */
@@ -88,6 +106,7 @@ object CepStream {
   final case class PartialMatch(
       aTimeMicros: Long,
       aValue: Double,
+      aStatus: String,
       bStatuses: List[String],
       bValues: List[Double])
 
@@ -111,25 +130,40 @@ object CepStream {
   }
 
   private def emit(key: String, st: PartialMatch,
-      cTimeMicros: Long, cValue: Double): CepMatch = {
+      cTimeMicros: Long, cValue: Double, cStatus: String): CepMatchVocab = {
     // least/greatest over A, C and the (possibly empty — minB=0) B run;
     // batch's least()/min() ignore the null b_min the same way
     val lo = (st.aValue :: cValue :: st.bValues).min
     val hi = (st.aValue :: cValue :: st.bValues).max
     val total = st.bValues.size + 2
-    val sum = d2(st.aValue) + d2(cValue) + st.bValues.map(d2).sum
+    val bSum = st.bValues.map(d2).foldLeft(BigDecimal(0).setScale(2))(_ + _)
+    val sum = d2(st.aValue) + d2(cValue) + bSum
     val avg = math.floor((sum.toDouble / total) * 100 + 0.5) / 100.0
     val elapsed = math.floor((cTimeMicros - st.aTimeMicros) / 1000000.0 + 0.5).toLong
-    CepMatch(
-      sensor_id = key,
-      event_time = toTimestamp(st.aTimeMicros),
-      non_errors = st.bValues.size.toLong,
-      history = st.bStatuses.reverse.mkString("-"),
-      min_temperature = lo,
-      avg_temperature = avg,
-      max_temperature = hi,
-      elapsed = elapsed)
+    CepMatchVocab(
+      key = key,
+      a_time = toTimestamp(st.aTimeMicros), a_value = st.aValue, a_status = st.aStatus,
+      c_time = toTimestamp(cTimeMicros), c_value = cValue, c_status = cStatus,
+      b_count = st.bValues.size.toLong,
+      b_min = st.bValues.reduceOption((a, b) => math.min(a, b)),
+      b_max = st.bValues.reduceOption((a, b) => math.max(a, b)),
+      b_sum = if (st.bValues.isEmpty) None else Some(bSum.bigDecimal),
+      b_history = st.bStatuses.reverse,
+      total_rows = total.toLong,
+      min_value = lo, max_value = hi, avg_value = avg,
+      elapsed_seconds = elapsed)
   }
+
+  /** [[CepMatch]] is the fixed default projection of the vocabulary. */
+  private def toCepMatch(v: CepMatchVocab): CepMatch = CepMatch(
+    sensor_id = v.key,
+    event_time = v.a_time,
+    non_errors = v.b_count,
+    history = v.b_history.mkString("-"),
+    min_temperature = v.min_value,
+    avg_temperature = v.avg_value,
+    max_temperature = v.max_value,
+    elapsed = v.elapsed_seconds)
 
   /** The per-key state machine, generic over the pattern's scalar
     * parameters (the predicates were already evaluated in the plan).
@@ -148,13 +182,13 @@ object CepStream {
     */
   private def stepPattern(minB: Int, maxB: Int, withinMicros: Long, streaming: Boolean)(
       key: String, events: Iterator[ClassifiedEvent],
-      state: GroupState[PartialMatch]): Iterator[CepMatch] = {
+      state: GroupState[PartialMatch]): Iterator[CepMatchVocab] = {
     if (state.hasTimedOut) {
       state.remove()
       return Iterator.empty
     }
     var st: Option[PartialMatch] = state.getOption
-    val out = List.newBuilder[CepMatch]
+    val out = List.newBuilder[CepMatchVocab]
 
     events.toSeq.sortBy(e => (micros(e._t), e._id)).foreach { e =>
       val t = micros(e._t)
@@ -175,10 +209,10 @@ object CepStream {
             (t - pm.aTimeMicros) <= withinMicros
         }
         if (completes) {
-          out += emit(key, st.get, t, e._v)
+          out += emit(key, st.get, t, e._v, e._s)
           st = None // SKIP PAST LAST ROW
         } else {
-          st = if (e._isA) Some(PartialMatch(t, e._v, Nil, Nil)) else None
+          st = if (e._isA) Some(PartialMatch(t, e._v, e._s, Nil, Nil)) else None
         }
       }
     }
@@ -229,6 +263,41 @@ object CepStream {
       watermarkDelay: String = "10 seconds"): Dataset[CepMatch] = {
     val spark = df.sparkSession
     import spark.implicits._
+    matchesPatternVocab(df, p, spec, watermarkDelay).map(toCepMatch)
+  }
+
+  /** The generic streaming operator with a caller-supplied MEASURES
+    * clause — the streaming twin of the batch
+    * `Cep.matchesPattern(df, p, spec, measures)`. The state machine
+    * emits the full [[CepMatchVocab]]; the measures project it in the
+    * plan after the stateful operator (still streaming-legal — a
+    * stateless projection over an Append-mode stream). `key` arrives
+    * as string (the state-machine grouping key); cast in the measures
+    * when the domain key is numeric. */
+  def matchesPatternMeasures(df: DataFrame, p: Cep.Params, spec: Cep.PatternSpec,
+      measures: Cep.MatchMeasures => Seq[org.apache.spark.sql.Column],
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val m = Cep.MatchMeasures(
+      key = col("key"),
+      aTime = col("a_time"), aValue = col("a_value"), aStatus = col("a_status"),
+      cTime = col("c_time"), cValue = col("c_value"), cStatus = col("c_status"),
+      bCount = col("b_count"),
+      bMin = col("b_min"), bMax = col("b_max"),
+      // the vocab encoder widens BigDecimal to (38,18); restore the
+      // batch operator's exact accumulation type
+      bSum = col("b_sum").cast("decimal(18,2)"),
+      bHistory = col("b_history"),
+      totalRows = col("total_rows"),
+      minValue = col("min_value"), maxValue = col("max_value"),
+      avgValue = col("avg_value"),
+      elapsedSeconds = col("elapsed_seconds"))
+    matchesPatternVocab(df, p, spec, watermarkDelay).toDF().select(measures(m): _*)
+  }
+
+  private def matchesPatternVocab(df: DataFrame, p: Cep.Params, spec: Cep.PatternSpec,
+      watermarkDelay: String): Dataset[CepMatchVocab] = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val streaming = df.isStreaming
     // predicate evaluation stays in the plan (codegen'd); only scalar
     // pattern parameters cross into the executor closure
@@ -250,7 +319,7 @@ object CepStream {
     val (minB, maxB, within) = (spec.minB, spec.maxB, spec.withinMicros)
     withWm
       .groupByKey(_._k)
-      .flatMapGroupsWithState[PartialMatch, CepMatch](
+      .flatMapGroupsWithState[PartialMatch, CepMatchVocab](
         OutputMode.Append,
         if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout)(
         stepPattern(minB, maxB, within, streaming))

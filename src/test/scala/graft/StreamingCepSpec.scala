@@ -201,6 +201,46 @@ class StreamingCepSpec extends SparkSpec {
     assert(norm(runStreamPattern(ev, 8, spec)) == batch)
   }
 
+  test("streaming measures clause equals the batch measures clause, across micro-batches") {
+    import org.apache.spark.sql.functions.{array_join, col}
+    val rnd = new Random(11)
+    val kinds = Seq("signup", "click", "view", "purchase", "error")
+    val ev = (0 until 300).map { i =>
+      SensorEvent(s"u-${i % 3}", new Timestamp(T0 + i * 1000L),
+        math.floor(rnd.nextDouble() * 1000) / 10.0, kinds(rnd.nextInt(kinds.size)), i.toLong)
+    }
+    val spec = funnelSpec()
+    def funnelMeasures(m: graft.operators.Cep.MatchMeasures) = Seq(
+      m.key.cast("string").as("user_id"),
+      m.aTime.as("signup_time"),
+      m.cTime.as("purchase_time"),
+      m.bCount.cast("long").as("mid_events"),
+      array_join(m.bHistory, ">").as("journey"),
+      m.cValue.as("purchase_value"),
+      m.bSum.cast("string").as("mid_spend"), // decimal(18,2) on both paths
+      m.avgValue.as("avg_value"),
+      m.elapsedSeconds.as("secs"))
+    val batch = graft.operators.Cep.matchesPattern(
+      ev.toDF(), funnelP, spec, funnelMeasures)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    // streaming: same measures through the vocab post-projection
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    (Seq(1, 6)).foreach { chunks =>
+      qid += 1
+      val name = s"cep_measures_out_$qid"
+      val ms = MemoryStream[SensorEvent]
+      val q = CepStream.matchesPatternMeasures(ms.toDF(), funnelP, spec, funnelMeasures)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        val size = math.max(1, (ev.size + chunks - 1) / chunks)
+        ev.grouped(size).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      } finally q.stop()
+      val streamed = spark.table(name).collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"chunks=$chunks")
+    }
+  }
+
   test("WITHIN acts as state TTL: stale partial match never completes") {
     // A at t0, B at t0+1s, then C far beyond WITHIN (default 60 s)
     val ev = Seq(
