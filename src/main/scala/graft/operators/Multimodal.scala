@@ -402,9 +402,12 @@ object Multimodal {
     * lossy format round-trips these payloads bit-exactly, which is what
     * lets the decode gate hash-check a REAL entropy-decode + IDCT
     * pipeline. */
-  def encodeJpegBlocks(bytes: Array[Byte], blocksPerRow: Int): Array[Byte] = {
+  def encodeJpegBlocks(bytes: Array[Byte], blocksPerRow: Int,
+      restartInterval: Int = 0): Array[Byte] = {
     require(blocksPerRow >= 1 && blocksPerRow <= 1024,
       s"blocksPerRow must be in [1, 1024], got $blocksPerRow")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restartInterval must be in [0, 65535], got $restartInterval")
     val blockRows = math.max(1, (bytes.length + blocksPerRow - 1) / blocksPerRow)
     val width = blocksPerRow * 8
     val height = blockRows * 8
@@ -422,15 +425,27 @@ object Multimodal {
       1, 1, 0x11, 0).map(_.toByte))
     segment(0xc4, (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte)) // DHT DC 0
     segment(0xc4, (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte)) // DHT AC 0
+    if (restartInterval > 0) // DRI: RSTn every restartInterval MCUs
+      segment(0xdd, Array[Int](restartInterval >> 8, restartInterval & 0xff).map(_.toByte))
     segment(0xda, Array[Int](1, 1, 0x00, 0, 63, 0).map(_.toByte))  // SOS
     val dc = huffCodes(DcBits, DcVals)
     val ac = huffCodes(AcBits, AcVals)
-    val bw = new BitWriter(out)
+    var bw = new BitWriter(out)
     val (eobCode, eobLen) = ac(0x00)
     var prevDc = 0
     var b = 0
+    var rst = 0
     val nBlocks = blockRows * blocksPerRow
     while (b < nBlocks) {
+      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+        // restart boundary: byte-align (1-pad), emit RSTn, reset the
+        // DC predictor — a fresh entropy segment per T.81 F.1.2.3
+        bw.flush()
+        marker(0xd0 + rst)
+        rst = (rst + 1) % 8
+        bw = new BitWriter(out)
+        prevDc = 0
+      }
       val v = if (b < bytes.length) bytes(b) & 0xff else 0
       val dcCoef = 8 * (v - 128) // flat quant: stored value IS the coefficient
       val diff = dcCoef - prevDc
@@ -479,6 +494,19 @@ object Multimodal {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
+    /** At a restart boundary: drop partial-byte bits, consume the next
+      * marker (skipping 0xFF fill bytes), and return its code —
+      * -1 when the stream holds no marker there. */
+    def syncMarker(): Int = {
+      acc = 0; nbits = 0
+      while (pos < data.length && (data(pos) & 0xff) == 0xff &&
+        pos + 1 < data.length && (data(pos + 1) & 0xff) == 0xff)
+        pos += 1 // 0xFF fill bytes before a marker are legal padding
+      if (pos + 1 >= data.length || (data(pos) & 0xff) != 0xff) return -1
+      val m = data(pos + 1) & 0xff
+      pos += 2
+      m
+    }
   }
 
   /** Huffman decode table: (length-indexed min-code ranges) per T.81
@@ -523,26 +551,104 @@ object Multimodal {
         StrictMath.cos((2 * x + 1) * u * math.Pi / 16.0)
     }.flatten
 
-  /** Parse a baseline sequential 8-bit GRAYSCALE JPEG (SOF0, one 1×1
-    * component, no restart intervals — the subset the fixture encoder
-    * emits, decoded the way any baseline decoder works): marker walk,
-    * DQT/DHT table collection, Huffman entropy decode with byte
-    * unstuffing, dequantize + dezigzag, separable floating IDCT with a
-    * DC-only fast path, level shift and clamp. Returns (width, height,
-    * top-down pixel bytes cropped to the SOF dimensions); None when the
-    * payload is not such a JPEG. */
+  /** One frame component: id, sampling factors, table assignments. */
+  private final class JComp(val id: Int, val h: Int, val v: Int, val qId: Int) {
+    var dcId: Int = -1
+    var acId: Int = -1
+    var plane: Array[Byte] = null
+    var planeW: Int = 0
+  }
+
+  /** Decode one coefficient block into `plane` at block position
+    * (bx, by): Huffman DC/AC decode, dequantize+dezigzag, separable
+    * floating IDCT with a DC-only fast path (exact for flat-quant
+    * constant blocks — the lossless round-trip the gate pins).
+    * Returns the new DC predictor, or Int.MinValue on corrupt data. */
+  private def decodeBlock(br: BitReader, dcT: HuffTable, acT: HuffTable,
+      q: Array[Int], prevDc: Int, plane: Array[Byte], planeW: Int,
+      bx: Int, by: Int, coef: Array[Int], tmp: Array[Double]): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val s = dcT.decode(br)
+    if (s < 0 || s > 15) return Int.MinValue
+    val dc = prevDc + huffExtend(br.bits(s), s)
+    coef(0) = dc * q(0)
+    var k = 1
+    var acOnly0 = true
+    while (k < 64) {
+      val rs = acT.decode(br)
+      if (rs < 0) return Int.MinValue
+      val run = (rs >> 4) & 0xf
+      val size = rs & 0xf
+      if (size == 0) {
+        if (run == 15) k += 16 // ZRL
+        else k = 64 // EOB
+      } else {
+        k += run
+        if (k > 63) return Int.MinValue
+        coef(Zigzag(k)) = huffExtend(br.bits(size), size) * q(k)
+        acOnly0 = false
+        k += 1
+      }
+    }
+    if (br.bad) return Int.MinValue
+    val base = (by * 8) * planeW + bx * 8
+    if (acOnly0) {
+      val v = math.max(0, math.min(255, math.round(coef(0) / 8.0).toInt + 128)).toByte
+      var y = 0
+      while (y < 8) {
+        java.util.Arrays.fill(plane, base + y * planeW, base + y * planeW + 8, v)
+        y += 1
+      }
+    } else {
+      // separable: rows (u over columns), then columns
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) { sum += IdctCos(x * 8 + u) * coef(y * 8 + u); u += 1 }
+          tmp(y * 8 + x) = sum
+          x += 1
+        }
+        y += 1
+      }
+      var x = 0
+      while (x < 8) {
+        var y = 0
+        while (y < 8) {
+          var sum = 0.0
+          var v = 0
+          while (v < 8) { sum += IdctCos(y * 8 + v) * tmp(v * 8 + x); v += 1 }
+          plane(base + y * planeW + x) =
+            math.max(0, math.min(255, math.round(sum / 4.0).toInt + 128)).toByte
+          y += 1
+        }
+        x += 1
+      }
+    }
+    dc
+  }
+
+  /** Parse a baseline sequential 8-bit JPEG (SOF0; grayscale or
+    * 3-component YCbCr with sampling factors up to 2×2 — 4:4:4, 4:2:2,
+    * 4:2:0; optional restart intervals), decoded the way any baseline
+    * decoder works: marker walk, DQT/DHT collection, interleaved-MCU
+    * Huffman entropy decode with byte unstuffing, dequantize +
+    * dezigzag, separable floating IDCT, replication chroma upsampling,
+    * JFIF YCbCr→RGB. Returns (width, height, top-down pixel bytes —
+    * 1 byte/px grayscale, 3 bytes/px RGB) cropped to the SOF
+    * dimensions; None when the payload is not such a JPEG. */
   def decodeJpeg(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
       (payload(1) & 0xff) != 0xd8) return None
     var pos = 2
     var width = 0
     var height = 0
-    var qTab: Array[Int] = null
-    var qId = -1
+    var comps: Array[JComp] = null
     var dcTables = Map.empty[Int, HuffTable]
     var acTables = Map.empty[Int, HuffTable]
-    var dcId = -1
-    var acId = -1
+    var dri = 0
     var sosAt = -1
     val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
     while (sosAt < 0) {
@@ -563,13 +669,19 @@ object Multimodal {
             o += 65
           }
         case 0xc0 => // SOF0 baseline
-          if (body.length < 9 || (body(0) & 0xff) != 8) return None
+          if (body.length < 6 || (body(0) & 0xff) != 8) return None
           height = ((body(1) & 0xff) << 8) | (body(2) & 0xff)
           width = ((body(3) & 0xff) << 8) | (body(4) & 0xff)
           val nComp = body(5) & 0xff
-          if (nComp != 1 || (body(7) & 0xff) != 0x11) return None // grayscale 1×1
-          qId = body(8) & 0xff
+          if ((nComp != 1 && nComp != 3) || body.length < 6 + 3 * nComp) return None
           if (width <= 0 || height <= 0) return None
+          comps = Array.tabulate(nComp) { j =>
+            val o = 6 + 3 * j
+            val c = new JComp(body(o) & 0xff,
+              (body(o + 1) & 0xf0) >> 4, body(o + 1) & 0x0f, body(o + 2) & 0xff)
+            if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2) return None
+            c
+          }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
           return None // non-baseline-sequential frame
@@ -589,110 +701,108 @@ object Multimodal {
             else return None
             o += 17 + n
           }
-        case 0xdd => return None // restart intervals: outside this subset
+        case 0xdd => // DRI: restart interval in MCUs (0 disables)
+          if (body.length < 2) return None
+          dri = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
         case 0xda => // SOS
-          if (body.length < 6 || (body(0) & 0xff) != 1) return None
-          dcId = (body(2) & 0xf0) >> 4
-          acId = body(2) & 0x0f
+          if (comps == null) return None
+          val ns = body(0) & 0xff
+          if (ns != comps.length || body.length < 1 + 2 * ns + 3) return None
+          for (j <- 0 until ns) {
+            val cs = body(1 + 2 * j) & 0xff
+            val c = comps.find(_.id == cs).getOrElse(return None)
+            c.dcId = (body(2 + 2 * j) & 0xf0) >> 4
+            c.acId = body(2 + 2 * j) & 0x0f
+          }
           sosAt = pos + 2 + len
         case _ => () // APPn/COM/etc: skipped
       }
       pos += 2 + len
     }
-    if (width == 0 || !quant.contains(qId) ||
-      !dcTables.contains(dcId) || !acTables.contains(acId)) return None
-    val q = quant(qId)
-    val dcT = dcTables(dcId)
-    val acT = acTables(acId)
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val px = new Array[Byte](width * height)
-    val br = new BitReader(payload, sosAt)
-    val coef = new Array[Int](64)
-    val tmp = new Array[Double](64)
-    var prevDc = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        java.util.Arrays.fill(coef, 0)
-        // DC
-        val s = dcT.decode(br)
-        if (s < 0 || s > 15) return None
-        val diff = huffExtend(br.bits(s), s)
-        prevDc += diff
-        coef(0) = prevDc * q(0)
-        // AC run-length
-        var k = 1
-        var acOnly0 = true
-        while (k < 64) {
-          val rs = acT.decode(br)
-          if (rs < 0) return None
-          val run = (rs >> 4) & 0xf
-          val size = rs & 0xf
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += run
-            if (k > 63) return None
-            coef(Zigzag(k)) = huffExtend(br.bits(size), size) * q(k)
-            acOnly0 = false
-            k += 1
-          }
-        }
-        if (br.bad) return None
-        // IDCT
-        val base = (by * 8) * width + bx * 8
-        if (acOnly0) {
-          // DC-only: every sample is DC/8 (exact for flat-quant
-          // constant blocks — the lossless round-trip the gate pins)
-          val v = math.max(0, math.min(255,
-            math.round(coef(0) / 8.0).toInt + 128))
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              val yy = by * 8 + y; val xx = bx * 8 + x
-              if (yy < height && xx < width) px(yy * width + xx) = v.toByte
-              x += 1
-            }
-            y += 1
-          }
-        } else {
-          // separable: rows (u over columns), then columns
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var sum = 0.0
-              var u = 0
-              while (u < 8) { sum += IdctCos(x * 8 + u) * coef(y * 8 + u); u += 1 }
-              tmp(y * 8 + x) = sum
-              x += 1
-            }
-            y += 1
-          }
-          var x = 0
-          while (x < 8) {
-            var y = 0
-            while (y < 8) {
-              var sum = 0.0
-              var v = 0
-              while (v < 8) { sum += IdctCos(y * 8 + v) * tmp(v * 8 + x); v += 1 }
-              val out = math.max(0, math.min(255, math.round(sum / 4.0).toInt + 128))
-              val yy = by * 8 + y; val xx = bx * 8 + x
-              if (yy < height && xx < width) px(yy * width + xx) = out.toByte
-              y += 1
-            }
-            x += 1
-          }
-        }
-        bx += 1
-      }
-      by += 1
+    if (width == 0 || comps == null) return None
+    for (c <- comps)
+      if (!quant.contains(c.qId) || !dcTables.contains(c.dcId) ||
+        !acTables.contains(c.acId)) return None
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    for (c <- comps) {
+      c.planeW = mcusX * c.h * 8
+      c.plane = new Array[Byte](c.planeW * mcusY * c.v * 8)
     }
-    Some((width, height, px))
+    val br = new BitReader(payload, sosAt)
+    val coefBuf = new Array[Int](64)
+    val tmpBuf = new Array[Double](64)
+    val prevDc = new Array[Int](comps.length)
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          // expected RSTn (cyclic d0..d7): re-sync the reader, reset
+          // every DC predictor — each restart segment decodes standalone
+          val m = br.syncMarker()
+          if (m != 0xd0 + ((mcu / dri - 1) % 8)) return None
+          java.util.Arrays.fill(prevDc, 0)
+        }
+        mcu += 1
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          var vv = 0
+          while (vv < c.v) {
+            var hh = 0
+            while (hh < c.h) {
+              val dc = decodeBlock(br, dcTables(c.dcId), acTables(c.acId),
+                quant(c.qId), prevDc(ci), c.plane, c.planeW,
+                mx * c.h + hh, my * c.v + vv, coefBuf, tmpBuf)
+              if (dc == Int.MinValue) return None
+              prevDc(ci) = dc
+              hh += 1
+            }
+            vv += 1
+          }
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    if (comps.length == 1) {
+      // grayscale: crop the single plane
+      val c = comps(0)
+      val px = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(c.plane, y * c.planeW, px, y * width, width)
+        y += 1
+      }
+      Some((width, height, px))
+    } else {
+      // YCbCr → RGB (JFIF), replication upsampling for subsampled
+      // chroma: source sample at (x·h/hMax, y·v/vMax)
+      val Array(cy, cb, cr) = comps
+      val px = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yv = (cy.plane((y * cy.v / vMax) * cy.planeW + x * cy.h / hMax) & 0xff).toDouble
+          val cbv = (cb.plane((y * cb.v / vMax) * cb.planeW + x * cb.h / hMax) & 0xff) - 128.0
+          val crv = (cr.plane((y * cr.v / vMax) * cr.planeW + x * cr.h / hMax) & 0xff) - 128.0
+          val o = (y * width + x) * 3
+          px(o) = math.max(0, math.min(255, math.round(yv + 1.402 * crv).toInt)).toByte
+          px(o + 1) = math.max(0, math.min(255,
+            math.round(yv - 0.344136 * cbv - 0.714136 * crv).toInt)).toByte
+          px(o + 2) = math.max(0, math.min(255, math.round(yv + 1.772 * cbv).toInt)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, px))
+    }
   }
 
   /** Blocks per row of the JPEG fixture: 25 (matching the BMP/PNG pixel

@@ -231,6 +231,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpeg(progressive).isEmpty)
   }
 
+  test("JPEG restart markers: DRI/RSTn files round-trip and re-sync the DC predictor") {
+    import graft.operators.Multimodal
+    val bytes = Array.tabulate(37)(i => (i * 13 + 7).toByte)
+    // interval 5 over 40 MCUs (4 block-rows of 10): 7 restart markers,
+    // boundaries cross block-row edges
+    val jpeg = Multimodal.encodeJpegBlocks(bytes, blocksPerRow = 10, restartInterval = 5)
+    val Some((w, h, px)) = Multimodal.decodeJpeg(jpeg)
+    assert(w == 80 && h == 32)
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = (y / 8) * 10 + (x / 8)
+      val want = if (idx < bytes.length) bytes(idx) & 0xff else 0
+      assert((px(y * w + x) & 0xff) == want, s"pixel ($x,$y)")
+    }
+    // the JDK's reader agrees on the restart-marker file too
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == (px(y * w + x) & 0xff))
+    // a corrupted restart marker (wrong index) is rejected, not misread
+    val rstAt = (2 until jpeg.length - 1).indexWhere(i =>
+      (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) >= 0xd0 &&
+        (jpeg(i + 1) & 0xff) <= 0xd7) + 2
+    val bad = jpeg.clone()
+    bad(rstAt + 1) = (0xd0 + (((bad(rstAt + 1) & 0x07) + 3) % 8)).toByte
+    assert(Multimodal.decodeJpeg(bad).isEmpty)
+  }
+
   test("JPEG encoder emits spec-valid files (JDK ImageIO reads them identically)") {
     import graft.operators.Multimodal
     val bytes = Array.tabulate(60)(i => (i * 7 + 1).toByte)
@@ -242,6 +269,46 @@ class MultimodalSpec extends SparkSpec {
     val raster = img.getRaster
     for (y <- 0 until h; x <- 0 until w)
       assert(raster.getSample(x, y, 0) == (px(y * w + x) & 0xff), s"pixel ($x,$y)")
+  }
+
+  test("JPEG color: ImageIO-written YCbCr photo (subsampled chroma) decodes to RGB") {
+    import graft.operators.Multimodal
+    // a smooth color gradient: the JDK writer emits 3-component YCbCr
+    // (with chroma subsampling), exercising the interleaved-MCU path,
+    // per-component DC predictors, upsampling, and the JFIF conversion
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 4) << 16) | ((y * 5) << 8) | ((x + y) * 2))
+    val out = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val jpeg = out.toByteArray
+    val decoded = Multimodal.decodeJpeg(jpeg)
+    assert(decoded.isDefined, "decoder rejected an ImageIO color JPEG")
+    val Some((dw, dh, px)) = decoded
+    assert(dw == w && dh == h && px.length == w * h * 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    // libjpeg upsamples chroma with its triangular filter; ours
+    // replicates — identical on flat regions, small differences along
+    // gradients. Require near-agreement everywhere plus exactness of
+    // the luma-dominated mean.
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+      val rgb = ref.getRGB(x, y)
+      val want = ch match {
+        case 0 => (rgb >> 16) & 0xff
+        case 1 => (rgb >> 8) & 0xff
+        case 2 => rgb & 0xff
+      }
+      val got = px((y * w + x) * 3 + ch) & 0xff
+      val d = math.abs(got - want)
+      maxDiff = math.max(maxDiff, d); sumDiff += d
+    }
+    assert(maxDiff <= 8, s"decoders disagree by $maxDiff")
+    assert(sumDiff.toDouble / (w * h * 3) <= 1.0,
+      s"mean abs diff ${sumDiff.toDouble / (w * h * 3)}")
   }
 
   test("JPEG decoder handles AC coefficients: ImageIO-written photo decodes within rounding") {
