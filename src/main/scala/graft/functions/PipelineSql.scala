@@ -363,6 +363,15 @@ object PipelineSql {
         n = int("ngram_count_of_counts", es(2), "n-gram size"))
     }
 
+    reg("priority_sample") { es =>
+      argc("priority_sample", es, 4)
+      graft.operators.Curation.prioritySample(
+        table("priority_sample", es(0)),
+        id = str("priority_sample", es(1), "id column"),
+        weight = str("priority_sample", es(2), "weight column"),
+        k = int("priority_sample", es(3), "sample size"))
+    }
+
     // versioned-lake surface: read any committed version / the
     // row-level change stream between two versions, from SQL text —
     // the same manifest-pruned plans as the Scala API (the argument

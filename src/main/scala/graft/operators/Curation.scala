@@ -119,6 +119,44 @@ object Curation {
       (floor(w) + when(u < w - floor(w), 1L).otherwise(0L)).cast("long").as("n_copies"))
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup): a weighted sample of k
+    * items WITHOUT replacement carrying unbiased subset-sum estimates —
+    * the principled way to keep a small audited slice of a huge corpus
+    * whose per-item weights (tokens, bytes) must still sum correctly
+    * in expectation. priority = w / u with u the deterministic
+    * md5-uniform of "prio:<id>"; keep the k highest priorities; the
+    * (k+1)-th priority τ gives each kept item the estimator
+    * est = max(w, τ) (Σ est is unbiased for Σ w; τ = 0 when the corpus
+    * has ≤ k items, collapsing est to the exact weight).
+    *
+    * 100 TB shape: the priority is one codegen'd IEEE division per row
+    * (hash-derived u, so identical across partitionings, retries, and
+    * engines — no `rand()`); top-(k+1) is a TakeOrderedAndProject
+    * (per-partition heads, driver-side merge of (k+1)-row partials —
+    * the corpus is never shuffled); everything after runs on k+1 rows
+    * (the unpartitioned window is bounded by construction).
+    *
+    * Returns (id, weight, est_weight) with est_weight half-up-rounded
+    * to 2 dp (one IEEE max + round — oracle-exact).
+    */
+  def prioritySample(df: DataFrame, id: String, weight: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = graft.functions.HashRandom.uniform(
+      concat(lit("prio:"), col(id).cast("string")))
+    val pr = df.select(col(id), col(weight).cast("double").as("weight"))
+      .withColumn("_prio", col("weight") / u)
+    val top = pr.orderBy(desc("_prio"), col(id)).limit(k + 1)
+    val ranked = top.withColumn("_rn",
+      row_number().over(Window.orderBy(desc("_prio"), col(id))))
+    val tau = ranked.agg(coalesce(
+      min(when(col("_rn") === k + 1, col("_prio"))), lit(0.0)).as("_tau"))
+    ranked.filter(col("_rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col(id), col("weight"),
+        graft.functions.Arith.r2(greatest(col("weight"), col("_tau")))
+          .as("est_weight"))
+  }
+
   /** Token-budget shard packing: lay the corpus out in its deterministic
     * shuffle order (md5 shuffle key — same convention as the dataset
     * split) and cut it into shards of ~`budget` tokens: each document's

@@ -693,6 +693,36 @@ object TextQueries {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // Priority sampling: k=100 docs weighted by n_chars, without
+    // replacement, each carrying the unbiased max(w, tau) subset-sum
+    // estimator. One IEEE division per row + a top-(k+1); the oracle
+    // replays priorities, the (k+1)-th threshold, and the estimator
+    // bit-for-bit (u is the shared md5-uniform construction).
+    QDef(
+      "x_priority_sample",
+      (s, dir) => graft.operators.Curation.prioritySample(
+        Tables.documents(s, dir), "doc_id", "n_chars", k = 100)
+        .orderBy(col("doc_id")),
+      Some {
+        val u = mdUniformSql("'prio:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH pr AS (
+           |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+           |         CAST(n_chars AS DOUBLE) / $u AS prio
+           |  FROM documents
+           |), ranked AS (
+           |  SELECT * FROM (
+           |    SELECT doc_id, weight, prio,
+           |           row_number() OVER (ORDER BY prio DESC, doc_id) AS rn
+           |    FROM pr) WHERE rn <= 101
+           |), tau AS (
+           |  SELECT coalesce(min(CASE WHEN rn = 101 THEN prio END), 0.0) AS tau
+           |  FROM ranked
+           |)
+           |SELECT doc_id, weight,
+           |       floor(greatest(weight, tau) * 100 + 0.5) / 100.0 AS est_weight
+           |FROM ranked, tau WHERE rn <= 100 ORDER BY doc_id""".stripMargin
+      }),
+
     // Data-mixing sampler: per-language target weights incl. an
     // upsampled stratum (en ×1.5 — floor copies + md5-uniform draw for
     // the fraction). All weights exact binary fractions, so the

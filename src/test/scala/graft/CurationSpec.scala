@@ -178,4 +178,39 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(again == out)
   }
+
+  test("prioritySample: top-k by w/u, tau estimator, small-corpus collapse") {
+    import graft.functions.HashRandom
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, i * 10)).toSeq.toDF("doc_id", "w")
+    val k = 10
+    val out = Curation.prioritySample(docs, "doc_id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == k)
+    // reference: compute priorities with the same hash construction
+    val us = docs.select(col("doc_id"), HashRandom.uniform(
+      concat(lit("prio:"), col("doc_id").cast("string"))).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prios = (1L to 40L).map(i => i -> (i * 10.0) / us(i))
+      .sortBy { case (i, p) => (-p, i) }
+    val expectIds = prios.take(k).map(_._1).toSet
+    assert(out.map(_._1).toSet == expectIds)
+    val tau = prios(k)._2 // (k+1)-th priority
+    out.foreach { case (i, w, est) =>
+      assert(w == i * 10.0)
+      val want = math.floor(math.max(w, tau) * 100 + 0.5) / 100.0
+      assert(est == want, s"doc $i: $est vs $want")
+      assert(est >= w)
+    }
+    // partition invariance
+    val again = Curation.prioritySample(docs.repartition(7), "doc_id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // corpus smaller than k: everything kept, tau = 0, est = exact weight
+    val tiny = Seq((1L, 5L), (2L, 7L)).toDF("doc_id", "w")
+    val all = Curation.prioritySample(tiny, "doc_id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(all == Map(1L -> 5.0, 2L -> 7.0))
+  }
 }

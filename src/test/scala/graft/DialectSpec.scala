@@ -328,6 +328,8 @@ class DialectSpec extends SparkSpec {
         events, col("value"), Seq("event_type"), 120, Seq(0.5, 0.9))))
     assert(rows(spark.sql("SELECT * FROM bpe_train('pq_docs', 'text', 4)")) ==
       rows(graft.operators.Vocab.bpeTrain(docs, "text", 4)))
+    assert(rows(spark.sql("SELECT * FROM priority_sample('pq_docs', 'doc_id', 'n_chars', 50)")) ==
+      rows(graft.operators.Curation.prioritySample(docs, "doc_id", "n_chars", 50)))
   }
 
   test("versioned-lake table functions: time_travel / version_diff from SQL text") {
