@@ -145,7 +145,10 @@ object Curation {
       concat(lit("prio:"), col(id).cast("string")))
     val pr = df.select(col(id), col(weight).cast("double").as("weight"))
       .withColumn("_prio", col("weight") / u)
-    val top = pr.orderBy(desc("_prio"), col(id)).limit(k + 1)
+    // persist the (k+1)-row take: the ranked output and the tau
+    // aggregate both read it — without this the corpus is scanned twice
+    val top = graft.CacheRegistry.retain(
+      pr.orderBy(desc("_prio"), col(id)).limit(k + 1).persist())
     val ranked = top.withColumn("_rn",
       row_number().over(Window.orderBy(desc("_prio"), col(id))))
     val tau = ranked.agg(coalesce(

@@ -43,6 +43,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("priority sampling takes its top-(k+1) without shuffling the corpus") {
+    val df = graft.operators.Curation.prioritySample(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "n_chars", 100)
+    val p = df.queryExecution.executedPlan.toString
+    // per-partition heads merged on the driver; everything after the
+    // take runs on k+1 rows — NO hash exchange anywhere in the plan
+    // (the tau side joins back via broadcast over the persisted take)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"priority sampling shuffles the corpus:\n$p")
+    CacheRegistry.clearAll()
+  }
+
   test("flagship runs on a bounded number of shuffles") {
     val p = plan("t9_flagship")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
