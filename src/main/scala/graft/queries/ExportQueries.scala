@@ -49,7 +49,8 @@ object ExportQueries {
     val out = Fixtures.dir("versioned_lake", dir) { o =>
       val ev = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")).cast("string"))
-      graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date")
+      graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date",
+        bloom = Some(graft.sources.VersionedLake.BloomSpec("event_id")))
       val scope = ev.filter(col("event_date") <= "2024-01-15")
       val changes = scope
         .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
@@ -62,13 +63,15 @@ object ExportQueries {
           .withColumn("event_type", lit("backfill"))
           .withColumn("_deleted", lit(false)))
       graft.sources.VersionedLake.mergeUpsert(
-        s, s"$o/lake", changes, Seq("event_id"), "event_date")
+        s, s"$o/lake", changes, Seq("event_id"), "event_date",
+        bloom = Some(graft.sources.VersionedLake.BloomSpec("event_id")))
     }
     s"$out/lake"
   }
 
-  /** Per-version aggregate oracle shared by s14 and its SQL-TVF form. */
-  private val timeTravelOracle =
+  /** The fixture's two lake states as DuckDB CTEs (`ev` = v1,
+    * `merged` = v2) — the prefix every versioned-lake oracle shares. */
+  private val mergedCtes =
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type, value,
       |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
@@ -86,7 +89,11 @@ object ExportQueries {
       |  SELECT event_id FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0),
       |merged AS (
       |  SELECT * FROM ev WHERE event_id NOT IN (SELECT event_id FROM removed)
-      |  UNION ALL SELECT * FROM changed),
+      |  UNION ALL SELECT * FROM changed)""".stripMargin
+
+  /** Per-version aggregate oracle shared by s14 and its SQL-TVF form. */
+  private val timeTravelOracle = mergedCtes +
+    """,
       |v1 AS (
       |  SELECT CAST(1 AS BIGINT) AS version, event_date, count(*) AS n_rows,
       |         count(CASE WHEN event_type = 'adjusted' THEN 1 END) AS n_adjusted,
@@ -539,6 +546,35 @@ object ExportQueries {
              |ORDER BY _change, event_date""".stripMargin)
       },
       Some(versionDiffOracle)),
+
+    // Lake maintenance 7: per-file Bloom point-lookup. The fixture's
+    // commits record an event_id Bloom per file; readPoint prunes the
+    // file list on the driver from manifest metadata alone (the
+    // point-lookup complement of the s14 zone maps — skipping pinned
+    // in VersionedLakeSpec). The probe is the smallest surviving
+    // event_id, derived identically by both engines; the exact row
+    // filter on top makes Bloom false positives invisible.
+    QDef(
+      "s16_bloom_point_read",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        val probe = Tables.events(s, dir)
+          .filter(col("event_id") % 13 =!= 0)
+          .agg(min(col("event_id"))).head().getLong(0)
+        graft.sources.VersionedLake.readPoint(s, lake, probe.toString)
+          .filter(col("event_id") === probe)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("value_cents"),
+            col("event_date").cast("string").as("event_date"))
+          .orderBy(col("event_id"))
+      },
+      Some(mergedCtes +
+        """
+          |SELECT event_id, user_id, event_type,
+          |       CAST(round(value * 100) AS BIGINT) AS value_cents, event_date
+          |FROM merged
+          |WHERE event_id = (SELECT min(event_id) FROM events WHERE event_id % 13 <> 0)
+          |ORDER BY event_id""".stripMargin)),
 
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,

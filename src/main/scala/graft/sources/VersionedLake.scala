@@ -42,8 +42,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * {{{
   *   data/<partitionCol>=<v>/c<commit>-part-*.parquet   immutable
   *   _versions/v<N>.manifest    optional "#batchid=<id>" header, then
-  *                              one "partitionValue\tpath[\tmin\tmax]"
-  *                              line per file
+  *                              one "partitionValue\tpath[\tmin\tmax
+  *                              [\tk:m:bloomwords]]" line per file
   *   _versions/CURRENT          advisory hint; the source of truth is
   *                              the set of committed manifests
   * }}}
@@ -82,7 +82,35 @@ object VersionedLake {
     * the commit recorded them) the zone-map min/max of the stats
     * column — the planning-time file-skipping metadata. */
   final case class Entry(partition: String, path: String,
-      min: Option[Double], max: Option[Double])
+      min: Option[Double], max: Option[Double],
+      bloom: Option[FileBloom] = None)
+
+  /** Per-file Bloom filter of a key column, recorded in the manifest:
+    * the point-lookup complement of the min/max zone maps. Same hash
+    * family as [[graft.operators.Sketch.bloomBuckets]], so the filter
+    * a commit records is exactly what a probe-side plan would compute. */
+  final case class FileBloom(k: Int, m: Int, words: Array[Long]) {
+    /** Driver-side membership: false = the key is definitely not in
+      * the file (skip it); true = it might be. */
+    def mightContain(key: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until k).forall { j =>
+        val hex = md.digest(s"bloom:$j:$key".getBytes(StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(8)
+        val bucket = (java.lang.Long.parseLong(hex, 16) % m).toInt
+        (words(bucket >> 6) & (1L << (bucket & 63))) != 0L
+      }
+    }
+  }
+
+  /** What to record per file for point-lookup skipping: the key
+    * column and the filter geometry (m bits, k probes — m/64 longs of
+    * manifest metadata per file). */
+  final case class BloomSpec(column: String, k: Int = 4, m: Int = 8192) {
+    require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
+    require(m >= 64 && m <= (1 << 20) && (m & 63) == 0,
+      s"bloom m must be a multiple of 64 in [64, 2^20], got $m")
+  }
 
   /** A raw partition VALUE in the escaped directory namespace the
     * manifests (and the filesystem) use. */
@@ -100,10 +128,18 @@ object VersionedLake {
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
+        def num(v: String): Option[Double] =
+          if (v.isEmpty) None else Some(v.toDouble)
+        def bl(v: String): Option[FileBloom] = if (v.isEmpty) None else {
+          val parts = v.split(":", 3)
+          Some(FileBloom(parts(0).toInt, parts(1).toInt,
+            parts(2).split(",").map(java.lang.Long.parseUnsignedLong(_, 16))))
+        }
         line.split("\t", -1) match {
           case Array(p, path) => Entry(p, path, None, None)
-          case Array(p, path, mn, mx) =>
-            Entry(p, path, Some(mn.toDouble), Some(mx.toDouble))
+          case Array(p, path, mn, mx) => Entry(p, path, num(mn), num(mx))
+          case Array(p, path, mn, mx, b) =>
+            Entry(p, path, num(mn), num(mx), bl(b))
           case other =>
             throw new IllegalStateException(
               s"malformed manifest line (${other.length} fields): $line")
@@ -120,10 +156,11 @@ object VersionedLake {
     * column's per-file min/max in the manifest, and
     * [[readRange]] then skips files at planning time. */
   def create(df: DataFrame, lakeDir: String, partitionCol: String,
-      statsCol: Option[String] = None): Unit = {
+      statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None): Unit = {
     require(currentVersion(lakeDir) == 0,
       s"$lakeDir already has commits; use mergeUpsert")
-    val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol, statsCol)
+    val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol, statsCol, bloom)
     if (!tryCommitManifest(lakeDir, version = 1, entries, batchId = None)) {
       entries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
       throw new java.util.ConcurrentModificationException(
@@ -167,6 +204,21 @@ object VersionedLake {
     readFiles(spark, lakeDir, v, wanted.map(_.path))
   }
 
+  /** Point-lookup read: only the files whose recorded Bloom filter
+    * MIGHT contain `key` (compared as string — the build-side cast)
+    * are handed to the scan; membership is decided on the driver from
+    * manifest metadata alone. Files without a filter are
+    * conservatively kept. False positives pass (deterministically);
+    * false negatives are impossible — so the caller's exact
+    * `WHERE col = key` row filter on the result is complete. */
+  def readPoint(spark: SparkSession, lakeDir: String, key: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(lakeDir))
+    val wanted = manifestEntries(lakeDir, v)
+      .filter(_.bloom.forall(_.mightContain(key)))
+    readFiles(spark, lakeDir, v, wanted.map(_.path))
+  }
+
   private def readFiles(spark: SparkSession, lakeDir: String, v: Int,
       files: Seq[String]): DataFrame = {
     // every commit dir shares the partition-dir naming, so basePath on
@@ -206,9 +258,10 @@ object VersionedLake {
     */
   def mergeUpsert(spark: SparkSession, lakeDir: String, changes: DataFrame,
       keyCols: Seq[String], partitionCol: String,
-      deleteCol: String = "_deleted", statsCol: Option[String] = None): Unit = {
+      deleteCol: String = "_deleted", statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None): Unit = {
     val pending = planMerge(spark, lakeDir, changes, keyCols, partitionCol,
-      deleteCol, statsCol)
+      deleteCol, statsCol, bloom)
     if (pending.touched.nonEmpty) { commitPending(lakeDir, pending); () }
   }
 
@@ -230,7 +283,8 @@ object VersionedLake {
     * plan while another writer commits. */
   private[graft] def planMerge(spark: SparkSession, lakeDir: String,
       changes: DataFrame, keyCols: Seq[String], partitionCol: String,
-      deleteCol: String = "_deleted", statsCol: Option[String] = None): PendingCommit = {
+      deleteCol: String = "_deleted", statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None): PendingCommit = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val v = currentVersion(lakeDir)
     require(v >= 1, s"$lakeDir has no committed version to merge into")
@@ -256,7 +310,7 @@ object VersionedLake {
       case None => upserts
     }
     val newEntries = writeCommitFiles(merged, lakeDir, commitId = v + 1,
-      partitionCol, statsCol)
+      partitionCol, statsCol, bloom)
     PendingCommit(v, entries, touched, newEntries, insertOnly = false, None)
   }
 
@@ -306,7 +360,8 @@ object VersionedLake {
     * depth keeps a single basePath scan valid across any mix of
     * commits. */
   private def writeCommitFiles(df: DataFrame, lakeDir: String, commitId: Int,
-      partitionCol: String, statsCol: Option[String] = None): Seq[Entry] = {
+      partitionCol: String, statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None): Seq[Entry] = {
     // unique per write: concurrent writers may plan the same commitId
     // before the CAS resolves the race — staging must never collide
     val staging = s"$lakeDir/_staging_c$commitId-${java.util.UUID.randomUUID()}"
@@ -329,7 +384,7 @@ object VersionedLake {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new File(staging))
-    statsCol match {
+    val withStats = statsCol match {
       case Some(c) if bare.nonEmpty =>
         // one job over ONLY the new files: per-file min/max of the
         // stats column, keyed by input_file_name (the commit-time
@@ -351,6 +406,35 @@ object VersionedLake {
         }
       case _ => bare
     }
+    bloom match {
+      case Some(spec) if withStats.nonEmpty =>
+        // one job over ONLY the new files: per-file packed Bloom words
+        // of the key column — the same distributive (file, word)
+        // bit_or aggregate as Sketch.bloomBuild, shuffle bounded by
+        // files × m/64
+        val spark = df.sparkSession
+        val words = spark.read.option("basePath", s"$lakeDir/data")
+          .parquet(withStats.map(_.path): _*)
+          .select(input_file_name().as("f"),
+            explode(graft.operators.Sketch.bloomBuckets(
+              col(spec.column).cast("string"), spec.k, spec.m)).as("bucket"))
+          .groupBy(col("f"), shiftright(col("bucket"), 6).as("word"))
+          .agg(expr("bit_or(shiftleft(1L, int(bucket % 64)))").as("bits"))
+          .collect()
+          .groupBy(r => normalizePath(r.getString(0)))
+          .map { case (f, rows) =>
+            val w = new Array[Long](spec.m / 64)
+            rows.foreach(r => w(r.getLong(1).toInt) = r.getLong(2))
+            f -> w
+          }
+        withStats.map { e =>
+          words.get(normalizePath(e.path)) match {
+            case Some(w) => e.copy(bloom = Some(FileBloom(spec.k, spec.m, w)))
+            case None => e // empty file: no filter, conservatively kept
+          }
+        }
+      case _ => withStats
+    }
   }
 
   /** input_file_name() yields a (possibly URI-encoded) file: URI while
@@ -367,10 +451,11 @@ object VersionedLake {
     * iff its rows are). Appends rewrite nothing, so a lost slot race
     * rebases unconditionally — concurrent appenders all land. */
   def append(df: DataFrame, lakeDir: String, partitionCol: String,
-      batchId: Option[Long] = None, statsCol: Option[String] = None): Unit = {
+      batchId: Option[Long] = None, statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None): Unit = {
     val v = currentVersion(lakeDir)
     val newEntries = writeCommitFiles(df, lakeDir, commitId = v + 1,
-      partitionCol, statsCol)
+      partitionCol, statsCol, bloom)
     commitPending(lakeDir, PendingCommit(v, Seq.empty, Set.empty, newEntries,
       insertOnly = true, batchId))
     ()
@@ -500,9 +585,17 @@ object VersionedLake {
     val dir = new File(versionsDir(lakeDir))
     dir.mkdirs()
     val body = batchId.map(id => s"#batchid=$id\n").getOrElse("") +
-      entries.map {
-        case Entry(p, f, Some(mn), Some(mx)) => s"$p\t$f\t$mn\t$mx"
-        case Entry(p, f, _, _) => s"$p\t$f"
+      entries.map { e =>
+        val mn = e.min.map(_.toString).getOrElse("")
+        val mx = e.max.map(_.toString).getOrElse("")
+        e.bloom match {
+          case Some(fb) =>
+            val words = fb.words.map(java.lang.Long.toHexString).mkString(",")
+            s"${e.partition}\t${e.path}\t$mn\t$mx\t${fb.k}:${fb.m}:$words"
+          case None if e.min.isDefined =>
+            s"${e.partition}\t${e.path}\t$mn\t$mx"
+          case None => s"${e.partition}\t${e.path}"
+        }
       }.mkString("\n")
     val tmp = Paths.get(s"$dir/.staged-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
