@@ -389,6 +389,12 @@ object PipelineSql {
         int("version_diff", es(1), "from version"),
         int("version_diff", es(2), "to version"))
     }
+    reg("read_point") { es =>
+      argc("read_point", es, 2)
+      graft.sources.VersionedLake.readPoint(spark,
+        str("read_point", es(0), "lake directory"),
+        str("read_point", es(1), "key value"))
+    }
 
     // semantic dedup: embedding near-dup pairs -> canonical clusters
     reg("semantic_dedup") { es =>
