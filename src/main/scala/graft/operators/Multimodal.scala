@@ -462,6 +462,64 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Encode one input byte per constant COLOR 8×8 block as a baseline
+    * 3-component 4:4:4 YCbCr JPEG: byte b maps to the deterministic
+    * triple Y=b, Cb=(7b+13) mod 256, Cr=(31b+29) mod 256 — so the
+    * decoded RGB is a pure arithmetic function of the byte (DC-only
+    * constant blocks are exact under flat quantization; the JFIF
+    * conversion is one fixed IEEE sequence) and a hash gate can
+    * replay the COLOR pipeline: interleaved MCUs, three DC
+    * predictors, and YCbCr→RGB. */
+  def encodeJpegColorBlocks(bytes: Array[Byte], blocksPerRow: Int): Array[Byte] = {
+    require(blocksPerRow >= 1 && blocksPerRow <= 1024,
+      s"blocksPerRow must be in [1, 1024], got $blocksPerRow")
+    val blockRows = math.max(1, (bytes.length + blocksPerRow - 1) / blocksPerRow)
+    val width = blocksPerRow * 8
+    val height = blockRows * 8
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    marker(0xd8)
+    segment(0xdb, Array.tabulate(65)(i => if (i == 0) 0 else 1).map(_.toByte))
+    segment(0xc0, Array[Int]( // SOF0: 3 components, all 1×1 (4:4:4)
+      8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0).map(_.toByte))
+    segment(0xc4, (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte))
+    segment(0xc4, (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte))
+    segment(0xda, Array[Int](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0).map(_.toByte))
+    val dc = huffCodes(DcBits, DcVals)
+    val ac = huffCodes(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    val (eobCode, eobLen) = ac(0x00)
+    val prevDc = new Array[Int](3)
+    var blk = 0
+    val nBlocks = blockRows * blocksPerRow
+    while (blk < nBlocks) {
+      val b = if (blk < bytes.length) bytes(blk) & 0xff else 0
+      val ycc = Array(b, (7 * b + 13) % 256, (31 * b + 29) % 256)
+      var ci = 0
+      while (ci < 3) { // one MCU = one block per component, interleaved
+        val dcCoef = 8 * (ycc(ci) - 128)
+        val diff = dcCoef - prevDc(ci)
+        prevDc(ci) = dcCoef
+        val s = bitCategory(diff)
+        val (c, l) = dc(s)
+        bw.put(c, l)
+        if (s > 0) bw.put(if (diff >= 0) diff else diff - 1 + (1 << s), s)
+        bw.put(eobCode, eobLen)
+        ci += 1
+      }
+      blk += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   private final class BitReader(data: Array[Byte], private var pos: Int) {
     private var acc = 0
     private var nbits = 0
@@ -829,6 +887,18 @@ object Multimodal {
       when(col(id) % 3 === 0, lit("image/bmp"))
         .when(col(id) % 3 === 1, lit("image/png"))
         .otherwise(lit("image/jpeg")).as("mime"))
+  }
+
+  /** Wrap an id+text corpus as COLOR JPEG media rows: one constant
+    * YCbCr 8×8 block per text byte ([[encodeJpegColorBlocks]]) — the
+    * fixture that hash-gates the 3-component decode path end to end. */
+  def asColorJpegMedia(df: DataFrame, id: String, text: String,
+      blocksPerRow: Int = JpegBlocksPerRow): DataFrame = {
+    val enc = udf((t: String) => encodeJpegColorBlocks(t.getBytes("UTF-8"), blocksPerRow))
+    df.select(
+      col(id).cast("long").as("media_id"),
+      enc(col(text)).as("payload"),
+      lit("image/jpeg").as("mime"))
   }
 
   /** The codec behind [[decode]]: sniff the magic bytes, real-parse

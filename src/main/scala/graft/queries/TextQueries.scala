@@ -358,6 +358,83 @@ object TextQueries {
            |FROM allrows ORDER BY media_id""".stripMargin
       }),
 
+    // The COLOR decode path, hash-gated end to end: every payload is a
+    // 3-component 4:4:4 YCbCr baseline JPEG (one constant color block
+    // per text byte — Y/Cb/Cr a fixed arithmetic function of the
+    // byte), so interleaved-MCU entropy decode, three DC predictors,
+    // and the JFIF YCbCr→RGB conversion all land in the content hash.
+    // The oracle recomputes each byte's RGB triple with the identical
+    // IEEE sequence and folds the 64×-expanded 3-byte-per-pixel stream
+    // via rolling-hash composition constants.
+    QDef(
+      "x_multimodal_color",
+      (s, dir) => {
+        val media = graft.operators.Multimodal.asColorJpegMedia(
+          Tables.documents(s, dir), "doc_id", "text")
+        val checksum = (0 until graft.operators.Multimodal.FeatureDim)
+          .map(k => shiftright(col("content_hash"), k * 3).bitwiseAND(lit(255L)))
+          .reduce[org.apache.spark.sql.Column](_ + _)
+        graft.operators.Multimodal.decode(media).toDF()
+          .select(col("media_id"), col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("content_hash"), checksum.as("feature_checksum"))
+          .orderBy(col("media_id"))
+      },
+      Some {
+        val checksum = (0 until graft.operators.Multimodal.FeatureDim)
+          .map(k => s"((h >> ${k * 3}) & 255)").mkString(" + ")
+        val bpr = graft.operators.Multimodal.JpegBlocksPerRow
+        val p = 1000000007L
+        // composition constants over the 3-byte-per-pixel stream:
+        // pixel advance = 31^3; 8 identical pixels, then 8 identical
+        // 600-byte scanlines, then block-row chaining
+        val t3 = BigInt(31).modPow(3, p)
+        val s83 = (0 to 7).map(j => t3.modPow(j, p)).sum % p
+        val t24 = t3.modPow(8, p)
+        val p600 = BigInt(31).modPow(3 * 8 * bpr, p)
+        val r8c = (0 to 7).map(j => p600.modPow(j, p)).sum % p
+        val qc = p600.modPow(8, p)
+        s"""WITH jg AS (
+           |  SELECT doc_id AS media_id, text, length(text) AS len,
+           |         greatest(CAST(ceil(length(text) / $bpr.0) AS BIGINT), 1) AS nrows
+           |  FROM documents
+           |), jb AS (
+           |  SELECT media_id, nrows, ((i - 1) // $bpr) + 1 AS r, i,
+           |         ((rr * 31 + gg) * 31 + bb) AS hp
+           |  FROM (
+           |    SELECT media_id, nrows, i,
+           |           LEAST(GREATEST(CAST(floor((y + 1.402 * crv) + 0.5) AS BIGINT), 0), 255) AS rr,
+           |           LEAST(GREATEST(CAST(floor(((y - 0.344136 * cbv) - 0.714136 * crv) + 0.5) AS BIGINT), 0), 255) AS gg,
+           |           LEAST(GREATEST(CAST(floor((y + 1.772 * cbv) + 0.5) AS BIGINT), 0), 255) AS bb
+           |    FROM (
+           |      SELECT media_id, nrows, i,
+           |             CAST(b AS DOUBLE) AS y,
+           |             CAST((7 * b + 13) % 256 AS DOUBLE) - 128.0 AS cbv,
+           |             CAST((31 * b + 29) % 256 AS DOUBLE) - 128.0 AS crv
+           |      FROM (
+           |        SELECT media_id, nrows, i,
+           |               CASE WHEN i <= len THEN ascii(substr(text, i, 1)) ELSE 0 END AS b
+           |        FROM jg, UNNEST(generate_series(1, nrows * $bpr)) t(i))))
+           |), jr AS (
+           |  SELECT media_id, nrows, r,
+           |         list_reduce(
+           |           list_prepend(CAST(0 AS BIGINT), list(hp ORDER BY i)),
+           |           (a, h) -> (a * $t24 + h * $s83) % $p) AS hrow
+           |  FROM jb GROUP BY media_id, nrows, r
+           |), jh AS (
+           |  SELECT media_id, max(nrows) AS nrows,
+           |         list_reduce(
+           |           list_prepend(CAST(0 AS BIGINT), list((hrow * $r8c) % $p ORDER BY r)),
+           |           (a, h) -> (a * $qc + h) % $p) AS h
+           |  FROM jr GROUP BY media_id
+           |)
+           |SELECT media_id, CAST(${bpr * 8} AS BIGINT) AS width,
+           |       nrows * 8 AS height, CAST(1 AS BIGINT) AS n_frames,
+           |       h AS content_hash, CAST($checksum AS BIGINT) AS feature_checksum
+           |FROM jh ORDER BY media_id""".stripMargin
+      }),
+
     // Deterministic dataset split + shuffle-key assignment — the last
     // step of every training-data pipeline. Split from an md5-uniform
     // (80/10/10), shuffle order from an independent md5 key: a reader

@@ -311,6 +311,43 @@ class MultimodalSpec extends SparkSpec {
       s"mean abs diff ${sumDiff.toDouble / (w * h * 3)}")
   }
 
+  test("JPEG color fixture: constant YCbCr blocks decode to the arithmetic RGB, JDK-agreed") {
+    import graft.operators.Multimodal
+    val bytes = Array.tabulate(30)(i => (i * 17 + 5).toByte)
+    val jpeg = Multimodal.encodeJpegColorBlocks(bytes, blocksPerRow = 6)
+    val Some((w, h, px)) = Multimodal.decodeJpeg(jpeg)
+    assert(w == 48 && h == 40 && px.length == w * h * 3) // ceil(30/6)=5 block-rows
+    def rgb(b: Int): (Int, Int, Int) = {
+      val y = b.toDouble
+      val cb = ((7 * b + 13) % 256) - 128.0
+      val cr = ((31 * b + 29) % 256) - 128.0
+      def cl(v: Long) = math.max(0L, math.min(255L, v)).toInt
+      (cl(math.round(y + 1.402 * cr)),
+        cl(math.round(y - 0.344136 * cb - 0.714136 * cr)),
+        cl(math.round(y + 1.772 * cb)))
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = (y / 8) * 6 + (x / 8)
+      val b = if (idx < bytes.length) bytes(idx) & 0xff else 0
+      val (er, eg, eb) = rgb(b)
+      val o = (y * w + x) * 3
+      assert((px(o) & 0xff) == er && (px(o + 1) & 0xff) == eg &&
+        (px(o + 2) & 0xff) == eb, s"pixel ($x,$y) byte $b")
+    }
+    // the JDK reader agrees within its fixed-point conversion's LSB
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      maxDiff = math.max(maxDiff, math.abs(((v >> 16) & 0xff) - (px(o) & 0xff)))
+      maxDiff = math.max(maxDiff, math.abs(((v >> 8) & 0xff) - (px(o + 1) & 0xff)))
+      maxDiff = math.max(maxDiff, math.abs((v & 0xff) - (px(o + 2) & 0xff)))
+    }
+    assert(maxDiff <= 1, s"JDK color conversion disagrees by $maxDiff")
+  }
+
   test("JPEG decoder handles AC coefficients: ImageIO-written photo decodes within rounding") {
     import graft.operators.Multimodal
     // a non-constant grayscale image: ImageIO's encoder quantizes real
