@@ -363,6 +363,31 @@ object PipelineSql {
         n = int("ngram_count_of_counts", es(2), "n-gram size"))
     }
 
+    // generic MATCH_RECOGNIZE: A/B/C predicates as SQL expression text
+    // over the input table's columns, e.g.
+    //   SELECT * FROM cep_pattern('events', 'user_id', 'ts', 'value',
+    //     'event_type', 'event_id', "event_type = 'signup'",
+    //     "event_type IN ('click','view')", "event_type = 'purchase'",
+    //     0, 3, 259200000000)
+    reg("cep_pattern") { es =>
+      argc("cep_pattern", es, 12)
+      val p = graft.operators.Cep.Params(
+        key = str("cep_pattern", es(1), "key column"),
+        time = str("cep_pattern", es(2), "time column"),
+        value = str("cep_pattern", es(3), "value column"),
+        status = str("cep_pattern", es(4), "status column"),
+        id = str("cep_pattern", es(5), "id column"))
+      graft.operators.Cep.matchesPattern(
+        table("cep_pattern", es(0)), p,
+        graft.operators.Cep.PatternSpec(
+          a = expr(str("cep_pattern", es(6), "A predicate")),
+          b = expr(str("cep_pattern", es(7), "B predicate")),
+          c = expr(str("cep_pattern", es(8), "C predicate")),
+          minB = int("cep_pattern", es(9), "minB"),
+          maxB = int("cep_pattern", es(10), "maxB"),
+          withinMicros = long("cep_pattern", es(11), "within micros")))
+    }
+
     reg("priority_sample") { es =>
       argc("priority_sample", es, 4)
       graft.operators.Curation.prioritySample(

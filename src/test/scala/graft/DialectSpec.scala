@@ -330,6 +330,18 @@ class DialectSpec extends SparkSpec {
       rows(graft.operators.Vocab.bpeTrain(docs, "text", 4)))
     assert(rows(spark.sql("SELECT * FROM priority_sample('pq_docs', 'doc_id', 'n_chars', 50)")) ==
       rows(graft.operators.Curation.prioritySample(docs, "doc_id", "n_chars", 50)))
+    assert(rows(spark.sql(
+      """SELECT * FROM cep_pattern('pq_events', 'user_id', 'ts', 'value',
+        |  'event_type', 'event_id', "event_type = 'signup'",
+        |  "event_type IN ('click', 'view')", "event_type = 'purchase'",
+        |  0, 3, 259200000000)""".stripMargin)) ==
+      rows(graft.operators.Cep.matchesPattern(events,
+        graft.operators.Cep.Params("user_id", "ts", "value", "event_type", "event_id"),
+        graft.operators.Cep.PatternSpec(
+          a = col("event_type") === "signup",
+          b = col("event_type").isin("click", "view"),
+          c = col("event_type") === "purchase",
+          minB = 0, maxB = 3, withinMicros = 259200000000L))))
   }
 
   test("versioned-lake table functions: time_travel / version_diff from SQL text") {
