@@ -369,8 +369,13 @@ object TextQueries {
     QDef(
       "x_multimodal_color",
       (s, dir) => {
+        // the color fixture is ~9× the mixed gate's codec work (every
+        // doc, 3 blocks per byte) and the source is ONE parquet file —
+        // spread the encode+decode across the executor threads the way
+        // a real many-file corpus would arrive
         val media = graft.operators.Multimodal.asColorJpegMedia(
           Tables.documents(s, dir), "doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
         val checksum = (0 until graft.operators.Multimodal.FeatureDim)
           .map(k => shiftright(col("content_hash"), k * 3).bitwiseAND(lit(255L)))
           .reduce[org.apache.spark.sql.Column](_ + _)
