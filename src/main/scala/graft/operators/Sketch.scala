@@ -165,6 +165,100 @@ object Sketch {
         r2(lit(hllNumerator(p)) / col("s_total").cast("double")))
   }
 
+  /** HLL set-operation estimates over two cohorts of one keyed table:
+    * |A|, |B|, |A∪B| read off ONE dual-register pass (per bucket, the
+    * max rho of each cohort; the union register is their max — the
+    * merge property executed inside a single aggregate), and
+    * |A∩B| = |A| + |B| − |A∪B| by inclusion–exclusion — the standard
+    * HLL intersection estimator. Exact intersection rides along for
+    * calibration (computed from the distinct-key table, the one extra
+    * aggregate) — and matters, because inclusion–exclusion's absolute
+    * error scales with the OPERANDS (σ ≈ 1.04/√m of each of the three
+    * estimates), not the intersection: the estimate is tight when the
+    * overlap is comparable to the union and can swamp a small overlap
+    * entirely (the documented limitation of every HLL intersection;
+    * SketchSpec pins both regimes).
+    *
+    * One sketch-sized shuffle (≤ m register rows) + one distinct-key
+    * aggregate; every estimate is the same fixed IEEE sequence as
+    * [[hllEstimate]], so the oracle replays all four bit-for-bit.
+    * Output (one row): hll_a, hll_b, hll_union, hll_intersect (half-up
+    * 2dp), exact_intersect.
+    */
+  def hllSetOps(df: DataFrame, key: Column, inA: Column, inB: Column,
+      p: Int): DataFrame = {
+    import graft.functions.Arith.r2
+    val (bucket, rho) = hllCols(key, p)
+    val m = 1 << p
+    val tagged = df.select(bucket.as("b"), rho.as("r"),
+      inA.as("ia"), inB.as("ib"), key.as("k"))
+    val sums = tagged
+      .filter(col("ia") || col("ib"))
+      .groupBy(col("b"))
+      .agg(max(when(col("ia"), col("r"))).as("ra"),
+        max(when(col("ib"), col("r"))).as("rb"))
+      .agg(
+        sum(pow(lit(2.0), lit(RhoScale) - col("ra")).cast("long")).as("sa"),
+        count(col("ra")).as("na"),
+        sum(pow(lit(2.0), lit(RhoScale) - col("rb")).cast("long")).as("sb"),
+        count(col("rb")).as("nb"),
+        // greatest skips nulls: the union register set
+        sum(pow(lit(2.0), lit(RhoScale) - greatest(col("ra"), col("rb"))).cast("long")).as("su"),
+        count(lit(1)).as("nu"))
+    val exact = tagged.groupBy(col("k"))
+      .agg(max(col("ia")).as("a"), max(col("ib")).as("bb"))
+      .agg(count(when(col("a") && col("bb"), lit(1))).as("exact_intersect"))
+    def est(s: String, n: String) =
+      lit(hllNumerator(p)) /
+        (col(s) + (lit(m.toLong) - col(n)) * lit(TermScale)).cast("double")
+    sums.crossJoin(exact)
+      .select(
+        r2(est("sa", "na")).as("hll_a"),
+        r2(est("sb", "nb")).as("hll_b"),
+        r2(est("su", "nu")).as("hll_union"),
+        r2(est("sa", "na") + est("sb", "nb") - est("su", "nu")).as("hll_intersect"),
+        col("exact_intersect"))
+  }
+
+  /** DuckDB replay of [[hllSetOps]]: the same dual-register CTE and
+    * the identical estimate arithmetic. `aSql`/`bSql` are the cohort
+    * predicates over `src`'s columns. */
+  def hllSetOpsOracleSql(src: String, keySql: String, aSql: String,
+      bSql: String, p: Int): String = {
+    val m = 1 << p
+    val numer = hllNumerator(p).toString
+    def est(s: String, n: String) =
+      s"($numer / CAST($s + ($m - $n) * $TermScale AS DOUBLE))"
+    val ea = est("sa", "na"); val eb = est("sb", "nb"); val eu = est("su", "nu")
+    // cohort flags computed once in the source subquery, then carried
+    // as plain columns through the shared register CTE chain
+    val tagged = s"(SELECT *, ($aSql) AS ia, ($bSql) AS ib FROM $src) tagged_src"
+    s"""WITH ${regsCtes(tagged, keySql, "ia, ib, ", m)}, dual AS (
+       |  SELECT b,
+       |         max(CASE WHEN ia THEN mr END) AS ra,
+       |         max(CASE WHEN ib THEN mr END) AS rb
+       |  FROM regs WHERE ia OR ib GROUP BY b
+       |), sums AS (
+       |  SELECT
+       |    sum(CAST(power(2.0, $RhoScale - ra) AS BIGINT)) AS sa, count(ra) AS na,
+       |    sum(CAST(power(2.0, $RhoScale - rb) AS BIGINT)) AS sb, count(rb) AS nb,
+       |    sum(CAST(power(2.0, $RhoScale - greatest(ra, rb)) AS BIGINT)) AS su,
+       |    count(*) AS nu
+       |  FROM dual
+       |), ex AS (
+       |  SELECT count(*) AS exact_intersect FROM (
+       |    SELECT $keySql AS k FROM $src GROUP BY 1
+       |    HAVING max(CASE WHEN $aSql THEN 1 ELSE 0 END) = 1
+       |       AND max(CASE WHEN $bSql THEN 1 ELSE 0 END) = 1)
+       |)
+       |SELECT floor($ea * 100 + 0.5) / 100.0 AS hll_a,
+       |       floor($eb * 100 + 0.5) / 100.0 AS hll_b,
+       |       floor($eu * 100 + 0.5) / 100.0 AS hll_union,
+       |       floor(($ea + $eb - $eu) * 100 + 0.5) / 100.0 AS hll_intersect,
+       |       CAST(exact_intersect AS BIGINT) AS exact_intersect
+       |FROM sums, ex""".stripMargin
+  }
+
   /** DuckDB replay of [[hllDistinct]] over table `src`: identical
     * bucket/rho extraction (instr-on-hex-alphabet nibble arithmetic),
     * identical BIGINT harmonic sum, identical final double ops.

@@ -70,6 +70,25 @@ object SketchQueries {
       Some(Sketch.histogramAutoOracleSql("events", "value",
         Seq("event_type"), bins = 120, qs = Seq(0.1, 0.5, 0.9, 0.99)))),
 
+    // HLL set algebra: clicking user-days ∩ purchasing user-days via
+    // inclusion-exclusion over ONE dual-register pass (the union
+    // register is the per-bucket max of the two cohorts' maxes — the
+    // merge property exercised inside a single aggregate). All four
+    // estimates replayed bit-for-bit; exact intersection rides along.
+    QDef(
+      "k_hll_setops",
+      (s, dir) => Sketch.hllSetOps(
+        Tables.events(s, dir),
+        concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd")),
+        inA = col("event_type") === "click",
+        inB = col("event_type") === "purchase",
+        p = 10),
+      Some(Sketch.hllSetOpsOracleSql(
+        "events",
+        "CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')",
+        "event_type = 'click'", "event_type = 'purchase'", p = 10))),
+
     // Distinct users per day at m=32 registers: the grouped sketch
     // (30 groups, each its own register set). exact_distinct /
     // rel_err_pct ride along as calibration columns (both engines

@@ -250,6 +250,46 @@ class SketchSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("hllSetOps: union estimate equals the single-cohort sketch; intersection tracks exact") {
+    // sf0.01: user-day cardinalities (~10-15k) sit ABOVE the raw-HLL
+    // validity floor of 2.5m ≈ 2.5k — below it per-estimate bias
+    // doesn't cancel through inclusion-exclusion (the gate's corpus is
+    // at least this large; sf0.001 is not)
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val key = concat(col("user_id").cast("string"), lit(":"),
+      to_date(col("ts")).cast("string"))
+    val inA = col("event_type") === "click"
+    val inB = col("event_type") === "purchase"
+    val row = Sketch.hllSetOps(ev, key, inA, inB, p = 10).head()
+    val (ea, eb, eu, ei) = (row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3))
+    val exact = row.getLong(4)
+    // the dual-register union is EXACTLY the plain sketch over A∪B
+    val plain = Sketch.hllDistinct(ev.filter(inA || inB), key,
+      Seq.empty, p = 10).head().getDouble(0)
+    assert(eu == plain, s"union $eu vs single-cohort $plain")
+    // per-cohort estimates likewise
+    val pa = Sketch.hllDistinct(ev.filter(inA), key, Seq.empty, 10).head().getDouble(0)
+    assert(ea == pa)
+    // inclusion-exclusion: identity holds up to the output rounding
+    // (hll_intersect rounds the UNROUNDED combination once; recombining
+    // the three already-rounded outputs can differ by ≤ 1.5 cents)
+    assert(math.abs(ea + eb - eu - ei) <= 0.02)
+    assert(exact > 0, "fixture cohorts must overlap")
+    // the estimator's known profile: absolute error scales with the
+    // OPERANDS (σ ≈ 1.04/√m each), not the intersection — tight only
+    // when the overlap is comparable to the union
+    assert(math.abs(ei - exact) <= 0.1 * (ea + eb + eu),
+      s"intersection est $ei vs exact $exact beyond the operand-scaled bound")
+    // the good regime: heavily-overlapping cohorts estimate well
+    val bigA = col("event_type").isin("click", "view")
+    val bigB = col("event_type").isin("click", "purchase")
+    val r2row = Sketch.hllSetOps(ev, key, bigA, bigB, p = 10).head()
+    val (ei2, exact2) = (r2row.getDouble(3), r2row.getLong(4))
+    assert(math.abs(ei2 - exact2) / exact2 < 0.15,
+      s"big-overlap intersection $ei2 vs exact $exact2")
+  }
+
   test("auto-bounds histogram: equals the manual sketch at exact min/max; constant columns survive") {
     val (bins, qs) = (120, Seq(0.1, 0.5, 0.9))
     val bounds = events.agg(min(col("value")), max(col("value"))).head()
