@@ -211,6 +211,62 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // The classifier's quality, measured: label × prediction confusion
+    // matrix with per-label recall — the evaluation artifact any
+    // heuristic filter ships with. Same scorer as x_lang_id; two hash
+    // aggregates (cells, then label totals) + a broadcast-sized join.
+    QDef(
+      "x_lang_confusion",
+      (s, dir) => {
+        val en = occ(" the ") + occ(" a ")
+        val fr = occ(" le ") + occ(" et ")
+        val de = occ(" der ") + occ(" und ")
+        val es = occ(" el ") + occ(" los ")
+        val pred = when(greatest(en, fr, de, es) === 0, "und")
+          .when(en >= greatest(fr, de, es), "en")
+          .when(fr >= greatest(de, es), "fr")
+          .when(de >= es, "de")
+          .otherwise("es")
+        val cells = Tables.documents(s, dir)
+          .select(col("lang").as("labeled_lang"), pred.as("predicted_lang"))
+          .groupBy(col("labeled_lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val totals = cells.groupBy(col("labeled_lang"))
+          .agg(sum(col("n_docs")).as("n_label"))
+        cells.join(totals, Seq("labeled_lang"))
+          .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+            graft.functions.Arith.r4(
+              col("n_docs").cast("double") / col("n_label")).as("cell_share"))
+          .orderBy(col("labeled_lang"), col("predicted_lang"))
+      },
+      Some {
+        val (en, fr, de, es) = (
+          s"${occSql(" the ")} + ${occSql(" a ")}",
+          s"${occSql(" le ")} + ${occSql(" et ")}",
+          s"${occSql(" der ")} + ${occSql(" und ")}",
+          s"${occSql(" el ")} + ${occSql(" los ")}")
+        s"""WITH pred AS (
+           |  SELECT lang AS labeled_lang,
+           |         CASE WHEN greatest($en, $fr, $de, $es) = 0 THEN 'und'
+           |              WHEN $en >= greatest($fr, $de, $es) THEN 'en'
+           |              WHEN $fr >= greatest($de, $es) THEN 'fr'
+           |              WHEN $de >= $es THEN 'de'
+           |              ELSE 'es' END AS predicted_lang
+           |  FROM documents
+           |), cells AS (
+           |  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+           |  FROM pred GROUP BY 1, 2
+           |), totals AS (
+           |  SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_label
+           |  FROM cells GROUP BY 1
+           |)
+           |SELECT labeled_lang, predicted_lang, n_docs,
+           |       ${graft.functions.Arith.sqlR4(
+               "CAST(n_docs AS DOUBLE) / n_label")} AS cell_share
+           |FROM cells JOIN totals USING (labeled_lang)
+           |ORDER BY labeled_lang, predicted_lang""".stripMargin
+      }),
+
     // Content fingerprinting: cryptographic (md5) + rolling polynomial
     // hash (mod 1e9+7) — native expression, one compiled loop per row
     // (graft.functions.RollingPolyHash).
