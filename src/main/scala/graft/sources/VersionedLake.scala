@@ -568,6 +568,42 @@ object VersionedLake {
     }
   }
 
+  /** Collect the litter crashed or lost-race writers leave behind:
+    * `_staging_*` trees (a writer that died mid-stage) and data files
+    * under `data/` that NO committed manifest references (a writer
+    * that died between staging its files and claiming a version slot,
+    * or an aborted commit whose cleanup crashed). Committed files and
+    * manifests are never touched — the operation is manifest set
+    * arithmetic plus one directory walk, metadata-sized like vacuum.
+    * Run it OUTSIDE active commit windows: a concurrent writer's
+    * not-yet-committed files look orphaned by definition (same
+    * operational contract as any table format's orphan-file cleanup).
+    * Returns the deleted paths. */
+  def cleanOrphans(lakeDir: String): Seq[String] = {
+    val cur = currentVersion(lakeDir)
+    val referenced = (1 to cur).flatMap { v =>
+      val f = Paths.get(s"${versionsDir(lakeDir)}/v$v.manifest")
+      if (Files.exists(f)) manifest(lakeDir, v).map(_._2) else Seq.empty
+    }.toSet
+    val deleted = Seq.newBuilder[String]
+    def rmTree(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    Option(new File(lakeDir).listFiles()).getOrElse(Array.empty[File])
+      .filter(d => d.isDirectory && d.getName.startsWith("_staging_"))
+      .foreach { d => deleted += d.getAbsolutePath; rmTree(d) }
+    def walk(f: File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+      else if (f.getName.endsWith(".parquet") &&
+        !referenced.contains(f.getAbsolutePath)) {
+        deleted += f.getAbsolutePath
+        f.delete()
+        ()
+      }
+    walk(new File(s"$lakeDir/data"))
+    deleted.result()
+  }
+
   /** Atomically claim version slot `version`: stage the full manifest
     * body to a temp file, then hard-link it to `v<version>.manifest`.
     * link(2) is atomic and fails with EEXIST when the name exists, so

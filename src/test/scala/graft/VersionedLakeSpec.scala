@@ -3,7 +3,7 @@ package graft
 import graft.sources.VersionedLake
 import org.apache.spark.sql.functions._
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** The versioned-lake guarantees the s14 gate can't see from
   * aggregates alone: old versions stay readable byte-for-byte,
@@ -197,6 +197,37 @@ class VersionedLakeSpec extends SparkSpec {
     val v2 = VersionedLake.readPoint(spark, s"$root/lake", "217")
       .filter(col("id") === 217L).select("name").as[String].collect().toSeq
     assert(v2 == Seq("renamed"))
+  }
+
+  test("cleanOrphans removes staging litter and unreferenced data files, nothing committed") {
+    import spark.implicits._
+    val root = tmp("vlake_orphans")
+    buildTwoVersions(root)
+    val lake = s"$root/lake"
+    // plant the litter a crashed writer leaves: a staging tree and an
+    // unreferenced data file inside a committed partition directory
+    val staging = new java.io.File(s"$lake/_staging_c9-deadbeef/part=p1")
+    staging.mkdirs()
+    Files.write(staging.toPath.resolve("part-000.parquet"), Array[Byte](1, 2, 3))
+    val orphan = Paths.get(s"$lake/data/part=p1/c9-orphan.parquet")
+    Files.write(orphan, Array[Byte](9, 9))
+    val before = VersionedLake.read(spark, lake)
+      .select("id").as[Long].collect().toSet
+    val deleted = VersionedLake.cleanOrphans(lake)
+    assert(deleted.exists(_.contains("_staging_c9")), deleted.toString)
+    assert(deleted.exists(_.endsWith("c9-orphan.parquet")))
+    assert(!Files.exists(orphan))
+    assert(!new java.io.File(s"$lake/_staging_c9-deadbeef").exists())
+    // every committed file of every version survives; reads unchanged
+    (1 to 2).foreach { v =>
+      VersionedLake.manifest(lake, v).foreach { case (_, p) =>
+        assert(Files.exists(Paths.get(p)), s"committed file deleted: $p")
+      }
+    }
+    assert(VersionedLake.read(spark, lake)
+      .select("id").as[Long].collect().toSet == before)
+    // idempotent: a second pass finds nothing
+    assert(VersionedLake.cleanOrphans(lake).isEmpty)
   }
 
   test("diff captures delete+insert pairs for updates; untouched partitions contribute nothing") {
