@@ -504,14 +504,16 @@ object VersionedLake {
     */
   def streamingCommit(stream: DataFrame, lakeDir: String, partitionCol: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None): StreamingQuery = {
     require(stream.isStreaming, "streamingCommit expects a streaming DataFrame")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         if (id > committedBatchId(lakeDir))
-          append(batch.toDF(), lakeDir, partitionCol, Some(id))
+          append(batch.toDF(), lakeDir, partitionCol, Some(id), statsCol, bloom)
         ()
       }
       .start()
