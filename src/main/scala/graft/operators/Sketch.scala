@@ -208,9 +208,14 @@ object Sketch {
     val exact = tagged.groupBy(col("k"))
       .agg(max(col("ia")).as("a"), max(col("ib")).as("bb"))
       .agg(count(when(col("a") && col("bb"), lit(1))).as("exact_intersect"))
+    // empty-cohort guard: n = 0 would make the empty-bucket term
+    // m * 2^53 (int64 overflow at p = 10) with a NULL register sum —
+    // short-circuit to the exact answer, estimate 0.0, before the
+    // register arithmetic (mirrored in hllSetOpsOracleSql)
     def est(s: String, n: String) =
-      lit(hllNumerator(p)) /
-        (col(s) + (lit(m.toLong) - col(n)) * lit(TermScale)).cast("double")
+      when(col(n) === 0, lit(0.0)).otherwise(
+        lit(hllNumerator(p)) /
+          (col(s) + (lit(m.toLong) - col(n)) * lit(TermScale)).cast("double"))
     sums.crossJoin(exact)
       .select(
         r2(est("sa", "na")).as("hll_a"),
@@ -227,8 +232,10 @@ object Sketch {
       bSql: String, p: Int): String = {
     val m = 1 << p
     val numer = hllNumerator(p).toString
+    // same empty-cohort short-circuit as the engine: n = 0 would
+    // overflow the empty-bucket term before the division
     def est(s: String, n: String) =
-      s"($numer / CAST($s + ($m - $n) * $TermScale AS DOUBLE))"
+      s"(CASE WHEN $n = 0 THEN 0.0 ELSE $numer / CAST($s + ($m - $n) * $TermScale AS DOUBLE) END)"
     val ea = est("sa", "na"); val eb = est("sb", "nb"); val eu = est("su", "nu")
     // cohort flags computed once in the source subquery, then carried
     // as plain columns through the shared register CTE chain

@@ -415,6 +415,10 @@ object VersionedLake {
         val spark = df.sparkSession
         val words = spark.read.option("basePath", s"$lakeDir/data")
           .parquet(withStats.map(_.path): _*)
+          // NULL keys can never match a string probe, and un-filtered
+          // they surface as a (file, null, null) aggregate row that
+          // NPEs the collect below — drop them before the explode
+          .filter(col(spec.column).isNotNull)
           .select(input_file_name().as("f"),
             explode(graft.operators.Sketch.bloomBuckets(
               col(spec.column).cast("string"), spec.k, spec.m)).as("bucket"))
@@ -548,27 +552,66 @@ object VersionedLake {
           .withColumn("_change", lit("insert")))
   }
 
+  /** Advisory mutual exclusion for maintenance ops ([[vacuum]],
+    * [[cleanOrphans]], [[compactPartitions]]' superseded-file sweep):
+    * an atomically-created lock file under `_versions/`, stale by age
+    * (a crashed holder's lock expires after `staleMs` instead of
+    * wedging the lake forever). Best-effort by design — the lock makes
+    * concurrent-maintenance misuse fail LOUDLY; it is not a
+    * correctness dependency (each op's own set arithmetic stays the
+    * safety argument). */
+  private def withMaintenanceLock[A](lakeDir: String,
+      staleMs: Long = 60 * 60 * 1000L)(body: => A): A = {
+    val dir = new File(versionsDir(lakeDir))
+    dir.mkdirs()
+    val lock = Paths.get(s"$dir/MAINTENANCE.lock")
+    if (Files.exists(lock) &&
+      System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis < staleMs)
+      throw new IllegalStateException(
+        s"another maintenance operation holds $lock; " +
+          "wait for it to finish (or remove the lock if its holder crashed)")
+    Files.deleteIfExists(lock) // stale: previous holder crashed
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"lost the race for $lock to a concurrent maintenance operation")
+    }
+    try body finally { Files.deleteIfExists(lock); () }
+  }
+
+  /** Canonical filesystem form for path-set arithmetic: manifests
+    * record absolute paths captured at write time, while a caller may
+    * spell the same lake via `..`, symlinks, or a different prefix —
+    * string comparison would then misclassify every committed file as
+    * orphaned. getCanonicalFile resolves both. */
+  private def canonical(p: String): String =
+    new File(p).getCanonicalPath
+
   /** Expire history: drop every version below `keepFrom` and delete
     * the data files ONLY they referenced. A file shared with any
     * surviving version survives (manifest set difference — the whole
     * operation is metadata-sized, no data read). The time-travel
     * window becomes [keepFrom, current]; reads of expired versions
     * fail at manifest resolution, exactly like any table format's
-    * vacuum. */
-  def vacuum(lakeDir: String, keepFrom: Int): Unit = {
-    val cur = currentVersion(lakeDir)
-    require(keepFrom >= 1 && keepFrom <= cur,
-      s"keepFrom must be in [1, $cur], got $keepFrom")
-    val keptFiles = (keepFrom to cur).flatMap(manifest(lakeDir, _)).map(_._2).toSet
-    (1 until keepFrom).foreach { v =>
-      val f = Paths.get(s"${versionsDir(lakeDir)}/v$v.manifest")
-      if (Files.exists(f)) {
-        manifest(lakeDir, v).map(_._2).filterNot(keptFiles.contains)
-          .foreach(p => Files.deleteIfExists(Paths.get(p)))
-        Files.delete(f)
+    * vacuum. Takes the advisory maintenance lock. */
+  def vacuum(lakeDir: String, keepFrom: Int): Unit =
+    withMaintenanceLock(lakeDir) {
+      val cur = currentVersion(lakeDir)
+      require(keepFrom >= 1 && keepFrom <= cur,
+        s"keepFrom must be in [1, $cur], got $keepFrom")
+      val keptFiles = (keepFrom to cur).flatMap(manifest(lakeDir, _))
+        .map(e => canonical(e._2)).toSet
+      (1 until keepFrom).foreach { v =>
+        val f = Paths.get(s"${versionsDir(lakeDir)}/v$v.manifest")
+        if (Files.exists(f)) {
+          manifest(lakeDir, v).map(_._2)
+            .filterNot(p => keptFiles.contains(canonical(p)))
+            .foreach(p => Files.deleteIfExists(Paths.get(p)))
+          Files.delete(f)
+        }
       }
     }
-  }
 
   /** Collect the litter crashed or lost-race writers leave behind:
     * `_staging_*` trees (a writer that died mid-stage) and data files
@@ -577,32 +620,72 @@ object VersionedLake {
     * or an aborted commit whose cleanup crashed). Committed files and
     * manifests are never touched — the operation is manifest set
     * arithmetic plus one directory walk, metadata-sized like vacuum.
-    * Run it OUTSIDE active commit windows: a concurrent writer's
-    * not-yet-committed files look orphaned by definition (same
-    * operational contract as any table format's orphan-file cleanup).
-    * Returns the deleted paths. */
-  def cleanOrphans(lakeDir: String): Seq[String] = {
+    * Returns the deleted paths.
+    *
+    * Guard rails (each failure is loud, never a silent eat):
+    *  - paths compare CANONICALIZED on both sides, so a `..`-spelled
+    *    or symlinked `lakeDir` cannot make committed files look
+    *    orphaned;
+    *  - if no committed manifest references anything but data files
+    *    exist, the lake was probably moved/copied after commit —
+    *    abort instead of deleting the whole table;
+    *  - an unreferenced file YOUNGER than `graceMs` is treated as a
+    *    live writer's in-flight staging (the advisory in-flight
+    *    guard): the operation aborts, naming the file. `force = true`
+    *    overrides both guards for deliberate cleanup of a lake known
+    *    to be quiescent.
+    *  - the advisory maintenance lock excludes concurrent
+    *    vacuum/cleanOrphans runs.
+    */
+  def cleanOrphans(lakeDir: String, graceMs: Long = 20 * 60 * 1000L,
+      force: Boolean = false): Seq[String] = withMaintenanceLock(lakeDir) {
     val cur = currentVersion(lakeDir)
     val referenced = (1 to cur).flatMap { v =>
       val f = Paths.get(s"${versionsDir(lakeDir)}/v$v.manifest")
-      if (Files.exists(f)) manifest(lakeDir, v).map(_._2) else Seq.empty
+      if (Files.exists(f)) manifest(lakeDir, v).map(e => canonical(e._2))
+      else Seq.empty
     }.toSet
+    val dataDir = new File(s"$lakeDir/data")
+    val cutoff = System.currentTimeMillis() - graceMs
+    def assertAged(f: File): Unit =
+      if (!force && f.lastModified() > cutoff)
+        throw new IllegalStateException(
+          s"unreferenced file ${f.getAbsolutePath} is younger than the " +
+            s"${graceMs}ms grace period — a writer may be mid-commit; " +
+            "re-run after it finishes (force = true overrides)")
     val deleted = Seq.newBuilder[String]
     def rmTree(f: File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
     }
-    Option(new File(lakeDir).listFiles()).getOrElse(Array.empty[File])
+    val staging = Option(new File(lakeDir).listFiles())
+      .getOrElse(Array.empty[File])
       .filter(d => d.isDirectory && d.getName.startsWith("_staging_"))
-      .foreach { d => deleted += d.getAbsolutePath; rmTree(d) }
+    val orphans = Seq.newBuilder[File]
+    var foundReferenced = 0
     def walk(f: File): Unit =
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
-      else if (f.getName.endsWith(".parquet") &&
-        !referenced.contains(f.getAbsolutePath)) {
-        deleted += f.getAbsolutePath
-        f.delete()
-        ()
+      else if (f.getName.endsWith(".parquet")) {
+        if (referenced.contains(canonical(f.getAbsolutePath))) foundReferenced += 1
+        else orphans += f
       }
-    walk(new File(s"$lakeDir/data"))
+    walk(dataDir)
+    val orphanFiles = orphans.result()
+    // sanity guard: a lake WITH commits whose data files are 100%
+    // unreferenced means the manifests' recorded absolute paths point
+    // somewhere else — the lake was moved/copied after commit (or the
+    // caller spelled a different path to it). Proceeding would delete
+    // the entire table; abort loudly instead.
+    if (!force && cur >= 1 && orphanFiles.nonEmpty && foundReferenced == 0)
+      throw new IllegalStateException(
+        s"every data file under $lakeDir is unreferenced by its own " +
+          "manifests — the lake was likely moved or copied after commit; " +
+          "refusing to delete everything (force = true overrides)")
+    // validate EVERYTHING against the grace period before deleting
+    // anything: abort-all-or-delete-all, never a half-cleaned lake
+    staging.foreach(assertAged)
+    orphanFiles.foreach(assertAged)
+    staging.foreach { d => deleted += d.getAbsolutePath; rmTree(d) }
+    orphanFiles.foreach { f => deleted += f.getAbsolutePath; f.delete(); () }
     deleted.result()
   }
 

@@ -102,7 +102,19 @@ object CepStream {
     * bounded at maxB entries by construction. A's instant is kept in
     * microseconds (Timestamp.getTime is millis-only; the events table
     * carries micros and elapsed/WITHIN must be micros-exact to match
-    * the batch emulation). */
+    * the batch emulation).
+    *
+    * CHECKPOINT COMPATIBILITY: this class IS the
+    * flatMapGroupsWithState state encoder schema. Changing its fields
+    * (as the `aStatus` addition did when measures became generic)
+    * breaks resume from a checkpoint written by the previous shape —
+    * Spark fails state-schema compatibility rather than misdecoding.
+    * Contract: a CEP query restarted across such a change must start
+    * from a FRESH checkpoint (partial matches in flight at the switch
+    * are lost; completed matches already emitted are unaffected). If
+    * live rolling upgrades ever matter, version the state instead:
+    * keep the old case class, read old-state rows through a migration
+    * default for the missing field. */
   final case class PartialMatch(
       aTimeMicros: Long,
       aValue: Double,

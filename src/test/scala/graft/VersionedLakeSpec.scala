@@ -205,12 +205,16 @@ class VersionedLakeSpec extends SparkSpec {
     buildTwoVersions(root)
     val lake = s"$root/lake"
     // plant the litter a crashed writer leaves: a staging tree and an
-    // unreferenced data file inside a committed partition directory
+    // unreferenced data file inside a committed partition directory —
+    // aged past the grace period, as a genuinely dead writer's would be
+    val old = System.currentTimeMillis() - 60 * 60 * 1000L
     val staging = new java.io.File(s"$lake/_staging_c9-deadbeef/part=p1")
     staging.mkdirs()
     Files.write(staging.toPath.resolve("part-000.parquet"), Array[Byte](1, 2, 3))
+    new java.io.File(s"$lake/_staging_c9-deadbeef").setLastModified(old)
     val orphan = Paths.get(s"$lake/data/part=p1/c9-orphan.parquet")
     Files.write(orphan, Array[Byte](9, 9))
+    orphan.toFile.setLastModified(old)
     val before = VersionedLake.read(spark, lake)
       .select("id").as[Long].collect().toSet
     val deleted = VersionedLake.cleanOrphans(lake)
@@ -228,6 +232,54 @@ class VersionedLakeSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == before)
     // idempotent: a second pass finds nothing
     assert(VersionedLake.cleanOrphans(lake).isEmpty)
+  }
+
+  test("cleanOrphans aborts on fresh litter (simulated in-flight commit) and deletes nothing") {
+    val root = tmp("vlake_orphans_fresh")
+    buildTwoVersions(root)
+    val lake = s"$root/lake"
+    // a writer is mid-commit RIGHT NOW: its staged file is seconds old
+    val inflight = Paths.get(s"$lake/data/part=p1/c9-inflight.parquet")
+    Files.write(inflight, Array[Byte](7))
+    val ex = intercept[IllegalStateException] {
+      VersionedLake.cleanOrphans(lake)
+    }
+    assert(ex.getMessage.contains("grace period"), ex.getMessage)
+    // loud abort, zero deletions — the live writer's file survives
+    assert(Files.exists(inflight))
+    // force overrides for a lake known quiescent
+    val deleted = VersionedLake.cleanOrphans(lake, force = true)
+    assert(deleted.exists(_.endsWith("c9-inflight.parquet")) && !Files.exists(inflight))
+  }
+
+  test("cleanOrphans aborts when no manifest references anything but data exists (moved lake)") {
+    val root = tmp("vlake_orphans_moved")
+    buildTwoVersions(root)
+    // simulate the moved/copied-lake failure mode: the manifests'
+    // absolute paths point at the ORIGINAL location
+    val movedLake = s"$root/moved"
+    Files.move(Paths.get(s"$root/lake"), Paths.get(movedLake))
+    val ex = intercept[IllegalStateException] {
+      VersionedLake.cleanOrphans(movedLake)
+    }
+    assert(ex.getMessage.contains("moved"), ex.getMessage)
+    // nothing was deleted — every data file survives
+    assert(graft.sources.LakeOps.parquetFileCount(s"$movedLake/data") > 0)
+  }
+
+  test("maintenance lock: a held fresh lock makes vacuum/cleanOrphans fail loudly; stale locks expire") {
+    val root = tmp("vlake_lock")
+    buildTwoVersions(root)
+    val lake = s"$root/lake"
+    val lock = Paths.get(s"$lake/_versions/MAINTENANCE.lock")
+    Files.createFile(lock)
+    intercept[IllegalStateException] { VersionedLake.cleanOrphans(lake) }
+    intercept[IllegalStateException] { VersionedLake.vacuum(lake, keepFrom = 2) }
+    assert(Files.exists(lock)) // the held lock is never stolen
+    // a crashed holder's lock (older than the stale window) is replaced
+    lock.toFile.setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000L)
+    assert(VersionedLake.cleanOrphans(lake).isEmpty)
+    assert(!Files.exists(lock)) // released on completion
   }
 
   test("diff captures delete+insert pairs for updates; untouched partitions contribute nothing") {
