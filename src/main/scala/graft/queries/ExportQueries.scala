@@ -576,6 +576,69 @@ object ExportQueries {
           |WHERE event_id = (SELECT min(event_id) FROM events WHERE event_id % 13 <> 0)
           |ORDER BY event_id""".stripMargin)),
 
+    // Lake maintenance 8: small-file COMPACTION committed as a version
+    // under optimistic concurrency. The fixture leaves the lake the way
+    // a streaming sink does (two multi-file commits fragment every date
+    // partition), then compactPartitions rewrites each partition into
+    // one file and commits it as v3 — the builder require()s the
+    // file-count collapse, and the gate hashes BOTH the pre-compaction
+    // version's aggregate and the post-compaction one against a single
+    // oracle: identical legs prove the rewrite moved bytes, not
+    // content, and that history stayed time-travel readable. Conflict
+    // aborts, metadata re-recording, and vacuum of superseded files
+    // are pinned in VersionedLakeSpec.
+    QDef(
+      "s17_compacted_versions",
+      (s, dir) => {
+        val lake = {
+          val out = Fixtures.dir("compacted_versions", dir) { o =>
+            val ev = Tables.events(s, dir)
+              .withColumn("event_date", to_date(col("ts")).cast("string"))
+            val boundary = "2024-01-15"
+            graft.sources.VersionedLake.create(
+              ev.filter(col("event_date") <= boundary).repartition(6),
+              s"$o/lake", "event_date")
+            graft.sources.VersionedLake.append(
+              ev.filter(col("event_date") > boundary).repartition(6),
+              s"$o/lake", "event_date")
+            val v = graft.sources.VersionedLake.compactPartitions(
+              s, s"$o/lake", "event_date")
+            require(v == 3, s"expected compaction to commit v3, got v$v")
+            val post = graft.sources.VersionedLake.manifestEntries(s"$o/lake", 3)
+            require(post.groupBy(_.partition).forall(_._2.size == 1),
+              "compaction left a multi-file partition")
+          }
+          s"$out/lake"
+        }
+        def agg(v: Int) =
+          graft.sources.VersionedLake.read(s, lake, Some(v))
+            .groupBy(col("event_date").cast("string").as("event_date"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+              countDistinct(col("user_id")).as("n_users"))
+            .withColumn("version", lit(v.toLong))
+        agg(2).unionByName(agg(3))
+          .select(col("version"), col("event_date"), col("n_rows"),
+            col("sum_cents"), col("n_users"))
+          .orderBy(col("version"), col("event_date"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id, value,
+          |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+          |  FROM events),
+          |agg AS (
+          |  SELECT event_date, count(*) AS n_rows,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+          |         count(DISTINCT user_id) AS n_users
+          |  FROM ev GROUP BY 1)
+          |SELECT * FROM (
+          |  SELECT CAST(2 AS BIGINT) AS version, * FROM agg
+          |  UNION ALL
+          |  SELECT CAST(3 AS BIGINT) AS version, * FROM agg)
+          |ORDER BY version, event_date""".stripMargin)),
+
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,
     // crawled WITHOUT names (all-string col1..colN, header lines

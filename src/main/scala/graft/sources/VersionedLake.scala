@@ -353,6 +353,93 @@ object VersionedLake {
       s"failed to commit to $lakeDir after $maxAttempts attempts")
   }
 
+  /** Small-file COMPACTION as a new version: rewrite each selected
+    * partition's files into `filesPerPartition` consolidated ones and
+    * commit the rewrite under the same optimistic-concurrency protocol
+    * as [[mergeUpsert]] — reads are row-identical across the rewrite
+    * (the s17 gate hashes pre- and post-compaction aggregates against
+    * one oracle), every pre-compaction version stays time-travel
+    * readable, and the superseded small files are reclaimed by the
+    * ordinary [[vacuum]] once history below the compaction point is
+    * expired.
+    *
+    * This is the operational complement of [[streamingCommit]]: a
+    * streaming sink commits one version per micro-batch, so partition
+    * file counts grow linearly with uptime; periodic compaction bounds
+    * them (the maintenance loop every table format schedules —
+    * Iceberg's rewrite_data_files, Delta's OPTIMIZE).
+    *
+    * Selection: `partitions` names raw partition values to compact;
+    * None selects every partition holding at least `minFiles` files
+    * (already-compact partitions are skipped, so the operation is
+    * idempotent and cheap to run on a schedule). Per selected
+    * partition the rewrite reads only THAT partition's files — cost
+    * scales with the data being compacted, never the lake.
+    *
+    * Concurrency: the plan stages against the current version; at
+    * commit time an interleaved commit touching a compacted partition
+    * ABORTS the compaction (its rewrite would drop the winner's rows
+    * — staged files deleted), while commits to other partitions
+    * rebase. A lost compaction is cheap to retry; data is never at
+    * risk (same argument as any OCC maintenance job).
+    *
+    * `statsCol`/`bloom` re-record zone maps and Bloom filters on the
+    * consolidated files — compaction must not degrade the manifest
+    * metadata the read paths prune with.
+    *
+    * Returns the committed version, or the current version unchanged
+    * when nothing needed compacting.
+    */
+  def compactPartitions(spark: SparkSession, lakeDir: String,
+      partitionCol: String, filesPerPartition: Int = 1, minFiles: Int = 2,
+      partitions: Option[Seq[String]] = None,
+      statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None): Int = {
+    val p = planCompact(spark, lakeDir, partitionCol, filesPerPartition,
+      minFiles, partitions, statsCol, bloom)
+    if (p.touched.isEmpty) p.baseVersion else commitPending(lakeDir, p)
+  }
+
+  /** Plan a compaction against the CURRENT version and stage its
+    * consolidated files, without committing — split from
+    * [[compactPartitions]] exactly like [[planMerge]], so the spec can
+    * interleave a competing writer between plan and commit. */
+  private[graft] def planCompact(spark: SparkSession, lakeDir: String,
+      partitionCol: String, filesPerPartition: Int = 1, minFiles: Int = 2,
+      partitions: Option[Seq[String]] = None,
+      statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None): PendingCommit = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    require(minFiles >= 2, "minFiles must be >= 2 (1-file partitions are compact)")
+    val v = currentVersion(lakeDir)
+    require(v >= 1, s"$lakeDir has no committed version to compact")
+    val entries = manifestEntries(lakeDir, v)
+    val byPart = entries.groupBy(_.partition)
+    val candidates = partitions match {
+      case Some(ps) => ps.map(escapedPartition).toSet
+      case None => byPart.keySet
+    }
+    // compact only where it helps: a partition already at or under the
+    // target file count is carried forward untouched
+    val touched = candidates.filter(p =>
+      byPart.get(p).exists(_.size >= math.max(minFiles, filesPerPartition + 1)))
+    if (touched.isEmpty)
+      return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false, None)
+    val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
+    val df = spark.read.option("basePath", s"$lakeDir/data").parquet(files: _*)
+    // one task per (partition [, salt]) writes one consolidated file —
+    // the same shuffle shape as LakeOps.compact, scoped to the touched
+    // partitions only
+    val repartitioned =
+      if (filesPerPartition == 1) df.repartition(col(partitionCol))
+      else df.repartition(spark.sessionState.conf.numShufflePartitions,
+        col(partitionCol),
+        pmod(hash(struct(df.columns.map(col): _*)), lit(filesPerPartition)))
+    val newEntries = writeCommitFiles(repartitioned, lakeDir, commitId = v + 1,
+      partitionCol, statsCol, bloom)
+    PendingCommit(v, entries, touched, newEntries, insertOnly = false, None)
+  }
+
   /** Write `df`'s files into the shared `data/<partitionCol>=<v>/`
     * tree under commit-prefixed names (stage with partitionBy, then
     * per-file rename — metadata ops on new files only) and return the

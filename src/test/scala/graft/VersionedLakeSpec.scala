@@ -389,6 +389,116 @@ class VersionedLakeSpec extends SparkSpec {
     assert(rows == Set((1L, "a2"), (9L, "n"), (2L, "b")))
   }
 
+  test("compaction collapses file counts, preserves content, keeps history readable, idempotent") {
+    import spark.implicits._
+    val root = tmp("vlake_compact")
+    val lake = s"$root/lake"
+    // the shape a streaming sink leaves: several small-file commits
+    val b1 = (1 to 60).map(i => (i.toLong, s"n$i", s"p${i % 3}")).toDF("id", "name", "part")
+      .repartition(4)
+    VersionedLake.create(b1, lake, "part")
+    val b2 = (61 to 120).map(i => (i.toLong, s"n$i", s"p${i % 3}")).toDF("id", "name", "part")
+      .repartition(4)
+    VersionedLake.append(b2, lake, "part")
+    val pre = VersionedLake.manifestEntries(lake, 2)
+    assert(pre.groupBy(_.partition).forall(_._2.size >= 2), "fixture not fragmented")
+    val preRows = VersionedLake.read(spark, lake)
+      .select("id", "name", "part").as[(Long, String, String)].collect().toSet
+
+    val v = VersionedLake.compactPartitions(spark, lake, "part")
+    assert(v == 3)
+    val post = VersionedLake.manifestEntries(lake, 3)
+    // every partition collapsed to exactly one file, all files new
+    assert(post.groupBy(_.partition).forall(_._2.size == 1), post.toString)
+    assert(post.map(_.path).toSet.intersect(pre.map(_.path).toSet).isEmpty)
+    // content row-identical across the rewrite
+    assert(VersionedLake.read(spark, lake)
+      .select("id", "name", "part").as[(Long, String, String)].collect().toSet == preRows)
+    // pre-compaction versions stay readable (time travel intact)
+    assert(VersionedLake.read(spark, lake, Some(1)).count() == 60)
+    assert(VersionedLake.read(spark, lake, Some(2)).count() == 120)
+    // idempotent: nothing left to compact, no new version
+    assert(VersionedLake.compactPartitions(spark, lake, "part") == 3)
+  }
+
+  test("compaction re-records zone maps and blooms on the consolidated files") {
+    import spark.implicits._
+    val root = tmp("vlake_compact_meta")
+    val lake = s"$root/lake"
+    val df = (1 to 200).map(i => (i.toLong, i.toDouble, "all")).toDF("id", "score", "part")
+      .repartition(5)
+    VersionedLake.create(df, lake, "part",
+      statsCol = Some("score"), bloom = Some(VersionedLake.BloomSpec("id", m = 4096)))
+    VersionedLake.compactPartitions(spark, lake, "part",
+      statsCol = Some("score"), bloom = Some(VersionedLake.BloomSpec("id", m = 4096)))
+    val post = VersionedLake.manifestEntries(lake, 2)
+    assert(post.size == 1)
+    assert(post.head.min.contains(1.0) && post.head.max.contains(200.0))
+    assert(post.head.bloom.exists(_.mightContain("137")))
+    // point read through the compacted manifest still resolves
+    assert(VersionedLake.readPoint(spark, lake, "137")
+      .filter(col("id") === 137L).count() == 1)
+  }
+
+  test("compaction OCC: interleaved commit to a compacted partition aborts; disjoint rebases") {
+    import spark.implicits._
+    val root = tmp("vlake_compact_occ")
+    val lake = s"$root/lake"
+    val df = (1 to 40).map(i => (i.toLong, s"n$i", s"p${i % 2}")).toDF("id", "name", "part")
+      .repartition(3)
+    VersionedLake.create(df, lake, "part")
+    // plan compaction of BOTH partitions against v1 …
+    val stale = VersionedLake.planCompact(spark, lake, "part")
+    assert(stale.touched == Set("p0", "p1"))
+    // … then a writer merges into p0 first
+    val w1 = Seq((2L, "renamed", "p0", false)).toDF("id", "name", "part", "_deleted")
+    VersionedLake.mergeUpsert(spark, lake, w1, Seq("id"), "part")
+    // the compaction must abort (its p0 rewrite predates the merge) and
+    // clean its staged files
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitPending(lake, stale)
+    }
+    assert(stale.newEntries.forall(e => !new java.io.File(e.path).exists()))
+    // the winner's row is intact; a retry compacts the post-merge state
+    val v = VersionedLake.compactPartitions(spark, lake, "part")
+    assert(v == 3)
+    val rows = VersionedLake.read(spark, lake)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(rows.contains((2L, "renamed")))
+    assert(rows.size == 40)
+
+    // disjoint case: plan a p0-only compaction, interleave an append to
+    // a NEW partition — the compaction rebases and both effects land
+    VersionedLake.append(
+      (100 to 110).map(i => (i.toLong, s"x$i", "p0")).toDF("id", "name", "part")
+        .repartition(2), lake, "part") // v4: p0 fragmented again
+    val plan2 = VersionedLake.planCompact(spark, lake, "part",
+      partitions = Some(Seq("p0")))
+    assert(plan2.touched == Set("p0"))
+    VersionedLake.append(Seq((999L, "z", "p9")).toDF("id", "name", "part"), lake, "part") // v5
+    val v2 = VersionedLake.commitPending(lake, plan2)
+    assert(v2 == 6)
+    val finalRows = VersionedLake.read(spark, lake).select("id").as[Long].collect().toSet
+    assert(finalRows.contains(999L) && finalRows.contains(105L) && finalRows.size == 52)
+    assert(VersionedLake.manifestEntries(lake, 6).count(_.partition == "p0") == 1)
+  }
+
+  test("vacuum reclaims the small files a compaction superseded") {
+    import spark.implicits._
+    val root = tmp("vlake_compact_vacuum")
+    val lake = s"$root/lake"
+    val df = (1 to 50).map(i => (i.toLong, s"n$i", s"p${i % 2}")).toDF("id", "name", "part")
+      .repartition(4)
+    VersionedLake.create(df, lake, "part")
+    val smallFiles = VersionedLake.manifest(lake, 1).map(_._2)
+    VersionedLake.compactPartitions(spark, lake, "part") // v2
+    // history below the compaction point expired → superseded files go
+    VersionedLake.vacuum(lake, keepFrom = 2)
+    assert(smallFiles.forall(p => !new java.io.File(p).exists()))
+    // the compacted version reads in full
+    assert(VersionedLake.read(spark, lake).count() == 50)
+  }
+
   test("merging every row away yields a readable empty version") {
     val root = tmp("vlake_empty")
     val df = Seq((1L, "a", "p1")).toDF("id", "name", "part")
