@@ -355,6 +355,20 @@ object PipelineSql {
         text = str("bpe_train", es(1), "text column"),
         k = int("bpe_train", es(2), "merge rounds"))
     }
+    // train-then-encode composition: the merge list is k rows of
+    // driver-side model state between the two halves, so the SQL form
+    // stays one call — the encode path is the production large-k fold
+    reg("bpe_encode") { es =>
+      argc("bpe_encode", es, 3)
+      val t = table("bpe_encode", es(0))
+      val text = str("bpe_encode", es(1), "text column")
+      val merges = graft.operators.Vocab.bpeTrain(
+        t, text, int("bpe_encode", es(2), "merge rounds"))
+        .orderBy("step").collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+        .toSeq
+      graft.operators.Vocab.bpeEncodeLargeK(t, text, merges)
+    }
     reg("ngram_count_of_counts") { es =>
       argc("ngram_count_of_counts", es, 3)
       graft.operators.Vocab.ngramCountOfCounts(

@@ -151,6 +151,125 @@ object Vocab {
       .groupBy(col("token")).agg(sum(col("wf")).as("cnt"))
   }
 
+  /** Production BPE encoder for ARBITRARY merge-list sizes: the same
+    * token-frequency contract AND semantics as [[bpeApply]], but the
+    * merge fold runs per word inside one mapPartitions pass instead of
+    * a k-deep chain of `replace` expressions — a 32k-merge production
+    * tokenizer is a broadcast table per executor, not a 32k-node
+    * expression tree that breaks codegen (the reason [[bpeApply]] is
+    * only sound for small k). This is the one place a JVM closure
+    * genuinely beats a Catalyst expression: data-dependent iteration
+    * over a vocabulary-sized rule table is control flow no expression
+    * DAG expresses at that scale.
+    *
+    * Semantics note (why this is a sequential REPLAY, not a rank-heap
+    * encoder): this engine's merge application — in [[bpeTrain]],
+    * [[bpeApply]], and the DuckDB oracle alike — is
+    * `replace(seq, a+sep+b, a+b)` on the separator-joined string,
+    * which matches wherever the CHARACTERS of `a` precede a separator
+    * and those of `b` follow it, even when they are fragments of
+    * larger symbols (merging (d,b) fuses ["bd","bd"] into "bdbd").
+    * Canonical symbol-aligned BPE would diverge on such words; the
+    * engine's definition is self-consistent and deterministic, so the
+    * encoder replays the identical fold: every merge, in training
+    * order, as a left-to-right non-overlapping string replace
+    * (`java.lang.String.replace` has exactly the semantics of Spark's
+    * `replace` and DuckDB's).
+    *
+    * Large-k cost control: a merge can only fire at a separator whose
+    * surrounding character pair equals (last char of a, first char of
+    * b) — and deleting separators never changes the character
+    * sequence, so a word's possible boundary digrams are fixed up
+    * front. Merges are bucketed by boundary digram once per partition;
+    * each word then visits ONLY the merges whose digram it contains
+    * (restored to training order), so per-word cost scales with the
+    * word's digram-matched rules, not with k. VocabSpec pins exact
+    * parity with [[bpeApply]] at small k and runs k=512.
+    *
+    * Scale shape: one corpus-sized word aggregate (identical to
+    * [[bpeApply]]), then embarrassingly-parallel per-word encoding
+    * over the DISTINCT word table — no shuffle beyond the final
+    * vocabulary-sized token aggregate; the merge table rides the
+    * broadcast, not the rows.
+    */
+  def bpeEncodeLargeK(df: DataFrame, text: String,
+      merges: Seq[(String, String)], sep: String = "\u001f"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(sep.length == 1, s"sep must be a single char, got '$sep'")
+    val wordFreq = df.select(explode(split(col(text), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains(sep))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    val mergeArr = merges.toArray
+    val bcMerges = spark.sparkContext.broadcast(mergeArr)
+    val sepChar = sep.charAt(0)
+    val encoded = wordFreq.as[(String, Long)].mapPartitions { rows =>
+      // per-partition init: patterns/replacements materialized once,
+      // merge indexes bucketed by their boundary digram
+      val ms = bcMerges.value
+      val patterns = new Array[String](ms.length)
+      val fused = new Array[String](ms.length)
+      val byDigram = new java.util.HashMap[Int, java.util.ArrayList[Integer]]()
+      var i = 0
+      while (i < ms.length) {
+        val (a, b) = ms(i)
+        patterns(i) = a + sepChar + b
+        fused(i) = a + b
+        val key = (a.charAt(a.length - 1).toInt << 16) | b.charAt(0).toInt
+        var bucket = byDigram.get(key)
+        if (bucket == null) {
+          bucket = new java.util.ArrayList[Integer]()
+          byDigram.put(key, bucket)
+        }
+        bucket.add(i)
+        i += 1
+      }
+      rows.map { case (w, wf) =>
+        (encodeWord(w, sepChar, patterns, fused, byDigram), wf)
+      }
+    }.toDF("tokens", "wf")
+    encoded
+      .select(col("wf"), explode(col("tokens")).as("token"))
+      .groupBy(col("token")).agg(sum(col("wf")).as("cnt"))
+  }
+
+  /** One word through the merge fold: gather the merges whose boundary
+    * digram appears among the word's adjacent character pairs, then
+    * apply exactly those, in training order, as left-to-right
+    * non-overlapping string replaces over the separator-joined form —
+    * the same fold [[bpeApply]] builds as a Catalyst expression chain,
+    * minus the provable no-ops. */
+  private def encodeWord(w: String, sep: Char, patterns: Array[String],
+      fused: Array[String],
+      byDigram: java.util.HashMap[Int, java.util.ArrayList[Integer]]): Array[String] = {
+    // candidate merges = union of the word's digram buckets, deduped
+    // and restored to training order by the sorted set
+    val cand = new java.util.TreeSet[Integer]()
+    var j = 0
+    while (j < w.length - 1) {
+      val bucket = byDigram.get((w.charAt(j).toInt << 16) | w.charAt(j + 1).toInt)
+      if (bucket != null) cand.addAll(bucket)
+      j += 1
+    }
+    // separator-joined char alphabet
+    val sb = new java.lang.StringBuilder(w.length * 2 - 1)
+    var c = 0
+    while (c < w.length) {
+      if (c > 0) sb.append(sep)
+      sb.append(w.charAt(c))
+      c += 1
+    }
+    var seq = sb.toString
+    val it = cand.iterator()
+    // a fully-fused word (no separator left) exits early: no later
+    // merge can apply
+    while (it.hasNext && seq.indexOf(sep.toInt) >= 0) {
+      val idx = it.next()
+      seq = seq.replace(patterns(idx), fused(idx))
+    }
+    seq.split(java.util.regex.Pattern.quote(sep.toString))
+  }
+
   /** The CTE chain shared by the train and encode oracles: v0 (the
     * char-alphabet word table) plus k unrolled count/argmax/replace
     * stages — `p$i` / `b$i` / `v$i` for i in 1..k. Every stage is

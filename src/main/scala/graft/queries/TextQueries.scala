@@ -751,12 +751,15 @@ object TextQueries {
 
     // The encode half of the pipeline: tokenize the corpus with the
     // k=8 trained merges (train once per JVM — the merge list is model
-    // state) and emit the top-30 token frequencies. The oracle's final
-    // vocabulary stage v8 IS the encoded word table, so encode == the
-    // training replay by construction on both engines.
+    // state) and emit the top-30 token frequencies. Runs through the
+    // PRODUCTION encoder (bpeEncodeLargeK: broadcast merge-rank table
+    // in one mapPartitions pass — the path that carries a real
+    // 32k-merge vocabulary), hash-gated against the oracle's training
+    // replay; VocabSpec pins its equivalence to the chained-replace
+    // form at small k and runs it at k=512.
     QDef(
       "x_bpe_encode",
-      (s, dir) => graft.operators.Vocab.bpeApply(
+      (s, dir) => graft.operators.Vocab.bpeEncodeLargeK(
         Tables.documents(s, dir), "text", trainedMerges(s, dir, k = 8))
         .orderBy(desc("cnt"), col("token")).limit(30),
       Some(graft.operators.Vocab.bpeEncodeOracleSql(

@@ -328,6 +328,14 @@ class DialectSpec extends SparkSpec {
         events, col("value"), Seq("event_type"), 120, Seq(0.5, 0.9))))
     assert(rows(spark.sql("SELECT * FROM bpe_train('pq_docs', 'text', 4)")) ==
       rows(graft.operators.Vocab.bpeTrain(docs, "text", 4)))
+    assert(rows(spark.sql("SELECT * FROM bpe_encode('pq_docs', 'text', 4)")) ==
+      rows {
+        val m = graft.operators.Vocab.bpeTrain(docs, "text", 4)
+          .orderBy("step").collect()
+          .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+          .toSeq
+        graft.operators.Vocab.bpeEncodeLargeK(docs, "text", m)
+      })
     assert(rows(spark.sql("SELECT * FROM priority_sample('pq_docs', 'doc_id', 'n_chars', 50)")) ==
       rows(graft.operators.Curation.prioritySample(docs, "doc_id", "n_chars", 50)))
     assert(rows(spark.sql(

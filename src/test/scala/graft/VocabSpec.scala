@@ -73,6 +73,75 @@ class VocabSpec extends SparkSpec {
     assert(chars == Map("a" -> 8L, "b" -> 8L, "c" -> 2L))
   }
 
+  test("bpeEncodeLargeK ≡ bpeApply on random corpora at small k (trained merges)") {
+    val rng = new scala.util.Random(42)
+    // random words over a tiny alphabet so merges chain deeply
+    def corpus(): Seq[String] = Seq.fill(40) {
+      Seq.fill(1 + rng.nextInt(6))(
+        Seq.fill(2 + rng.nextInt(8))("abcd" (rng.nextInt(4))).mkString).mkString(" ")
+    }
+    (1 to 3).foreach { trial =>
+      val docs = corpus().toDF("text")
+      val merges = Vocab.bpeTrain(docs, "text", k = 12)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"))).toSeq
+      val viaReplace = Vocab.bpeApply(docs, "text", merges)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val viaRanks = Vocab.bpeEncodeLargeK(docs, "text", merges)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaRanks == viaReplace, s"trial $trial diverged with merges $merges")
+    }
+    // and on an arbitrary (non-trained) merge list, where the
+    // rank-order argument is doing real work
+    val docs = Seq("aaabab ababa baaab").toDF("text")
+    val weird = Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("b", "ab"))
+    val viaReplace = Vocab.bpeApply(docs, "text", weird)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaRanks = Vocab.bpeEncodeLargeK(docs, "text", weird)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaRanks == viaReplace)
+  }
+
+  test("bpeEncodeLargeK runs at k=512 (far past the expression-tree form's limit)") {
+    // a synthetic 512-rule merge list: chains over a 4-char alphabet
+    // built the way training would (each rule's operands exist by its
+    // step), exercising deep rank chains without a 512-round train
+    val alphabet = Seq("a", "b", "c", "d")
+    val rules = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val symbols = scala.collection.mutable.ArrayBuffer[String](alphabet: _*)
+    val rng = new scala.util.Random(7)
+    while (rules.size < 512) {
+      val l = symbols(rng.nextInt(symbols.size))
+      val r = symbols(rng.nextInt(symbols.size))
+      if (l.length + r.length <= 12 && !rules.contains((l, r))) {
+        rules += ((l, r)); symbols += l + r
+      }
+    }
+    val rng2 = new scala.util.Random(11)
+    val docs = Seq.fill(30)(
+      Seq.fill(1 + rng2.nextInt(4))(
+        Seq.fill(2 + rng2.nextInt(10))("abcd" (rng2.nextInt(4))).mkString).mkString(" "))
+      .toDF("text")
+    val out = Vocab.bpeEncodeLargeK(docs, "text", rules.toSeq)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // a valid segmentation: token character mass equals word character
+    // mass (replaces only delete separators, never characters), and
+    // multi-char tokens (actual merges) appeared
+    val charMass = docs.as[String].collect()
+      .flatMap(_.split(" ")).filter(_.length >= 2).map(_.length.toLong).sum
+    assert(out.map { case (t, c) => t.length * c }.sum == charMass)
+    assert(out.keys.exists(_.length >= 2))
+    // and the deep list agrees with the expression-tree fold on its
+    // 64-rule prefix where that form is still sound
+    val prefix = rules.take(64).toSeq
+    val viaReplace = Vocab.bpeApply(docs, "text", prefix)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaFold = Vocab.bpeEncodeLargeK(docs, "text", prefix)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaFold == viaReplace)
+  }
+
   test("ngramCountOfCounts: the table sums back to the distinct n-gram count") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val coc = Vocab.ngramCountOfCounts(docs, "text", 3)
