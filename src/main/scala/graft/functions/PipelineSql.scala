@@ -434,6 +434,47 @@ object PipelineSql {
         str("read_point", es(0), "lake directory"),
         str("read_point", es(1), "key value"))
     }
+    // zone-map range read: files skipped from manifest metadata alone;
+    // the caller still applies the exact row predicate on top (zone
+    // maps bound files, not rows)
+    reg("read_range") { es =>
+      argc("read_range", es, 3)
+      graft.sources.VersionedLake.readRange(spark,
+        str("read_range", es(0), "lake directory"),
+        dbl("read_range", es(1), "range low"),
+        dbl("read_range", es(2), "range high"))
+    }
+    // maintenance TVFs: the operation runs when the query is analyzed
+    // and the relation is its receipt — SQL-first maintenance, the way
+    // a table format exposes OPTIMIZE/VACUUM as SQL statements. Each
+    // returns what it did so the caller can assert on it.
+    reg("lake_compact") { es =>
+      if (es.length < 2 || es.length > 3)
+        fail("lake_compact", s"expects 2 or 3 arguments, got ${es.length}")
+      import spark.implicits._
+      val dir = str("lake_compact", es(0), "lake directory")
+      val v = graft.sources.VersionedLake.compactPartitions(spark, dir,
+        str("lake_compact", es(1), "partition column"),
+        statsCol = es.lift(2).map(str("lake_compact", _, "stats column")))
+      Seq(v.toLong).toDF("committed_version")
+    }
+    reg("lake_vacuum") { es =>
+      argc("lake_vacuum", es, 2)
+      import spark.implicits._
+      val dir = str("lake_vacuum", es(0), "lake directory")
+      val keepFrom = int("lake_vacuum", es(1), "keep-from version")
+      graft.sources.VersionedLake.vacuum(dir, keepFrom)
+      Seq((keepFrom.toLong,
+        graft.sources.VersionedLake.currentVersion(dir).toLong))
+        .toDF("keep_from", "current_version")
+    }
+    reg("lake_clean_orphans") { es =>
+      argc("lake_clean_orphans", es, 1)
+      import spark.implicits._
+      graft.sources.VersionedLake.cleanOrphans(
+        str("lake_clean_orphans", es(0), "lake directory"))
+        .toDF("deleted_path")
+    }
 
     // semantic dedup: embedding near-dup pairs -> canonical clusters
     reg("semantic_dedup") { es =>

@@ -50,6 +50,7 @@ object ExportQueries {
       val ev = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")).cast("string"))
       graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date",
+        statsCol = Some("value"),
         bloom = Some(graft.sources.VersionedLake.BloomSpec("event_id")))
       val scope = ev.filter(col("event_date") <= "2024-01-15")
       val changes = scope
@@ -64,6 +65,7 @@ object ExportQueries {
           .withColumn("_deleted", lit(false)))
       graft.sources.VersionedLake.mergeUpsert(
         s, s"$o/lake", changes, Seq("event_id"), "event_date",
+        statsCol = Some("value"),
         bloom = Some(graft.sources.VersionedLake.BloomSpec("event_id")))
     }
     s"$out/lake"
@@ -575,6 +577,36 @@ object ExportQueries {
           |FROM merged
           |WHERE event_id = (SELECT min(event_id) FROM events WHERE event_id % 13 <> 0)
           |ORDER BY event_id""".stripMargin)),
+
+    // The zone-map range read reached purely from SQL text via the
+    // read_range TVF: the fixture's commits record per-file min/max of
+    // `value`, the TVF prunes the file list from manifest metadata
+    // alone, and the exact row predicate on top makes file-boundary
+    // conservatism invisible — hash-checked against the oracle's plain
+    // range filter over the same merged state. (Planning-time skip
+    // sets are pinned in VersionedLakeSpec; this gate proves the SQL
+    // surface returns exactly the right ROWS.)
+    QDef(
+      "q_sql_read_range",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        graft.functions.PipelineSql.register(s)
+        s.sql(
+          s"""SELECT CAST(event_date AS STRING) AS event_date,
+             |       count(*) AS n_rows,
+             |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+             |FROM read_range('$lake', 40.0D, 120.0D)
+             |WHERE value >= 40.0 AND value <= 120.0
+             |GROUP BY CAST(event_date AS STRING)
+             |ORDER BY event_date""".stripMargin)
+      },
+      Some(mergedCtes +
+        """
+          |SELECT event_date, count(*) AS n_rows,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM merged
+          |WHERE value >= 40.0 AND value <= 120.0
+          |GROUP BY event_date ORDER BY event_date""".stripMargin)),
 
     // Lake maintenance 8: small-file COMPACTION committed as a version
     // under optimistic concurrency. The fixture leaves the lake the way

@@ -379,4 +379,56 @@ class DialectSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byChange == Map("delete" -> 1L, "insert" -> 2L)) // update = del+ins, plus the new row
   }
+
+  test("lake maintenance table functions: read_range / lake_compact / lake_vacuum / lake_clean_orphans") {
+    graft.functions.PipelineSql.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_maint").toString
+    val lake = s"$dir/lake"
+    import spark.implicits._
+    // fragmented two-commit lake with zone maps on v
+    graft.sources.VersionedLake.create(
+      (1 to 50).map(i => (i.toLong, s"p${i % 2}", i.toDouble)).toDF("id", "part", "v")
+        .repartition(3),
+      lake, "part", statsCol = Some("v"))
+    graft.sources.VersionedLake.append(
+      (51 to 100).map(i => (i.toLong, s"p${i % 2}", i.toDouble)).toDF("id", "part", "v")
+        .repartition(3),
+      lake, "part", statsCol = Some("v"))
+
+    // read_range from SQL == readRange from Scala, exact-filtered
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(
+      s"SELECT * FROM read_range('$lake', 20.0D, 40.0D) WHERE v BETWEEN 20.0 AND 40.0")) ==
+      rows(graft.sources.VersionedLake.readRange(spark, lake, 20.0, 40.0)
+        .filter(col("v").between(20.0, 40.0))))
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM read_range('$lake', 20.0D, 40.0D) WHERE v BETWEEN 20.0 AND 40.0")
+      .head().getLong(0) == 21L)
+
+    // lake_compact commits v3 and reports it; partitions collapse
+    val committed = spark.sql(s"SELECT * FROM lake_compact('$lake', 'part', 'v')")
+      .head().getLong(0)
+    assert(committed == 3L)
+    val post = graft.sources.VersionedLake.manifestEntries(lake, 3)
+    assert(post.groupBy(_.partition).forall(_._2.size == 1))
+    // stats were re-recorded through the SQL path too
+    assert(post.forall(e => e.min.isDefined && e.max.isDefined))
+
+    // lake_vacuum expires history below the compaction point
+    val vac = spark.sql(s"SELECT * FROM lake_vacuum('$lake', 3)").head()
+    assert(vac.getLong(0) == 3L && vac.getLong(1) == 3L)
+    intercept[IllegalArgumentException] {
+      graft.sources.VersionedLake.manifest(lake, 1)
+    }
+    assert(graft.sources.VersionedLake.read(spark, lake).count() == 100)
+
+    // lake_clean_orphans reports the aged litter it removed
+    val orphan = java.nio.file.Paths.get(s"$lake/data/part=p0/c9-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1))
+    orphan.toFile.setLastModified(System.currentTimeMillis() - 60 * 60 * 1000L)
+    val deleted = spark.sql(s"SELECT * FROM lake_clean_orphans('$lake')")
+      .collect().map(_.getString(0))
+    assert(deleted.exists(_.endsWith("c9-orphan.parquet")))
+    assert(!java.nio.file.Files.exists(orphan))
+  }
 }
