@@ -901,11 +901,160 @@ object Multimodal {
       lit("image/jpeg").as("mime"))
   }
 
+  // --- real pure-JVM WAV/RIFF audio codec --------------------------------
+
+  /** Decoded audio record: container metadata plus per-channel PCM
+    * stats — the audio analog of [[Decoded]]. Peak is max |sample|;
+    * sum-of-squares is kept as an EXACT integer (the RMS numerator) so
+    * the gate hash-compares without float drift; duration is integer
+    * microseconds. */
+  final case class AudioDecoded(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_us: Long,
+      peak_left: Long,
+      peak_right: Long,
+      sumsq_left: Long,
+      sumsq_right: Long)
+
+  /** Per-channel stats of a parsed WAV. `peak`/`sumsq` are indexed by
+    * channel (mono fills index 0 only); `dataHash` is the modular
+    * rolling hash over the data chunk's raw bytes — the audio arm of
+    * the content-hash provenance key. */
+  final case class WavStats(sampleRate: Int, channels: Int, frames: Long,
+      durationUs: Long, peak: Array[Long], sumsq: Array[Long], dataHash: Long)
+
+  val WavSampleRate = 8000
+
+  /** Encode text bytes as a stereo PCM16 WAV: interleaved sample i
+    * (0-based) is `(byte_i - 96) * 256`, i over the first
+    * 2·⌊len/2⌋ bytes (whole frames only) — a pure arithmetic mapping
+    * a SQL oracle replays per character. The container is a real RIFF
+    * walk: a junk LIST chunk sits between fmt and data, so a decoder
+    * that doesn't chunk-skip properly fails loudly. ASCII-only input
+    * (required) keeps every sample inside int16. */
+  def encodeWavStereo(text: Array[Byte], sampleRate: Int = WavSampleRate): Array[Byte] = {
+    val n = (text.length / 2) * 2 // whole stereo frames
+    val dataSize = n * 2 // 16-bit samples
+    val listBody = "INFOgraft-pcm0".getBytes("US-ASCII") // even-sized junk
+    require(listBody.length % 2 == 0, "junk chunk body must be even-sized")
+    val riffSize = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(sampleRate)
+      .putInt(sampleRate * 2 * 2).putShort((2 * 2).toShort).putShort(16)
+    out.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      val b = text(i) & 0xff
+      require(b < 128, s"encodeWavStereo needs ASCII text, got byte $b")
+      out.putShort(((b - 96) * 256).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Parse a RIFF/WAVE container: generic chunk walk (unknown chunks
+    * skipped with the odd-size pad rule), PCM 16-bit fmt validated,
+    * per-channel peak/sum-of-squares computed streaming over the data
+    * chunk — no sample array is retained. None when the payload is
+    * not such a WAV. Duration is ⌊frames · 1e6 / rate⌋ micros. */
+  def decodeWav(payload: Array[Byte]): Option[WavStats] = {
+    if (payload.length < 12) return None
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var channels = 0
+    var sampleRate = 0
+    var fmtOk = false
+    var stats: Option[WavStats] = None
+    while (pos + 8 <= payload.length && stats.isEmpty) {
+      val id = tag(pos)
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = buf.getShort(pos + 8).toInt
+          channels = buf.getShort(pos + 10).toInt
+          sampleRate = buf.getInt(pos + 12)
+          val bits = buf.getShort(pos + 22).toInt
+          fmtOk = audioFormat == 1 && bits == 16 &&
+            (channels == 1 || channels == 2) && sampleRate > 0
+        case "data" =>
+          if (!fmtOk) return None // fmt must precede data
+          val nSamples = size / 2
+          val frames = nSamples / channels
+          val peak = new Array[Long](channels)
+          val sumsq = new Array[Long](channels)
+          var h = 0L
+          var s = 0
+          while (s < frames * channels) {
+            val v = buf.getShort(pos + 8 + s * 2).toLong
+            val ch = s % channels
+            val a = math.abs(v)
+            if (a > peak(ch)) peak(ch) = a
+            sumsq(ch) += v * v
+            h = (h * 31 + (payload(pos + 8 + s * 2) & 0xff)) % 1000000007L
+            h = (h * 31 + (payload(pos + 9 + s * 2) & 0xff)) % 1000000007L
+            s += 1
+          }
+          stats = Some(WavStats(sampleRate, channels, frames,
+            frames * 1000000L / sampleRate, peak, sumsq, h))
+        case _ => () // junk chunk (LIST etc): skip
+      }
+      pos += 8 + size + (size & 1) // odd chunks pad to even
+    }
+    stats
+  }
+
+  /** Wrap an id+text corpus as real WAV media rows — the audio arm of
+    * the multimodal fixture family. */
+  def asWavMedia(df: DataFrame, id: String, text: String): DataFrame = {
+    val enc = udf((t: String) => encodeWavStereo(t.getBytes("US-ASCII")))
+    df.select(
+      col(id).cast("long").as("media_id"),
+      enc(col(text)).as("payload"),
+      lit("audio/wav").as("mime"))
+  }
+
+  /** Batch audio decode: the same mapPartitions shape as [[decode]]
+    * (codec init once per partition, rows streamed). Payloads that are
+    * not PCM16 WAVs are dropped — in a real pipeline they'd route to a
+    * quarantine sink, which is a filter on the same plan. */
+  def decodeAudio(media: DataFrame): Dataset[AudioDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeWav(payload).map { w =>
+            AudioDecoded(id, w.sampleRate, w.channels, w.frames, w.durationUs,
+              w.peak(0), if (w.channels > 1) w.peak(1) else 0L,
+              w.sumsq(0), if (w.channels > 1) w.sumsq(1) else 0L)
+          }
+        }
+      }
+  }
+
   /** The codec behind [[decode]]: sniff the magic bytes, real-parse
-    * what we can (BMP, PNG, baseline JPEG), stub the rest (audio/
-    * video). Content hash is the rolling modular hash of the DECODED
-    * pixel bytes (so a decode bug is a hash-gate failure); features
-    * derive from the hash as in the stub.
+    * what we can (BMP, PNG, baseline JPEG) and extract PCM stats from
+    * WAV/RIFF audio; stub the rest (video). For audio the Decoded
+    * record carries (channels, sample-rate-in-hundreds) as the
+    * "dimensions", frame count as n_frames, and the rolling hash runs
+    * over the raw PCM data bytes — so an audio payload in a mixed
+    * corpus produces honest metadata instead of silently stubbing.
+    * Content hash is the rolling modular hash of the DECODED
+    * pixel/PCM bytes (so a decode bug is a hash-gate failure);
+    * features derive from the hash as in the stub.
     */
   private[operators] def sniffDecode(payload: Array[Byte]): (Int, Int, Int, Long, Array[Float]) =
     decodeBmp(payload).orElse(decodePng(payload)).orElse(decodeJpeg(payload)) match {
@@ -917,7 +1066,18 @@ object Multimodal {
           ((hash >> (k * 3)) & 0xff).toFloat / 255f
         }
         (w, h, 1, hash, features)
-      case None => stubDecode(payload)
+      case None => decodeWav(payload) match {
+        case Some(wav) =>
+          // audio arm: honest metadata in the image-shaped record —
+          // channels and rate/100 as "dimensions", frames as frames,
+          // content hash over the PCM data bytes
+          val features = Array.tabulate(FeatureDim) { k =>
+            ((wav.dataHash >> (k * 3)) & 0xff).toFloat / 255f
+          }
+          (wav.channels, wav.sampleRate / 100,
+            wav.frames.min(Int.MaxValue).toInt, wav.dataHash, features)
+        case None => stubDecode(payload)
+      }
     }
 
   /** Batch decode: mapPartitions over (media_id, payload) so a real

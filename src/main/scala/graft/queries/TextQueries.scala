@@ -496,6 +496,72 @@ object TextQueries {
            |FROM jh ORDER BY media_id""".stripMargin
       }),
 
+    // The audio arm of the multimodal family: every document lands as
+    // a REAL stereo PCM16 WAV (RIFF chunk walk with a junk LIST chunk,
+    // sample i = (byte_i − 96)·256 — pure arithmetic a SQL oracle
+    // replays per character), and decodeAudio extracts container
+    // metadata plus per-channel peak / sum-of-squares / rounded RMS in
+    // one streaming mapPartitions pass. The oracle PREDICTS every
+    // field in closed form from the text itself, so a chunk-walk,
+    // interleave, endianness, or stats bug is a hash mismatch.
+    // MultimodalSpec cross-checks the parser against the JDK's
+    // javax.sound reference on the same bytes.
+    QDef(
+      "x_multimodal_audio",
+      (s, dir) => {
+        import graft.functions.Arith.r2
+        val media = graft.operators.Multimodal.asWavMedia(
+          Tables.documents(s, dir), "doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.operators.Multimodal.decodeAudio(media).toDF()
+          .select(col("media_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"),
+            col("n_frames"), col("duration_us"),
+            col("peak_left"), col("peak_right"),
+            col("sumsq_left"), col("sumsq_right"),
+            when(col("n_frames") > 0,
+              r2(sqrt(col("sumsq_left").cast("double") / col("n_frames"))))
+              .as("rms_left"),
+            when(col("n_frames") > 0,
+              r2(sqrt(col("sumsq_right").cast("double") / col("n_frames"))))
+              .as("rms_right"))
+          .orderBy(col("media_id"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, text, 2 * (length(text) // 2) AS n_samp FROM documents
+          |), samp AS (
+          |  SELECT doc_id, (i - 1) % 2 AS ch,
+          |         CAST((unicode(substr(text, i, 1)) - 96) * 256 AS BIGINT) AS v
+          |  FROM (SELECT doc_id, text, unnest(generate_series(1, n_samp)) AS i FROM s)
+          |), agg AS (
+          |  SELECT doc_id,
+          |         max(CASE WHEN ch = 0 THEN abs(v) END) AS peak_left,
+          |         max(CASE WHEN ch = 1 THEN abs(v) END) AS peak_right,
+          |         sum(CASE WHEN ch = 0 THEN v * v END) AS sumsq_left,
+          |         sum(CASE WHEN ch = 1 THEN v * v END) AS sumsq_right,
+          |         count(*) // 2 AS n_frames
+          |  FROM samp GROUP BY doc_id
+          |)
+          |SELECT s.doc_id AS media_id,
+          |       CAST(8000 AS BIGINT) AS sample_rate,
+          |       CAST(2 AS BIGINT) AS channels,
+          |       CAST(coalesce(a.n_frames, 0) AS BIGINT) AS n_frames,
+          |       CAST(coalesce(a.n_frames, 0) * 125 AS BIGINT) AS duration_us,
+          |       CAST(coalesce(a.peak_left, 0) AS BIGINT) AS peak_left,
+          |       CAST(coalesce(a.peak_right, 0) AS BIGINT) AS peak_right,
+          |       CAST(coalesce(a.sumsq_left, 0) AS BIGINT) AS sumsq_left,
+          |       CAST(coalesce(a.sumsq_right, 0) AS BIGINT) AS sumsq_right,
+          |       CASE WHEN coalesce(a.n_frames, 0) > 0 THEN
+          |         floor(sqrt(CAST(a.sumsq_left AS DOUBLE) / a.n_frames) * 100 + 0.5) / 100.0
+          |       END AS rms_left,
+          |       CASE WHEN coalesce(a.n_frames, 0) > 0 THEN
+          |         floor(sqrt(CAST(a.sumsq_right AS DOUBLE) / a.n_frames) * 100 + 0.5) / 100.0
+          |       END AS rms_right
+          |FROM s LEFT JOIN agg a USING (doc_id)
+          |ORDER BY media_id""".stripMargin)),
+
     // Deterministic dataset split + shuffle-key assignment — the last
     // step of every training-data pipeline. Split from an md5-uniform
     // (80/10/10), shuffle order from an independent md5 key: a reader

@@ -374,4 +374,81 @@ class MultimodalSpec extends SparkSpec {
         math.abs(ref.getRaster.getSample(x, y, 0) - (px(y * w + x) & 0xff)))
     assert(maxDiff <= 1, s"decoders disagree by $maxDiff")
   }
+
+  test("WAV codec agrees with the JDK javax.sound reference on format and PCM content") {
+    val wav = Multimodal.encodeWavStereo("hello world graft".getBytes("US-ASCII"))
+    // our parser
+    val ours = Multimodal.decodeWav(wav).getOrElse(fail("decodeWav rejected own fixture"))
+    // JDK reference
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate.toInt == ours.sampleRate)
+    assert(fmt.getChannels == ours.channels)
+    assert(fmt.getSampleSizeInBits == 16)
+    assert(in.getFrameLength == ours.frames)
+    // recompute our stats from the JDK's decoded PCM bytes
+    val pcm = in.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val peak = new Array[Long](2)
+    val sumsq = new Array[Long](2)
+    var s = 0
+    while (s < pcm.length / 2) {
+      val v = bb.getShort(s * 2).toLong
+      val ch = s % 2
+      peak(ch) = math.max(peak(ch), math.abs(v))
+      sumsq(ch) += v * v
+      s += 1
+    }
+    assert(peak.toSeq == ours.peak.toSeq && sumsq.toSeq == ours.sumsq.toSeq)
+    // and the closed-form the oracle uses: sample i = (byte_i - 96) * 256
+    val text = "hello world graft".getBytes("US-ASCII")
+    val expect = (0 until (text.length / 2) * 2).map(i => ((text(i) & 0xff) - 96) * 256L)
+    assert(ours.peak(0) == expect.zipWithIndex.filter(_._2 % 2 == 0).map(x => math.abs(x._1)).max)
+    assert(ours.durationUs == ours.frames * 1000000L / 8000)
+  }
+
+  test("WAV parser: mono path, junk-chunk skipping, odd-size pad rule, rejects non-WAV") {
+    // hand-build a MONO wav with an ODD-sized junk chunk before fmt
+    def monoWav(samples: Array[Short], rate: Int): Array[Byte] = {
+      val junk = Array[Byte](1, 2, 3) // odd — exercises the pad rule
+      val dataSize = samples.length * 2
+      val riffSize = 4 + (8 + junk.length + 1) + (8 + 16) + (8 + dataSize)
+      val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("WAVE".getBytes("US-ASCII"))
+      out.put("junk".getBytes("US-ASCII")).putInt(junk.length).put(junk).put(0.toByte)
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(out.putShort)
+      out.array()
+    }
+    val w = Multimodal.decodeWav(monoWav(Array[Short](100, -300, 200), 16000))
+      .getOrElse(fail("mono wav rejected"))
+    assert(w.channels == 1 && w.sampleRate == 16000 && w.frames == 3)
+    assert(w.peak.toSeq == Seq(300L))
+    assert(w.sumsq.toSeq == Seq(100L * 100 + 300L * 300 + 200L * 200))
+    assert(w.durationUs == 3L * 1000000 / 16000)
+    // rejects: not RIFF, truncated data, float format
+    assert(Multimodal.decodeWav("nope".getBytes).isEmpty)
+    val good = monoWav(Array[Short](1, 2), 8000)
+    assert(Multimodal.decodeWav(good.take(good.length - 1)).isEmpty)
+    val floatFmt = good.clone()
+    floatFmt(good.indexOfSlice("fmt ".getBytes("US-ASCII")) + 8) = 3 // IEEE float tag
+    assert(Multimodal.decodeWav(floatFmt).isEmpty)
+  }
+
+  test("sniffDecode routes WAV payloads to honest audio metadata (mixed-corpus arm)") {
+    import spark.implicits._
+    val docs = Seq((1L, "stereo audio fixture")).toDF("doc_id", "text")
+    val media = Multimodal.asWavMedia(docs, "doc_id", "text")
+    val d = Multimodal.decode(media).collect().head
+    val wav = Multimodal.encodeWavStereo("stereo audio fixture".getBytes("US-ASCII"))
+    val ref = Multimodal.decodeWav(wav).get
+    assert(d.width == 2)                         // channels
+    assert(d.height == Multimodal.WavSampleRate / 100)
+    assert(d.n_frames == ref.frames)
+    assert(d.content_hash == ref.dataHash)       // hash over PCM bytes, not container
+  }
 }
