@@ -462,6 +462,73 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** The same constant-block grayscale content as [[encodeJpegBlocks]]
+    * in a PROGRESSIVE (SOF2) container: three scans — DC first with
+    * successive-approximation point transform Al=1, a DC refinement
+    * scan carrying the dropped bit, then the AC band as per-block EOB
+    * symbols. Decodes to the identical pixels as the baseline form (a
+    * constant block's DC is exact under flat quantization and the
+    * approximation recomposes exactly), so the mixed-media gate can
+    * route part of its JPEG arm through the progressive path WITHOUT
+    * touching the oracle. */
+  def encodeJpegBlocksProgressive(bytes: Array[Byte], blocksPerRow: Int): Array[Byte] = {
+    require(blocksPerRow >= 1 && blocksPerRow <= 1024,
+      s"blocksPerRow must be in [1, 1024], got $blocksPerRow")
+    val blockRows = math.max(1, (bytes.length + blocksPerRow - 1) / blocksPerRow)
+    val width = blocksPerRow * 8
+    val height = blockRows * 8
+    val nBlocks = blockRows * blocksPerRow
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    def dcCoef(b: Int): Int =
+      8 * ((if (b < bytes.length) bytes(b) & 0xff else 0) - 128)
+    marker(0xd8)
+    segment(0xdb, Array.tabulate(65)(i => if (i == 0) 0 else 1).map(_.toByte))
+    segment(0xc2, Array[Int]( // SOF2: progressive, 1 component, 1x1
+      8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      1, 1, 0x11, 0).map(_.toByte))
+    segment(0xc4, (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte))
+    segment(0xc4, (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte))
+    val dc = huffCodes(DcBits, DcVals)
+    val ac = huffCodes(AcBits, AcVals)
+    // scan 1: DC first, Ss=Se=0, Ah=0, Al=1 — codes diffs of dc >> 1
+    segment(0xda, Array[Int](1, 1, 0x00, 0, 0, 0x01).map(_.toByte))
+    var bw = new BitWriter(out)
+    var prev = 0
+    var b = 0
+    while (b < nBlocks) {
+      val approx = dcCoef(b) >> 1
+      val diff = approx - prev
+      prev = approx
+      val s = bitCategory(diff)
+      val (c, l) = dc(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff - 1 + (1 << s), s)
+      b += 1
+    }
+    bw.flush()
+    // scan 2: DC refinement, Ah=1, Al=0 — the dropped low bit per block
+    segment(0xda, Array[Int](1, 1, 0x00, 0, 0, 0x10).map(_.toByte))
+    bw = new BitWriter(out)
+    b = 0
+    while (b < nBlocks) { bw.put(dcCoef(b) & 1, 1); b += 1 }
+    bw.flush()
+    // scan 3: the whole AC band, first pass — every block is one EOB
+    segment(0xda, Array[Int](1, 1, 0x00, 1, 63, 0x00).map(_.toByte))
+    bw = new BitWriter(out)
+    val (eobCode, eobLen) = ac(0x00)
+    b = 0
+    while (b < nBlocks) { bw.put(eobCode, eobLen); b += 1 }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Encode one input byte per constant COLOR 8×8 block as a baseline
     * 3-component 4:4:4 YCbCr JPEG: byte b maps to the deterministic
     * triple Y=b, Cb=(7b+13) mod 256, Cr=(31b+29) mod 256 — so the
@@ -524,6 +591,10 @@ object Multimodal {
     private var acc = 0
     private var nbits = 0
     var bad = false
+    /** Current byte offset — after a scan's entropy data is consumed,
+      * the resume point for the outer marker walk (the reader parks on
+      * a marker, never past it). */
+    def position: Int = pos
     /** Next bit, honoring 0xFF00 stuffing; sets `bad` past data end. */
     def bit(): Int = {
       if (nbits == 0) {
@@ -649,8 +720,19 @@ object Multimodal {
       }
     }
     if (br.bad) return Int.MinValue
+    idctToPlane(coef, acOnly0, plane, planeW, bx, by, tmp)
+    dc
+  }
+
+  /** Inverse DCT of one dequantized NATURAL-order coefficient block
+    * into `plane` at block (bx, by) — shared by the baseline and
+    * progressive finishers. `dcOnly` takes the exact flat fast path
+    * (the lossless round-trip the constant-block gates pin). */
+  private def idctToPlane(coef: Array[Int], dcOnly: Boolean,
+      plane: Array[Byte], planeW: Int, bx: Int, by: Int,
+      tmp: Array[Double]): Unit = {
     val base = (by * 8) * planeW + bx * 8
-    if (acOnly0) {
+    if (dcOnly) {
       val v = math.max(0, math.min(255, math.round(coef(0) / 8.0).toInt + 128)).toByte
       var y = 0
       while (y < 8) {
@@ -685,7 +767,6 @@ object Multimodal {
         x += 1
       }
     }
-    dc
   }
 
   /** Parse a baseline sequential 8-bit JPEG (SOF0; grayscale or
@@ -740,9 +821,11 @@ object Multimodal {
             if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2) return None
             c
           }
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+        case 0xc2 => // progressive DCT: its own scan-accumulating walk
+          return decodeJpegProgressive(payload)
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // non-baseline-sequential frame
+          return None // neither baseline nor progressive-Huffman frame
         case 0xc4 => // DHT — possibly several tables per segment
           var o = 0
           while (o < body.length) {
@@ -828,8 +911,17 @@ object Multimodal {
       }
       my += 1
     }
+    Some(finishJpegPlanes(comps, width, height, hMax, vMax))
+  }
+
+  /** Crop/convert decoded component planes to the output pixel bytes —
+    * shared by the baseline and progressive paths: grayscale crops the
+    * single plane; color runs JFIF YCbCr→RGB with replication
+    * upsampling for subsampled chroma (source sample at
+    * (x·h/hMax, y·v/vMax)). */
+  private def finishJpegPlanes(comps: Array[JComp], width: Int, height: Int,
+      hMax: Int, vMax: Int): (Int, Int, Array[Byte]) = {
     if (comps.length == 1) {
-      // grayscale: crop the single plane
       val c = comps(0)
       val px = new Array[Byte](width * height)
       var y = 0
@@ -837,10 +929,8 @@ object Multimodal {
         System.arraycopy(c.plane, y * c.planeW, px, y * width, width)
         y += 1
       }
-      Some((width, height, px))
+      (width, height, px)
     } else {
-      // YCbCr → RGB (JFIF), replication upsampling for subsampled
-      // chroma: source sample at (x·h/hMax, y·v/vMax)
       val Array(cy, cb, cr) = comps
       val px = new Array[Byte](width * height * 3)
       var y = 0
@@ -859,13 +949,381 @@ object Multimodal {
         }
         y += 1
       }
-      Some((width, height, px))
+      (width, height, px)
     }
   }
 
   /** Blocks per row of the JPEG fixture: 25 (matching the BMP/PNG pixel
     * width), so a JPEG payload is 200×(8·ceil(len/25)) px. */
   val JpegBlocksPerRow = 25
+
+  /** Parse a PROGRESSIVE Huffman 8-bit JPEG (SOF2; grayscale or
+    * 3-component, sampling up to 2×2): the multi-scan decode of T.81
+    * Annex G. Coefficients accumulate in ZIGZAG order across scans —
+    * DC first/refine (interleaved or single-component), AC
+    * first/refine (single-component, band Ss..Se, successive
+    * approximation via Al/Ah, EOB runs per G.1.2.2-3) — with Huffman
+    * tables redefinable between scans and restart intervals honored
+    * per scan; the IDCT runs ONCE at the end over the fully-refined
+    * coefficients (dequantized, dezigzagged), then the shared
+    * grayscale/color finish. None when the payload is not such a
+    * JPEG. MultimodalSpec cross-checks against ImageIO on
+    * JDK-written progressive files (spectral selection + successive
+    * approximation as the standard encoder scripts emit them).
+    */
+  def decodeJpegProgressive(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
+      (payload(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    var width = 0
+    var height = 0
+    var comps: Array[JComp] = null
+    // per-component zigzag coefficient store, MCU-padded geometry
+    var coefs: Array[Array[Int]] = null
+    var blocksW: Array[Int] = null // MCU-padded blocks per row
+    var ndW: Array[Int] = null // non-interleaved (real) blocks per row
+    var ndH: Array[Int] = null
+    var mcusX = 0
+    var mcusY = 0
+    var hMax = 0
+    var vMax = 0
+    var dcTables = Map.empty[Int, HuffTable]
+    var acTables = Map.empty[Int, HuffTable]
+    var dri = 0
+    val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    var sawEoi = false
+
+    while (!sawEoi) {
+      if (pos + 2 > payload.length || (payload(pos) & 0xff) != 0xff) return None
+      val m = payload(pos + 1) & 0xff
+      if (m == 0xd9) { sawEoi = true }
+      else {
+        if (pos + 4 > payload.length) return None
+        val len = ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+        if (len < 2 || pos + 2 + len > payload.length) return None
+        val body = payload.slice(pos + 4, pos + 2 + len)
+        var nextPos = pos + 2 + len
+        m match {
+          case 0xdb =>
+            var o = 0
+            while (o < body.length) {
+              val pq = (body(o) & 0xf0) >> 4
+              val tq = body(o) & 0x0f
+              if (pq != 0 || o + 65 > body.length) return None
+              quant(tq) = Array.tabulate(64)(i => body(o + 1 + i) & 0xff)
+              o += 65
+            }
+          case 0xc2 =>
+            if (comps != null) return None // one frame only
+            if (body.length < 6 || (body(0) & 0xff) != 8) return None
+            height = ((body(1) & 0xff) << 8) | (body(2) & 0xff)
+            width = ((body(3) & 0xff) << 8) | (body(4) & 0xff)
+            val nComp = body(5) & 0xff
+            if ((nComp != 1 && nComp != 3) || body.length < 6 + 3 * nComp) return None
+            if (width <= 0 || height <= 0) return None
+            comps = Array.tabulate(nComp) { j =>
+              val o = 6 + 3 * j
+              val c = new JComp(body(o) & 0xff,
+                (body(o + 1) & 0xf0) >> 4, body(o + 1) & 0x0f, body(o + 2) & 0xff)
+              if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2) return None
+              c
+            }
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            blocksW = comps.map(c => mcusX * c.h)
+            ndW = comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)
+            ndH = comps.map(c => ((height * c.v + vMax - 1) / vMax + 7) / 8)
+            coefs = comps.map(c => new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None
+          case 0xc4 =>
+            var o = 0
+            while (o < body.length) {
+              val tc = (body(o) & 0xf0) >> 4
+              val th = body(o) & 0x0f
+              if (o + 17 > body.length) return None
+              val bits = Array.tabulate(16)(i => body(o + 1 + i) & 0xff)
+              val n = bits.sum
+              if (o + 17 + n > body.length) return None
+              val vals = Array.tabulate(n)(i => body(o + 17 + i) & 0xff)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables += th -> t
+              else if (tc == 1) acTables += th -> t
+              else return None
+              o += 17 + n
+            }
+          case 0xdd =>
+            if (body.length < 2) return None
+            dri = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+          case 0xda =>
+            if (comps == null) return None
+            val ns = body(0) & 0xff
+            if (ns < 1 || ns > comps.length || body.length < 1 + 2 * ns + 3) return None
+            val scanCompIdx = new Array[Int](ns)
+            for (j <- 0 until ns) {
+              val cs = body(1 + 2 * j) & 0xff
+              val ci = comps.indexWhere(_.id == cs)
+              if (ci < 0) return None
+              scanCompIdx(j) = ci
+              comps(ci).dcId = (body(2 + 2 * j) & 0xf0) >> 4
+              comps(ci).acId = body(2 + 2 * j) & 0x0f
+            }
+            val ss = body(1 + 2 * ns) & 0xff
+            val se = body(2 + 2 * ns) & 0xff
+            val ah = (body(3 + 2 * ns) & 0xf0) >> 4
+            val al = body(3 + 2 * ns) & 0x0f
+            if (ss > 63 || se > 63 || se < ss) return None
+            if (ss == 0 && se != 0) return None // DC scans carry DC only
+            if (ss > 0 && ns != 1) return None // AC scans are single-component
+            val end = decodeProgressiveScan(payload, pos + 2 + len, comps,
+              scanCompIdx, coefs, blocksW, ndW, ndH, mcusX, mcusY,
+              dcTables, acTables, dri, ss, se, ah, al)
+            if (end < 0) return None
+            nextPos = end
+          case _ => ()
+        }
+        pos = nextPos
+      }
+    }
+    if (comps == null || coefs == null) return None
+    for (c <- comps) if (!quant.contains(c.qId)) return None
+
+    // all scans accumulated: dequantize + dezigzag + IDCT every block
+    val tmp = new Array[Double](64)
+    val nat = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      c.planeW = mcusX * c.h * 8
+      c.plane = new Array[Byte](c.planeW * mcusY * c.v * 8)
+      val q = quant(c.qId)
+      val bw = blocksW(ci)
+      val bh = mcusY * c.v
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val base = (by * bw + bx) * 64
+          java.util.Arrays.fill(nat, 0)
+          var dcOnly = true
+          var k = 0
+          while (k < 64) {
+            val v = coefs(ci)(base + k)
+            if (v != 0) {
+              nat(Zigzag(k)) = v * q(k)
+              if (k > 0) dcOnly = false
+            }
+            k += 1
+          }
+          if (dcOnly) nat(0) = coefs(ci)(base) * q(0)
+          idctToPlane(nat, dcOnly, c.plane, c.planeW, bx, by, tmp)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    Some(finishJpegPlanes(comps, width, height, hMax, vMax))
+  }
+
+  /** Decode one progressive scan's entropy data, accumulating into the
+    * zigzag coefficient stores; returns the byte offset of the next
+    * marker after the scan (or -1 on corrupt data). Implements the
+    * four scan kinds of T.81 G.2: DC first (diff << Al), DC refine
+    * (one bit per block), AC first (band + EOB runs), AC refine
+    * (correction bits, G.1.2.3). Restart intervals reset predictors
+    * and the EOB run per segment. */
+  private def decodeProgressiveScan(payload: Array[Byte], start: Int,
+      comps: Array[JComp], scanCompIdx: Array[Int], coefs: Array[Array[Int]],
+      blocksW: Array[Int], ndW: Array[Int], ndH: Array[Int],
+      mcusX: Int, mcusY: Int,
+      dcTables: Map[Int, HuffTable], acTables: Map[Int, HuffTable],
+      dri: Int, ss: Int, se: Int, ah: Int, al: Int): Int = {
+    val br = new BitReader(payload, start)
+    val prevDc = new Array[Int](comps.length)
+    var eobrun = 0
+    var mcu = 0
+
+    def restartIfDue(): Boolean = {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        val m = br.syncMarker()
+        if (m != 0xd0 + ((mcu / dri - 1) % 8)) return false
+        java.util.Arrays.fill(prevDc, 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    if (ss == 0) {
+      // DC scan: interleaved MCU order when ns > 1, else the single
+      // component's non-interleaved block raster
+      def decodeDcAt(ci: Int, bx: Int, by: Int): Boolean = {
+        val base = (by * blocksW(ci) + bx) * 64
+        if (ah == 0) {
+          val t = dcTables.getOrElse(comps(ci).dcId, return false)
+          val s = t.decode(br)
+          if (s < 0 || s > 15) return false
+          prevDc(ci) += huffExtend(br.bits(s), s)
+          coefs(ci)(base) = prevDc(ci) << al
+        } else {
+          if (br.bit() != 0) coefs(ci)(base) |= (1 << al)
+        }
+        !br.bad
+      }
+      if (scanCompIdx.length > 1) {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (!restartIfDue()) return -1
+            mcu += 1
+            var j = 0
+            while (j < scanCompIdx.length) {
+              val ci = scanCompIdx(j)
+              val c = comps(ci)
+              var vv = 0
+              while (vv < c.v) {
+                var hh = 0
+                while (hh < c.h) {
+                  if (!decodeDcAt(ci, mx * c.h + hh, my * c.v + vv)) return -1
+                  hh += 1
+                }
+                vv += 1
+              }
+              j += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        val ci = scanCompIdx(0)
+        var by = 0
+        while (by < ndH(ci)) {
+          var bx = 0
+          while (bx < ndW(ci)) {
+            if (!restartIfDue()) return -1
+            mcu += 1
+            if (!decodeDcAt(ci, bx, by)) return -1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else {
+      // AC scan: single component, non-interleaved block raster
+      val ci = scanCompIdx(0)
+      val t = acTables.getOrElse(comps(ci).acId, return -1)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var by = 0
+      while (by < ndH(ci)) {
+        var bx = 0
+        while (bx < ndW(ci)) {
+          if (!restartIfDue()) return -1
+          mcu += 1
+          val base = (by * blocksW(ci) + bx) * 64
+          if (ah == 0) {
+            // AC first scan (G.1.2.2): band values << Al, EOB runs
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var done = false
+              while (!done && k <= se) {
+                val rs = t.decode(br)
+                if (rs < 0) return -1
+                val r = (rs >> 4) & 0xf
+                val size = rs & 0xf
+                if (size == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.bits(r)
+                    done = true
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > se) return -1
+                  coefs(ci)(base + k) = huffExtend(br.bits(size), size) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // AC refinement scan (G.1.2.3, the libjpeg-documented
+            // correction-bit algorithm over zero-history positions)
+            var k = ss
+            if (eobrun == 0) {
+              var done = false
+              while (!done && k <= se) {
+                val rs = t.decode(br)
+                if (rs < 0) return -1
+                var r = (rs >> 4) & 0xf
+                val size = rs & 0xf
+                var newVal = 0
+                if (size == 0) {
+                  if (r < 15) {
+                    eobrun = 1 << r
+                    if (r > 0) eobrun += br.bits(r)
+                    done = true
+                  }
+                  // r == 15: ZRL — skip 16 zero-history positions
+                } else {
+                  if (size != 1) return -1 // refinement emits ±1 only
+                  newVal = if (br.bit() != 0) p1 else m1
+                }
+                if (!done) {
+                  var placed = false
+                  while (!placed && k <= se) {
+                    val cur = coefs(ci)(base + k)
+                    if (cur != 0) {
+                      if (br.bit() != 0 && (cur & p1) == 0)
+                        coefs(ci)(base + k) = cur + (if (cur >= 0) p1 else m1)
+                      k += 1
+                    } else {
+                      if (r == 0) {
+                        if (newVal != 0) coefs(ci)(base + k) = newVal
+                        k += 1
+                        placed = true
+                      } else { r -= 1; k += 1 }
+                    }
+                  }
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // correction bits for the rest of the band
+              while (k <= se) {
+                val cur = coefs(ci)(base + k)
+                if (cur != 0) {
+                  if (br.bit() != 0 && (cur & p1) == 0)
+                    coefs(ci)(base + k) = cur + (if (cur >= 0) p1 else m1)
+                }
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          if (br.bad) return -1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    // scan done: find the next true marker (skip stuffing + stray RSTn)
+    var p = br.position
+    while (p + 1 < payload.length) {
+      if ((payload(p) & 0xff) == 0xff) {
+        val m2 = payload(p + 1) & 0xff
+        if (m2 == 0x00 || m2 == 0xff) p += (if (m2 == 0x00) 2 else 1)
+        else if (m2 >= 0xd0 && m2 <= 0xd7) p += 2
+        else return p
+      } else p += 1
+    }
+    -1
+  }
 
   /** Wrap an id+text corpus as real media rows in a MIX of formats:
     * id%3==0 encodes as BMP, 1 as PNG (same 25-px width, pixels = the
@@ -879,11 +1337,17 @@ object Multimodal {
     val encB = udf((t: String) => encodeBmp24(t.getBytes("UTF-8"), width))
     val encP = udf((t: String) => encodePng(t.getBytes("UTF-8"), width))
     val encJ = udf((t: String) => encodeJpegBlocks(t.getBytes("UTF-8"), JpegBlocksPerRow))
+    // half the JPEG arm rides the PROGRESSIVE container (id%6==5):
+    // both forms decode to identical pixels, so the oracle is
+    // unchanged while the gate exercises the Annex G scan loop
+    val encJP = udf((t: String) =>
+      encodeJpegBlocksProgressive(t.getBytes("UTF-8"), JpegBlocksPerRow))
     df.select(
       col(id).cast("long").as("media_id"),
       when(col(id) % 3 === 0, encB(col(text)))
         .when(col(id) % 3 === 1, encP(col(text)))
-        .otherwise(encJ(col(text))).as("payload"),
+        .when(col(id) % 6 === 2, encJ(col(text)))
+        .otherwise(encJP(col(text))).as("payload"),
       when(col(id) % 3 === 0, lit("image/bmp"))
         .when(col(id) % 3 === 1, lit("image/png"))
         .otherwise(lit("image/jpeg")).as("mime"))

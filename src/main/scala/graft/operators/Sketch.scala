@@ -187,27 +187,53 @@ object Sketch {
     */
   def hllSetOps(df: DataFrame, key: Column, inA: Column, inB: Column,
       p: Int): DataFrame = {
-    import graft.functions.Arith.r2
+    val tagged = taggedCohorts(df, key, inA, inB, p)
+    val exact = cohortKeyFlags(tagged)
+      .agg(count(when(col("a") && col("bb"), lit(1))).as("exact_intersect"))
+    hllSetOpsFromRegisters(hllDualRegisters(tagged), exact, p)
+  }
+
+  private[graft] def taggedCohorts(df: DataFrame, key: Column, inA: Column,
+      inB: Column, p: Int): DataFrame = {
     val (bucket, rho) = hllCols(key, p)
-    val m = 1 << p
-    val tagged = df.select(bucket.as("b"), rho.as("r"),
+    df.select(bucket.as("b"), rho.as("r"),
       inA.as("ia"), inB.as("ib"), key.as("k"))
-    val sums = tagged
+  }
+
+  /** The STATEFUL stage of [[hllSetOps]]: per bucket, each cohort's
+    * max rho — a plain (bucket → max, max) aggregate, so the same call
+    * is streaming-legal in complete mode with state bounded by m rows
+    * forever (SketchSpec pins stream ≡ batch). Input columns: b, r,
+    * ia, ib (from the tagged projection). */
+  private[graft] def hllDualRegisters(tagged: DataFrame): DataFrame =
+    tagged
       .filter(col("ia") || col("ib"))
       .groupBy(col("b"))
       .agg(max(when(col("ia"), col("r"))).as("ra"),
         max(when(col("ib"), col("r"))).as("rb"))
-      .agg(
-        sum(pow(lit(2.0), lit(RhoScale) - col("ra")).cast("long")).as("sa"),
-        count(col("ra")).as("na"),
-        sum(pow(lit(2.0), lit(RhoScale) - col("rb")).cast("long")).as("sb"),
-        count(col("rb")).as("nb"),
-        // greatest skips nulls: the union register set
-        sum(pow(lit(2.0), lit(RhoScale) - greatest(col("ra"), col("rb"))).cast("long")).as("su"),
-        count(lit(1)).as("nu"))
-    val exact = tagged.groupBy(col("k"))
+
+  /** Per-key cohort membership flags — the stateful half of the exact
+    * intersection (also a single streaming-legal aggregate; the final
+    * count is a stateless read of its result). */
+  private[graft] def cohortKeyFlags(tagged: DataFrame): DataFrame =
+    tagged.groupBy(col("k"))
       .agg(max(col("ia")).as("a"), max(col("ib")).as("bb"))
-      .agg(count(when(col("a") && col("bb"), lit(1))).as("exact_intersect"))
+
+  /** Fold the dual-register table into the four estimates (stateless
+    * finishing stage — in a live pipeline it runs as a batch read over
+    * the continuously-maintained register sink). */
+  private[graft] def hllSetOpsFromRegisters(regs: DataFrame,
+      exact: DataFrame, p: Int): DataFrame = {
+    import graft.functions.Arith.r2
+    val m = 1 << p
+    val sums = regs.agg(
+      sum(pow(lit(2.0), lit(RhoScale) - col("ra")).cast("long")).as("sa"),
+      count(col("ra")).as("na"),
+      sum(pow(lit(2.0), lit(RhoScale) - col("rb")).cast("long")).as("sb"),
+      count(col("rb")).as("nb"),
+      // greatest skips nulls: the union register set
+      sum(pow(lit(2.0), lit(RhoScale) - greatest(col("ra"), col("rb"))).cast("long")).as("su"),
+      count(lit(1)).as("nu"))
     // empty-cohort guard: n = 0 would make the empty-bucket term
     // m * 2^53 (int64 overflow at p = 10) with a NULL register sum —
     // short-circuit to the exact answer, estimate 0.0, before the

@@ -623,7 +623,11 @@ object VersionedLake {
     * with two EXCEPT ALLs over just those files.
     */
   def diff(spark: SparkSession, lakeDir: String, fromV: Int, toV: Int): DataFrame = {
-    val from = manifest(lakeDir, fromV).map(_._2).toSet
+    // fromV = 0 is the empty lake: the diff is the bootstrap snapshot
+    // (every row of toV as an insert) — what a change feed emits for
+    // the first committed version
+    val from = if (fromV == 0) Set.empty[String]
+      else manifest(lakeDir, fromV).map(_._2).toSet
     val to = manifest(lakeDir, toV).map(_._2).toSet
     val removedFiles = (from -- to).toSeq.sorted
     val addedFiles = (to -- from).toSeq.sorted

@@ -375,6 +375,105 @@ class MultimodalSpec extends SparkSpec {
     assert(maxDiff <= 1, s"decoders disagree by $maxDiff")
   }
 
+  test("progressive JPEG fixture decodes bit-identically to its baseline twin") {
+    import graft.operators.Multimodal
+    val bytes = Array.tabulate(60)(i => (i * 37 + 11).toByte)
+    val prog = Multimodal.encodeJpegBlocksProgressive(bytes, blocksPerRow = 10)
+    // really progressive: SOF2 present, SOF0 absent
+    def hasMarker(a: Array[Byte], m: Int) =
+      a.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(prog, 0xc2) && !hasMarker(prog, 0xc0))
+    val base = Multimodal.encodeJpegBlocks(bytes, blocksPerRow = 10)
+    val Some((pw, ph, ppx)) = Multimodal.decodeJpeg(prog)
+    val Some((bw, bh, bpx)) = Multimodal.decodeJpeg(base)
+    assert(pw == bw && ph == bh)
+    assert(ppx.toSeq == bpx.toSeq, "progressive and baseline decodes differ")
+    // and the JDK reader agrees with both
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+    assert(img != null && img.getWidth == pw && img.getHeight == ph)
+    var maxDiff = 0
+    for (y <- 0 until ph; x <- 0 until pw)
+      maxDiff = math.max(maxDiff,
+        math.abs(img.getRaster.getSample(x, y, 0) - (ppx(y * pw + x) & 0xff)))
+    assert(maxDiff == 0, s"JDK disagrees by $maxDiff")
+  }
+
+  test("progressive JPEG: ImageIO-written grayscale photo (spectral selection + successive approximation)") {
+    import graft.operators.Multimodal
+    // textured gradient → the JDK's standard progressive script emits
+    // spectral-selection AC bands with successive approximation and
+    // refinement scans — the full Annex G surface
+    val w = 72; val h = 56
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 3 + y * 2 + ((x * y) % 23) * 5) % 256
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose(); ios.close()
+    val jpeg = baos.toByteArray
+    def hasMarker(a: Array[Byte], m: Int) =
+      a.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(jpeg, 0xc2), "JDK did not write progressive")
+    val decoded = Multimodal.decodeJpeg(jpeg)
+    assert(decoded.isDefined, "decoder rejected a JDK progressive JPEG")
+    val Some((dw, dh, px)) = decoded
+    assert(dw == w && dh == h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs(ref.getRaster.getSample(x, y, 0) - (px(y * w + x) & 0xff)))
+    assert(maxDiff <= 1, s"decoders disagree by $maxDiff")
+  }
+
+  test("progressive JPEG: ImageIO-written color photo decodes through the same finish") {
+    import graft.operators.Multimodal
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 4) << 16) | ((y * 5) << 8) | ((x + y) * 2))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose(); ios.close()
+    val jpeg = baos.toByteArray
+    val decoded = Multimodal.decodeJpeg(jpeg)
+    assert(decoded.isDefined, "decoder rejected a JDK progressive color JPEG")
+    val Some((dw, dh, px)) = decoded
+    assert(dw == w && dh == h && px.length == w * h * 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+      val rgb = ref.getRGB(x, y)
+      val want = ch match {
+        case 0 => (rgb >> 16) & 0xff
+        case 1 => (rgb >> 8) & 0xff
+        case 2 => rgb & 0xff
+      }
+      val d = math.abs((px((y * w + x) * 3 + ch) & 0xff) - want)
+      maxDiff = math.max(maxDiff, d); sumDiff += d
+    }
+    // same envelope as the baseline color photo test: replication vs
+    // triangular chroma upsampling differs along gradients
+    assert(maxDiff <= 8, s"decoders disagree by $maxDiff")
+    assert(sumDiff.toDouble / (w * h * 3) <= 1.0,
+      s"mean abs diff ${sumDiff.toDouble / (w * h * 3)}")
+  }
+
   test("WAV codec agrees with the JDK javax.sound reference on format and PCM content") {
     val wav = Multimodal.encodeWavStereo("hello world graft".getBytes("US-ASCII"))
     // our parser

@@ -122,6 +122,56 @@ class SketchSpec extends SparkSpec {
     assert(se == be)
   }
 
+  test("hllSetOps dual registers and key flags accumulate identically under Structured Streaming") {
+    // the set-algebra operator's two STATEFUL stages are each a single
+    // aggregate (bucket → max-per-cohort; key → membership flags), so
+    // the same calls are streaming-legal in complete mode with state
+    // bounded by m + |keys| rows; the estimate fold is a stateless
+    // finishing read. Stream both stages, finish off the sinks, and
+    // the full output row must equal the one-shot batch operator.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1 to 2000).map { i =>
+      (s"so-user-$i", i % 2 == 0 || i % 3 == 0, i % 3 == 0 || i % 5 == 0)
+    }
+    val ms = MemoryStream[(String, Boolean, Boolean)]
+    val tagged = graft.operators.Sketch.taggedCohorts(
+      ms.toDS().toDF("k0", "ia0", "ib0"),
+      col("k0"), col("ia0"), col("ib0"), p = 6)
+    val qRegs = graft.operators.Sketch.hllDualRegisters(tagged)
+      .writeStream.format("memory").queryName("so_regs")
+      .outputMode("complete").start()
+    val qFlags = graft.operators.Sketch.cohortKeyFlags(tagged)
+      .writeStream.format("memory").queryName("so_flags")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows.take(700)); qRegs.processAllAvailable(); qFlags.processAllAvailable()
+      ms.addData(rows.drop(700)); qRegs.processAllAvailable(); qFlags.processAllAvailable()
+    } finally { qRegs.stop(); qFlags.stop() }
+
+    val batchDf = rows.toDF("k0", "ia0", "ib0")
+    val batchTagged = graft.operators.Sketch.taggedCohorts(
+      batchDf, col("k0"), col("ia0"), col("ib0"), p = 6)
+    // stage parity: streamed register/flag tables == batch ones
+    val sRegs = spark.table("so_regs").orderBy("b").collect().map(_.toSeq).toSeq
+    val bRegs = graft.operators.Sketch.hllDualRegisters(batchTagged)
+      .orderBy("b").collect().map(_.toSeq).toSeq
+    assert(sRegs == bRegs && sRegs.nonEmpty)
+    val sFlags = spark.table("so_flags").orderBy("k").collect().map(_.toSeq).toSeq
+    val bFlags = graft.operators.Sketch.cohortKeyFlags(batchTagged)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(sFlags == bFlags)
+    // end-to-end parity: estimates finished off the STREAMED state ==
+    // the one-shot batch operator, bit for bit
+    val exact = spark.table("so_flags")
+      .agg(count(when(col("a") && col("bb"), lit(1))).as("exact_intersect"))
+    val finished = graft.operators.Sketch.hllSetOpsFromRegisters(
+      spark.table("so_regs"), exact, p = 6).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Sketch.hllSetOps(
+      batchDf, col("k0"), col("ia0"), col("ib0"), p = 6).collect().map(_.toSeq).toSeq
+    assert(finished == batch)
+  }
+
   test("ngramStream keeps multiplicity and skips short docs") {
     val df = Seq("a b a b a", "x y").toDF("text")
     val grams = Sketch.ngramStream(df, "text", 3).as[String].collect().sorted

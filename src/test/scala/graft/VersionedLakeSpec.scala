@@ -499,6 +499,72 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, lake).count() == 50)
   }
 
+  test("change feed: per-version batches equal batch diffs across interleaved commits, merges, compaction") {
+    import graft.streaming.ChangeFeed
+    import spark.implicits._
+    val root = tmp("vlake_feed")
+    val lake = s"$root/lake"
+    val state = s"$root/feed_state"
+    def collectDiff(df: org.apache.spark.sql.DataFrame) =
+      df.select("_change", "id", "name", "part")
+        .as[(String, Long, String, String)].collect().toSet
+
+    // v1: initial snapshot
+    VersionedLake.create(
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "name", "part"), lake, "part")
+    val batches = scala.collection.mutable.ListBuffer.empty[(Int, Int, Set[(String, Long, String, String)])]
+    def drain() = ChangeFeed.processAvailable(spark, lake, state) { (df, f, t) =>
+      batches += ((f, t, collectDiff(df)))
+    }
+    assert(drain() == 1)
+    assert(batches.toList == List((0, 1, Set(
+      ("insert", 1L, "a", "p1"), ("insert", 2L, "b", "p2")))))
+
+    // interleave: a merge (update 1, delete 2) then an append, BEFORE
+    // the next poll — both versions arrive as separate ordered batches
+    VersionedLake.mergeUpsert(spark, lake,
+      Seq((1L, "a2", "p1", false), (2L, "b", "p2", true))
+        .toDF("id", "name", "part", "_deleted"),
+      Seq("id"), "part")
+    VersionedLake.append(Seq((3L, "c", "p1")).toDF("id", "name", "part"), lake, "part")
+    batches.clear()
+    assert(drain() == 2)
+    assert(batches.map(b => (b._1, b._2)).toList == List((1, 2), (2, 3)))
+    // each streamed batch equals the batch-mode diff for that transition
+    assert(batches(0)._3 == collectDiff(VersionedLake.diff(spark, lake, 1, 2)))
+    assert(batches(1)._3 == collectDiff(VersionedLake.diff(spark, lake, 2, 3)))
+    assert(batches(1)._3 == Set(("insert", 3L, "c", "p1")))
+
+    // a compaction version emits ZERO changes (rows identical, files moved)
+    assert(VersionedLake.compactPartitions(spark, lake, "part") == 4)
+    batches.clear()
+    assert(drain() == 1)
+    assert(batches.head._3.isEmpty && batches.head._2 == 4)
+
+    // drained feed: nothing new, nothing re-delivered
+    assert(drain() == 0)
+
+    // at-least-once: a handler crash leaves the watermark, so the SAME
+    // version re-delivers on the next poll
+    VersionedLake.append(Seq((9L, "z", "p2")).toDF("id", "name", "part"), lake, "part")
+    intercept[RuntimeException] {
+      ChangeFeed.processAvailable(spark, lake, state) { (_, _, _) =>
+        throw new RuntimeException("consumer crash")
+      }
+    }
+    assert(ChangeFeed.watermark(state) == 4)
+    batches.clear()
+    assert(drain() == 1)
+    assert(batches.head._3 == Set(("insert", 9L, "z", "p2")))
+
+    // a fresh consumer (new state dir) replays from the bootstrap
+    var replayed = 0
+    ChangeFeed.processAvailable(spark, lake, s"$root/feed_state2") { (_, _, _) =>
+      replayed += 1
+    }
+    assert(replayed == 5)
+  }
+
   test("merging every row away yields a readable empty version") {
     val root = tmp("vlake_empty")
     val df = Seq((1L, "a", "p1")).toDF("id", "name", "part")
