@@ -41,8 +41,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Layout under `lakeDir`:
   * {{{
   *   data/<partitionCol>=<v>/c<commit>-part-*.parquet   immutable
-  *   _versions/v<N>.manifest    optional "#batchid=<id>" header, then
-  *                              one "partitionValue\tpath[\tmin\tmax
+  *   _versions/v<N>.manifest    optional "#batchid=<id>" /
+  *                              "#statscol=<col>" / "#bloom=<col>:<k>:<m>"
+  *                              headers (the table's metadata spec,
+  *                              carried forward by every commit so
+  *                              appends/merges/compactions inherit it),
+  *                              then one "partitionValue\tpath[\tmin\tmax
   *                              [\tk:m:bloomwords]]" line per file
   *   _versions/CURRENT          advisory hint; the source of truth is
   *                              the set of committed manifests
@@ -161,7 +165,8 @@ object VersionedLake {
     require(currentVersion(lakeDir) == 0,
       s"$lakeDir already has commits; use mergeUpsert")
     val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol, statsCol, bloom)
-    if (!tryCommitManifest(lakeDir, version = 1, entries, batchId = None)) {
+    if (!tryCommitManifest(lakeDir, version = 1, entries, batchId = None,
+      statsCol = statsCol, bloom = bloom)) {
       entries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
       throw new java.util.ConcurrentModificationException(
         s"another writer created $lakeDir concurrently")
@@ -275,7 +280,9 @@ object VersionedLake {
       touched: Set[String],
       newEntries: Seq[Entry],
       insertOnly: Boolean,
-      batchId: Option[Long])
+      batchId: Option[Long],
+      statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None)
 
   /** Plan a merge against the CURRENT version and stage its data
     * files, without committing. Split from [[mergeUpsert]] so the
@@ -288,13 +295,18 @@ object VersionedLake {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val v = currentVersion(lakeDir)
     require(v >= 1, s"$lakeDir has no committed version to merge into")
+    // the table's recorded metadata spec applies unless overridden
+    val (inhStats, inhBloom) = tableMeta(lakeDir)
+    val effStats = statsCol.orElse(inhStats)
+    val effBloom = bloom.orElse(inhBloom)
     val entries = manifestEntries(lakeDir, v)
     // manifest partitions are escaped directory names — compare the
     // change-set's raw values in that namespace
     val touched = changes.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => escapedPartition(r.getString(0))).toSet
     if (touched.isEmpty)
-      return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false, None)
+      return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false,
+        None, effStats, effBloom)
 
     val existingTouched = {
       val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
@@ -310,8 +322,9 @@ object VersionedLake {
       case None => upserts
     }
     val newEntries = writeCommitFiles(merged, lakeDir, commitId = v + 1,
-      partitionCol, statsCol, bloom)
-    PendingCommit(v, entries, touched, newEntries, insertOnly = false, None)
+      partitionCol, effStats, effBloom)
+    PendingCommit(v, entries, touched, newEntries, insertOnly = false, None,
+      effStats, effBloom)
   }
 
   /** Commit a pending plan under optimistic concurrency: claim the
@@ -346,7 +359,8 @@ object VersionedLake {
       val manifest =
         if (p.insertOnly) curEntries ++ p.newEntries
         else curEntries.filterNot(e => p.touched.contains(e.partition)) ++ p.newEntries
-      if (tryCommitManifest(lakeDir, cur + 1, manifest, p.batchId)) return cur + 1
+      if (tryCommitManifest(lakeDir, cur + 1, manifest, p.batchId,
+        p.statsCol, p.bloom)) return cur + 1
       // lost the slot race: loop re-reads the new current and retries
     }
     throw new IllegalStateException(
@@ -413,6 +427,11 @@ object VersionedLake {
     require(minFiles >= 2, "minFiles must be >= 2 (1-file partitions are compact)")
     val v = currentVersion(lakeDir)
     require(v >= 1, s"$lakeDir has no committed version to compact")
+    // compaction must not degrade the table's recorded metadata: the
+    // manifest-carried spec applies unless explicitly overridden
+    val (inhStats, inhBloom) = tableMeta(lakeDir)
+    val effStats = statsCol.orElse(inhStats)
+    val effBloom = bloom.orElse(inhBloom)
     val entries = manifestEntries(lakeDir, v)
     val byPart = entries.groupBy(_.partition)
     val candidates = partitions match {
@@ -424,7 +443,8 @@ object VersionedLake {
     val touched = candidates.filter(p =>
       byPart.get(p).exists(_.size >= math.max(minFiles, filesPerPartition + 1)))
     if (touched.isEmpty)
-      return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false, None)
+      return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false,
+        None, effStats, effBloom)
     val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
     val df = spark.read.option("basePath", s"$lakeDir/data").parquet(files: _*)
     // one task per (partition [, salt]) writes one consolidated file —
@@ -436,8 +456,9 @@ object VersionedLake {
         col(partitionCol),
         pmod(hash(struct(df.columns.map(col): _*)), lit(filesPerPartition)))
     val newEntries = writeCommitFiles(repartitioned, lakeDir, commitId = v + 1,
-      partitionCol, statsCol, bloom)
-    PendingCommit(v, entries, touched, newEntries, insertOnly = false, None)
+      partitionCol, effStats, effBloom)
+    PendingCommit(v, entries, touched, newEntries, insertOnly = false, None,
+      effStats, effBloom)
   }
 
   /** Write `df`'s files into the shared `data/<partitionCol>=<v>/`
@@ -545,10 +566,14 @@ object VersionedLake {
       batchId: Option[Long] = None, statsCol: Option[String] = None,
       bloom: Option[BloomSpec] = None): Unit = {
     val v = currentVersion(lakeDir)
+    // the table's recorded metadata spec applies unless overridden
+    val (inhStats, inhBloom) = tableMeta(lakeDir)
+    val effStats = statsCol.orElse(inhStats)
+    val effBloom = bloom.orElse(inhBloom)
     val newEntries = writeCommitFiles(df, lakeDir, commitId = v + 1,
-      partitionCol, statsCol, bloom)
+      partitionCol, effStats, effBloom)
     commitPending(lakeDir, PendingCommit(v, Seq.empty, Set.empty, newEntries,
-      insertOnly = true, batchId))
+      insertOnly = true, batchId, effStats, effBloom))
     ()
   }
 
@@ -572,6 +597,27 @@ object VersionedLake {
   }
 
   private val BatchIdHeader = """#batchid=(-?\d+)""".r
+  private val StatsColHeader = """#statscol=(.+)""".r
+  private val BloomHeader = """#bloom=(.+):(\d+):(\d+)""".r
+
+  /** The table's recorded metadata spec — which column carries zone
+    * maps and which a per-file Bloom — read from the CURRENT manifest's
+    * headers. Recorded at [[create]] and carried forward by every
+    * commit, so appends, merges, compactions, and streaming batches
+    * inherit the spec instead of each caller re-stating it (the same
+    * role as a table format's table properties). */
+  def tableMeta(lakeDir: String): (Option[String], Option[BloomSpec]) = {
+    val v = currentVersion(lakeDir)
+    if (v == 0) return (None, None)
+    val f = Paths.get(s"${versionsDir(lakeDir)}/v$v.manifest")
+    val headers = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .split("\n").takeWhile(_.startsWith("#"))
+    val stats = headers.collectFirst { case StatsColHeader(c) => c }
+    val bloom = headers.collectFirst { case BloomHeader(c, k, m) =>
+      BloomSpec(c, k.toInt, m.toInt)
+    }
+    (stats, bloom)
+  }
 
   /** Structured-Streaming sink: every micro-batch commits as a new
     * VERSION of the lake, exactly-once end to end:
@@ -793,10 +839,14 @@ object VersionedLake {
     * ADVISORY hint (racy across writers by design — all readers
     * derive the version from the manifests). */
   private def tryCommitManifest(lakeDir: String, version: Int,
-      entries: Seq[Entry], batchId: Option[Long]): Boolean = {
+      entries: Seq[Entry], batchId: Option[Long],
+      statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None): Boolean = {
     val dir = new File(versionsDir(lakeDir))
     dir.mkdirs()
     val body = batchId.map(id => s"#batchid=$id\n").getOrElse("") +
+      statsCol.map(c => s"#statscol=$c\n").getOrElse("") +
+      bloom.map(b => s"#bloom=${b.column}:${b.k}:${b.m}\n").getOrElse("") +
       entries.map { e =>
         val mn = e.min.map(_.toString).getOrElse("")
         val mx = e.max.map(_.toString).getOrElse("")

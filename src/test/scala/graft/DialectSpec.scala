@@ -406,12 +406,13 @@ class DialectSpec extends SparkSpec {
       .head().getLong(0) == 21L)
 
     // lake_compact commits v3 and reports it; partitions collapse
-    val committed = spark.sql(s"SELECT * FROM lake_compact('$lake', 'part', 'v')")
+    val committed = spark.sql(s"SELECT * FROM lake_compact('$lake', 'part')")
       .head().getLong(0)
     assert(committed == 3L)
     val post = graft.sources.VersionedLake.manifestEntries(lake, 3)
     assert(post.groupBy(_.partition).forall(_._2.size == 1))
-    // stats were re-recorded through the SQL path too
+    // the table's recorded stats spec was INHERITED through the SQL
+    // path — no third argument needed
     assert(post.forall(e => e.min.isDefined && e.max.isDefined))
 
     // lake_vacuum expires history below the compaction point

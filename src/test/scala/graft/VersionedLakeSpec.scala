@@ -499,6 +499,47 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, lake).count() == 50)
   }
 
+  test("table metadata: stats/bloom specs recorded at create are inherited by every later commit") {
+    import spark.implicits._
+    val root = tmp("vlake_meta")
+    val lake = s"$root/lake"
+    VersionedLake.create(
+      (1 to 40).map(i => (i.toLong, i.toDouble, s"p${i % 2}")).toDF("id", "v", "part")
+        .repartition(3),
+      lake, "part",
+      statsCol = Some("v"), bloom = Some(VersionedLake.BloomSpec("id", m = 4096)))
+    assert(VersionedLake.tableMeta(lake) ==
+      ((Some("v"), Some(VersionedLake.BloomSpec("id", m = 4096)))))
+    def allCarryMeta(v: Int, newOnly: Boolean = false): Unit = {
+      val entries = VersionedLake.manifestEntries(lake, v)
+        .filter(e => !newOnly || e.path.contains(s"c$v-"))
+      assert(entries.nonEmpty)
+      assert(entries.forall(e => e.min.isDefined && e.max.isDefined), s"v$v lost zone maps")
+      assert(entries.forall(_.bloom.isDefined), s"v$v lost blooms")
+    }
+    // append WITHOUT re-stating the spec: new files still carry both
+    VersionedLake.append(
+      (41 to 60).map(i => (i.toLong, i.toDouble, s"p${i % 2}")).toDF("id", "v", "part"),
+      lake, "part")
+    allCarryMeta(2)
+    // merge WITHOUT re-stating: rewritten partition keeps both
+    VersionedLake.mergeUpsert(spark, lake,
+      Seq((2L, 2.5, "p0", false)).toDF("id", "v", "part", "_deleted"),
+      Seq("id"), "part")
+    allCarryMeta(3)
+    // compaction WITHOUT re-stating: consolidated files keep both and
+    // point/range reads still prune off the new manifest
+    VersionedLake.compactPartitions(spark, lake, "part")
+    val cur = VersionedLake.currentVersion(lake)
+    allCarryMeta(cur)
+    assert(VersionedLake.readPoint(spark, lake, "17")
+      .filter(col("id") === 17L).count() == 1)
+    assert(VersionedLake.readRange(spark, lake, 2.0, 3.0)
+      .filter(col("v").between(2.0, 3.0)).count() == 2) // v=2.5 and v=3.0
+    // the spec survives in the newest manifest's headers
+    assert(VersionedLake.tableMeta(lake)._1.contains("v"))
+  }
+
   test("change feed: per-version batches equal batch diffs across interleaved commits, merges, compaction") {
     import graft.streaming.ChangeFeed
     import spark.implicits._
