@@ -1509,6 +1509,147 @@ object Multimodal {
       }
   }
 
+  // --- real pure-JVM AVI/MJPEG video codec -------------------------------
+
+  /** Parsed MJPEG video: container timing plus each frame decoded
+    * through [[decodeJpeg]] (dims + pixel bytes). */
+  final case class AviVideo(width: Int, height: Int, microSecPerFrame: Long,
+      frames: Vector[(Int, Int, Array[Byte])])
+
+  val AviMicroSecPerFrame = 100000L // 10 fps fixture timing
+
+  /** Encode JPEG payloads as a minimal spec-shaped AVI container:
+    * RIFF('AVI ') → LIST(hdrl){ avih, LIST(strl){ strh 'vids'/'MJPG',
+    * strf BITMAPINFOHEADER } } → LIST(movi){ '00dc' frame... }. Each
+    * frame chunk holds one complete JPEG file (the MJPEG convention).
+    * Odd-sized frames pad per the RIFF rule. */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+      microSecPerFrame: Long = AviMicroSecPerFrame): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    def dw(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def w16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fcc(id) ++ dw(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(kind) ++ body)
+    val avih = dw(microSecPerFrame) ++ dw(0) ++ dw(0) ++ dw(0) ++
+      dw(frames.length.toLong) ++ dw(0) ++ dw(1) ++ dw(0) ++
+      dw(width.toLong) ++ dw(height.toLong) ++ dw(0) ++ dw(0) ++ dw(0) ++ dw(0)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ dw(0) ++ w16(0) ++ w16(0) ++
+      dw(0) ++ dw(1) ++ dw(1000000L / math.max(1L, microSecPerFrame)) ++
+      dw(0) ++ dw(frames.length.toLong) ++ dw(0) ++ dw(0) ++ dw(0) ++
+      w16(0) ++ w16(0) ++ w16(width) ++ w16(height)
+    val strf = dw(40) ++ dw(width.toLong) ++ dw(height.toLong) ++ w16(1) ++
+      w16(24) ++ fcc("MJPG") ++ dw(width.toLong * height * 3) ++
+      dw(0) ++ dw(0) ++ dw(0) ++ dw(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val riffBody = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ dw(riffBody.length.toLong) ++ riffBody
+  }
+
+  /** Parse a RIFF/AVI MJPEG container: recursive chunk walk (LIST
+    * nesting, odd-size pad rule), avih for timing/frame count, every
+    * '00dc'/'00db' movi chunk decoded through [[decodeJpeg]]. None
+    * when the payload is not such an AVI or any frame fails to
+    * decode. */
+  def decodeAvi(payload: Array[Byte]): Option[AviVideo] = {
+    if (payload.length < 12) return None
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    def dw(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    var avih: Option[Int] = None // offset of the avih body
+    val frameChunks = Vector.newBuilder[(Int, Int)] // (offset, size)
+    def walk(from: Int, to: Int): Boolean = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = tag(pos)
+        val size = dw(pos + 4).toInt
+        if (size < 0 || pos + 8 + size > to) return false
+        id match {
+          case "LIST" =>
+            if (size < 4) return false
+            if (!walk(pos + 12, pos + 8 + size)) return false
+          case "avih" => if (avih.isEmpty) avih = Some(pos + 8)
+          case "00dc" | "00db" => frameChunks += ((pos + 8, size))
+          case _ => ()
+        }
+        pos += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, payload.length)) return None
+    val a = avih.getOrElse(return None)
+    if (a + 40 > payload.length) return None
+    val usPerFrame = dw(a)
+    val width = dw(a + 32).toInt
+    val height = dw(a + 36).toInt
+    val decoded = frameChunks.result().map { case (off, size) =>
+      decodeJpeg(java.util.Arrays.copyOfRange(payload, off, off + size))
+        .getOrElse(return None)
+    }
+    Some(AviVideo(width, height, usPerFrame, decoded))
+  }
+
+  /** Wrap an id+text corpus as MJPEG AVI media rows: the text splits
+    * into 25-char frames, each a one-block-row constant-block JPEG
+    * ([[encodeJpegBlocks]]) — so every sampled frame's decoded pixels
+    * (and hash) are a pure arithmetic function of its text slice, the
+    * closed form the video gate's oracle replays. */
+  def asAviMedia(df: DataFrame, id: String, text: String): DataFrame = {
+    val enc = udf { (t: String) =>
+      val bytes = t.getBytes("UTF-8")
+      val n = math.max(1, (bytes.length + JpegBlocksPerRow - 1) / JpegBlocksPerRow)
+      val frames = (0 until n).map { f =>
+        encodeJpegBlocks(
+          bytes.slice(f * JpegBlocksPerRow,
+            math.min((f + 1) * JpegBlocksPerRow, bytes.length)),
+          JpegBlocksPerRow)
+      }
+      encodeAviMjpeg(frames, JpegBlocksPerRow * 8, 8)
+    }
+    df.select(
+      col(id).cast("long").as("media_id"),
+      enc(col(text)).as("payload"),
+      lit("video/x-msvideo").as("mime"))
+  }
+
+  /** Batch video decode with frame sampling fused in: one output row
+    * per kept frame (`frame_idx % stride == 0`) carrying the frame's
+    * decoded dims and content hash — the decode + frame-sample fan-out
+    * a frame-level training pipeline needs, in the same mapPartitions
+    * shape as [[decode]] (container parsed once, only sampled frames'
+    * hashes computed). */
+  def decodeVideoFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeAvi(payload).toSeq.flatMap { v =>
+            v.frames.zipWithIndex.collect {
+              case ((fw, fh, px), idx) if idx % stride == 0 =>
+                var h = 0L
+                var i = 0
+                while (i < px.length) { h = (h * 31 + (px(i) & 0xff)) % 1000000007L; i += 1 }
+                (id, idx, v.frames.length, v.microSecPerFrame, fw, fh, h)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_frames", "us_per_frame",
+        "width", "height", "frame_hash")
+  }
+
   /** The codec behind [[decode]]: sniff the magic bytes, real-parse
     * what we can (BMP, PNG, baseline JPEG) and extract PCM stats from
     * WAV/RIFF audio; stub the rest (video). For audio the Decoded
@@ -1540,7 +1681,21 @@ object Multimodal {
           }
           (wav.channels, wav.sampleRate / 100,
             wav.frames.min(Int.MaxValue).toInt, wav.dataHash, features)
-        case None => stubDecode(payload)
+        case None => decodeAvi(payload) match {
+          case Some(v) =>
+            // video arm: container dims, frame count, content hash
+            // over the concatenated decoded frame pixel streams
+            var h = 0L
+            v.frames.foreach { case (_, _, px) =>
+              var i = 0
+              while (i < px.length) { h = (h * 31 + (px(i) & 0xff)) % 1000000007L; i += 1 }
+            }
+            val features = Array.tabulate(FeatureDim) { k =>
+              ((h >> (k * 3)) & 0xff).toFloat / 255f
+            }
+            (v.width, v.height, v.frames.length, h, features)
+          case None => stubDecode(payload)
+        }
       }
     }
 

@@ -496,6 +496,63 @@ object TextQueries {
            |FROM jh ORDER BY media_id""".stripMargin
       }),
 
+    // The VIDEO arm of the multimodal family: every document lands as
+    // a real RIFF/AVI MJPEG container (LIST nesting, avih timing,
+    // '00dc' frame chunks), each frame a one-block-row constant-block
+    // JPEG of a 25-char text slice. decodeVideoFrames parses the
+    // container once and emits every SECOND frame (stride sampling
+    // fused into the decode) with its decoded dims and pixel-stream
+    // hash — container walk, per-frame Huffman+IDCT, and the sampling
+    // arithmetic all land in the hash. The oracle replays each sampled
+    // frame's hash in closed form from the text slice (same
+    // rolling-hash composition constants as the mixed gate).
+    QDef(
+      "x_multimodal_video",
+      (s, dir) => {
+        val media = graft.operators.Multimodal.asAviMedia(
+          Tables.documents(s, dir), "doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.operators.Multimodal.decodeVideoFrames(media, stride = 2)
+          .select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("us_per_frame"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("frame_hash"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some {
+        val bpr = graft.operators.Multimodal.JpegBlocksPerRow
+        val p = 1000000007L
+        val t31 = BigInt(31).modPow(8, p)
+        val s8 = (0 to 7).map(j => BigInt(31).pow(j)).sum
+        val p200 = BigInt(31).modPow(8 * bpr, p)
+        val r8 = (0 to 7).map(j => p200.modPow(j, p)).sum % p
+        s"""WITH g AS (
+           |  SELECT doc_id AS media_id, text, length(text) AS len,
+           |         greatest(CAST(ceil(length(text) / $bpr.0) AS BIGINT), 1) AS n_frames
+           |  FROM documents
+           |), fr AS (
+           |  SELECT media_id, n_frames, f,
+           |         list_reduce(
+           |           list_prepend(CAST(0 AS BIGINT),
+           |             list_transform(generate_series(1, $bpr),
+           |               c -> CAST(CASE WHEN f * $bpr + c <= len
+           |                              THEN ascii(substr(text, f * $bpr + c, 1))
+           |                              ELSE 0 END AS BIGINT))),
+           |           (a, b) -> (a * $t31 + b * $s8) % $p) AS hrow
+           |  FROM g, UNNEST(generate_series(0, n_frames - 1)) t(f)
+           |  WHERE f % 2 = 0
+           |)
+           |SELECT media_id, CAST(f AS BIGINT) AS frame_idx, n_frames,
+           |       CAST(${graft.operators.Multimodal.AviMicroSecPerFrame} AS BIGINT) AS us_per_frame,
+           |       CAST(${bpr * 8} AS BIGINT) AS width,
+           |       CAST(8 AS BIGINT) AS height,
+           |       (hrow * $r8) % $p AS frame_hash
+           |FROM fr ORDER BY media_id, frame_idx""".stripMargin
+      }),
+
     // The audio arm of the multimodal family: every document lands as
     // a REAL stereo PCM16 WAV (RIFF chunk walk with a junk LIST chunk,
     // sample i = (byte_i − 96)·256 — pure arithmetic a SQL oracle

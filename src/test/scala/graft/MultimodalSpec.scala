@@ -474,6 +474,74 @@ class MultimodalSpec extends SparkSpec {
       s"mean abs diff ${sumDiff.toDouble / (w * h * 3)}")
   }
 
+  test("AVI/MJPEG codec round-trips: container walk, frame decode, stride sampling") {
+    import graft.operators.Multimodal
+    val texts = Seq("first frame bytes go here", "second one", "third frame!")
+    val frames = texts.map(t => Multimodal.encodeJpegBlocks(t.getBytes("US-ASCII"), 25))
+    val avi = Multimodal.encodeAviMjpeg(frames, 200, 8)
+    val v = Multimodal.decodeAvi(avi).getOrElse(fail("decodeAvi rejected own fixture"))
+    assert(v.width == 200 && v.height == 8)
+    assert(v.microSecPerFrame == Multimodal.AviMicroSecPerFrame)
+    assert(v.frames.length == 3)
+    // each container frame decodes exactly as the standalone JPEG does
+    texts.zip(v.frames).foreach { case (t, (fw, fh, px)) =>
+      val Some((jw, jh, jpx)) = Multimodal.decodeJpeg(
+        Multimodal.encodeJpegBlocks(t.getBytes("US-ASCII"), 25))
+      assert(fw == jw && fh == jh && px.toSeq == jpx.toSeq)
+    }
+    // rejects: not RIFF/AVI, truncated mid-chunk, corrupt frame bytes
+    assert(Multimodal.decodeAvi("nope".getBytes).isEmpty)
+    assert(Multimodal.decodeAvi(avi.take(avi.length - 5)).isEmpty)
+    val corrupt = avi.clone()
+    val frameAt = avi.indexOfSlice(Array(0xff.toByte, 0xd8.toByte))
+    corrupt(frameAt) = 0 // first frame no longer a JPEG
+    assert(Multimodal.decodeAvi(corrupt).isEmpty)
+    // a WAV is not an AVI and vice versa
+    assert(Multimodal.decodeAvi(
+      Multimodal.encodeWavStereo("hello!".getBytes("US-ASCII"))).isEmpty)
+    assert(Multimodal.decodeWav(avi).isEmpty)
+  }
+
+  test("decodeVideoFrames samples every stride-th frame with per-frame hashes") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 80 chars → 4 frames of 25 (last padded); stride 2 keeps 0 and 2
+    val text = "x" * 80
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val media = Multimodal.asAviMedia(docs, "doc_id", "text")
+    val rows = Multimodal.decodeVideoFrames(media, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(rows.forall(_.getInt(2) == 4)) // n_frames sees the full count
+    assert(rows.forall(r => r.getInt(4) == 200 && r.getInt(5) == 8))
+    // frame hashes equal the standalone decode hash of the same slice
+    def sliceHash(from: Int, until: Int): Long = {
+      val Some((_, _, px)) = Multimodal.decodeJpeg(Multimodal.encodeJpegBlocks(
+        text.getBytes("US-ASCII").slice(from, until), 25))
+      px.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    }
+    assert(rows(0).getLong(6) == sliceHash(0, 25))
+    assert(rows(1).getLong(6) == sliceHash(50, 75))
+    // stride 1 keeps all four
+    assert(Multimodal.decodeVideoFrames(media, stride = 1).count() == 4)
+  }
+
+  test("sniffDecode routes AVI payloads to honest video metadata") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((1L, "a video fixture with enough text for two frames!!")).toDF("doc_id", "text")
+    val media = Multimodal.asAviMedia(docs, "doc_id", "text")
+    val d = Multimodal.decode(media).collect().head
+    assert(d.width == 200 && d.height == 8 && d.n_frames == 2)
+    // content hash folds the concatenated decoded frame pixels
+    val payload = media.select("payload").head().getAs[Array[Byte]](0)
+    val v = Multimodal.decodeAvi(payload).get
+    val h = v.frames.foldLeft(0L) { case (acc, (_, _, px)) =>
+      px.foldLeft(acc)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    }
+    assert(d.content_hash == h)
+  }
+
   test("WAV codec agrees with the JDK javax.sound reference on format and PCM content") {
     val wav = Multimodal.encodeWavStereo("hello world graft".getBytes("US-ASCII"))
     // our parser
