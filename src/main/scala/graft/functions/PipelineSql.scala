@@ -476,6 +476,23 @@ object PipelineSql {
         .toDF("deleted_path")
     }
 
+    // multimodal family: batch decode of (media_id, payload) tables
+    // from SQL text — same mapPartitions plans as the Scala API
+    reg("decode_media") { es =>
+      argc("decode_media", es, 1)
+      graft.operators.Multimodal.decode(table("decode_media", es(0))).toDF()
+    }
+    reg("decode_audio") { es =>
+      argc("decode_audio", es, 1)
+      graft.operators.Multimodal.decodeAudio(table("decode_audio", es(0))).toDF()
+    }
+    reg("decode_video_frames") { es =>
+      argc("decode_video_frames", es, 2)
+      graft.operators.Multimodal.decodeVideoFrames(
+        table("decode_video_frames", es(0)),
+        stride = int("decode_video_frames", es(1), "frame stride"))
+    }
+
     // semantic dedup: embedding near-dup pairs -> canonical clusters
     reg("semantic_dedup") { es =>
       argc("semantic_dedup", es, 7)

@@ -643,14 +643,27 @@ object VersionedLake {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       statsCol: Option[String] = None,
-      bloom: Option[BloomSpec] = None): StreamingQuery = {
+      bloom: Option[BloomSpec] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     require(stream.isStreaming, "streamingCommit expects a streaming DataFrame")
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         if (id > committedBatchId(lakeDir))
           append(batch.toDF(), lakeDir, partitionCol, Some(id), statsCol, bloom)
+        // in-loop maintenance: every compactEvery-th version, fold the
+        // accumulated micro-batch files back to one per partition —
+        // the bound on one-version-per-batch file growth, scheduled by
+        // the stream itself instead of an external job. A lost OCC
+        // race just defers to the next tick; compaction failure must
+        // never fail the data batch (the append above already
+        // committed, and the batch-id watermark makes the replay
+        // guard independent of maintenance).
+        if (compactEvery > 0 && currentVersion(lakeDir) % compactEvery == 0)
+          try { compactPartitions(batch.sparkSession, lakeDir, partitionCol); () }
+          catch { case _: java.util.ConcurrentModificationException => () }
         ()
       }
       .start()

@@ -432,4 +432,25 @@ class DialectSpec extends SparkSpec {
     assert(deleted.exists(_.endsWith("c9-orphan.parquet")))
     assert(!java.nio.file.Files.exists(orphan))
   }
+
+  test("multimodal table functions: decode_media / decode_audio / decode_video_frames from SQL") {
+    graft.functions.PipelineSql.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "a mixed media corpus doc"), (2L, "another document here!"),
+      (3L, "and a third one for luck")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    graft.operators.Multimodal.asMixedMedia(docs, "doc_id", "text")
+      .createOrReplaceTempView("mm_img")
+    assert(rows(spark.sql("SELECT media_id, width, height, content_hash FROM decode_media('mm_img')")) ==
+      rows(graft.operators.Multimodal.decode(spark.table("mm_img")).toDF()
+        .select("media_id", "width", "height", "content_hash")))
+    graft.operators.Multimodal.asWavMedia(docs, "doc_id", "text")
+      .createOrReplaceTempView("mm_wav")
+    assert(rows(spark.sql("SELECT * FROM decode_audio('mm_wav')")) ==
+      rows(graft.operators.Multimodal.decodeAudio(spark.table("mm_wav")).toDF()))
+    graft.operators.Multimodal.asAviMedia(docs, "doc_id", "text")
+      .createOrReplaceTempView("mm_avi")
+    assert(rows(spark.sql("SELECT * FROM decode_video_frames('mm_avi', 1)")) ==
+      rows(graft.operators.Multimodal.decodeVideoFrames(spark.table("mm_avi"), 1)))
+  }
 }

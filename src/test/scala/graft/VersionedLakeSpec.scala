@@ -606,6 +606,77 @@ class VersionedLakeSpec extends SparkSpec {
     assert(replayed == 5)
   }
 
+  test("streaming auto-compaction bounds file growth without disturbing the replay guard") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("vlake_autocompact")
+    val lake = s"$root/lake"
+    val ms = MemoryStream[(Long, String, String)]
+    def run(): Unit = {
+      val q = VersionedLake.streamingCommit(
+        ms.toDS().toDF("id", "name", "part").repartition(3),
+        lake, "part", s"$root/ckpt", compactEvery = 2)
+      q.awaitTermination()
+    }
+    // four micro-batches, each fragmenting both partitions
+    (0 until 4).foreach { b =>
+      ms.addData((1 to 12).map(i => (b * 100L + i, s"n$b-$i", s"p${i % 2}")))
+      run()
+    }
+    // every appended row present exactly once
+    val rows = VersionedLake.read(spark, lake).select("id").as[Long].collect()
+    assert(rows.length == 48 && rows.toSet.size == 48)
+    // compactions interleaved: more versions than batches, and the
+    // version AFTER each even one collapses to one file per partition
+    val cur = VersionedLake.currentVersion(lake)
+    assert(cur > 4, s"no compaction commits landed (v$cur)")
+    val lastCompacted = (1 to cur)
+      .filter(v => VersionedLake.manifestEntries(lake, v)
+        .groupBy(_.partition).forall(_._2.size == 1)).lastOption
+    assert(lastCompacted.isDefined, "no fully-compacted version found")
+    // the replay watermark still reflects only DATA batches — a
+    // restart with no new data commits nothing
+    assert(VersionedLake.committedBatchId(lake) == 3L)
+    val before = VersionedLake.currentVersion(lake)
+    run()
+    assert(VersionedLake.currentVersion(lake) == before)
+    // compaction never lost history: batch 0's version still reads
+    assert(VersionedLake.read(spark, lake, Some(1)).count() == 12)
+  }
+
+  test("change feed drives an incremental aggregate that equals the batch recompute") {
+    import graft.streaming.ChangeFeed
+    import spark.implicits._
+    val root = tmp("vlake_incr_agg")
+    val lake = s"$root/lake"
+    val state = s"$root/state"
+    // maintain SUM(score) per part incrementally off the CDC stream:
+    // insert adds, delete subtracts — the classic changelog fold
+    val acc = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    def fold(): Unit = ChangeFeed.processAvailable(spark, lake, state) { (df, _, _) =>
+      df.select("_change", "part", "score").as[(String, String, Double)]
+        .collect().foreach { case (ch, p, s) =>
+          acc(p) = acc(p) + (if (ch == "insert") s else -s)
+        }
+    }
+    VersionedLake.create(Seq((1L, "p1", 10.0), (2L, "p2", 20.0), (3L, "p1", 5.0))
+      .toDF("id", "part", "score"), lake, "part")
+    fold()
+    VersionedLake.mergeUpsert(spark, lake,
+      Seq((1L, "p1", 12.5, false), (2L, "p2", 20.0, true), (4L, "p2", 7.0, false))
+        .toDF("id", "part", "score", "_deleted"), Seq("id"), "part")
+    VersionedLake.append(Seq((5L, "p3", 3.0)).toDF("id", "part", "score"), lake, "part")
+    VersionedLake.compactPartitions(spark, lake, "part")
+    fold()
+    // the incrementally-maintained sums equal a fresh batch aggregate
+    val batch = VersionedLake.read(spark, lake)
+      .groupBy("part").agg(org.apache.spark.sql.functions.sum("score").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(acc.filter(_._2 != 0.0).toMap == batch)
+    assert(batch == Map("p1" -> 17.5, "p2" -> 7.0, "p3" -> 3.0))
+  }
+
   test("merging every row away yields a readable empty version") {
     val root = tmp("vlake_empty")
     val df = Seq((1L, "a", "p1")).toDF("id", "name", "part")
