@@ -166,7 +166,8 @@ object VersionedLake {
       s"$lakeDir already has commits; use mergeUpsert")
     val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol, statsCol, bloom)
     if (!tryCommitManifest(lakeDir, version = 1, entries, batchId = None,
-      statsCol = statsCol, bloom = bloom)) {
+      statsCol = statsCol, bloom = bloom,
+      schemaJson = Some(df.schema.json))) {
       entries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
       throw new java.util.ConcurrentModificationException(
         s"another writer created $lakeDir concurrently")
@@ -226,22 +227,29 @@ object VersionedLake {
 
   private def readFiles(spark: SparkSession, lakeDir: String, v: Int,
       files: Seq[String]): DataFrame = {
-    // every commit dir shares the partition-dir naming, so basePath on
-    // data/ recovers the partition column from any mix of commits;
-    // empty file list (all rows deleted / everything skipped) still
-    // needs a schema — surface an empty frame from the newest
-    // non-empty ancestor's schema
+    // the version's recorded schema (when present) is authoritative:
+    // no footer inference at planning time, and files written before a
+    // column existed surface nulls for it — merge-on-read evolution
+    // from the commit log. Pre-schema-tracking manifests fall back to
+    // footer inference.
+    val recorded = recordedSchema(lakeDir, v)
     if (files.isEmpty) {
-      val any = (v to 1 by -1).iterator
-        .filter(i => Files.exists(Paths.get(s"${versionsDir(lakeDir)}/v$i.manifest")))
-        .map(manifest(lakeDir, _))
-        .find(_.nonEmpty).getOrElse(
-          throw new IllegalStateException(s"lake $lakeDir has no files in any version"))
-      val schema = spark.read.option("basePath", s"$lakeDir/data")
-        .parquet(any.map(_._2): _*).schema
+      // empty file list (all rows deleted / everything skipped) still
+      // needs a schema — the recorded one, else the newest non-empty
+      // ancestor's footer schema
+      val schema = recorded.getOrElse {
+        val any = (v to 1 by -1).iterator
+          .filter(i => Files.exists(Paths.get(s"${versionsDir(lakeDir)}/v$i.manifest")))
+          .map(manifest(lakeDir, _))
+          .find(_.nonEmpty).getOrElse(
+            throw new IllegalStateException(s"lake $lakeDir has no files in any version"))
+        spark.read.option("basePath", s"$lakeDir/data")
+          .parquet(any.map(_._2): _*).schema
+      }
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      spark.read.option("basePath", s"$lakeDir/data").parquet(files: _*)
+      val base = spark.read.option("basePath", s"$lakeDir/data")
+      recorded.fold(base)(base.schema).parquet(files: _*)
     }
   }
 
@@ -270,6 +278,36 @@ object VersionedLake {
     if (pending.touched.nonEmpty) { commitPending(lakeDir, pending); () }
   }
 
+  /** Field-by-name schema union for evolution: existing fields keep
+    * their recorded type (a type CHANGE is refused loudly — this lake
+    * does add-column evolution, not type migration); new fields
+    * append. */
+  private def mergeSchemas(base: Option[org.apache.spark.sql.types.StructType],
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    base match {
+      case None => next
+      case Some(b) =>
+        val have = b.fieldNames.toSet
+        next.fields.filter(f => have.contains(f.name)).foreach { f =>
+          val old = b(f.name)
+          require(old.dataType == f.dataType,
+            s"schema evolution cannot change '${f.name}' from " +
+              s"${old.dataType.simpleString} to ${f.dataType.simpleString}")
+        }
+        org.apache.spark.sql.types.StructType(
+          b.fields ++ next.fields.filterNot(f => have.contains(f.name)))
+    }
+
+  /** Read a set of committed data files under the version's recorded
+    * schema when one exists (no footer inference; files predating a
+    * column surface nulls for it). */
+  private def readDataFiles(spark: SparkSession, lakeDir: String,
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val base = spark.read.option("basePath", s"$lakeDir/data")
+    schema.fold(base)(base.schema).parquet(files: _*)
+  }
+
   /** A planned-but-uncommitted commit: everything [[commitPending]]
     * needs to claim a version slot, rebase, or abort. `baseEntries` is
     * the manifest snapshot the plan was computed against — conflict
@@ -282,7 +320,8 @@ object VersionedLake {
       insertOnly: Boolean,
       batchId: Option[Long],
       statsCol: Option[String] = None,
-      bloom: Option[BloomSpec] = None)
+      bloom: Option[BloomSpec] = None,
+      schemaJson: Option[String] = None)
 
   /** Plan a merge against the CURRENT version and stage its data
     * files, without committing. Split from [[mergeUpsert]] so the
@@ -308,10 +347,11 @@ object VersionedLake {
       return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false,
         None, effStats, effBloom)
 
+    val recorded = recordedSchema(lakeDir, v)
     val existingTouched = {
       val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
       if (files.isEmpty) None
-      else Some(spark.read.option("basePath", s"$lakeDir/data").parquet(files: _*))
+      else Some(readDataFiles(spark, lakeDir, files, recorded))
     }
     val changeKeys = changes.select(keyCols.map(col): _*).distinct()
     val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
@@ -324,7 +364,7 @@ object VersionedLake {
     val newEntries = writeCommitFiles(merged, lakeDir, commitId = v + 1,
       partitionCol, effStats, effBloom)
     PendingCommit(v, entries, touched, newEntries, insertOnly = false, None,
-      effStats, effBloom)
+      effStats, effBloom, Some(mergeSchemas(recorded, merged.schema).json))
   }
 
   /** Commit a pending plan under optimistic concurrency: claim the
@@ -360,7 +400,7 @@ object VersionedLake {
         if (p.insertOnly) curEntries ++ p.newEntries
         else curEntries.filterNot(e => p.touched.contains(e.partition)) ++ p.newEntries
       if (tryCommitManifest(lakeDir, cur + 1, manifest, p.batchId,
-        p.statsCol, p.bloom)) return cur + 1
+        p.statsCol, p.bloom, p.schemaJson)) return cur + 1
       // lost the slot race: loop re-reads the new current and retries
     }
     throw new IllegalStateException(
@@ -446,7 +486,11 @@ object VersionedLake {
       return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false,
         None, effStats, effBloom)
     val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
-    val df = spark.read.option("basePath", s"$lakeDir/data").parquet(files: _*)
+    val recorded = recordedSchema(lakeDir, v)
+    // the rewrite must read (and re-write) under the version's
+    // recorded schema, or an evolved column absent from some touched
+    // file would be dropped from the consolidated files
+    val df = readDataFiles(spark, lakeDir, files, recorded)
     // one task per (partition [, salt]) writes one consolidated file —
     // the same shuffle shape as LakeOps.compact, scoped to the touched
     // partitions only
@@ -458,7 +502,7 @@ object VersionedLake {
     val newEntries = writeCommitFiles(repartitioned, lakeDir, commitId = v + 1,
       partitionCol, effStats, effBloom)
     PendingCommit(v, entries, touched, newEntries, insertOnly = false, None,
-      effStats, effBloom)
+      effStats, effBloom, recorded.map(_.json))
   }
 
   /** Write `df`'s files into the shared `data/<partitionCol>=<v>/`
@@ -572,8 +616,10 @@ object VersionedLake {
     val effBloom = bloom.orElse(inhBloom)
     val newEntries = writeCommitFiles(df, lakeDir, commitId = v + 1,
       partitionCol, effStats, effBloom)
+    val evolved = mergeSchemas(
+      if (v >= 1) recordedSchema(lakeDir, v) else None, df.schema)
     commitPending(lakeDir, PendingCommit(v, Seq.empty, Set.empty, newEntries,
-      insertOnly = true, batchId, effStats, effBloom))
+      insertOnly = true, batchId, effStats, effBloom, Some(evolved.json)))
     ()
   }
 
@@ -599,6 +645,49 @@ object VersionedLake {
   private val BatchIdHeader = """#batchid=(-?\d+)""".r
   private val StatsColHeader = """#statscol=(.+)""".r
   private val BloomHeader = """#bloom=(.+):(\d+):(\d+)""".r
+  private val SchemaHeader = """#schema=(.+)""".r
+  private val CommitTsHeader = """#committs=(\d+)""".r
+
+  private def manifestHeaders(lakeDir: String, version: Int): Array[String] = {
+    val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
+    if (!Files.exists(f)) Array.empty
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .split("\n").takeWhile(_.startsWith("#"))
+  }
+
+  /** The schema recorded by a version's commit (None for manifests
+    * predating schema tracking — those reads fall back to footer
+    * inference). With a recorded schema, reads never open parquet
+    * footers for planning: the manifest IS the schema authority, and
+    * evolution is the merged-schema header (old files surface nulls
+    * for later-added columns — merge-on-read from the commit log, the
+    * Delta/Iceberg design). */
+  def recordedSchema(lakeDir: String, version: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestHeaders(lakeDir, version).collectFirst { case SchemaHeader(json) =>
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** Wall-clock commit instant (epoch millis) recorded in a version's
+    * manifest; None for manifests predating the header. */
+  def commitTimestamp(lakeDir: String, version: Int): Option[Long] =
+    manifestHeaders(lakeDir, version).collectFirst { case CommitTsHeader(ts) => ts.toLong }
+
+  /** Timestamp time travel: the newest version committed at or before
+    * `tsMillis` — Delta's TIMESTAMP AS OF over the manifest headers.
+    * Versions without a recorded commit time are skipped. */
+  def versionAt(lakeDir: String, tsMillis: Long): Int = {
+    val cur = currentVersion(lakeDir)
+    val vs = (1 to cur).filter(v => commitTimestamp(lakeDir, v).exists(_ <= tsMillis))
+    require(vs.nonEmpty,
+      s"no version of $lakeDir was committed at or before $tsMillis")
+    vs.max
+  }
+
+  /** Read the lake as of a wall-clock instant. */
+  def readAsOf(spark: SparkSession, lakeDir: String, tsMillis: Long,
+      partitions: Option[Seq[String]] = None): DataFrame =
+    read(spark, lakeDir, Some(versionAt(lakeDir, tsMillis)), partitions)
 
   /** The table's recorded metadata spec — which column carries zone
     * maps and which a per-file Bloom — read from the CURRENT manifest's
@@ -854,12 +943,15 @@ object VersionedLake {
   private def tryCommitManifest(lakeDir: String, version: Int,
       entries: Seq[Entry], batchId: Option[Long],
       statsCol: Option[String] = None,
-      bloom: Option[BloomSpec] = None): Boolean = {
+      bloom: Option[BloomSpec] = None,
+      schemaJson: Option[String] = None): Boolean = {
     val dir = new File(versionsDir(lakeDir))
     dir.mkdirs()
     val body = batchId.map(id => s"#batchid=$id\n").getOrElse("") +
       statsCol.map(c => s"#statscol=$c\n").getOrElse("") +
       bloom.map(b => s"#bloom=${b.column}:${b.k}:${b.m}\n").getOrElse("") +
+      schemaJson.map(j => s"#schema=$j\n").getOrElse("") +
+      s"#committs=${System.currentTimeMillis()}\n" +
       entries.map { e =>
         val mn = e.min.map(_.toString).getOrElse("")
         val mx = e.max.map(_.toString).getOrElse("")

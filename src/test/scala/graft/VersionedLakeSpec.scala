@@ -606,6 +606,63 @@ class VersionedLakeSpec extends SparkSpec {
     assert(replayed == 5)
   }
 
+  test("schema tracked in the commit log: add-column evolution, no footer inference, typed refusal") {
+    import spark.implicits._
+    val root = tmp("vlake_schema")
+    val lake = s"$root/lake"
+    VersionedLake.create(
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "name", "part"), lake, "part")
+    assert(VersionedLake.recordedSchema(lake, 1).map(_.fieldNames.toSet)
+      .contains(Set("id", "name", "part")))
+    // append a batch CARRYING a new column: the recorded schema evolves
+    VersionedLake.append(
+      Seq((3L, "c", "p1", 9.5)).toDF("id", "name", "part", "score"), lake, "part")
+    assert(VersionedLake.recordedSchema(lake, 2).map(_.fieldNames.toSet)
+      .contains(Set("id", "name", "part", "score")))
+    // current read: merged schema, pre-evolution rows surface nulls
+    val cur = VersionedLake.read(spark, lake)
+      .select("id", "score").as[(Long, Option[Double])].collect().toMap
+    assert(cur == Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+    // time travel reads v1 under ITS schema — no score column at all
+    assert(!VersionedLake.read(spark, lake, Some(1)).columns.contains("score"))
+    // compaction rewrites under the evolved schema (the column
+    // survives consolidation even for files that predate it)
+    VersionedLake.append(Seq((4L, "d", "p1")).toDF("id", "name", "part"), lake, "part")
+    VersionedLake.compactPartitions(spark, lake, "part")
+    val post = VersionedLake.read(spark, lake)
+      .select("id", "score").as[(Long, Option[Double])].collect().toMap
+    assert(post == Map(1L -> None, 2L -> None, 3L -> Some(9.5), 4L -> None))
+    assert(VersionedLake.recordedSchema(lake, VersionedLake.currentVersion(lake))
+      .exists(_.fieldNames.contains("score")))
+    // a TYPE change is refused loudly, not silently migrated
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.append(
+        Seq((5L, "e", "p1", "not-a-double")).toDF("id", "name", "part", "score"),
+        lake, "part")
+    }
+    assert(ex.getMessage.contains("schema evolution"), ex.getMessage)
+  }
+
+  test("timestamp time travel: versionAt/readAsOf resolve the commit-time headers") {
+    import spark.implicits._
+    val root = tmp("vlake_asof")
+    val lake = s"$root/lake"
+    VersionedLake.create(Seq((1L, "a", "p1")).toDF("id", "name", "part"), lake, "part")
+    Thread.sleep(15)
+    VersionedLake.append(Seq((2L, "b", "p1")).toDF("id", "name", "part"), lake, "part")
+    val t1 = VersionedLake.commitTimestamp(lake, 1).get
+    val t2 = VersionedLake.commitTimestamp(lake, 2).get
+    assert(t1 < t2)
+    assert(VersionedLake.versionAt(lake, t1) == 1)
+    assert(VersionedLake.versionAt(lake, t2 - 1) == 1)
+    assert(VersionedLake.versionAt(lake, t2) == 2)
+    assert(VersionedLake.readAsOf(spark, lake, t1).count() == 1)
+    assert(VersionedLake.readAsOf(spark, lake, System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException] {
+      VersionedLake.versionAt(lake, t1 - 1000)
+    }
+  }
+
   test("streaming auto-compaction bounds file growth without disturbing the replay guard") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
