@@ -476,6 +476,24 @@ object PipelineSql {
         .toDF("deleted_path")
     }
 
+    // lexical retrieval family
+    reg("inverted_index") { es =>
+      argc("inverted_index", es, 3)
+      graft.operators.TextSearch.invertedIndex(
+        table("inverted_index", es(0)),
+        id = str("inverted_index", es(1), "id column"),
+        text = str("inverted_index", es(2), "text column"))
+    }
+    reg("bm25_topk") { es =>
+      argc("bm25_topk", es, 5)
+      graft.operators.TextSearch.bm25TopK(
+        table("bm25_topk", es(0)),
+        id = str("bm25_topk", es(1), "id column"),
+        text = str("bm25_topk", es(2), "text column"),
+        query = str("bm25_topk", es(3), "query terms").split(" ").toSeq,
+        k = int("bm25_topk", es(4), "k"))
+    }
+
     // multimodal family: batch decode of (media_id, payload) tables
     // from SQL text — same mapPartitions plans as the Scala API
     reg("decode_media") { es =>

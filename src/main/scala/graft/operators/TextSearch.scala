@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document corpus: inverted-index postings
+  * and BM25 top-k ranking — the search half a curation pipeline needs
+  * next to embedding similarity (query-set retrieval for
+  * decontamination review, nearest-lexical-neighbor audits, corpus
+  * exploration).
+  *
+  * Scale shape (per query):
+  *  - the corpus-sized pass is ONE projection + explode filtered to
+  *    the query's terms — the `isin` predicate prunes the token
+  *    stream before any shuffle, so the postings that survive are
+  *    bounded by documents-containing-query-terms, not the corpus;
+  *  - document-frequency and corpus statistics are query-term-sized
+  *    and 1-row aggregates, joined back by broadcast (the scalar-join
+  *    idiom);
+  *  - the final ranking is `ORDER BY ... LIMIT k` — Catalyst's
+  *    TakeOrderedAndProject, never a global sort.
+  *
+  * Engine-parity discipline: BM25's idf is a logarithm, which is NOT
+  * bit-portable across engines (libm vs fdlibm last-ulp differences).
+  * The gate therefore hashes RANKS and integer evidence columns
+  * (matched terms, summed tf, doc length) — mathematically distinct
+  * scores differ by far more than one ulp, and mathematically EQUAL
+  * scores tie-break deterministically on doc_id in both engines — and
+  * the float score itself stays out of the hashed output.
+  * TextSearchSpec pins the scoring behavior (tf monotonicity, length
+  * normalization, idf ordering) in-JVM.
+  */
+object TextSearch {
+
+  /** Inverted-index postings: one row per (term, doc_id) with the term
+    * frequency — the classic build, a single hash aggregate. */
+  def invertedIndex(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
+      explode(split(col(text), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k documents for a bag-of-words query. Output: rank
+    * (1-based, dense by construction), doc_id, matched_terms,
+    * total_tf, dl — ties in score break on doc_id ascending.
+    * `k1`/`b` are the standard Robertson parameters; idf is the
+    * always-positive BM25+ form ln(1 + (N - df + 0.5)/(df + 0.5)). */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25TopK needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = query.distinct
+    val toks = docs.select(col(id).as("doc_id"), split(col(text), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+    // postings restricted to the query's terms BEFORE any shuffle
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // query-term-sized document frequencies; 1-row corpus stats
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.select(size(split(col(text), " ")).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("w")).as("score"),
+        count(lit(1)).as("matched_terms"),
+        sum(col("tf")).as("total_tf"))
+    // TakeOrderedAndProject does the top-k; the rank window then runs
+    // over k rows only (single tiny partition — not a scale concern)
+    val top = scored.orderBy(desc("score"), col("doc_id")).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("matched_terms"), col("total_tf"), col("dl").cast("long").as("dl"))
+  }
+
+  /** DuckDB replay of [[bm25TopK]]: identical formula and tie-break;
+    * only ranks and integer evidence are emitted, so last-ulp log
+    * differences cannot reach the hash. */
+  def bm25OracleSql(src: String, idSql: String, textSql: String,
+      query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = query.distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT $idSql AS doc_id,
+       |         len(string_split($textSql, ' ')) AS dl,
+       |         unnest(string_split($textSql, ' ')) AS term
+       |  FROM $src
+       |), tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM toks WHERE term IN ($termList)
+       |  GROUP BY doc_id, dl, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         avg(len(string_split($textSql, ' '))) AS avgdl
+       |  FROM $src
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.dl,
+       |         sum(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |             tf.tf * ${k1 + 1.0} /
+       |             (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / stats.avgdl))) AS score,
+       |         count(*) AS matched_terms,
+       |         CAST(sum(tf.tf) AS BIGINT) AS total_tf
+       |  FROM tf JOIN dfs USING (term) CROSS JOIN stats
+       |  GROUP BY tf.doc_id, tf.dl
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, matched_terms, total_tf, CAST(dl AS BIGINT) AS dl
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

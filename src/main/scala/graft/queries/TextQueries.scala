@@ -496,6 +496,40 @@ object TextQueries {
            |FROM jh ORDER BY media_id""".stripMargin
       }),
 
+    // Lexical retrieval 1: the inverted-index build itself, postings
+    // for a fixed probe vocabulary hash-checked (term frequencies,
+    // per-doc) — one corpus hash aggregate.
+    QDef(
+      "x_inverted_postings",
+      (s, dir) => graft.operators.TextSearch.invertedIndex(
+        Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("term").isin("spark", "hash", "join"))
+        .orderBy(col("term"), desc("tf"), col("doc_id"))
+        .limit(100),
+      Some(
+        """SELECT term, doc_id, count(*) AS tf FROM (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+          |) WHERE term IN ('spark', 'hash', 'join')
+          |GROUP BY term, doc_id
+          |ORDER BY term, tf DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // Lexical retrieval 2: BM25 top-k for a bag-of-words query — the
+    // search capability next to embedding similarity. The gate hashes
+    // RANKS plus integer evidence (matched terms, summed tf, doc
+    // length), never the float score: BM25's idf is a log, which is
+    // not bit-portable across engines, but mathematically distinct
+    // scores differ by far more than a ulp and equal ones tie-break on
+    // doc_id — so the RANKING is engine-exact (TextSearchSpec pins the
+    // scoring behavior in-JVM).
+    QDef(
+      "x_bm25_topk",
+      (s, dir) => graft.operators.TextSearch.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        query = Seq("spark", "hash", "join", "stream"), k = 50),
+      Some(graft.operators.TextSearch.bm25OracleSql(
+        "documents", "doc_id", "text",
+        query = Seq("spark", "hash", "join", "stream"), k = 50))),
+
     // The VIDEO arm of the multimodal family: every document lands as
     // a real RIFF/AVI MJPEG container (LIST nesting, avih timing,
     // '00dc' frame chunks), each frame a one-block-row constant-block

@@ -315,6 +315,12 @@ class DialectSpec extends SparkSpec {
         events, "user_id", "ts", "value", 259200000000L)))
     assert(rows(spark.sql("SELECT * FROM bpe_pairs('pq_docs', 'text')")) ==
       rows(graft.operators.Vocab.bpePairCounts(docs, "text")))
+    assert(rows(spark.sql("SELECT * FROM bm25_topk('pq_docs', 'doc_id', 'text', 'spark hash join', 20)")) ==
+      rows(graft.operators.TextSearch.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "hash", "join"), 20)))
+    assert(rows(spark.sql("SELECT * FROM inverted_index('pq_docs', 'doc_id', 'text') WHERE term = 'spark'")) ==
+      rows(graft.operators.TextSearch.invertedIndex(docs, "doc_id", "text")
+        .filter(col("term") === "spark")))
     assert(rows(spark.sql("SELECT * FROM ngram_count_of_counts('pq_docs', 'text', 3)")) ==
       rows(graft.operators.Vocab.ngramCountOfCounts(docs, "text", 3)))
     assert(rows(spark.sql(
