@@ -476,6 +476,14 @@ object PipelineSql {
         .toDF("deleted_path")
     }
 
+    reg("lm_surprise") { es =>
+      argc("lm_surprise", es, 3)
+      graft.operators.Vocab.lmSurprise(
+        table("lm_surprise", es(0)),
+        id = str("lm_surprise", es(1), "id column"),
+        text = str("lm_surprise", es(2), "text column"))
+    }
+
     // lexical retrieval family
     reg("inverted_index") { es =>
       argc("inverted_index", es, 3)

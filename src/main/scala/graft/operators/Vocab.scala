@@ -331,6 +331,88 @@ object Vocab {
     bpeCtes(src, text, k) + s"\n$union\nORDER BY step"
   }
 
+  /** Statistical LM quality scoring, integer-exact: per document, the
+    * mean and sum of bigram SURPRISE = ⌊c(w1·)·scale / c(w1,w2)⌋ — the
+    * reciprocal of the conditional bigram probability P(w2|w1),
+    * integer-scaled. High surprise = improbable word transitions under
+    * the corpus's own bigram statistics (gibberish, boilerplate
+    * splices, wrong-language fragments) — the role a KenLM perplexity
+    * filter plays in CCNet-style pipelines.
+    *
+    * Why not perplexity itself: perplexity is a log-domain mean, and
+    * log is not bit-portable across engines — a hash gate would flake
+    * on last-ulp differences. Surprise is a monotone transform of the
+    * same per-bigram quantity computed ENTIRELY in integer arithmetic
+    * (counts, one scaled division, floor), so Spark and DuckDB agree
+    * bit-for-bit and the quality ORDERING is preserved.
+    *
+    * Scale shape: two vocabulary-sized count aggregates (bigram and
+    * bigram-left tables), then one join of the corpus bigram stream
+    * against them — the join keys are vocabulary entries, so AQE
+    * broadcast/skew handling applies; per-doc aggregation is one hash
+    * aggregate. Scoring the corpus against its own counts means no
+    * zero-count branch (every scored bigram was counted).
+    */
+  def lmSurprise(df: DataFrame, id: String, text: String,
+      scale: Long = 1000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val grams = df.select(col(id).as("doc_id"), split(col(text), " ").as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(0), size(col("w")) - 2),
+            i => struct(element_at(col("w"), i + 1).as("w1"),
+              element_at(col("w"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val bi = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val left = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val scored = grams
+      .join(bi, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .select(col("doc_id"),
+        // `div`, not `/`: Spark's `/` on longs divides in DOUBLE and a
+        // floor of that can disagree with true integer division right
+        // at integer boundaries; `div` is exact like DuckDB's `//`
+        expr(s"(c1 * ${scale}L) div c2").cast("long").as("surprise"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surprise")).as("surprise_sum"))
+    df.select(col(id).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprise_sum"), lit(0L)).as("surprise_sum"),
+        when(col("n_bigrams").isNotNull,
+          expr("surprise_sum div n_bigrams").cast("long"))
+          .otherwise(lit(0L)).as("surprise_avg"))
+  }
+
+  /** DuckDB replay of [[lmSurprise]] — identical integer arithmetic. */
+  def lmSurpriseOracleSql(src: String, idSql: String, textSql: String,
+      scale: Long = 1000L): String =
+    s"""WITH grams AS (
+       |  SELECT $idSql AS doc_id, w[i] AS w1, w[i + 1] AS w2
+       |  FROM (SELECT $idSql, string_split($textSql, ' ') AS w FROM $src),
+       |       UNNEST(generate_series(1, len(w) - 1)) t(i)
+       |), bi AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY w1, w2
+       |), lft AS (
+       |  SELECT w1, sum(c2) AS c1 FROM bi GROUP BY w1
+       |), scored AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(c1 * $scale // c2) AS BIGINT) AS surprise_sum
+       |  FROM grams JOIN bi USING (w1, w2) JOIN lft USING (w1)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       CAST(coalesce(s.surprise_sum, 0) AS BIGINT) AS surprise_sum,
+       |       CAST(CASE WHEN s.n_bigrams IS NOT NULL
+       |                 THEN s.surprise_sum // s.n_bigrams ELSE 0 END AS BIGINT)
+       |         AS surprise_avg
+       |FROM (SELECT DISTINCT $idSql AS doc_id FROM $src) d
+       |LEFT JOIN scored s USING (doc_id)""".stripMargin
+
   /** Good-Turing count-of-counts for word n-grams: how many DISTINCT
     * n-grams occur exactly `freq` times. Two hash aggregates, the
     * second over the n-gram-vocabulary-sized first. */

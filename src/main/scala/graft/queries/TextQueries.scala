@@ -496,6 +496,21 @@ object TextQueries {
            |FROM jh ORDER BY media_id""".stripMargin
       }),
 
+    // Statistical LM quality filter: per-doc bigram surprise (the
+    // integer-scaled reciprocal of P(w2|w1) under the corpus's own
+    // bigram counts) — the role a KenLM perplexity filter plays in a
+    // CCNet-style pipeline, in the integer-exact form both engines
+    // replay bit-for-bit (perplexity's log-domain mean is not
+    // bit-portable; surprise is a monotone transform of the same
+    // per-bigram quantity).
+    QDef(
+      "x_lm_surprise",
+      (s, dir) => graft.operators.Vocab.lmSurprise(
+        Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(graft.operators.Vocab.lmSurpriseOracleSql(
+        "documents", "doc_id", "text") + "\nORDER BY doc_id")),
+
     // Lexical retrieval 1: the inverted-index build itself, postings
     // for a fixed probe vocabulary hash-checked (term frequencies,
     // per-doc) — one corpus hash aggregate.

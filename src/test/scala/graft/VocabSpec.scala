@@ -142,6 +142,27 @@ class VocabSpec extends SparkSpec {
     assert(viaFold == viaReplace)
   }
 
+  test("lmSurprise: hand-computed bigram surprise, short docs zeroed, repetition = low surprise") {
+    // corpus: "a b" x3 and "a c" x1 → c(a·)=4, c(a,b)=3, c(a,c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"), (5L, "x"))
+      .toDF("doc_id", "text")
+    val out = Vocab.lmSurprise(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "a b": surprise = 4*1000 div 3 = 1333; "a c": 4*1000 div 1 = 4000
+    assert(out(1L) == ((1L, 1333L, 1333L)))
+    assert(out(4L) == ((1L, 4000L, 4000L)))
+    // the common transition scores LOWER surprise than the rare one
+    assert(out(1L)._2 < out(4L)._2)
+    // a one-word doc has no bigrams: all-zero row, still present
+    assert(out(5L) == ((0L, 0L, 0L)))
+    // multi-bigram doc: sum and floor-average
+    val two = Vocab.lmSurprise(Seq((9L, "a b a c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    // within this corpus alone: bigrams (a,b),(b,a),(a,c); c(a·)=2,c(b·)=1
+    // surprises: 2000/1=2000, 1000/1=1000, 2000/1=2000 → sum 5000, avg 1666
+    assert((two.getLong(1), two.getLong(2), two.getLong(3)) == ((3L, 5000L, 1666L)))
+  }
+
   test("ngramCountOfCounts: the table sums back to the distinct n-gram count") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val coc = Vocab.ngramCountOfCounts(docs, "text", 3)
