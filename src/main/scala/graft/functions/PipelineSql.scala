@@ -476,6 +476,15 @@ object PipelineSql {
         .toDF("deleted_path")
     }
 
+    reg("chunk_docs") { es =>
+      argc("chunk_docs", es, 5)
+      graft.operators.Curation.chunkDocs(
+        table("chunk_docs", es(0)),
+        id = str("chunk_docs", es(1), "id column"),
+        text = str("chunk_docs", es(2), "text column"),
+        window = int("chunk_docs", es(3), "window tokens"),
+        overlap = int("chunk_docs", es(4), "overlap tokens"))
+    }
     reg("lm_surprise") { es =>
       argc("lm_surprise", es, 3)
       graft.operators.Vocab.lmSurprise(

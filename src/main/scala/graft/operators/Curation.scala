@@ -301,6 +301,42 @@ object Curation {
     * |group| / 16^bucketChars; widen `bucketChars` to 3-4 on a
     * 1000-executor cluster the same way packShards widens its prefix.
     */
+  /** Sliding-window document chunking: split each document's token
+    * stream into windows of `window` tokens advancing by
+    * `window - overlap` — the sequence-preparation step before
+    * training (fixed-context packing) and the passage split RAG
+    * retrieval indexes. The last window may be short; every token
+    * appears in at least one chunk; consecutive chunks share exactly
+    * `overlap` tokens (except at the tail).
+    *
+    * Output: (doc_id, chunk_idx, chunk_text, n_tokens) — one row per
+    * chunk, in document order by chunk_idx.
+    *
+    * Scale shape: pure per-row column math (split once, slice per
+    * window via transform over a sequence) — no shuffle, no window
+    * function, embarrassingly parallel; the explode fan-out is
+    * len/stride per document, the output's inherent size.
+    */
+  def chunkDocs(df: DataFrame, id: String, text: String,
+      window: Int, overlap: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap (window $window)")
+    val stride = window - overlap
+    // number of windows: 1 + ceil(max(0, len - window) / stride)
+    val n = lit(1) + ceil(
+      greatest(size(col("w")) - lit(window), lit(0)).cast("double") / lit(stride))
+      .cast("int")
+    df.select(col(id).as("doc_id"), split(col(text), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(transform(sequence(lit(0), n - 1),
+          i => slice(col("w"), i * stride + 1, lit(window)))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
   def capPerGroup(df: DataFrame, group: String, id: String, cap: Int,
       bucketChars: Int = 2): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")

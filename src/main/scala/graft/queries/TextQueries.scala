@@ -496,6 +496,29 @@ object TextQueries {
            |FROM jh ORDER BY media_id""".stripMargin
       }),
 
+    // Sliding-window chunking — the sequence-preparation step before
+    // training and the passage split for retrieval indexes: 40-token
+    // windows advancing by 32 (8-token overlap), every chunk's full
+    // text in the hash. Pure per-row column math, no shuffle.
+    QDef(
+      "x_chunk_docs",
+      (s, dir) => graft.operators.Curation.chunkDocs(
+        Tables.documents(s, dir), "doc_id", "text", window = 40, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), g AS (
+          |  SELECT doc_id, w,
+          |         1 + CAST(ceil(greatest(len(w) - 40, 0) / 32.0) AS INT) AS n
+          |  FROM w
+          |)
+          |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          |       array_to_string(list_slice(w, i * 32 + 1, i * 32 + 40), ' ') AS chunk_text,
+          |       CAST(len(list_slice(w, i * 32 + 1, i * 32 + 40)) AS BIGINT) AS n_tokens
+          |FROM g, UNNEST(generate_series(0, n - 1)) t(i)
+          |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Statistical LM quality filter: per-doc bigram surprise (the
     // integer-scaled reciprocal of P(w2|w1) under the corpus's own
     // bigram counts) — the role a KenLM perplexity filter plays in a

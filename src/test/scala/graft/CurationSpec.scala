@@ -213,4 +213,36 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(all == Map(1L -> 5.0, 2L -> 7.0))
   }
+
+  test("chunkDocs: window/overlap arithmetic, full coverage, short docs, invalid args") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than window
+      (3L, (1 to 8).map(i => s"u$i").mkString(" "))   // exactly window*2 with stride 4
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, "doc_id", "text", window = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // stride 3: starts 0,3,6 cover 10 tokens; last chunk is full (7..10)
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0)._3.split(" ").last == d1(1)._3.split(" ").head)
+    // short doc: one whole-doc chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    // tail shorter than window stays short, never padded
+    val d3 = out.filter(_._1 == 3L).sortBy(_._2)
+    assert(d3.map(_._3).toSeq == Seq("u1 u2 u3 u4", "u4 u5 u6 u7", "u7 u8"))
+    // every token of every doc appears in some chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocs(docs, "doc_id", "text", window = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocs(docs, "doc_id", "text", window = 0, overlap = 0)
+    }
+  }
 }
