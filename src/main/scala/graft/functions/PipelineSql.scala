@@ -476,6 +476,14 @@ object PipelineSql {
         .toDF("deleted_path")
     }
 
+    reg("exact_substring_scrub") { es =>
+      argc("exact_substring_scrub", es, 4)
+      graft.operators.Dedup.exactSubstringScrub(
+        table("exact_substring_scrub", es(0)),
+        id = str("exact_substring_scrub", es(1), "id column"),
+        text = str("exact_substring_scrub", es(2), "text column"),
+        L = int("exact_substring_scrub", es(3), "minimum duplicated length L"))
+    }
     reg("chunk_docs") { es =>
       argc("chunk_docs", es, 5)
       graft.operators.Curation.chunkDocs(

@@ -455,4 +455,72 @@ object Dedup {
       .dropDuplicates("d1", "d2")
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  /** EXACT-SUBSTRING deduplication, keep-first (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * token position is a duplicate when its L-gram also occurs at an
+    * earlier (doc, pos) anywhere in the corpus — the FIRST occurrence
+    * of every L-gram survives, every later one is scrubbed. Catches
+    * the long verbatim boilerplate/quotation overlap that
+    * document-level near-dup (Jaccard/MinHash/SimHash) misses because
+    * the surrounding documents differ.
+    *
+    * Per document the output carries the token count, how many tokens
+    * were removed, the number of maximal removed SPANS, and the
+    * scrubbed text (tokens covered by any non-canonical duplicated
+    * L-gram deleted).
+    *
+    * Scale shape: the corpus-sized work is the L-gram position stream
+    * — one aggregate keyed on the gram (min position key = the
+    * canonical occurrence; the production variant keys on a 64-bit
+    * fingerprint instead of gram text to slim the shuffle) and one
+    * join of the stream against it. Flagged positions return to their
+    * documents as a per-doc array (bounded by the doc's own length —
+    * the same size class as the text column itself), and the scrub is
+    * a higher-order filter over (token, index): no window function,
+    * no driver state. Suffix arrays do this in O(n) single-node; the
+    * gram-stream formulation is the shuffle-friendly equivalent with
+    * the identical keep-first result.
+    */
+  def exactSubstringScrub(df: DataFrame, id: String, text: String,
+      L: Int): DataFrame = {
+    require(L >= 2, s"L must be >= 2, got $L")
+    val toks = df.select(col(id).as("doc_id"), split(col(text), " ").as("w"))
+    // one row per L-gram position; order key packs (doc, pos) so the
+    // global minimum IS the first occurrence
+    val positions = toks
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - L),
+          i => array_join(slice(col("w"), i + lit(1), lit(L)), " "))))
+      .select(col("doc_id"), col("pos"), col("col").as("gram"),
+        (col("doc_id") * lit(1000000000L) + col("pos")).as("okey"))
+    val canon = positions.groupBy(col("gram")).agg(min(col("okey")).as("first_okey"))
+    val flagged = positions.join(canon, "gram")
+      .filter(col("okey") =!= col("first_okey"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
+    toks.join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("dup_starts"), array().cast("array<int>")).as("ds"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        col("w"), col("ds"))
+      .withColumn("keep",
+        filter(col("w"), (_, j) =>
+          !exists(col("ds"), s => s <= j && j < s + lit(L))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("keep"))).cast("long").as("n_removed"),
+        // maximal removed spans: flagged start s opens a NEW span iff
+        // the previous flagged start's covered range [prev, prev+L)
+        // neither overlaps nor touches [s, s+L) — i.e. prev < s - L
+        // (element_at is 1-based, so index j in the 0-based lambda IS
+        // the previous element; the when() keeps it unevaluated at
+        // j = 0 where the index would be invalid under ANSI)
+        size(filter(col("ds"), (s, j) =>
+          when(j === 0, lit(true))
+            .otherwise(element_at(col("ds"), j) < s - lit(L))))
+          .cast("long").as("n_spans"),
+        array_join(col("keep"), " ").as("scrubbed_text"))
+  }
 }

@@ -155,7 +155,52 @@ object DedupQueries {
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 7)
         .orderBy(col("d1"), col("d2")),
-      Some(simhashOracle(7)))
+      Some(simhashOracle(7))),
+
+    // Exact-substring dedup (Lee et al. 2022), keep-first: every
+    // 15-gram's first (doc, pos) occurrence survives; later
+    // occurrences' tokens are scrubbed. The gate hashes the FULL
+    // scrubbed text plus removal accounting for all 500 docs — the
+    // canonical-occurrence choice, position flagging, span merging,
+    // and the higher-order token filter all land in the hash.
+    QDef(
+      "d_exact_substring",
+      (s, dir) => Dedup.exactSubstringScrub(
+        Tables.documents(s, dir), "doc_id", "text", L = 15)
+        .orderBy(col("doc_id")),
+      Some {
+        val L = 15
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |), pos AS (
+           |  SELECT doc_id, i - 1 AS p,
+           |         array_to_string(list_slice(w, i, i + $L - 1), ' ') AS gram,
+           |         doc_id * 1000000000 + (i - 1) AS okey
+           |  FROM toks, UNNEST(generate_series(1, len(w) - $L + 1)) t(i)
+           |  WHERE len(w) >= $L
+           |), c AS (
+           |  SELECT gram, min(okey) AS mk FROM pos GROUP BY gram
+           |), fl AS (
+           |  SELECT doc_id, list(p ORDER BY p) AS ds
+           |  FROM (SELECT doc_id, p FROM pos JOIN c USING (gram) WHERE okey <> mk)
+           |  GROUP BY doc_id
+           |), joined AS (
+           |  SELECT t.doc_id, t.w, coalesce(fl.ds, []) AS ds
+           |  FROM toks t LEFT JOIN fl USING (doc_id)
+           |), scrubbed AS (
+           |  SELECT doc_id, w, ds,
+           |         list_filter(w, (x, i) ->
+           |           len(list_filter(ds, s -> s <= i - 1 AND i - 1 < s + $L)) = 0) AS keep
+           |  FROM joined
+           |)
+           |SELECT doc_id,
+           |       CAST(len(w) AS BIGINT) AS n_tokens,
+           |       CAST(len(w) - len(keep) AS BIGINT) AS n_removed,
+           |       CAST(len(list_filter(ds, (s, k) -> k = 1 OR ds[k - 1] < s - $L))
+           |            AS BIGINT) AS n_spans,
+           |       coalesce(array_to_string(keep, ' '), '') AS scrubbed_text
+           |FROM scrubbed ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** DuckDB mirror of Dedup.simhash64 + an all-pairs Hamming scan:

@@ -173,4 +173,42 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("hamming") == expect)
     }
   }
+
+  test("exactSubstringScrub: keep-first across docs and within a doc; span accounting") {
+    import spark.implicits._
+    val passage = (1 to 6).map(i => s"p$i").mkString(" ") // a 6-token shared passage
+    val docs = Seq(
+      (1L, s"a1 a2 $passage a3 a4"),                    // first occurrence: survives
+      (2L, s"b1 $passage b2 b3 b4"),                    // later copy: scrubbed
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"),                  // untouched
+      (4L, s"$passage d1 $passage")                     // within-doc repeat: 2nd scrubbed
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringScrub(docs, "doc_id", "text", L = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: owns the first occurrence — nothing removed
+    assert(out(1L) == ((10L, 0L, 0L, s"a1 a2 $passage a3 a4")))
+    // doc 2: exactly the passage tokens removed, one maximal span
+    assert(out(2L) == ((10L, 6L, 1L, "b1 b2 b3 b4")))
+    // doc 3: untouched
+    assert(out(3L)._2 == 0L && out(3L)._4 == "c1 c2 c3 c4 c5 c6 c7 c8")
+    // doc 4: the SECOND in-doc occurrence goes, the first survives
+    // (it is not the global first — doc 1 is… no: ordering is (doc,pos),
+    // doc 1 < doc 4, so BOTH of doc 4's occurrences are non-canonical)
+    assert(out(4L)._1 == 13L && out(4L)._2 == 12L && out(4L)._3 == 2L)
+    assert(out(4L)._4 == "d1")
+    // partition invariance
+    val again = Dedup.exactSubstringScrub(docs.repartition(5), "doc_id", "text", L = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(again == out)
+    // touching spans merge: two flagged starts exactly L apart = one span
+    val t = Seq(
+      (1L, "x1 x2 x3 y1 y2 y3 z"),
+      (2L, "x1 x2 x3 y1 y2 y3 w")) // starts 0 and 3 with L=3: touching
+      .toDF("doc_id", "text")
+    val m = Dedup.exactSubstringScrub(t, "doc_id", "text", L = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(m(2L)._1 == 6L && m(2L)._2 == 1L, m.toString) // 6 tokens, ONE span
+  }
 }
