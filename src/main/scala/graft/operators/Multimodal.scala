@@ -1511,10 +1511,11 @@ object Multimodal {
 
   // --- real pure-JVM AVI/MJPEG video codec -------------------------------
 
-  /** Parsed MJPEG video: container timing plus each frame decoded
-    * through [[decodeJpeg]] (dims + pixel bytes). */
+  /** Parsed MJPEG video: container timing, the TOTAL frame-chunk
+    * count, and the decoded frames that survived sampling — each as
+    * (frame index, width, height, pixel bytes). */
   final case class AviVideo(width: Int, height: Int, microSecPerFrame: Long,
-      frames: Vector[(Int, Int, Array[Byte])])
+      totalFrames: Int, frames: Vector[(Int, Int, Int, Array[Byte])])
 
   val AviMicroSecPerFrame = 100000L // 10 fps fixture timing
 
@@ -1558,7 +1559,18 @@ object Multimodal {
     * '00dc'/'00db' movi chunk decoded through [[decodeJpeg]]. None
     * when the payload is not such an AVI or any frame fails to
     * decode. */
-  def decodeAvi(payload: Array[Byte]): Option[AviVideo] = {
+  def decodeAvi(payload: Array[Byte]): Option[AviVideo] =
+    decodeAviSampled(payload, stride = 1)
+
+  /** [[decodeAvi]] with the frame-sampling pushed INTO the decode:
+    * only every `stride`-th frame's pixels are Huffman-decoded; the
+    * container walk still counts every frame chunk (so frame totals
+    * and timing are exact). Sampling at decode time is the scale
+    * point — at stride s the per-payload codec work drops by s×, not
+    * just the output rows. Sampled-out positions are absent from
+    * `frames`' companion index list. */
+  def decodeAviSampled(payload: Array[Byte], stride: Int): Option[AviVideo] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     if (payload.length < 12) return None
     def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
@@ -1591,11 +1603,15 @@ object Multimodal {
     val usPerFrame = dw(a)
     val width = dw(a + 32).toInt
     val height = dw(a + 36).toInt
-    val decoded = frameChunks.result().map { case (off, size) =>
-      decodeJpeg(java.util.Arrays.copyOfRange(payload, off, off + size))
-        .getOrElse(return None)
+    val chunks = frameChunks.result()
+    val decoded = chunks.zipWithIndex.collect {
+      case ((off, size), idx) if idx % stride == 0 =>
+        val (fw, fh, px) = decodeJpeg(
+          java.util.Arrays.copyOfRange(payload, off, off + size))
+          .getOrElse(return None)
+        (idx, fw, fh, px)
     }
-    Some(AviVideo(width, height, usPerFrame, decoded))
+    Some(AviVideo(width, height, usPerFrame, chunks.length, decoded))
   }
 
   /** Wrap an id+text corpus as MJPEG AVI media rows: the text splits
@@ -1635,13 +1651,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          decodeAvi(payload).toSeq.flatMap { v =>
-            v.frames.zipWithIndex.collect {
-              case ((fw, fh, px), idx) if idx % stride == 0 =>
-                var h = 0L
-                var i = 0
-                while (i < px.length) { h = (h * 31 + (px(i) & 0xff)) % 1000000007L; i += 1 }
-                (id, idx, v.frames.length, v.microSecPerFrame, fw, fh, h)
+          decodeAviSampled(payload, stride).toSeq.flatMap { v =>
+            v.frames.map { case (idx, fw, fh, px) =>
+              var h = 0L
+              var i = 0
+              while (i < px.length) { h = (h * 31 + (px(i) & 0xff)) % 1000000007L; i += 1 }
+              (id, idx, v.totalFrames, v.microSecPerFrame, fw, fh, h)
             }
           }
         }
@@ -1686,14 +1701,14 @@ object Multimodal {
             // video arm: container dims, frame count, content hash
             // over the concatenated decoded frame pixel streams
             var h = 0L
-            v.frames.foreach { case (_, _, px) =>
+            v.frames.foreach { case (_, _, _, px) =>
               var i = 0
               while (i < px.length) { h = (h * 31 + (px(i) & 0xff)) % 1000000007L; i += 1 }
             }
             val features = Array.tabulate(FeatureDim) { k =>
               ((h >> (k * 3)) & 0xff).toFloat / 255f
             }
-            (v.width, v.height, v.frames.length, h, features)
+            (v.width, v.height, v.totalFrames, h, features)
           case None => stubDecode(payload)
         }
       }

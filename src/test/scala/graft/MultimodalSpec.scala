@@ -482,9 +482,10 @@ class MultimodalSpec extends SparkSpec {
     val v = Multimodal.decodeAvi(avi).getOrElse(fail("decodeAvi rejected own fixture"))
     assert(v.width == 200 && v.height == 8)
     assert(v.microSecPerFrame == Multimodal.AviMicroSecPerFrame)
-    assert(v.frames.length == 3)
+    assert(v.totalFrames == 3 && v.frames.length == 3)
+    assert(v.frames.map(_._1) == Vector(0, 1, 2))
     // each container frame decodes exactly as the standalone JPEG does
-    texts.zip(v.frames).foreach { case (t, (fw, fh, px)) =>
+    texts.zip(v.frames).foreach { case (t, (_, fw, fh, px)) =>
       val Some((jw, jh, jpx)) = Multimodal.decodeJpeg(
         Multimodal.encodeJpegBlocks(t.getBytes("US-ASCII"), 25))
       assert(fw == jw && fh == jh && px.toSeq == jpx.toSeq)
@@ -536,7 +537,7 @@ class MultimodalSpec extends SparkSpec {
     // content hash folds the concatenated decoded frame pixels
     val payload = media.select("payload").head().getAs[Array[Byte]](0)
     val v = Multimodal.decodeAvi(payload).get
-    val h = v.frames.foldLeft(0L) { case (acc, (_, _, px)) =>
+    val h = v.frames.foldLeft(0L) { case (acc, (_, _, _, px)) =>
       px.foldLeft(acc)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
     }
     assert(d.content_hash == h)
