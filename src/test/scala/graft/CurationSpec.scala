@@ -244,5 +244,10 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.chunkDocs(docs, "doc_id", "text", window = 0, overlap = 0)
     }
+    // plan pin: pure per-row math — zero exchanges, zero windows
+    val plan = Curation.chunkDocs(docs, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window ["), plan)
   }
 }

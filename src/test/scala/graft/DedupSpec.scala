@@ -210,5 +210,9 @@ class DedupSpec extends SparkSpec {
     val m = Dedup.exactSubstringScrub(t, "doc_id", "text", L = 3)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(m(2L)._1 == 6L && m(2L)._2 == 1L, m.toString) // 6 tokens, ONE span
+    // plan pin: aggregates + joins only — no window function anywhere
+    val plan = Dedup.exactSubstringScrub(docs, "doc_id", "text", 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), plan)
   }
 }
