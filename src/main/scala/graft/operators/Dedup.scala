@@ -483,18 +483,25 @@ object Dedup {
     * the identical keep-first result.
     */
   def exactSubstringScrub(df: DataFrame, id: String, text: String,
-      L: Int): DataFrame = {
+      L: Int, fingerprint: Boolean = false): DataFrame = {
     require(L >= 2, s"L must be >= 2, got $L")
     val toks = df.select(col(id).as("doc_id"), split(col(text), " ").as("w"))
     // one row per L-gram position; order key packs (doc, pos) so the
-    // global minimum IS the first occurrence
+    // global minimum IS the first occurrence. With `fingerprint` the
+    // shuffle key is xxhash64 of the gram — 8 bytes instead of L words
+    // on the corpus-sized exchange, the production switch for 100 TB
+    // (a 64-bit collision mis-flags one position with probability
+    // ~n²/2⁶⁵; the text-keyed form is the exact reference and
+    // DedupSpec pins their equality). The ORDER of flagging is
+    // identical either way: okey, not the gram, decides who is first.
+    val gramExpr = array_join(slice(col("w"), col("_i") + lit(1), lit(L)), " ")
     val positions = toks
       .filter(size(col("w")) >= L)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("w")) - L),
-          i => array_join(slice(col("w"), i + lit(1), lit(L)), " "))))
-      .select(col("doc_id"), col("pos"), col("col").as("gram"),
-        (col("doc_id") * lit(1000000000L) + col("pos")).as("okey"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - L)).as("_i"))
+      .select(col("doc_id"), col("_i").as("pos"),
+        (if (fingerprint) xxhash64(gramExpr) else gramExpr).as("gram"),
+        (col("doc_id") * lit(1000000000L) + col("_i")).as("okey"))
     val canon = positions.groupBy(col("gram")).agg(min(col("okey")).as("first_okey"))
     val flagged = positions.join(canon, "gram")
       .filter(col("okey") =!= col("first_okey"))

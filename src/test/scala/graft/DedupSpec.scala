@@ -214,5 +214,18 @@ class DedupSpec extends SparkSpec {
     val plan = Dedup.exactSubstringScrub(docs, "doc_id", "text", 6)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window ["), plan)
+    // the fingerprint (8-byte shuffle key) variant is result-identical
+    // to the exact text-keyed reference, here and on the real corpus
+    val fp = Dedup.exactSubstringScrub(docs, "doc_id", "text", L = 6, fingerprint = true)
+      .collect().map(_.toSeq).toSet
+    val exact = Dedup.exactSubstringScrub(docs, "doc_id", "text", L = 6)
+      .collect().map(_.toSeq).toSet
+    assert(fp == exact)
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+    val fpC = Dedup.exactSubstringScrub(corpus, "doc_id", "text", L = 15, fingerprint = true)
+      .collect().map(_.toSeq).toSet
+    val exC = Dedup.exactSubstringScrub(corpus, "doc_id", "text", L = 15)
+      .collect().map(_.toSeq).toSet
+    assert(fpC == exC && fpC.nonEmpty)
   }
 }
