@@ -458,6 +458,15 @@ object PipelineSql {
         statsCol = es.lift(2).map(str("lake_compact", _, "stats column")))
       Seq(v.toLong).toDF("committed_version")
     }
+    reg("lake_row_count") { es =>
+      if (es.length < 1 || es.length > 2)
+        fail("lake_row_count", s"expects 1 or 2 arguments, got ${es.length}")
+      import spark.implicits._
+      Seq(graft.sources.VersionedLake.rowCount(spark,
+        str("lake_row_count", es(0), "lake directory"),
+        es.lift(1).map(int("lake_row_count", _, "version"))))
+        .toDF("n_rows")
+    }
     reg("lake_vacuum") { es =>
       argc("lake_vacuum", es, 2)
       import spark.implicits._

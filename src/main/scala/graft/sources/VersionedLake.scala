@@ -87,7 +87,8 @@ object VersionedLake {
     * column — the planning-time file-skipping metadata. */
   final case class Entry(partition: String, path: String,
       min: Option[Double], max: Option[Double],
-      bloom: Option[FileBloom] = None)
+      bloom: Option[FileBloom] = None,
+      rows: Option[Long] = None)
 
   /** Per-file Bloom filter of a key column, recorded in the manifest:
     * the point-lookup complement of the min/max zone maps. Same hash
@@ -139,11 +140,15 @@ object VersionedLake {
           Some(FileBloom(parts(0).toInt, parts(1).toInt,
             parts(2).split(",").map(java.lang.Long.parseUnsignedLong(_, 16))))
         }
+        def rw(v: String): Option[Long] =
+          if (v.isEmpty) None else Some(v.toLong)
         line.split("\t", -1) match {
           case Array(p, path) => Entry(p, path, None, None)
           case Array(p, path, mn, mx) => Entry(p, path, num(mn), num(mx))
           case Array(p, path, mn, mx, b) =>
             Entry(p, path, num(mn), num(mx), bl(b))
+          case Array(p, path, mn, mx, b, r) =>
+            Entry(p, path, num(mn), num(mx), bl(b), rw(r))
           case other =>
             throw new IllegalStateException(
               s"malformed manifest line (${other.length} fields): $line")
@@ -529,7 +534,11 @@ object VersionedLake {
         d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
           val dest = new File(destDir, s"c$commitId-${f.getName}")
           Files.move(f.toPath, dest.toPath)
-          Entry(value, dest.getAbsolutePath, None, None)
+          // per-file row count straight from the parquet footer —
+          // metadata-only (no data read), file-count-sized driver
+          // work, and it makes COUNT(*) answerable from the manifest
+          Entry(value, dest.getAbsolutePath, None, None,
+            rows = Some(footerRowCount(dest.getAbsolutePath)))
         }
       }.toSeq.sortBy(_.path)
     def rm(f: File): Unit = {
@@ -591,6 +600,29 @@ object VersionedLake {
         }
       case _ => withStats
     }
+  }
+
+  /** Record count from a parquet file's footer — the metadata parquet
+    * already maintains per row group; no data pages are read. */
+  private def footerRowCount(path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** COUNT(*) of a version from manifest metadata alone when every
+    * entry recorded its row count (all commits since row tracking);
+    * falls back to scanning otherwise. The metadata-only count is the
+    * classic table-format win: at any scale it is a manifest read, not
+    * a table scan. */
+  def rowCount(spark: SparkSession, lakeDir: String,
+      version: Option[Int] = None): Long = {
+    val v = version.getOrElse(currentVersion(lakeDir))
+    val entries = manifestEntries(lakeDir, v)
+    if (entries.forall(_.rows.isDefined)) entries.flatMap(_.rows).sum
+    else read(spark, lakeDir, Some(v)).count()
   }
 
   /** input_file_name() yields a (possibly URI-encoded) file: URI while
@@ -955,10 +987,13 @@ object VersionedLake {
       entries.map { e =>
         val mn = e.min.map(_.toString).getOrElse("")
         val mx = e.max.map(_.toString).getOrElse("")
-        e.bloom match {
-          case Some(fb) =>
-            val words = fb.words.map(java.lang.Long.toHexString).mkString(",")
-            s"${e.partition}\t${e.path}\t$mn\t$mx\t${fb.k}:${fb.m}:$words"
+        val bl = e.bloom.map { fb =>
+          s"${fb.k}:${fb.m}:" + fb.words.map(java.lang.Long.toHexString).mkString(",")
+        }.getOrElse("")
+        e.rows match {
+          case Some(r) => s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t$r"
+          case None if e.bloom.isDefined =>
+            s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl"
           case None if e.min.isDefined =>
             s"${e.partition}\t${e.path}\t$mn\t$mx"
           case None => s"${e.partition}\t${e.path}"

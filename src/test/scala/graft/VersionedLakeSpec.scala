@@ -606,6 +606,42 @@ class VersionedLakeSpec extends SparkSpec {
     assert(replayed == 5)
   }
 
+  test("row counts in the manifest: COUNT(*) from metadata across commit kinds; legacy fallback") {
+    import spark.implicits._
+    val root = tmp("vlake_rows")
+    val lake = s"$root/lake"
+    VersionedLake.create(
+      (1 to 30).map(i => (i.toLong, s"n$i", s"p${i % 2}")).toDF("id", "name", "part")
+        .repartition(3), lake, "part")
+    assert(VersionedLake.manifestEntries(lake, 1).forall(_.rows.isDefined))
+    assert(VersionedLake.rowCount(spark, lake) == 30L)
+    // append, merge (update+delete), compact: metadata count tracks reality
+    VersionedLake.append(
+      (31 to 40).map(i => (i.toLong, s"n$i", s"p${i % 2}")).toDF("id", "name", "part"),
+      lake, "part")
+    assert(VersionedLake.rowCount(spark, lake) == 40L)
+    VersionedLake.mergeUpsert(spark, lake,
+      Seq((1L, "x", "p1", false), (2L, "b", "p0", true))
+        .toDF("id", "name", "part", "_deleted"), Seq("id"), "part")
+    assert(VersionedLake.rowCount(spark, lake) == 39L)
+    assert(VersionedLake.rowCount(spark, lake) ==
+      VersionedLake.read(spark, lake).count())
+    VersionedLake.compactPartitions(spark, lake, "part")
+    assert(VersionedLake.rowCount(spark, lake) == 39L)
+    // per-version counts (time travel)
+    assert(VersionedLake.rowCount(spark, lake, Some(1)) == 30L)
+    assert(VersionedLake.rowCount(spark, lake, Some(2)) == 40L)
+    // legacy manifest without row fields: strip them, expect fallback
+    val v = VersionedLake.currentVersion(lake)
+    val mf = Paths.get(s"$lake/_versions/v$v.manifest")
+    val stripped = new String(Files.readAllBytes(mf), "UTF-8").split("\n")
+      .map(l => if (l.startsWith("#")) l else l.split("\t", -1).take(5).mkString("\t"))
+      .mkString("\n")
+    Files.write(mf, stripped.getBytes("UTF-8"))
+    assert(VersionedLake.manifestEntries(lake, v).forall(_.rows.isEmpty))
+    assert(VersionedLake.rowCount(spark, lake) == 39L) // scan fallback
+  }
+
   test("schema tracked in the commit log: add-column evolution, no footer inference, typed refusal") {
     import spark.implicits._
     val root = tmp("vlake_schema")
