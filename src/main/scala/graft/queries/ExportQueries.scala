@@ -671,6 +671,72 @@ object ExportQueries {
           |  SELECT CAST(3 AS BIGINT) AS version, * FROM agg)
           |ORDER BY version, event_date""".stripMargin)),
 
+    // Lake maintenance 9: the incrementally-maintained materialized
+    // aggregate. The fixture commits the events lake, applies the s13
+    // merge algebra as v2, and folds BOTH versions' change feeds into
+    // a per-type SUM/COUNT view (integer cents, so incremental folds
+    // are bit-exact) — the gate hashes the maintained view against the
+    // oracle's one-shot recompute over the merged state, proving
+    // bootstrap fold + delta fold + delete handling end to end.
+    // Exactly-once replay and emptied-group deletion are pinned in
+    // MaterializedAggSpec.
+    QDef(
+      "s18_materialized_view",
+      (s, dir) => {
+        val out = Fixtures.dir("mview", dir) { o =>
+          val ev = Tables.events(s, dir)
+            .withColumn("event_date", to_date(col("ts")).cast("string"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("value_cents"),
+              col("event_date"))
+          graft.sources.VersionedLake.create(ev, s"$o/src", "event_date")
+          val scope = ev.filter(col("event_date") <= "2024-01-15")
+          val changes = scope
+            .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
+            .withColumn("event_type", lit("adjusted"))
+            .withColumn("_deleted", lit(false))
+            .unionByName(scope.filter(col("event_id") % 13 === 0)
+              .withColumn("_deleted", lit(true)))
+            .unionByName(scope.filter(col("event_id") % 11 === 0)
+              .withColumn("event_id", col("event_id") + lit(1000000000L))
+              .withColumn("event_type", lit("backfill"))
+              .withColumn("_deleted", lit(false)))
+          graft.sources.VersionedLake.mergeUpsert(
+            s, s"$o/src", changes, Seq("event_id"), "event_date")
+          graft.streaming.MaterializedAgg.maintain(s, s"$o/src",
+            s"$o/state", s"$o/view",
+            groupCols = Seq("event_type"), valueCol = "value_cents",
+            partitionCol = "event_type")
+        }
+        graft.sources.VersionedLake.read(s, s"$out/view")
+          .select(col("event_type").cast("string").as("event_type"),
+            col("agg_sum").cast("long").as("sum_cents"), col("agg_count"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+          |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+          |  FROM events),
+          |scope AS (SELECT * FROM ev WHERE event_date <= '2024-01-15'),
+          |changed AS (
+          |  SELECT event_id, 'adjusted' AS event_type, cents
+          |  FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT event_id + 1000000000, 'backfill', cents
+          |  FROM scope WHERE event_id % 11 = 0),
+          |removed AS (
+          |  SELECT event_id FROM scope WHERE event_id % 13 = 0
+          |  UNION ALL
+          |  SELECT event_id FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0),
+          |merged AS (
+          |  SELECT event_type, cents FROM ev
+          |  WHERE event_id NOT IN (SELECT event_id FROM removed)
+          |  UNION ALL SELECT event_type, cents FROM changed)
+          |SELECT event_type, CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       count(*) AS agg_count
+          |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,
     // crawled WITHOUT names (all-string col1..colN, header lines

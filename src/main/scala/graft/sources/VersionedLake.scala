@@ -166,11 +166,12 @@ object VersionedLake {
     * [[readRange]] then skips files at planning time. */
   def create(df: DataFrame, lakeDir: String, partitionCol: String,
       statsCol: Option[String] = None,
-      bloom: Option[BloomSpec] = None): Unit = {
+      bloom: Option[BloomSpec] = None,
+      batchId: Option[Long] = None): Unit = {
     require(currentVersion(lakeDir) == 0,
       s"$lakeDir already has commits; use mergeUpsert")
     val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol, statsCol, bloom)
-    if (!tryCommitManifest(lakeDir, version = 1, entries, batchId = None,
+    if (!tryCommitManifest(lakeDir, version = 1, entries, batchId = batchId,
       statsCol = statsCol, bloom = bloom,
       schemaJson = Some(df.schema.json))) {
       entries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
@@ -277,9 +278,10 @@ object VersionedLake {
   def mergeUpsert(spark: SparkSession, lakeDir: String, changes: DataFrame,
       keyCols: Seq[String], partitionCol: String,
       deleteCol: String = "_deleted", statsCol: Option[String] = None,
-      bloom: Option[BloomSpec] = None): Unit = {
+      bloom: Option[BloomSpec] = None,
+      batchId: Option[Long] = None): Unit = {
     val pending = planMerge(spark, lakeDir, changes, keyCols, partitionCol,
-      deleteCol, statsCol, bloom)
+      deleteCol, statsCol, bloom, batchId)
     if (pending.touched.nonEmpty) { commitPending(lakeDir, pending); () }
   }
 
@@ -335,7 +337,8 @@ object VersionedLake {
   private[graft] def planMerge(spark: SparkSession, lakeDir: String,
       changes: DataFrame, keyCols: Seq[String], partitionCol: String,
       deleteCol: String = "_deleted", statsCol: Option[String] = None,
-      bloom: Option[BloomSpec] = None): PendingCommit = {
+      bloom: Option[BloomSpec] = None,
+      batchId: Option[Long] = None): PendingCommit = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val v = currentVersion(lakeDir)
     require(v >= 1, s"$lakeDir has no committed version to merge into")
@@ -368,7 +371,7 @@ object VersionedLake {
     }
     val newEntries = writeCommitFiles(merged, lakeDir, commitId = v + 1,
       partitionCol, effStats, effBloom)
-    PendingCommit(v, entries, touched, newEntries, insertOnly = false, None,
+    PendingCommit(v, entries, touched, newEntries, insertOnly = false, batchId,
       effStats, effBloom, Some(mergeSchemas(recorded, merged.schema).json))
   }
 
