@@ -421,6 +421,13 @@ object PipelineSql {
         str("time_travel", es(0), "lake directory"),
         Some(int("time_travel", es(1), "version")))
     }
+    // Delta-style TIMESTAMP AS OF over the commit-time headers
+    reg("time_travel_at") { es =>
+      argc("time_travel_at", es, 2)
+      graft.sources.VersionedLake.readAsOf(spark,
+        str("time_travel_at", es(0), "lake directory"),
+        long("time_travel_at", es(1), "epoch millis"))
+    }
     reg("version_diff") { es =>
       argc("version_diff", es, 3)
       graft.sources.VersionedLake.diff(spark,

@@ -376,6 +376,9 @@ class DialectSpec extends SparkSpec {
       rows(graft.sources.VersionedLake.read(spark, s"$dir/lake", Some(2))))
     assert(rows(spark.sql(s"SELECT * FROM version_diff('$dir/lake', 1, 2)")) ==
       rows(graft.sources.VersionedLake.diff(spark, s"$dir/lake", 1, 2)))
+    val t1 = graft.sources.VersionedLake.commitTimestamp(s"$dir/lake", 1).get
+    assert(rows(spark.sql(s"SELECT * FROM time_travel_at('$dir/lake', ${t1}L)")) ==
+      rows(graft.sources.VersionedLake.read(spark, s"$dir/lake", Some(1))))
     assert(rows(spark.sql(s"SELECT * FROM read_point('$dir/lake', '2') WHERE id = 2")) ==
       rows(graft.sources.VersionedLake.read(spark, s"$dir/lake").filter(col("id") === 2L)))
     // and the change algebra is visible from SQL alone
