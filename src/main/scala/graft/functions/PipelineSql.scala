@@ -331,6 +331,27 @@ object PipelineSql {
         qs = csv(str("hist_quantiles_auto", es(4), "quantiles")).map(_.toDouble))
     }
 
+    // distinct-count sketch family: group columns as csv ('' = global)
+    reg("hll_distinct") { es =>
+      argc("hll_distinct", es, 4)
+      graft.operators.Sketch.hllDistinct(
+        table("hll_distinct", es(0)),
+        org.apache.spark.sql.functions.col(
+          str("hll_distinct", es(1), "key column")).cast("string"),
+        csv(str("hll_distinct", es(2), "group columns")),
+        p = int("hll_distinct", es(3), "precision p"))
+    }
+    reg("hll_setops") { es =>
+      argc("hll_setops", es, 5)
+      graft.operators.Sketch.hllSetOps(
+        table("hll_setops", es(0)),
+        org.apache.spark.sql.functions.col(
+          str("hll_setops", es(1), "key column")).cast("string"),
+        expr(str("hll_setops", es(2), "cohort A predicate")),
+        expr(str("hll_setops", es(3), "cohort B predicate")),
+        p = int("hll_setops", es(4), "precision p"))
+    }
+
     reg("anomaly_zscore") { es =>
       argc("anomaly_zscore", es, 5)
       graft.operators.TimeSeries.anomalyZScore(

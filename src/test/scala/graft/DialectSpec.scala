@@ -315,6 +315,13 @@ class DialectSpec extends SparkSpec {
         events, "user_id", "ts", "value", 259200000000L)))
     assert(rows(spark.sql("SELECT * FROM bpe_pairs('pq_docs', 'text')")) ==
       rows(graft.operators.Vocab.bpePairCounts(docs, "text")))
+    assert(rows(spark.sql("SELECT * FROM hll_distinct('pq_events', 'user_id', 'event_type', 8)")) ==
+      rows(graft.operators.Sketch.hllDistinct(events, col("user_id").cast("string"), Seq("event_type"), 8)))
+    assert(rows(spark.sql(
+      """SELECT * FROM hll_setops('pq_events', 'user_id',
+        |  "event_type = 'click'", "event_type = 'view'", 8)""".stripMargin)) ==
+      rows(graft.operators.Sketch.hllSetOps(events, col("user_id").cast("string"),
+        col("event_type") === "click", col("event_type") === "view", 8)))
     assert(rows(spark.sql("SELECT * FROM bm25_topk('pq_docs', 'doc_id', 'text', 'spark hash join', 20)")) ==
       rows(graft.operators.TextSearch.bm25TopK(docs, "doc_id", "text",
         Seq("spark", "hash", "join"), 20)))
