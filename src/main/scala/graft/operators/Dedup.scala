@@ -487,7 +487,10 @@ object Dedup {
     require(L >= 2, s"L must be >= 2, got $L")
     val toks = df.select(col(id).as("doc_id"), split(col(text), " ").as("w"))
     // one row per L-gram position; order key packs (doc, pos) so the
-    // global minimum IS the first occurrence. With `fingerprint` the
+    // global minimum IS the first occurrence. Packing domain: doc ids
+    // below ~9.2e9 and positions below 1e9 (int64 headroom) — beyond
+    // that, switch the min aggregate to min(struct(doc_id, pos)),
+    // which both engines order lexicographically. With `fingerprint` the
     // shuffle key is xxhash64 of the gram — 8 bytes instead of L words
     // on the corpus-sized exchange, the production switch for 100 TB
     // (a 64-bit collision mis-flags one position with probability
