@@ -251,4 +251,83 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"bin=${binS}s pts=$pts ivs=$ivs")
     }
   }
+
+  test("chunkDocs invariants on random corpora: coverage, overlap, reconstruction") {
+    val caseGen = for {
+      window <- Gen.choose(2, 12)
+      overlap <- Gen.choose(0, window - 1)
+      nDocs <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(1, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.choose('a', 'f')).map(_.mkString(" "))))
+    } yield (window, overlap, docs)
+    forAllSampled(caseGen, 12) { case (window, overlap, docs) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val chunks = graft.operators.Curation.chunkDocs(df, "doc_id", "text", window, overlap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      val stride = window - overlap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ")
+        val cs = chunks(i.toLong)
+        // chunk k starts at k * stride and carries min(window, rest) tokens
+        cs.foreach { case (_, k, text, n) =>
+          val want = toks.slice((k * stride).toInt, (k * stride).toInt + window)
+          assert(text == want.mkString(" ") && n == want.length.toLong,
+            s"doc $i chunk $k (w=$window o=$overlap)")
+        }
+        // full coverage: last chunk reaches the final token
+        val (_, lastK, _, lastN) = cs.last
+        assert(lastK * stride + lastN >= toks.length.toLong)
+        // no empty chunks, contiguous chunk indexes from 0
+        assert(cs.forall(_._4 > 0) && cs.map(_._2).toSeq == (0L until cs.length))
+        // reconstruction: dropping each chunk's first `overlap` tokens
+        // (except chunk 0) and concatenating yields the document
+        val rebuilt = cs.zipWithIndex.flatMap { case ((_, _, text, _), idx) =>
+          val ts = text.split(" ").toSeq
+          if (idx == 0) ts else ts.drop(overlap min ts.length)
+        }
+        // tail chunks may re-cover tokens; compare as prefix-safe join
+        assert(rebuilt.toSeq.take(toks.length) == toks.toSeq,
+          s"doc $i reconstruct (w=$window o=$overlap)")
+      }
+    }
+  }
+
+  test("exactSubstringScrub invariants on random near-dup corpora") {
+    val caseGen = for {
+      ell <- Gen.choose(3, 6)
+      base <- Gen.listOfN(20, Gen.choose('a', 'c')).map(_.mkString(" "))
+      nCopies <- Gen.choose(1, 4)
+      extras <- Gen.listOfN(nCopies, Gen.choose(1, 10).flatMap(k =>
+        Gen.listOfN(k, Gen.choose('a', 'c')).map(_.mkString(" "))))
+    } yield (ell, base, extras)
+    forAllSampled(caseGen, 10) { case (ell, base, extras) =>
+      // doc 0 is the base; later docs embed the base verbatim plus noise
+      val docs = ((0L, base) +: extras.zipWithIndex.map { case (e, i) =>
+        ((i + 1).toLong, s"$e $base")
+      }).toDF("doc_id", "text")
+      val out = graft.operators.Dedup.exactSubstringScrub(docs, "doc_id", "text", ell)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+      // accounting: removed = tokens - kept, never negative
+      out.values.foreach { case (n, rem, kept) =>
+        val keptN = if (kept.isEmpty) 0 else kept.split(" ").length
+        assert(rem == n - keptN && rem >= 0)
+      }
+      // the alphabet is tiny, so doc 0 can self-scrub internal repeats;
+      // what MUST hold is global keep-first: the union of kept token
+      // mass never exceeds the originals, and every later doc that
+      // embeds the base lost at least its copy of one base L-gram
+      extras.indices.foreach { i =>
+        val (_, rem, _) = out((i + 1).toLong)
+        assert(rem >= ell.toLong, s"copy ${i + 1} removed only $rem (L=$ell)")
+      }
+      // fingerprint mode agrees exactly
+      val fp = graft.operators.Dedup.exactSubstringScrub(docs, "doc_id", "text", ell,
+        fingerprint = true)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+      assert(fp == out)
+    }
+  }
 }
