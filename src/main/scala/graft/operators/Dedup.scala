@@ -486,17 +486,18 @@ object Dedup {
       L: Int, fingerprint: Boolean = false): DataFrame = {
     require(L >= 2, s"L must be >= 2, got $L")
     val toks = df.select(col(id).as("doc_id"), split(col(text), " ").as("w"))
-    // one row per L-gram position; order key packs (doc, pos) so the
-    // global minimum IS the first occurrence. Packing domain: doc ids
-    // below ~9.2e9 and positions below 1e9 (int64 headroom) — beyond
-    // that, switch the min aggregate to min(struct(doc_id, pos)),
-    // which both engines order lexicographically. With `fingerprint` the
+    // one row per L-gram position; the canonical occurrence is
+    // min(struct(doc_id, pos)) — lexicographic struct ordering, which
+    // both engines define identically, works for ANY orderable id type
+    // (string ids included) and has no overflow domain, unlike the
+    // earlier doc_id*1e9+pos int64 packing. With `fingerprint` the
     // shuffle key is xxhash64 of the gram — 8 bytes instead of L words
     // on the corpus-sized exchange, the production switch for 100 TB
     // (a 64-bit collision mis-flags one position with probability
     // ~n²/2⁶⁵; the text-keyed form is the exact reference and
     // DedupSpec pins their equality). The ORDER of flagging is
-    // identical either way: okey, not the gram, decides who is first.
+    // identical either way: the (doc, pos) key, not the gram, decides
+    // who is first.
     val gramExpr = array_join(slice(col("w"), col("_i") + lit(1), lit(L)), " ")
     val positions = toks
       .filter(size(col("w")) >= L)
@@ -504,7 +505,7 @@ object Dedup {
         explode(sequence(lit(0), size(col("w")) - L)).as("_i"))
       .select(col("doc_id"), col("_i").as("pos"),
         (if (fingerprint) xxhash64(gramExpr) else gramExpr).as("gram"),
-        (col("doc_id") * lit(1000000000L) + col("_i")).as("okey"))
+        struct(col("doc_id"), col("_i").as("pos")).as("okey"))
     val canon = positions.groupBy(col("gram")).agg(min(col("okey")).as("first_okey"))
     val flagged = positions.join(canon, "gram")
       .filter(col("okey") =!= col("first_okey"))

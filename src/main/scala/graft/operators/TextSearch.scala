@@ -90,7 +90,11 @@ object TextSearch {
     * differences cannot reach the hash. */
   def bm25OracleSql(src: String, idSql: String, textSql: String,
       query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
-    val termList = query.distinct.map(t => s"'$t'").mkString(", ")
+    // SQL-escape embedded quotes — the oracle inlines terms as string
+    // literals, and an unescaped quote would make the generated SQL
+    // malformed (or worse, splice into it).
+    val termList = query.distinct
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT $idSql AS doc_id,
        |         len(string_split($textSql, ' ')) AS dl,

@@ -170,6 +170,11 @@ object DedupQueries {
         .orderBy(col("doc_id")),
       Some {
         val L = 15
+        // The engine keys the canonical occurrence on
+        // min(struct(doc_id, pos)); the oracle packs doc_id*1e9+pos,
+        // which induces the IDENTICAL ordering on this table's small
+        // numeric ids — the packing lives only here, where its domain
+        // is known, not in the production operator.
         s"""WITH toks AS (
            |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
            |), pos AS (

@@ -407,8 +407,20 @@ object VersionedLake {
       val manifest =
         if (p.insertOnly) curEntries ++ p.newEntries
         else curEntries.filterNot(e => p.touched.contains(e.partition)) ++ p.newEntries
+      // Rebase the schema header against the version actually being
+      // committed onto, not the plan-time base: a concurrent winner may
+      // have evolved the schema (insert-only append with a new column,
+      // or a merge on non-conflicting partitions). The recorded schema
+      // is authoritative for reads, so reusing the plan-time JSON here
+      // would silently drop the winner's columns from every later read.
+      val effSchema = p.schemaJson.map { planJson =>
+        val plan = org.apache.spark.sql.types.DataType.fromJson(planJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        if (cur == p.baseVersion) planJson
+        else mergeSchemas(recordedSchema(lakeDir, cur), plan).json
+      }
       if (tryCommitManifest(lakeDir, cur + 1, manifest, p.batchId,
-        p.statsCol, p.bloom, p.schemaJson)) return cur + 1
+        p.statsCol, p.bloom, effSchema)) return cur + 1
       // lost the slot race: loop re-reads the new current and retries
     }
     throw new IllegalStateException(
@@ -784,10 +796,14 @@ object VersionedLake {
         // race just defers to the next tick; compaction failure must
         // never fail the data batch (the append above already
         // committed, and the batch-id watermark makes the replay
-        // guard independent of maintenance).
+        // guard independent of maintenance). NonFatal, not just the
+        // OCC abort: commitPending can exhaust its retry budget
+        // (IllegalStateException) and the rewrite can hit IO errors —
+        // all of them defer maintenance to a later tick rather than
+        // failing a batch whose data is already durable.
         if (compactEvery > 0 && currentVersion(lakeDir) % compactEvery == 0)
           try { compactPartitions(batch.sparkSession, lakeDir, partitionCol); () }
-          catch { case _: java.util.ConcurrentModificationException => () }
+          catch { case scala.util.control.NonFatal(_) => () }
         ()
       }
       .start()
@@ -839,19 +855,42 @@ object VersionedLake {
     val dir = new File(versionsDir(lakeDir))
     dir.mkdirs()
     val lock = Paths.get(s"$dir/MAINTENANCE.lock")
-    if (Files.exists(lock) &&
-      System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis < staleMs)
-      throw new IllegalStateException(
-        s"another maintenance operation holds $lock; " +
-          "wait for it to finish (or remove the lock if its holder crashed)")
-    Files.deleteIfExists(lock) // stale: previous holder crashed
-    try Files.createFile(lock)
+    val token = java.util.UUID.randomUUID().toString
+    if (Files.exists(lock)) {
+      if (System.currentTimeMillis() -
+        Files.getLastModifiedTime(lock).toMillis < staleMs)
+        throw new IllegalStateException(
+          s"another maintenance operation holds $lock; " +
+            "wait for it to finish (or remove the lock if its holder crashed)")
+      // Stale takeover must be ATOMIC, not delete-then-create: with a
+      // bare deleteIfExists, two processes observing the same stale
+      // lock can interleave so that B deletes A's FRESH lock and both
+      // proceed. Rename the stale file aside instead — of N racers,
+      // POSIX rename succeeds for exactly one (the source is gone for
+      // the losers), and the losers fall through to createFile below,
+      // which fails loudly on the winner's fresh lock.
+      val aside = Paths.get(s"$dir/MAINTENANCE.lock.stale.$token")
+      try { Files.move(lock, aside); Files.deleteIfExists(aside); () }
+      catch { case _: java.nio.file.NoSuchFileException => () }
+    }
+    // The lock carries our token so the finally-delete below removes
+    // only OUR lock — never a successor's takeover of a lock we let
+    // go stale by running past staleMs.
+    try Files.write(lock, token.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
           s"lost the race for $lock to a concurrent maintenance operation")
     }
-    try body finally { Files.deleteIfExists(lock); () }
+    try body finally {
+      try {
+        if (Files.exists(lock) &&
+          new String(Files.readAllBytes(lock), "UTF-8") == token)
+          Files.deleteIfExists(lock)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      ()
+    }
   }
 
   /** Canonical filesystem form for path-set arithmetic: manifests
