@@ -426,12 +426,27 @@ object Dedup {
     * the result is the exact Hamming-ball pair set.
     */
   def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int,
+      hotChunkThreshold: Long = 100L, salts: Int = 16): DataFrame =
+    hammingPairs(simhash64(df, id, text), maxHamming, hotChunkThreshold, salts)
+
+  /** Hamming-ball pair scan over ANY 64-bit signature column —
+    * the blocking engine behind [[simhashPairs]] (text) and
+    * [[graft.operators.Multimodal.phash]] (images). Input contract:
+    * columns (doc, h). Pigeonhole blocking over maxHamming+1 chunks is
+    * recall-complete for every chunk count: at most maxHamming of the
+    * chunk-covered bits differ for a qualifying pair, and
+    * maxHamming+1 chunks leave at least one chunk untouched — an
+    * equi-join on (chunk, value) finds it. Precision comes from the
+    * explicit codegen'd Hamming filter on the candidate stream. */
+  def hammingPairs(signatures: DataFrame, maxHamming: Int,
       hotChunkThreshold: Long = 100L, salts: Int = 16): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    require(bitsPer >= 1, s"maxHamming must be <= 63, got $maxHamming")
     // persisted: both sides of the chunk self-join consume it, and the
     // stream side of a broadcast join has no exchange to reuse
-    val hashed = graft.CacheRegistry.retain(simhash64(df, id, text)
+    val hashed = graft.CacheRegistry.retain(signatures
+      .select(col("doc"), col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mask = (1L << bitsPer) - 1
     val chunkCols = (0 until chunks).map { c =>

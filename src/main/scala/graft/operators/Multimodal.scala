@@ -1759,4 +1759,167 @@ object Multimodal {
         posexplode(sequence(lit(0), col("n_frames") - 1)))
       .filter(col("pos") % stride === 0)
       .select(col("media_id"), col("col").as("frame_idx"), col("n_frames"))
+
+  // --- perceptual hash (pHash) for image near-dup -------------------------
+
+  /** Fixed-point scale for the pHash DCT cosine table (2^14: 64
+    * coefficients of |L|≤255 over a 32×32 grid stay far inside int64 —
+    * max |F| < 255·2^28·2^10 ≈ 7·10^16). */
+  val PhashScale = 16384L
+
+  /** Integer-scaled DCT-II cosine table C(p)(u) =
+    * round(cos(π(2u+1)p/64)·2^14), p < 8 (the retained low-frequency
+    * block), u < 32 (the downsampled grid). The constants are computed
+    * ONCE here and inlined verbatim into the DuckDB oracle — both
+    * engines fold the identical integers, so the hash is bit-portable
+    * with no transcendental in either hot path. */
+  val PhashCosTable: Array[Array[Long]] = Array.tabulate(8, 32) { (p, u) =>
+    math.round(math.cos(math.Pi * (2 * u + 1) * p / 64.0) * PhashScale)
+  }
+
+  /** 64-bit perceptual hash of a decoded 3-channel pixel stream — the
+    * classic pHash construction (Zauner 2010; the ImageHash/pHash.org
+    * formulation), re-derived in INTEGER-EXACT arithmetic so the same
+    * hash is replayable by a SQL engine:
+    *
+    *  1. luma:   l = (77·c2 + 150·c1 + 29·c0) >> 8 per pixel (the
+    *             integer Rec.601 weights over the stream's channel
+    *             triplets);
+    *  2. resize: 32×32 box-average downsample with floor boundaries
+    *             x0 = u·W/32, x1 = max((u+1)·W/32, x0+1) (degenerate
+    *             dimensions < 32 repeat rows/columns — every image
+    *             lands on the same grid);
+    *  3. DCT:    the 8×8 low-frequency block of the 2-D DCT-II,
+    *             computed separably over [[PhashCosTable]] (integer
+    *             multiplication distributes exactly, so row-then-
+    *             column equals the double sum bit for bit);
+    *  4. hash:   bit k = p·8+q set iff F(p,q) > upper-median of the
+    *             64 coefficients (sorted index 32 — deterministic, no
+    *             mean drift).
+    *
+    * Identical pixels (a PNG re-encode of a BMP, a lossless crop
+    * round-trip) hash identically; small pixel perturbations move few
+    * bits, so near-duplicates sit at small Hamming distance — the
+    * property [[graft.operators.Dedup.hammingPairs]]' pigeonhole
+    * blocking turns into a scalable pair scan. */
+  def phash64(pixels: Array[Byte], width: Int, height: Int): Long = {
+    require(width > 0 && height > 0 && pixels.length >= 3 * width * height,
+      s"phash64 needs a full 3-channel $width x $height stream, " +
+        s"got ${pixels.length} bytes")
+    val lum = new Array[Long](width * height)
+    var i = 0
+    while (i < lum.length) {
+      lum(i) = (77L * (pixels(3 * i + 2) & 0xff) +
+        150L * (pixels(3 * i + 1) & 0xff) +
+        29L * (pixels(3 * i) & 0xff)) >> 8
+      i += 1
+    }
+    val down = new Array[Long](32 * 32)
+    var v = 0
+    while (v < 32) {
+      val y0 = v * height / 32
+      val y1 = math.max((v + 1) * height / 32, y0 + 1)
+      var u = 0
+      while (u < 32) {
+        val x0 = u * width / 32
+        val x1 = math.max((u + 1) * width / 32, x0 + 1)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += lum(y * width + x); x += 1 }
+          y += 1
+        }
+        down(v * 32 + u) = s / ((y1 - y0).toLong * (x1 - x0))
+        u += 1
+      }
+      v += 1
+    }
+    // separable DCT: row pass g(p)(v) = Σ_u down(v,u)·C(p)(u), then
+    // column pass f(p·8+q) = Σ_v g(p)(v)·C(q)(v)
+    val g = new Array[Long](8 * 32)
+    var p = 0
+    while (p < 8) {
+      val cp = PhashCosTable(p)
+      v = 0
+      while (v < 32) {
+        var s = 0L
+        var u = 0
+        while (u < 32) { s += down(v * 32 + u) * cp(u); u += 1 }
+        g(p * 32 + v) = s
+        v += 1
+      }
+      p += 1
+    }
+    val f = new Array[Long](64)
+    p = 0
+    while (p < 8) {
+      var q = 0
+      while (q < 8) {
+        val cq = PhashCosTable(q)
+        var s = 0L
+        v = 0
+        while (v < 32) { s += g(p * 32 + v) * cq(v); v += 1 }
+        f(p * 8 + q) = s
+        q += 1
+      }
+      p += 1
+    }
+    val med = f.sorted.apply(32)
+    var h = 0L
+    var k = 0
+    while (k < 64) { if (f(k) > med) h |= 1L << k; k += 1 }
+    h
+  }
+
+  /** Batch pHash over a media table: mapPartitions decode (the same
+    * per-partition-init shape as [[decode]]) → [[phash64]] on the
+    * decoded pixels. Non-image payloads (audio, video, opaque bytes)
+    * are dropped — a perceptual IMAGE hash for them would be
+    * meaningless, and the near-dup pair scan must not pair them.
+    * Output: (media_id, width, height, phash). */
+  def phash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeBmp(payload).orElse(decodePng(payload))
+            .orElse(decodeJpeg(payload))
+            .map { case (w, h, px) => (id, w, h, phash64(px, w, h)) }
+        }
+      }
+      .toDF("media_id", "width", "height", "phash")
+  }
+
+  /** Re-encoded-duplicate fixture for the pHash gate: THREE media rows
+    * per document — the document's pixel matrix as a BMP (v=0) and as
+    * a PNG (v=1), which decode to the IDENTICAL byte stream (the
+    * dominant crawled-corpus duplicate class: same image, different
+    * container), plus a lightly PERTURBED BMP (v=2: every 7th text
+    * byte XOR 1 — a few low-order luma flips, the re-compressed
+    * near-duplicate class). media_id = doc_id·4 + v keeps the variant
+    * recoverable by arithmetic in both engines. */
+  def asRencodedMedia(df: DataFrame, id: String, text: String,
+      width: Int = BmpMediaWidth): DataFrame = {
+    val encB = udf((t: String) => encodeBmp24(t.getBytes("UTF-8"), width))
+    val encP = udf((t: String) => encodePng(t.getBytes("UTF-8"), width))
+    val encX = udf { (t: String) =>
+      val b = t.getBytes("UTF-8")
+      var j = 0
+      while (j < b.length) { b(j) = (b(j) ^ 1).toByte; j += 7 }
+      encodeBmp24(b, width)
+    }
+    df.select(col(id).cast("long").as("doc"), col(text).as("t"))
+      .select(col("doc"), col("t"),
+        explode(array(lit(0), lit(1), lit(2))).as("v"))
+      .select(
+        (col("doc") * 4 + col("v")).as("media_id"),
+        when(col("v") === 0, encB(col("t")))
+          .when(col("v") === 1, encP(col("t")))
+          .otherwise(encX(col("t"))).as("payload"),
+        when(col("v") === 1, lit("image/png"))
+          .otherwise(lit("image/bmp")).as("mime"))
+  }
 }

@@ -691,6 +691,98 @@ object TextQueries {
           |FROM s LEFT JOIN agg a USING (doc_id)
           |ORDER BY media_id""".stripMargin)),
 
+    // Perceptual-hash image near-dup: the visual analog of d_simhash.
+    // The fixture re-encodes every document's pixel matrix THREE ways
+    // (BMP, PNG — byte-identical pixels, the container-swap duplicate
+    // class — and a lightly perturbed BMP, the recompressed
+    // near-duplicate class); phash runs the real decoders, the
+    // integer-exact 32×32→DCT→median hash, and the pigeonhole Hamming
+    // blocking shared with SimHash. The oracle REPLAYS the entire
+    // pipeline in SQL — padded byte stream, Rec.601 luma, box
+    // downsample, separable DCT over the same inlined cosine
+    // constants, upper-median threshold — then brute-forces the exact
+    // Hamming-ball pair set, so a decoder, resize-boundary, DCT, or
+    // blocking bug is a hash mismatch, and cross-document collisions
+    // are decided by ground truth rather than assumed away.
+    QDef(
+      "x_phash_neardup",
+      (s, dir) => {
+        val media = graft.operators.Multimodal.asRencodedMedia(
+          Tables.documents(s, dir), "doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.operators.Dedup.hammingPairs(
+          graft.operators.Multimodal.phash(media)
+            .select(col("media_id").as("doc"), col("phash").as("h")),
+          maxHamming = 3)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some {
+        val w = graft.operators.Multimodal.BmpMediaWidth // 25 px, 75-byte rows
+        val rb = w * 3
+        val ct = graft.operators.Multimodal.PhashCosTable
+          .flatten.mkString("[", ", ", "]")
+        // byt(j): 0-based padded pixel-stream byte j of variant v
+        def byt(j: String) =
+          s"""(CASE WHEN $j < len THEN
+             |   (CASE WHEN v2 = 2 AND ($j) % 7 = 0
+             |         THEN xor(ascii(substr(text, $j + 1, 1)), 1)
+             |         ELSE ascii(substr(text, $j + 1, 1)) END)
+             | ELSE 0 END)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH ctab AS (
+           |  SELECT $ct AS ct
+           |), m AS (
+           |  SELECT doc_id * 4 + t.v2 AS media_id, text, length(text) AS len, t.v2,
+           |         greatest(CAST(ceil(length(text) / $rb.0) AS BIGINT), 1) AS hgt
+           |  FROM documents, UNNEST([0, 1, 2]) t(v2)
+           |), lum AS (
+           |  SELECT media_id, hgt,
+           |         list_transform(generate_series(0, $w * hgt - 1), i ->
+           |           CAST((77 * ${byt("3*i+2")} + 150 * ${byt("3*i+1")} +
+           |                 29 * ${byt("3*i")}) // 256 AS BIGINT)) AS lm
+           |  FROM m
+           |), down AS (
+           |  SELECT media_id, vv.dv AS dv, uu.du AS du,
+           |         CAST(list_sum(flatten(list_transform(
+           |           generate_series((vv.dv * hgt) // 32,
+           |             greatest(((vv.dv + 1) * hgt) // 32, (vv.dv * hgt) // 32 + 1) - 1),
+           |           y -> list_transform(
+           |             generate_series((uu.du * $w) // 32,
+           |               greatest(((uu.du + 1) * $w) // 32, (uu.du * $w) // 32 + 1) - 1),
+           |             x -> lm[y * $w + x + 1]))))
+           |         // ((greatest(((vv.dv + 1) * hgt) // 32, (vv.dv * hgt) // 32 + 1)
+           |             - (vv.dv * hgt) // 32)
+           |            * (greatest(((uu.du + 1) * $w) // 32, (uu.du * $w) // 32 + 1)
+           |             - (uu.du * $w) // 32)) AS BIGINT) AS d
+           |  FROM lum, UNNEST(generate_series(0, 31)) vv(dv),
+           |       UNNEST(generate_series(0, 31)) uu(du)
+           |), g AS (
+           |  SELECT media_id, pp.p AS p, dv,
+           |         CAST(sum(d * ct[pp.p * 32 + du + 1]) AS BIGINT) AS gval
+           |  FROM down, ctab, UNNEST(generate_series(0, 7)) pp(p)
+           |  GROUP BY media_id, pp.p, dv
+           |), f AS (
+           |  SELECT media_id, p, qq.q AS q,
+           |         CAST(sum(gval * ct[qq.q * 32 + dv + 1]) AS BIGINT) AS fval
+           |  FROM g, ctab, UNNEST(generate_series(0, 7)) qq(q)
+           |  GROUP BY media_id, p, qq.q
+           |), med AS (
+           |  SELECT media_id, list_sort(list(fval))[33] AS med
+           |  FROM f GROUP BY media_id
+           |), ph AS (
+           |  SELECT f.media_id,
+           |         list(CASE WHEN fval > med THEN 1 ELSE 0 END ORDER BY p * 8 + q) AS bv
+           |  FROM f JOIN med USING (media_id) GROUP BY f.media_id
+           |), pr AS (
+           |  SELECT a.media_id AS d1, b.media_id AS d2,
+           |         CAST(list_sum(list_transform(generate_series(1, 64),
+           |           i -> CASE WHEN a.bv[i] <> b.bv[i] THEN 1 ELSE 0 END))
+           |           AS BIGINT) AS hamming
+           |  FROM ph a JOIN ph b ON a.media_id < b.media_id
+           |)
+           |SELECT d1, d2, hamming FROM pr
+           |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin
+      }),
+
     // Deterministic dataset split + shuffle-key assignment — the last
     // step of every training-data pipeline. Split from an md5-uniform
     // (80/10/10), shuffle order from an independent md5 key: a reader

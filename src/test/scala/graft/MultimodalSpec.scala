@@ -619,4 +619,61 @@ class MultimodalSpec extends SparkSpec {
     assert(d.n_frames == ref.frames)
     assert(d.content_hash == ref.dataHash)       // hash over PCM bytes, not container
   }
+
+  test("phash: re-encode invariance, discrimination, and blocked ≡ brute-force pairs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(60)
+    val media = Multimodal.asRencodedMedia(docs, "doc_id", "text")
+    val hashed = Multimodal.phash(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash")).toMap
+    assert(hashed.size == 180) // every variant decodes to a hash
+    val docIds = docs.select("doc_id").as[Long].collect()
+    docIds.foreach { d =>
+      // BMP and PNG carry byte-identical pixels -> identical hash
+      assert(hashed(d * 4) == hashed(d * 4 + 1),
+        s"container swap changed the perceptual hash for doc $d")
+      // the perturbed variant stays NEAR (pHash moves few bits for
+      // low-order luma flips) but the fixture guarantees no exact rule;
+      // just pin that perturbation never flips a majority of bits
+      val ham = java.lang.Long.bitCount(hashed(d * 4) ^ hashed(d * 4 + 2))
+      assert(ham <= 32, s"perturbed near-dup at implausible hamming $ham")
+    }
+    // discrimination: not all hashes collapse to one value
+    assert(hashed.values.toSet.size > 20)
+    // blocked pair scan == brute-force Hamming ball (recall-complete
+    // pigeonhole + explicit precision filter)
+    val maxH = 3
+    val blocked = graft.operators.Dedup.hammingPairs(
+      Multimodal.phash(media).select(col("media_id").as("doc"), col("phash").as("h")),
+      maxHamming = maxH)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("hamming")))
+      .toSet
+    val ids = hashed.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(hashed(ids(i)) ^ hashed(ids(j)))
+      if h <= maxH
+    } yield (ids(i), ids(j), h.toLong)).toSet
+    assert(blocked == brute)
+  }
+
+  test("phash64 is invariant to where pixels came from, sensitive to content") {
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    val bmp = Multimodal.decodeBmp(
+      Multimodal.encodeBmp24(text.getBytes("UTF-8"), Multimodal.BmpMediaWidth)).get
+    val png = Multimodal.decodePng(
+      Multimodal.encodePng(text.getBytes("UTF-8"), Multimodal.BmpMediaWidth)).get
+    assert(bmp._3.toSeq == png._3.toSeq)
+    val h1 = Multimodal.phash64(bmp._3, bmp._1, bmp._2)
+    val h2 = Multimodal.phash64(png._3, png._1, png._2)
+    assert(h1 == h2)
+    val other = Multimodal.decodeBmp(
+      Multimodal.encodeBmp24(("zzz completely different content 0123456789 " * 8)
+        .getBytes("UTF-8"), Multimodal.BmpMediaWidth)).get
+    val h3 = Multimodal.phash64(other._3, other._1, other._2)
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 3,
+      "distinct content should not sit inside the near-dup ball")
+  }
 }
