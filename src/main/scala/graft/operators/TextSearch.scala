@@ -85,6 +85,124 @@ object TextSearch {
         col("matched_terms"), col("total_tf"), col("dl").cast("long").as("dl"))
   }
 
+  /** BM25 top-k for a QUERY TABLE — the pipeline shape of retrieval
+    * (ranking thousands of benchmark prompts against the corpus for
+    * decontamination review), where [[bm25TopK]]'s one-literal-query
+    * `isin` form would mean one corpus pass per query.
+    *
+    * One corpus pass for ALL queries:
+    *  - the union of every query's terms (query-table-sized) is
+    *    broadcast and semi-joins the token stream, so the only
+    *    corpus-sized shuffle is the per-(doc, term) tf aggregate —
+    *    its size is independent of how many queries share a term;
+    *  - the per-query fan-out happens AFTER that aggregate, on the
+    *    postings that survived pruning, via a broadcast join against
+    *    the (query, term) table;
+    *  - per-query top-k is the two-phase group-limit ([[
+    *    graft.operators.Curation.capPerGroup]]'s pattern): a bucketed
+    *    window bounds any single task at k·buckets rows even when one
+    *    query matches the whole corpus, then the per-query window
+    *    ranks the pruned survivors.
+    *
+    * Output: (query_id, rank, doc_id, matched_terms, total_tf, dl) —
+    * the same log-free hash discipline as [[bm25TopK]] (ranks and
+    * integer evidence; the float score never leaves the plan). */
+  def bm25TopKBatch(docs: DataFrame, id: String, text: String,
+      queries: DataFrame, qid: String, qtext: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, bucketChars: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qterms = queries
+      .select(col(qid).as("query_id"),
+        explode(split(col(qtext), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val allTerms = qterms.select(col("term")).distinct()
+    val toks = docs.select(col(id).as("doc_id"), split(col(text), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+    // the ONE corpus-sized aggregate: per-(doc, term) tf over the
+    // pruned token stream — query count never touches its size
+    val tf = toks.join(broadcast(allTerms), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.select(size(split(col(text), " ")).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(qterms), "term") // per-query fan-out, post-aggregate
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(sum(col("w")).as("score"),
+        count(lit(1)).as("matched_terms"),
+        sum(col("tf")).as("total_tf"))
+    // two-phase group-limit: bucketed prune bounds every task, then
+    // the per-query rank runs over <= k * 16^bucketChars rows
+    val bucket = substring(md5(concat(lit("bm25:"), col("doc_id").cast("string"))),
+      1, bucketChars)
+    val pruned = scored
+      .withColumn("_pn", row_number().over(
+        Window.partitionBy(col("query_id"), bucket)
+          .orderBy(desc("score"), col("doc_id"))))
+      .filter(col("_pn") <= k)
+    pruned
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("score"), col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("matched_terms"), col("total_tf"),
+        col("dl").cast("long").as("dl"))
+  }
+
+  /** DuckDB replay of [[bm25TopKBatch]]: same formula, tie-break, and
+    * rank discipline, with the query table spliced in as a CTE. */
+  def bm25BatchOracleSql(src: String, idSql: String, textSql: String,
+      queriesCte: String, k: Int, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH queries AS ($queriesCte
+       |), qterms AS (
+       |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+       |  FROM queries
+       |), toks AS (
+       |  SELECT $idSql AS doc_id,
+       |         len(string_split($textSql, ' ')) AS dl,
+       |         unnest(string_split($textSql, ' ')) AS term
+       |  FROM $src
+       |), tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM toks WHERE term IN (SELECT term FROM qterms)
+       |  GROUP BY doc_id, dl, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         avg(len(string_split($textSql, ' '))) AS avgdl
+       |  FROM $src
+       |), scored AS (
+       |  SELECT q.query_id, tf.doc_id, tf.dl,
+       |         sum(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |             tf.tf * ${k1 + 1.0} /
+       |             (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / stats.avgdl))) AS score,
+       |         count(*) AS matched_terms,
+       |         CAST(sum(tf.tf) AS BIGINT) AS total_tf
+       |  FROM tf JOIN qterms q USING (term) JOIN dfs USING (term) CROSS JOIN stats
+       |  GROUP BY q.query_id, tf.doc_id, tf.dl
+       |), ranked AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |         doc_id, matched_terms, total_tf, CAST(dl AS BIGINT) AS dl
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, doc_id, matched_terms, total_tf, dl
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB replay of [[bm25TopK]]: identical formula and tie-break;
     * only ranks and integer evidence are emitted, so last-ulp log
     * differences cannot reach the hash. */

@@ -568,6 +568,34 @@ object TextQueries {
         "documents", "doc_id", "text",
         query = Seq("spark", "hash", "join", "stream"), k = 50))),
 
+    // Lexical retrieval 3: BM25 against a QUERY TABLE — the
+    // decontamination-review shape (thousands of benchmark prompts
+    // ranked in ONE corpus pass, not one pass per query). The query
+    // table is derived from the corpus itself (every 25th document's
+    // first five words), so both engines construct it identically; the
+    // per-(doc, term) tf aggregate is the only corpus-sized shuffle
+    // regardless of query count (PlanSpec pins that), and per-query
+    // top-k goes through the bucketed two-phase group-limit. Same
+    // log-free hash discipline as x_bm25_topk.
+    QDef(
+      "x_bm25_batch",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val queries = docs.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+        graft.operators.TextSearch.bm25TopKBatch(
+          docs, "doc_id", "text", queries, "query_id", "qtext", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(graft.operators.TextSearch.bm25BatchOracleSql(
+        "documents", "doc_id", "text",
+        queriesCte =
+          """SELECT doc_id AS query_id,
+            |         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS qtext
+            |  FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+        k = 10))),
+
     // The VIDEO arm of the multimodal family: every document lands as
     // a real RIFF/AVI MJPEG container (LIST nesting, avih timing,
     // '00dc' frame chunks), each frame a one-block-row constant-block

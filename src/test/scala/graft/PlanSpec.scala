@@ -302,4 +302,28 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"window suite has $exchanges hash exchanges:\n$p")
   }
+
+  test("batch BM25: corpus-sized shuffle count is independent of query count") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    def planFor(nq: Int): String = {
+      val queries = docs.filter(col("doc_id") % (500 / nq) === 0)
+        .select(col("doc_id").as("query_id"),
+          org.apache.spark.sql.functions.array_join(
+            org.apache.spark.sql.functions.slice(
+              org.apache.spark.sql.functions.split(col("text"), " "), 1, 5), " ")
+            .as("qtext"))
+      graft.operators.TextSearch.bm25TopKBatch(
+        docs, "doc_id", "text", queries, "query_id", "qtext", k = 5)
+        .queryExecution.executedPlan.toString
+    }
+    val small = planFor(10)
+    val large = planFor(100)
+    // the query table rides broadcast joins; the corpus-sized tf
+    // aggregate is the same shuffle either way, so the hash-exchange
+    // census must not grow with query count
+    def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges(small) == exchanges(large),
+      s"query count changed the shuffle census:\n$small\n---\n$large")
+    assert(small.contains("BroadcastHashJoin"), small)
+  }
 }

@@ -84,4 +84,34 @@ class TextSearchSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("bm25TopKBatch ≡ one bm25TopK per query, in a single corpus pass") {
+    val queries = Seq(
+      (100L, "spark join"),
+      (200L, "join"),
+      (300L, "filter scan")
+    ).toDF("query_id", "qtext")
+    val batch = TextSearch.bm25TopKBatch(
+      corpus, "doc_id", "text", queries, "query_id", "qtext", k = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSeq).toMap
+    val singles = Map(
+      100L -> Seq("spark", "join"), 200L -> Seq("join"), 300L -> Seq("filter", "scan"))
+      .map { case (q, terms) =>
+        q -> TextSearch.bm25TopK(corpus, "doc_id", "text", terms, k = 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSeq
+      }
+    assert(batch == singles, s"$batch\nvs\n$singles")
+    // a query whose terms miss the corpus entirely yields no rows,
+    // never a null-scored row
+    val none = TextSearch.bm25TopKBatch(corpus, "doc_id", "text",
+      Seq((9L, "zzz qqq")).toDF("query_id", "qtext"),
+      "query_id", "qtext", k = 3)
+    assert(none.count() == 0)
+  }
 }
