@@ -737,6 +737,79 @@ object ExportQueries {
           |       count(*) AS agg_count
           |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Lake maintenance 10: MIN/MAX in the incrementally-maintained
+    // view — the non-invertible aggregates (the reference's own
+    // flagship measures min(status)/max per grid point,
+    // timestream-queries/queries.txt:14). Same churn as s18 (updates,
+    // deletes, backfill inserts), but the view also maintains
+    // min/max of the measure: insert-only groups fold with
+    // least/greatest, delete-touched groups re-aggregate from the
+    // pinned source version pruned to just those partitions. The gate
+    // hashes the maintained view — including extremes whose holders
+    // the churn deleted — against the oracle's one-shot recompute.
+    QDef(
+      "s19_minmax_view",
+      (s, dir) => {
+        val out = Fixtures.dir("mview_minmax", dir) { o =>
+          val ev = Tables.events(s, dir)
+            .withColumn("event_date", to_date(col("ts")).cast("string"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("value_cents"),
+              col("event_date"))
+          graft.sources.VersionedLake.create(ev, s"$o/src", "event_date")
+          val scope = ev.filter(col("event_date") <= "2024-01-15")
+          val changes = scope
+            .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
+            .withColumn("event_type", lit("adjusted"))
+            .withColumn("_deleted", lit(false))
+            .unionByName(scope.filter(col("event_id") % 13 === 0)
+              .withColumn("_deleted", lit(true)))
+            .unionByName(scope.filter(col("event_id") % 11 === 0)
+              .withColumn("event_id", col("event_id") + lit(1000000000L))
+              .withColumn("event_type", lit("backfill"))
+              .withColumn("_deleted", lit(false)))
+          graft.sources.VersionedLake.mergeUpsert(
+            s, s"$o/src", changes, Seq("event_id"), "event_date")
+          graft.streaming.MaterializedAgg.maintain(s, s"$o/src",
+            s"$o/state", s"$o/view",
+            groupCols = Seq("event_date"), valueCol = "value_cents",
+            partitionCol = "event_date",
+            minMaxCols = Seq("value_cents"),
+            srcPartitionCol = Some("event_date"))
+        }
+        graft.sources.VersionedLake.read(s, s"$out/view")
+          .select(col("event_date").cast("string").as("event_date"),
+            col("agg_sum").cast("long").as("sum_cents"), col("agg_count"),
+            col("min_value_cents").cast("long").as("min_cents"),
+            col("max_value_cents").cast("long").as("max_cents"))
+          .orderBy(col("event_date"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+          |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+          |  FROM events),
+          |scope AS (SELECT * FROM ev WHERE event_date <= '2024-01-15'),
+          |changed AS (
+          |  SELECT event_id, event_date, cents
+          |  FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT event_id + 1000000000, event_date, cents
+          |  FROM scope WHERE event_id % 11 = 0),
+          |removed AS (
+          |  SELECT event_id FROM scope WHERE event_id % 13 = 0
+          |  UNION ALL
+          |  SELECT event_id FROM scope WHERE event_id % 7 = 0 AND event_id % 13 <> 0),
+          |merged AS (
+          |  SELECT event_date, cents FROM ev
+          |  WHERE event_id NOT IN (SELECT event_id FROM removed)
+          |  UNION ALL SELECT event_date, cents FROM changed)
+          |SELECT event_date, CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       count(*) AS agg_count,
+          |       CAST(min(cents) AS BIGINT) AS min_cents,
+          |       CAST(max(cents) AS BIGINT) AS max_cents
+          |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin)),
+
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,
     // crawled WITHOUT names (all-string col1..colN, header lines

@@ -689,6 +689,17 @@ object VersionedLake {
     if (ids.isEmpty) -1L else ids.max
   }
 
+  /** The batch id recorded in one SPECIFIC version's manifest header
+    * (-1 when that version carries none) — what ties a materialized
+    * view's version k back to the exact source version it folded. */
+  def committedBatchId(lakeDir: String, version: Option[Int]): Long =
+    version match {
+      case None => committedBatchId(lakeDir)
+      case Some(v) => manifestHeaders(lakeDir, v)
+        .collectFirst { case BatchIdHeader(id) => id.toLong }
+        .getOrElse(-1L)
+    }
+
   private val BatchIdHeader = """#batchid=(-?\d+)""".r
   private val StatsColHeader = """#statscol=(.+)""".r
   private val BloomHeader = """#bloom=(.+):(\d+):(\d+)""".r

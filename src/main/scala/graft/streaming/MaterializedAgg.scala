@@ -43,44 +43,125 @@ object MaterializedAgg {
   /** Fold every unseen source version into the view; returns versions
     * processed. `groupCols` must include `partitionCol` (the view's
     * layout key). Columns of the view: groupCols..., agg_sum,
-    * agg_count. */
+    * agg_count, and for each c in `minMaxCols` a min_c and max_c.
+    *
+    * MIN/MAX are NOT invertible under deletes (removing the current
+    * minimum says nothing about the runner-up), so they maintain by
+    * case split per group and batch:
+    *  - insert-only groups FOLD: new min = least(old, batch-insert
+    *    min), new max = greatest(old, batch-insert max) — no source
+    *    I/O;
+    *  - groups any delete touches RE-AGGREGATE from the source lake
+    *    at the version this batch corresponds to, read pruned to just
+    *    those groups' partitions and semi-joined to just those group
+    *    keys (group-cardinality-bounded broadcast) — the touched-group
+    *    re-read every incremental-view engine does for non-invertible
+    *    measures, never a full recompute.
+    * The re-aggregate reads source version `toV` exactly, so the fold
+    * stays correct even when later source versions have already
+    * committed by the time this batch is processed. */
   def maintain(spark: SparkSession, srcLake: String, stateDir: String,
       viewLake: String, groupCols: Seq[String], valueCol: String,
-      partitionCol: String): Int = {
+      partitionCol: String, minMaxCols: Seq[String] = Nil,
+      srcPartitionCol: Option[String] = None): Int = {
     require(groupCols.contains(partitionCol),
       s"partitionCol '$partitionCol' must be one of groupCols $groupCols")
+    // `partitionCol` is the VIEW's layout key; the SOURCE lake may be
+    // laid out differently. The touched-group re-read can prune source
+    // partitions only when the source's own partition column is a
+    // group key — declared via srcPartitionCol; otherwise the re-read
+    // plans over the full manifest and prunes rows via the group-key
+    // broadcast join (still file-skippable by recorded stats).
+    srcPartitionCol.foreach(c => require(groupCols.contains(c),
+      s"srcPartitionCol '$c' must be one of groupCols $groupCols"))
     ChangeFeed.processAvailable(spark, srcLake, stateDir) { (changes, _, toV) =>
       // replay guard: the view's own batch-id header records the last
       // source version folded in — a re-delivered diff is skipped
       if (toV > VersionedLake.committedBatchId(viewLake)) {
         val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+        val isIns = col("_change") === "insert"
+        val deltaAggs: Seq[org.apache.spark.sql.Column] = Seq(
+          sum(sign * col(valueCol)).as("d_sum"),
+          sum(sign).as("d_cnt"),
+          max(when(!isIns, lit(1)).otherwise(lit(0))).as("d_del")) ++
+          minMaxCols.flatMap(c => Seq(
+            min(when(isIns, col(c))).as(s"_ins_min_$c"),
+            max(when(isIns, col(c))).as(s"_ins_max_$c")))
         val delta = changes.groupBy(groupCols.map(col): _*)
-          .agg(sum(sign * col(valueCol)).as("d_sum"),
-            sum(sign).as("d_cnt"))
-        val rows =
-          if (VersionedLake.currentVersion(viewLake) == 0) {
-            delta.select(groupCols.map(col) :+
-              col("d_sum").as("agg_sum") :+ col("d_cnt").as("agg_count"): _*)
-              .withColumn("_deleted", col("agg_count") <= 0)
-          } else {
+          .agg(deltaAggs.head, deltaAggs.tail: _*)
+
+        // touched-group re-aggregation for the non-invertible measures
+        val recomputed: Option[org.apache.spark.sql.DataFrame] =
+          if (minMaxCols.isEmpty) None
+          else {
+            val delKeys = delta.filter(col("d_del") === 1)
+              .select(groupCols.map(col): _*).distinct()
+            val anyDeletes = !delKeys.isEmpty
+            val reAggs = minMaxCols.flatMap(c => Seq(
+              min(col(c)).as(s"_re_min_$c"), max(col(c)).as(s"_re_max_$c")))
+            if (!anyDeletes)
+              // no delete this batch: empty frame with the right shape
+              // keeps the fold expressions resolvable, reads nothing
+              Some(delta.limit(0).select(groupCols.map(col): _*)
+                .select(groupCols.map(col) ++ minMaxCols.flatMap(c => Seq(
+                  lit(null).as(s"_re_min_$c"), lit(null).as(s"_re_max_$c"))): _*))
+            else {
+              val srcParts = srcPartitionCol.map { c =>
+                delKeys.select(col(c).cast("string"))
+                  .distinct().collect().map(_.getString(0)).toSeq
+              }
+              val src = VersionedLake.read(spark, srcLake,
+                version = Some(toV), partitions = srcParts)
+              Some(src.join(broadcast(delKeys), groupCols)
+                .groupBy(groupCols.map(col): _*)
+                .agg(reAggs.head, reAggs.tail: _*))
+            }
+          }
+
+        val viewV = VersionedLake.currentVersion(viewLake)
+        val viewNullCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+          ("agg_sum" -> delta.schema("d_sum").dataType) ::
+            ("agg_count" -> org.apache.spark.sql.types.LongType) ::
+            minMaxCols.flatMap(c => Seq(
+              s"min_$c" -> delta.schema(s"_ins_min_$c").dataType,
+              s"max_$c" -> delta.schema(s"_ins_max_$c").dataType)).toList
+        val merged0 =
+          if (viewV == 0)
+            // bootstrap: same fold expressions over typed-null view
+            // columns (coalesce/least absorb them)
+            viewNullCols.foldLeft(delta) { case (d, (c, t)) =>
+              d.withColumn(c, lit(null).cast(t))
+            }
+          else {
             // read ONLY the view partitions the delta touches
             val touched = delta.select(col(partitionCol).cast("string"))
               .distinct().collect().map(_.getString(0)).toSeq
-            val current = VersionedLake.read(spark, viewLake,
-              partitions = Some(touched))
-            // lit(0) (int) coerces to the value column's own type —
-            // an integer-typed measure stays integer-exact through
-            // the incremental folds (what lets a hash gate compare
-            // the maintained view against a one-shot batch sum)
-            current.join(delta, groupCols, "full")
-              .select(groupCols.map(col) :+
-                (coalesce(col("agg_sum"), lit(0)) +
-                  coalesce(col("d_sum"), lit(0))).as("agg_sum") :+
-                (coalesce(col("agg_count"), lit(0L)) +
-                  coalesce(col("d_cnt"), lit(0L))).as("agg_count"): _*)
-              .withColumn("_deleted", col("agg_count") <= 0)
+            VersionedLake.read(spark, viewLake, partitions = Some(touched))
+              .join(delta, groupCols, "full")
           }
-        if (VersionedLake.currentVersion(viewLake) == 0) {
+        val base = recomputed.fold(merged0)(r => merged0.join(r, groupCols, "left"))
+        // lit(0) (int) coerces to the value column's own type — an
+        // integer-typed measure stays integer-exact through the
+        // incremental folds (what lets a hash gate compare the
+        // maintained view against a one-shot batch sum). least/
+        // greatest skip nulls, so a new group takes the batch min and
+        // an untouched measure keeps the old one.
+        val outCols: Seq[org.apache.spark.sql.Column] =
+          groupCols.map(col) ++ Seq(
+            (coalesce(col("agg_sum"), lit(0)) +
+              coalesce(col("d_sum"), lit(0))).as("agg_sum"),
+            (coalesce(col("agg_count"), lit(0L)) +
+              coalesce(col("d_cnt"), lit(0L))).as("agg_count")) ++
+            minMaxCols.flatMap(c => Seq(
+              when(col("d_del") === 1, col(s"_re_min_$c"))
+                .otherwise(least(col(s"min_$c"), col(s"_ins_min_$c")))
+                .as(s"min_$c"),
+              when(col("d_del") === 1, col(s"_re_max_$c"))
+                .otherwise(greatest(col(s"max_$c"), col(s"_ins_max_$c")))
+                .as(s"max_$c")))
+        val rows = base.select(outCols: _*)
+          .withColumn("_deleted", col("agg_count") <= 0)
+        if (viewV == 0) {
           val keep = rows.filter(!col("_deleted")).drop("_deleted")
           if (!keep.isEmpty)
             VersionedLake.create(keep, viewLake, partitionCol,

@@ -81,4 +81,71 @@ class MaterializedAggSpec extends SparkSpec {
     // and metadata row counts work on the view too
     assert(VersionedLake.rowCount(spark, view) == 2L)
   }
+
+  test("MIN/MAX view: inserts fold, deletes re-aggregate the touched groups, per-version parity") {
+    val root = tmp("magg_mm")
+    val src = s"$root/src"
+    val state = s"$root/state"
+    val view = s"$root/view"
+    def maintain() = MaterializedAgg.maintain(spark, src, state, view,
+      groupCols = Seq("sensor"), valueCol = "value", partitionCol = "sensor",
+      minMaxCols = Seq("value"), srcPartitionCol = Some("sensor"))
+    def mm(view: String): Map[String, (Double, Double)] =
+      VersionedLake.read(spark, view)
+        .select("sensor", "min_value", "max_value")
+        .as[(String, Double, Double)].collect()
+        .map { case (k, lo, hi) => k -> ((lo, hi)) }.toMap
+
+    // v1 bootstrap: s1 has max 10, runner-up 5; s2 single row
+    VersionedLake.create(
+      Seq((1L, "s1", 10.0), (2L, "s1", 5.0), (3L, "s2", 7.0))
+        .toDF("id", "sensor", "value"), src, "sensor")
+    assert(maintain() == 1)
+    assert(mm(view) == Map("s1" -> ((5.0, 10.0)), "s2" -> ((7.0, 7.0))))
+
+    // v2 insert-only: folds with least/greatest, no delete path
+    VersionedLake.append(Seq((4L, "s1", 20.0), (5L, "s2", 1.0))
+      .toDF("id", "sensor", "value"), src, "sensor")
+    assert(maintain() == 1)
+    assert(mm(view) == Map("s1" -> ((5.0, 20.0)), "s2" -> ((1.0, 7.0))))
+
+    // v3 deletes the CURRENT MAX of s1 (20) and the CURRENT MIN of s2
+    // (1): the folded values are not recoverable by inversion — only
+    // the touched-group re-aggregate finds the runner-ups
+    VersionedLake.mergeUpsert(spark, src,
+      Seq((4L, "s1", 20.0, true), (5L, "s2", 1.0, true))
+        .toDF("id", "sensor", "value", "_deleted"), Seq("id"), "sensor")
+    // v4 queued BEHIND v3 before any maintenance: the v3 re-aggregate
+    // must read source AT v3, not current
+    VersionedLake.append(Seq((6L, "s1", 15.0)).toDF("id", "sensor", "value"),
+      src, "sensor")
+    assert(maintain() == 2)
+    assert(mm(view) == Map("s1" -> ((5.0, 15.0)), "s2" -> ((7.0, 7.0))))
+
+    // per-version parity: every VIEW version equals the batch
+    // recompute over its SOURCE version — the observable form of the
+    // version-pinned re-read
+    (1 to VersionedLake.currentVersion(view)).foreach { vv =>
+      val got = VersionedLake.read(spark, view, Some(vv))
+        .select("sensor", "agg_sum", "agg_count", "min_value", "max_value")
+        .as[(String, Double, Long, Double, Double)].collect().toSet
+      // view version vv was committed with batch id = the source
+      // version it folded; recompute from that source version
+      val srcV = VersionedLake.committedBatchId(view, Some(vv)).toInt
+      val want = VersionedLake.read(spark, src, Some(srcV))
+        .groupBy("sensor")
+        .agg(sum("value").as("s"), count(lit(1)).as("c"),
+          min("value").as("lo"), max("value").as("hi"))
+        .as[(String, Double, Long, Double, Double)].collect().toSet
+      assert(got == want, s"view v$vv != source v$srcV recompute")
+    }
+
+    // group emptied entirely: its row (and min/max) leave the view
+    VersionedLake.mergeUpsert(spark, src,
+      Seq((3L, "s2", 7.0, true)).toDF("id", "sensor", "value", "_deleted"),
+      Seq("id"), "sensor")
+    assert(maintain() == 1)
+    assert(!mm(view).contains("s2"))
+    assert(mm(view) == Map("s1" -> ((5.0, 15.0))))
+  }
 }
