@@ -737,6 +737,48 @@ object ExportQueries {
           |       count(*) AS agg_count
           |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Lake maintenance 11: PER-COLUMN zone maps. Every commit records
+    // min/max for every stats-encodable column (numeric, date,
+    // timestamp — the Iceberg/Delta-class per-column metadata), so a
+    // range read prunes on ANY recorded column, not just a single
+    // declared statsCol. The gate runs the column-aware readRange on
+    // two DIFFERENT columns of the shared fixture (value, user_id) and
+    // hashes both legs against plain range filters over the merged
+    // state; exact per-column skip sets and the loud refusal for
+    // unrecorded columns are pinned in VersionedLakeSpec.
+    QDef(
+      "s20_multicol_range",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        def leg(probe: String, column: String, lo: Double, hi: Double,
+            rowFilter: org.apache.spark.sql.Column) =
+          graft.sources.VersionedLake.readRange(s, lake, column, lo, hi, None)
+            .filter(rowFilter)
+            .groupBy(col("event_date").cast("string").as("event_date"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+            .withColumn("probe", lit(probe))
+        leg("value", "value", 40.0, 120.0,
+          col("value") >= 40.0 && col("value") <= 120.0)
+          .unionByName(leg("user_id", "user_id", 10.0, 60.0,
+            col("user_id") >= 10L && col("user_id") <= 60L))
+          .select(col("probe"), col("event_date"), col("n_rows"), col("sum_cents"))
+          .orderBy(col("probe"), col("event_date"))
+      },
+      Some(mergedCtes +
+        """
+          |SELECT * FROM (
+          |  SELECT 'value' AS probe, event_date, count(*) AS n_rows,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |  FROM merged WHERE value >= 40.0 AND value <= 120.0
+          |  GROUP BY event_date
+          |  UNION ALL
+          |  SELECT 'user_id' AS probe, event_date, count(*) AS n_rows,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |  FROM merged WHERE user_id >= 10 AND user_id <= 60
+          |  GROUP BY event_date)
+          |ORDER BY probe, event_date""".stripMargin)),
+
     // Lake maintenance 10: MIN/MAX in the incrementally-maintained
     // view — the non-invertible aggregates (the reference's own
     // flagship measures min(status)/max per grid point,

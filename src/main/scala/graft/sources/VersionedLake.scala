@@ -88,7 +88,8 @@ object VersionedLake {
   final case class Entry(partition: String, path: String,
       min: Option[Double], max: Option[Double],
       bloom: Option[FileBloom] = None,
-      rows: Option[Long] = None)
+      rows: Option[Long] = None,
+      colStats: Map[String, (Double, Double)] = Map.empty)
 
   /** Per-file Bloom filter of a key column, recorded in the manifest:
     * the point-lookup complement of the min/max zone maps. Same hash
@@ -142,6 +143,12 @@ object VersionedLake {
         }
         def rw(v: String): Option[Long] =
           if (v.isEmpty) None else Some(v.toLong)
+        def cs(v: String): Map[String, (Double, Double)] =
+          if (v.isEmpty) Map.empty
+          else v.split(";").iterator.map { ent =>
+            val Array(n, mn, mx) = ent.split(":", 3)
+            java.net.URLDecoder.decode(n, "UTF-8") -> ((mn.toDouble, mx.toDouble))
+          }.toMap
         line.split("\t", -1) match {
           case Array(p, path) => Entry(p, path, None, None)
           case Array(p, path, mn, mx) => Entry(p, path, num(mn), num(mx))
@@ -149,6 +156,8 @@ object VersionedLake {
             Entry(p, path, num(mn), num(mx), bl(b))
           case Array(p, path, mn, mx, b, r) =>
             Entry(p, path, num(mn), num(mx), bl(b), rw(r))
+          case Array(p, path, mn, mx, b, r, c) =>
+            Entry(p, path, num(mn), num(mx), bl(b), rw(r), cs(c))
           case other =>
             throw new IllegalStateException(
               s"malformed manifest line (${other.length} fields): $line")
@@ -213,6 +222,53 @@ object VersionedLake {
         case _ => true
       }
     }
+    readFiles(spark, lakeDir, v, wanted.map(_.path))
+  }
+
+  /** How a column's values land in the per-column zone maps, when they
+    * do: numerics cast to double; dates as epoch DAYS; timestamps as
+    * epoch MICROSECONDS (exact in a double out to ±2^53 µs ≈ ±285
+    * years). Strings/binaries/nested types record no stats. The same
+    * encodings are what [[readRange]]'s column form compares against,
+    * so callers probe timestamp columns with microsecond bounds. */
+  private def statsEncoding(
+      f: org.apache.spark.sql.types.StructField): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case _: NumericType => Some(col(f.name).cast("double"))
+      case DateType => Some(datediff(col(f.name), lit("1970-01-01")).cast("double"))
+      case TimestampType | TimestampNTZType =>
+        Some(unix_micros(col(f.name).cast("timestamp")).cast("double"))
+      case _ => None
+    }
+  }
+
+  /** Column-aware zone-map read: files whose recorded [min, max] FOR
+    * THE NAMED COLUMN overlaps [lo, hi] are handed to the scan —
+    * any column the commit recorded stats for can prune, not just the
+    * single legacy statsCol ([[statsEncoding]] documents the value
+    * encodings: probe timestamps in epoch micros, dates in epoch
+    * days). Files lacking stats for the column (all-null or written
+    * before stats existed) are conservatively KEPT; but a column no
+    * entry in the manifest records is REFUSED loudly — a "range read"
+    * that silently scans everything is a lie at 100 TB, and the error
+    * names the columns that can prune. The caller still applies the
+    * exact row filter (zone maps bound files, not rows). */
+  def readRange(spark: SparkSession, lakeDir: String, column: String,
+      lo: Double, hi: Double, version: Option[Int]): DataFrame = {
+    val v = version.getOrElse(currentVersion(lakeDir))
+    val entries = manifestEntries(lakeDir, v)
+    if (entries.nonEmpty && !entries.exists(_.colStats.contains(column))) {
+      val available = entries.flatMap(_.colStats.keys).distinct.sorted
+      throw new IllegalArgumentException(
+        s"no zone-map stats recorded for column '$column' in $lakeDir@v$v — " +
+          s"a range read on it would silently scan every file; " +
+          s"stats exist for [${available.mkString(", ")}]")
+    }
+    val wanted = entries.filter(_.colStats.get(column) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // no stats for this file: conservatively kept
+    })
     readFiles(spark, lakeDir, v, wanted.map(_.path))
   }
 
@@ -560,27 +616,50 @@ object VersionedLake {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new File(staging))
-    val withStats = statsCol match {
-      case Some(c) if bare.nonEmpty =>
-        // one job over ONLY the new files: per-file min/max of the
-        // stats column, keyed by input_file_name (the commit-time
-        // stats pass every zone-mapped table format pays)
-        val spark = df.sparkSession
-        val stats = spark.read.option("basePath", s"$lakeDir/data")
-          .parquet(bare.map(_.path): _*)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(c).cast("double")).as("mn"),
-            max(col(c).cast("double")).as("mx"))
-          .collect()
-          .map(r => normalizePath(r.getString(0)) -> ((r.getDouble(1), r.getDouble(2))))
-          .toMap
+    // ONE job over ONLY the new files: per-file min/max for EVERY
+    // stats-encodable column (numeric; date as epoch days; timestamp
+    // as epoch micros) — the Iceberg/Delta-class per-column metadata
+    // that lets a range read prune on any recorded column — plus the
+    // legacy single-statsCol zone map, kept bit-compatible with the
+    // original pass (same cast-to-double) and computed in the same
+    // aggregate, so a statsCol commit pays exactly the one stats job
+    // it always did.
+    val withStats = if (bare.isEmpty) bare else {
+      val spark = df.sparkSession
+      val src = spark.read.option("basePath", s"$lakeDir/data")
+        .parquet(bare.map(_.path): _*)
+      val encoded: Seq[(String, org.apache.spark.sql.Column)] =
+        src.schema.fields.toSeq.flatMap(f => statsEncoding(f).map(f.name -> _))
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        statsCol.toSeq.flatMap(c => Seq(
+          min(col(c).cast("double")).as("_lmn"),
+          max(col(c).cast("double")).as("_lmx"))) ++
+          encoded.zipWithIndex.flatMap { case ((_, e), i) =>
+            Seq(min(e).as(s"_n$i"), max(e).as(s"_x$i"))
+          }
+      if (aggs.isEmpty) bare else {
+        val rows = src.groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        val byPath = rows.map { r =>
+          def d(n: String): Option[Double] = {
+            val i = r.fieldIndex(n)
+            if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          }
+          val legacy = statsCol.flatMap(_ =>
+            for { mn <- d("_lmn"); mx <- d("_lmx") } yield (mn, mx))
+          val per = encoded.zipWithIndex.flatMap { case ((n, _), i) =>
+            for { mn <- d(s"_n$i"); mx <- d(s"_x$i") } yield n -> ((mn, mx))
+          }.toMap
+          normalizePath(r.getString(r.fieldIndex("f"))) -> ((legacy, per))
+        }.toMap
         bare.map { e =>
-          stats.get(normalizePath(e.path)) match {
-            case Some((mn, mx)) => e.copy(min = Some(mn), max = Some(mx))
-            case None => e // an all-null or empty file: no zone map
+          byPath.get(normalizePath(e.path)) match {
+            case Some((legacy, per)) => e.copy(
+              min = legacy.map(_._1), max = legacy.map(_._2), colStats = per)
+            case None => e // an empty file: no zone maps
           }
         }
-      case _ => bare
+      }
     }
     bloom match {
       case Some(spec) if withStats.nonEmpty =>
@@ -1043,7 +1122,12 @@ object VersionedLake {
         val bl = e.bloom.map { fb =>
           s"${fb.k}:${fb.m}:" + fb.words.map(java.lang.Long.toHexString).mkString(",")
         }.getOrElse("")
-        e.rows match {
+        val cs = e.colStats.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+          s"${java.net.URLEncoder.encode(n, "UTF-8")}:$lo:$hi"
+        }.mkString(";")
+        if (cs.nonEmpty)
+          s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t${e.rows.fold("")(_.toString)}\t$cs"
+        else e.rows match {
           case Some(r) => s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t$r"
           case None if e.bloom.isDefined =>
             s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl"

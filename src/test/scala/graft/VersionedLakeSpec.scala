@@ -164,6 +164,58 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, s"$root/lake").count() == 400)
   }
 
+  test("per-column zone maps: any recorded column prunes, each with its own skip set; unrecorded refuses") {
+    import spark.implicits._
+    val root = tmp("vlake_multizone")
+    // `a` ascends, `b` DESCENDS, `ts` tracks `a` in micros — the same
+    // byte range maps to different files per column, so the per-column
+    // skip sets are distinguishable
+    val df = (1 to 400).map { i =>
+      (i.toLong, (401 - i).toLong, new java.sql.Timestamp(i * 1000L), "all")
+    }.toDF("a", "b", "ts", "part").repartitionByRange(4, col("a"))
+    VersionedLake.create(df, s"$root/lake", "part")
+    val entries = VersionedLake.manifestEntries(s"$root/lake", 1)
+    assert(entries.length == 4)
+    assert(entries.forall(e => Seq("a", "b", "ts").forall(e.colStats.contains)),
+      entries.map(_.colStats.keys).toString)
+    def opened(dfr: org.apache.spark.sql.DataFrame): Long =
+      dfr.select(input_file_name()).distinct().count()
+    // same numeric box [120, 140]: on `a` it lives in the 2nd file, on
+    // `b` in the 3rd — each column prunes with its own stats
+    val onA = VersionedLake.readRange(spark, s"$root/lake", "a", 120.0, 140.0, None)
+    assert(opened(onA) == 1)
+    assert(onA.filter(col("a").between(120, 140)).select("a").as[Long].collect().toSet
+      == (120L to 140L).toSet)
+    val onB = VersionedLake.readRange(spark, s"$root/lake", "b", 120.0, 140.0, None)
+    assert(opened(onB) == 1)
+    assert(onB.filter(col("b").between(120, 140)).select("b").as[Long].collect().toSet
+      == (120L to 140L).toSet)
+    assert(onA.inputFiles.toSet != onB.inputFiles.toSet,
+      "columns a and b should prune to different files")
+    // timestamps probe in epoch MICROS (ts = a milliseconds)
+    val onTs = VersionedLake.readRange(spark, s"$root/lake", "ts",
+      120 * 1000000.0, 140 * 1000000.0, None)
+    assert(opened(onTs) == 1)
+    assert(onTs.inputFiles.toSet == onA.inputFiles.toSet)
+    // a column with no recorded stats refuses loudly, naming what can prune
+    val err = intercept[IllegalArgumentException] {
+      VersionedLake.readRange(spark, s"$root/lake", "part2", 0.0, 1.0, None)
+    }
+    assert(err.getMessage.contains("part2") && err.getMessage.contains("a, b"),
+      err.getMessage)
+    // stats survive merge carry-forward and compaction re-recording
+    VersionedLake.mergeUpsert(spark, s"$root/lake",
+      Seq((1000L, 1000L, new java.sql.Timestamp(1000000L), "all", false))
+        .toDF("a", "b", "ts", "part", "_deleted"), Seq("a"), "part")
+    val v2 = VersionedLake.manifestEntries(s"$root/lake", 2)
+    assert(v2.forall(_.colStats.contains("b")), "merge dropped per-column stats")
+    VersionedLake.compactPartitions(spark, s"$root/lake", "part")
+    val v3 = VersionedLake.manifestEntries(s"$root/lake", 3)
+    assert(v3.forall(_.colStats.contains("b")), "compaction dropped per-column stats")
+    assert(VersionedLake.readRange(spark, s"$root/lake", "b", 120.0, 140.0, None)
+      .filter(col("b").between(120, 140)).count() == 21)
+  }
+
   test("per-file blooms: point reads skip files; absent keys prune to zero; FPs invisible") {
     import spark.implicits._
     val root = tmp("vlake_bloom")
