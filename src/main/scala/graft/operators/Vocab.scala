@@ -413,6 +413,233 @@ object Vocab {
        |FROM (SELECT DISTINCT $idSql AS doc_id FROM $src) d
        |LEFT JOIN scored s USING (doc_id)""".stripMargin
 
+  // --- unigram-LM (SentencePiece-style) tokenizer ------------------------
+
+  /** A trained unigram piece: corpus count from the last EM round and
+    * the integer Viterbi cost derived from it. */
+  final case class UnigramPiece(piece: String, cnt: Long, cost: Long)
+
+  /** floor(log2(x)) for x >= 1 via the binary-string length — the one
+    * integer log both engines evaluate identically (Spark `bin`,
+    * DuckDB `bin`: no leading zeros, so length-1 IS the bit position).
+    * No float log anywhere in the tokenizer. */
+  private[operators] def floorLog2(x: Long): Long =
+    63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Integer Viterbi cost of a piece with count c out of total T:
+    * floorLog2((T·1024) div c) — the scaled-integer surrogate for
+    * −log2 p(piece) (same discipline as [[lmSurprise]]'s integer
+    * surprise: `div`, not float division, so DuckDB `//` replays it
+    * bit for bit). c <= T makes every cost >= 10 > 0, so Viterbi
+    * always prefers fewer pieces at equal probability mass. A
+    * zero-count survivor (a character no optimal path used this
+    * round — never pruned, for totality) prices one worse than a
+    * count-1 piece: finite, so every word stays segmentable. */
+  private[operators] def unigramCost(c: Long, total: Long): Long =
+    if (c > 0) floorLog2((total * 1024L) / c)
+    else floorLog2(total * 1024L) + 1L
+
+  /** Forward/backward Viterbi DP over one word under a piece→cost
+    * model (single chars are always in the model, so every position is
+    * reachable). fwd(i) = cheapest segmentation of w[0,i); bwd(i) = of
+    * w[i,n). INF marks out-of-vocab pieces. */
+  private def unigramDp(w: String, cost: String => Long, maxLen: Int): (Array[Long], Array[Long]) = {
+    val n = w.length
+    val INF = 1000000000000L
+    val fwd = Array.fill(n + 1)(INF)
+    val bwd = Array.fill(n + 1)(INF)
+    fwd(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val c = cost(w.substring(j, i))
+        if (fwd(j) != INF && c < INF && fwd(j) + c < fwd(i)) fwd(i) = fwd(j) + c
+        j += 1
+      }
+      i += 1
+    }
+    bwd(n) = 0L
+    i = n - 1
+    while (i >= 0) {
+      var k = math.min(n, i + maxLen)
+      while (k > i) {
+        val c = cost(w.substring(i, k))
+        if (bwd(k) != INF && c < INF && c + bwd(k) < bwd(i)) bwd(i) = c + bwd(k)
+        k -= 1
+      }
+      i -= 1
+    }
+    (fwd, bwd)
+  }
+
+  /** The pieces lying on ANY optimal segmentation of `w` — the
+    * "lattice support" membership test fwd(j) + cost + bwd(i) ==
+    * fwd(n). This is the hard-EM count definition: deterministic (no
+    * tie-break needed, unlike 1-best backtracking) and replayable by
+    * two SQL folds plus a per-substring filter — no recursion. One
+    * output entry per position pair, so a piece used twice counts
+    * twice. */
+  private[operators] def unigramOnPath(w: String, cost: String => Long,
+      maxLen: Int): Seq[String] = {
+    val (fwd, bwd) = unigramDp(w, cost, maxLen)
+    val best = fwd(w.length)
+    val out = Seq.newBuilder[String]
+    var j = 0
+    while (j < w.length) {
+      var i = j + 1
+      val top = math.min(w.length, j + maxLen)
+      while (i <= top) {
+        val p = w.substring(j, i)
+        val c = cost(p)
+        if (c < 1000000000000L && fwd(j) + c + bwd(i) == best) out += p
+        i += 1
+      }
+      j += 1
+    }
+    out.result()
+  }
+
+  /** Canonical Viterbi segmentation: walk left to right, at each
+    * position take the LONGEST piece on an optimal path. Safe (the
+    * on-path invariant transfers: fwd(i) = fwd(j) + cost exactly when
+    * the membership test passes) and deterministic — the greedy rule
+    * is the tie-break, identical in the SQL replay's recursive walk. */
+  private[operators] def unigramSegmentWord(w: String, cost: String => Long,
+      maxLen: Int): Seq[String] = {
+    val (fwd, bwd) = unigramDp(w, cost, maxLen)
+    val best = fwd(w.length)
+    val out = Seq.newBuilder[String]
+    var j = 0
+    while (j < w.length) {
+      var i = math.min(w.length, j + maxLen)
+      var chosen = -1
+      while (chosen < 0 && i > j) {
+        val c = cost(w.substring(j, i))
+        if (c < 1000000000000L && fwd(j) + c + bwd(i) == best) chosen = i
+        else i -= 1
+      }
+      // single chars are always in the vocab, so chosen is found
+      out += w.substring(j, chosen)
+      j = chosen
+    }
+    out.result()
+  }
+
+  /** Unigram-LM vocabulary induction (Kudo 2018, hard-EM variant):
+    * seed with the most frequent substrings, then alternate
+    * (E) count each piece's occurrences on optimal Viterbi
+    * segmentations of the word vocabulary — the lattice-support
+    * count, computed by forward+backward integer DP — and
+    * (M) re-derive integer costs from the counts, pruning the
+    * lowest-count multi-char pieces down to `vocabSize` (single
+    * characters are never pruned, so segmentation totality holds).
+    *
+    * All arithmetic is integer-exact ([[unigramCost]]), so the entire
+    * training run — seed selection, every round's counts, the final
+    * cost table — replays in SQL (the x_unigram_train oracle unrolls
+    * the rounds like bpeTrainOracleSql unrolls merges).
+    *
+    * Scale shape: the corpus compresses to the distinct-word table
+    * once (the only corpus-sized aggregate, same as [[bpeTrain]]);
+    * seeding explodes substrings of the WORD VOCABULARY; each round
+    * is a mapPartitions DP over that word table with the (model-sized)
+    * cost map broadcast, then a vocabulary-bounded count aggregate.
+    * Driver state is the model itself — the thing training exists to
+    * produce. Returns (piece, cnt, cost) sorted by piece. */
+  def unigramTrain(df: DataFrame, text: String, vocabSize: Int, rounds: Int,
+      maxLen: Int = 6, seedSize: Int = 500): DataFrame = {
+    require(vocabSize >= 1 && rounds >= 1 && maxLen >= 2 && seedSize >= vocabSize,
+      s"bad unigram params: vocabSize=$vocabSize rounds=$rounds maxLen=$maxLen seedSize=$seedSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordFreq = graft.CacheRegistry.retain(
+      df.select(explode(split(col(text), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    // seed counts: every substring occurrence (overlapping) of every
+    // distinct word, weighted by word frequency — vocabulary-sized work
+    val subCounts = wordFreq
+      .select(col("wf"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))),
+          j => transform(
+            sequence(j, least(length(col("w")), j + lit(maxLen - 1))),
+            i => col("w").substr(j, i - j + 1))))).as("p"))
+      .groupBy(col("p")).agg(sum(col("wf")).as("cnt"))
+    val chars = subCounts.filter(length(col("p")) === 1)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val multi = subCounts.filter(length(col("p")) > 1)
+      .orderBy(desc("cnt"), col("p")).limit(seedSize)
+      .as[(String, Long)].collect()
+    var model: Map[String, Long] = (chars ++ multi).toMap // piece -> cnt
+
+    (1 to rounds).foreach { _ =>
+      val total = model.values.sum
+      val costs = model.map { case (p, c) => p -> unigramCost(c, total) }
+      val bc = spark.sparkContext.broadcast(costs)
+      val L = maxLen
+      val counted = wordFreq.as[(String, Long)]
+        .mapPartitions { it =>
+          val m = bc.value
+          def cost(p: String): Long = m.getOrElse(p, 1000000000000L)
+          it.flatMap { case (w, wf) =>
+            unigramOnPath(w, cost, L).map(p => (p, wf))
+          }
+        }
+        .toDF("p", "wf")
+        .groupBy(col("p")).agg(sum(col("wf")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      // M-step + prune: chars always survive (with their new counts —
+      // 0 if no optimal path uses a bare char this round); multi-char
+      // pieces keep the top slots by (cnt desc, piece asc)
+      val charPieces = chars.map { case (p, _) => p -> counted.getOrElse(p, 0L) }
+      val multiPieces = model.keysIterator
+        .filter(_.length > 1)
+        .map(p => p -> counted.getOrElse(p, 0L))
+        .filter(_._2 > 0)
+        .toSeq.sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - charPieces.length))
+      model = (charPieces ++ multiPieces).toMap
+    }
+    val total = model.values.sum
+    model.toSeq.sortBy(_._1)
+      .map { case (p, c) => UnigramPiece(p, c, unigramCost(c, total)) }
+      .toDF("piece", "cnt", "cost")
+      .orderBy(col("piece"))
+  }
+
+  /** Segment a corpus with a trained unigram model — the production
+    * encoder: cost map broadcast, one mapPartitions pass, per-word
+    * memoization within a partition (the Zipf head hits the cache).
+    * Output per doc: piece count, total integer cost, and the
+    * canonical segmentation (pieces joined by '·' inside a word,
+    * words by ' '). */
+  def unigramEncode(df: DataFrame, id: String, text: String,
+      model: Seq[(String, Long)], maxLen: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.toMap)
+    val L = maxLen
+    df.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        def cost(p: String): Long = m.getOrElse(p, 1000000000000L)
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (docId, t) =>
+          val words = t.split(" ").filter(_.nonEmpty)
+          val segs = words.map(w =>
+            memo.getOrElseUpdate(w, unigramSegmentWord(w, cost, L)))
+          val nPieces = segs.iterator.map(_.size.toLong).sum
+          val totalCost = segs.iterator.flatMap(_.iterator).map(cost).sum
+          (docId, nPieces, totalCost, segs.map(_.mkString("·")).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "n_pieces", "total_cost", "segmented")
+  }
+
   /** Good-Turing count-of-counts for word n-grams: how many DISTINCT
     * n-grams occur exactly `freq` times. Two hash aggregates, the
     * second over the n-gram-vocabulary-sized first. */
