@@ -423,7 +423,7 @@ object Vocab {
     * integer log both engines evaluate identically (Spark `bin`,
     * DuckDB `bin`: no leading zeros, so length-1 IS the bit position).
     * No float log anywhere in the tokenizer. */
-  private[operators] def floorLog2(x: Long): Long =
+  private[graft] def floorLog2(x: Long): Long =
     63L - java.lang.Long.numberOfLeadingZeros(x)
 
   /** Integer Viterbi cost of a piece with count c out of total T:
@@ -435,7 +435,7 @@ object Vocab {
     * zero-count survivor (a character no optimal path used this
     * round — never pruned, for totality) prices one worse than a
     * count-1 piece: finite, so every word stays segmentable. */
-  private[operators] def unigramCost(c: Long, total: Long): Long =
+  private[graft] def unigramCost(c: Long, total: Long): Long =
     if (c > 0) floorLog2((total * 1024L) / c)
     else floorLog2(total * 1024L) + 1L
 
@@ -480,7 +480,7 @@ object Vocab {
     * two SQL folds plus a per-substring filter — no recursion. One
     * output entry per position pair, so a piece used twice counts
     * twice. */
-  private[operators] def unigramOnPath(w: String, cost: String => Long,
+  private[graft] def unigramOnPath(w: String, cost: String => Long,
       maxLen: Int): Seq[String] = {
     val (fwd, bwd) = unigramDp(w, cost, maxLen)
     val best = fwd(w.length)
@@ -505,7 +505,7 @@ object Vocab {
     * on-path invariant transfers: fwd(i) = fwd(j) + cost exactly when
     * the membership test passes) and deterministic — the greedy rule
     * is the tie-break, identical in the SQL replay's recursive walk. */
-  private[operators] def unigramSegmentWord(w: String, cost: String => Long,
+  private[graft] def unigramSegmentWord(w: String, cost: String => Long,
       maxLen: Int): Seq[String] = {
     val (fwd, bwd) = unigramDp(w, cost, maxLen)
     val best = fwd(w.length)
@@ -639,6 +639,171 @@ object Vocab {
       }
       .toDF("doc_id", "n_pieces", "total_cost", "segmented")
   }
+
+  private val UnigramInfSql = "CAST(1000000000000 AS BIGINT)"
+
+  /** The forward Viterbi fold as a DuckDB expression over word column
+    * `w` of length `n` and piece-cost map `mp`: a list_reduce whose
+    * accumulator is the fwd array itself (element j+1 = fwd(j)). */
+  private def fwdSql(w: String, n: String, L: Int): String =
+    s"""list_reduce(
+       |  list_prepend([CAST(0 AS BIGINT)],
+       |    list_transform(generate_series(1, $n), i -> [CAST(i AS BIGINT)])),
+       |  (acc, x) -> list_append(acc,
+       |    list_min(list_transform(
+       |      generate_series(greatest(0, x[1] - $L), x[1] - 1),
+       |      j -> acc[j + 1] +
+       |        coalesce(mp[substr($w, j + 1, x[1] - j)][1], $UnigramInfSql)))))""".stripMargin
+
+  /** The backward fold: accumulator element (n-k)+1 = bwd(k). */
+  private def bwdSql(w: String, n: String, L: Int): String =
+    s"""list_reduce(
+       |  list_prepend([CAST(0 AS BIGINT)],
+       |    list_transform(generate_series(1, $n), t -> [CAST(t AS BIGINT)])),
+       |  (acc, x) -> list_append(acc,
+       |    list_min(list_transform(
+       |      generate_series($n - x[1] + 1, least($n, $n - x[1] + $L)),
+       |      k -> coalesce(mp[substr($w, $n - x[1] + 1, k - ($n - x[1]))][1], $UnigramInfSql)
+       |        + acc[$n - k + 1]))))""".stripMargin
+
+  /** DuckDB replay of [[unigramTrain]] — the whole training run
+    * unrolled round by round (the bpeTrainOracleSql discipline): seed
+    * substring counts and top-`seedSize` selection, then per round the
+    * integer cost table (length(bin(..)) is the shared float-free
+    * log2), the forward/backward DP folds over every distinct word,
+    * the lattice-support piece counting, and the prune. Output =
+    * (piece, cnt, cost) of the final model, matching the operator
+    * row for row. */
+  def unigramTrainOracleSql(src: String, textSql: String, vocabSize: Int,
+      rounds: Int, maxLen: Int = 6, seedSize: Int = 500): String =
+    s"""WITH ${unigramTrainCtes(src, textSql, vocabSize, rounds, maxLen, seedSize)}
+       |SELECT p AS piece, cnt, cost FROM costF ORDER BY piece""".stripMargin
+
+  /** The training replay as a CTE chain ending in `costF`
+    * (p, cnt, cost — the final model) — shared by the train oracle and
+    * the encode oracle, which segments under the model it just
+    * re-derived (the oracle text must be data-independent, so the
+    * trained model cannot be inlined; re-deriving it IS the parity
+    * statement). */
+  private def unigramTrainCtes(src: String, textSql: String, vocabSize: Int,
+      rounds: Int, maxLen: Int, seedSize: Int): String = {
+    val costCase =
+      s"""CASE WHEN cnt > 0 THEN length(bin(total * 1024 // cnt)) - 1
+         |     ELSE length(bin(total * 1024)) END""".stripMargin
+    def roundCtes(r: Int): String = {
+      val R = r + 1
+      s"""t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model$r),
+         |cost$r AS (
+         |  SELECT p, cnt, CAST($costCase AS BIGINT) AS cost FROM model$r, t$r),
+         |m$r AS (
+         |  SELECT MAP(list(p ORDER BY p), list(cost ORDER BY p)) AS mp FROM cost$r),
+         |dp$R AS (
+         |  SELECT w, wf, length(w) AS n,
+         |         ${fwdSql("w", "length(w)", maxLen)} AS fwd,
+         |         ${bwdSql("w", "length(w)", maxLen)} AS bwd
+         |  FROM wf, m$r),
+         |cnt$R AS (
+         |  SELECT p, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+         |    SELECT d.wf, substr(d.w, tj.j + 1, tl.l) AS p
+         |    FROM dp$R d, m$r,
+         |         UNNEST(generate_series(0, d.n - 1)) tj(j),
+         |         UNNEST(generate_series(1, $maxLen)) tl(l)
+         |    WHERE tj.j + tl.l <= d.n
+         |      AND len(mp[substr(d.w, tj.j + 1, tl.l)]) > 0
+         |      AND d.fwd[tj.j + 1] + mp[substr(d.w, tj.j + 1, tl.l)][1]
+         |          + d.bwd[d.n - (tj.j + tl.l) + 1] = d.fwd[d.n + 1]
+         |  ) GROUP BY p),
+         |chars$R AS (
+         |  SELECT c.p, coalesce(k.cnt, 0) AS cnt
+         |  FROM chars0 c LEFT JOIN cnt$R k USING (p)),
+         |multi$R AS (
+         |  SELECT p, cnt FROM (
+         |    SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
+         |    FROM cnt$R WHERE length(p) > 1 AND cnt > 0)
+         |  WHERE rn <= $vocabSize - (SELECT count(*) FROM chars0)),
+         |model$R AS (
+         |  SELECT p, cnt FROM chars$R UNION ALL SELECT p, cnt FROM multi$R)""".stripMargin
+    }
+    s"""wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wf
+       |  FROM (SELECT unnest(string_split($textSql, ' ')) AS w FROM $src)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |sub AS (
+       |  SELECT p, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+       |    SELECT wf.wf, substr(wf.w, tj.j, tl.l) AS p
+       |    FROM wf,
+       |         UNNEST(generate_series(1, length(wf.w))) tj(j),
+       |         UNNEST(generate_series(1, $maxLen)) tl(l)
+       |    WHERE tj.j + tl.l - 1 <= length(wf.w)
+       |  ) GROUP BY p),
+       |chars0 AS (SELECT p, cnt FROM sub WHERE length(p) = 1),
+       |multi0 AS (
+       |  SELECT p, cnt FROM (
+       |    SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
+       |    FROM sub WHERE length(p) > 1)
+       |  WHERE rn <= $seedSize),
+       |model0 AS (SELECT p, cnt FROM chars0 UNION ALL SELECT p, cnt FROM multi0),
+       |${(0 until rounds).map(roundCtes).mkString(",\n")},
+       |t$rounds AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model$rounds),
+       |costF AS (
+       |  SELECT p, cnt, CAST($costCase AS BIGINT) AS cost FROM model$rounds, t$rounds)""".stripMargin
+  }
+
+  /** DuckDB replay of [[unigramEncode]]: re-derive the trained model
+    * via [[unigramTrainCtes]] (the oracle text must be
+    * data-independent), then the same fwd/bwd folds per word and the
+    * canonical greedy walk (longest on-optimal-path piece at each
+    * position) as a recursive CTE — one step per emitted piece. */
+  def unigramEncodeOracleSql(src: String, idSql: String, textSql: String,
+      vocabSize: Int, rounds: Int, maxLen: Int = 6, seedSize: Int = 500): String =
+    s"""WITH RECURSIVE
+       |${unigramTrainCtes(src, textSql, vocabSize, rounds, maxLen, seedSize)},
+       |m AS (
+       |  SELECT MAP(list(p ORDER BY p), list(cost ORDER BY p)) AS mp FROM costF),
+       |words AS (
+       |  SELECT doc_id, t.wi AS widx, ws[t.wi] AS w FROM (
+       |    SELECT $idSql AS doc_id,
+       |           list_filter(string_split($textSql, ' '), x -> length(x) > 0) AS ws
+       |    FROM $src),
+       |    UNNEST(generate_series(1, len(ws))) t(wi)),
+       |dp AS (
+       |  SELECT doc_id, widx, w, length(w) AS n,
+       |         ${fwdSql("w", "length(w)", maxLen)} AS fwd,
+       |         ${bwdSql("w", "length(w)", maxLen)} AS bwd
+       |  FROM words, m),
+       |walk AS (
+       |  SELECT doc_id, widx, w, n, fwd, bwd,
+       |         0 AS pos, CAST([] AS VARCHAR[]) AS pieces
+       |  FROM dp
+       |  UNION ALL
+       |  SELECT doc_id, widx, w, n, fwd, bwd,
+       |         nxt AS pos, list_append(pieces, substr(w, pos + 1, nxt - pos)) AS pieces
+       |  FROM (
+       |    SELECT walk.*,
+       |      list_max(list_transform(generate_series(pos + 1, least(n, pos + $maxLen)),
+       |        i -> CASE WHEN len(mp[substr(w, pos + 1, i - pos)]) > 0
+       |                   AND fwd[pos + 1] + mp[substr(w, pos + 1, i - pos)][1]
+       |                       + bwd[n - i + 1] = fwd[n + 1]
+       |                  THEN i END)) AS nxt
+       |    FROM walk, m
+       |    WHERE pos < n)),
+       |wordseg AS (
+       |  SELECT walk.doc_id, widx, pieces,
+       |         list_sum(list_transform(pieces, p -> mp[p][1])) AS wcost
+       |  FROM walk, m WHERE pos = n),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |         CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+       |         CAST(sum(wcost) AS BIGINT) AS total_cost,
+       |         string_agg(array_to_string(pieces, '·'), ' ' ORDER BY widx) AS segmented
+       |  FROM wordseg GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |       CAST(coalesce(p.total_cost, 0) AS BIGINT) AS total_cost,
+       |       coalesce(p.segmented, '') AS segmented
+       |FROM (SELECT DISTINCT $idSql AS doc_id FROM $src) d
+       |LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Good-Turing count-of-counts for word n-grams: how many DISTINCT
     * n-grams occur exactly `freq` times. Two hash aggregates, the

@@ -41,6 +41,20 @@ object TextQueries {
           .toSeq)
     }
 
+  /** Once-per-JVM unigram-LM training for the encode gate — same
+    * model-state caching discipline as [[trainedMerges]]. */
+  private val unigramModelCache =
+    scala.collection.mutable.Map.empty[String, Seq[(String, Long)]]
+  private def trainedUnigram(s: SparkSession, dir: String): Seq[(String, Long)] =
+    unigramModelCache.synchronized {
+      unigramModelCache.getOrElseUpdate(dir,
+        graft.operators.Vocab.unigramTrain(Tables.documents(s, dir), "text",
+          vocabSize = 200, rounds = 2, maxLen = 5, seedSize = 400)
+          .collect()
+          .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cost")))
+          .toSeq)
+    }
+
   def defs: Seq[QDef] = Seq(
 
     // Token counting: whitespace tokens + word-regex tokens + a BPE-ish
@@ -1079,6 +1093,42 @@ object TextQueries {
         .orderBy(desc("cnt"), col("token")).limit(30),
       Some(graft.operators.Vocab.bpeEncodeOracleSql(
         "documents", "text", k = 8, topN = 30))),
+
+    // The OTHER tokenizer family real pipelines ship: unigram-LM
+    // (SentencePiece-style, Kudo 2018) in the hard-EM variant. All
+    // arithmetic is integer (costs are length(bin(..))-1 — a float-
+    // free log2 both engines evaluate identically), so the ENTIRE
+    // training run — substring seeding, two EM rounds of forward/
+    // backward Viterbi lattice-support counting, pruning, final cost
+    // table — replays in an unrolled-CTE oracle, like the BPE
+    // trainer's. The corpus-sized work is one word-frequency
+    // aggregate; EM rounds run over the word vocabulary with the
+    // model broadcast.
+    QDef(
+      "x_unigram_train",
+      (s, dir) => graft.operators.Vocab.unigramTrain(
+        Tables.documents(s, dir), "text",
+        vocabSize = 200, rounds = 2, maxLen = 5, seedSize = 400)
+        .orderBy(col("piece")),
+      Some(graft.operators.Vocab.unigramTrainOracleSql(
+        "documents", "text", vocabSize = 200, rounds = 2,
+        maxLen = 5, seedSize = 400))),
+
+    // Viterbi segmentation under the trained unigram model (cached
+    // once per JVM — bench measures the ENCODE): per doc the piece
+    // count, total integer cost, and the canonical segmentation
+    // (longest on-optimal-path piece at each position — the
+    // deterministic tie-break both engines share; the oracle's
+    // recursive-CTE walk replays it piece by piece).
+    QDef(
+      "x_unigram_encode",
+      (s, dir) => graft.operators.Vocab.unigramEncode(
+        Tables.documents(s, dir), "doc_id", "text",
+        trainedUnigram(s, dir), maxLen = 5)
+        .orderBy(col("doc_id")),
+      Some(graft.operators.Vocab.unigramEncodeOracleSql(
+        "documents", "doc_id", "text",
+        vocabSize = 200, rounds = 2, maxLen = 5, seedSize = 400))),
 
     // Good-Turing count-of-counts over word trigrams: the smoothing
     // table an n-gram-LM quality filter is built from. Second

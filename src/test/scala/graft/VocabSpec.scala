@@ -163,6 +163,65 @@ class VocabSpec extends SparkSpec {
     assert((two.getLong(1), two.getLong(2), two.getLong(3)) == ((3L, 5000L, 1666L)))
   }
 
+  test("unigram Viterbi: greedy segmentation is cost-optimal vs brute force; total") {
+    // hand model: chars cheap-ish, 'ab' cheap, 'abc' cheaper still
+    val m = Map("a" -> 12L, "b" -> 12L, "c" -> 14L, "ab" -> 9L, "abc" -> 11L, "bc" -> 30L)
+    def cost(p: String): Long = m.getOrElse(p, 1000000000000L)
+    def bruteBest(w: String): Long = {
+      def go(i: Int): Long =
+        if (i == w.length) 0L
+        else (1 to math.min(4, w.length - i)).map { l =>
+          val c = cost(w.substring(i, i + l))
+          if (c >= 1000000000000L) Long.MaxValue / 2 else c + go(i + l)
+        }.min
+      go(0)
+    }
+    Seq("abc", "abab", "abcabc", "cab", "aaab", "ccc").foreach { w =>
+      val seg = Vocab.unigramSegmentWord(w, cost, 4)
+      assert(seg.mkString("") == w, s"$w: segmentation must cover the word")
+      assert(seg.map(cost).sum == bruteBest(w),
+        s"$w: greedy ${seg.mkString("·")} not optimal")
+    }
+    // hand-computed: 'abc' single piece wins (11 < ab+c=23 < a+b+c=38)
+    assert(Vocab.unigramSegmentWord("abc", cost, 4) == Seq("abc"))
+    // ties: 'abab' = ab·ab (18); on-path pieces include both 'ab's
+    assert(Vocab.unigramSegmentWord("abab", cost, 4) == Seq("ab", "ab"))
+    // lattice support counts multiplicity per position pair
+    assert(Vocab.unigramOnPath("abab", cost, 4).count(_ == "ab") == 2)
+  }
+
+  test("unigram train: model covers the alphabet, encode is total and deterministic") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(80)
+    val model = Vocab.unigramTrain(docs, "text", vocabSize = 100, rounds = 2,
+      maxLen = 4, seedSize = 200)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every character of the corpus survives (totality)
+    val chars = docs.select(explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= " ").distinct()
+      .collect().map(_.getString(0)).toSet
+    val pieces = model.map(_._1).toSet
+    assert(chars.subsetOf(pieces), (chars -- pieces).toString)
+    // costs all finite-positive; multi-char pieces exist (EM found structure)
+    assert(model.forall(_._3 > 0))
+    assert(model.exists(_._1.length > 1))
+    val enc = Vocab.unigramEncode(docs, "doc_id", "text",
+      model.map(t => (t._1, t._3)), maxLen = 4)
+    // segmentation concatenates back to the original text
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val got = enc.filter(col("doc_id") === id).head()
+      assert(got.getString(3).replace("·", "") ==
+        text.split(" ").filter(_.nonEmpty).mkString(" "))
+      assert(got.getLong(1) >= text.split(" ").count(_.nonEmpty))
+    }
+    // partition invariance
+    val a = enc.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Vocab.unigramEncode(docs.repartition(7), "doc_id", "text",
+      model.map(t => (t._1, t._3)), maxLen = 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("ngramCountOfCounts: the table sums back to the distinct n-gram count") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val coc = Vocab.ngramCountOfCounts(docs, "text", 3)
