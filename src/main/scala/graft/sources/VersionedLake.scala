@@ -870,7 +870,8 @@ object VersionedLake {
       trigger: Trigger = Trigger.AvailableNow(),
       statsCol: Option[String] = None,
       bloom: Option[BloomSpec] = None,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      postCommit: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
     require(stream.isStreaming, "streamingCommit expects a streaming DataFrame")
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     stream.writeStream
@@ -894,6 +895,13 @@ object VersionedLake {
         if (compactEvery > 0 && currentVersion(lakeDir) % compactEvery == 0)
           try { compactPartitions(batch.sparkSession, lakeDir, partitionCol); () }
           catch { case scala.util.control.NonFatal(_) => () }
+        // post-commit hook: downstream maintenance driven by the stream
+        // itself (e.g. MaterializedAgg.maintainHook keeping a view
+        // current without an external tick). Same contract as
+        // compaction: the data batch is already durable, so a hook
+        // failure defers — it must never fail the batch.
+        try postCommit(batch.sparkSession, id)
+        catch { case scala.util.control.NonFatal(_) => () }
         ()
       }
       .start()

@@ -40,6 +40,25 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedAgg {
 
+  /** A [[graft.sources.VersionedLake.streamingCommit]] `postCommit`
+    * hook that keeps the view current from inside the stream itself —
+    * no external maintenance tick. Each micro-batch commit drains the
+    * change feed up to the version it just produced (plus any
+    * interleaved out-of-band commits, which the feed delivers in
+    * order). streamingCommit wraps the hook in NonFatal, so a
+    * maintenance failure defers to the next tick and never fails the
+    * data batch; the view's own batch-id replay guard keeps the fold
+    * exactly-once across restarts and re-deliveries. */
+  def maintainHook(srcLake: String, stateDir: String, viewLake: String,
+      groupCols: Seq[String], valueCol: String, partitionCol: String,
+      minMaxCols: Seq[String] = Nil,
+      srcPartitionCol: Option[String] = None): (SparkSession, Long) => Unit =
+    (spark, _) => {
+      maintain(spark, srcLake, stateDir, viewLake, groupCols, valueCol,
+        partitionCol, minMaxCols, srcPartitionCol)
+      ()
+    }
+
   /** Fold every unseen source version into the view; returns versions
     * processed. `groupCols` must include `partitionCol` (the view's
     * layout key). Columns of the view: groupCols..., agg_sum,
