@@ -1479,6 +1479,117 @@ object Multimodal {
     stats
   }
 
+  /** The PCM payload itself (sample rate, channels, interleaved int16
+    * samples) — the same chunk walk as [[decodeWav]], for consumers
+    * that need the waveform rather than summary stats (spectral
+    * features). */
+  def decodeWavSamples(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (payload.length < 12) return None
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var channels = 0
+    var sampleRate = 0
+    var fmtOk = false
+    var out: Option[(Int, Int, Array[Short])] = None
+    while (pos + 8 <= payload.length && out.isEmpty) {
+      val id = tag(pos)
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = buf.getShort(pos + 8).toInt
+          channels = buf.getShort(pos + 10).toInt
+          sampleRate = buf.getInt(pos + 12)
+          val bits = buf.getShort(pos + 22).toInt
+          fmtOk = audioFormat == 1 && bits == 16 &&
+            (channels == 1 || channels == 2) && sampleRate > 0
+        case "data" =>
+          if (!fmtOk) return None
+          val n = (size / 2) / channels * channels // whole frames only
+          val samples = new Array[Short](n)
+          var s = 0
+          while (s < n) { samples(s) = buf.getShort(pos + 8 + s * 2); s += 1 }
+          out = Some((sampleRate, channels, samples))
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    out
+  }
+
+  /** One windowed Goertzel accumulation: the s[n] = x[n] + c·s[n−1] −
+    * s[n−2] recurrence over xs[from, until), returning the bin power
+    * s1² + s2² − c·s1·s2. With c = 2cos(ω) restricted to the INTEGER
+    * coefficients {−1, 0, 1} (bins Fs/3, Fs/4, Fs/6) the whole filter
+    * is exact 64-bit integer arithmetic — no float anywhere, so a SQL
+    * oracle folds the identical recurrence. Power is |X(k)|² in
+    * ℤ[e^iω], hence always ≥ 0. */
+  private[graft] def goertzelPower(xs: Array[Short], from: Int, until: Int,
+      coef: Long): Long = {
+    var s1 = 0L
+    var s2 = 0L
+    var i = from
+    while (i < until) {
+      val s0 = xs(i) + coef * s1 - s2
+      s2 = s1
+      s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coef * s1 * s2
+  }
+
+  /** Per-channel spectral record: window count and total Goertzel
+    * energies at the three integer-coefficient bins (Fs/6, Fs/4,
+    * Fs/3). All integers — hash-gate comparable. */
+  final case class AudioSpectral(media_id: Long, channel: Int,
+      n_windows: Long, e_fs6: Long, e_fs4: Long, e_fs3: Long)
+
+  /** Spectral feature extraction over WAV media — the step AFTER
+    * parsing that makes the audio column useful for quality filtering
+    * (tone detection, band energy ratios). The signal is framed into
+    * `windowSize`-sample windows per channel (the standard short-time
+    * analysis shape — and what bounds the integer Goertzel state:
+    * |s| <= windowSize·32768, so powers stay far inside int64 at any
+    * audio length) and the three integer-coefficient bins accumulate
+    * per window; per-channel totals are exact integers. mapPartitions
+    * decode, one streaming pass, no shuffle beyond the output rows. */
+  def audioGoertzel(media: DataFrame, windowSize: Int = 200): Dataset[AudioSpectral] = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeWavSamples(payload).toSeq.flatMap { case (_, channels, inter) =>
+            (0 until channels).map { ch =>
+              val n = inter.length / channels
+              val chan = new Array[Short](n)
+              var i = 0
+              while (i < n) { chan(i) = inter(i * channels + ch); i += 1 }
+              val nW = (n + windowSize - 1) / windowSize
+              var e1 = 0L // coef +1 -> Fs/6
+              var e0 = 0L // coef  0 -> Fs/4
+              var em = 0L // coef -1 -> Fs/3
+              var w = 0
+              while (w < nW) {
+                val from = w * windowSize
+                val until = math.min(n, from + windowSize)
+                e1 += goertzelPower(chan, from, until, 1L)
+                e0 += goertzelPower(chan, from, until, 0L)
+                em += goertzelPower(chan, from, until, -1L)
+                w += 1
+              }
+              AudioSpectral(id, ch, nW.toLong, e1, e0, em)
+            }
+          }
+        }
+      }
+  }
+
   /** Wrap an id+text corpus as real WAV media rows — the audio arm of
     * the multimodal fixture family. */
   def asWavMedia(df: DataFrame, id: String, text: String): DataFrame = {

@@ -733,6 +733,77 @@ object TextQueries {
           |FROM s LEFT JOIN agg a USING (doc_id)
           |ORDER BY media_id""".stripMargin)),
 
+    // Audio SPECTRAL features — the step after WAV parsing that makes
+    // the audio column useful for quality filtering. Goertzel bin
+    // energies at the three integer-coefficient frequencies (2cosω ∈
+    // {1, 0, −1} → Fs/6, Fs/4, Fs/3) over 200-sample windows per
+    // channel: the whole filter is exact int64 arithmetic (windowing
+    // bounds the recurrence state), so the oracle folds the identical
+    // s[n] = x + c·s[n−1] − s[n−2] recurrence per window from the
+    // text's closed-form samples and every energy lands in the hash.
+    QDef(
+      "x_audio_goertzel",
+      (s, dir) => {
+        val media = graft.operators.Multimodal.asWavMedia(
+          Tables.documents(s, dir), "doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.operators.Multimodal.audioGoertzel(media, windowSize = 200).toDF()
+          .select(col("media_id"), col("channel").cast("long").as("channel"),
+            col("n_windows"), col("e_fs6"), col("e_fs4"), col("e_fs3"))
+          .orderBy(col("media_id"), col("channel"))
+      },
+      Some {
+        def fold(c: String) =
+          s"""list_reduce(
+             |  list_prepend([CAST(0 AS BIGINT), 0],
+             |    list_transform(xw, v -> [v, CAST(0 AS BIGINT)])),
+             |  (acc, x) -> [x[1] + ($c) * acc[1] - acc[2], acc[1]])""".stripMargin
+        s"""WITH s AS (
+           |  SELECT doc_id, text, 2 * (length(text) // 2) AS n_samp FROM documents
+           |), chan AS (
+           |  SELECT doc_id, ch.c AS channel,
+           |         list_transform(generate_series(0, n_samp // 2 - 1), i ->
+           |           CAST((unicode(substr(text, 2 * i + ch.c + 1, 1)) - 96) * 256
+           |                AS BIGINT)) AS xs
+           |  FROM s, UNNEST([0, 1]) ch(c)
+           |), win AS (
+           |  SELECT doc_id, channel,
+           |         list_slice(xs, w.w * 200 + 1,
+           |                    least(len(xs), w.w * 200 + 200)) AS xw
+           |  FROM chan,
+           |       UNNEST(generate_series(0,
+           |         CAST(ceil(len(xs) / 200.0) AS BIGINT) - 1)) w(w)
+           |), folds AS (
+           |  SELECT doc_id, channel,
+           |         ${fold("1")} AS a1,
+           |         ${fold("0")} AS a0,
+           |         ${fold("-1")} AS am
+           |  FROM win
+           |), wpow AS (
+           |  SELECT doc_id, channel,
+           |         a1[1] * a1[1] + a1[2] * a1[2] - a1[1] * a1[2] AS p1,
+           |         a0[1] * a0[1] + a0[2] * a0[2] AS p0,
+           |         am[1] * am[1] + am[2] * am[2] + am[1] * am[2] AS pm
+           |  FROM folds
+           |), agg AS (
+           |  SELECT doc_id, channel, count(*) AS n_windows,
+           |         CAST(sum(p1) AS BIGINT) AS e_fs6,
+           |         CAST(sum(p0) AS BIGINT) AS e_fs4,
+           |         CAST(sum(pm) AS BIGINT) AS e_fs3
+           |  FROM wpow GROUP BY doc_id, channel
+           |), grid AS (
+           |  SELECT doc_id, channel FROM chan
+           |)
+           |SELECT g.doc_id AS media_id, CAST(g.channel AS BIGINT) AS channel,
+           |       CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows,
+           |       CAST(coalesce(a.e_fs6, 0) AS BIGINT) AS e_fs6,
+           |       CAST(coalesce(a.e_fs4, 0) AS BIGINT) AS e_fs4,
+           |       CAST(coalesce(a.e_fs3, 0) AS BIGINT) AS e_fs3
+           |FROM grid g
+           |LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.channel = g.channel
+           |ORDER BY media_id, channel""".stripMargin
+      }),
+
     // Perceptual-hash image near-dup: the visual analog of d_simhash.
     // The fixture re-encodes every document's pixel matrix THREE ways
     // (BMP, PNG — byte-identical pixels, the container-swap duplicate

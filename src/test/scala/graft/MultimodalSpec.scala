@@ -620,6 +620,53 @@ class MultimodalSpec extends SparkSpec {
     assert(d.content_hash == ref.dataHash)       // hash over PCM bytes, not container
   }
 
+  test("goertzel: integer bins detect their own tone; samples round-trip the encoder") {
+    import spark.implicits._
+    // decodeWavSamples inverts encodeWavStereo exactly
+    val text = "spectral fixture text 123"
+    val wav = Multimodal.encodeWavStereo(text.getBytes("US-ASCII"))
+    val (rate, ch, samples) = Multimodal.decodeWavSamples(wav).get
+    assert(rate == Multimodal.WavSampleRate && ch == 2)
+    val bytes = text.getBytes("US-ASCII")
+    assert(samples.length == 2 * (bytes.length / 2))
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s == ((bytes(i) - 96) * 256).toShort)
+    }
+    // a pure Fs/4 tone (period 4: A, 0, -A, 0) lands in the c=0 bin
+    // and is rejected by the others over whole periods
+    val tone4 = Array.tabulate(200)(i => (Seq(1000, 0, -1000, 0)(i % 4)).toShort)
+    val p4 = Multimodal.goertzelPower(tone4, 0, 200, 0L)
+    val p6 = Multimodal.goertzelPower(tone4, 0, 200, 1L)
+    val p3 = Multimodal.goertzelPower(tone4, 0, 200, -1L)
+    assert(p4 > 100L * p6 && p4 > 100L * p3, s"$p4 $p6 $p3")
+    // a pure Fs/6 tone (period 6) lands in the c=1 bin
+    val tone6 = Array.tabulate(198)(i =>
+      (Seq(0, 866, 866, 0, -866, -866)(i % 6)).toShort)
+    val q6 = Multimodal.goertzelPower(tone6, 0, 198, 1L)
+    val q4 = Multimodal.goertzelPower(tone6, 0, 198, 0L)
+    assert(q6 > 100L * math.max(q4, 1L), s"$q6 $q4")
+    // powers are |X(k)|^2 in Z[w]: never negative, even on noise
+    val noise = Array.tabulate(137)(i => ((i * 2654435761L % 20000) - 10000).toShort)
+    Seq(-1L, 0L, 1L).foreach(c =>
+      assert(Multimodal.goertzelPower(noise, 0, noise.length, c) >= 0L))
+    // the Dataset op: per media x channel rows, windows counted, and
+    // partition invariance
+    val docs = Seq((1L, "abcd efgh"), (2L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.asWavMedia(docs, "doc_id", "text")
+    val rows = Multimodal.audioGoertzel(media, windowSize = 4).collect()
+      .map(r => (r.media_id, r.channel) -> ((r.n_windows, r.e_fs6, r.e_fs4, r.e_fs3)))
+      .toMap
+    assert(rows.size == 4)
+    // doc 1: 9 chars -> 8 samples -> 4 per channel -> 1 window of 4
+    assert(rows((1L, 0))._1 == 1L)
+    // doc 2: 1 char -> 0 whole frames -> 0 windows, zero energies
+    assert(rows((2L, 0)) == ((0L, 0L, 0L, 0L)))
+    val again = Multimodal.audioGoertzel(media.repartition(5), windowSize = 4)
+      .collect().map(r => (r.media_id, r.channel) ->
+        ((r.n_windows, r.e_fs6, r.e_fs4, r.e_fs3))).toMap
+    assert(again == rows)
+  }
+
   test("phash: re-encode invariance, discrimination, and blocked ≡ brute-force pairs") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf("sf0.001")).limit(60)
