@@ -27,8 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `decontaminate`,
   * `mixture_sample` (weights as 'stratum=weight,...'), `line_dedup`,
   * `trailing_agg`, `hist_quantiles` (quantiles as 'q1,q2,...'),
-  * `range_join`, `ohlc`, `downsample_minmax`, `rate_of_change`, and
-  * `detect_gaps` — the whole extension-operator inventory.
+  * `range_join`, `ohlc`, `downsample_minmax`, `rate_of_change`,
+  * `detect_gaps`, `bm25_batch` (corpus + query TABLE),
+  * `unigram_train` / `unigram_encode` (the unigram-LM tokenizer),
+  * `phash` / `phash_neardup` (perceptual image near-dup),
+  * `audio_goertzel` (windowed spectral energies), and the 4-arg
+  * `read_range` column form over per-column zone maps — the whole
+  * extension-operator inventory.
   *
   * The builder resolves the named table THROUGH the session catalog at
   * analysis time and splices the operator's analyzed plan into the
@@ -465,12 +470,23 @@ object PipelineSql {
     // zone-map range read: files skipped from manifest metadata alone;
     // the caller still applies the exact row predicate on top (zone
     // maps bound files, not rows)
+    // 3-arg form prunes on the legacy commit-time statsCol; the 4-arg
+    // form names ANY column with recorded per-column zone maps
+    // (timestamps probe in epoch micros, dates in epoch days)
     reg("read_range") { es =>
-      argc("read_range", es, 3)
-      graft.sources.VersionedLake.readRange(spark,
-        str("read_range", es(0), "lake directory"),
-        dbl("read_range", es(1), "range low"),
-        dbl("read_range", es(2), "range high"))
+      if (es.length == 4)
+        graft.sources.VersionedLake.readRange(spark,
+          str("read_range", es(0), "lake directory"),
+          str("read_range", es(1), "stats column"),
+          dbl("read_range", es(2), "range low"),
+          dbl("read_range", es(3), "range high"), None)
+      else {
+        argc("read_range", es, 3)
+        graft.sources.VersionedLake.readRange(spark,
+          str("read_range", es(0), "lake directory"),
+          dbl("read_range", es(1), "range low"),
+          dbl("read_range", es(2), "range high"))
+      }
     }
     // maintenance TVFs: the operation runs when the query is analyzed
     // and the relation is its receipt — SQL-first maintenance, the way
@@ -556,11 +572,74 @@ object PipelineSql {
         k = int("bm25_topk", es(4), "k"))
     }
 
+    // query-TABLE BM25: both the corpus and the query set are named
+    // tables — the decontamination-review retrieval shape from SQL
+    reg("bm25_batch") { es =>
+      argc("bm25_batch", es, 7)
+      graft.operators.TextSearch.bm25TopKBatch(
+        table("bm25_batch", es(0)),
+        id = str("bm25_batch", es(1), "id column"),
+        text = str("bm25_batch", es(2), "text column"),
+        queries = table("bm25_batch", es(3)),
+        qid = str("bm25_batch", es(4), "query id column"),
+        qtext = str("bm25_batch", es(5), "query text column"),
+        k = int("bm25_batch", es(6), "k"))
+    }
+
+    // unigram-LM tokenizer: train returns the model table; encode
+    // trains then segments (the bpe_encode discipline — the model is
+    // analysis-time state derived from the named table)
+    reg("unigram_train") { es =>
+      argc("unigram_train", es, 6)
+      graft.operators.Vocab.unigramTrain(
+        table("unigram_train", es(0)),
+        text = str("unigram_train", es(1), "text column"),
+        vocabSize = int("unigram_train", es(2), "vocab size"),
+        rounds = int("unigram_train", es(3), "EM rounds"),
+        maxLen = int("unigram_train", es(4), "max piece length"),
+        seedSize = int("unigram_train", es(5), "seed size"))
+    }
+    reg("unigram_encode") { es =>
+      argc("unigram_encode", es, 7)
+      val t = table("unigram_encode", es(0))
+      val textCol = str("unigram_encode", es(2), "text column")
+      val maxLen = int("unigram_encode", es(5), "max piece length")
+      val model = graft.operators.Vocab.unigramTrain(t, textCol,
+        vocabSize = int("unigram_encode", es(3), "vocab size"),
+        rounds = int("unigram_encode", es(4), "EM rounds"),
+        maxLen = maxLen,
+        seedSize = int("unigram_encode", es(6), "seed size"))
+        .collect().map(r => (r.getAs[String]("piece"), r.getAs[Long]("cost"))).toSeq
+      graft.operators.Vocab.unigramEncode(t,
+        str("unigram_encode", es(1), "id column"), textCol, model, maxLen)
+    }
+
     // multimodal family: batch decode of (media_id, payload) tables
     // from SQL text — same mapPartitions plans as the Scala API
     reg("decode_media") { es =>
       argc("decode_media", es, 1)
       graft.operators.Multimodal.decode(table("decode_media", es(0))).toDF()
+    }
+    // perceptual hashes of an image media table, and the Hamming-ball
+    // near-dup pair scan over them
+    reg("phash") { es =>
+      argc("phash", es, 1)
+      graft.operators.Multimodal.phash(table("phash", es(0)))
+    }
+    reg("phash_neardup") { es =>
+      argc("phash_neardup", es, 2)
+      graft.operators.Dedup.hammingPairs(
+        graft.operators.Multimodal.phash(table("phash_neardup", es(0)))
+          .select(org.apache.spark.sql.functions.col("media_id").as("doc"),
+            org.apache.spark.sql.functions.col("phash").as("h")),
+        maxHamming = int("phash_neardup", es(1), "max hamming"))
+    }
+    // windowed integer-Goertzel bin energies per channel
+    reg("audio_goertzel") { es =>
+      argc("audio_goertzel", es, 2)
+      graft.operators.Multimodal.audioGoertzel(
+        table("audio_goertzel", es(0)),
+        windowSize = int("audio_goertzel", es(1), "window size")).toDF()
     }
     reg("decode_audio") { es =>
       argc("decode_audio", es, 1)

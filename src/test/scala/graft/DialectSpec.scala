@@ -420,6 +420,11 @@ class DialectSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) AS n FROM read_range('$lake', 20.0D, 40.0D) WHERE v BETWEEN 20.0 AND 40.0")
       .head().getLong(0) == 21L)
+    // 4-arg column form: prune on the per-column zone maps of a column
+    // that is NOT the legacy statsCol
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM read_range('$lake', 'id', 20.0D, 40.0D) WHERE id BETWEEN 20 AND 40")
+      .head().getLong(0) == 21L)
 
     // lake_compact commits v3 and reports it; partitions collapse
     val committed = spark.sql(s"SELECT * FROM lake_compact('$lake', 'part')")
@@ -468,5 +473,38 @@ class DialectSpec extends SparkSpec {
       .createOrReplaceTempView("mm_avi")
     assert(rows(spark.sql("SELECT * FROM decode_video_frames('mm_avi', 1)")) ==
       rows(graft.operators.Multimodal.decodeVideoFrames(spark.table("mm_avi"), 1)))
+    assert(rows(spark.sql("SELECT * FROM audio_goertzel('mm_wav', 50)")) ==
+      rows(graft.operators.Multimodal.audioGoertzel(spark.table("mm_wav"), 50).toDF()))
+    graft.operators.Multimodal.asRencodedMedia(docs, "doc_id", "text")
+      .createOrReplaceTempView("mm_renc")
+    assert(rows(spark.sql("SELECT * FROM phash('mm_renc')")) ==
+      rows(graft.operators.Multimodal.phash(spark.table("mm_renc"))))
+    assert(rows(spark.sql("SELECT * FROM phash_neardup('mm_renc', 3)")) ==
+      rows(graft.operators.Dedup.hammingPairs(
+        graft.operators.Multimodal.phash(spark.table("mm_renc"))
+          .select(col("media_id").as("doc"), col("phash").as("h")), 3)))
+  }
+
+  test("round-12 table functions: bm25_batch / unigram_train / unigram_encode from SQL") {
+    graft.functions.PipelineSql.register(spark)
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(60)
+    docs.createOrReplaceTempView("r12_docs")
+    val queries = Seq((1L, "the quick"), (2L, "data lake"))
+      .toDF("query_id", "qtext")
+    queries.createOrReplaceTempView("r12_queries")
+    assert(rows(spark.sql(
+      "SELECT * FROM bm25_batch('r12_docs', 'doc_id', 'text', 'r12_queries', 'query_id', 'qtext', 5)")) ==
+      rows(graft.operators.TextSearch.bm25TopKBatch(
+        docs, "doc_id", "text", queries, "query_id", "qtext", 5)))
+    assert(rows(spark.sql(
+      "SELECT * FROM unigram_train('r12_docs', 'text', 80, 1, 4, 150)")) ==
+      rows(graft.operators.Vocab.unigramTrain(docs, "text", 80, 1, 4, 150)))
+    val model = graft.operators.Vocab.unigramTrain(docs, "text", 80, 1, 4, 150)
+      .collect().map(r => (r.getAs[String]("piece"), r.getAs[Long]("cost"))).toSeq
+    assert(rows(spark.sql(
+      "SELECT * FROM unigram_encode('r12_docs', 'doc_id', 'text', 80, 1, 4, 150)")) ==
+      rows(graft.operators.Vocab.unigramEncode(docs, "doc_id", "text", model, 4)))
   }
 }
