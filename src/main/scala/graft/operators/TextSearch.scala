@@ -121,10 +121,14 @@ object TextSearch {
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
     // the ONE corpus-sized aggregate: per-(doc, term) tf over the
-    // pruned token stream — query count never touches its size
-    val tf = toks.join(broadcast(allTerms), "term")
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // pruned token stream — query count never touches its size.
+    // Persisted: both the document-frequency build side and the
+    // scoring stream consume it, and nothing else reuses the exchange
+    val tf = graft.CacheRegistry.retain(
+      toks.join(broadcast(allTerms), "term")
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.select(size(split(col(text), " ")).as("dl0"))
       .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
