@@ -667,6 +667,91 @@ object TextQueries {
            |FROM fr ORDER BY media_id, frame_idx""".stripMargin
       }),
 
+    // Video near-dup: the curation capability over the VIDEO modality
+    // — container re-encodes and trimmed cuts of the same footage
+    // found by set-Jaccard over sampled frame fingerprints. The
+    // fixture re-encodes every document three ways (plain AVI; same
+    // frames behind a JUNK-chunk container re-encode; a copy with the
+    // last frame slice cut) and the operator chain is the 100 TB
+    // shape end to end: stride sampling FUSED into the MJPEG decode
+    // (half the codec work before any shuffle), then the generic
+    // inverted-index Jaccard with the stop-element df-cap — a shared
+    // blank/boilerplate frame can never become a quadratic join key.
+    // The oracle replays every sampled frame hash in closed form from
+    // the text slices and brute-forces the same capped candidate set,
+    // so the container walk, per-frame decode, sampling arithmetic,
+    // fingerprint composition, AND the Jaccard scoring all land in
+    // the hash.
+    QDef(
+      "x_video_neardup",
+      (s, dir) => {
+        val media = graft.operators.Multimodal.asRencodedVideoMedia(
+          Tables.documents(s, dir), "doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+        val frames = graft.operators.Multimodal.decodeVideoFrames(media, stride = 2)
+          .select(col("media_id").as("doc"), col("frame_hash").as("s"))
+        graft.operators.Dedup.setJaccardPairs(frames, "doc", "s",
+          threshold = 0.5, maxElemDf = Some(100L))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some {
+        val bpr = graft.operators.Multimodal.JpegBlocksPerRow
+        val p = 1000000007L
+        val t31 = BigInt(31).modPow(8, p)
+        val s8 = (0 to 7).map(j => BigInt(31).pow(j)).sum
+        val p200 = BigInt(31).modPow(8 * bpr, p)
+        val r8 = (0 to 7).map(j => p200.modPow(j, p)).sum % p
+        s"""WITH g AS (
+           |  SELECT doc_id, text,
+           |         greatest(CAST(ceil(length(text) / $bpr.0) AS BIGINT), 1) AS n0
+           |  FROM documents
+           |), gv AS (
+           |  SELECT doc_id * 4 + t.v AS media_id,
+           |         CASE WHEN t.v = 2 AND n0 >= 2
+           |              THEN substr(text, 1, $bpr * (n0 - 1)) ELSE text END AS vtext
+           |  FROM g, UNNEST([0, 1, 2]) t(v)
+           |), gm AS (
+           |  SELECT media_id, vtext, length(vtext) AS len,
+           |         greatest(CAST(ceil(length(vtext) / $bpr.0) AS BIGINT), 1) AS nf
+           |  FROM gv
+           |), fr AS (
+           |  SELECT media_id,
+           |         (list_reduce(
+           |            list_prepend(CAST(0 AS BIGINT),
+           |              list_transform(generate_series(1, $bpr),
+           |                c -> CAST(CASE WHEN f * $bpr + c <= len
+           |                               THEN ascii(substr(vtext, f * $bpr + c, 1))
+           |                               ELSE 0 END AS BIGINT))),
+           |            (a, b) -> (a * $t31 + b * $s8) % $p) * $r8) % $p AS fh
+           |  FROM gm, UNNEST(generate_series(0, nf - 1)) t(f)
+           |  WHERE f % 2 = 0
+           |), fsets AS (
+           |  SELECT media_id, list_distinct(list(fh)) AS fs FROM fr GROUP BY media_id
+           |), sh AS (
+           |  SELECT DISTINCT media_id, fh AS s FROM fr
+           |), hot AS (
+           |  SELECT s FROM sh GROUP BY s HAVING count(*) > 100
+           |), fcold AS (
+           |  SELECT media_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+           |), cand AS (
+           |  SELECT DISTINCT a.media_id AS d1, b.media_id AS d2
+           |  FROM fcold a JOIN fcold b ON a.s = b.s AND a.media_id < b.media_id
+           |), scored AS (
+           |  SELECT d1, d2,
+           |         CAST(len(list_intersect(s1.fs, s2.fs)) AS BIGINT) AS common,
+           |         CAST(len(s1.fs) AS BIGINT) AS sz1,
+           |         CAST(len(s2.fs) AS BIGINT) AS sz2
+           |  FROM cand
+           |  JOIN fsets s1 ON d1 = s1.media_id
+           |  JOIN fsets s2 ON d2 = s2.media_id
+           |)
+           |SELECT d1, d2, common, sz1, sz2,
+           |       CAST(common AS DOUBLE) / (sz1 + sz2 - common) AS jaccard
+           |FROM scored
+           |WHERE CAST(common AS DOUBLE) / (sz1 + sz2 - common) >= 0.5
+           |ORDER BY d1, d2""".stripMargin
+      }),
+
     // The audio arm of the multimodal family: every document lands as
     // a REAL stereo PCM16 WAV (RIFF chunk walk with a junk LIST chunk,
     // sample i = (byte_i − 96)·256 — pure arithmetic a SQL oracle
@@ -829,72 +914,50 @@ object TextQueries {
           maxHamming = 3)
           .orderBy(col("d1"), col("d2"))
       },
-      Some {
-        val w = graft.operators.Multimodal.BmpMediaWidth // 25 px, 75-byte rows
-        val rb = w * 3
-        val ct = graft.operators.Multimodal.PhashCosTable
-          .flatten.mkString("[", ", ", "]")
-        // byt(j): 0-based padded pixel-stream byte j of variant v
-        def byt(j: String) =
-          s"""(CASE WHEN $j < len THEN
-             |   (CASE WHEN v2 = 2 AND ($j) % 7 = 0
-             |         THEN xor(ascii(substr(text, $j + 1, 1)), 1)
-             |         ELSE ascii(substr(text, $j + 1, 1)) END)
-             | ELSE 0 END)""".stripMargin.replaceAll("\\s+", " ")
-        s"""WITH ctab AS (
-           |  SELECT $ct AS ct
-           |), m AS (
-           |  SELECT doc_id * 4 + t.v2 AS media_id, text, length(text) AS len, t.v2,
-           |         greatest(CAST(ceil(length(text) / $rb.0) AS BIGINT), 1) AS hgt
-           |  FROM documents, UNNEST([0, 1, 2]) t(v2)
-           |), lum AS (
-           |  SELECT media_id, hgt,
-           |         list_transform(generate_series(0, $w * hgt - 1), i ->
-           |           CAST((77 * ${byt("3*i+2")} + 150 * ${byt("3*i+1")} +
-           |                 29 * ${byt("3*i")}) // 256 AS BIGINT)) AS lm
-           |  FROM m
-           |), down AS (
-           |  SELECT media_id, vv.dv AS dv, uu.du AS du,
-           |         CAST(list_sum(flatten(list_transform(
-           |           generate_series((vv.dv * hgt) // 32,
-           |             greatest(((vv.dv + 1) * hgt) // 32, (vv.dv * hgt) // 32 + 1) - 1),
-           |           y -> list_transform(
-           |             generate_series((uu.du * $w) // 32,
-           |               greatest(((uu.du + 1) * $w) // 32, (uu.du * $w) // 32 + 1) - 1),
-           |             x -> lm[y * $w + x + 1]))))
-           |         // ((greatest(((vv.dv + 1) * hgt) // 32, (vv.dv * hgt) // 32 + 1)
-           |             - (vv.dv * hgt) // 32)
-           |            * (greatest(((uu.du + 1) * $w) // 32, (uu.du * $w) // 32 + 1)
-           |             - (uu.du * $w) // 32)) AS BIGINT) AS d
-           |  FROM lum, UNNEST(generate_series(0, 31)) vv(dv),
-           |       UNNEST(generate_series(0, 31)) uu(du)
-           |), g AS (
-           |  SELECT media_id, pp.p AS p, dv,
-           |         CAST(sum(d * ct[pp.p * 32 + du + 1]) AS BIGINT) AS gval
-           |  FROM down, ctab, UNNEST(generate_series(0, 7)) pp(p)
-           |  GROUP BY media_id, pp.p, dv
-           |), f AS (
-           |  SELECT media_id, p, qq.q AS q,
-           |         CAST(sum(gval * ct[qq.q * 32 + dv + 1]) AS BIGINT) AS fval
-           |  FROM g, ctab, UNNEST(generate_series(0, 7)) qq(q)
-           |  GROUP BY media_id, p, qq.q
-           |), med AS (
-           |  SELECT media_id, list_sort(list(fval))[33] AS med
-           |  FROM f GROUP BY media_id
-           |), ph AS (
-           |  SELECT f.media_id,
-           |         list(CASE WHEN fval > med THEN 1 ELSE 0 END ORDER BY p * 8 + q) AS bv
-           |  FROM f JOIN med USING (media_id) GROUP BY f.media_id
-           |), pr AS (
-           |  SELECT a.media_id AS d1, b.media_id AS d2,
-           |         CAST(list_sum(list_transform(generate_series(1, 64),
-           |           i -> CASE WHEN a.bv[i] <> b.bv[i] THEN 1 ELSE 0 END))
-           |           AS BIGINT) AS hamming
-           |  FROM ph a JOIN ph b ON a.media_id < b.media_id
-           |)
-           |SELECT d1, d2, hamming FROM pr
-           |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin
-      }),
+      Some(s"""WITH ${phashPairCtes()}
+              |SELECT d1, d2, hamming FROM pr
+              |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin)),
+
+    // Image near-dup taken to the step a curation pipeline acts on:
+    // pHash pairs → transitive duplicate CLUSTERS → canonical keeper
+    // per cluster (the d_neardup_clusters shape over the visual
+    // modality — container-swapped re-encodes and perturbed
+    // near-copies of the same document land in one cluster). Oracle:
+    // the full DCT pair replay plus a recursive-CTE closure.
+    QDef(
+      "x_image_dedup_clusters",
+      (s, dir) => {
+        val media = graft.operators.Multimodal.asRencodedMedia(
+          Tables.documents(s, dir), "doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+        val pairs = graft.operators.Dedup.hammingPairs(
+          graft.operators.Multimodal.phash(media)
+            .select(col("media_id").as("doc"), col("phash").as("h")),
+          maxHamming = 3)
+          .select(col("d1"), col("d2"))
+        graft.operators.Dedup.neardupClusters(
+          media.select(col("media_id")), "media_id", pairs)
+          .orderBy(col("doc"))
+      },
+      Some(s"""WITH RECURSIVE ${phashPairCtes()},
+              |pairs AS (SELECT d1, d2 FROM pr WHERE hamming <= 3),
+              |nodes AS (SELECT DISTINCT media_id AS doc FROM m),
+              |und AS (
+              |  SELECT d1 AS a, d2 AS b FROM pairs
+              |  UNION ALL
+              |  SELECT d2, d1 FROM pairs
+              |), reach(doc, label) AS (
+              |  SELECT doc, doc FROM nodes
+              |  UNION
+              |  SELECT u.a, r.label FROM und u JOIN reach r ON r.doc = u.b
+              |), comp AS (
+              |  SELECT doc, min(label) AS cluster_id FROM reach GROUP BY doc
+              |)
+              |SELECT doc, cluster_id,
+              |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+              |         AS cluster_size,
+              |       doc = cluster_id AS is_canonical
+              |FROM comp ORDER BY doc""".stripMargin)),
 
     // Deterministic dataset split + shuffle-key assignment — the last
     // step of every training-data pipeline. Split from an md5-uniform
@@ -1499,6 +1562,84 @@ object TextQueries {
           |       md5(string_agg(text, '<|eos|>' ORDER BY gstart - shard_id * 2000, doc_id)) AS seq_md5
           |FROM g GROUP BY shard_id ORDER BY shard_id""".stripMargin))
   )
+
+  /** DuckDB replay of the full pHash pipeline, shared by the
+    * x_phash_neardup and x_image_dedup_clusters oracles: the CTE chain
+    * `ctab, m, lum, down, g, f, med, ph, pr` ending in `pr(d1, d2,
+    * hamming)` — the exact all-pairs Hamming table over the re-encoded
+    * media fixture (doc × {BMP, PNG, perturbed-BMP} = media_id
+    * doc_id*4+v2). Callers splice it after WITH [RECURSIVE] and select
+    * from `pr` (pairs) or `m` (the media universe). Every stage —
+    * padded byte stream, the v2=2 every-7th-byte xor-1 perturbation,
+    * Rec.601 integer luma, 32×32 box downsample, the separable DCT
+    * over the same inlined scaled-cosine table the Scala expression
+    * uses, upper-median threshold — is integer-exact, so a decoder or
+    * blocking bug on the Spark side is a hash mismatch, not a tolerance
+    * judgement call. */
+  private def phashPairCtes(): String = {
+    val w = graft.operators.Multimodal.BmpMediaWidth // 25 px, 75-byte rows
+    val rb = w * 3
+    val ct = graft.operators.Multimodal.PhashCosTable
+      .flatten.mkString("[", ", ", "]")
+    // byt(j): 0-based padded pixel-stream byte j of variant v
+    def byt(j: String) =
+      s"""(CASE WHEN $j < len THEN
+         |   (CASE WHEN v2 = 2 AND ($j) % 7 = 0
+         |         THEN xor(ascii(substr(text, $j + 1, 1)), 1)
+         |         ELSE ascii(substr(text, $j + 1, 1)) END)
+         | ELSE 0 END)""".stripMargin.replaceAll("\\s+", " ")
+    s"""ctab AS (
+       |  SELECT $ct AS ct
+       |), m AS (
+       |  SELECT doc_id * 4 + t.v2 AS media_id, text, length(text) AS len, t.v2,
+       |         greatest(CAST(ceil(length(text) / $rb.0) AS BIGINT), 1) AS hgt
+       |  FROM documents, UNNEST([0, 1, 2]) t(v2)
+       |), lum AS (
+       |  SELECT media_id, hgt,
+       |         list_transform(generate_series(0, $w * hgt - 1), i ->
+       |           CAST((77 * ${byt("3*i+2")} + 150 * ${byt("3*i+1")} +
+       |                 29 * ${byt("3*i")}) // 256 AS BIGINT)) AS lm
+       |  FROM m
+       |), down AS (
+       |  SELECT media_id, vv.dv AS dv, uu.du AS du,
+       |         CAST(list_sum(flatten(list_transform(
+       |           generate_series((vv.dv * hgt) // 32,
+       |             greatest(((vv.dv + 1) * hgt) // 32, (vv.dv * hgt) // 32 + 1) - 1),
+       |           y -> list_transform(
+       |             generate_series((uu.du * $w) // 32,
+       |               greatest(((uu.du + 1) * $w) // 32, (uu.du * $w) // 32 + 1) - 1),
+       |             x -> lm[y * $w + x + 1]))))
+       |         // ((greatest(((vv.dv + 1) * hgt) // 32, (vv.dv * hgt) // 32 + 1)
+       |             - (vv.dv * hgt) // 32)
+       |            * (greatest(((uu.du + 1) * $w) // 32, (uu.du * $w) // 32 + 1)
+       |             - (uu.du * $w) // 32)) AS BIGINT) AS d
+       |  FROM lum, UNNEST(generate_series(0, 31)) vv(dv),
+       |       UNNEST(generate_series(0, 31)) uu(du)
+       |), g AS (
+       |  SELECT media_id, pp.p AS p, dv,
+       |         CAST(sum(d * ct[pp.p * 32 + du + 1]) AS BIGINT) AS gval
+       |  FROM down, ctab, UNNEST(generate_series(0, 7)) pp(p)
+       |  GROUP BY media_id, pp.p, dv
+       |), f AS (
+       |  SELECT media_id, p, qq.q AS q,
+       |         CAST(sum(gval * ct[qq.q * 32 + dv + 1]) AS BIGINT) AS fval
+       |  FROM g, ctab, UNNEST(generate_series(0, 7)) qq(q)
+       |  GROUP BY media_id, p, qq.q
+       |), med AS (
+       |  SELECT media_id, list_sort(list(fval))[33] AS med
+       |  FROM f GROUP BY media_id
+       |), ph AS (
+       |  SELECT f.media_id,
+       |         list(CASE WHEN fval > med THEN 1 ELSE 0 END ORDER BY p * 8 + q) AS bv
+       |  FROM f JOIN med USING (media_id) GROUP BY f.media_id
+       |), pr AS (
+       |  SELECT a.media_id AS d1, b.media_id AS d2,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |           i -> CASE WHEN a.bv[i] <> b.bv[i] THEN 1 ELSE 0 END))
+       |           AS BIGINT) AS hamming
+       |  FROM ph a JOIN ph b ON a.media_id < b.media_id
+       |)""".stripMargin
+  }
 
   /** DuckDB twin of Curation.decontaminate at word n-grams. */
   private def decontaminateOracle(n: Int): String = {
