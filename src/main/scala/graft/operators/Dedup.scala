@@ -98,13 +98,47 @@ object Dedup {
     // inv rows carry the set size so the candidate join can size-prune
     val inv = sets.select(col("doc"), size(col("sh")).cast("long").as("sz"),
       explode(col("sh")).as("s"))
+    jaccardFromExploded(inv, sizes, threshold, maxShingleDf)
+  }
+
+  /** Exact set-Jaccard near-dup pairs over an ALREADY-EXTRACTED
+    * element table — the modality-agnostic core of [[jaccardPairs]].
+    * `items` holds one row per (id, elem) membership (duplicates
+    * collapse; elem may be any equi-joinable type — a text shingle, a
+    * video frame fingerprint, an audio window hash). Same inverted-
+    * index candidate generation, the same provably-output-preserving
+    * size prune, and the same `maxElemDf` stop-element cap with exact
+    * hot-overlap correction as the n-gram form — so every fingerprint
+    * modality inherits the 100 TB skew guard instead of re-deriving
+    * it. Returns (d1, d2, common, sz1, sz2, jaccard), d1 < d2.
+    */
+  def setJaccardPairs(items: DataFrame, id: String, elem: String,
+      threshold: Double, maxElemDf: Option[Long] = None): DataFrame = {
+    // distinct BEFORE sizing: Jaccard is over sets, so repeated
+    // memberships (a repeated frame in one video) must count once.
+    // Persisted for the same reason as shingleSets — sizes, the
+    // inverted index, and the hot-correction all re-read it.
+    val sets = graft.CacheRegistry.retain(
+      items.select(col(id).as("doc"), col(elem).as("s")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = sets.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inv = sets.join(sizes, "doc").select(col("doc"), col("sz"), col("s"))
+    jaccardFromExploded(inv, sizes, threshold, maxElemDf)
+  }
+
+  /** Shared candidate-generation + exact-verify tail of the two
+    * Jaccard entry points: `inv` is the (doc, sz, s) inverted index
+    * (one row per distinct membership), `sizes` the (doc, sz) set
+    * sizes. */
+  private def jaccardFromExploded(inv: DataFrame, sizes: DataFrame,
+      threshold: Double, maxElemDf: Option[Long]): DataFrame = {
     // provably output-preserving prune: jaccard ≥ t needs common ≥
     // t·(s1+s2)/(1+t) and common ≤ min(s1,s2), which forces
     // min(s1,s2)/max(s1,s2) ≥ t — mismatched-size pairs can never pass,
     // so they are dropped before the count aggregation.
     def sizeCompatible = greatest(col("a.sz"), col("b.sz")) * threshold <=
       least(col("a.sz"), col("b.sz"))
-    val common = maxShingleDf match {
+    val common = maxElemDf match {
       case Some(cap) =>
         val hot = inv.groupBy(col("s")).count().filter(col("count") > cap).select(col("s"))
         val filtered = inv.join(hot, Seq("s"), "left_anti")

@@ -1399,12 +1399,20 @@ object Multimodal {
     * walk: a junk LIST chunk sits between fmt and data, so a decoder
     * that doesn't chunk-skip properly fails loudly. ASCII-only input
     * (required) keeps every sample inside int16. */
-  def encodeWavStereo(text: Array[Byte], sampleRate: Int = WavSampleRate): Array[Byte] = {
+  def encodeWavStereo(text: Array[Byte], sampleRate: Int = WavSampleRate,
+      extraJunk: Boolean = false): Array[Byte] = {
     val n = (text.length / 2) * 2 // whole stereo frames
     val dataSize = n * 2 // 16-bit samples
     val listBody = "INFOgraft-pcm0".getBytes("US-ASCII") // even-sized junk
     require(listBody.length % 2 == 0, "junk chunk body must be even-sized")
-    val riffSize = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataSize)
+    // container re-encode knob: a second filler chunk ('JUNK', the RIFF
+    // spec's alignment id) changes the bytes without touching the PCM —
+    // the duplicate class the audio near-dup fixture needs
+    val junk2 = if (extraJunk) "graft-junk-pad".getBytes("US-ASCII")
+                else Array.empty[Byte]
+    require(junk2.length % 2 == 0, "junk chunk body must be even-sized")
+    val riffSize = 4 + (8 + 16) + (8 + listBody.length) +
+      (if (extraJunk) 8 + junk2.length else 0) + (8 + dataSize)
     val out = java.nio.ByteBuffer.allocate(8 + riffSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
@@ -1413,6 +1421,8 @@ object Multimodal {
       .putShort(1).putShort(2).putInt(sampleRate)
       .putInt(sampleRate * 2 * 2).putShort((2 * 2).toShort).putShort(16)
     out.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    if (extraJunk)
+      out.put("JUNK".getBytes("US-ASCII")).putInt(junk2.length).put(junk2)
     out.put("data".getBytes("US-ASCII")).putInt(dataSize)
     var i = 0
     while (i < n) {
@@ -1590,6 +1600,79 @@ object Multimodal {
       }
   }
 
+  /** Per-window audio fingerprints — the acoustic-identity elements
+    * audio near-dup matches on. Each channel is framed into
+    * `windowSize`-sample windows and every window folds to one modular
+    * rolling hash over its PCM values, SEEDED with channel+1 so the
+    * two channels of a stereo file can never alias (sample values are
+    * shifted by +32768 into [0, 65535] before the fold, keeping the
+    * modular state non-negative). Position (window_idx) is reported
+    * but deliberately NOT part of the hash: a trimmed or re-cut copy
+    * shares its surviving windows' fingerprints verbatim, which is
+    * what makes set-Jaccard over `whash` recognize it. One streaming
+    * mapPartitions pass, no shuffle beyond the output rows — the
+    * fingerprint table is the corpus's audio inverted-index input at
+    * any scale. */
+  def audioFingerprints(media: DataFrame, windowSize: Int = 50): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val P = 1000000007L
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeWavSamples(payload).toSeq.flatMap { case (_, channels, inter) =>
+            val n = inter.length / channels
+            val nW = (n + windowSize - 1) / windowSize
+            (0 until channels).flatMap { ch =>
+              (0 until nW).map { w =>
+                val from = w * windowSize
+                val until = math.min(n, from + windowSize)
+                var h = (ch + 1).toLong
+                var i = from
+                while (i < until) {
+                  h = (h * 31 + (inter(i * channels + ch) + 32768)) % P
+                  i += 1
+                }
+                (id, ch.toLong, w.toLong, nW.toLong, h)
+              }
+            }
+          }
+        }
+      }
+      .toDF("media_id", "channel", "window_idx", "n_windows", "whash")
+  }
+
+  /** Re-encoded-audio fixture for near-dup over the AUDIO modality —
+    * the WAV twin of [[asRencodedVideoMedia]]: each document lands
+    * THREE times (media_id = id*4 + v). v0 the plain stereo PCM16
+    * WAV, v1 the SAME samples behind a container re-encode (an extra
+    * JUNK filler chunk between fmt and data — byte-different payload,
+    * identical PCM), v2 a TRIMMED copy (the tail cut so each channel
+    * loses exactly its last `windowSize`-sample window when it has
+    * ≥ 2; shorter signals keep the full text, an exact duplicate).
+    * Samples remain the pure (byte−96)·256 arithmetic of the text, so
+    * the near-dup oracle replays every window fingerprint in closed
+    * form. */
+  def asRencodedAudioMedia(df: DataFrame, id: String, text: String,
+      windowSize: Int = 50): DataFrame = {
+    val enc = udf { (t: String, v: Int) =>
+      val full = t.getBytes("US-ASCII")
+      val n0 = full.length / 2 // samples per channel
+      val nW0 = (n0 + windowSize - 1) / windowSize
+      val bytes = if (v == 2 && nW0 >= 2) full.take(2 * windowSize * (nW0 - 1))
+                  else full
+      encodeWavStereo(bytes, extraJunk = v == 1)
+    }
+    df.select(col(id).cast("long").as("_did"), col(text).as("_t"))
+      .select(col("_did"), col("_t"),
+        explode(array(lit(0), lit(1), lit(2))).as("_v"))
+      .select((col("_did") * 4 + col("_v")).as("media_id"),
+        enc(col("_t"), col("_v")).as("payload"),
+        lit("audio/wav").as("mime"))
+  }
+
   /** Wrap an id+text corpus as real WAV media rows — the audio arm of
     * the multimodal fixture family. */
   def asWavMedia(df: DataFrame, id: String, text: String): DataFrame = {
@@ -1636,7 +1719,8 @@ object Multimodal {
     * frame chunk holds one complete JPEG file (the MJPEG convention).
     * Odd-sized frames pad per the RIFF rule. */
   def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
-      microSecPerFrame: Long = AviMicroSecPerFrame): Array[Byte] = {
+      microSecPerFrame: Long = AviMicroSecPerFrame,
+      withJunk: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "an AVI needs at least one frame")
     def dw(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -1661,7 +1745,12 @@ object Multimodal {
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val movi = list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
-    val riffBody = fcc("AVI ") ++ hdrl ++ movi
+    // JUNK is the RIFF spec's alignment-filler chunk id: a compliant
+    // reader must skip it. The odd body length also exercises the
+    // pad-byte rule on the walk between hdrl and movi.
+    val junk = if (withJunk) chunk("JUNK", Array.fill(37)(0x4a.toByte))
+               else Array.empty[Byte]
+    val riffBody = fcc("AVI ") ++ hdrl ++ junk ++ movi
     fcc("RIFF") ++ dw(riffBody.length.toLong) ++ riffBody
   }
 
@@ -1746,6 +1835,40 @@ object Multimodal {
       col(id).cast("long").as("media_id"),
       enc(col(text)).as("payload"),
       lit("video/x-msvideo").as("mime"))
+  }
+
+  /** Re-encoded-video fixture for near-dup over the VIDEO modality:
+    * each document lands THREE times (media_id = id*4 + v) — v0 the
+    * plain MJPEG AVI of the text, v1 the SAME frames behind a
+    * container re-encode (a RIFF JUNK filler chunk between hdrl and
+    * movi: byte-different payload, pixel-identical frames — the
+    * container-swap duplicate class), v2 a TRIMMED copy (the last
+    * 25-char frame slice dropped when the text spans ≥ 2 frames — the
+    * cut/short-version duplicate class; single-frame texts keep the
+    * full text, an exact duplicate). Frame pixel streams remain a pure
+    * arithmetic function of the text slice, so the near-dup oracle
+    * replays every frame fingerprint in closed form.
+    */
+  def asRencodedVideoMedia(df: DataFrame, id: String, text: String): DataFrame = {
+    val enc = udf { (t: String, v: Int) =>
+      val full = t.getBytes("UTF-8")
+      val n0 = math.max(1, (full.length + JpegBlocksPerRow - 1) / JpegBlocksPerRow)
+      val bytes = if (v == 2 && n0 >= 2) full.take(JpegBlocksPerRow * (n0 - 1)) else full
+      val n = math.max(1, (bytes.length + JpegBlocksPerRow - 1) / JpegBlocksPerRow)
+      val frames = (0 until n).map { f =>
+        encodeJpegBlocks(
+          bytes.slice(f * JpegBlocksPerRow,
+            math.min((f + 1) * JpegBlocksPerRow, bytes.length)),
+          JpegBlocksPerRow)
+      }
+      encodeAviMjpeg(frames, JpegBlocksPerRow * 8, 8, withJunk = v == 1)
+    }
+    df.select(col(id).cast("long").as("_did"), col(text).as("_t"))
+      .select(col("_did"), col("_t"),
+        explode(array(lit(0), lit(1), lit(2))).as("_v"))
+      .select((col("_did") * 4 + col("_v")).as("media_id"),
+        enc(col("_t"), col("_v")).as("payload"),
+        lit("video/x-msvideo").as("mime"))
   }
 
   /** Batch video decode with frame sampling fused in: one output row

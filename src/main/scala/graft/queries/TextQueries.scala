@@ -889,6 +889,79 @@ object TextQueries {
            |ORDER BY media_id, channel""".stripMargin
       }),
 
+    // Audio near-dup: the acoustic twin of x_video_neardup. The
+    // fixture re-encodes every document's stereo PCM three ways
+    // (plain WAV; identical samples behind an extra JUNK container
+    // chunk; a copy with each channel's last 50-sample window cut)
+    // and near-dup runs set-Jaccard over per-window PCM fingerprints
+    // (channel-seeded modular hashes, position deliberately excluded
+    // so trimmed copies still match). Chunk walk, interleave,
+    // windowing, fingerprint fold, df-cap and Jaccard scoring all
+    // land in the hash — the oracle replays every window hash in
+    // closed form from the text's (byte−96)·256 sample arithmetic.
+    QDef(
+      "x_audio_neardup",
+      (s, dir) => {
+        val media = graft.operators.Multimodal.asRencodedAudioMedia(
+          Tables.documents(s, dir), "doc_id", "text", windowSize = 50)
+          .repartition(s.sparkContext.defaultParallelism)
+        val fps = graft.operators.Multimodal.audioFingerprints(media, windowSize = 50)
+          .select(col("media_id").as("doc"), col("whash").as("s"))
+        graft.operators.Dedup.setJaccardPairs(fps, "doc", "s",
+          threshold = 0.5, maxElemDf = Some(100L))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT doc_id, text, length(text) // 2 AS n0 FROM documents
+          |), gv AS (
+          |  SELECT doc_id * 4 + t.v AS media_id,
+          |         CASE WHEN t.v = 2 AND CAST(ceil(n0 / 50.0) AS BIGINT) >= 2
+          |              THEN substr(text, 1,
+          |                     100 * (CAST(ceil(n0 / 50.0) AS BIGINT) - 1))
+          |              ELSE text END AS vtext
+          |  FROM g, UNNEST([0, 1, 2]) t(v)
+          |), gm AS (
+          |  SELECT media_id, vtext, length(vtext) // 2 AS n,
+          |         CAST(ceil((length(vtext) // 2) / 50.0) AS BIGINT) AS nw
+          |  FROM gv
+          |), fr AS (
+          |  SELECT media_id,
+          |         list_reduce(
+          |           list_prepend(CAST(ch.c + 1 AS BIGINT),
+          |             list_transform(
+          |               generate_series(w.w * 50, least(n, w.w * 50 + 50) - 1),
+          |               j -> CAST((ascii(substr(vtext, 2 * j + ch.c + 1, 1)) - 96)
+          |                         * 256 + 32768 AS BIGINT))),
+          |           (a, b) -> (a * 31 + b) % 1000000007) AS fh
+          |  FROM gm, UNNEST([0, 1]) ch(c),
+          |       UNNEST(generate_series(0, nw - 1)) w(w)
+          |), fsets AS (
+          |  SELECT media_id, list_distinct(list(fh)) AS fs FROM fr GROUP BY media_id
+          |), sh AS (
+          |  SELECT DISTINCT media_id, fh AS s FROM fr
+          |), hot AS (
+          |  SELECT s FROM sh GROUP BY s HAVING count(*) > 100
+          |), fcold AS (
+          |  SELECT media_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), cand AS (
+          |  SELECT DISTINCT a.media_id AS d1, b.media_id AS d2
+          |  FROM fcold a JOIN fcold b ON a.s = b.s AND a.media_id < b.media_id
+          |), scored AS (
+          |  SELECT d1, d2,
+          |         CAST(len(list_intersect(s1.fs, s2.fs)) AS BIGINT) AS common,
+          |         CAST(len(s1.fs) AS BIGINT) AS sz1,
+          |         CAST(len(s2.fs) AS BIGINT) AS sz2
+          |  FROM cand
+          |  JOIN fsets s1 ON d1 = s1.media_id
+          |  JOIN fsets s2 ON d2 = s2.media_id
+          |)
+          |SELECT d1, d2, common, sz1, sz2,
+          |       CAST(common AS DOUBLE) / (sz1 + sz2 - common) AS jaccard
+          |FROM scored
+          |WHERE CAST(common AS DOUBLE) / (sz1 + sz2 - common) >= 0.5
+          |ORDER BY d1, d2""".stripMargin)),
+
     // Perceptual-hash image near-dup: the visual analog of d_simhash.
     // The fixture re-encodes every document's pixel matrix THREE ways
     // (BMP, PNG — byte-identical pixels, the container-swap duplicate

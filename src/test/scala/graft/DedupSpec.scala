@@ -228,4 +228,44 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(fpC == exC && fpC.nonEmpty)
   }
+
+  test("setJaccardPairs over exploded elements equals jaccardPairs over text") {
+    val corpus = Tables.documents(spark, sf("sf0.001")).limit(200)
+    val viaText = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.6, maxShingleDf = Some(50L)).collect().map(_.toSeq).toSet
+    val items = corpus.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("s"))
+    val viaSet = Dedup.setJaccardPairs(items, "doc_id", "s",
+      threshold = 0.6, maxElemDf = Some(50L)).collect().map(_.toSeq).toSet
+    assert(viaSet == viaText)
+  }
+
+  test("setJaccardPairs: duplicate memberships collapse, non-string elements join") {
+    // long-typed elements, repeated rows: sets are {1,2,3} / {2,3,4} / {9}
+    val items = Seq((10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 2L), (20L, 3L), (20L, 4L), (20L, 4L), (30L, 9L)).toDF("doc", "e")
+    val out = Dedup.setJaccardPairs(items, "doc", "e", threshold = 0.4).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("d1") == 10L && r.getAs[Long]("d2") == 20L)
+    assert(r.getAs[Long]("common") == 2L && r.getAs[Long]("sz1") == 3L
+      && r.getAs[Long]("sz2") == 3L)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("setJaccardPairs maxElemDf cap keeps scores exact (hot-overlap correction)") {
+    // element 100 is in all four sets (df=4 > cap=3): excluded from
+    // candidate generation, still counted in `common` for candidates
+    // that qualify through cold elements.
+    val items = Seq(
+      (1L, 100L), (1L, 1L), (1L, 2L),
+      (2L, 100L), (2L, 1L), (2L, 2L),
+      (3L, 100L), (3L, 7L), (3L, 8L),
+      (4L, 100L), (4L, 5L), (4L, 6L)).toDF("doc", "e")
+    val capped = Dedup.setJaccardPairs(items, "doc", "e", 0.3, maxElemDf = Some(3L))
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("common"), r.getAs[Double]("jaccard"))).toSet
+    // only (1,2) share cold elements; their common includes the hot 100
+    assert(capped == Set((1L, 2L, 3L, 1.0)))
+  }
 }

@@ -723,4 +723,69 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h1 ^ h3) > 3,
       "distinct content should not sit inside the near-dup ball")
   }
+
+  test("AVI container re-encode (JUNK chunk) parses to identical frames, different bytes") {
+    val text = "the quick brown fox jumps over the lazy dog padding " * 2
+    val frames = (0 until 3).map { f =>
+      Multimodal.encodeJpegBlocks(
+        text.getBytes("UTF-8").slice(f * 25, f * 25 + 25), 25)
+    }
+    val plain = Multimodal.encodeAviMjpeg(frames, 200, 8)
+    val junked = Multimodal.encodeAviMjpeg(frames, 200, 8, withJunk = true)
+    assert(!java.util.Arrays.equals(plain, junked))
+    val a = Multimodal.decodeAvi(plain).get
+    val b = Multimodal.decodeAvi(junked).get
+    assert(a.totalFrames == b.totalFrames && a.width == b.width)
+    assert(a.frames.map(_._1) == b.frames.map(_._1))
+    (a.frames zip b.frames).foreach { case ((_, _, _, pa), (_, _, _, pb)) =>
+      assert(java.util.Arrays.equals(pa, pb))
+    }
+  }
+
+  test("asRencodedVideoMedia: v1 frame-identical to v0, v2 exactly one frame shorter") {
+    import spark.implicits._
+    val docs = Seq((7L, "x" * 80)).toDF("doc_id", "text") // 4 frames of 25
+    val rows = Multimodal.decodeVideoFrames(
+      Multimodal.asRencodedVideoMedia(docs, "doc_id", "text"), stride = 1)
+      .collect().groupBy(_.getAs[Long]("media_id"))
+    def hashes(m: Long) = rows(m).sortBy(_.getAs[Int]("frame_idx"))
+      .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("frame_hash"))).toSeq
+    assert(hashes(28L) == hashes(29L)) // 7*4+0 vs 7*4+1: container swap only
+    assert(hashes(30L) == hashes(28L).dropRight(1)) // trimmed: last frame cut
+  }
+
+  test("WAV container re-encode (extra JUNK) keeps PCM identical; audioFingerprints fold is exact") {
+    val text = "abcdefghij" * 30 // 300 bytes -> 150 samples/channel
+    val plain = Multimodal.encodeWavStereo(text.getBytes("US-ASCII"))
+    val junked = Multimodal.encodeWavStereo(text.getBytes("US-ASCII"), extraJunk = true)
+    assert(!java.util.Arrays.equals(plain, junked))
+    val (r1, c1, s1) = Multimodal.decodeWavSamples(plain).get
+    val (r2, c2, s2) = Multimodal.decodeWavSamples(junked).get
+    assert(r1 == r2 && c1 == c2 && s1.toSeq == s2.toSeq)
+    // direct replay of the channel-seeded window fold (window 1, channel 0)
+    import spark.implicits._
+    val media = Seq((1L, plain, "audio/wav")).toDF("media_id", "payload", "mime")
+    val fp = Multimodal.audioFingerprints(media, windowSize = 50).collect()
+      .map(r => (r.getAs[Long]("channel"), r.getAs[Long]("window_idx")) ->
+        r.getAs[Long]("whash")).toMap
+    assert(fp.size == 6) // 150 samples/channel -> 3 windows x 2 channels
+    var h = 1L
+    (50 until 100).foreach { j =>
+      h = (h * 31 + (s1(j * 2) + 32768)) % 1000000007L
+    }
+    assert(fp((0L, 1L)) == h)
+  }
+
+  test("asRencodedAudioMedia: v2 drops exactly each channel's last window") {
+    import spark.implicits._
+    val docs = Seq((3L, "q" * 300)).toDF("doc_id", "text") // 150 samples/ch, 3 windows
+    val fp = Multimodal.audioFingerprints(
+      Multimodal.asRencodedAudioMedia(docs, "doc_id", "text", windowSize = 50),
+      windowSize = 50).collect()
+      .groupBy(_.getAs[Long]("media_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("channel"),
+        r.getAs[Long]("window_idx"), r.getAs[Long]("whash"))).toSet).toMap
+    assert(fp(12L) == fp(13L)) // container swap: identical fingerprints
+    assert(fp(14L) == fp(12L).filter(_._2 < 2)) // trimmed: last window gone
+  }
 }
