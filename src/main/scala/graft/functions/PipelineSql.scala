@@ -31,7 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `detect_gaps`, `bm25_batch` (corpus + query TABLE),
   * `unigram_train` / `unigram_encode` (the unigram-LM tokenizer),
   * `phash` / `phash_neardup` (perceptual image near-dup),
-  * `audio_goertzel` (windowed spectral energies), and the 4-arg
+  * `audio_goertzel` (windowed spectral energies),
+  * `set_jaccard_pairs` (generic membership-table near-dup),
+  * `audio_fingerprints` / `audio_neardup` / `video_neardup` (windowed
+  * content fingerprints and the fused decode→Jaccard pair scans for
+  * the temporal modalities), and the 4-arg
   * `read_range` column form over per-column zone maps — the whole
   * extension-operator inventory.
   *
@@ -650,6 +654,53 @@ object PipelineSql {
       graft.operators.Multimodal.decodeVideoFrames(
         table("decode_video_frames", es(0)),
         stride = int("decode_video_frames", es(1), "frame stride"))
+    }
+    // generic exact set-Jaccard near-dup over any (id, element)
+    // membership table (maxDf <= 0 disables the stop-element cap)
+    reg("set_jaccard_pairs") { es =>
+      argc("set_jaccard_pairs", es, 5)
+      val cap = long("set_jaccard_pairs", es(4), "max element df")
+      graft.operators.Dedup.setJaccardPairs(
+        table("set_jaccard_pairs", es(0)),
+        str("set_jaccard_pairs", es(1), "id column"),
+        str("set_jaccard_pairs", es(2), "element column"),
+        threshold = dbl("set_jaccard_pairs", es(3), "jaccard threshold"),
+        maxElemDf = if (cap > 0) Some(cap) else None)
+    }
+    // per-window channel-seeded PCM fingerprints of a WAV media table
+    reg("audio_fingerprints") { es =>
+      argc("audio_fingerprints", es, 2)
+      graft.operators.Multimodal.audioFingerprints(
+        table("audio_fingerprints", es(0)),
+        windowSize = int("audio_fingerprints", es(1), "window size"))
+    }
+    // fused near-dup pipelines for the two temporal modalities:
+    // decode -> windowed fingerprints -> set-Jaccard pair scan
+    reg("video_neardup") { es =>
+      argc("video_neardup", es, 4)
+      val cap = long("video_neardup", es(3), "max element df")
+      graft.operators.Dedup.setJaccardPairs(
+        graft.operators.Multimodal.decodeVideoFrames(
+          table("video_neardup", es(0)),
+          stride = int("video_neardup", es(1), "frame stride"))
+          .select(org.apache.spark.sql.functions.col("media_id").as("doc"),
+            org.apache.spark.sql.functions.col("frame_hash").as("s")),
+        "doc", "s",
+        threshold = dbl("video_neardup", es(2), "jaccard threshold"),
+        maxElemDf = if (cap > 0) Some(cap) else None)
+    }
+    reg("audio_neardup") { es =>
+      argc("audio_neardup", es, 4)
+      val cap = long("audio_neardup", es(3), "max element df")
+      graft.operators.Dedup.setJaccardPairs(
+        graft.operators.Multimodal.audioFingerprints(
+          table("audio_neardup", es(0)),
+          windowSize = int("audio_neardup", es(1), "window size"))
+          .select(org.apache.spark.sql.functions.col("media_id").as("doc"),
+            org.apache.spark.sql.functions.col("whash").as("s")),
+        "doc", "s",
+        threshold = dbl("audio_neardup", es(2), "jaccard threshold"),
+        maxElemDf = if (cap > 0) Some(cap) else None)
     }
 
     // semantic dedup: embedding near-dup pairs -> canonical clusters

@@ -507,4 +507,33 @@ class DialectSpec extends SparkSpec {
       "SELECT * FROM unigram_encode('r12_docs', 'doc_id', 'text', 80, 1, 4, 150)")) ==
       rows(graft.operators.Vocab.unigramEncode(docs, "doc_id", "text", model, 4)))
   }
+
+  test("near-dup table functions: set_jaccard_pairs / audio_fingerprints / video_neardup / audio_neardup") {
+    graft.functions.PipelineSql.register(spark)
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val items = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 2L), (20L, 3L), (20L, 4L), (30L, 9L)).toDF("doc", "e")
+    items.createOrReplaceTempView("sj_items")
+    assert(rows(spark.sql("SELECT * FROM set_jaccard_pairs('sj_items', 'doc', 'e', 0.4, 0)")) ==
+      rows(graft.operators.Dedup.setJaccardPairs(items, "doc", "e", 0.4, None)))
+    val docs = Seq((1L, "the quick brown fox jumps over the dog " * 4),
+      (2L, "a completely different corpus document here " * 4)).toDF("doc_id", "text")
+    val vmedia = graft.operators.Multimodal.asRencodedVideoMedia(docs, "doc_id", "text")
+    vmedia.createOrReplaceTempView("sj_avi")
+    assert(rows(spark.sql("SELECT * FROM video_neardup('sj_avi', 2, 0.5, 100)")) ==
+      rows(graft.operators.Dedup.setJaccardPairs(
+        graft.operators.Multimodal.decodeVideoFrames(vmedia, 2)
+          .select(col("media_id").as("doc"), col("frame_hash").as("s")),
+        "doc", "s", 0.5, Some(100L))))
+    val amedia = graft.operators.Multimodal.asRencodedAudioMedia(docs, "doc_id", "text", 50)
+    amedia.createOrReplaceTempView("sj_wav")
+    assert(rows(spark.sql("SELECT * FROM audio_fingerprints('sj_wav', 50)")) ==
+      rows(graft.operators.Multimodal.audioFingerprints(amedia, 50)))
+    assert(rows(spark.sql("SELECT * FROM audio_neardup('sj_wav', 50, 0.5, 100)")) ==
+      rows(graft.operators.Dedup.setJaccardPairs(
+        graft.operators.Multimodal.audioFingerprints(amedia, 50)
+          .select(col("media_id").as("doc"), col("whash").as("s")),
+        "doc", "s", 0.5, Some(100L))))
+  }
 }
