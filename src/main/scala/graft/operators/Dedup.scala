@@ -177,7 +177,7 @@ object Dedup {
     * untouched. Non-key columns ride along as c_1 / c_2. Shared with
     * Similarity's bucket blocking (same skew class, same guarantee).
     */
-  private[operators] def saltedSelfPairs(t: DataFrame, keyCols: Seq[String],
+  private[graft] def saltedSelfPairs(t: DataFrame, keyCols: Seq[String],
       hotKeyThreshold: Long, salts: Int): DataFrame = {
     val payload = t.columns.filterNot(keyCols.contains).toSeq
     def rename(df: DataFrame, sfx: String): DataFrame =
@@ -226,9 +226,45 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double, numPerm: Int = 32, bands: Int = 16,
       hotBucketThreshold: Long = 100L, salts: Int = 16): DataFrame = {
-    val r = numPerm / bands
     val sets = shingleSets(df, id, text, n)
+    val banded = bandedFromSets(sets, numPerm, bands)
 
+    // skew-safe banded self-join: a degenerate corpus (hundreds of
+    // near-identical docs collapsing into one band bucket) would
+    // otherwise hand ONE reducer bands× the quadratic pair work
+    val cands = saltedSelfPairs(banded, Seq("band", "bucket"), hotBucketThreshold, salts)
+      .select(col("doc_1").as("d1"), col("doc_2").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val inv = sets.select(col("doc"), explode(col("sh")).as("s"))
+    val sizes = sets.select(col("doc"), size(col("sh")).cast("long").as("sz"))
+    scoreJaccard(commonFromIndex(cands, inv), sizes, threshold)
+  }
+
+  /** The LSH blocking table of [[minhashLshPairs]] on its own:
+    * (doc, band, bucket) rows from the same fixed-seed permutations —
+    * the PERSISTABLE index artifact. Two corpora banded with equal
+    * (n, numPerm, bands) produce comparable buckets, which is what
+    * lets an incremental consumer (streaming dedup-at-ingest) match
+    * new documents against an index built across earlier batches. */
+  def minhashBandBuckets(df: DataFrame, id: String, text: String, n: Int,
+      numPerm: Int = 32, bands: Int = 16): DataFrame =
+    bandedFromSets(shingleSets(df, id, text, n), numPerm, bands)
+
+  /** Exact-Jaccard verification of candidate (d1, d2) pairs against a
+    * docs table: shingle both sides, count common via the inverted
+    * index (candidate-bounded), score ≥ threshold. The verify stage of
+    * every LSH-blocked path, exposed for consumers that generate
+    * candidates their own way (e.g. against a persisted index). */
+  private[graft] def verifyJaccardPairs(cands: DataFrame, docs: DataFrame,
+      id: String, text: String, n: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, id, text, n)
+    val inv = sets.select(col("doc"), explode(col("sh")).as("s"))
+    val sizes = sets.select(col("doc"), size(col("sh")).cast("long").as("sz"))
+    scoreJaccard(commonFromIndex(cands, inv), sizes, threshold)
+  }
+
+  private def bandedFromSets(sets: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    val r = numPerm / bands
     // Signatures as ONE whole-stage-codegen hash aggregate over the
     // exploded shingle index: numPerm min() accumulators per doc, with
     // map-side partial aggregation (the per-row 32×transform fold it
@@ -248,21 +284,10 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((0 until r).map(k => col(s"m${b * r + k}")) :+ lit(b): _*).as("bucket"))
     }
-    val banded = graft.CacheRegistry.retain(sig
+    graft.CacheRegistry.retain(sig
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-    // skew-safe banded self-join: a degenerate corpus (hundreds of
-    // near-identical docs collapsing into one band bucket) would
-    // otherwise hand ONE reducer bands× the quadratic pair work
-    val cands = saltedSelfPairs(banded, Seq("band", "bucket"), hotBucketThreshold, salts)
-      .select(col("doc_1").as("d1"), col("doc_2").as("d2"))
-      .dropDuplicates("d1", "d2")
-
-    val inv = sets.select(col("doc"), explode(col("sh")).as("s"))
-    val sizes = sets.select(col("doc"), size(col("sh")).cast("long").as("sz"))
-    scoreJaccard(commonFromIndex(cands, inv), sizes, threshold)
   }
 
   /** Duplicate-CLUSTER resolution: the near-dup operators stop at pairs,

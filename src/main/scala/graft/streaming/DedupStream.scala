@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Dedup
+import graft.sources.VersionedLake
+
+/** Incremental near-duplicate detection — dedup-AT-INGEST, the shape a
+  * continuously-crawled corpus actually needs. The batch operators
+  * ([[graft.operators.Dedup]]) answer "which documents in this corpus
+  * duplicate each other"; this one answers it ONLINE: as each
+  * micro-batch of new documents arrives, find every near-dup pair the
+  * batch introduces (against everything already ingested AND within
+  * the batch), then fold the batch into the persistent state so the
+  * next increment sees it.
+  *
+  * State is two versioned lakes, both owned by this operator:
+  *
+  *  - the DOCS lake: (id, text) of every ingested document,
+  *    hash-partitioned on id — the verification corpus;
+  *  - the INDEX lake: the MinHash band-bucket table
+  *    ([[Dedup.minhashBandBuckets]] rows, fixed-seed permutations so
+  *    buckets are comparable across increments and restarts),
+  *    partitioned by band — the blocking structure.
+  *
+  * Per increment the work is: band the NEW docs (one signature
+  * aggregate over the batch only — the corpus is never re-signed),
+  * equi-join the batch's buckets against the index (batch-sized ⋈
+  * index on (band, bucket) — AQE handles a hot bucket on the index
+  * side; within-batch candidates go through the same salted self-join
+  * as the batch operator), then EXACT-verify candidates by re-reading
+  * only the touched documents' texts from the docs lake (a semi-join
+  * on candidate ids — candidate-bounded I/O, never a corpus scan).
+  * So each tick costs O(batch + candidates), not O(corpus): the 100 TB
+  * history is touched only through its (narrow) bucket index and the
+  * handful of texts that candidates name.
+  *
+  * Exactly-once: every lake append carries the micro-batch id and is
+  * guarded by the lake's committed-batch-id watermark, so an
+  * at-least-once re-delivery after a partial failure skips the appends
+  * that already committed and completes the missing ones. The pair
+  * computation itself is idempotent under re-delivery even when the
+  * failed attempt had already indexed the batch: self-matches are
+  * filtered, and a batch-internal pair rediscovered through the index
+  * collapses in the candidate distinct — DedupStreamSpec replays a
+  * batch against fully-committed lakes and gets the identical output.
+  *
+  * The headline property (DedupStreamSpec): feeding a corpus through
+  * ANY partition into increments yields, across all ticks, EXACTLY the
+  * pair set of the one-shot batch [[Dedup.minhashLshPairs]] on the
+  * full corpus — incremental ingest loses nothing and invents nothing.
+  */
+object DedupStream {
+
+  /** Internal hash-partition column added to the docs and pairs lakes. */
+  private val PartCol = "dd_part"
+
+  /** One increment: detect, then ingest. Returns the verified near-dup
+    * pairs the batch introduces — (d1, d2, common, sz1, sz2, jaccard),
+    * d1 < d2, the same shape as the batch operators — materialized
+    * BEFORE the lakes advance (the result is checkpointed, so nothing
+    * downstream can observe the post-append state through it).
+    *
+    * `appendBatchId` arms the exactly-once guard on both lake appends;
+    * None (ad-hoc batch use) always appends.
+    */
+  def indexBatch(batch: DataFrame, id: String, text: String,
+      docsLake: String, indexLake: String, n: Int, threshold: Double,
+      numPerm: Int = 32, bands: Int = 16,
+      hotBucketThreshold: Long = 100L, salts: Int = 16,
+      docParts: Int = 16,
+      appendBatchId: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val newBanded = Dedup.minhashBandBuckets(batch, id, text, n, numPerm, bands)
+
+    // candidates the batch introduces: batch×index on the bucket key,
+    // plus batch-internal via the salted self-join (same exactness
+    // guarantee as the batch operator). least/greatest keeps the
+    // (d1 < d2) orientation regardless of arrival order; the
+    // self-match filter makes re-delivery against an already-indexed
+    // batch a no-op rather than a doc matching itself.
+    val selfCands = Dedup.saltedSelfPairs(newBanded, Seq("band", "bucket"),
+      hotBucketThreshold, salts)
+      .select(col("doc_1").as("d1"), col("doc_2").as("d2"))
+    val haveIndex = VersionedLake.currentVersion(indexLake) >= 1
+    val cands = (if (!haveIndex) selfCands else {
+      val old = VersionedLake.read(spark, indexLake)
+        .select(col("doc").as("odoc"), col("band"), col("bucket"))
+      val cross = newBanded.join(old, Seq("band", "bucket"))
+        .filter(col("doc") =!= col("odoc"))
+        .select(least(col("doc"), col("odoc")).as("d1"),
+          greatest(col("doc"), col("odoc")).as("d2"))
+      selfCands.unionByName(cross)
+    }).dropDuplicates("d1", "d2")
+
+    // verification corpus: the batch plus ONLY the already-ingested
+    // docs that candidates name (semi-join on candidate ids — the
+    // docs lake is never scanned into the verify). dropDuplicates
+    // guards the re-delivery case where the batch is already in the
+    // lake: a doc appearing twice would double-count every common
+    // shingle.
+    val candIds = cands
+      .select(explode(array(col("d1"), col("d2"))).as(id)).distinct()
+    val batchDocs = batch.select(col(id), col(text))
+    val verifyDocs = (if (!haveIndex ||
+        VersionedLake.currentVersion(docsLake) < 1) batchDocs
+      else batchDocs.unionByName(
+        VersionedLake.read(spark, docsLake).select(col(id), col(text))
+          .join(candIds, Seq(id), "left_semi")))
+      .dropDuplicates(id)
+    // materialize (lineage truncated) BEFORE the appends below: the
+    // lake reads above are file-pinned at plan time, but checkpointing
+    // makes the ordering explicit instead of implicit.
+    val pairs = Dedup.verifyJaccardPairs(cands, verifyDocs, id, text, n, threshold)
+      .localCheckpoint(true)
+
+    def guarded(lake: String)(doAppend: => Unit): Unit =
+      if (appendBatchId.forall(_ > VersionedLake.committedBatchId(lake))) doAppend
+    guarded(docsLake) {
+      VersionedLake.append(
+        batchDocs.withColumn(PartCol, pmod(xxhash64(col(id)), lit(docParts))),
+        docsLake, PartCol, appendBatchId)
+    }
+    guarded(indexLake) {
+      VersionedLake.append(newBanded, indexLake, "band", appendBatchId)
+    }
+    pairs
+  }
+
+  /** Drive [[indexBatch]] from a stream of documents; verified pairs
+    * land in `pairsLake` (a versioned lake like the state lakes, so
+    * downstream curation reads them with time travel / CDC). All three
+    * appends share the micro-batch id, so a crash anywhere in the tick
+    * re-delivers into watermark-guarded no-ops. */
+  def start(stream: DataFrame, id: String, text: String,
+      docsLake: String, indexLake: String, pairsLake: String,
+      checkpointDir: String, n: Int, threshold: Double,
+      numPerm: Int = 32, bands: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(stream.isStreaming, "DedupStream.start expects a streaming DataFrame")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        val pairs = indexBatch(b.toDF(), id, text, docsLake, indexLake,
+          n, threshold, numPerm, bands, appendBatchId = Some(batchId))
+        if (batchId > VersionedLake.committedBatchId(pairsLake))
+          VersionedLake.append(
+            pairs.withColumn(PartCol, pmod(xxhash64(col("d1")), lit(16))),
+            pairsLake, PartCol, Some(batchId))
+        ()
+      }
+      .start()
+  }
+}
