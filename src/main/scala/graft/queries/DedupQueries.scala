@@ -130,6 +130,35 @@ object DedupQueries {
         .orderBy(col("d1"), col("d2")),
       Some(jaccardOracle(0.8, None))),
 
+    // Incremental dedup-at-ingest, oracle-checked: the corpus arrives
+    // in TWO increments (even doc_ids, then odd), each through
+    // DedupStream.indexBatch against the versioned-lake index/docs
+    // state the previous increment left behind. The union of emitted
+    // pairs must equal the exact all-at-once Jaccard pair set — the
+    // same ground truth d_minhash_lsh hashes against — so cross-
+    // increment candidate generation, the candidate-bounded verify
+    // re-read, and the banding's cross-batch comparability all land
+    // in the hash. (Pair classes are disjoint by construction:
+    // increment 1 emits even×even, increment 2 odd×anything.)
+    QDef(
+      "d_incremental_minhash",
+      (s, dir) => {
+        val out = Fixtures.dir("incremental_minhash", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          val p1 = graft.streaming.DedupStream.indexBatch(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            s"$o/docs", s"$o/index", n = 3, threshold = 0.8,
+            appendBatchId = Some(0L))
+          val p2 = graft.streaming.DedupStream.indexBatch(
+            docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+            s"$o/docs", s"$o/index", n = 3, threshold = 0.8,
+            appendBatchId = Some(1L))
+          p1.unionByName(p2).write.parquet(s"$o/pairs")
+        }
+        s.read.parquet(s"$out/pairs").orderBy(col("d1"), col("d2"))
+      },
+      Some(jaccardOracle(0.8, None))),
+
     // Pairs → transitive clusters → keeper per cluster: the step a
     // curation pipeline actually acts on. Oracle walks the same pair
     // graph with a recursive CTE.
