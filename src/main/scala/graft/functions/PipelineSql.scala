@@ -35,7 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `set_jaccard_pairs` (generic membership-table near-dup),
   * `audio_fingerprints` / `audio_neardup` / `video_neardup` (windowed
   * content fingerprints and the fused decode→Jaccard pair scans for
-  * the temporal modalities), and the 4-arg
+  * the temporal modalities), `dedup_index_batch` /
+  * `dedup_index_elements` (one increment of streaming
+  * dedup-at-ingest against named state lakes), and the 4-arg
   * `read_range` column form over per-column zone maps — the whole
   * extension-operator inventory.
   *
@@ -700,6 +702,31 @@ object PipelineSql {
             org.apache.spark.sql.functions.col("whash").as("s")),
         "doc", "s",
         threshold = dbl("audio_neardup", es(2), "jaccard threshold"),
+        maxElemDf = if (cap > 0) Some(cap) else None)
+    }
+    // incremental dedup-at-ingest (side-effecting, like the lake
+    // maintenance TVFs): run one increment against the named state
+    // lakes and return the pairs the increment introduces
+    reg("dedup_index_batch") { es =>
+      argc("dedup_index_batch", es, 7)
+      graft.streaming.DedupStream.indexBatch(
+        table("dedup_index_batch", es(0)),
+        str("dedup_index_batch", es(1), "id column"),
+        str("dedup_index_batch", es(2), "text column"),
+        str("dedup_index_batch", es(3), "docs lake dir"),
+        str("dedup_index_batch", es(4), "index lake dir"),
+        n = int("dedup_index_batch", es(5), "shingle size"),
+        threshold = dbl("dedup_index_batch", es(6), "jaccard threshold"))
+    }
+    reg("dedup_index_elements") { es =>
+      argc("dedup_index_elements", es, 6)
+      val cap = long("dedup_index_elements", es(5), "max element df")
+      graft.streaming.DedupStream.indexElementsBatch(
+        table("dedup_index_elements", es(0)),
+        str("dedup_index_elements", es(1), "id column"),
+        str("dedup_index_elements", es(2), "element column"),
+        str("dedup_index_elements", es(3), "element lake dir"),
+        threshold = dbl("dedup_index_elements", es(4), "jaccard threshold"),
         maxElemDf = if (cap > 0) Some(cap) else None)
     }
 

@@ -263,6 +263,17 @@ object Dedup {
     scoreJaccard(commonFromIndex(cands, inv), sizes, threshold)
   }
 
+  /** Exact set-Jaccard scoring of candidate (d1, d2) pairs against a
+    * (doc, s) membership table (assumed distinct): sizes + common via
+    * the inverted index, ≥ threshold. The element-form twin of
+    * [[verifyJaccardPairs]], for consumers whose elements are already
+    * extracted (an incremental fingerprint index). */
+  private[graft] def verifySetPairs(cands: DataFrame, items: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = items.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    scoreJaccard(commonFromIndex(cands, items), sizes, threshold)
+  }
+
   private def bandedFromSets(sets: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     val r = numPerm / bands
     // Signatures as ONE whole-stage-codegen hash aggregate over the

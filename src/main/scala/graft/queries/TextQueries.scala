@@ -752,6 +752,90 @@ object TextQueries {
            |ORDER BY d1, d2""".stripMargin
       }),
 
+    // Incremental visual dedup, oracle-checked: the same re-encoded
+    // video corpus arrives in TWO increments (even source docs, then
+    // odd) through DedupStream.indexElementsBatch — the element-form
+    // ingest index where the (doc, frame-hash) membership lake is
+    // both blocking structure and verification evidence. The union of
+    // emitted pairs must equal the ground-truth all-pairs frame-set
+    // Jaccard (uncapped, so online and one-shot candidate generation
+    // coincide exactly — see the operator's maxElemDf scaladoc).
+    QDef(
+      "x_video_neardup_incr",
+      (s, dir) => {
+        val out = Fixtures.dir("video_neardup_incr", dir) { o =>
+          val media = graft.operators.Multimodal.asRencodedVideoMedia(
+            Tables.documents(s, dir), "doc_id", "text")
+            .repartition(s.sparkContext.defaultParallelism)
+          val fp = graft.operators.Multimodal.decodeVideoFrames(media, stride = 2)
+            .select(col("media_id").as("doc"), col("frame_hash").as("s"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val p1 = graft.streaming.DedupStream.indexElementsBatch(
+            fp.filter(expr("(doc div 4) % 2 = 0")), "doc", "s",
+            s"$o/elems", threshold = 0.5, appendBatchId = Some(0L))
+          val p2 = graft.streaming.DedupStream.indexElementsBatch(
+            fp.filter(expr("(doc div 4) % 2 = 1")), "doc", "s",
+            s"$o/elems", threshold = 0.5, appendBatchId = Some(1L))
+          p1.unionByName(p2).write.parquet(s"$o/pairs")
+          fp.unpersist()
+          ()
+        }
+        s.read.parquet(s"$out/pairs").orderBy(col("d1"), col("d2"))
+      },
+      Some {
+        val bpr = graft.operators.Multimodal.JpegBlocksPerRow
+        val p = 1000000007L
+        val t31 = BigInt(31).modPow(8, p)
+        val s8 = (0 to 7).map(j => BigInt(31).pow(j)).sum
+        val p200 = BigInt(31).modPow(8 * bpr, p)
+        val r8 = (0 to 7).map(j => p200.modPow(j, p)).sum % p
+        s"""WITH g AS (
+           |  SELECT doc_id, text,
+           |         greatest(CAST(ceil(length(text) / $bpr.0) AS BIGINT), 1) AS n0
+           |  FROM documents
+           |), gv AS (
+           |  SELECT doc_id * 4 + t.v AS media_id,
+           |         CASE WHEN t.v = 2 AND n0 >= 2
+           |              THEN substr(text, 1, $bpr * (n0 - 1)) ELSE text END AS vtext
+           |  FROM g, UNNEST([0, 1, 2]) t(v)
+           |), gm AS (
+           |  SELECT media_id, vtext, length(vtext) AS len,
+           |         greatest(CAST(ceil(length(vtext) / $bpr.0) AS BIGINT), 1) AS nf
+           |  FROM gv
+           |), fr AS (
+           |  SELECT media_id,
+           |         (list_reduce(
+           |            list_prepend(CAST(0 AS BIGINT),
+           |              list_transform(generate_series(1, $bpr),
+           |                c -> CAST(CASE WHEN f * $bpr + c <= len
+           |                               THEN ascii(substr(vtext, f * $bpr + c, 1))
+           |                               ELSE 0 END AS BIGINT))),
+           |            (a, b) -> (a * $t31 + b * $s8) % $p) * $r8) % $p AS fh
+           |  FROM gm, UNNEST(generate_series(0, nf - 1)) t(f)
+           |  WHERE f % 2 = 0
+           |), fsets AS (
+           |  SELECT media_id, list_distinct(list(fh)) AS fs FROM fr GROUP BY media_id
+           |), sh AS (
+           |  SELECT DISTINCT media_id, fh AS s FROM fr
+           |), cand AS (
+           |  SELECT DISTINCT a.media_id AS d1, b.media_id AS d2
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.media_id < b.media_id
+           |), scored AS (
+           |  SELECT d1, d2,
+           |         CAST(len(list_intersect(s1.fs, s2.fs)) AS BIGINT) AS common,
+           |         CAST(len(s1.fs) AS BIGINT) AS sz1,
+           |         CAST(len(s2.fs) AS BIGINT) AS sz2
+           |  FROM cand
+           |  JOIN fsets s1 ON d1 = s1.media_id
+           |  JOIN fsets s2 ON d2 = s2.media_id
+           |)
+           |SELECT d1, d2, common, sz1, sz2,
+           |       CAST(common AS DOUBLE) / (sz1 + sz2 - common) AS jaccard
+           |FROM scored
+           |WHERE CAST(common AS DOUBLE) / (sz1 + sz2 - common) >= 0.5
+           |ORDER BY d1, d2""".stripMargin
+      }),
+
     // The audio arm of the multimodal family: every document lands as
     // a REAL stereo PCM16 WAV (RIFF chunk walk with a junk LIST chunk,
     // sample i = (byte_i − 96)·256 — pure arithmetic a SQL oracle

@@ -128,6 +128,85 @@ object DedupStream {
     pairs
   }
 
+  /** The ELEMENT-form increment — incremental near-dup for any
+    * modality whose identity is a fingerprint SET rather than text
+    * shingles (video frame hashes, audio window hashes, feature
+    * grams). State is ONE lake: the (doc, s) membership table itself,
+    * which doubles as the verification corpus — element sets are
+    * their own evidence, so unlike [[indexBatch]] no second lake and
+    * no text re-read are needed.
+    *
+    * Per tick: distinct the batch memberships, candidate-join them
+    * against the index on the element (batch side is tick-sized, so
+    * AQE broadcasts it — the index is SCANNED once, never shuffled),
+    * add within-batch candidates through the salted self-join, then
+    * exact-verify from (index ∪ batch) memberships semi-joined to the
+    * candidates.
+    *
+    * `maxElemDf`, when set, is evaluated against the memberships seen
+    * SO FAR (index ∪ batch) — the only df an online pass can know.
+    * An element that only later crosses the cap may therefore admit
+    * early candidate pairs the one-shot capped run would skip; scores
+    * stay exact either way (the cap never changes reported values,
+    * only candidate generation), so the incremental pass has recall
+    * ≥ the batch pass and identical pair values. With no cap the two
+    * are exactly equal (DedupStreamSpec; the x_video_neardup_incr
+    * gate hashes the uncapped form against the ground-truth oracle).
+    */
+  def indexElementsBatch(batch: DataFrame, id: String, elem: String,
+      elemLake: String, threshold: Double,
+      maxElemDf: Option[Long] = None,
+      hotElemThreshold: Long = 100L, salts: Int = 16,
+      docParts: Int = 16,
+      appendBatchId: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val newSets = graft.CacheRegistry.retain(
+      batch.select(col(id).as("doc"), col(elem).as("s")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val haveIndex = VersionedLake.currentVersion(elemLake) >= 1
+    val old =
+      if (!haveIndex) None
+      else Some(VersionedLake.read(spark, elemLake).select(col("doc"), col("s")))
+
+    // stop-element cap over everything seen so far (see scaladoc)
+    val all = old.map(_.unionByName(newSets)).getOrElse(newSets)
+    val (candNew, candOldFn) = maxElemDf match {
+      case Some(cap) =>
+        val hot = all.groupBy(col("s")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > cap).select(col("s"))
+        (newSets.join(hot, Seq("s"), "left_anti"),
+          (o: DataFrame) => o.join(hot, Seq("s"), "left_anti"))
+      case None => (newSets, (o: DataFrame) => o)
+    }
+    val selfCands = Dedup.saltedSelfPairs(candNew, Seq("s"),
+      hotElemThreshold, salts)
+      .select(col("doc_1").as("d1"), col("doc_2").as("d2"))
+    val cands = (old match {
+      case None => selfCands
+      case Some(o) =>
+        val cross = candNew.join(
+          candOldFn(o).select(col("doc").as("odoc"), col("s")), Seq("s"))
+          .filter(col("doc") =!= col("odoc"))
+          .select(least(col("doc"), col("odoc")).as("d1"),
+            greatest(col("doc"), col("odoc")).as("d2"))
+        selfCands.unionByName(cross)
+    }).dropDuplicates("d1", "d2")
+
+    // verify against the touched docs' FULL element sets (hot included)
+    val candIds = cands
+      .select(explode(array(col("d1"), col("d2"))).as("doc")).distinct()
+    val verifyItems = all.join(candIds, Seq("doc"), "left_semi")
+      .dropDuplicates("doc", "s") // re-delivery: batch may already be indexed
+    val pairs = Dedup.verifySetPairs(cands, verifyItems, threshold)
+      .localCheckpoint(true)
+
+    if (appendBatchId.forall(_ > VersionedLake.committedBatchId(elemLake)))
+      VersionedLake.append(
+        newSets.withColumn(PartCol, pmod(xxhash64(col("doc")), lit(docParts))),
+        elemLake, PartCol, appendBatchId)
+    pairs
+  }
+
   /** Drive [[indexBatch]] from a stream of documents; verified pairs
     * land in `pairsLake` (a versioned lake like the state lakes, so
     * downstream curation reads them with time travel / CDC). All three
@@ -137,8 +216,10 @@ object DedupStream {
       docsLake: String, indexLake: String, pairsLake: String,
       checkpointDir: String, n: Int, threshold: Double,
       numPerm: Int = 32, bands: Int = 16,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(stream.isStreaming, "DedupStream.start expects a streaming DataFrame")
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -149,6 +230,16 @@ object DedupStream {
           VersionedLake.append(
             pairs.withColumn(PartCol, pmod(xxhash64(col("d1")), lit(16))),
             pairsLake, PartCol, Some(batchId))
+        // self-maintenance, the streamingCommit(compactEvery) contract:
+        // fold one-file-per-tick growth in the state lakes back to one
+        // file per partition; a lost OCC race or IO error just defers
+        // to a later tick — maintenance must never fail a data batch.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Seq(docsLake -> PartCol, indexLake -> "band", pairsLake -> PartCol)
+            .foreach { case (lake, pc) =>
+              try { VersionedLake.compactPartitions(b.sparkSession, lake, pc); () }
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
         ()
       }
       .start()

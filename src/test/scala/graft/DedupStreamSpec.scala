@@ -72,4 +72,49 @@ class DedupStreamSpec extends SparkSpec {
     assert(p3.exists(r => r(0) == 1L && r(1) == 9L), p3.toString)
     assert(p3.exists(r => r(0) == 2L && r(1) == 9L), p3.toString)
   }
+
+  test("indexElementsBatch increments equal batch setJaccardPairs (uncapped)") {
+    val root = tmp("graft_elem_incr")
+    val corpus = Tables.documents(spark, sf("sf0.001")).limit(200)
+    val items = corpus.select(col("doc_id").as("doc"),
+      explode(Dedup.shingles(col("text"), 3)).as("s"))
+    val p1 = graft.streaming.DedupStream.indexElementsBatch(
+      items.filter(col("doc") % 2 === 0), "doc", "s",
+      s"$root/elems", threshold = 0.8, appendBatchId = Some(0L))
+      .collect().map(_.toSeq).toSet
+    val p2 = graft.streaming.DedupStream.indexElementsBatch(
+      items.filter(col("doc") % 2 =!= 0), "doc", "s",
+      s"$root/elems", threshold = 0.8, appendBatchId = Some(1L))
+      .collect().map(_.toSeq).toSet
+    val oneShot = Dedup.setJaccardPairs(items, "doc", "s", threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    assert((p1 ++ p2) == oneShot)
+    assert(p1.intersect(p2).isEmpty, "increments emit disjoint pair classes")
+  }
+
+  test("indexElementsBatch re-delivery: lake unchanged, identical pairs; capped recall >= batch") {
+    import spark.implicits._
+    val root = tmp("graft_elem_redeliver")
+    val b1 = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 13L), (3L, 99L)).toDF("doc", "e")
+    val p1 = graft.streaming.DedupStream.indexElementsBatch(b1, "doc", "e",
+      s"$root/elems", threshold = 0.4, appendBatchId = Some(0L))
+      .collect().map(_.toSeq).toSet
+    assert(p1.exists(r => r(0) == 1L && r(1) == 2L && r(2) == 2L), p1.toString)
+    val v = VersionedLake.currentVersion(s"$root/elems")
+    val p2 = graft.streaming.DedupStream.indexElementsBatch(b1, "doc", "e",
+      s"$root/elems", threshold = 0.4, appendBatchId = Some(0L))
+      .collect().map(_.toSeq).toSet
+    assert(p2 == p1)
+    assert(VersionedLake.currentVersion(s"$root/elems") == v)
+    // capped run: element 10/11 shared by a later doc as well — the cap
+    // is computed over index + batch, values stay exact
+    val b2 = Seq((9L, 10L), (9L, 11L), (9L, 12L)).toDF("doc", "e")
+    val p3 = graft.streaming.DedupStream.indexElementsBatch(b2, "doc", "e",
+      s"$root/elems", threshold = 0.4, maxElemDf = Some(2L),
+      appendBatchId = Some(1L)).collect().map(_.toSeq).toSet
+    // 10 and 11 are now hot (df=3 > 2); 12 stays cold and carries the
+    // (1,9) candidate, whose common STILL counts the hot elements
+    assert(p3.exists(r => r(0) == 1L && r(1) == 9L && r(2) == 3L), p3.toString)
+  }
 }

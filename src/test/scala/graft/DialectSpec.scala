@@ -535,5 +535,24 @@ class DialectSpec extends SparkSpec {
         graft.operators.Multimodal.audioFingerprints(amedia, 50)
           .select(col("media_id").as("doc"), col("whash").as("s")),
         "doc", "s", 0.5, Some(100L))))
+    // the incremental forms are side-effecting: fresh lakes per call,
+    // SQL result == the Scala API result on equally fresh lakes
+    val r1 = java.nio.file.Files.createTempDirectory("graft_tvf_incr").toString
+    val r2 = java.nio.file.Files.createTempDirectory("graft_tvf_incr").toString
+    val b = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    b.createOrReplaceTempView("sj_incr_docs")
+    assert(rows(spark.sql(
+      s"SELECT * FROM dedup_index_batch('sj_incr_docs', 'doc_id', 'text', '$r1/docs', '$r1/index', 3, 0.5)")) ==
+      rows(graft.streaming.DedupStream.indexBatch(b, "doc_id", "text",
+        s"$r2/docs", s"$r2/index", n = 3, threshold = 0.5)))
+    val e1 = java.nio.file.Files.createTempDirectory("graft_tvf_elem").toString
+    val e2 = java.nio.file.Files.createTempDirectory("graft_tvf_elem").toString
+    val it = Seq((1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L), (3L, 99L)).toDF("doc", "e")
+    it.createOrReplaceTempView("sj_incr_items")
+    assert(rows(spark.sql(
+      s"SELECT * FROM dedup_index_elements('sj_incr_items', 'doc', 'e', '$e1/elems', 0.5, 0)")) ==
+      rows(graft.streaming.DedupStream.indexElementsBatch(it, "doc", "e",
+        s"$e2/elems", threshold = 0.5)))
   }
 }
