@@ -37,7 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * content fingerprints and the fused decode→Jaccard pair scans for
   * the temporal modalities), `dedup_index_batch` /
   * `dedup_index_elements` (one increment of streaming
-  * dedup-at-ingest against named state lakes), and the 4-arg
+  * dedup-at-ingest against named state lakes), `ann_lake_search`
+  * (probe-pruned search over the lake-backed incremental ANN
+  * index), and the 4-arg
   * `read_range` column form over per-column zone maps — the whole
   * extension-operator inventory.
   *
@@ -717,6 +719,17 @@ object PipelineSql {
         str("dedup_index_batch", es(4), "index lake dir"),
         n = int("dedup_index_batch", es(5), "shingle size"),
         threshold = dbl("dedup_index_batch", es(6), "jaccard threshold"))
+    }
+    // probe-pruned search over a lake-backed incremental ANN index
+    reg("ann_lake_search") { es =>
+      argc("ann_lake_search", es, 6)
+      val q = table("ann_lake_search", es(0))
+      graft.sources.AnnLake.search(q.sparkSession, q,
+        str("ann_lake_search", es(1), "id column"),
+        str("ann_lake_search", es(2), "vector column"),
+        str("ann_lake_search", es(3), "index lake dir"),
+        k = int("ann_lake_search", es(4), "k"),
+        nprobe = int("ann_lake_search", es(5), "nprobe"))
     }
     reg("dedup_index_elements") { es =>
       argc("dedup_index_elements", es, 6)

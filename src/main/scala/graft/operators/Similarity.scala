@@ -309,7 +309,7 @@ object Similarity {
   /** One argmin pass of the quantized Lloyd's: nearest centroid per
     * row by exact integer distance (evaluated in doubles, ≤ 2^50 <
     * 2^53), ties to the lower cell. */
-  private def assignCells(qv: DataFrame,
+  private[graft] def assignCells(qv: DataFrame,
       centroids: Array[Array[Long]]): DataFrame = {
     val spark = qv.sparkSession
     import spark.implicits._
@@ -348,6 +348,30 @@ object Similarity {
       centroids.zipWithIndex.map { case (c, j) => (j, c) }.toSeq.toDF("cell", "cv"))
   }
 
+  /** Cell probing of the quantized IVF: each query's `nprobe` closest
+    * cells by exact integer distance between its 20-bit-quantized
+    * vector and the (cell, cv) centroid rows — (query_id, cell).
+    * Shared by [[ivfQuantizedSearch]] and the lake-backed index
+    * ([[graft.sources.AnnLake]]), whose partition pruning must probe
+    * IDENTICALLY to the search it prunes for. */
+  private[graft] def quantizedProbe(queries: DataFrame, id: String,
+      vec: String, nprobe: Int, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cdf = broadcast(centroids)
+    val qdist = aggregate(
+      zip_with(transform(col("qqv"), _.cast("double")),
+        transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    queries
+      .select(col(id).as("query_id"), quant20(col(vec)).as("qqv"))
+      .crossJoin(cdf)
+      .select(col("query_id"), col("cell"),
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(qdist, col("cell"))).as("crank"))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+  }
+
   /** The SEARCH half of [[ivfQuantizedTopK]], taking a pre-built index
     * (`assigned` = (doc, cell) rows, `centroids` = (cell, cv) rows —
     * exactly what [[quantizedKMeans]] returns, round-trippable through
@@ -361,20 +385,7 @@ object Similarity {
       vec: String, k: Int, nprobe: Int, assigned: DataFrame,
       centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cdf = broadcast(centroids)
-    val qdist = aggregate(
-      zip_with(transform(col("qqv"), _.cast("double")),
-        transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    val probed = queries
-      .select(col(id).as("query_id"),
-        transform(asDouble(col(vec)), x => floor(x * (1L << 20) + 0.5).cast("long")).as("qqv"))
-      .crossJoin(cdf)
-      .select(col("query_id"), col("cell"),
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(qdist, col("cell"))).as("crank"))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cell"))
+    val probed = quantizedProbe(queries, id, vec, nprobe, centroids)
     val cands = assigned.withColumnRenamed("doc", "neighbor_id")
       .join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -394,7 +405,7 @@ object Similarity {
   // ---------------------------------------------------------------------------
 
   /** The 20-bit fixed-point quantization shared with [[quantizedKMeans]]. */
-  private def quant20(vec: Column): Column =
+  private[graft] def quant20(vec: Column): Column =
     transform(asDouble(vec), x => floor(x * (1L << 20) + 0.5).cast("long"))
 
   /** One row per (doc, subspace): the quantized sub-vector. */

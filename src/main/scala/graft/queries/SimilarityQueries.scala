@@ -478,6 +478,31 @@ object SimilarityQueries {
           s.read.parquet(s"$ix/assigned"), s.read.parquet(s"$ix/centroids"))
           .orderBy(col("query_id"), col("rank"))
       },
+      Some(exactTopKOracle(10))),
+
+    // The index AS A LAKE, grown incrementally: the quantizer trains
+    // on HALF the corpus, the other half arrives later through the
+    // frozen-centroid append path, and search reads only the probed
+    // cells' partitions out of the versioned lake (AnnLakeSpec pins
+    // the file-count reduction; here nprobe = nlist, where IVF must
+    // reproduce brute-force cosine exactly REGARDLESS of which rows
+    // the quantizer saw — so the whole create→append→prune→search
+    // chain hashes against the same exact-cosine oracle as
+    // s_cosine_topk).
+    QDef(
+      "s_ann_lake_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_incr", dir) { o =>
+          graft.sources.AnnLake.create(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", s"$o/lake", nlist = 8, dim = 64)
+          graft.sources.AnnLake.append(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", s"$o/lake", batchId = Some(0L))
+        }
+        graft.sources.AnnLake.search(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/lake", k = 10, nprobe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
       Some(exactTopKOracle(10)))
   )
 }

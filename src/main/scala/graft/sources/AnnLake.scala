@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** A similarity-search index AS A TABLE: the quantized-IVF index
+  * persisted in a versioned lake, cell = partition. This is the
+  * production shape for ANN over a growing corpus — the quantizer is
+  * trained once, new embeddings are ASSIGNED and APPENDED (never a
+  * rebuild), and a query batch reads only the partitions its probes
+  * name.
+  *
+  * Layout under `lakeDir`:
+  *  - `vectors/` — a [[VersionedLake]] of (doc, v, cell), partitioned
+  *    by cell, so every lake capability applies to the index itself:
+  *    time travel (search the index as of any version), exactly-once
+  *    streaming appends via batch ids, OCC for concurrent writers,
+  *    compaction for the one-file-per-increment growth;
+  *  - `centroids/` — the frozen (cell, cv) integer centroids of
+  *    [[Similarity.quantizedKMeans]] (20-bit fixed point, so the
+  *    append-time assignment replays the build-time rule bit-exactly
+  *    on any engine).
+  *
+  * Scale shape: `search` probes centroids first (a query×nlist
+  * broadcast product), collects the probed CELL IDS (bounded by nlist
+  * — cell metadata, never data), and hands [[VersionedLake.read]] the
+  * partition list — so a query batch at nprobe = p reads ~p/nlist of
+  * the corpus from disk. Partition pruning and cell probing share one
+  * implementation ([[Similarity.quantizedProbe]]), which is what makes
+  * the pruned search provably equal to the unpruned one (AnnLakeSpec
+  * pins both the equality and the file-count reduction).
+  *
+  * Freezing the quantizer is the standard IVF contract (FAISS-style):
+  * appends shift cell balance, not correctness — full-probe results
+  * are centroid-independent, and partial-probe results depend only on
+  * the frozen centroids, so incremental and one-shot indexes agree
+  * wherever their centroids do. The s_ann_lake_incremental gate pins
+  * the end-to-end property: build on half the corpus, append the rest,
+  * full-probe search ≡ brute-force cosine.
+  */
+object AnnLake {
+
+  private def vectorsDir(lakeDir: String) = s"$lakeDir/vectors"
+  private def centroidsDir(lakeDir: String) = s"$lakeDir/centroids"
+
+  /** Train the quantizer on `corpus` and materialize the index lake.
+    * `trainFraction` < 1 trains the quantizer on a sample; every row
+    * is still assigned and stored. */
+  def create(corpus: DataFrame, id: String, vec: String, lakeDir: String,
+      nlist: Int, dim: Int, iters: Int = 4,
+      trainFraction: Double = 1.0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (assigned, centroids) = Similarity.quantizedKMeans(
+      corpus, id, vec, nlist, dim, iters, trainFraction)
+    val rows = corpus.select(col(id).as("doc"), col(vec).as("v"))
+      .join(assigned.select(col("doc"), col("cell")), "doc")
+    VersionedLake.create(rows, vectorsDir(lakeDir), "cell")
+    centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cell", "cv").coalesce(1).write.mode("overwrite")
+      .parquet(centroidsDir(lakeDir))
+  }
+
+  /** Assign new embeddings against the FROZEN centroids and append
+    * them — one broadcast argmin over nlist cells per row, then a
+    * watermark-guarded lake append (`batchId` arms exactly-once for
+    * streaming callers; a replayed increment is a no-op). */
+  def append(newVecs: DataFrame, id: String, vec: String, lakeDir: String,
+      batchId: Option[Long] = None): Unit = {
+    val spark = newVecs.sparkSession
+    if (batchId.exists(_ <= VersionedLake.committedBatchId(vectorsDir(lakeDir))))
+      return
+    val centroids = loadCentroids(spark, lakeDir)
+    val qv = newVecs.select(col(id).as("doc"),
+      Similarity.quant20(col(vec)).as("qv"))
+    val assigned = Similarity.assignCells(qv, centroids)
+      .select(col("doc"), col("cell"))
+    val rows = newVecs.select(col(id).as("doc"), col(vec).as("v"))
+      .join(assigned, "doc")
+    VersionedLake.append(rows, vectorsDir(lakeDir), "cell", batchId)
+  }
+
+  /** Probe, prune, rank: each query's `nprobe` nearest cells by the
+    * shared probe rule; only those cells' PARTITIONS are read from the
+    * lake; exact-cosine top-k over the probed members. `version`
+    * searches the index as of an earlier lake version — ANN time
+    * travel for free. */
+  def search(spark: SparkSession, queries: DataFrame, id: String,
+      vec: String, lakeDir: String, k: Int, nprobe: Int,
+      version: Option[Int] = None): DataFrame = {
+    val cdf = spark.read.parquet(centroidsDir(lakeDir))
+    val cells = Similarity.quantizedProbe(queries, id, vec, nprobe, cdf)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0).toString).toSeq // nlist-bounded metadata
+    val rows = VersionedLake.read(spark, vectorsDir(lakeDir), version,
+      partitions = Some(cells))
+      .select(col("doc"), col("v"), col("cell").cast("int").as("cell"))
+    Similarity.ivfQuantizedSearch(
+      rows.select(col("doc").as(id), col("v").as(vec)),
+      queries, id, vec, k, nprobe,
+      rows.select(col("doc"), col("cell")), cdf)
+  }
+
+  /** The pruned file set a probe plan would read — exposed so specs
+    * and operators can reason about I/O without executing a search. */
+  def prunedInputFiles(spark: SparkSession, queries: DataFrame, id: String,
+      vec: String, lakeDir: String, nprobe: Int): Array[String] = {
+    val cdf = spark.read.parquet(centroidsDir(lakeDir))
+    val cells = Similarity.quantizedProbe(queries, id, vec, nprobe, cdf)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0).toString).toSeq
+    VersionedLake.read(spark, vectorsDir(lakeDir),
+      partitions = Some(cells)).inputFiles
+  }
+
+  private def loadCentroids(spark: SparkSession, lakeDir: String): Array[Array[Long]] = {
+    val rows = spark.read.parquet(centroidsDir(lakeDir))
+      .collect().map(r => r.getAs[Int]("cell") ->
+        r.getAs[scala.collection.Seq[Long]]("cv").toArray)
+    val n = rows.length
+    val out = new Array[Array[Long]](n)
+    rows.foreach { case (cell, cv) => out(cell) = cv }
+    require(out.forall(_ != null), s"centroid table under $lakeDir has gaps")
+    out
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.{AnnLake, VersionedLake}
+
+/** The lake-backed incremental ANN index: correctness of the frozen-
+  * quantizer append path, exactness of full probing, partition-pruned
+  * search I/O, and the exactly-once append guard.
+  */
+class AnnLakeSpec extends SparkSpec {
+
+  private lazy val root = {
+    val r = java.nio.file.Files.createTempDirectory("graft_ann_lake").toString
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    AnnLake.create(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      r, nlist = 8, dim = 64)
+    AnnLake.append(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      r, batchId = Some(0L))
+    r
+  }
+
+  test("build-half + append-half, full-probe search equals brute-force cosine") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val viaLake = AnnLake.search(spark, queries, "vec_id", "embedding",
+      root, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val brute = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaLake == brute && viaLake.nonEmpty)
+  }
+
+  test("partial probe: pruned read touches fewer files, result equals unpruned search") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") === 0)
+    val f2 = AnnLake.prunedInputFiles(spark, queries, "vec_id", "embedding", root, 2)
+    val f8 = AnnLake.prunedInputFiles(spark, queries, "vec_id", "embedding", root, 8)
+    assert(f2.nonEmpty && f2.length < f8.length,
+      s"expected pruning: ${f2.length} vs ${f8.length}")
+    // the pruned search equals the same search over the UNPRUNED index
+    // (pruning only removes cells no probe names)
+    val pruned = AnnLake.search(spark, queries, "vec_id", "embedding",
+      root, k = 10, nprobe = 2).collect().map(_.toSeq).toSet
+    val all = VersionedLake.read(spark, s"$root/vectors")
+      .select(col("doc"), col("v"), col("cell").cast("int").as("cell"))
+    val unpruned = Similarity.ivfQuantizedSearch(
+      all.select(col("doc").as("vec_id"), col("v").as("embedding")),
+      queries, "vec_id", "embedding", k = 10, nprobe = 2,
+      all.select(col("doc"), col("cell")),
+      spark.read.parquet(s"$root/centroids"))
+      .collect().map(_.toSeq).toSet
+    assert(pruned == unpruned && pruned.nonEmpty)
+  }
+
+  test("append is exactly-once under batch-id re-delivery; frozen assignment rule") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val v = VersionedLake.currentVersion(s"$root/vectors")
+    AnnLake.append(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      root, batchId = Some(0L))
+    assert(VersionedLake.currentVersion(s"$root/vectors") == v,
+      "replayed batch id must not advance the lake")
+    // appended rows sit in the cell the frozen centroids assign
+    val cents = spark.read.parquet(s"$root/centroids")
+    val stored = VersionedLake.read(spark, s"$root/vectors")
+      .filter(col("doc") % 2 =!= 0)
+      .select(col("doc"), col("cell").cast("int").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = Similarity.assignCells(
+      emb.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").as("doc"),
+          Similarity.quant20(col("embedding")).as("qv")),
+      cents.collect().sortBy(_.getInt(0))
+        .map(_.getAs[scala.collection.Seq[Long]]("cv").toArray))
+      .select(col("doc"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored == expect && stored.nonEmpty)
+  }
+
+  test("ann_lake_search TVF equals the Scala API") {
+    graft.functions.PipelineSql.register(spark)
+    val q = Tables.embeddings(spark, sf("sf0.001")).filter(col("vec_id") < 5)
+    q.createOrReplaceTempView("ann_q")
+    val viaSql = spark.sql(
+      s"SELECT * FROM ann_lake_search('ann_q', 'vec_id', 'embedding', '$root', 10, 8)")
+      .collect().map(_.toSeq).toSet
+    val viaApi = AnnLake.search(spark, q, "vec_id", "embedding", root,
+      k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+}
