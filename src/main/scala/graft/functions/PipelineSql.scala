@@ -36,8 +36,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `audio_fingerprints` / `audio_neardup` / `video_neardup` (windowed
   * content fingerprints and the fused decode→Jaccard pair scans for
   * the temporal modalities), `dedup_index_batch` /
-  * `dedup_index_elements` (one increment of streaming
-  * dedup-at-ingest against named state lakes), `ann_lake_search`
+  * `dedup_index_elements` / `dedup_index_hashes` (one increment of
+  * streaming dedup-at-ingest against named state lakes — shingle,
+  * element-set, and Hamming-fingerprint forms), `ann_lake_search`
   * (probe-pruned search over the lake-backed incremental ANN
   * index), and the 4-arg
   * `read_range` column form over per-column zone maps — the whole
@@ -719,6 +720,15 @@ object PipelineSql {
         str("dedup_index_batch", es(4), "index lake dir"),
         n = int("dedup_index_batch", es(5), "shingle size"),
         threshold = dbl("dedup_index_batch", es(6), "jaccard threshold"))
+    }
+    reg("dedup_index_hashes") { es =>
+      argc("dedup_index_hashes", es, 5)
+      graft.streaming.DedupStream.indexHammingBatch(
+        table("dedup_index_hashes", es(0)),
+        str("dedup_index_hashes", es(1), "id column"),
+        str("dedup_index_hashes", es(2), "hash column"),
+        str("dedup_index_hashes", es(3), "hash lake dir"),
+        maxHamming = int("dedup_index_hashes", es(4), "max hamming"))
     }
     // probe-pruned search over a lake-backed incremental ANN index
     reg("ann_lake_search") { es =>

@@ -1075,6 +1075,41 @@ object TextQueries {
               |SELECT d1, d2, hamming FROM pr
               |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin)),
 
+    // Incremental IMAGE near-dup, oracle-checked — the third modality
+    // through the streaming ingest index (text via d_incremental_minhash,
+    // video via x_video_neardup_incr): perceptual hashes arrive in two
+    // increments through DedupStream.indexHammingBatch, whose
+    // pre-chunked pigeonhole lake makes cross-increment candidates a
+    // (chunk, cv) equi-join and whose blocking is recall-complete — so
+    // the union of the increments' pairs must equal the one-shot
+    // Hamming-ball scan, hashed against the same full-DCT-replay
+    // oracle as x_phash_neardup.
+    QDef(
+      "x_phash_neardup_incr",
+      (s, dir) => {
+        val out = Fixtures.dir("phash_neardup_incr", dir) { o =>
+          val media = graft.operators.Multimodal.asRencodedMedia(
+            Tables.documents(s, dir), "doc_id", "text")
+            .repartition(s.sparkContext.defaultParallelism)
+          val hashes = graft.operators.Multimodal.phash(media)
+            .select(col("media_id").as("doc"), col("phash").as("h"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val p1 = graft.streaming.DedupStream.indexHammingBatch(
+            hashes.filter(expr("(doc div 4) % 2 = 0")), "doc", "h",
+            s"$o/hashes", maxHamming = 3, appendBatchId = Some(0L))
+          val p2 = graft.streaming.DedupStream.indexHammingBatch(
+            hashes.filter(expr("(doc div 4) % 2 = 1")), "doc", "h",
+            s"$o/hashes", maxHamming = 3, appendBatchId = Some(1L))
+          p1.unionByName(p2).write.parquet(s"$o/pairs")
+          hashes.unpersist()
+          ()
+        }
+        s.read.parquet(s"$out/pairs").orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH ${phashPairCtes()}
+              |SELECT d1, d2, hamming FROM pr
+              |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin)),
+
     // Image near-dup taken to the step a curation pipeline acts on:
     // pHash pairs → transitive duplicate CLUSTERS → canonical keeper
     // per cluster (the d_neardup_clusters shape over the visual

@@ -207,6 +207,72 @@ object DedupStream {
     pairs
   }
 
+  /** The HAMMING-form increment — incremental near-dup for 64-bit
+    * perceptual/structural fingerprints (pHash images, SimHash text):
+    * the pigeonhole-blocked Hamming-ball scan of
+    * [[Dedup.hammingPairs]], made online. State is one lake of the
+    * PRE-CHUNKED signatures — (doc, h, chunk, cv) rows partitioned by
+    * chunk, the same maxHamming+1-way split the batch operator blocks
+    * on, so the cross-increment candidate join is a plain (chunk, cv)
+    * equi-join against the lake (batch side tick-sized → AQE
+    * broadcasts it; the index is scanned, never shuffled) and the
+    * exact Hamming verify needs no second lookup — both hashes ride
+    * the candidate row. Pigeonhole blocking is recall-COMPLETE (two
+    * hashes within Hamming ≤ k agree on at least one of k+1 chunks),
+    * so across increments this emits exactly the all-pairs Hamming
+    * ball of everything ingested — the x_phash_neardup_incr gate
+    * hashes two image increments against the same ground-truth oracle
+    * as the one-shot gate.
+    */
+  def indexHammingBatch(batch: DataFrame, id: String, hash: String,
+      hashLake: String, maxHamming: Int,
+      hotChunkThreshold: Long = 100L, salts: Int = 16,
+      appendBatchId: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    require(bitsPer >= 1, s"maxHamming must be <= 63, got $maxHamming")
+    val mask = (1L << bitsPer) - 1
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("h"), c * bitsPer).bitwiseAND(lit(mask)).as("cv"))
+    }
+    val chunkedNew = graft.CacheRegistry.retain(
+      batch.select(col(id).as("doc"), col(hash).as("h")).dropDuplicates("doc")
+        .select(col("doc"), col("h"), explode(array(chunkCols: _*)).as("ck"))
+        .select(col("doc"), col("h"), col("ck.chunk").as("chunk"),
+          col("ck.cv").as("cv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val selfPairs = Dedup.saltedSelfPairs(chunkedNew, Seq("chunk", "cv"),
+      hotChunkThreshold, salts)
+      .select(col("doc_1").as("d1"), col("doc_2").as("d2"),
+        col("h_1").as("h1"), col("h_2").as("h2"))
+    val allPairs =
+      if (VersionedLake.currentVersion(hashLake) < 1) selfPairs
+      else {
+        val old = VersionedLake.read(spark, hashLake)
+          .select(col("doc").as("odoc"), col("h").as("oh"),
+            col("chunk").cast("int").as("chunk"), col("cv"))
+        val cross = chunkedNew.join(old, Seq("chunk", "cv"))
+          .filter(col("doc") =!= col("odoc"))
+          .select(least(col("doc"), col("odoc")).as("d1"),
+            greatest(col("doc"), col("odoc")).as("d2"),
+            when(col("doc") < col("odoc"), col("h")).otherwise(col("oh")).as("h1"),
+            when(col("doc") < col("odoc"), col("oh")).otherwise(col("h")).as("h2"))
+        selfPairs.unionByName(cross)
+      }
+    // Hamming filter BEFORE dedup — same cost argument as the batch op
+    val pairs = allPairs
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("d1", "d2")
+      .select(col("d1"), col("d2"), col("hamming"))
+      .localCheckpoint(true)
+    if (appendBatchId.forall(_ > VersionedLake.committedBatchId(hashLake)))
+      VersionedLake.append(chunkedNew, hashLake, "chunk", appendBatchId)
+    pairs
+  }
+
   /** Drive [[indexBatch]] from a stream of documents; verified pairs
     * land in `pairsLake` (a versioned lake like the state lakes, so
     * downstream curation reads them with time travel / CDC). All three

@@ -117,4 +117,30 @@ class DedupStreamSpec extends SparkSpec {
     // (1,9) candidate, whose common STILL counts the hot elements
     assert(p3.exists(r => r(0) == 1L && r(1) == 9L && r(2) == 3L), p3.toString)
   }
+
+  test("indexHammingBatch increments equal batch hammingPairs; re-delivery idempotent") {
+    val root = tmp("graft_hamming_incr")
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+    val p1 = graft.streaming.DedupStream.indexHammingBatch(
+      sigs.filter(col("doc") % 2 === 0), "doc", "h",
+      s"$root/hashes", maxHamming = 7, appendBatchId = Some(0L))
+      .collect().map(_.toSeq).toSet
+    val p2 = graft.streaming.DedupStream.indexHammingBatch(
+      sigs.filter(col("doc") % 2 =!= 0), "doc", "h",
+      s"$root/hashes", maxHamming = 7, appendBatchId = Some(1L))
+      .collect().map(_.toSeq).toSet
+    val oneShot = Dedup.hammingPairs(sigs, maxHamming = 7)
+      .collect().map(_.toSeq).toSet
+    assert((p1 ++ p2) == oneShot && oneShot.nonEmpty)
+    assert(p1.intersect(p2).isEmpty)
+    // re-delivery of increment 2 against the fully-committed lake
+    val v = VersionedLake.currentVersion(s"$root/hashes")
+    val p2r = graft.streaming.DedupStream.indexHammingBatch(
+      sigs.filter(col("doc") % 2 =!= 0), "doc", "h",
+      s"$root/hashes", maxHamming = 7, appendBatchId = Some(1L))
+      .collect().map(_.toSeq).toSet
+    assert(p2r == p2)
+    assert(VersionedLake.currentVersion(s"$root/hashes") == v)
+  }
 }
