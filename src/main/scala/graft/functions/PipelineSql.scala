@@ -38,7 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the temporal modalities), `dedup_index_batch` /
   * `dedup_index_elements` / `dedup_index_hashes` (one increment of
   * streaming dedup-at-ingest against named state lakes — shingle,
-  * element-set, and Hamming-fingerprint forms), `ann_lake_search`
+  * element-set, and Hamming-fingerprint forms), `bm25_lake_append` /
+  * `bm25_lake_search` (the incremental postings lake), `ann_lake_search`
   * (probe-pruned search over the lake-backed incremental ANN
   * index), and the 4-arg
   * `read_range` column form over per-column zone maps — the whole
@@ -729,6 +730,28 @@ object PipelineSql {
         str("dedup_index_hashes", es(2), "hash column"),
         str("dedup_index_hashes", es(3), "hash lake dir"),
         maxHamming = int("dedup_index_hashes", es(4), "max hamming"))
+    }
+    // append one increment of documents into a postings lake, and
+    // BM25-search it with term-partition pruning (terms as a
+    // comma-separated literal, the hist_quantiles list convention)
+    reg("bm25_lake_append") { es =>
+      argc("bm25_lake_append", es, 4)
+      val t = table("bm25_lake_append", es(0))
+      graft.sources.PostingsLake.append(t,
+        str("bm25_lake_append", es(1), "id column"),
+        str("bm25_lake_append", es(2), "text column"),
+        str("bm25_lake_append", es(3), "postings lake dir"))
+      t.sparkSession.range(1).select(
+        org.apache.spark.sql.functions.lit("appended").as("status"))
+    }
+    reg("bm25_lake_search") { es =>
+      argc("bm25_lake_search", es, 3)
+      val terms = str("bm25_lake_search", es(1), "query terms")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      graft.sources.PostingsLake.search(
+        org.apache.spark.sql.SparkSession.active,
+        str("bm25_lake_search", es(0), "postings lake dir"),
+        terms, k = int("bm25_lake_search", es(2), "k"))
     }
     // probe-pruned search over a lake-backed incremental ANN index
     reg("ann_lake_search") { es =>

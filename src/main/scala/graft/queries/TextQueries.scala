@@ -610,6 +610,31 @@ object TextQueries {
             |  FROM documents WHERE doc_id % 25 = 0""".stripMargin,
         k = 10))),
 
+    // Lexical retrieval 4: the inverted index AS A LAKE, grown in two
+    // increments and searched with term-partition pruning — the
+    // search-engine shape for a continuously-ingested corpus (the
+    // one-shot forms re-tokenize the corpus per call; the lake reads
+    // only the query terms' partitions). Must hash against the SAME
+    // oracle as x_bm25_topk: append-only ingest makes df/tf/stats over
+    // the lake identical to the one-shot computation on the union.
+    QDef(
+      "x_bm25_lake_incremental",
+      (s, dir) => {
+        val lake = Fixtures.dir("bm25_lake_incr", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(0L))
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(1L))
+        }
+        graft.sources.PostingsLake.search(s, s"$lake/lake",
+          Seq("spark", "hash", "join", "stream"), k = 50)
+          .orderBy(col("rank"))
+      },
+      Some(graft.operators.TextSearch.bm25OracleSql(
+        "documents", "doc_id", "text",
+        query = Seq("spark", "hash", "join", "stream"), k = 50))),
+
     // The VIDEO arm of the multimodal family: every document lands as
     // a real RIFF/AVI MJPEG container (LIST nesting, avih timing,
     // '00dc' frame chunks), each frame a one-block-row constant-block

@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The inverted index AS A TABLE: BM25 retrieval state persisted in
+  * versioned lakes and grown by appends — the search-engine shape for
+  * a continuously-ingested corpus, where
+  * [[graft.operators.TextSearch.bm25TopK]]'s tokenize-on-query form
+  * would re-scan every document ever ingested on every query.
+  *
+  * Layout under `lakeDir`:
+  *  - `postings/` — (term, doc_id, tf, dl) rows, PARTITIONED by
+  *    `tp = pmod(xxhash64(term), termParts)`: a query's I/O is the
+  *    partitions its terms hash into (≈ |terms|/termParts of the
+  *    index), decided from manifest metadata alone. `dl` rides the
+  *    posting row (classic postings layout), so scoring never joins a
+  *    document table.
+  *  - `doclens/` — (doc_id, dl) rows for the corpus statistics
+  *    (N, avgdl) — a two-column lake whose scan cost is the corpus's
+  *    doc COUNT, not its text.
+  *
+  * Append-only contract: each document arrives in exactly one
+  * increment (the ingest stream's natural shape), so its (doc, term)
+  * tf rows are complete at append time and never need merging —
+  * document frequency and corpus stats are then plain aggregates over
+  * the lakes, identical to what the one-shot operator computes on the
+  * union corpus. PostingsLakeSpec pins that parity exactly (ranks and
+  * integer evidence, the same log-free discipline), and the
+  * x_bm25_lake_incremental gate hashes a two-increment build against
+  * the SAME DuckDB oracle as the one-shot x_bm25_topk.
+  *
+  * Both lakes inherit every versioned-lake capability: exactly-once
+  * streaming appends (batch ids), time travel (search the index as of
+  * any version), OCC, and compaction for per-tick file growth.
+  */
+object PostingsLake {
+
+  private def postingsDir(lakeDir: String) = s"$lakeDir/postings"
+  private def doclensDir(lakeDir: String) = s"$lakeDir/doclens"
+
+  /** Tokenize one increment of documents and append its postings and
+    * doc lengths. Creates the lakes on first call; `batchId` arms the
+    * exactly-once watermark on both. */
+  def append(docs: DataFrame, id: String, text: String, lakeDir: String,
+      termParts: Int = 64, docParts: Int = 16,
+      batchId: Option[Long] = None): Unit = {
+    val toks = docs.select(col(id).as("doc_id"), split(col(text), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(length(col("term")) > 0)
+    val postings = toks
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tp", pmod(xxhash64(col("term")), lit(termParts)))
+    val doclens = docs.select(col(id).as("doc_id"),
+      size(split(col(text), " ")).cast("long").as("dl"))
+      .withColumn("dp", pmod(xxhash64(col("doc_id")), lit(docParts)))
+    if (batchId.forall(_ > VersionedLake.committedBatchId(postingsDir(lakeDir))))
+      VersionedLake.append(postings, postingsDir(lakeDir), "tp", batchId)
+    if (batchId.forall(_ > VersionedLake.committedBatchId(doclensDir(lakeDir))))
+      VersionedLake.append(doclens, doclensDir(lakeDir), "dp", batchId)
+  }
+
+  /** BM25 top-k over the lake for a bag-of-words query — identical
+    * semantics and output schema to [[graft.operators.TextSearch
+    * .bm25TopK]] on the union corpus ((rank, doc_id, matched_terms,
+    * total_tf, dl); BM25+ idf; ties on doc_id), but the corpus-sized
+    * tokenize pass is GONE: only the query terms' partitions are read
+    * (manifest-level pruning), df comes from those postings, and the
+    * corpus stats from the narrow doclens lake. `version` pins both
+    * lakes to an earlier version — retrieval time travel. */
+  def search(spark: SparkSession, lakeDir: String, query: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      termParts: Int = 64, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(query.nonEmpty, "search needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = query.distinct
+    // the terms' partition ids, via the SAME hash the writer used —
+    // computed in-engine on a terms-sized frame, then collected
+    // (query-sized metadata, not data)
+    import spark.implicits._
+    val tps = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(termParts)).as("tp"))
+      .distinct().collect().map(_.getLong(0).toString).toSeq
+    val tf = VersionedLake.read(spark, postingsDir(lakeDir), version,
+      partitions = Some(tps))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = VersionedLake.read(spark, doclensDir(lakeDir), version)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("w")).as("score"),
+        count(lit(1)).as("matched_terms"),
+        sum(col("tf")).as("total_tf"))
+    val top = scored.orderBy(desc("score"), col("doc_id")).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("matched_terms"), col("total_tf"), col("dl").cast("long").as("dl"))
+  }
+
+  /** The pruned postings files a query would read — for I/O reasoning
+    * in specs without running the search. */
+  def prunedInputFiles(spark: SparkSession, lakeDir: String,
+      query: Seq[String], termParts: Int = 64): Array[String] = {
+    import spark.implicits._
+    val tps = query.distinct.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(termParts)).as("tp"))
+      .distinct().collect().map(_.getLong(0).toString).toSeq
+    VersionedLake.read(spark, postingsDir(lakeDir),
+      partitions = Some(tps)).inputFiles
+  }
+}

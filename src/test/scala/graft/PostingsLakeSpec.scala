@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextSearch
+import graft.sources.{PostingsLake, VersionedLake}
+
+/** The lake-backed incremental BM25 index: exact parity with the
+  * tokenize-on-query operator over the union corpus, term-partition
+  * pruning, and the exactly-once append guard.
+  */
+class PostingsLakeSpec extends SparkSpec {
+
+  private val query = Seq("spark", "hash", "join", "stream")
+
+  private lazy val root = {
+    val r = java.nio.file.Files.createTempDirectory("graft_postings").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", r, batchId = Some(0L))
+    PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", r, batchId = Some(1L))
+    r
+  }
+
+  test("two-increment lake search equals one-shot bm25TopK on the union corpus") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val viaLake = PostingsLake.search(spark, root, query, k = 50)
+      .collect().map(_.toSeq).toSet
+    val oneShot = TextSearch.bm25TopK(docs, "doc_id", "text", query, k = 50)
+      .collect().map(_.toSeq).toSet
+    assert(viaLake == oneShot && viaLake.nonEmpty)
+  }
+
+  test("query I/O is the terms' partitions, not the index") {
+    val all = VersionedLake.read(spark, s"$root/postings").inputFiles
+    val pruned = PostingsLake.prunedInputFiles(spark, root, query)
+    assert(pruned.nonEmpty && pruned.length < all.length,
+      s"expected pruning: ${pruned.length} vs ${all.length}")
+    // a one-term query touches at most 1/64 of the term space
+    val one = PostingsLake.prunedInputFiles(spark, root, Seq("spark"))
+    assert(one.length <= pruned.length)
+  }
+
+  test("append is exactly-once under batch-id re-delivery") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val before = PostingsLake.search(spark, root, query, k = 50)
+      .collect().map(_.toSeq).toSet
+    val v = (VersionedLake.currentVersion(s"$root/postings"),
+      VersionedLake.currentVersion(s"$root/doclens"))
+    PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", root, batchId = Some(1L))
+    assert((VersionedLake.currentVersion(s"$root/postings"),
+      VersionedLake.currentVersion(s"$root/doclens")) == v)
+    assert(PostingsLake.search(spark, root, query, k = 50)
+      .collect().map(_.toSeq).toSet == before)
+  }
+
+  test("postings-lake TVFs equal the Scala API") {
+    graft.functions.PipelineSql.register(spark)
+    val r = java.nio.file.Files.createTempDirectory("graft_postings_tvf").toString
+    Tables.documents(spark, sf("sf0.001")).limit(100)
+      .createOrReplaceTempView("pl_docs")
+    assert(spark.sql(
+      s"SELECT * FROM bm25_lake_append('pl_docs', 'doc_id', 'text', '$r/lake')")
+      .head().getString(0) == "appended")
+    val viaSql = spark.sql(
+      s"SELECT * FROM bm25_lake_search('$r/lake', 'spark,hash,join,stream', 20)")
+      .collect().map(_.toSeq).toSet
+    val viaApi = PostingsLake.search(spark, s"$r/lake", query, k = 20)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+}
