@@ -273,6 +273,63 @@ object DedupStream {
     pairs
   }
 
+  /** Drive [[indexElementsBatch]] from a stream of (id, element)
+    * fingerprint rows — same pairs-lake/exactly-once contract as
+    * [[start]]. */
+  def startElements(stream: DataFrame, id: String, elem: String,
+      elemLake: String, pairsLake: String, checkpointDir: String,
+      threshold: Double, maxElemDf: Option[Long] = None,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(stream.isStreaming, "startElements expects a streaming DataFrame")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        val pairs = indexElementsBatch(b.toDF(), id, elem, elemLake,
+          threshold, maxElemDf, appendBatchId = Some(batchId))
+        if (batchId > VersionedLake.committedBatchId(pairsLake))
+          VersionedLake.append(
+            pairs.withColumn(PartCol, pmod(xxhash64(col("d1")), lit(16))),
+            pairsLake, PartCol, Some(batchId))
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Seq(elemLake -> PartCol, pairsLake -> PartCol).foreach { case (l, pc) =>
+            try { VersionedLake.compactPartitions(b.sparkSession, l, pc); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        ()
+      }
+      .start()
+  }
+
+  /** Drive [[indexHammingBatch]] from a stream of (id, 64-bit hash)
+    * fingerprints — same pairs-lake/exactly-once contract as
+    * [[start]]. */
+  def startHashes(stream: DataFrame, id: String, hash: String,
+      hashLake: String, pairsLake: String, checkpointDir: String,
+      maxHamming: Int, compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(stream.isStreaming, "startHashes expects a streaming DataFrame")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        val pairs = indexHammingBatch(b.toDF(), id, hash, hashLake,
+          maxHamming, appendBatchId = Some(batchId))
+        if (batchId > VersionedLake.committedBatchId(pairsLake))
+          VersionedLake.append(
+            pairs.withColumn(PartCol, pmod(xxhash64(col("d1")), lit(16))),
+            pairsLake, PartCol, Some(batchId))
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Seq(hashLake -> "chunk", pairsLake -> PartCol).foreach { case (l, pc) =>
+            try { VersionedLake.compactPartitions(b.sparkSession, l, pc); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        ()
+      }
+      .start()
+  }
+
   /** Drive [[indexBatch]] from a stream of documents; verified pairs
     * land in `pairsLake` (a versioned lake like the state lakes, so
     * downstream curation reads them with time travel / CDC). All three

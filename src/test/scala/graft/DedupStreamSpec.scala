@@ -143,4 +143,29 @@ class DedupStreamSpec extends SparkSpec {
     assert(p2r == p2)
     assert(VersionedLake.currentVersion(s"$root/hashes") == v)
   }
+
+  test("startHashes stream: pairs lake across ticks equals one-shot hammingPairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("graft_hashes_stream")
+    val sigs = Dedup.simhash64(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ms = MemoryStream[(Long, Long)]
+    sigs.grouped(math.max(1, sigs.length / 2 + 1)).foreach { b =>
+      ms.addData(b.toSeq)
+      val q = graft.streaming.DedupStream.startHashes(
+        ms.toDS().toDF("doc", "h"), "doc", "h",
+        s"$root/hashes", s"$root/pairs", s"$root/ckpt",
+        maxHamming = 7, compactEvery = 2)
+      q.awaitTermination()
+    }
+    val streamed = VersionedLake.read(spark, s"$root/pairs")
+      .select("d1", "d2", "hamming").collect().map(_.toSeq).toSet
+    val oneShot = Dedup.hammingPairs(
+      Dedup.simhash64(Tables.documents(spark, sf("sf0.001")), "doc_id", "text"),
+      maxHamming = 7).collect().map(_.toSeq).toSet
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
 }
