@@ -635,6 +635,33 @@ object TextQueries {
         "documents", "doc_id", "text",
         query = Seq("spark", "hash", "join", "stream"), k = 50))),
 
+    // Lexical retrieval 5: RETRACTION. The index ingests the whole
+    // corpus, then half of it is deleted (copy-on-write MERGE touching
+    // only the partitions that hold the retracted docs' postings) —
+    // search must rank the SURVIVING corpus exactly, with df and the
+    // corpus stats shifted accordingly (the oracle recomputes BM25
+    // from scratch over the surviving half, so a stale df, avgdl, or
+    // an undead posting is a hash mismatch).
+    QDef(
+      "x_bm25_lake_retract",
+      (s, dir) => {
+        val lake = Fixtures.dir("bm25_lake_retract", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          graft.sources.PostingsLake.append(docs, "doc_id", "text",
+            s"$o/lake", batchId = Some(0L))
+          graft.sources.PostingsLake.delete(
+            docs.filter(col("doc_id") % 2 =!= 0), "doc_id",
+            s"$o/lake", batchId = Some(1L))
+        }
+        graft.sources.PostingsLake.search(s, s"$lake/lake",
+          Seq("spark", "hash", "join", "stream"), k = 50)
+          .orderBy(col("rank"))
+      },
+      Some(graft.operators.TextSearch.bm25OracleSql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0) surviving",
+        "doc_id", "text",
+        query = Seq("spark", "hash", "join", "stream"), k = 50))),
+
     // The VIDEO arm of the multimodal family: every document lands as
     // a real RIFF/AVI MJPEG container (LIST nesting, avih timing,
     // '00dc' frame chunks), each frame a one-block-row constant-block

@@ -102,6 +102,25 @@ object AnnLake {
       rows.select(col("doc"), col("cell")), cdf)
   }
 
+  /** RETRACT embeddings from the index (takedown shape): a copy-on-
+    * write MERGE rewrites only the cells holding the named docs; the
+    * frozen centroids are untouched (cell geometry is independent of
+    * membership), so subsequent appends and searches are unaffected
+    * beyond the removed rows. Pre-delete versions stay searchable via
+    * `search(version = ...)` until vacuumed. */
+  def delete(docs: DataFrame, id: String, lakeDir: String,
+      batchId: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    if (batchId.exists(_ <= VersionedLake.committedBatchId(vectorsDir(lakeDir))))
+      return
+    val ids = docs.select(col(id).as("doc")).distinct()
+    val changes = VersionedLake.read(spark, vectorsDir(lakeDir))
+      .join(ids, Seq("doc"), "left_semi")
+      .withColumn("_deleted", lit(true))
+    VersionedLake.mergeUpsert(spark, vectorsDir(lakeDir), changes,
+      Seq("doc"), "cell", batchId = batchId)
+  }
+
   /** The pruned file set a probe plan would read — exposed so specs
     * and operators can reason about I/O without executing a search. */
   def prunedInputFiles(spark: SparkSession, queries: DataFrame, id: String,

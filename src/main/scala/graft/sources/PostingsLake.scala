@@ -110,6 +110,34 @@ object PostingsLake {
         col("matched_terms"), col("total_tf"), col("dl").cast("long").as("dl"))
   }
 
+  /** RETRACT documents from the index — the takedown / right-to-be-
+    * forgotten operation a long-lived corpus index needs. A copy-on-
+    * write MERGE rewrites only the term partitions that actually hold
+    * the named docs' postings (and the doc-length partitions holding
+    * their rows); document frequency and corpus statistics are
+    * derived at query time, so the next search reflects the retraction
+    * with no further bookkeeping — PostingsLakeSpec pins search ≡ the
+    * one-shot operator on the surviving corpus. Pre-delete versions
+    * stay time-travel-readable until vacuumed (which is what makes
+    * retention policy explicit rather than accidental). */
+  def delete(docs: DataFrame, id: String, lakeDir: String,
+      batchId: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col(id).as("doc_id")).distinct()
+    val p = VersionedLake.read(spark, postingsDir(lakeDir))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .withColumn("_deleted", lit(true))
+    if (batchId.forall(_ > VersionedLake.committedBatchId(postingsDir(lakeDir))))
+      VersionedLake.mergeUpsert(spark, postingsDir(lakeDir), p,
+        Seq("term", "doc_id"), "tp", batchId = batchId)
+    val d = VersionedLake.read(spark, doclensDir(lakeDir))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .withColumn("_deleted", lit(true))
+    if (batchId.forall(_ > VersionedLake.committedBatchId(doclensDir(lakeDir))))
+      VersionedLake.mergeUpsert(spark, doclensDir(lakeDir), d,
+        Seq("doc_id"), "dp", batchId = batchId)
+  }
+
   /** The pruned postings files a query would read — for I/O reasoning
     * in specs without running the search. */
   def prunedInputFiles(spark: SparkSession, lakeDir: String,

@@ -87,4 +87,24 @@ class AnnLakeSpec extends SparkSpec {
       k = 10, nprobe = 8).collect().map(_.toSeq).toSet
     assert(viaSql == viaApi && viaSql.nonEmpty)
   }
+
+  test("delete retracts embeddings: full-probe equals brute force on survivors") {
+    val r = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    AnnLake.create(emb, "vec_id", "embedding", r, nlist = 8, dim = 64)
+    AnnLake.delete(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+      "vec_id", r, batchId = Some(0L))
+    val queries = emb.filter(col("vec_id") < 5)
+    val afterDelete = AnnLake.search(spark, queries, "vec_id", "embedding",
+      r, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val brute = Similarity.cosineTopK(
+      emb.filter(col("vec_id") < 10 || col("vec_id") >= 20),
+      queries, "vec_id", "embedding", 10).collect().map(_.toSeq).toSet
+    assert(afterDelete == brute && afterDelete.nonEmpty)
+    // replayed delete is a no-op
+    val v = VersionedLake.currentVersion(s"$r/vectors")
+    AnnLake.delete(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+      "vec_id", r, batchId = Some(0L))
+    assert(VersionedLake.currentVersion(s"$r/vectors") == v)
+  }
 }

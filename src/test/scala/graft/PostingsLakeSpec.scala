@@ -70,4 +70,27 @@ class PostingsLakeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaSql == viaApi && viaSql.nonEmpty)
   }
+
+  test("delete retracts documents: search equals one-shot on the surviving corpus") {
+    val r = java.nio.file.Files.createTempDirectory("graft_postings_del").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    PostingsLake.append(docs, "doc_id", "text", r, batchId = Some(0L))
+    PostingsLake.delete(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", r,
+      batchId = Some(1L))
+    val afterDelete = PostingsLake.search(spark, r, query, k = 50)
+      .collect().map(_.toSeq).toSet
+    val oneShot = TextSearch.bm25TopK(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", query, k = 50).collect().map(_.toSeq).toSet
+    assert(afterDelete == oneShot && afterDelete.nonEmpty)
+    // re-delivered delete: versions unchanged
+    val v = VersionedLake.currentVersion(s"$r/postings")
+    PostingsLake.delete(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", r,
+      batchId = Some(1L))
+    assert(VersionedLake.currentVersion(s"$r/postings") == v)
+    // the pre-delete version is still searchable (retrieval time travel)
+    val before = PostingsLake.search(spark, r, query, k = 50,
+      version = Some(1)).collect().map(_.toSeq).toSet
+    assert(before == TextSearch.bm25TopK(docs, "doc_id", "text", query, k = 50)
+      .collect().map(_.toSeq).toSet)
+  }
 }
