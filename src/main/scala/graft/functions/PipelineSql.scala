@@ -39,7 +39,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `dedup_index_elements` / `dedup_index_hashes` (one increment of
   * streaming dedup-at-ingest against named state lakes — shingle,
   * element-set, and Hamming-fingerprint forms), `bm25_lake_append` /
-  * `bm25_lake_search` (the incremental postings lake), `ann_lake_search`
+  * `bm25_lake_search` (the incremental postings lake), `rrf_fuse`
+  * (hybrid-retrieval reciprocal-rank fusion), `ann_lake_search`
   * (probe-pruned search over the lake-backed incremental ANN
   * index), and the 4-arg
   * `read_range` column form over per-column zone maps — the whole
@@ -730,6 +731,14 @@ object PipelineSql {
         str("dedup_index_hashes", es(2), "hash column"),
         str("dedup_index_hashes", es(3), "hash lake dir"),
         maxHamming = int("dedup_index_hashes", es(4), "max hamming"))
+    }
+    // reciprocal-rank fusion of two (query_id, rank, doc_id) rankings
+    reg("rrf_fuse") { es =>
+      argc("rrf_fuse", es, 4)
+      graft.operators.TextSearch.rrfFuse(
+        table("rrf_fuse", es(0)), table("rrf_fuse", es(1)),
+        k = int("rrf_fuse", es(2), "k"),
+        c = int("rrf_fuse", es(3), "rrf constant"))
     }
     // append one increment of documents into a postings lake, and
     // BM25-search it with term-partition pruning (terms as a

@@ -164,6 +164,43 @@ object TextSearch {
         col("dl").cast("long").as("dl"))
   }
 
+  /** Reciprocal-rank fusion (the Cormack–Clarke–Büttcher combiner) of
+    * two per-query rankings — the standard HYBRID-retrieval step that
+    * merges a lexical arm (BM25) with a vector arm (embedding top-k):
+    * score(d) = Σ_arms 1/(c + rank_arm(d)), a missing arm contributes
+    * 0, re-ranked by (score desc, doc_id).
+    *
+    * Engine-parity note: unlike the arms' own scores (log idf, float
+    * dot products), RRF scores are sums of reciprocals of SMALL
+    * INTEGERS — each term is one correctly-rounded IEEE division, so
+    * any engine computes the identical doubles and the fused ranking
+    * is hash-portable end to end. The per-arm source ranks ride along
+    * as integer evidence (0 = not retrieved by that arm).
+    *
+    * Inputs need (query_id, rank, doc_id); extra columns are ignored.
+    * Scale: each query's fused candidate set is bounded by the arms'
+    * own k's, so the fusion windows are tiny by construction — the
+    * corpus-sized work stays in the arms.
+    */
+  def rrfFuse(lexical: DataFrame, vector: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = lexical.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("lex_rank"))
+    val b = vector.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("vec_rank"))
+    a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("vec_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("rrf"), col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+  }
+
   /** DuckDB replay of [[bm25TopKBatch]]: same formula, tie-break, and
     * rank discipline, with the query table spliced in as a CTE. */
   def bm25BatchOracleSql(src: String, idSql: String, textSql: String,

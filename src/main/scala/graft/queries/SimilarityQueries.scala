@@ -503,6 +503,81 @@ object SimilarityQueries {
           "vec_id", "embedding", s"$ix/lake", k = 10, nprobe = 8)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(exactTopKOracle(10)))
+      Some(exactTopKOracle(10))),
+
+    // HYBRID retrieval: reciprocal-rank fusion of the lexical arm
+    // (query-table BM25 over documents) and the vector arm (exact
+    // cosine top-k over embeddings) — the standard two-tower search
+    // combiner. RRF scores are sums of 1/(60+rank) over small
+    // integers, identical IEEE doubles in both engines, so the FUSED
+    // ranking is hash-checked end to end (the arms' own float scores
+    // never reach the fusion — only their ranks do). The oracle
+    // replays both arms in full (the BM25 batch oracle and the exact
+    // cosine oracle as nested CTEs) and fuses with the same
+    // full-outer-join arithmetic.
+    QDef(
+      "x_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+        val lex = graft.operators.TextSearch.bm25TopKBatch(
+          docs, "doc_id", "text", queries, "query_id", "qtext", k = 20)
+        val vec = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+        graft.operators.TextSearch.rrfFuse(lex, vec, k = 15)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val lexSql = graft.operators.TextSearch.bm25BatchOracleSql(
+          "documents", "doc_id", "text",
+          queriesCte =
+            """SELECT doc_id AS query_id,
+              |         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS qtext
+              |  FROM documents WHERE doc_id < 5""".stripMargin,
+          k = 20)
+        s"""WITH lex AS (
+           |$lexSql
+           |), vec AS (
+           |  WITH e AS (
+           |    SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
+           |    FROM embeddings
+           |  ), q AS (
+           |    SELECT vec_id AS query_id, nv AS qv FROM e WHERE vec_id < 5
+           |  ), cscored AS (
+           |    SELECT query_id, e.vec_id AS doc_id,
+           |           ${dotSql("qv", "nv")} AS cos
+           |    FROM q JOIN e ON e.vec_id <> q.query_id
+           |  ), cranked AS (
+           |    SELECT query_id, doc_id,
+           |           CAST(row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+           |    FROM cscored
+           |  )
+           |  SELECT query_id, rank, doc_id FROM cranked WHERE rank <= 20
+           |), fused AS (
+           |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |         coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), CAST(0 AS DOUBLE)) +
+           |         coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank), CAST(0 AS DOUBLE)) AS rrf,
+           |         coalesce(l.rank, 0) AS lex_rank,
+           |         coalesce(v.rank, 0) AS vec_rank
+           |  FROM lex l FULL OUTER JOIN vec v
+           |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+           |), reranked AS (
+           |  SELECT query_id, doc_id, lex_rank, vec_rank,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |           ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+           |  FROM fused
+           |)
+           |SELECT query_id, rank, doc_id,
+           |       CAST(lex_rank AS BIGINT) AS lex_rank,
+           |       CAST(vec_rank AS BIGINT) AS vec_rank
+           |FROM reranked WHERE rank <= 15
+           |ORDER BY query_id, rank""".stripMargin
+      })
   )
 }

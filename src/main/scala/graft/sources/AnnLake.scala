@@ -102,6 +102,13 @@ object AnnLake {
       rows.select(col("doc"), col("cell")), cdf)
   }
 
+  /** Fold per-increment file growth back to one file per cell (OCC
+    * compaction; search unchanged by construction). */
+  def compact(spark: SparkSession, lakeDir: String): Unit = {
+    VersionedLake.compactPartitions(spark, vectorsDir(lakeDir), "cell")
+    ()
+  }
+
   /** RETRACT embeddings from the index (takedown shape): a copy-on-
     * write MERGE rewrites only the cells holding the named docs; the
     * frozen centroids are untouched (cell geometry is independent of

@@ -110,6 +110,17 @@ object PostingsLake {
         col("matched_terms"), col("total_tf"), col("dl").cast("long").as("dl"))
   }
 
+  /** Fold per-increment file growth back to one file per partition in
+    * both lakes (OCC compaction — concurrent appends just defer a
+    * partition to the next run). Search results are unchanged by
+    * construction; run it on the `compactEvery` cadence of whatever
+    * drives the appends. */
+  def compact(spark: SparkSession, lakeDir: String): Unit = {
+    VersionedLake.compactPartitions(spark, postingsDir(lakeDir), "tp")
+    VersionedLake.compactPartitions(spark, doclensDir(lakeDir), "dp")
+    ()
+  }
+
   /** RETRACT documents from the index — the takedown / right-to-be-
     * forgotten operation a long-lived corpus index needs. A copy-on-
     * write MERGE rewrites only the term partitions that actually hold

@@ -107,4 +107,17 @@ class AnnLakeSpec extends SparkSpec {
       "vec_id", r, batchId = Some(0L))
     assert(VersionedLake.currentVersion(s"$r/vectors") == v)
   }
+
+  test("compact folds increment files; search unchanged") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val before = AnnLake.search(spark, queries, "vec_id", "embedding",
+      root, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val filesBefore = VersionedLake.read(spark, s"$root/vectors").inputFiles.length
+    AnnLake.compact(spark, root)
+    val filesAfter = VersionedLake.read(spark, s"$root/vectors").inputFiles.length
+    assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
+    assert(AnnLake.search(spark, queries, "vec_id", "embedding",
+      root, k = 10, nprobe = 8).collect().map(_.toSeq).toSet == before)
+  }
 }

@@ -555,4 +555,16 @@ class DialectSpec extends SparkSpec {
       rows(graft.streaming.DedupStream.indexElementsBatch(it, "doc", "e",
         s"$e2/elems", threshold = 0.5)))
   }
+
+  test("rrf_fuse TVF equals the Scala API") {
+    graft.functions.PipelineSql.register(spark)
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val lex = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("query_id", "rank", "doc_id")
+    val vec = Seq((1L, 1L, 12L), (1L, 2L, 10L)).toDF("query_id", "rank", "doc_id")
+    lex.createOrReplaceTempView("rrf_lex")
+    vec.createOrReplaceTempView("rrf_vec")
+    assert(rows(spark.sql("SELECT * FROM rrf_fuse('rrf_lex', 'rrf_vec', 5, 60)")) ==
+      rows(graft.operators.TextSearch.rrfFuse(lex, vec, k = 5)))
+  }
 }

@@ -93,4 +93,15 @@ class PostingsLakeSpec extends SparkSpec {
     assert(before == TextSearch.bm25TopK(docs, "doc_id", "text", query, k = 50)
       .collect().map(_.toSeq).toSet)
   }
+
+  test("compact folds increment files; search unchanged") {
+    val before = PostingsLake.search(spark, root, query, k = 50)
+      .collect().map(_.toSeq).toSet
+    val filesBefore = VersionedLake.read(spark, s"$root/postings").inputFiles.length
+    PostingsLake.compact(spark, root)
+    val filesAfter = VersionedLake.read(spark, s"$root/postings").inputFiles.length
+    assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
+    assert(PostingsLake.search(spark, root, query, k = 50)
+      .collect().map(_.toSeq).toSet == before)
+  }
 }

@@ -114,4 +114,22 @@ class TextSearchSpec extends SparkSpec {
       "query_id", "qtext", k = 3)
     assert(none.count() == 0)
   }
+
+  test("rrfFuse: missing arms contribute zero, ties break on doc_id, evidence ranks ride") {
+    import spark.implicits._
+    // q1: doc 10 in both arms (rank 1+2), doc 11 lexical-only (rank 2),
+    // doc 12 vector-only (rank 1); docs 13/14 tie symmetrically.
+    val lex = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 13L), (1L, 4L, 14L))
+      .toDF("query_id", "rank", "doc_id")
+    val vec = Seq((1L, 1L, 12L), (1L, 2L, 10L), (1L, 4L, 13L), (1L, 3L, 14L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = graft.operators.TextSearch.rrfFuse(lex, vec, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 10 (1/61 + 1/62) wins; 13 and 14 (1/63 + 1/64 each, two
+    // arms) beat the single-arm docs and tie -> doc_id order; then
+    // 12 (1/61) beats 11 (1/62)
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1L, 2L), (2L, 13L, 3L, 4L), (3L, 14L, 4L, 3L),
+      (4L, 12L, 0L, 1L), (5L, 11L, 2L, 0L)), out.toSeq.toString)
+  }
 }
