@@ -273,6 +273,40 @@ object DedupStream {
     pairs
   }
 
+  /** RETRACT documents from the dedup state (takedown shape): remove
+    * their rows from whichever state lakes this operator family owns —
+    * the MinHash docs+index lakes, an element-membership lake, or a
+    * chunked-hash lake (pass the lakes that exist for your form; each
+    * is a copy-on-write MERGE touching only the partitions that hold
+    * the docs). Retracted documents stop matching FUTURE increments
+    * immediately; pairs already emitted are history (filter them
+    * downstream against the retraction list — emitted facts are not
+    * silently rewritten). Pre-delete versions stay time-travel-
+    * readable until vacuumed. */
+  def retract(docs: DataFrame, id: String,
+      docsLake: Option[String] = None, indexLake: Option[String] = None,
+      elemLake: Option[String] = None, hashLake: Option[String] = None,
+      batchId: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    // the docs lake keeps the caller's id column name; the derived
+    // index/element/hash lakes all carry it as `doc`
+    def scrub(lake: String, joinCol: String, keyCols: Seq[String],
+        partCol: String): Unit = {
+      if (VersionedLake.currentVersion(lake) < 1) return
+      if (batchId.exists(_ <= VersionedLake.committedBatchId(lake))) return
+      val ids = docs.select(col(id).as(joinCol)).distinct()
+      val changes = VersionedLake.read(spark, lake)
+        .join(ids, Seq(joinCol), "left_semi")
+        .withColumn("_deleted", lit(true))
+      VersionedLake.mergeUpsert(spark, lake, changes, keyCols, partCol,
+        batchId = batchId)
+    }
+    docsLake.foreach(scrub(_, id, Seq(id), PartCol))
+    indexLake.foreach(scrub(_, "doc", Seq("doc", "band"), "band"))
+    elemLake.foreach(scrub(_, "doc", Seq("doc", "s"), PartCol))
+    hashLake.foreach(scrub(_, "doc", Seq("doc", "chunk"), "chunk"))
+  }
+
   /** Drive [[indexElementsBatch]] from a stream of (id, element)
     * fingerprint rows — same pairs-lake/exactly-once contract as
     * [[start]]. */

@@ -168,4 +168,40 @@ class DedupStreamSpec extends SparkSpec {
       maxHamming = 7).collect().map(_.toSeq).toSet
     assert(streamed == oneShot && streamed.nonEmpty)
   }
+
+  test("retract removes docs from dedup state: later increments stop matching them") {
+    import spark.implicits._
+    val root = tmp("graft_retract")
+    val b1 = Seq((1L, "a b c d e f g"), (2L, "q w e r t y u")).toDF("doc_id", "text")
+    graft.streaming.DedupStream.indexBatch(b1, "doc_id", "text",
+      s"$root/docs", s"$root/index", n = 3, threshold = 0.5,
+      appendBatchId = Some(0L)).collect()
+    // control: a near-copy of doc 1 matches while 1 is indexed
+    val probe1 = graft.streaming.DedupStream.indexBatch(
+      Seq((8L, "a b c d e f g h")).toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/docs", s"$root/index", n = 3, threshold = 0.5,
+      appendBatchId = Some(1L)).collect().map(_.toSeq).toSet
+    assert(probe1.exists(r => r(0) == 1L && r(1) == 8L), probe1.toString)
+    // retract 1 and 8; a fresh near-copy then matches NOTHING
+    graft.streaming.DedupStream.retract(
+      Seq(1L, 8L).toDF("doc_id"), "doc_id",
+      docsLake = Some(s"$root/docs"), indexLake = Some(s"$root/index"),
+      batchId = Some(2L))
+    val probe2 = graft.streaming.DedupStream.indexBatch(
+      Seq((9L, "a b c d e f g x")).toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/docs", s"$root/index", n = 3, threshold = 0.5,
+      appendBatchId = Some(3L)).collect()
+    assert(probe2.isEmpty, probe2.mkString(","))
+    // the Hamming form retracts the same way
+    val sigs = Seq((1L, 0x0f0f0f0fL), (2L, 0x70f0f0f0L)).toDF("doc", "h")
+    graft.streaming.DedupStream.indexHammingBatch(sigs, "doc", "h",
+      s"$root/hashes", maxHamming = 7, appendBatchId = Some(0L)).collect()
+    graft.streaming.DedupStream.retract(Seq(1L).toDF("doc"), "doc",
+      hashLake = Some(s"$root/hashes"), batchId = Some(1L))
+    val probeH = graft.streaming.DedupStream.indexHammingBatch(
+      Seq((9L, 0x0f0f0f0eL)).toDF("doc", "h"), "doc", "h",
+      s"$root/hashes", maxHamming = 7, appendBatchId = Some(2L))
+      .collect()
+    assert(probeH.isEmpty, probeH.mkString(","))
+  }
 }
