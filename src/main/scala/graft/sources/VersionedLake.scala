@@ -89,24 +89,38 @@ object VersionedLake {
       min: Option[Double], max: Option[Double],
       bloom: Option[FileBloom] = None,
       rows: Option[Long] = None,
-      colStats: Map[String, (Double, Double)] = Map.empty)
+      colStats: Map[String, (Double, Double)] = Map.empty,
+      colBlooms: Map[String, FileBloom] = Map.empty)
 
   /** Per-file Bloom filter of a key column, recorded in the manifest:
     * the point-lookup complement of the min/max zone maps. Same hash
     * family as [[graft.operators.Sketch.bloomBuckets]], so the filter
     * a commit records is exactly what a probe-side plan would compute. */
   final case class FileBloom(k: Int, m: Int, words: Array[Long]) {
-    /** Driver-side membership: false = the key is definitely not in
-      * the file (skip it); true = it might be. */
-    def mightContain(key: String): Boolean = {
+    /** The k uniform 32-bit hashes of a key — the per-key half of
+      * membership, split out so a SET probe ([[readPoints]]) digests
+      * each key once and tests it against every file's bitset. */
+    def keyHashes(key: String): Array[Long] = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until k).forall { j =>
+      Array.tabulate(k) { j =>
         val hex = md.digest(s"bloom:$j:$key".getBytes(StandardCharsets.UTF_8))
           .map(b => f"$b%02x").mkString.take(8)
-        val bucket = (java.lang.Long.parseLong(hex, 16) % m).toInt
-        (words(bucket >> 6) & (1L << (bucket & 63))) != 0L
+        java.lang.Long.parseLong(hex, 16)
       }
     }
+
+    /** Membership from precomputed [[keyHashes]] (geometry-compatible:
+      * same k — hashes are mod-free until here, so one digest pass
+      * serves files with different m). */
+    def mightContainHashes(hs: Array[Long]): Boolean =
+      (0 until k).forall { j =>
+        val bucket = (hs(j) % m).toInt
+        (words(bucket >> 6) & (1L << (bucket & 63))) != 0L
+      }
+
+    /** Driver-side membership: false = the key is definitely not in
+      * the file (skip it); true = it might be. */
+    def mightContain(key: String): Boolean = mightContainHashes(keyHashes(key))
   }
 
   /** What to record per file for point-lookup skipping: the key
@@ -149,6 +163,13 @@ object VersionedLake {
             val Array(n, mn, mx) = ent.split(":", 3)
             java.net.URLDecoder.decode(n, "UTF-8") -> ((mn.toDouble, mx.toDouble))
           }.toMap
+        def cb(v: String): Map[String, FileBloom] =
+          if (v.isEmpty) Map.empty
+          else v.split(";").iterator.map { ent =>
+            val Array(n, k, m, ws) = ent.split(":", 4)
+            java.net.URLDecoder.decode(n, "UTF-8") -> FileBloom(k.toInt, m.toInt,
+              ws.split(",").map(java.lang.Long.parseUnsignedLong(_, 16)))
+          }.toMap
         line.split("\t", -1) match {
           case Array(p, path) => Entry(p, path, None, None)
           case Array(p, path, mn, mx) => Entry(p, path, num(mn), num(mx))
@@ -158,6 +179,8 @@ object VersionedLake {
             Entry(p, path, num(mn), num(mx), bl(b), rw(r))
           case Array(p, path, mn, mx, b, r, c) =>
             Entry(p, path, num(mn), num(mx), bl(b), rw(r), cs(c))
+          case Array(p, path, mn, mx, b, r, c, mb) =>
+            Entry(p, path, num(mn), num(mx), bl(b), rw(r), cs(c), cb(mb))
           case other =>
             throw new IllegalStateException(
               s"malformed manifest line (${other.length} fields): $line")
@@ -172,21 +195,63 @@ object VersionedLake {
   /** Create version 1 from `df`, partitioned by `partitionCol`.
     * `statsCol` (numeric) turns on zone maps: every commit records the
     * column's per-file min/max in the manifest, and
-    * [[readRange]] then skips files at planning time. */
+    * [[readRange]] then skips files at planning time.
+    *
+    * `blooms` declares a column SET to record per-file Bloom filters
+    * for (the point-lookup complement of the per-column zone maps —
+    * any declared column can prune a [[readPoint]]/[[readPoints]], the
+    * s22 discipline). `props` are immutable table properties recorded
+    * in every manifest header and carried forward by every commit —
+    * the home for CONSTRUCTION PARAMETERS (a partition-count a writer
+    * hashed with, a signature geometry) that later appends and reads
+    * must agree on; validate with [[requireProps]]. Both, like
+    * statsCol/bloom, become the table's recorded metadata spec that
+    * all later commits inherit. */
   def create(df: DataFrame, lakeDir: String, partitionCol: String,
       statsCol: Option[String] = None,
       bloom: Option[BloomSpec] = None,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      blooms: Seq[BloomSpec] = Nil,
+      props: Map[String, String] = Map.empty): Unit = {
     require(currentVersion(lakeDir) == 0,
       s"$lakeDir already has commits; use mergeUpsert")
-    val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol, statsCol, bloom)
+    val entries = writeCommitFiles(df, lakeDir, commitId = 1, partitionCol,
+      statsCol, bloom, blooms, colStatsOn(props))
     if (!tryCommitManifest(lakeDir, version = 1, entries, batchId = batchId,
       statsCol = statsCol, bloom = bloom,
-      schemaJson = Some(df.schema.json))) {
+      schemaJson = Some(df.schema.json), mblooms = blooms, props = props)) {
       entries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
       throw new java.util.ConcurrentModificationException(
         s"another writer created $lakeDir concurrently")
     }
+  }
+
+  /** The opt-out for the per-commit all-columns stats job: a table
+    * created with props("colstats") = "off" records only the legacy
+    * single statsCol zone map (if any) — plain appends on wide numeric
+    * tables then pay no per-commit stats scan, at the price of no
+    * column-aware [[readRange]] pruning. Default ON: per-column
+    * min/max is one aggregate over only the NEW files of each commit. */
+  private def colStatsOn(props: Map[String, String]): Boolean =
+    !props.get("colstats").contains("off")
+
+  /** Validate construction parameters against the table's recorded
+    * [[tableProps]]: every expected key must match the recorded value
+    * exactly. Fails LOUDLY on mismatch — a writer appending with a
+    * different partition-count/geometry than the lake was built with
+    * would silently corrupt later pruned reads. Keys the lake never
+    * recorded (pre-props lakes) pass unchecked. */
+  def requireProps(lakeDir: String, expected: Map[String, String]): Unit = {
+    val recorded = tableProps(lakeDir)
+    val bad = expected.toSeq.flatMap { case (k, v) =>
+      recorded.get(k) match {
+        case Some(r) if r != v => Some(s"$k: recorded '$r', caller supplied '$v'")
+        case _ => None
+      }
+    }
+    require(bad.isEmpty,
+      s"construction parameters of $lakeDir do not match the lake's " +
+        s"recorded properties — ${bad.mkString("; ")}")
   }
 
   /** Read a version (default: current) as a DataFrame with the
@@ -218,6 +283,11 @@ object VersionedLake {
     val v = version.getOrElse(currentVersion(lakeDir))
     val wanted = manifestEntries(lakeDir, v).filter { e =>
       (e.min, e.max) match {
+        // non-finite recorded stats (a NaN min/max from a NaN-bearing
+        // double column) are "no stats": every NaN comparison is
+        // false, so the overlap test would silently PRUNE a file whose
+        // real values are in range — keep it instead
+        case (Some(mn), Some(mx)) if mn.isNaN || mx.isNaN => true
         case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
         case _ => true
       }
@@ -266,6 +336,7 @@ object VersionedLake {
           s"stats exist for [${available.mkString(", ")}]")
     }
     val wanted = entries.filter(_.colStats.get(column) match {
+      case Some((mn, mx)) if mn.isNaN || mx.isNaN => true // NaN = no stats
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true // no stats for this file: conservatively kept
     })
@@ -285,6 +356,75 @@ object VersionedLake {
     val wanted = manifestEntries(lakeDir, v)
       .filter(_.bloom.forall(_.mightContain(key)))
     readFiles(spark, lakeDir, v, wanted.map(_.path))
+  }
+
+  /** Column-aware point read: files whose recorded Bloom for the NAMED
+    * column might contain `key` — any column the commit recorded a
+    * filter for (the `blooms` spec) can prune, the Bloom twin of the
+    * column-aware [[readRange]]. Refused loudly when no entry records
+    * a filter for the column (same discipline: a point read that
+    * silently scans everything is a lie at 100 TB). */
+  def readPoint(spark: SparkSession, lakeDir: String, column: String,
+      key: String, version: Option[Int]): DataFrame =
+    readPoints(spark, lakeDir, column, Seq(key), version)
+
+  /** Key-SET point read: only the files whose recorded Bloom for
+    * `column` might contain AT LEAST ONE of `keys` are handed to the
+    * scan — the candidate-bounded state read an incremental operator
+    * makes against its index lake (a small tick's key set skips nearly
+    * every file of a long-lived index; membership is decided on the
+    * driver from manifest metadata alone, one digest pass per key).
+    * Files without a filter for the column are conservatively kept;
+    * a column NO entry records is refused loudly, naming the columns
+    * that can prune. False positives pass — the caller's exact join
+    * against the result stays complete.
+    *
+    * `maxKeys` bounds the driver-side work (|keys| digests +
+    * |files|·|keys| bit tests): beyond it the prune degenerates toward
+    * keeping everything anyway, so the read falls back to the plain
+    * full-manifest scan — the documented large-tick fallback. */
+  def readPoints(spark: SparkSession, lakeDir: String, column: String,
+      keys: Seq[String], version: Option[Int] = None,
+      maxKeys: Int = 20000): DataFrame = {
+    val v = version.getOrElse(currentVersion(lakeDir))
+    val entries = manifestEntries(lakeDir, v)
+    if (entries.nonEmpty && !entries.exists(_.colBlooms.contains(column))) {
+      val available = entries.flatMap(_.colBlooms.keys).distinct.sorted
+      throw new IllegalArgumentException(
+        s"no Bloom filter recorded for column '$column' in $lakeDir@v$v — " +
+          s"a point read on it would silently scan every file; " +
+          s"filters exist for [${available.mkString(", ")}]")
+    }
+    val distinctKeys = keys.distinct
+    if (distinctKeys.size > maxKeys)
+      return readFiles(spark, lakeDir, v, entries.map(_.path))
+    // one digest pass per key at the max k any file uses; each file
+    // then tests bits only (mod by its own m)
+    val maxK = entries.flatMap(_.colBlooms.get(column)).map(_.k)
+      .foldLeft(0)(math.max)
+    val digester = FileBloom(math.max(maxK, 1), 64, Array(0L))
+    val hashes = distinctKeys.map(k => digester.keyHashes(k))
+    val wanted = entries.filter(_.colBlooms.get(column) match {
+      case None => true // no filter recorded for this file: keep
+      case Some(fb) => hashes.exists(fb.mightContainHashes)
+    })
+    readFiles(spark, lakeDir, v, wanted.map(_.path))
+  }
+
+  /** The files a [[readPoints]] would hand the scan — for I/O
+    * reasoning in specs without running the read. */
+  def prunedPointFiles(lakeDir: String, column: String, keys: Seq[String],
+      version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(lakeDir))
+    val entries = manifestEntries(lakeDir, v)
+    val maxK = entries.flatMap(_.colBlooms.get(column)).map(_.k)
+      .foldLeft(0)(math.max)
+    val digester = FileBloom(math.max(maxK, 1), 64, Array(0L))
+    val hashes = keys.distinct.map(k => digester.keyHashes(k))
+    entries.filter(_.colBlooms.get(column) match {
+      case None => true
+      case Some(fb) => hashes.exists(fb.mightContainHashes)
+    }).map(_.path)
   }
 
   private def readFiles(spark: SparkSession, lakeDir: String, v: Int,
@@ -335,9 +475,10 @@ object VersionedLake {
       keyCols: Seq[String], partitionCol: String,
       deleteCol: String = "_deleted", statsCol: Option[String] = None,
       bloom: Option[BloomSpec] = None,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      retractId: Option[Long] = None): Unit = {
     val pending = planMerge(spark, lakeDir, changes, keyCols, partitionCol,
-      deleteCol, statsCol, bloom, batchId)
+      deleteCol, statsCol, bloom, batchId, retractId)
     if (pending.touched.nonEmpty) { commitPending(lakeDir, pending); () }
   }
 
@@ -384,7 +525,10 @@ object VersionedLake {
       batchId: Option[Long],
       statsCol: Option[String] = None,
       bloom: Option[BloomSpec] = None,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      mblooms: Seq[BloomSpec] = Nil,
+      props: Map[String, String] = Map.empty,
+      retractId: Option[Long] = None)
 
   /** Plan a merge against the CURRENT version and stage its data
     * files, without committing. Split from [[mergeUpsert]] so the
@@ -394,7 +538,8 @@ object VersionedLake {
       changes: DataFrame, keyCols: Seq[String], partitionCol: String,
       deleteCol: String = "_deleted", statsCol: Option[String] = None,
       bloom: Option[BloomSpec] = None,
-      batchId: Option[Long] = None): PendingCommit = {
+      batchId: Option[Long] = None,
+      retractId: Option[Long] = None): PendingCommit = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val v = currentVersion(lakeDir)
     require(v >= 1, s"$lakeDir has no committed version to merge into")
@@ -402,6 +547,8 @@ object VersionedLake {
     val (inhStats, inhBloom) = tableMeta(lakeDir)
     val effStats = statsCol.orElse(inhStats)
     val effBloom = bloom.orElse(inhBloom)
+    val inhBlooms = tableBlooms(lakeDir)
+    val inhProps = tableProps(lakeDir)
     val entries = manifestEntries(lakeDir, v)
     // manifest partitions are escaped directory names — compare the
     // change-set's raw values in that namespace
@@ -409,7 +556,7 @@ object VersionedLake {
       .collect().map(r => escapedPartition(r.getString(0))).toSet
     if (touched.isEmpty)
       return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false,
-        None, effStats, effBloom)
+        None, effStats, effBloom, None, inhBlooms, inhProps, retractId)
 
     val recorded = recordedSchema(lakeDir, v)
     val existingTouched = {
@@ -426,9 +573,10 @@ object VersionedLake {
       case None => upserts
     }
     val newEntries = writeCommitFiles(merged, lakeDir, commitId = v + 1,
-      partitionCol, effStats, effBloom)
+      partitionCol, effStats, effBloom, inhBlooms, colStatsOn(inhProps))
     PendingCommit(v, entries, touched, newEntries, insertOnly = false, batchId,
-      effStats, effBloom, Some(mergeSchemas(recorded, merged.schema).json))
+      effStats, effBloom, Some(mergeSchemas(recorded, merged.schema).json),
+      inhBlooms, inhProps, retractId)
   }
 
   /** Commit a pending plan under optimistic concurrency: claim the
@@ -476,7 +624,8 @@ object VersionedLake {
         else mergeSchemas(recordedSchema(lakeDir, cur), plan).json
       }
       if (tryCommitManifest(lakeDir, cur + 1, manifest, p.batchId,
-        p.statsCol, p.bloom, effSchema)) return cur + 1
+        p.statsCol, p.bloom, effSchema, p.mblooms, p.props,
+        p.retractId)) return cur + 1
       // lost the slot race: loop re-reads the new current and retries
     }
     throw new IllegalStateException(
@@ -548,6 +697,8 @@ object VersionedLake {
     val (inhStats, inhBloom) = tableMeta(lakeDir)
     val effStats = statsCol.orElse(inhStats)
     val effBloom = bloom.orElse(inhBloom)
+    val inhBlooms = tableBlooms(lakeDir)
+    val inhProps = tableProps(lakeDir)
     val entries = manifestEntries(lakeDir, v)
     val byPart = entries.groupBy(_.partition)
     val candidates = partitions match {
@@ -560,7 +711,7 @@ object VersionedLake {
       byPart.get(p).exists(_.size >= math.max(minFiles, filesPerPartition + 1)))
     if (touched.isEmpty)
       return PendingCommit(v, entries, Set.empty, Seq.empty, insertOnly = false,
-        None, effStats, effBloom)
+        None, effStats, effBloom, None, inhBlooms, inhProps)
     val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
     val recorded = recordedSchema(lakeDir, v)
     // the rewrite must read (and re-write) under the version's
@@ -576,9 +727,9 @@ object VersionedLake {
         col(partitionCol),
         pmod(hash(struct(df.columns.map(col): _*)), lit(filesPerPartition)))
     val newEntries = writeCommitFiles(repartitioned, lakeDir, commitId = v + 1,
-      partitionCol, effStats, effBloom)
+      partitionCol, effStats, effBloom, inhBlooms, colStatsOn(inhProps))
     PendingCommit(v, entries, touched, newEntries, insertOnly = false, None,
-      effStats, effBloom, recorded.map(_.json))
+      effStats, effBloom, recorded.map(_.json), inhBlooms, inhProps)
   }
 
   /** Write `df`'s files into the shared `data/<partitionCol>=<v>/`
@@ -589,7 +740,9 @@ object VersionedLake {
     * commits. */
   private def writeCommitFiles(df: DataFrame, lakeDir: String, commitId: Int,
       partitionCol: String, statsCol: Option[String] = None,
-      bloom: Option[BloomSpec] = None): Seq[Entry] = {
+      bloom: Option[BloomSpec] = None,
+      mblooms: Seq[BloomSpec] = Nil,
+      perColStats: Boolean = true): Seq[Entry] = {
     // unique per write: concurrent writers may plan the same commitId
     // before the CAS resolves the race — staging must never collide
     val staging = s"$lakeDir/_staging_c$commitId-${java.util.UUID.randomUUID()}"
@@ -628,8 +781,13 @@ object VersionedLake {
       val spark = df.sparkSession
       val src = spark.read.option("basePath", s"$lakeDir/data")
         .parquet(bare.map(_.path): _*)
+      // per-column stats are the default (one aggregate over only the
+      // NEW files); a table created with props("colstats") = "off"
+      // skips them — the opt-out for wide numeric tables whose appends
+      // should pay no stats scan
       val encoded: Seq[(String, org.apache.spark.sql.Column)] =
-        src.schema.fields.toSeq.flatMap(f => statsEncoding(f).map(f.name -> _))
+        if (!perColStats) Seq.empty
+        else src.schema.fields.toSeq.flatMap(f => statsEncoding(f).map(f.name -> _))
       val aggs: Seq[org.apache.spark.sql.Column] =
         statsCol.toSeq.flatMap(c => Seq(
           min(col(c).cast("double")).as("_lmn"),
@@ -643,7 +801,11 @@ object VersionedLake {
         val byPath = rows.map { r =>
           def d(n: String): Option[Double] = {
             val i = r.fieldIndex(n)
-            if (r.isNullAt(i)) None else Some(r.getDouble(i))
+            if (r.isNullAt(i)) None
+            // a NaN min/max (NaN-bearing double column) is recorded as
+            // "no stats": readRange treats NaN defensively too, but
+            // not writing it keeps manifests honest
+            else { val x = r.getDouble(i); if (x.isNaN) None else Some(x) }
           }
           val legacy = statsCol.flatMap(_ =>
             for { mn <- d("_lmn"); mx <- d("_lmx") } yield (mn, mx))
@@ -661,31 +823,34 @@ object VersionedLake {
         }
       }
     }
-    bloom match {
+    // per-file packed Bloom words of a key column: one job over ONLY
+    // the new files per spec — the same distributive (file, word)
+    // bit_or aggregate as Sketch.bloomBuild, shuffle bounded by
+    // files × m/64
+    def bloomWords(entries: Seq[Entry], spec: BloomSpec): Map[String, Array[Long]] = {
+      val spark = df.sparkSession
+      spark.read.option("basePath", s"$lakeDir/data")
+        .parquet(entries.map(_.path): _*)
+        // NULL keys can never match a string probe, and un-filtered
+        // they surface as a (file, null, null) aggregate row that
+        // NPEs the collect below — drop them before the explode
+        .filter(col(spec.column).isNotNull)
+        .select(input_file_name().as("f"),
+          explode(graft.operators.Sketch.bloomBuckets(
+            col(spec.column).cast("string"), spec.k, spec.m)).as("bucket"))
+        .groupBy(col("f"), shiftright(col("bucket"), 6).as("word"))
+        .agg(expr("bit_or(shiftleft(1L, int(bucket % 64)))").as("bits"))
+        .collect()
+        .groupBy(r => normalizePath(r.getString(0)))
+        .map { case (f, rows) =>
+          val w = new Array[Long](spec.m / 64)
+          rows.foreach(r => w(r.getLong(1).toInt) = r.getLong(2))
+          f -> w
+        }
+    }
+    val withLegacy = bloom match {
       case Some(spec) if withStats.nonEmpty =>
-        // one job over ONLY the new files: per-file packed Bloom words
-        // of the key column — the same distributive (file, word)
-        // bit_or aggregate as Sketch.bloomBuild, shuffle bounded by
-        // files × m/64
-        val spark = df.sparkSession
-        val words = spark.read.option("basePath", s"$lakeDir/data")
-          .parquet(withStats.map(_.path): _*)
-          // NULL keys can never match a string probe, and un-filtered
-          // they surface as a (file, null, null) aggregate row that
-          // NPEs the collect below — drop them before the explode
-          .filter(col(spec.column).isNotNull)
-          .select(input_file_name().as("f"),
-            explode(graft.operators.Sketch.bloomBuckets(
-              col(spec.column).cast("string"), spec.k, spec.m)).as("bucket"))
-          .groupBy(col("f"), shiftright(col("bucket"), 6).as("word"))
-          .agg(expr("bit_or(shiftleft(1L, int(bucket % 64)))").as("bits"))
-          .collect()
-          .groupBy(r => normalizePath(r.getString(0)))
-          .map { case (f, rows) =>
-            val w = new Array[Long](spec.m / 64)
-            rows.foreach(r => w(r.getLong(1).toInt) = r.getLong(2))
-            f -> w
-          }
+        val words = bloomWords(withStats, spec)
         withStats.map { e =>
           words.get(normalizePath(e.path)) match {
             case Some(w) => e.copy(bloom = Some(FileBloom(spec.k, spec.m, w)))
@@ -693,6 +858,18 @@ object VersionedLake {
           }
         }
       case _ => withStats
+    }
+    // the column-SET Bloom spec (s22): every declared column gets its
+    // own per-file filter, so point reads prune on ANY of them
+    mblooms.filter(_ => withLegacy.nonEmpty).foldLeft(withLegacy) { (es, spec) =>
+      val words = bloomWords(es, spec)
+      es.map { e =>
+        words.get(normalizePath(e.path)) match {
+          case Some(w) => e.copy(colBlooms =
+            e.colBlooms + (spec.column -> FileBloom(spec.k, spec.m, w)))
+          case None => e // empty/all-null file: no filter, kept
+        }
+      }
     }
   }
 
@@ -734,18 +911,28 @@ object VersionedLake {
     * rebases unconditionally — concurrent appenders all land. */
   def append(df: DataFrame, lakeDir: String, partitionCol: String,
       batchId: Option[Long] = None, statsCol: Option[String] = None,
-      bloom: Option[BloomSpec] = None): Unit = {
+      bloom: Option[BloomSpec] = None,
+      blooms: Seq[BloomSpec] = Nil,
+      props: Map[String, String] = Map.empty): Unit = {
     val v = currentVersion(lakeDir)
-    // the table's recorded metadata spec applies unless overridden
+    // the table's recorded metadata spec applies unless overridden;
+    // first-append on an empty lake records the caller's blooms/props
+    // as the table's spec (the create-by-append path)
     val (inhStats, inhBloom) = tableMeta(lakeDir)
     val effStats = statsCol.orElse(inhStats)
     val effBloom = bloom.orElse(inhBloom)
+    val effBlooms = if (blooms.nonEmpty) blooms else tableBlooms(lakeDir)
+    val effProps = if (v == 0) props else {
+      requireProps(lakeDir, props) // a mismatched re-statement fails loudly
+      tableProps(lakeDir)
+    }
     val newEntries = writeCommitFiles(df, lakeDir, commitId = v + 1,
-      partitionCol, effStats, effBloom)
+      partitionCol, effStats, effBloom, effBlooms, colStatsOn(effProps))
     val evolved = mergeSchemas(
       if (v >= 1) recordedSchema(lakeDir, v) else None, df.schema)
     commitPending(lakeDir, PendingCommit(v, Seq.empty, Set.empty, newEntries,
-      insertOnly = true, batchId, effStats, effBloom, Some(evolved.json)))
+      insertOnly = true, batchId, effStats, effBloom, Some(evolved.json),
+      effBlooms, effProps))
     ()
   }
 
@@ -780,10 +967,59 @@ object VersionedLake {
     }
 
   private val BatchIdHeader = """#batchid=(-?\d+)""".r
+  private val RetractIdHeader = """#retractid=(-?\d+)""".r
   private val StatsColHeader = """#statscol=(.+)""".r
   private val BloomHeader = """#bloom=(.+):(\d+):(\d+)""".r
+  private val MBloomHeader = """#mbloom=(.+):(\d+):(\d+)""".r
+  private val PropsHeader = """#props=(.*)""".r
   private val SchemaHeader = """#schema=(.+)""".r
   private val CommitTsHeader = """#committs=(\d+)""".r
+
+  /** The highest RETRACTION batch id recorded by any committed version,
+    * -1 when none — a watermark namespace separate from the ingest
+    * batch ids, so a takedown's replay guard never collides with the
+    * append stream's: a retraction sequenced against its own watermark
+    * cannot be silently swallowed by a later INGEST batch id
+    * ([[mergeUpsert]]'s `retractId` writes it). */
+  def committedRetractId(lakeDir: String): Long = {
+    val ids = Option(new File(versionsDir(lakeDir)).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => ManifestName.pattern.matcher(f.getName).matches())
+      .flatMap { f =>
+        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .split("\n").takeWhile(_.startsWith("#"))
+          .collectFirst { case RetractIdHeader(id) => id.toLong }
+      }
+    if (ids.isEmpty) -1L else ids.max
+  }
+
+  /** The column-SET Bloom spec recorded in the current manifest's
+    * headers (the s22 complement of [[tableMeta]]'s single legacy
+    * bloom) — carried forward by every commit like the rest of the
+    * metadata spec. */
+  def tableBlooms(lakeDir: String): Seq[BloomSpec] = {
+    val v = currentVersion(lakeDir)
+    if (v == 0) return Seq.empty
+    manifestHeaders(lakeDir, v).toSeq.collect {
+      case MBloomHeader(c, k, m) => BloomSpec(c, k.toInt, m.toInt)
+    }
+  }
+
+  /** Immutable table properties recorded at create/first-append and
+    * carried forward by every commit — construction parameters later
+    * writers and readers must agree on ([[requireProps]]). */
+  def tableProps(lakeDir: String): Map[String, String] = {
+    val v = currentVersion(lakeDir)
+    if (v == 0) return Map.empty
+    manifestHeaders(lakeDir, v).collectFirst { case PropsHeader(body) =>
+      if (body.isEmpty) Map.empty[String, String]
+      else body.split("&").iterator.map { kv =>
+        val Array(k, vv) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(vv, "UTF-8")
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
 
   private def manifestHeaders(lakeDir: String, version: Int): Array[String] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
@@ -967,9 +1203,34 @@ object VersionedLake {
       // POSIX rename succeeds for exactly one (the source is gone for
       // the losers), and the losers fall through to createFile below,
       // which fails loudly on the winner's fresh lock.
+      //
+      // The rename alone still leaves a second-order TOCTOU: racer A
+      // can pass the staleness check, STALL, and then move aside a
+      // FRESH lock that racer B created during B's own completed
+      // takeover — deleting B's live lock would let both run. So after
+      // the move, re-check that what we actually moved is still stale;
+      // a fresh capture is moved back (restoring B's lock) and this
+      // racer aborts loudly. If B's successor already re-created the
+      // lock while we held the aside copy, the move-back fails EEXIST
+      // — the path is owned again, so the aside copy is just litter to
+      // delete; either way we abort.
       val aside = Paths.get(s"$dir/MAINTENANCE.lock.stale.$token")
-      try { Files.move(lock, aside); Files.deleteIfExists(aside); () }
-      catch { case _: java.nio.file.NoSuchFileException => () }
+      try {
+        Files.move(lock, aside)
+        if (System.currentTimeMillis() -
+          Files.getLastModifiedTime(aside).toMillis < staleMs) {
+          try Files.move(aside, lock)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(aside)
+          }
+          throw new IllegalStateException(
+            s"lost the stale-takeover race for $lock: a concurrent " +
+              "maintenance operation re-acquired it mid-takeover")
+        }
+        Files.deleteIfExists(aside)
+        ()
+      } catch { case _: java.nio.file.NoSuchFileException => () }
     }
     // The lock carries our token so the finally-delete below removes
     // only OUR lock — never a successor's takeover of a lock we let
@@ -1116,24 +1377,37 @@ object VersionedLake {
       entries: Seq[Entry], batchId: Option[Long],
       statsCol: Option[String] = None,
       bloom: Option[BloomSpec] = None,
-      schemaJson: Option[String] = None): Boolean = {
+      schemaJson: Option[String] = None,
+      mblooms: Seq[BloomSpec] = Nil,
+      props: Map[String, String] = Map.empty,
+      retractId: Option[Long] = None): Boolean = {
     val dir = new File(versionsDir(lakeDir))
     dir.mkdirs()
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val body = batchId.map(id => s"#batchid=$id\n").getOrElse("") +
+      retractId.map(id => s"#retractid=$id\n").getOrElse("") +
       statsCol.map(c => s"#statscol=$c\n").getOrElse("") +
       bloom.map(b => s"#bloom=${b.column}:${b.k}:${b.m}\n").getOrElse("") +
+      mblooms.map(b => s"#mbloom=${b.column}:${b.k}:${b.m}\n").mkString +
+      (if (props.isEmpty) "" else "#props=" + props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&") + "\n") +
       schemaJson.map(j => s"#schema=$j\n").getOrElse("") +
       s"#committs=${System.currentTimeMillis()}\n" +
       entries.map { e =>
         val mn = e.min.map(_.toString).getOrElse("")
         val mx = e.max.map(_.toString).getOrElse("")
-        val bl = e.bloom.map { fb =>
+        def blw(fb: FileBloom) =
           s"${fb.k}:${fb.m}:" + fb.words.map(java.lang.Long.toHexString).mkString(",")
-        }.getOrElse("")
+        val bl = e.bloom.map(blw).getOrElse("")
         val cs = e.colStats.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
-          s"${java.net.URLEncoder.encode(n, "UTF-8")}:$lo:$hi"
+          s"${enc(n)}:$lo:$hi"
         }.mkString(";")
-        if (cs.nonEmpty)
+        val cb = e.colBlooms.toSeq.sortBy(_._1).map { case (n, fb) =>
+          s"${enc(n)}:${blw(fb)}"
+        }.mkString(";")
+        if (cb.nonEmpty)
+          s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t${e.rows.fold("")(_.toString)}\t$cs\t$cb"
+        else if (cs.nonEmpty)
           s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t${e.rows.fold("")(_.toString)}\t$cs"
         else e.rows match {
           case Some(r) => s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t$r"
