@@ -71,6 +71,45 @@ object ExportQueries {
     s"$out/lake"
   }
 
+  /** The s21 fixture: the SAME merge algebra as [[versionedLakeFixture]]
+    * (so [[mergedCtes]] oracles apply), but the lake declares a
+    * column-SET Bloom spec over TWO columns plus table properties at
+    * create — the round-13 VersionedLake surface under gate. A separate
+    * fixture because the shared one is pinned by s14–s16/q_sql_* and
+    * must never be mutated. */
+  private def multicolPointFixture(s: SparkSession, dir: String): String = {
+    val out = Fixtures.dir("multicol_point", dir) { o =>
+      val ev = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")).cast("string"))
+      graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date",
+        statsCol = Some("value"),
+        blooms = Seq(graft.sources.VersionedLake.BloomSpec("event_id"),
+          graft.sources.VersionedLake.BloomSpec("user_id")),
+        props = Map("fixture" -> "s21", "partition" -> "event_date"))
+      val scope = ev.filter(col("event_date") <= "2024-01-15")
+      val changes = scope
+        .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
+        .withColumn("event_type", lit("adjusted"))
+        .withColumn("_deleted", lit(false))
+        .unionByName(scope.filter(col("event_id") % 13 === 0)
+          .withColumn("_deleted", lit(true)))
+        .unionByName(scope.filter(col("event_id") % 11 === 0)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("event_type", lit("backfill"))
+          .withColumn("_deleted", lit(false)))
+      // the merge states no blooms/props of its own: both must be
+      // INHERITED from the table spec (the round-13 carry-forward)
+      graft.sources.VersionedLake.mergeUpsert(
+        s, s"$o/lake", changes, Seq("event_id"), "event_date")
+      val posts = graft.sources.VersionedLake
+        .manifestEntries(s"$o/lake", 2)
+      require(posts.forall(e => e.colBlooms.contains("event_id") &&
+        e.colBlooms.contains("user_id")),
+        "merge dropped the inherited multi-column Bloom spec")
+    }
+    s"$out/lake"
+  }
+
   /** The fixture's two lake states as DuckDB CTEs (`ev` = v1,
     * `merged` = v2) — the prefix every versioned-lake oracle shares. */
   private val mergedCtes =
@@ -851,6 +890,56 @@ object ExportQueries {
           |       CAST(min(cents) AS BIGINT) AS min_cents,
           |       CAST(max(cents) AS BIGINT) AS max_cents
           |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin)),
+
+    // Lake maintenance 12: MULTI-COLUMN per-file Bloom filters. The
+    // fixture declares a column-SET Bloom spec (event_id AND user_id)
+    // at create; the spec is carried through one copy-on-write merge
+    // (tableBlooms inheritance), and the gate then runs the key-SET
+    // point read on EACH column — the probe keys are derived from the
+    // merged state by a modulo predicate, so keys ≡ row filter ≡
+    // oracle predicate and Bloom false positives stay invisible behind
+    // the exact filter. Two definitely-absent keys ride the event_id
+    // probe set (pruning-only; zero rows can match them). Exact
+    // per-column skip sets, absent-key zero-file pruning, the maxKeys
+    // fallback, and the loud unrecorded-column refusal are pinned in
+    // VersionedLakeSpec.
+    QDef(
+      "s21_multicol_point",
+      (s, dir) => {
+        val lake = multicolPointFixture(s, dir)
+        val cur = graft.sources.VersionedLake.read(s, lake)
+        def keysOf(c: String, m: Int, r: Int): Seq[String] =
+          cur.filter(col(c) % m === r).select(col(c).cast("string"))
+            .distinct().collect().map(_.getString(0)).toSeq
+        def leg(probe: String, keys: Seq[String],
+            rowFilter: org.apache.spark.sql.Column) =
+          graft.sources.VersionedLake.readPoints(s, lake, probe, keys)
+            .filter(rowFilter)
+            .groupBy(col("event_date").cast("string").as("event_date"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+            .withColumn("probe", lit(probe))
+        leg("event_id", keysOf("event_id", 509, 7) ++ Seq("-1", "-2"),
+          col("event_id") % 509 === 7)
+          .unionByName(leg("user_id", keysOf("user_id", 37, 5),
+            col("user_id") % 37 === 5))
+          .select(col("probe"), col("event_date"), col("n_rows"),
+            col("sum_cents"))
+          .orderBy(col("probe"), col("event_date"))
+      },
+      Some(mergedCtes +
+        """
+          |SELECT * FROM (
+          |  SELECT 'event_id' AS probe, event_date, count(*) AS n_rows,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |  FROM merged WHERE event_id % 509 = 7
+          |  GROUP BY event_date
+          |  UNION ALL
+          |  SELECT 'user_id' AS probe, event_date, count(*) AS n_rows,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |  FROM merged WHERE user_id % 37 = 5
+          |  GROUP BY event_date)
+          |ORDER BY probe, event_date""".stripMargin)),
 
     // S8/P2/P7/P8 faithful positional-crawl round-trip
     // (README.md:407-424): flagship window exported as headered CSV,

@@ -385,46 +385,62 @@ object VersionedLake {
     * full-manifest scan — the documented large-tick fallback. */
   def readPoints(spark: SparkSession, lakeDir: String, column: String,
       keys: Seq[String], version: Option[Int] = None,
-      maxKeys: Int = 20000): DataFrame = {
+      maxKeys: Int = 20000, partitions: Option[Seq[String]] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(lakeDir))
-    val entries = manifestEntries(lakeDir, v)
-    if (entries.nonEmpty && !entries.exists(_.colBlooms.contains(column))) {
-      val available = entries.flatMap(_.colBlooms.keys).distinct.sorted
+    readFiles(spark, lakeDir, v,
+      pointPrune(lakeDir, v, column, keys, maxKeys, partitions))
+  }
+
+  /** The shared file-skipping rule behind [[readPoints]] and
+    * [[prunedPointFiles]] — ONE implementation, so what the spec
+    * reasons about is exactly what the read scans: loud refusal for an
+    * unrecorded column, the `maxKeys` degeneration fallback, optional
+    * manifest-level `partitions` narrowing (applied BEFORE the Bloom
+    * tests, so a partitioned candidate read composes both prunes), then
+    * the per-file Bloom-set admission. */
+  private def pointPrune(lakeDir: String, v: Int, column: String,
+      keys: Seq[String], maxKeys: Int,
+      partitions: Option[Seq[String]]): Seq[String] = {
+    val all = manifestEntries(lakeDir, v)
+    if (all.nonEmpty && !all.exists(_.colBlooms.contains(column))) {
+      val available = all.flatMap(_.colBlooms.keys).distinct.sorted
       throw new IllegalArgumentException(
         s"no Bloom filter recorded for column '$column' in $lakeDir@v$v — " +
           s"a point read on it would silently scan every file; " +
           s"filters exist for [${available.mkString(", ")}]")
     }
+    val entries = partitions match {
+      case Some(ps) =>
+        val esc = ps.map(escapedPartition).toSet
+        all.filter(e => esc.contains(e.partition))
+      case None => all
+    }
     val distinctKeys = keys.distinct
-    if (distinctKeys.size > maxKeys)
-      return readFiles(spark, lakeDir, v, entries.map(_.path))
+    // beyond maxKeys the prune degenerates toward keeping everything
+    // anyway — fall back to the (partition-narrowed) full list rather
+    // than pay |files|·|keys| driver-side bit tests for nothing
+    if (distinctKeys.size > maxKeys) return entries.map(_.path)
     // one digest pass per key at the max k any file uses; each file
     // then tests bits only (mod by its own m)
     val maxK = entries.flatMap(_.colBlooms.get(column)).map(_.k)
       .foldLeft(0)(math.max)
     val digester = FileBloom(math.max(maxK, 1), 64, Array(0L))
     val hashes = distinctKeys.map(k => digester.keyHashes(k))
-    val wanted = entries.filter(_.colBlooms.get(column) match {
+    entries.filter(_.colBlooms.get(column) match {
       case None => true // no filter recorded for this file: keep
       case Some(fb) => hashes.exists(fb.mightContainHashes)
-    })
-    readFiles(spark, lakeDir, v, wanted.map(_.path))
+    }).map(_.path)
   }
 
   /** The files a [[readPoints]] would hand the scan — for I/O
-    * reasoning in specs without running the read. */
+    * reasoning in specs without running the read. Same refusal and
+    * `maxKeys` fallback as the read itself ([[pointPrune]] is shared),
+    * so the reported list is never smaller than the actual scan. */
   def prunedPointFiles(lakeDir: String, column: String, keys: Seq[String],
-      version: Option[Int] = None): Seq[String] = {
+      version: Option[Int] = None, maxKeys: Int = 20000,
+      partitions: Option[Seq[String]] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(lakeDir))
-    val entries = manifestEntries(lakeDir, v)
-    val maxK = entries.flatMap(_.colBlooms.get(column)).map(_.k)
-      .foldLeft(0)(math.max)
-    val digester = FileBloom(math.max(maxK, 1), 64, Array(0L))
-    val hashes = keys.distinct.map(k => digester.keyHashes(k))
-    entries.filter(_.colBlooms.get(column) match {
-      case None => true
-      case Some(fb) => hashes.exists(fb.mightContainHashes)
-    }).map(_.path)
+    pointPrune(lakeDir, v, column, keys, maxKeys, partitions)
   }
 
   private def readFiles(spark: SparkSession, lakeDir: String, v: Int,
@@ -477,6 +493,11 @@ object VersionedLake {
       bloom: Option[BloomSpec] = None,
       batchId: Option[Long] = None,
       retractId: Option[Long] = None): Unit = {
+    // the lake ITSELF enforces the retraction replay guard (callers
+    // can pre-check committedRetractId, but forgetting must be safe):
+    // a change-set whose retraction id already committed is stale
+    // replay — re-merging it would overwrite newer ingests
+    if (retractId.exists(_ <= committedRetractId(lakeDir))) return
     val pending = planMerge(spark, lakeDir, changes, keyCols, partitionCol,
       deleteCol, statsCol, bloom, batchId, retractId)
     if (pending.touched.nonEmpty) { commitPending(lakeDir, pending); () }
@@ -623,8 +644,28 @@ object VersionedLake {
         if (cur == p.baseVersion) planJson
         else mergeSchemas(recordedSchema(lakeDir, cur), plan).json
       }
+      // Rebase the table's METADATA SPEC too, not just the schema: a
+      // plan computed at v0 (or a stale base) carries the caller's
+      // props/blooms/statsCol — typically empty for a plain appender —
+      // while a concurrent creator's interleaved commit recorded the
+      // table's real spec. Writing the plan-time snapshot here would
+      // silently erase the recorded spec from the new current manifest
+      // (tableProps/tableBlooms read only CURRENT), disarming
+      // requireProps and stopping colBloom recording for every later
+      // commit. The committed-on-disk spec wins; plan-time values only
+      // fill keys/columns the winner never recorded.
+      val (effStats, effBloom, effMblooms, effProps) =
+        if (cur == p.baseVersion) (p.statsCol, p.bloom, p.mblooms, p.props)
+        else {
+          val (curStats, curBloom) = tableMetaAt(lakeDir, cur)
+          val curBlooms = tableBloomsAt(lakeDir, cur)
+          val haveCols = curBlooms.map(_.column).toSet
+          (curStats.orElse(p.statsCol), curBloom.orElse(p.bloom),
+            curBlooms ++ p.mblooms.filterNot(b => haveCols.contains(b.column)),
+            p.props ++ tablePropsAt(lakeDir, cur))
+        }
       if (tryCommitManifest(lakeDir, cur + 1, manifest, p.batchId,
-        p.statsCol, p.bloom, effSchema, p.mblooms, p.props,
+        effStats, effBloom, effSchema, effMblooms, effProps,
         p.retractId)) return cur + 1
       // lost the slot race: loop re-reads the new current and retries
     }
@@ -914,6 +955,23 @@ object VersionedLake {
       bloom: Option[BloomSpec] = None,
       blooms: Seq[BloomSpec] = Nil,
       props: Map[String, String] = Map.empty): Unit = {
+    commitPending(lakeDir,
+      planAppend(df, lakeDir, partitionCol, batchId, statsCol, bloom,
+        blooms, props))
+    ()
+  }
+
+  /** Plan an append against the CURRENT version and stage its data
+    * files, without committing — the [[planMerge]] split for the
+    * insert-only path, so VersionedLakeSpec can interleave a
+    * concurrent creator between plan and commit (the first-commit
+    * metadata-spec race [[commitPending]] rebases across). */
+  private[graft] def planAppend(df: DataFrame, lakeDir: String,
+      partitionCol: String,
+      batchId: Option[Long] = None, statsCol: Option[String] = None,
+      bloom: Option[BloomSpec] = None,
+      blooms: Seq[BloomSpec] = Nil,
+      props: Map[String, String] = Map.empty): PendingCommit = {
     val v = currentVersion(lakeDir)
     // the table's recorded metadata spec applies unless overridden;
     // first-append on an empty lake records the caller's blooms/props
@@ -930,10 +988,9 @@ object VersionedLake {
       partitionCol, effStats, effBloom, effBlooms, colStatsOn(effProps))
     val evolved = mergeSchemas(
       if (v >= 1) recordedSchema(lakeDir, v) else None, df.schema)
-    commitPending(lakeDir, PendingCommit(v, Seq.empty, Set.empty, newEntries,
+    PendingCommit(v, Seq.empty, Set.empty, newEntries,
       insertOnly = true, batchId, effStats, effBloom, Some(evolved.json),
-      effBlooms, effProps))
-    ()
+      effBlooms, effProps)
   }
 
   /** The highest batch id recorded by ANY committed version, -1 when
@@ -950,7 +1007,8 @@ object VersionedLake {
       .flatMap { f =>
         new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
           .split("\n").takeWhile(_.startsWith("#"))
-          .collectFirst { case BatchIdHeader(id) => id.toLong }
+          .collect { case BatchIdHeader(id) => id.toLong
+                     case BatchWmHeader(id) => id.toLong }
       }
     if (ids.isEmpty) -1L else ids.max
   }
@@ -968,6 +1026,16 @@ object VersionedLake {
 
   private val BatchIdHeader = """#batchid=(-?\d+)""".r
   private val RetractIdHeader = """#retractid=(-?\d+)""".r
+  // High-water WATERMARK headers, distinct from the per-commit facts
+  // above: every commit re-states the highest batch/retract id seen so
+  // far, so expiring history ([[vacuum]] deleting old manifests) can
+  // never regress the replay guards — the newest surviving manifest
+  // always carries them forward. The per-version #batchid stays a fact
+  // about THAT commit (what ties a materialized view to the exact
+  // source version it folded); the watermark is a different question
+  // ("what has ever committed?") and gets its own header.
+  private val BatchWmHeader = """#batchwm=(-?\d+)""".r
+  private val RetractWmHeader = """#retractwm=(-?\d+)""".r
   private val StatsColHeader = """#statscol=(.+)""".r
   private val BloomHeader = """#bloom=(.+):(\d+):(\d+)""".r
   private val MBloomHeader = """#mbloom=(.+):(\d+):(\d+)""".r
@@ -988,7 +1056,8 @@ object VersionedLake {
       .flatMap { f =>
         new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
           .split("\n").takeWhile(_.startsWith("#"))
-          .collectFirst { case RetractIdHeader(id) => id.toLong }
+          .collect { case RetractIdHeader(id) => id.toLong
+                     case RetractWmHeader(id) => id.toLong }
       }
     if (ids.isEmpty) -1L else ids.max
   }
@@ -999,19 +1068,24 @@ object VersionedLake {
     * metadata spec. */
   def tableBlooms(lakeDir: String): Seq[BloomSpec] = {
     val v = currentVersion(lakeDir)
-    if (v == 0) return Seq.empty
-    manifestHeaders(lakeDir, v).toSeq.collect {
+    if (v == 0) Seq.empty else tableBloomsAt(lakeDir, v)
+  }
+
+  private def tableBloomsAt(lakeDir: String, version: Int): Seq[BloomSpec] =
+    manifestHeaders(lakeDir, version).toSeq.collect {
       case MBloomHeader(c, k, m) => BloomSpec(c, k.toInt, m.toInt)
     }
-  }
 
   /** Immutable table properties recorded at create/first-append and
     * carried forward by every commit — construction parameters later
     * writers and readers must agree on ([[requireProps]]). */
   def tableProps(lakeDir: String): Map[String, String] = {
     val v = currentVersion(lakeDir)
-    if (v == 0) return Map.empty
-    manifestHeaders(lakeDir, v).collectFirst { case PropsHeader(body) =>
+    if (v == 0) Map.empty else tablePropsAt(lakeDir, v)
+  }
+
+  private def tablePropsAt(lakeDir: String, version: Int): Map[String, String] =
+    manifestHeaders(lakeDir, version).collectFirst { case PropsHeader(body) =>
       if (body.isEmpty) Map.empty[String, String]
       else body.split("&").iterator.map { kv =>
         val Array(k, vv) = kv.split("=", 2)
@@ -1019,7 +1093,6 @@ object VersionedLake {
           java.net.URLDecoder.decode(vv, "UTF-8")
       }.toMap
     }.getOrElse(Map.empty)
-  }
 
   private def manifestHeaders(lakeDir: String, version: Int): Array[String] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
@@ -1070,10 +1143,12 @@ object VersionedLake {
     * role as a table format's table properties). */
   def tableMeta(lakeDir: String): (Option[String], Option[BloomSpec]) = {
     val v = currentVersion(lakeDir)
-    if (v == 0) return (None, None)
-    val f = Paths.get(s"${versionsDir(lakeDir)}/v$v.manifest")
-    val headers = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      .split("\n").takeWhile(_.startsWith("#"))
+    if (v == 0) (None, None) else tableMetaAt(lakeDir, v)
+  }
+
+  private def tableMetaAt(lakeDir: String,
+      version: Int): (Option[String], Option[BloomSpec]) = {
+    val headers = manifestHeaders(lakeDir, version)
     val stats = headers.collectFirst { case StatsColHeader(c) => c }
     val bloom = headers.collectFirst { case BloomHeader(c, k, m) =>
       BloomSpec(c, k.toInt, m.toInt)
@@ -1384,8 +1459,16 @@ object VersionedLake {
     val dir = new File(versionsDir(lakeDir))
     dir.mkdirs()
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // carry the replay WATERMARKS forward on every commit (see
+    // BatchWmHeader): the max of everything committed so far and this
+    // commit's own ids rides the new manifest, so vacuuming history
+    // past the newest batch/retraction can never regress the guards
+    val bwm = math.max(committedBatchId(lakeDir), batchId.getOrElse(-1L))
+    val rwm = math.max(committedRetractId(lakeDir), retractId.getOrElse(-1L))
     val body = batchId.map(id => s"#batchid=$id\n").getOrElse("") +
       retractId.map(id => s"#retractid=$id\n").getOrElse("") +
+      (if (bwm >= 0) s"#batchwm=$bwm\n" else "") +
+      (if (rwm >= 0) s"#retractwm=$rwm\n" else "") +
       statsCol.map(c => s"#statscol=$c\n").getOrElse("") +
       bloom.map(b => s"#bloom=${b.column}:${b.k}:${b.m}\n").getOrElse("") +
       mblooms.map(b => s"#mbloom=${b.column}:${b.k}:${b.m}\n").mkString +

@@ -833,4 +833,190 @@ class VersionedLakeSpec extends SparkSpec {
     assert(v2.columns.contains("id"))
     assert(VersionedLake.read(spark, s"$root/lake", Some(1)).count() == 1)
   }
+
+  /** Shared multi-column-bloom fixture: 2 files per partition so
+    * per-file pruning is observable inside a partition. */
+  private def buildMultiBloomLake(root: String): String = {
+    val df = (1 to 400).map(i => (i.toLong, s"u${i % 20}", s"p${i % 4}"))
+      .toDF("id", "user", "part")
+    VersionedLake.create(df.repartition(2), s"$root/lake", "part",
+      blooms = Seq(VersionedLake.BloomSpec("id"),
+        VersionedLake.BloomSpec("user")),
+      props = Map("geometry" -> "g1", "parts" -> "4"))
+    s"$root/lake"
+  }
+
+  test("multi-column blooms: manifest round-trip; per-column point pruning; maxKeys fallback; refusal") {
+    val root = tmp("vlake_mbloom")
+    val lake = buildMultiBloomLake(root)
+    // the 8-field manifest line round-trips: every entry carries a
+    // filter per declared column, and the table spec reparses
+    assert(VersionedLake.tableBlooms(lake).map(_.column).toSet ==
+      Set("id", "user"))
+    assert(VersionedLake.tableProps(lake) ==
+      Map("geometry" -> "g1", "parts" -> "4"))
+    val entries = VersionedLake.manifestEntries(lake, 1)
+    assert(entries.nonEmpty && entries.forall(e =>
+      e.colBlooms.contains("id") && e.colBlooms.contains("user")))
+    val allFiles = entries.map(_.path).toSet
+
+    // the read scans EXACTLY the files prunedPointFiles reports
+    val pruned = VersionedLake.prunedPointFiles(lake, "id", Seq("5"))
+    val read = VersionedLake.readPoints(spark, lake, "id", Seq("5"))
+    assert(read.inputFiles.map(f =>
+      java.net.URI.create(f).getPath).toSet == pruned.toSet)
+    assert(pruned.size < allFiles.size, s"id probe pruned nothing")
+    assert(read.filter(col("id") === 5L).count() == 1)
+
+    // the user column prunes with its OWN filters (20 rows share u5)
+    val uPruned = VersionedLake.prunedPointFiles(lake, "user", Seq("u5"))
+    assert(uPruned.size < allFiles.size)
+    assert(VersionedLake.readPoints(spark, lake, "user", Seq("u5"))
+      .filter(col("user") === "u5").count() == 20)
+
+    // absent key: every file's filter rejects it — zero-file read,
+    // still a valid (schema-preserving, empty) DataFrame
+    assert(VersionedLake.prunedPointFiles(lake, "id", Seq("99999")).isEmpty)
+    assert(VersionedLake.readPoints(spark, lake, "id", Seq("99999"))
+      .count() == 0)
+
+    // maxKeys fallback: beyond the cap the prune degenerates to the
+    // full (or partition-narrowed) file list — reported and scanned
+    val manyKeys = (1 to 10).map(_.toString)
+    assert(VersionedLake.prunedPointFiles(lake, "id", manyKeys,
+      maxKeys = 3).toSet == allFiles)
+    assert(VersionedLake.readPoints(spark, lake, "id", manyKeys,
+      maxKeys = 3).inputFiles.map(f =>
+      java.net.URI.create(f).getPath).toSet == allFiles)
+
+    // partitions narrow BEFORE the bloom tests, and both prunes compose
+    val p1Files = entries.filter(_.partition == "p1").map(_.path).toSet
+    val both = VersionedLake.prunedPointFiles(lake, "id", Seq("5"),
+      partitions = Some(Seq("p1")))
+    assert(both.toSet.subsetOf(p1Files) && both.toSet.subsetOf(pruned.toSet))
+
+    // a column no entry records refuses loudly — in the READ and in
+    // the report alike (one shared implementation)
+    val e1 = intercept[IllegalArgumentException](
+      VersionedLake.readPoints(spark, lake, "part", Seq("p1")))
+    assert(e1.getMessage.contains("no Bloom filter"))
+    val e2 = intercept[IllegalArgumentException](
+      VersionedLake.prunedPointFiles(lake, "part", Seq("p1")))
+    assert(e2.getMessage.contains("no Bloom filter"))
+  }
+
+  test("requireProps: mismatched re-statement fails loudly; matching and never-recorded keys pass") {
+    val root = tmp("vlake_props")
+    val lake = buildMultiBloomLake(root)
+    VersionedLake.requireProps(lake, Map("geometry" -> "g1"))
+    VersionedLake.requireProps(lake, Map("neverRecorded" -> "anything"))
+    val e = intercept[IllegalArgumentException](
+      VersionedLake.requireProps(lake, Map("geometry" -> "g2")))
+    assert(e.getMessage.contains("geometry"))
+    // append goes through the same check
+    val more = Seq((401L, "u1", "p1")).toDF("id", "user", "part")
+    intercept[IllegalArgumentException](
+      VersionedLake.append(more, lake, "part",
+        props = Map("geometry" -> "g2")))
+    // a matching re-statement appends fine and inherits the spec
+    VersionedLake.append(more, lake, "part", props = Map("geometry" -> "g1"))
+    assert(VersionedLake.manifestEntries(lake, 2)
+      .filter(_.path.contains("/c2-"))
+      .forall(_.colBlooms.contains("id")))
+  }
+
+  test("colstats=off: appends pay no per-column stats job; column range read refuses") {
+    val root = tmp("vlake_nostats")
+    val df = Seq((1L, 10.0, "p1"), (2L, 20.0, "p2")).toDF("id", "score", "part")
+    VersionedLake.create(df, s"$root/lake", "part",
+      statsCol = Some("score"), props = Map("colstats" -> "off"))
+    val entries = VersionedLake.manifestEntries(s"$root/lake", 1)
+    // legacy single-column zone map still recorded; per-column map not
+    assert(entries.forall(_.colStats.isEmpty))
+    assert(entries.forall(e => e.min.isDefined && e.max.isDefined))
+    intercept[IllegalArgumentException](
+      VersionedLake.readRange(spark, s"$root/lake", "id", 0.0, 5.0, None))
+    // the legacy statsCol read still prunes
+    assert(VersionedLake.readRange(spark, s"$root/lake", 0.0, 15.0)
+      .count() == 1)
+  }
+
+  test("per-commit column stats and blooms scan ONLY the commit's new files") {
+    val root = tmp("vlake_newonly")
+    val v1 = Seq((1L, 10.0, "p1"), (2L, 20.0, "p2")).toDF("id", "score", "part")
+    VersionedLake.create(v1, s"$root/lake", "part",
+      blooms = Seq(VersionedLake.BloomSpec("id")))
+    // corrupt every v1 data file IN PLACE: if the append's stats or
+    // bloom job touched any old file, it would fail on the garbage
+    VersionedLake.manifestEntries(s"$root/lake", 1).foreach { e =>
+      Files.write(Paths.get(e.path), "not parquet".getBytes("UTF-8"))
+    }
+    val v2 = Seq((3L, 30.0, "p1")).toDF("id", "score", "part")
+    VersionedLake.append(v2, s"$root/lake", "part") // must not read v1 files
+    val newEntries = VersionedLake.manifestEntries(s"$root/lake", 2)
+      .filter(_.path.contains("/c2-"))
+    assert(newEntries.nonEmpty &&
+      newEntries.forall(e => e.colStats.contains("score") &&
+        e.colBlooms.contains("id")))
+    // prove the corruption was real: executing a read over v1 fails
+    intercept[Throwable] {
+      VersionedLake.read(spark, s"$root/lake", Some(1)).collect()
+    }
+  }
+
+  test("first-commit OCC race: a rebased append keeps the creator's recorded props and bloom spec") {
+    val root = tmp("vlake_specrace")
+    val lake = s"$root/lake"
+    // appender plans at v0 (empty lake, so its plan-time spec is empty)
+    val plan = VersionedLake.planAppend(
+      Seq((100L, "p1")).toDF("id", "part"), lake, "part")
+    // ...a concurrent creator wins version 1 with the table's real spec
+    VersionedLake.create(Seq((1L, "p1")).toDF("id", "part"), lake, "part",
+      blooms = Seq(VersionedLake.BloomSpec("id")),
+      props = Map("geometry" -> "g1"))
+    // the rebased append must carry the CREATOR's spec forward, not
+    // overwrite the current manifest with its own empty plan-time one
+    assert(VersionedLake.commitPending(lake, plan) == 2)
+    assert(VersionedLake.tableProps(lake) == Map("geometry" -> "g1"))
+    assert(VersionedLake.tableBlooms(lake).map(_.column) == Seq("id"))
+    VersionedLake.requireProps(lake, Map("geometry" -> "g1"))
+    // and colBloom recording RESUMES for later commits
+    VersionedLake.append(Seq((200L, "p1")).toDF("id", "part"), lake, "part")
+    assert(VersionedLake.manifestEntries(lake, 3)
+      .filter(_.path.contains("/c3-")).forall(_.colBlooms.contains("id")))
+    assert(VersionedLake.read(spark, lake).count() == 3)
+  }
+
+  test("replay watermarks survive vacuum; the lake itself skips a replayed retraction") {
+    val root = tmp("vlake_wm")
+    val lake = s"$root/lake"
+    VersionedLake.create(Seq((1L, "a", "p1"), (2L, "b", "p2"))
+      .toDF("id", "name", "part"), lake, "part")
+    VersionedLake.mergeUpsert(spark, lake,
+      Seq((1L, "a", "p1", true)).toDF("id", "name", "part", "_deleted"),
+      Seq("id"), "part", batchId = Some(7L), retractId = Some(5L))
+    VersionedLake.append(Seq((3L, "c", "p2")).toDF("id", "name", "part"),
+      lake, "part")
+    assert(VersionedLake.committedBatchId(lake) == 7L)
+    assert(VersionedLake.committedRetractId(lake) == 5L)
+    // expire ALL history below current — the manifests that carried
+    // the original #batchid/#retractid headers are deleted...
+    VersionedLake.vacuum(lake, keepFrom = 3)
+    // ...yet the watermarks hold: every commit re-states them
+    assert(VersionedLake.committedBatchId(lake) == 7L)
+    assert(VersionedLake.committedRetractId(lake) == 5L)
+    // a replayed retraction (stale change rows) is skipped BY THE LAKE
+    val v = VersionedLake.currentVersion(lake)
+    VersionedLake.mergeUpsert(spark, lake,
+      Seq((2L, "b", "p2", true)).toDF("id", "name", "part", "_deleted"),
+      Seq("id"), "part", retractId = Some(5L))
+    assert(VersionedLake.currentVersion(lake) == v)
+    assert(VersionedLake.read(spark, lake).count() == 2)
+    // a NEW retraction applies and advances the watermark
+    VersionedLake.mergeUpsert(spark, lake,
+      Seq((2L, "b", "p2", true)).toDF("id", "name", "part", "_deleted"),
+      Seq("id"), "part", retractId = Some(6L))
+    assert(VersionedLake.read(spark, lake).count() == 1)
+    assert(VersionedLake.committedRetractId(lake) == 6L)
+  }
 }
