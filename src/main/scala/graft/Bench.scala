@@ -66,9 +66,15 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     // construct every plan once, untimed: gate construction materializes
     // any one-time fixtures (CSV lake, export lakes), so the timed loop
-    // measures the queries themselves, not first-call fixture builds
-    SparkEntry.queries.values.foreach { fn =>
-      try fn(spark, sfDir) catch { case _: Throwable => () }
+    // measures the queries themselves, not first-call fixture builds.
+    // Failures are REPORTED, not swallowed — a gate whose fixture fails
+    // here would otherwise be timed as its (fast) error path and read
+    // as a performance win instead of a broken fixture.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try { fn(spark, sfDir); () } catch { case e: Throwable =>
+        System.err.println(s"[bench] construction of $name failed: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     CacheRegistry.clearAll()
 

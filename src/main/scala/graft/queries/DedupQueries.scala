@@ -159,6 +159,55 @@ object DedupQueries {
       },
       Some(jaccardOracle(0.8, None))),
 
+    // The PER-TICK COST gate, bench-visible by construction: the lakes
+    // (4 corpus increments + 1 committed probe tick) are a cached
+    // fixture, but the returned plan RE-DELIVERS the probe tick on
+    // every call — watermark-guarded appends are no-ops, so each run
+    // executes exactly one small tick's candidate generation, Bloom-
+    // pruned state reads, and verify against a multi-increment lake.
+    // That is the cost the bench tracks round-over-round (the batch
+    // d_incremental_minhash gate's fixture caches its ticks, so it
+    // times only a parquet read-back). The probe batch is a re-keyed
+    // copy of every 37th document (ids shifted by 1e6), so the emitted
+    // pair set — every near-dup pair a probe doc introduces, within
+    // the probe and against all 4 earlier increments — is the exact
+    // Jaccard pair set of the union corpus restricted to probe ids,
+    // which DuckDB replays directly.
+    QDef(
+      "d_dedup_tick",
+      (s, dir) => {
+        def probe(docs: org.apache.spark.sql.DataFrame) =
+          docs.filter(col("doc_id") % 37 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val lakes = Fixtures.dir("dedup_tick", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          (0 until 4).foreach { t =>
+            graft.streaming.DedupStream.indexBatch(
+              docs.filter(col("doc_id") % 4 === t), "doc_id", "text",
+              s"$o/docs", s"$o/index", n = 3, threshold = 0.8,
+              appendBatchId = Some(t.toLong)).collect()
+          }
+          graft.streaming.DedupStream.indexBatch(
+            probe(docs), "doc_id", "text",
+            s"$o/docs", s"$o/index", n = 3, threshold = 0.8,
+            appendBatchId = Some(4L)).collect()
+        }
+        graft.streaming.DedupStream.indexBatch(
+          probe(Tables.documents(s, dir)), "doc_id", "text",
+          s"$lakes/docs", s"$lakes/index", n = 3, threshold = 0.8,
+          appendBatchId = Some(4L))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(
+        s"""WITH u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           |  WHERE doc_id % 37 = 0
+           |), ${jaccardCtes(0.8, None, src = "u")}
+           |SELECT d1, d2, common, sz1, sz2, jaccard FROM pairs
+           |WHERE d2 >= 1000000 ORDER BY d1, d2""".stripMargin)),
+
     // Pairs → transitive clusters → keeper per cluster: the step a
     // curation pipeline actually acts on. Oracle walks the same pair
     // graph with a recursive CTE.

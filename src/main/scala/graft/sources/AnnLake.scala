@@ -56,7 +56,13 @@ object AnnLake {
       corpus, id, vec, nlist, dim, iters, trainFraction)
     val rows = corpus.select(col(id).as("doc"), col(vec).as("v"))
       .join(assigned.select(col("doc"), col("cell")), "doc")
-    VersionedLake.create(rows, vectorsDir(lakeDir), "cell")
+    // doc Blooms make the retract path candidate-bounded: a takedown
+    // of a handful of ids opens a handful of files, not the index.
+    // (search needs no Bloom — its partition column IS the probed
+    // cell, so manifest partition pruning is already exact.)
+    VersionedLake.create(rows, vectorsDir(lakeDir), "cell",
+      blooms = Seq(VersionedLake.BloomSpec("doc")),
+      props = Map("nlist" -> nlist.toString))
     centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
       .toDF("cell", "cv").coalesce(1).write.mode("overwrite")
       .parquet(centroidsDir(lakeDir))
@@ -121,7 +127,20 @@ object AnnLake {
     if (batchId.exists(_ <= VersionedLake.committedBatchId(vectorsDir(lakeDir))))
       return
     val ids = docs.select(col(id).as("doc")).distinct()
-    val changes = VersionedLake.read(spark, vectorsDir(lakeDir))
+    val dir = vectorsDir(lakeDir)
+    // candidate-bounded rows-to-delete read: only files whose doc
+    // Bloom might hold a named id (pre-Bloom lakes fall back to the
+    // full read; key sets past the driver bound do too)
+    val candRows =
+      if (VersionedLake.currentVersion(dir) >= 1 &&
+          VersionedLake.manifestEntries(dir, VersionedLake.currentVersion(dir))
+            .exists(_.colBlooms.contains("doc"))) {
+        val keys = ids.select(col("doc").cast("string")).limit(20001)
+          .collect().map(_.getString(0)).toSeq
+        if (keys.size > 20000) VersionedLake.read(spark, dir)
+        else VersionedLake.readPoints(spark, dir, "doc", keys)
+      } else VersionedLake.read(spark, dir)
+    val changes = candRows
       .join(ids, Seq("doc"), "left_semi")
       .withColumn("_deleted", lit(true))
     VersionedLake.mergeUpsert(spark, vectorsDir(lakeDir), changes,

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.VersionedLake.BloomSpec
 
 /** The inverted index AS A TABLE: BM25 retrieval state persisted in
   * versioned lakes and grown by appends — the search-engine shape for
@@ -15,7 +16,16 @@ import org.apache.spark.sql.functions._
   *    partitions its terms hash into (≈ |terms|/termParts of the
   *    index), decided from manifest metadata alone. `dl` rides the
   *    posting row (classic postings layout), so scoring never joins a
-  *    document table.
+  *    document table. Every commit also records per-file Bloom
+  *    filters on `term` (admits a query's files WITHIN its term
+  *    partitions — after many increments a partition holds one file
+  *    per tick, and most of a rare term's co-partition files don't
+  *    contain it) and on `doc_id` (admits a [[delete]]'s files), so
+  *    both reads are candidate-bounded at the file level, and
+  *    `termParts` itself is recorded as an immutable table property —
+  *    a searcher or appender hashing with a different count fails
+  *    loudly ([[VersionedLake.requireProps]]) instead of silently
+  *    missing partitions.
   *  - `doclens/` — (doc_id, dl) rows for the corpus statistics
   *    (N, avgdl) — a two-column lake whose scan cost is the corpus's
   *    doc COUNT, not its text.
@@ -57,9 +67,49 @@ object PostingsLake {
       size(split(col(text), " ")).cast("long").as("dl"))
       .withColumn("dp", pmod(xxhash64(col("doc_id")), lit(docParts)))
     if (batchId.forall(_ > VersionedLake.committedBatchId(postingsDir(lakeDir))))
-      VersionedLake.append(postings, postingsDir(lakeDir), "tp", batchId)
+      VersionedLake.append(postings, postingsDir(lakeDir), "tp", batchId,
+        blooms = Seq(BloomSpec("term", m = 32768), BloomSpec("doc_id")),
+        props = Map("termParts" -> termParts.toString))
     if (batchId.forall(_ > VersionedLake.committedBatchId(doclensDir(lakeDir))))
-      VersionedLake.append(doclens, doclensDir(lakeDir), "dp", batchId)
+      VersionedLake.append(doclens, doclensDir(lakeDir), "dp", batchId,
+        blooms = Seq(BloomSpec("doc_id")),
+        props = Map("docParts" -> docParts.toString))
+  }
+
+  /** The recorded termParts when the lake recorded one; pre-props
+    * lakes fall back to the caller's value (the original contract). */
+  private def effTermParts(lakeDir: String, callers: Int): Int =
+    VersionedLake.tableProps(postingsDir(lakeDir))
+      .get("termParts").map(_.toInt).getOrElse(callers)
+
+  /** The postings files a query reads: its terms' hash PARTITIONS
+    * (manifest-level pruning), then within them only the files whose
+    * term Bloom might contain at least one query term — one shared
+    * implementation for [[search]], [[prunedInputFiles]], and the
+    * spec pins, so the reported list is exactly what a search scans.
+    * Lakes written before the Bloom spec read partition-pruned. */
+  private def queryRead(spark: SparkSession, lakeDir: String,
+      query: Seq[String], termParts: Int, version: Option[Int]): DataFrame = {
+    import spark.implicits._
+    val terms = query.distinct
+    val tp = effTermParts(lakeDir, termParts)
+    // the terms' partition ids, via the SAME hash the writer used —
+    // computed in-engine on a terms-sized frame, then collected
+    // (query-sized metadata, not data)
+    val tps = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(tp)).as("tp"))
+      .distinct().collect().map(_.getLong(0).toString).toSeq
+    val dir = postingsDir(lakeDir)
+    val v = version.getOrElse(VersionedLake.currentVersion(dir))
+    // Bloom presence is checked AT THE PINNED VERSION (a time-travel
+    // search of a version written before the term Blooms existed must
+    // fall back, not hit readPoints' loud unrecorded-column refusal)
+    if (v >= 1 && VersionedLake.manifestEntries(dir, v)
+        .exists(_.colBlooms.contains("term")))
+      VersionedLake.readPoints(spark, dir, "term", terms, Some(v),
+        partitions = Some(tps))
+    else
+      VersionedLake.read(spark, dir, Some(v), partitions = Some(tps))
   }
 
   /** BM25 top-k over the lake for a bag-of-words query — identical
@@ -67,7 +117,8 @@ object PostingsLake {
     * .bm25TopK]] on the union corpus ((rank, doc_id, matched_terms,
     * total_tf, dl); BM25+ idf; ties on doc_id), but the corpus-sized
     * tokenize pass is GONE: only the query terms' partitions are read
-    * (manifest-level pruning), df comes from those postings, and the
+    * (manifest-level pruning), within them only the files whose term
+    * Bloom admits a query term, df comes from those postings, and the
     * corpus stats from the narrow doclens lake. `version` pins both
     * lakes to an earlier version — retrieval time travel. */
   def search(spark: SparkSession, lakeDir: String, query: Seq[String],
@@ -77,15 +128,7 @@ object PostingsLake {
     require(query.nonEmpty, "search needs at least one query term")
     require(k >= 1, s"k must be >= 1, got $k")
     val terms = query.distinct
-    // the terms' partition ids, via the SAME hash the writer used —
-    // computed in-engine on a terms-sized frame, then collected
-    // (query-sized metadata, not data)
-    import spark.implicits._
-    val tps = terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(termParts)).as("tp"))
-      .distinct().collect().map(_.getLong(0).toString).toSeq
-    val tf = VersionedLake.read(spark, postingsDir(lakeDir), version,
-      partitions = Some(tps))
+    val tf = queryRead(spark, lakeDir, terms, termParts, version)
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -122,26 +165,38 @@ object PostingsLake {
   }
 
   /** RETRACT documents from the index — the takedown / right-to-be-
-    * forgotten operation a long-lived corpus index needs. A copy-on-
-    * write MERGE rewrites only the term partitions that actually hold
-    * the named docs' postings (and the doc-length partitions holding
-    * their rows); document frequency and corpus statistics are
-    * derived at query time, so the next search reflects the retraction
-    * with no further bookkeeping — PostingsLakeSpec pins search ≡ the
-    * one-shot operator on the surviving corpus. Pre-delete versions
-    * stay time-travel-readable until vacuumed (which is what makes
-    * retention policy explicit rather than accidental). */
+    * forgotten operation a long-lived corpus index needs. The rows-to-
+    * delete read is candidate-bounded through the doc_id Blooms (a
+    * takedown of a handful of ids opens a handful of files, not the
+    * index), then a copy-on-write MERGE rewrites only the term
+    * partitions that actually hold the named docs' postings (and the
+    * doc-length partitions holding their rows); document frequency and
+    * corpus statistics are derived at query time, so the next search
+    * reflects the retraction with no further bookkeeping —
+    * PostingsLakeSpec pins search ≡ the one-shot operator on the
+    * surviving corpus. Pre-delete versions stay time-travel-readable
+    * until vacuumed (which is what makes retention policy explicit
+    * rather than accidental). */
   def delete(docs: DataFrame, id: String, lakeDir: String,
       batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
     val ids = docs.select(col(id).as("doc_id")).distinct()
-    val p = VersionedLake.read(spark, postingsDir(lakeDir))
+    def candRead(dir: String): DataFrame =
+      if (VersionedLake.currentVersion(dir) >= 1 &&
+          VersionedLake.manifestEntries(dir, VersionedLake.currentVersion(dir))
+            .exists(_.colBlooms.contains("doc_id"))) {
+        val keys = ids.select(col("doc_id").cast("string")).limit(20001)
+          .collect().map(_.getString(0)).toSeq
+        if (keys.size > 20000) VersionedLake.read(spark, dir)
+        else VersionedLake.readPoints(spark, dir, "doc_id", keys)
+      } else VersionedLake.read(spark, dir)
+    val p = candRead(postingsDir(lakeDir))
       .join(ids, Seq("doc_id"), "left_semi")
       .withColumn("_deleted", lit(true))
     if (batchId.forall(_ > VersionedLake.committedBatchId(postingsDir(lakeDir))))
       VersionedLake.mergeUpsert(spark, postingsDir(lakeDir), p,
         Seq("term", "doc_id"), "tp", batchId = batchId)
-    val d = VersionedLake.read(spark, doclensDir(lakeDir))
+    val d = candRead(doclensDir(lakeDir))
       .join(ids, Seq("doc_id"), "left_semi")
       .withColumn("_deleted", lit(true))
     if (batchId.forall(_ > VersionedLake.committedBatchId(doclensDir(lakeDir))))
@@ -150,14 +205,9 @@ object PostingsLake {
   }
 
   /** The pruned postings files a query would read — for I/O reasoning
-    * in specs without running the search. */
+    * in specs without running the search ([[queryRead]] is shared with
+    * [[search]], so this list is exactly what a search scans). */
   def prunedInputFiles(spark: SparkSession, lakeDir: String,
-      query: Seq[String], termParts: Int = 64): Array[String] = {
-    import spark.implicits._
-    val tps = query.distinct.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(termParts)).as("tp"))
-      .distinct().collect().map(_.getLong(0).toString).toSeq
-    VersionedLake.read(spark, postingsDir(lakeDir),
-      partitions = Some(tps)).inputFiles
-  }
+      query: Seq[String], termParts: Int = 64): Array[String] =
+    queryRead(spark, lakeDir, query, termParts, None).inputFiles
 }

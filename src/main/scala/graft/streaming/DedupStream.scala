@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Dedup
 import graft.sources.VersionedLake
+import graft.sources.VersionedLake.BloomSpec
 
 /** Incremental near-duplicate detection — dedup-AT-INGEST, the shape a
   * continuously-crawled corpus actually needs. The batch operators
@@ -26,15 +27,24 @@ import graft.sources.VersionedLake
   *
   * Per increment the work is: band the NEW docs (one signature
   * aggregate over the batch only — the corpus is never re-signed),
-  * equi-join the batch's buckets against the index (batch-sized ⋈
-  * index on (band, bucket) — AQE handles a hot bucket on the index
-  * side; within-batch candidates go through the same salted self-join
-  * as the batch operator), then EXACT-verify candidates by re-reading
-  * only the touched documents' texts from the docs lake (a semi-join
-  * on candidate ids — candidate-bounded I/O, never a corpus scan).
-  * So each tick costs O(batch + candidates), not O(corpus): the 100 TB
-  * history is touched only through its (narrow) bucket index and the
-  * handful of texts that candidates name.
+  * equi-join the batch's buckets against the index, then EXACT-verify
+  * candidates by re-reading only the touched documents' texts from
+  * the docs lake. So each tick costs O(batch + candidates), not
+  * O(corpus).
+  *
+  * EVERY per-tick state read is candidate-bounded at the FILE level,
+  * not just logically: the lakes this operator creates record
+  * per-file Bloom filters for their candidate-read keys (bucket and
+  * doc on the index, the id on the docs lake), so each read goes
+  * through [[VersionedLake.readPoints]] — manifest-level partition
+  * pruning composed with per-file Bloom admission — and a small tick
+  * against a long-lived lake opens only the files that might hold its
+  * candidates, never the whole index ([[pointRead]] documents the
+  * fallbacks; DedupStreamSpec pins the file-count reduction). The
+  * docs-lake hash-partition count is recorded as an immutable table
+  * property, so partition pruning never silently disagrees with the
+  * count the writer hashed with ([[VersionedLake.requireProps]] fails
+  * a mismatched tick loudly).
   *
   * Exactly-once: every lake append carries the micro-batch id and is
   * guarded by the lake's committed-batch-id watermark, so an
@@ -56,6 +66,80 @@ object DedupStream {
   /** Internal hash-partition column added to the docs and pairs lakes. */
   private val PartCol = "dd_part"
 
+  /** Table property recording the hash-partition count a lake was
+    * written with — what makes read-side partition pruning safe. */
+  private val PartsProp = "parts"
+
+  /** Keys collected to the driver for a Bloom-set candidate read; past
+    * it [[pointRead]] falls back to partition-level pruning (the same
+    * degeneration bound as [[VersionedLake.readPoints]]' own). */
+  private val MaxPointKeys = 20000
+
+  private def mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** The recorded hash-partition count of a lake, when its creator
+    * recorded one ([[PartsProp]]). Pre-props lakes return None and
+    * their reads skip partition pruning — pruning with a GUESSED
+    * count would silently miss files. */
+  private def recordedParts(lake: String): Option[Int] =
+    VersionedLake.tableProps(lake).get(PartsProp).map(_.toInt)
+
+  /** The candidate-bounded state read every tick makes: given the
+    * tick's candidate keys as a one- or two-column frame
+    * (`k` = the key cast to string — the Bloom probe form;
+    * optional `p` = the key's partition value, when the lake is
+    * hash-partitioned on the key), hand the scan only the files that
+    * might hold them — [[VersionedLake.readPoints]]' manifest-level
+    * partition pruning composed with per-file Bloom admission.
+    *
+    * Falls back, never fails: a tick with more than [[MaxPointKeys]]
+    * candidates keeps partition pruning but skips the per-key Bloom
+    * tests (collecting an unbounded key set to the driver is the
+    * degenerate case readPoints itself refuses), and a lake written
+    * before the Bloom spec existed (no filter recorded for `column`)
+    * reads the partition-pruned file list. Shared verbatim by
+    * [[indexBatch]]/[[indexElementsBatch]]/[[indexHammingBatch]]/
+    * [[retract]] and by the DedupStreamSpec I/O pins, so what the pin
+    * reasons about is exactly what a tick scans. */
+  private[graft] def pointRead(spark: SparkSession, lake: String,
+      column: String, keyed: DataFrame): DataFrame = {
+    val withParts = keyed.columns.contains("p")
+    val rows = keyed.limit(MaxPointKeys + 1).collect()
+    val over = rows.length > MaxPointKeys
+    val parts =
+      if (!withParts) None
+      // over the cap the keys are useless but the partition SET is
+      // still bounded (≤ the lake's partition count) — a second tiny
+      // aggregate recovers it
+      else if (over) Some(keyed.select(col("p")).distinct()
+        .collect().map(_.getString(0)).toSeq)
+      else Some(rows.map(_.getString(keyed.columns.indexOf("p"))).distinct.toSeq)
+    // Bloom presence is checked against the ENTRIES, not just the
+    // table-spec header: a lake whose files predate the spec (or whose
+    // recorded files are all empty) must fall back to the partition
+    // read, not hit readPoints' loud unrecorded-column refusal
+    val v = VersionedLake.currentVersion(lake)
+    val hasBloom = v >= 1 &&
+      VersionedLake.manifestEntries(lake, v).exists(_.colBlooms.contains(column))
+    if (over || !hasBloom)
+      VersionedLake.read(spark, lake, partitions = parts)
+    else
+      VersionedLake.readPoints(spark, lake, column,
+        rows.map(_.getString(keyed.columns.indexOf("k"))).toSeq,
+        maxKeys = MaxPointKeys, partitions = parts)
+  }
+
+  /** (k, p) candidate-key frame for a lake hash-partitioned on `key`
+    * with a RECORDED partition count; (k)-only when the count is
+    * unrecorded (pre-props lake) so [[pointRead]] skips partition
+    * pruning rather than guessing. */
+  private def keyedByHash(ids: DataFrame, key: Column, lake: String): DataFrame =
+    recordedParts(lake) match {
+      case Some(n) => ids.select(key.cast("string").as("k"),
+        pmod(xxhash64(key), lit(n)).cast("string").as("p"))
+      case None => ids.select(key.cast("string").as("k"))
+    }
+
   /** One increment: detect, then ingest. Returns the verified near-dup
     * pairs the batch introduces — (d1, d2, common, sz1, sz2, jaccard),
     * d1 < d2, the same shape as the batch operators — materialized
@@ -76,7 +160,10 @@ object DedupStream {
 
     // candidates the batch introduces: batch×index on the bucket key,
     // plus batch-internal via the salted self-join (same exactness
-    // guarantee as the batch operator). least/greatest keeps the
+    // guarantee as the batch operator). The index side is a
+    // candidate-bounded read — only the files whose bucket Bloom might
+    // hold one of the BATCH's buckets are opened, so a small tick
+    // never scans the accumulated index. least/greatest keeps the
     // (d1 < d2) orientation regardless of arrival order; the
     // self-match filter makes re-delivery against an already-indexed
     // batch a no-op rather than a doc matching itself.
@@ -84,29 +171,34 @@ object DedupStream {
       hotBucketThreshold, salts)
       .select(col("doc_1").as("d1"), col("doc_2").as("d2"))
     val haveIndex = VersionedLake.currentVersion(indexLake) >= 1
-    val cands = (if (!haveIndex) selfCands else {
-      val old = VersionedLake.read(spark, indexLake)
+    val cands = graft.CacheRegistry.retain((if (!haveIndex) selfCands else {
+      val bucketKeys = newBanded
+        .select(col("bucket").cast("string").as("k")).distinct()
+      val old = pointRead(spark, indexLake, "bucket", bucketKeys)
         .select(col("doc").as("odoc"), col("band"), col("bucket"))
       val cross = newBanded.join(old, Seq("band", "bucket"))
         .filter(col("doc") =!= col("odoc"))
         .select(least(col("doc"), col("odoc")).as("d1"),
           greatest(col("doc"), col("odoc")).as("d2"))
       selfCands.unionByName(cross)
-    }).dropDuplicates("d1", "d2")
+    }).dropDuplicates("d1", "d2").persist(mem))
 
     // verification corpus: the batch plus ONLY the already-ingested
-    // docs that candidates name (semi-join on candidate ids — the
-    // docs lake is never scanned into the verify). dropDuplicates
-    // guards the re-delivery case where the batch is already in the
-    // lake: a doc appearing twice would double-count every common
-    // shingle.
+    // docs that candidates name. The docs-lake read is candidate-
+    // bounded at the FILE level too: partition-pruned to the
+    // candidates' hash partitions and Bloom-admitted on the id, then
+    // exact via the semi-join (Bloom false positives and partition
+    // co-residents drop there). dropDuplicates guards the re-delivery
+    // case where the batch is already in the lake: a doc appearing
+    // twice would double-count every common shingle.
     val candIds = cands
       .select(explode(array(col("d1"), col("d2"))).as(id)).distinct()
     val batchDocs = batch.select(col(id), col(text))
     val verifyDocs = (if (!haveIndex ||
         VersionedLake.currentVersion(docsLake) < 1) batchDocs
       else batchDocs.unionByName(
-        VersionedLake.read(spark, docsLake).select(col(id), col(text))
+        pointRead(spark, docsLake, id, keyedByHash(candIds, col(id), docsLake))
+          .select(col(id), col(text))
           .join(candIds, Seq(id), "left_semi")))
       .dropDuplicates(id)
     // materialize (lineage truncated) BEFORE the appends below: the
@@ -120,10 +212,13 @@ object DedupStream {
     guarded(docsLake) {
       VersionedLake.append(
         batchDocs.withColumn(PartCol, pmod(xxhash64(col(id)), lit(docParts))),
-        docsLake, PartCol, appendBatchId)
+        docsLake, PartCol, appendBatchId,
+        blooms = Seq(BloomSpec(id)),
+        props = Map(PartsProp -> docParts.toString))
     }
     guarded(indexLake) {
-      VersionedLake.append(newBanded, indexLake, "band", appendBatchId)
+      VersionedLake.append(newBanded, indexLake, "band", appendBatchId,
+        blooms = Seq(BloomSpec("bucket", m = 32768), BloomSpec("doc")))
     }
     pairs
   }
@@ -134,24 +229,38 @@ object DedupStream {
     * grams). State is ONE lake: the (doc, s) membership table itself,
     * which doubles as the verification corpus — element sets are
     * their own evidence, so unlike [[indexBatch]] no second lake and
-    * no text re-read are needed.
+    * no text re-read are needed. The lake records Bloom filters on
+    * BOTH its columns (the round's multi-column spec): `s` admits the
+    * cross-increment candidate join's files, `doc` admits the verify
+    * read's — a small tick opens only the files its elements and
+    * candidates might live in.
     *
     * Per tick: distinct the batch memberships, candidate-join them
-    * against the index on the element (batch side is tick-sized, so
-    * AQE broadcasts it — the index is SCANNED once, never shuffled),
-    * add within-batch candidates through the salted self-join, then
-    * exact-verify from (index ∪ batch) memberships semi-joined to the
-    * candidates.
+    * against the element-Bloom-pruned index files on the element
+    * (batch side is tick-sized, so AQE broadcasts it), add
+    * within-batch candidates through the salted self-join, then
+    * exact-verify from (pruned index ∪ batch) memberships semi-joined
+    * to the candidates.
     *
     * `maxElemDf`, when set, is evaluated against the memberships seen
     * SO FAR (index ∪ batch) — the only df an online pass can know.
-    * An element that only later crosses the cap may therefore admit
-    * early candidate pairs the one-shot capped run would skip; scores
-    * stay exact either way (the cap never changes reported values,
-    * only candidate generation), so the incremental pass has recall
-    * ≥ the batch pass and identical pair values. With no cap the two
-    * are exactly equal (DedupStreamSpec; the x_video_neardup_incr
-    * gate hashes the uncapped form against the ground-truth oracle).
+    * Only the BATCH's elements can generate candidates, so the cap
+    * needs only THEIR cumulative df — never a full-index histogram.
+    * Those counts live in a side lake (`<elemLake>__df`: one (s, c)
+    * row per distinct element, Bloom-indexed on s) maintained
+    * additively by each capped tick under the same batch-id guard as
+    * the index itself; a tick that finds the side lake missing or
+    * behind the index's watermark (earlier uncapped ticks, ad-hoc
+    * calls) rebuilds it with one aggregate over the index — the
+    * documented resync cost, paid only when cap maintenance lapsed.
+    * After a [[retract]] the counts are upper bounds (retraction does
+    * not decrement them), so a once-hot element stays capped —
+    * conservative candidate generation; scores stay exact either way
+    * (the cap never changes reported values, only candidate
+    * generation), so the incremental pass has recall ≥ the batch pass
+    * and identical pair values. With no cap the two are exactly equal
+    * (DedupStreamSpec; the x_video_neardup_incr gate hashes the
+    * uncapped form against the ground-truth oracle).
     */
   def indexElementsBatch(batch: DataFrame, id: String, elem: String,
       elemLake: String, threshold: Double,
@@ -162,40 +271,52 @@ object DedupStream {
     val spark = batch.sparkSession
     val newSets = graft.CacheRegistry.retain(
       batch.select(col(id).as("doc"), col(elem).as("s")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(mem))
     val haveIndex = VersionedLake.currentVersion(elemLake) >= 1
-    val old =
-      if (!haveIndex) None
-      else Some(VersionedLake.read(spark, elemLake).select(col("doc"), col("s")))
 
-    // stop-element cap over everything seen so far (see scaladoc)
-    val all = old.map(_.unionByName(newSets)).getOrElse(newSets)
-    val (candNew, candOldFn) = maxElemDf match {
+    // hot-element cap over everything seen so far, candidate-bounded:
+    // cumulative df of the BATCH's elements only (see scaladoc)
+    val candNew = maxElemDf match {
       case Some(cap) =>
-        val hot = all.groupBy(col("s")).agg(count(lit(1)).as("c"))
-          .filter(col("c") > cap).select(col("s"))
-        (newSets.join(hot, Seq("s"), "left_anti"),
-          (o: DataFrame) => o.join(hot, Seq("s"), "left_anti"))
-      case None => (newSets, (o: DataFrame) => o)
+        val cum = batchElemCounts(spark, newSets, elemLake, docParts,
+          appendBatchId)
+        val hot = cum.filter(col("c") > cap).select(col("s"))
+        newSets.join(hot, Seq("s"), "left_anti")
+      case None => newSets
     }
     val selfCands = Dedup.saltedSelfPairs(candNew, Seq("s"),
       hotElemThreshold, salts)
       .select(col("doc_1").as("d1"), col("doc_2").as("d2"))
-    val cands = (old match {
-      case None => selfCands
-      case Some(o) =>
-        val cross = candNew.join(
-          candOldFn(o).select(col("doc").as("odoc"), col("s")), Seq("s"))
-          .filter(col("doc") =!= col("odoc"))
-          .select(least(col("doc"), col("odoc")).as("d1"),
-            greatest(col("doc"), col("odoc")).as("d2"))
-        selfCands.unionByName(cross)
-    }).dropDuplicates("d1", "d2")
+    val cands = graft.CacheRegistry.retain((if (!haveIndex) selfCands else {
+      // the index side opens only files whose element Bloom might hold
+      // one of candNew's elements. No hot anti-join on the old side:
+      // the equi-join on s against candNew (which already excludes hot
+      // elements) makes old hot rows unmatchable — the anti-join the
+      // batch operator applies there is redundant here.
+      val elemKeys = candNew.select(col("s").cast("string").as("k")).distinct()
+      val old = pointRead(spark, elemLake, "s", elemKeys)
+        .select(col("doc").as("odoc"), col("s"))
+      val cross = candNew.join(old, Seq("s"))
+        .filter(col("doc") =!= col("odoc"))
+        .select(least(col("doc"), col("odoc")).as("d1"),
+          greatest(col("doc"), col("odoc")).as("d2"))
+      selfCands.unionByName(cross)
+    }).dropDuplicates("d1", "d2").persist(mem))
 
-    // verify against the touched docs' FULL element sets (hot included)
+    // verify against the touched docs' FULL element sets (hot
+    // included): the index read is partition-pruned to the candidate
+    // docs' hash partitions and Bloom-admitted on doc — complete
+    // because a doc's rows all live in its partition and Bloom false
+    // negatives are impossible
     val candIds = cands
       .select(explode(array(col("d1"), col("d2"))).as("doc")).distinct()
-    val verifyItems = all.join(candIds, Seq("doc"), "left_semi")
+    val oldVerify =
+      if (!haveIndex) None
+      else Some(pointRead(spark, elemLake, "doc",
+        keyedByHash(candIds, col("doc"), elemLake))
+        .select(col("doc"), col("s")))
+    val verifyItems = oldVerify.map(newSets.unionByName(_)).getOrElse(newSets)
+      .join(candIds, Seq("doc"), "left_semi")
       .dropDuplicates("doc", "s") // re-delivery: batch may already be indexed
     val pairs = Dedup.verifySetPairs(cands, verifyItems, threshold)
       .localCheckpoint(true)
@@ -203,8 +324,88 @@ object DedupStream {
     if (appendBatchId.forall(_ > VersionedLake.committedBatchId(elemLake)))
       VersionedLake.append(
         newSets.withColumn(PartCol, pmod(xxhash64(col("doc")), lit(docParts))),
-        elemLake, PartCol, appendBatchId)
+        elemLake, PartCol, appendBatchId,
+        blooms = Seq(BloomSpec("doc"), BloomSpec("s", m = 32768)),
+        props = Map(PartsProp -> docParts.toString))
     pairs
+  }
+
+  /** The df-count side lake of an element lake ([[indexElementsBatch]]'s
+    * `maxElemDf` state): one (s, c) row per distinct element ever
+    * ingested, c = its membership count over all committed increments. */
+  private[graft] def dfDir(elemLake: String): String = s"${elemLake}__df"
+
+  /** Cumulative df of the BATCH's elements over (index ∪ batch) —
+    * the only counts the cap needs — and the side-lake maintenance
+    * that keeps the next tick's lookup candidate-bounded.
+    *
+    * Paths, in order of preference:
+    *  - side lake in sync with the index (its batch watermark matches;
+    *    replay counts as in sync): a Bloom-pruned point read of the
+    *    batch's elements' rows plus this batch's own counts — nothing
+    *    index-sized is touched;
+    *  - side lake missing or behind (uncapped ticks in between, ad-hoc
+    *    None-id calls): rebuild it with one count aggregate over the
+    *    index — the documented resync cost.
+    * Maintenance is guarded by the SAME batch id as the element lake's
+    * append, so a replayed tick reads counts that already include the
+    * batch and skips the merge — identical hot set, identical output. */
+  private def batchElemCounts(spark: SparkSession, newSets: DataFrame,
+      elemLake: String, docParts: Int,
+      appendBatchId: Option[Long]): DataFrame = {
+    val df = dfDir(elemLake)
+    val batchCounts = newSets.groupBy(col("s")).agg(count(lit(1)).as("bc"))
+    val dfWm = VersionedLake.committedBatchId(df)
+    val replay = appendBatchId.exists(_ <= dfWm)
+    val inSync = VersionedLake.currentVersion(df) >= 1 &&
+      appendBatchId.isDefined &&
+      (replay || dfWm == VersionedLake.committedBatchId(elemLake))
+    val withPart = (t: DataFrame) => t.withColumn(PartCol,
+      pmod(xxhash64(col("s")), lit(docParts)))
+    if (inSync) {
+      val stored = pointRead(spark, df, "s",
+        keyedByHash(newSets.select(col("s")).distinct(), col("s"), df))
+        .select(col("s"), col("c"))
+        .join(newSets.select(col("s")).distinct(), Seq("s"), "left_semi")
+      if (replay) stored // counts already include this batch
+      else {
+        val cum = graft.CacheRegistry.retain(
+          batchCounts.join(stored, Seq("s"), "left")
+            .select(col("s"),
+              (col("bc") + coalesce(col("c"), lit(0L))).as("c"))
+            .persist(mem))
+        if (appendBatchId.forall(_ > dfWm))
+          VersionedLake.mergeUpsert(spark, df,
+            withPart(cum).withColumn("_deleted", lit(false)), Seq("s"),
+            PartCol, batchId = appendBatchId)
+        cum
+      }
+    } else {
+      // resync: one aggregate over the index rebuilds the counts for
+      // EVERY element (the side table must be complete before the next
+      // tick can trust it), then the batch folds in additively
+      val idxCounts =
+        if (VersionedLake.currentVersion(elemLake) < 1) batchCounts.limit(0)
+          .select(col("s"), col("bc").as("ic"))
+        else VersionedLake.read(spark, elemLake)
+          .groupBy(col("s")).agg(count(lit(1)).as("ic"))
+      val all = graft.CacheRegistry.retain(
+        idxCounts.join(batchCounts, Seq("s"), "full")
+          .select(col("s"),
+            (coalesce(col("ic"), lit(0L)) + coalesce(col("bc"), lit(0L))).as("c"))
+          .persist(mem))
+      if (appendBatchId.forall(_ > dfWm)) {
+        if (VersionedLake.currentVersion(df) < 1)
+          VersionedLake.append(withPart(all), df, PartCol, appendBatchId,
+            blooms = Seq(BloomSpec("s", m = 32768)),
+            props = Map(PartsProp -> docParts.toString))
+        else
+          VersionedLake.mergeUpsert(spark, df,
+            withPart(all).withColumn("_deleted", lit(false)), Seq("s"),
+            PartCol, batchId = appendBatchId)
+      }
+      all.join(newSets.select(col("s")).distinct(), Seq("s"), "left_semi")
+    }
   }
 
   /** The HAMMING-form increment — incremental near-dup for 64-bit
@@ -214,15 +415,16 @@ object DedupStream {
     * PRE-CHUNKED signatures — (doc, h, chunk, cv) rows partitioned by
     * chunk, the same maxHamming+1-way split the batch operator blocks
     * on, so the cross-increment candidate join is a plain (chunk, cv)
-    * equi-join against the lake (batch side tick-sized → AQE
-    * broadcasts it; the index is scanned, never shuffled) and the
-    * exact Hamming verify needs no second lookup — both hashes ride
-    * the candidate row. Pigeonhole blocking is recall-COMPLETE (two
-    * hashes within Hamming ≤ k agree on at least one of k+1 chunks),
-    * so across increments this emits exactly the all-pairs Hamming
-    * ball of everything ingested — the x_phash_neardup_incr gate
-    * hashes two image increments against the same ground-truth oracle
-    * as the one-shot gate.
+    * equi-join against the lake, and the exact Hamming verify needs no
+    * second lookup — both hashes ride the candidate row. The lake
+    * records Bloom filters on cv (candidate join) and doc
+    * ([[retract]]), so the cross-increment read opens only files that
+    * might share a chunk value with the batch. Pigeonhole blocking is
+    * recall-COMPLETE (two hashes within Hamming ≤ k agree on at least
+    * one of k+1 chunks), so across increments this emits exactly the
+    * all-pairs Hamming ball of everything ingested — the
+    * x_phash_neardup_incr gate hashes two image increments against the
+    * same ground-truth oracle as the one-shot gate.
     */
   def indexHammingBatch(batch: DataFrame, id: String, hash: String,
       hashLake: String, maxHamming: Int,
@@ -242,7 +444,7 @@ object DedupStream {
         .select(col("doc"), col("h"), explode(array(chunkCols: _*)).as("ck"))
         .select(col("doc"), col("h"), col("ck.chunk").as("chunk"),
           col("ck.cv").as("cv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(mem))
     val selfPairs = Dedup.saltedSelfPairs(chunkedNew, Seq("chunk", "cv"),
       hotChunkThreshold, salts)
       .select(col("doc_1").as("d1"), col("doc_2").as("d2"),
@@ -250,7 +452,10 @@ object DedupStream {
     val allPairs =
       if (VersionedLake.currentVersion(hashLake) < 1) selfPairs
       else {
-        val old = VersionedLake.read(spark, hashLake)
+        // candidate-bounded index read: only files whose cv Bloom might
+        // hold one of the batch's chunk values (the join filters exact)
+        val cvKeys = chunkedNew.select(col("cv").cast("string").as("k")).distinct()
+        val old = pointRead(spark, hashLake, "cv", cvKeys)
           .select(col("doc").as("odoc"), col("h").as("oh"),
             col("chunk").cast("int").as("chunk"), col("cv"))
         val cross = chunkedNew.join(old, Seq("chunk", "cv"))
@@ -269,7 +474,8 @@ object DedupStream {
       .select(col("d1"), col("d2"), col("hamming"))
       .localCheckpoint(true)
     if (appendBatchId.forall(_ > VersionedLake.committedBatchId(hashLake)))
-      VersionedLake.append(chunkedNew, hashLake, "chunk", appendBatchId)
+      VersionedLake.append(chunkedNew, hashLake, "chunk", appendBatchId,
+        blooms = Seq(BloomSpec("cv", m = 32768), BloomSpec("doc")))
     pairs
   }
 
@@ -278,10 +484,14 @@ object DedupStream {
     * the MinHash docs+index lakes, an element-membership lake, or a
     * chunked-hash lake (pass the lakes that exist for your form; each
     * is a copy-on-write MERGE touching only the partitions that hold
-    * the docs). Retracted documents stop matching FUTURE increments
-    * immediately; pairs already emitted are history (filter them
-    * downstream against the retraction list — emitted facts are not
-    * silently rewritten). Pre-delete versions stay time-travel-
+    * the docs, and the rows-to-delete read itself is candidate-bounded
+    * through the lakes' doc Blooms — a takedown of a handful of ids
+    * opens a handful of files, not the lake). Retracted documents stop
+    * matching FUTURE increments immediately; pairs already emitted are
+    * history (filter them downstream against the retraction list —
+    * emitted facts are not silently rewritten). An element lake's df
+    * side table is NOT decremented (counts stay upper bounds — see
+    * [[indexElementsBatch]]). Pre-delete versions stay time-travel-
     * readable until vacuumed. */
   def retract(docs: DataFrame, id: String,
       docsLake: Option[String] = None, indexLake: Option[String] = None,
@@ -295,7 +505,13 @@ object DedupStream {
       if (VersionedLake.currentVersion(lake) < 1) return
       if (batchId.exists(_ <= VersionedLake.committedBatchId(lake))) return
       val ids = docs.select(col(id).as(joinCol)).distinct()
-      val changes = VersionedLake.read(spark, lake)
+      // partition pruning only applies on the doc-hash-partitioned
+      // lakes (band/chunk partitions aren't derivable from ids); the
+      // doc Bloom admission applies everywhere
+      val keyed =
+        if (partCol == PartCol) keyedByHash(ids, col(joinCol), lake)
+        else ids.select(col(joinCol).cast("string").as("k"))
+      val changes = pointRead(spark, lake, joinCol, keyed)
         .join(ids, Seq(joinCol), "left_semi")
         .withColumn("_deleted", lit(true))
       VersionedLake.mergeUpsert(spark, lake, changes, keyCols, partCol,

@@ -106,6 +106,14 @@ class AnnLakeSpec extends SparkSpec {
     AnnLake.delete(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
       "vec_id", r, batchId = Some(0L))
     assert(VersionedLake.currentVersion(s"$r/vectors") == v)
+    // the rows-to-delete read is candidate-bounded through the doc
+    // Blooms the index records: one id admits a strict subset of the
+    // files, an absent id admits none — decided from manifest metadata
+    val all = VersionedLake.read(spark, s"$r/vectors").inputFiles.length
+    val one = VersionedLake.prunedPointFiles(s"$r/vectors", "doc", Seq("3"))
+    assert(one.nonEmpty && one.size < all, s"${one.size} vs $all")
+    assert(VersionedLake.prunedPointFiles(s"$r/vectors", "doc",
+      Seq("absent-983245872")).isEmpty)
   }
 
   test("compact folds increment files; search unchanged") {

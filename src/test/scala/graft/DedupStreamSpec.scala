@@ -169,6 +169,111 @@ class DedupStreamSpec extends SparkSpec {
     assert(streamed == oneShot && streamed.nonEmpty)
   }
 
+  test("small tick against a 4-increment lake is candidate-bounded at the file level") {
+    import spark.implicits._
+    val root = tmp("graft_dedup_pointread")
+    val corpus = Tables.documents(spark, sf("sf0.001")).limit(160)
+      .select(col("doc_id"), col("text"))
+    // 4 increments through the same lakes — each tick leaves its own
+    // files behind, so the lakes end up with ≥4 files per partition
+    // worth of history for a later tick to (not) read
+    (0 until 4).foreach { t =>
+      graft.streaming.DedupStream.indexBatch(
+        corpus.filter(col("doc_id") % 4 === t), "doc_id", "text",
+        s"$root/docs", s"$root/index", n = 3, threshold = 0.8,
+        appendBatchId = Some(t.toLong)).collect()
+    }
+    val docsAll = sources.VersionedLake.read(spark, s"$root/docs").inputFiles.length
+    val idxAll = sources.VersionedLake.read(spark, s"$root/index").inputFiles.length
+    assert(docsAll >= 4, s"docs lake should hold >=4 files, got $docsAll")
+
+    // the docs-lake verify read for a 2-candidate tick: pointRead is
+    // THE implementation indexBatch calls (shared code is the pin) —
+    // partition pruning via the props-recorded hash count composed
+    // with the id Bloom must open a small fraction of the files
+    val two = corpus.limit(2).select(col("doc_id"))
+    val keyed = two.select(col("doc_id").cast("string").as("k"),
+      pmod(xxhash64(col("doc_id")), lit(16)).cast("string").as("p"))
+    val verifyFiles = graft.streaming.DedupStream.pointRead(
+      spark, s"$root/docs", "doc_id", keyed).inputFiles.length
+    assert(verifyFiles < docsAll,
+      s"verify read should be file-pruned: $verifyFiles vs $docsAll")
+    // and it still returns exactly those docs' rows
+    val got = graft.streaming.DedupStream.pointRead(
+      spark, s"$root/docs", "doc_id", keyed)
+      .join(two, Seq("doc_id"), "left_semi").count()
+    assert(got == 2L)
+
+    // an ABSENT key prunes to zero files (no partition hint: Bloom-only)
+    val absent = Seq("absent-doc-983245872").toDF("k")
+    assert(graft.streaming.DedupStream.pointRead(
+      spark, s"$root/docs", "doc_id", absent).inputFiles.isEmpty)
+
+    // the index-lake candidate read for one bucket value: Bloom-pruned
+    // below the full file count
+    val oneBucket = sources.VersionedLake.read(spark, s"$root/index")
+      .select(col("bucket")).limit(1)
+      .select(col("bucket").cast("string").as("k"))
+    val idxFiles = graft.streaming.DedupStream.pointRead(
+      spark, s"$root/index", "bucket", oneBucket).inputFiles.length
+    assert(idxFiles < idxAll,
+      s"index candidate read should be file-pruned: $idxFiles vs $idxAll")
+
+    // the recorded partition count arms requireProps: a tick hashing
+    // with a DIFFERENT docParts must fail loudly, not silently misread
+    intercept[IllegalArgumentException] {
+      graft.streaming.DedupStream.indexBatch(
+        corpus.limit(1), "doc_id", "text",
+        s"$root/docs", s"$root/index", n = 3, threshold = 0.8,
+        docParts = 32, appendBatchId = Some(9L)).collect()
+    }
+  }
+
+  test("capped element ticks maintain the df side lake; stale side lake resyncs") {
+    import spark.implicits._
+    val root = tmp("graft_elem_df")
+    val lake = s"$root/elems"
+    val dfLake = graft.streaming.DedupStream.dfDir(lake)
+    val b1 = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L)).toDF("doc", "e")
+    graft.streaming.DedupStream.indexElementsBatch(b1, "doc", "e", lake,
+      threshold = 0.1, maxElemDf = Some(10L), appendBatchId = Some(0L)).collect()
+    // capped tick 1 bootstrapped the side lake with cumulative counts
+    val c1 = sources.VersionedLake.read(spark, dfLake)
+      .select(col("s"), col("c")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1 == Map(10L -> 2L, 11L -> 1L, 12L -> 1L), c1.toString)
+    // capped tick 2 is IN SYNC: counts fold in additively (no rebuild)
+    val b2 = Seq((3L, 10L), (3L, 13L)).toDF("doc", "e")
+    graft.streaming.DedupStream.indexElementsBatch(b2, "doc", "e", lake,
+      threshold = 0.1, maxElemDf = Some(10L), appendBatchId = Some(1L)).collect()
+    val c2 = sources.VersionedLake.read(spark, dfLake)
+      .select(col("s"), col("c")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == Map(10L -> 3L, 11L -> 1L, 12L -> 1L, 13L -> 1L), c2.toString)
+    // an UNCAPPED tick in between leaves the side lake behind...
+    val b3 = Seq((4L, 10L), (4L, 14L)).toDF("doc", "e")
+    graft.streaming.DedupStream.indexElementsBatch(b3, "doc", "e", lake,
+      threshold = 0.1, appendBatchId = Some(2L)).collect()
+    assert(sources.VersionedLake.committedBatchId(dfLake) == 1L)
+    // ...and the next capped tick detects it and resyncs from the index
+    val b4 = Seq((5L, 10L), (5L, 15L)).toDF("doc", "e")
+    val p4 = graft.streaming.DedupStream.indexElementsBatch(b4, "doc", "e", lake,
+      threshold = 0.1, maxElemDf = Some(3L), appendBatchId = Some(3L))
+      .collect().map(_.toSeq).toSet
+    val c4 = sources.VersionedLake.read(spark, dfLake)
+      .select(col("s"), col("c")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c4 == Map(10L -> 5L, 11L -> 1L, 12L -> 1L, 13L -> 1L, 14L -> 1L, 15L -> 1L),
+      c4.toString)
+    // element 10 is hot (df=5 > 3): doc 5 shares ONLY 10 with earlier
+    // docs, so no candidate survives the cap — no pairs emitted
+    assert(p4.isEmpty, p4.toString)
+    // replay of the capped tick: identical (empty) output, df lake
+    // version unchanged (watermark-guarded)
+    val v = sources.VersionedLake.currentVersion(dfLake)
+    val p4r = graft.streaming.DedupStream.indexElementsBatch(b4, "doc", "e", lake,
+      threshold = 0.1, maxElemDf = Some(3L), appendBatchId = Some(3L))
+      .collect().map(_.toSeq).toSet
+    assert(p4r == p4 && sources.VersionedLake.currentVersion(dfLake) == v)
+  }
+
   test("retract removes docs from dedup state: later increments stop matching them") {
     import spark.implicits._
     val root = tmp("graft_retract")

@@ -39,6 +39,21 @@ class PostingsLakeSpec extends SparkSpec {
     // a one-term query touches at most 1/64 of the term space
     val one = PostingsLake.prunedInputFiles(spark, root, Seq("spark"))
     assert(one.length <= pruned.length)
+    // the term Bloom composes WITH partition pruning: a term absent
+    // from the corpus lands in some partition, but no file's filter
+    // admits it — zero files, decided from manifest metadata alone
+    val absent = PostingsLake.prunedInputFiles(spark, root,
+      Seq("zz-absent-term-983245872"))
+    assert(absent.isEmpty, absent.mkString(","))
+    // and search through the same pruned path still equals one-shot
+    // (the parity test above already runs through readPoints)
+    assert(VersionedLake.tableProps(s"$root/postings")("termParts") == "64")
+    // a searcher hashing with a DIFFERENT termParts is refused loudly
+    // by the recorded table property rather than silently mispruning
+    intercept[IllegalArgumentException] {
+      PostingsLake.append(Tables.documents(spark, sf("sf0.001")).limit(1),
+        "doc_id", "text", root, termParts = 32, batchId = Some(7L))
+    }
   }
 
   test("append is exactly-once under batch-id re-delivery") {
