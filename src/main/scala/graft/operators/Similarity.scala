@@ -400,6 +400,50 @@ object Similarity {
         (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
   }
 
+  /** ANN RECALL HARNESS: the operating-point table that makes nprobe a
+    * measured choice instead of a guess — today a misconfigured probe
+    * count fails SILENTLY (results come back, just worse). For each
+    * requested nprobe, run the IVF search ([[ivfQuantizedSearch]], the
+    * same code path production queries take) and count, in integers,
+    * how many of the engine's own brute-force top-k ([[cosineTopK]],
+    * the ground truth) it recovered.
+    *
+    * Output: one row per nprobe — (nprobe, k, n_queries, hits,
+    * max_hits = n_queries·k, recall_pct half-up 2dp). Integer hit
+    * counts are the hash-stable core (the s_ann_recall gate replays
+    * quantizer + probing + both rankings in DuckDB); recall is the
+    * derived ratio. Properties pinned in IvfSpec: hits is monotone in
+    * nprobe (candidate sets are nested and displacement is by true
+    * cosine), and the full probe recovers brute force exactly
+    * (recall 1.0).
+    *
+    * Scale shape: the brute-force leg is the expensive one (it IS the
+    * scan ANN replaces) — this is a CALIBRATION harness, run on a
+    * query sample, not per query. One pass per requested nprobe, each
+    * a probed-partition search like production. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nprobes: Seq[Int], assigned: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    require(nprobes.nonEmpty, "annRecall needs at least one nprobe")
+    val truth = graft.CacheRegistry.retain(
+      cosineTopK(corpus, queries, id, vec, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nQueries = queries.select(col(id)).distinct().count()
+    nprobes.map { n =>
+      ivfQuantizedSearch(corpus, queries, id, vec, k, n, assigned, centroids)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(n.toLong).as("nprobe"), col("hits"))
+    }.reduce(_ unionByName _)
+      .select(col("nprobe"), lit(k.toLong).as("k"),
+        lit(nQueries).as("n_queries"), col("hits"),
+        lit(nQueries * k).as("max_hits"),
+        graft.functions.Arith.r2(
+          col("hits") * 100.0 / lit((nQueries * k).toDouble)).as("recall_pct"))
+  }
+
   // ---------------------------------------------------------------------------
   // Product quantization — compressed-domain ANN
   // ---------------------------------------------------------------------------

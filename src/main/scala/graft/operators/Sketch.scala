@@ -61,7 +61,7 @@ object Sketch {
     * shortest-repr literal in the oracle SQL makes the final division
     * bit-identical in both engines. Small-m alphas are the published
     * bias correctors. */
-  private[operators] def hllNumerator(p: Int): Double = {
+  private[graft] def hllNumerator(p: Int): Double = {
     val m = 1 << p
     val alpha = m match {
       case 16 => 0.673
@@ -79,7 +79,7 @@ object Sketch {
     * non-ANSI Spark, while DuckDB's HUGEINT would not — so estimates
     * diverge between engines exactly where the gate can't see it.
     */
-  private[operators] def hllCols(key: Column, p: Int): (Column, Column) = {
+  private[graft] def hllCols(key: Column, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 10,
       s"hll precision must be in [4, 10] (m*2^53 must fit int64), got $p")
     val md = md5(key)

@@ -610,6 +610,74 @@ object Vocab {
       .orderBy(col("piece"))
   }
 
+  /** LOSS-RANKED pruning of a trained unigram model to an EXACT
+    * target size — the SentencePiece elimination step that
+    * [[unigramTrain]]'s count-ranked per-round prune approximates.
+    * Each multi-char piece is priced by the corpus loss its removal
+    * would cause: Σ_w wf(w) · (bestCost(w, model∖{p}) − bestCost(w)),
+    * summed over the words whose optimal lattice uses p (for every
+    * other word removal changes nothing, so the delta is exactly 0
+    * and never computed). The target is met in ONE elimination:
+    * keep every single character (segmentation totality — chars are
+    * never candidates and carry loss 0) plus the highest-loss
+    * multi-char pieces, ties broken by (loss desc, cnt desc, piece
+    * asc) so the result is deterministic; surviving costs are
+    * re-derived from the survivors' counts (the M-step discipline).
+    * All arithmetic is the trainer's integer kind, so the whole
+    * pricing — including the per-(word, piece) masked re-DP —
+    * replays in SQL ([[unigramPruneOracleSql]], the
+    * x_unigram_prune gate).
+    *
+    * Scale shape: pricing is a mapPartitions over the DISTINCT-WORD
+    * table (the corpus never re-enters after the one word-frequency
+    * aggregate), each word re-running its O(|w|·maxLen) DP once per
+    * distinct multi-char piece on its optimal lattice — vocabulary-
+    * sized work with the model broadcast, like a training round.
+    *
+    * `model` is (piece, cnt) as trained; returns (piece, cnt, cost,
+    * loss) at exactly `targetSize` rows (or fewer if the model was
+    * already smaller). */
+  def unigramPrune(df: DataFrame, text: String, model: Seq[(String, Long)],
+      targetSize: Int, maxLen: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = model.filter(_._1.length == 1).sortBy(_._1)
+    require(targetSize >= chars.length,
+      s"targetSize $targetSize is below the ${chars.length} never-pruned single chars")
+    val total = model.iterator.map(_._2).sum
+    val costs = model.map { case (p, c) => p -> unigramCost(c, total) }.toMap
+    val bc = spark.sparkContext.broadcast(costs)
+    val L = maxLen
+    val wordFreq = df.select(explode(split(col(text), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    val losses = wordFreq.as[(String, Long)].mapPartitions { it =>
+      val m = bc.value
+      val INF = 1000000000000L
+      def cost(p: String): Long = m.getOrElse(p, INF)
+      it.flatMap { case (w, wf) =>
+        val (fwd, _) = unigramDp(w, cost, L)
+        val best = fwd(w.length)
+        unigramOnPath(w, cost, L).distinct.filter(_.length > 1).map { p =>
+          def masked(q: String): Long = if (q == p) INF else cost(q)
+          val (fx, _) = unigramDp(w, masked, L)
+          (p, wf * (fx(w.length) - best))
+        }
+      }
+    }.toDF("p", "dl").groupBy(col("p")).agg(sum(col("dl")).as("loss"))
+      .as[(String, Long)].collect().toMap // model-bounded metadata
+    val survivors = chars.map { case (p, c) => (p, c, 0L) } ++
+      model.filter(_._1.length > 1)
+        .map { case (p, c) => (p, c, losses.getOrElse(p, 0L)) }
+        .sortBy { case (p, c, l) => (-l, -c, p) }
+        .take(targetSize - chars.length)
+    val newTotal = survivors.iterator.map(_._2).sum
+    survivors.sortBy(_._1)
+      .map { case (p, c, l) => (p, c, unigramCost(c, newTotal), l) }
+      .toDF("piece", "cnt", "cost", "loss")
+      .orderBy(col("piece"))
+  }
+
   /** Segment a corpus with a trained unigram model — the production
     * encoder: cost map broadcast, one mapPartitions pass, per-word
     * memoization within a partition (the Zipf head hits the cache).
@@ -644,8 +712,12 @@ object Vocab {
 
   /** The forward Viterbi fold as a DuckDB expression over word column
     * `w` of length `n` and piece-cost map `mp`: a list_reduce whose
-    * accumulator is the fwd array itself (element j+1 = fwd(j)). */
-  private def fwdSql(w: String, n: String, L: Int): String =
+    * accumulator is the fwd array itself (element j+1 = fwd(j)).
+    * `costOf` renders a candidate substring expression into its cost
+    * (the default map lookup, or the masked form the prune oracle
+    * prices removals with). */
+  private def fwdSqlCost(w: String, n: String, L: Int,
+      costOf: String => String): String =
     s"""list_reduce(
        |  list_prepend([CAST(0 AS BIGINT)],
        |    list_transform(generate_series(1, $n), i -> [CAST(i AS BIGINT)])),
@@ -653,7 +725,10 @@ object Vocab {
        |    list_min(list_transform(
        |      generate_series(greatest(0, x[1] - $L), x[1] - 1),
        |      j -> acc[j + 1] +
-       |        coalesce(mp[substr($w, j + 1, x[1] - j)][1], $UnigramInfSql)))))""".stripMargin
+       |        ${costOf(s"substr($w, j + 1, x[1] - j)")}))))""".stripMargin
+
+  private def fwdSql(w: String, n: String, L: Int): String =
+    fwdSqlCost(w, n, L, s => s"coalesce(mp[$s][1], $UnigramInfSql)")
 
   /** The backward fold: accumulator element (n-k)+1 = bwd(k). */
   private def bwdSql(w: String, n: String, L: Int): String =
@@ -747,6 +822,61 @@ object Vocab {
        |t$rounds AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model$rounds),
        |costF AS (
        |  SELECT p, cnt, CAST($costCase AS BIGINT) AS cost FROM model$rounds, t$rounds)""".stripMargin
+  }
+
+  /** DuckDB replay of [[unigramPrune]]: re-derive the trained model
+    * ([[unigramTrainCtes]] — the oracle text must be data-
+    * independent), then per word the fwd/bwd folds, the distinct
+    * multi-char on-path pieces, one MASKED forward fold per
+    * (word, piece) pricing the removal, the loss aggregate, and the
+    * same keep-top elimination and M-step re-costing. */
+  def unigramPruneOracleSql(src: String, textSql: String, vocabSize: Int,
+      rounds: Int, targetSize: Int, maxLen: Int = 6,
+      seedSize: Int = 500): String = {
+    val costCase =
+      s"""CASE WHEN cnt > 0 THEN length(bin(total * 1024 // cnt)) - 1
+         |     ELSE length(bin(total * 1024)) END""".stripMargin
+    val maskCost = (s: String) =>
+      s"(CASE WHEN $s = op.p THEN $UnigramInfSql" +
+        s" ELSE coalesce(mp[$s][1], $UnigramInfSql) END)"
+    s"""WITH ${unigramTrainCtes(src, textSql, vocabSize, rounds, maxLen, seedSize)},
+       |m AS (
+       |  SELECT MAP(list(p ORDER BY p), list(cost ORDER BY p)) AS mp FROM costF),
+       |dp AS (
+       |  SELECT w, wf, length(w) AS n,
+       |         ${fwdSql("w", "length(w)", maxLen)} AS fwd,
+       |         ${bwdSql("w", "length(w)", maxLen)} AS bwd
+       |  FROM wf, m),
+       |op AS (
+       |  SELECT DISTINCT d.w, d.wf, d.n, d.fwd, substr(d.w, tj.j + 1, tl.l) AS p
+       |  FROM dp d, m,
+       |       UNNEST(generate_series(0, d.n - 1)) tj(j),
+       |       UNNEST(generate_series(2, $maxLen)) tl(l)
+       |  WHERE tj.j + tl.l <= d.n
+       |    AND len(mp[substr(d.w, tj.j + 1, tl.l)]) > 0
+       |    AND d.fwd[tj.j + 1] + mp[substr(d.w, tj.j + 1, tl.l)][1]
+       |        + d.bwd[d.n - (tj.j + tl.l) + 1] = d.fwd[d.n + 1]),
+       |mx AS (
+       |  SELECT op.p, op.wf,
+       |         (${fwdSqlCost("op.w", "op.n", maxLen, maskCost)
+                    .replace("\n", "\n  ")})[op.n + 1]
+       |           - op.fwd[op.n + 1] AS delta
+       |  FROM op, m),
+       |loss AS (
+       |  SELECT p, CAST(sum(wf * delta) AS BIGINT) AS loss FROM mx GROUP BY p),
+       |surv AS (
+       |  SELECT c.p, c.cnt, CAST(0 AS BIGINT) AS loss
+       |  FROM costF c WHERE length(c.p) = 1
+       |  UNION ALL
+       |  SELECT p, cnt, loss FROM (
+       |    SELECT c.p, c.cnt, CAST(coalesce(l.loss, 0) AS BIGINT) AS loss,
+       |           row_number() OVER (
+       |             ORDER BY coalesce(l.loss, 0) DESC, c.cnt DESC, c.p) AS rn
+       |    FROM costF c LEFT JOIN loss l USING (p) WHERE length(c.p) > 1)
+       |  WHERE rn <= $targetSize - (SELECT count(*) FROM costF WHERE length(p) = 1)),
+       |tS AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM surv)
+       |SELECT p AS piece, cnt, CAST($costCase AS BIGINT) AS cost, loss
+       |FROM surv, tS ORDER BY piece""".stripMargin
   }
 
   /** DuckDB replay of [[unigramEncode]]: re-derive the trained model

@@ -776,6 +776,60 @@ object ExportQueries {
           |       count(*) AS agg_count
           |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Incremental materialized view, DISTINCT leg: the view maintains
+    // an HLL register array per group (insert ticks merge registers by
+    // element-wise max — no source I/O; delete-touched groups re-read,
+    // riding the min/max machinery), answering the canonical
+    // "distinct users per event type" question the SUM/COUNT family
+    // cannot. The source takes a create + a CDC-heavy merge (deletes
+    // that remove users entirely, updates that MOVE rows between
+    // groups); the maintained registers' estimates must then equal the
+    // one-shot md5-HLL the oracle replays bit-for-bit over the merged
+    // state (Sketch's exactness discipline — BIGINT-scaled harmonic
+    // sum, one final double divide). Register-level parity and
+    // exactly-once replay are pinned in MaterializedAggSpec.
+    QDef(
+      "s22_distinct_view",
+      (s, dir) => {
+        import graft.streaming.MaterializedAgg
+        val out = Fixtures.dir("hll_mview", dir) { o =>
+          val ev = Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("user_id"),
+              round(col("value") * 100).cast("long").as("value_cents"),
+              to_date(col("ts")).cast("string").as("event_date"))
+          graft.sources.VersionedLake.create(ev, s"$o/src", "event_date")
+          val changes = ev.filter(col("user_id") % 5 === 0)
+            .withColumn("_deleted", lit(true))
+            .unionByName(
+              ev.filter(col("user_id") % 5 =!= 0 && col("event_id") % 7 === 0)
+                .withColumn("event_type", lit("adjusted"))
+                .withColumn("_deleted", lit(false)))
+          graft.sources.VersionedLake.mergeUpsert(
+            s, s"$o/src", changes, Seq("event_id"), "event_date")
+          MaterializedAgg.maintain(s, s"$o/src", s"$o/state", s"$o/view",
+            groupCols = Seq("event_type"), valueCol = "value_cents",
+            partitionCol = "event_type",
+            hllCol = Some("user_id"), hllP = 5)
+        }
+        val est = graft.sources.VersionedLake.read(s, s"$out/view")
+          .select(col("event_type").cast("string").as("event_type"),
+            graft.streaming.MaterializedAgg.hllEstimate(
+              col(graft.streaming.MaterializedAgg.HllRegsCol), 5)
+              .as("hll_estimate"))
+        val exact = graft.sources.VersionedLake.read(s, s"$out/src")
+          .groupBy(col("event_type").cast("string").as("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        est.join(exact, Seq("event_type"))
+          .withColumn("rel_err_pct", graft.functions.Arith.r2(
+            (col("hll_estimate") - col("exact_distinct")) * 100.0 /
+              col("exact_distinct")))
+          .orderBy(col("event_type"))
+      },
+      Some(graft.operators.Sketch.hllOracleSql(
+        "(SELECT CASE WHEN event_id % 7 = 0 THEN 'adjusted' ELSE event_type END" +
+          " AS event_type, user_id FROM events WHERE user_id % 5 <> 0) mg",
+        "CAST(user_id AS VARCHAR)", Seq("event_type"), p = 5))),
+
     // Lake maintenance 11: PER-COLUMN zone maps. Every commit records
     // min/max for every stats-encodable column (numeric, date,
     // timestamp — the Iceberg/Delta-class per-column metadata), so a

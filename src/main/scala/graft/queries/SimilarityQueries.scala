@@ -48,16 +48,23 @@ object SimilarityQueries {
     * exact integer math or the same IEEE double op sequence as the
     * Spark side, so even PARTIAL probing hash-matches.
     */
-  private def ivfQuantizedOracle(k: Int, nlist: Int, nprobe: Int, iters: Int): String = {
+  /** DuckDB exact integer squared distance between 20-bit quantized
+    * vectors, mirroring the Spark side's. */
+  private def idistSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, 64),
+       |        d -> (CAST($a[d] AS DOUBLE) - CAST($b[d] AS DOUBLE))
+       |           * (CAST($a[d] AS DOUBLE) - CAST($b[d] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
+
+  /** The quantizer replay shared by the IVF oracles: qv (20-bit
+    * quantized corpus) → c0 (first-nlist init) → `iters` unrolled
+    * Lloyd's rounds, ending with assignments a$iters and centroids
+    * c$iters — Similarity.quantizedKMeans bit for bit. */
+  private def quantizerCtes(nlist: Int, iters: Int): String = {
     val q20 = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
-    def idist(a: String, b: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(generate_series(1, 64),
-         |        d -> (CAST($a[d] AS DOUBLE) - CAST($b[d] AS DOUBLE))
-         |           * (CAST($a[d] AS DOUBLE) - CAST($b[d] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""s$i AS (
-         |  SELECT q.vec_id, q.qv, c.cell, ${idist("q.qv", "c.cv").replace("\n", "\n  ")} AS dist
+         |  SELECT q.vec_id, q.qv, c.cell, ${idistSql("q.qv", "c.cv").replace("\n", "\n  ")} AS dist
          |  FROM qv q CROSS JOIN c${i - 1} c
          |), a$i AS (
          |  SELECT vec_id, qv, cell FROM (
@@ -74,13 +81,78 @@ object SimilarityQueries {
          |    SELECT cell, list(cd ORDER BY d) AS l FROM m$i GROUP BY cell) m USING (cell)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH qv AS (
+    s"""qv AS (
        |  SELECT vec_id, $q20 AS qv FROM embeddings
        |), c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, qv AS cv
        |  FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id LIMIT $nlist)
        |),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  /** The integer recall@k-vs-nprobe table of Similarity.annRecall,
+    * replayed end to end: quantizer, per-query cell ranking, one
+    * IVF top-k ranking per requested nprobe over the crank-gated
+    * candidates, brute-force top-k over the full corpus, integer
+    * intersection counts. */
+  private def annRecallOracle(k: Int, nlist: Int, iters: Int,
+      nprobes: Seq[Int]): String = {
+    val legs = nprobes.map { n =>
+      s"""h$n AS (
+         |  SELECT CAST($n AS BIGINT) AS nprobe, count(*) AS hits FROM (
+         |    SELECT query_id, neighbor_id FROM (
+         |      SELECT query_id, neighbor_id,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM scored WHERE crank <= $n) WHERE rank <= $k) t
+         |  JOIN brute USING (query_id, neighbor_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = nprobes.map(n => s"SELECT * FROM h$n").mkString("\n      UNION ALL ")
+    s"""WITH ${quantizerCtes(nlist, iters)},
+       |qp AS (
+       |  SELECT vec_id AS query_id, qv AS qqv FROM qv WHERE vec_id < 5
+       |), ps AS (
+       |  SELECT query_id, c.cell, ${idistSql("qqv", "c.cv").replace("\n", "\n  ")} AS dist
+       |  FROM qp CROSS JOIN c$iters c
+       |), cellr AS (
+       |  SELECT query_id, cell,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS crank
+       |  FROM ps
+       |), e AS (
+       |  SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
+       |  FROM embeddings
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, p.crank
+       |  FROM cellr p JOIN a$iters a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, crank,
+       |         ${dotSql("qe.nv", "ne.nv").replace("\n", "\n    ")} AS cos
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = query_id
+       |  JOIN e ne ON ne.vec_id = neighbor_id
+       |), bscored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         ${dotSql("q.bqv", "e.nv").replace("\n", "\n    ")} AS cos
+       |  FROM (SELECT vec_id AS query_id, nv AS bqv FROM e WHERE vec_id < 5) q
+       |  JOIN e ON e.vec_id <> q.query_id
+       |), brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM bscored) WHERE rank <= $k
+       |), qn AS (SELECT count(*) AS n_queries FROM qp),
+       |$legs
+       |SELECT nprobe, CAST($k AS BIGINT) AS k,
+       |       CAST(n_queries AS BIGINT) AS n_queries, hits,
+       |       CAST(n_queries * $k AS BIGINT) AS max_hits,
+       |       floor(hits * 100.0 / (n_queries * $k) * 100 + 0.5) / 100.0 AS recall_pct
+       |FROM ($union) h, qn
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  private def ivfQuantizedOracle(k: Int, nlist: Int, nprobe: Int, iters: Int): String = {
+    def idist(a: String, b: String): String = idistSql(a, b)
+    s"""WITH ${quantizerCtes(nlist, iters)},
        |qp AS (
        |  SELECT vec_id AS query_id, qv AS qqv FROM qv WHERE vec_id < 5
        |), ps AS (
@@ -427,6 +499,32 @@ object SimilarityQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(ivfQuantizedOracle(10, nlist = 8, nprobe = 4, iters = 4))),
+
+    // The RECALL HARNESS over the same persisted index: integer
+    // recall@k at every probe depth 1..nlist, IVF leg vs the engine's
+    // own brute force — the table that turns nprobe from a silent
+    // guess into a measured operating point. Hash-gated end to end
+    // (quantizer, per-depth ranking, brute ranking, intersection
+    // counts all replayed); monotonicity in nprobe and exact recall
+    // 1.0 at full probe are pinned in IvfSpec.
+    QDef(
+      "s_ann_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ivfq_index", dir) { o =>
+          val (assigned, centroids) = Similarity.quantizedKMeans(
+            emb, "vec_id", "embedding", nlist = 8, dim = 64, iters = 4)
+          assigned.write.parquet(s"$o/assigned")
+          val sp = s; import sp.implicits._
+          centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+            .toDF("cell", "cv").write.parquet(s"$o/centroids")
+        }
+        Similarity.annRecall(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobes = Seq(1, 2, 4, 8),
+          s.read.parquet(s"$ix/assigned"), s.read.parquet(s"$ix/centroids"))
+          .orderBy(col("nprobe"))
+      },
+      Some(annRecallOracle(10, nlist = 8, iters = 4, nprobes = Seq(1, 2, 4, 8)))),
 
     // Product quantization with asymmetric distance: the corpus is m=8
     // codes per vector (the compressed-domain memory story), queries

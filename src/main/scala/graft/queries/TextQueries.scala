@@ -1508,6 +1508,31 @@ object TextQueries {
         "documents", "doc_id", "text",
         vocabSize = 200, rounds = 2, maxLen = 5, seedSize = 400))),
 
+    // Loss-ranked elimination to an EXACT target size (the
+    // SentencePiece prune unigramTrain's count-ranked per-round rule
+    // approximates): each multi-char piece priced by the integer
+    // corpus-loss delta of a masked re-DP over the words whose
+    // optimal lattice uses it, keep-top to the target, deterministic
+    // ties, costs re-derived from the survivors. The oracle replays
+    // the pricing per (word, piece) — training, lattices, masked
+    // folds, elimination, re-costing all land in the hash.
+    QDef(
+      "x_unigram_prune",
+      (s, dir) => {
+        val model = graft.operators.Vocab.unigramTrain(
+          Tables.documents(s, dir), "text",
+          vocabSize = 200, rounds = 2, maxLen = 5, seedSize = 400)
+          .select(col("piece"), col("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        graft.operators.Vocab.unigramPrune(
+          Tables.documents(s, dir), "text", model,
+          targetSize = 40, maxLen = 5)
+          .orderBy(col("piece"))
+      },
+      Some(graft.operators.Vocab.unigramPruneOracleSql(
+        "documents", "text", vocabSize = 200, rounds = 2,
+        targetSize = 40, maxLen = 5, seedSize = 400))),
+
     // Good-Turing count-of-counts over word trigrams: the smoothing
     // table an n-gram-LM quality filter is built from. Second
     // aggregate runs over the n-gram vocabulary, not the corpus.
@@ -1685,6 +1710,164 @@ object TextQueries {
           |             regexp_replace(t, '[a-z0-9.]+@[a-z][a-z.]*[a-z]', '<EMAIL>', 'g'),
           |             '[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS scrubbed_md5
           |FROM inj ORDER BY doc_id""".stripMargin)),
+
+    // Markup/boilerplate extraction (graft.operators.Markup) — the
+    // entry step of a crawled-text pipeline. Each document is wrapped
+    // in a constructed page (title, nav bar, heading, body paragraph
+    // with entities, link-farm footer, plus script/style with tag-like
+    // code inside); the gate hashes the extracted text and the block
+    // accounting. The oracle replays the IDENTICAL pipeline in DuckDB
+    // string ops — same regexes (RE2-safe dialect), same entity decode
+    // order, same integer link-density rule — so every contract in the
+    // Markup scaladoc lands in the hash: script dropping, block
+    // segmentation, decode-after-strip, and the density gate that
+    // drops the nav and footer while keeping title/heading/prose.
+    QDef(
+      "x_html_extract",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p { color: red; }</style>" +
+            "<script>if (1 < 2) { x = \"<div>&amp;</div>\"; }</script></head><body>" +
+            "<nav><a href=\"/\">home</a> <a href=\"/about\">about us</a> " +
+            "<a href=\"/more\">more links</a></nav>" +
+            "<h1>Report &amp; notes for doc "), col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit(" &lt;end&gt; &quot;fin&quot; &#39;ok&#39;&nbsp;.</p>" +
+            "<footer>copyright <a href=\"/home\">back to the home page</a>" +
+            "</footer></body></html>"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), graft.operators.Markup.extractText(html).as("e"))
+          .select(col("doc_id"),
+            col("e.n_blocks").as("n_blocks"),
+            col("e.n_kept").as("n_kept"),
+            length(col("e.text")).cast("long").as("kept_chars"),
+            md5(col("e.text")).as("extracted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val dec = (x: String) =>
+          s"""replace(replace(replace(replace(replace(replace(
+             |  $x,
+             |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |  '&nbsp;', ' '), '&amp;', '&')""".stripMargin
+        val blockTags = graft.operators.Markup.BlockTags.mkString("|")
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           |         '</title><style>p { color: red; }</style>' ||
+           |         '<script>if (1 < 2) { x = "<div>&amp;</div>"; }</script></head><body>' ||
+           |         '<nav><a href="/">home</a> <a href="/about">about us</a> ' ||
+           |         '<a href="/more">more links</a></nav>' ||
+           |         '<h1>Report &amp; notes for doc ' || CAST(doc_id AS VARCHAR) ||
+           |         '</h1><p>' || text ||
+           |         ' &lt;end&gt; &quot;fin&quot; &#39;ok&#39;&nbsp;.</p>' ||
+           |         '<footer>copyright <a href="/home">back to the home page</a>' ||
+           |         '</footer></body></html>' AS html
+           |  FROM documents
+           |), s AS (
+           |  SELECT doc_id,
+           |         regexp_replace(regexp_replace(html,
+           |           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           |           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x
+           |  FROM h
+           |), bl AS (
+           |  SELECT doc_id, string_split(regexp_replace(x,
+           |           '(?i)</?($blockTags)([ \t][^>]*)?/?>',
+           |           chr(10), 'g'), chr(10)) AS bs
+           |  FROM s
+           |), ub AS (
+           |  SELECT doc_id, i, bs[i] AS b
+           |  FROM bl, UNNEST(generate_series(1, len(bs))) t(i)
+           |), pb AS (
+           |  SELECT doc_id, i,
+           |         trim(regexp_replace(
+           |           ${dec("regexp_replace(b, '<[^>]*>', ' ', 'g')")},
+           |           '\\s+', ' ', 'g')) AS txt,
+           |         coalesce(list_sum(list_transform(
+           |           regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+           |           a -> len(${dec("regexp_replace(a, '<[^>]*>', '', 'g')")}))), 0) AS ll
+           |  FROM ub
+           |), nz AS (
+           |  SELECT * FROM pb WHERE len(txt) > 0
+           |), m AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           |         CAST(count(*) FILTER (WHERE ll * 2 <= len(txt)) AS BIGINT) AS n_kept
+           |  FROM nz GROUP BY doc_id
+           |), e AS (
+           |  SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS extracted
+           |  FROM nz WHERE ll * 2 <= len(txt) GROUP BY doc_id
+           |)
+           |SELECT d.doc_id,
+           |       coalesce(m.n_blocks, 0) AS n_blocks,
+           |       coalesce(m.n_kept, 0) AS n_kept,
+           |       CAST(len(coalesce(e.extracted, '')) AS BIGINT) AS kept_chars,
+           |       md5(coalesce(e.extracted, '')) AS extracted_md5
+           |FROM documents d LEFT JOIN m USING (doc_id) LEFT JOIN e USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Learned quality classifier (graft.operators.LearnedQuality):
+    // hashed-feature multinomial Naive Bayes, trained and scored in
+    // deterministic integer arithmetic (md5 feature hash, ×1024
+    // integer log2), so BOTH phases replay in DuckDB — the oracle
+    // re-trains the same model from the same labels and must agree on
+    // every document's integer score. Label for the gate: the document
+    // mentions 'spark' (a content label the bucket weights genuinely
+    // learn — LearnedQualitySpec shows separation on disjoint
+    // vocabularies; here the hash gate pins the arithmetic).
+    QDef(
+      "x_quality_learned",
+      (s, dir) => {
+        import graft.operators.LearnedQuality
+        val docs = Tables.documents(s, dir)
+        val label = array_contains(split(col("text"), " "), "spark")
+        val model = LearnedQuality.train(docs, "doc_id", "text", label,
+          buckets = 256)
+        LearnedQuality.score(model, docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), label.as("label")), Seq("doc_id"))
+          .select(col("doc_id"), col("label"), col("n_toks"),
+            col("score"), col("pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.operators.LearnedQuality.{ilog2Sql, mdBucketSql}
+        s"""WITH lab AS (
+           |  SELECT doc_id, list_contains(string_split(text, ' '), 'spark') AS good,
+           |         text FROM documents
+           |), tok AS (
+           |  SELECT doc_id, good, t.tok
+           |  FROM (SELECT doc_id, good, string_split(text, ' ') AS ws FROM lab),
+           |       UNNEST(ws) t(tok)
+           |  WHERE len(t.tok) > 0
+           |), bt AS (
+           |  SELECT doc_id, good, ${mdBucketSql("tok", 256)} AS b FROM tok
+           |), cnt AS (
+           |  SELECT b, sum(CASE WHEN good THEN 1 ELSE 0 END) AS cg,
+           |         sum(CASE WHEN NOT good THEN 1 ELSE 0 END) AS cb
+           |  FROM bt GROUP BY b
+           |), tot AS (
+           |  SELECT sum(cg) AS ng, sum(cb) AS nb FROM cnt
+           |), dt AS (
+           |  SELECT sum(CASE WHEN good THEN 1 ELSE 0 END) AS dg,
+           |         sum(CASE WHEN NOT good THEN 1 ELSE 0 END) AS db FROM lab
+           |), wt AS (
+           |  SELECT b, ${ilog2Sql("cg + 1")} - ${ilog2Sql("ng + 256")}
+           |           - ${ilog2Sql("cb + 1")} + ${ilog2Sql("nb + 256")} AS w
+           |  FROM cnt, tot
+           |), sc AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, sum(w) AS sw
+           |  FROM bt JOIN wt USING (b) GROUP BY doc_id
+           |)
+           |SELECT l.doc_id, l.good AS label,
+           |       coalesce(sc.n_toks, 0) AS n_toks,
+           |       CAST((${ilog2Sql("dg")} - ${ilog2Sql("db")})
+           |            + coalesce(sc.sw, 0) AS BIGINT) AS score,
+           |       ((${ilog2Sql("dg")} - ${ilog2Sql("db")})
+           |            + coalesce(sc.sw, 0)) > 0 AS pred
+           |FROM lab l LEFT JOIN sc USING (doc_id), dt
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // Within-document repetition (Gopher-style quality rule): the
     // fraction of repeated word 2-grams — high values flag loopy,

@@ -52,17 +52,45 @@ object MaterializedAgg {
   def maintainHook(srcLake: String, stateDir: String, viewLake: String,
       groupCols: Seq[String], valueCol: String, partitionCol: String,
       minMaxCols: Seq[String] = Nil,
-      srcPartitionCol: Option[String] = None): (SparkSession, Long) => Unit =
+      srcPartitionCol: Option[String] = None,
+      hllCol: Option[String] = None, hllP: Int = 10): (SparkSession, Long) => Unit =
     (spark, _) => {
       maintain(spark, srcLake, stateDir, viewLake, groupCols, valueCol,
-        partitionCol, minMaxCols, srcPartitionCol)
+        partitionCol, minMaxCols, srcPartitionCol, hllCol, hllP)
       ()
     }
+
+  /** The view's maintained register column for [[maintain]]'s
+    * `hllCol`: a dense length-2^p int array, 0 = empty bucket. */
+  val HllRegsCol = "hll_regs"
+
+  /** HLL distinct estimate from the maintained register column —
+    * [[graft.operators.Sketch]]'s estimator arithmetic verbatim
+    * (BIGINT-scaled harmonic sum, one final double division), so a
+    * view's estimate hash-matches a one-shot [[Sketch.hllDistinct]]
+    * over the same rows. */
+  def hllEstimate(regs: org.apache.spark.sql.Column,
+      p: Int): org.apache.spark.sql.Column = {
+    val m = 1L << p
+    val present = filter(regs, r => r > 0)
+    val sPresent = aggregate(present, lit(0L),
+      (acc, r) => acc + pow(lit(2.0), lit(53) - r).cast("long"))
+    val sTotal = sPresent + (lit(m) - size(present).cast("long")) * lit(1L << 53)
+    graft.functions.Arith.r2(
+      lit(graft.operators.Sketch.hllNumerator(p)) / sTotal.cast("double"))
+  }
 
   /** Fold every unseen source version into the view; returns versions
     * processed. `groupCols` must include `partitionCol` (the view's
     * layout key). Columns of the view: groupCols..., agg_sum,
-    * agg_count, and for each c in `minMaxCols` a min_c and max_c.
+    * agg_count, for each c in `minMaxCols` a min_c and max_c, and —
+    * when `hllCol` is set — [[HllRegsCol]], a maintained per-group
+    * HLL register array (precision `hllP`) answering APPROX COUNT
+    * DISTINCT of that column via [[hllEstimate]]: the canonical
+    * distinct-users-per-day view no SUM/COUNT family can serve.
+    * Inserts fold by element-wise register max (registers are
+    * mergeable — no source I/O); deletes re-read the touched groups,
+    * riding the same machinery as min/max.
     *
     * MIN/MAX are NOT invertible under deletes (removing the current
     * minimum says nothing about the runner-up), so they maintain by
@@ -82,7 +110,8 @@ object MaterializedAgg {
   def maintain(spark: SparkSession, srcLake: String, stateDir: String,
       viewLake: String, groupCols: Seq[String], valueCol: String,
       partitionCol: String, minMaxCols: Seq[String] = Nil,
-      srcPartitionCol: Option[String] = None): Int = {
+      srcPartitionCol: Option[String] = None,
+      hllCol: Option[String] = None, hllP: Int = 10): Int = {
     require(groupCols.contains(partitionCol),
       s"partitionCol '$partitionCol' must be one of groupCols $groupCols")
     // `partitionCol` is the VIEW's layout key; the SOURCE lake may be
@@ -109,31 +138,67 @@ object MaterializedAgg {
         val delta = changes.groupBy(groupCols.map(col): _*)
           .agg(deltaAggs.head, deltaAggs.tail: _*)
 
+        // HLL register state for the distinct column: a dense 2^p int
+        // array per group. Inserts MERGE by element-wise register max
+        // (HLL's defining property); deletes are NOT invertible (a
+        // removed key says nothing about the register's runner-up), so
+        // delete-touched groups re-read — the same case split as
+        // min/max below, sharing its touched-group machinery.
+        val m = 1 << hllP
+        def regsOf(df: org.apache.spark.sql.DataFrame, out: String) =
+          hllCol.map { c =>
+            val (b, r) = graft.operators.Sketch.hllCols(
+              col(c).cast("string"), hllP)
+            df.select(groupCols.map(col) :+ b.as("_hb") :+ r.as("_hr"): _*)
+              .groupBy(groupCols.map(col) :+ col("_hb"): _*)
+              .agg(max(col("_hr")).as("_hm"))
+              .groupBy(groupCols.map(col): _*)
+              .agg(map_from_entries(
+                collect_list(struct(col("_hb"), col("_hm")))).as("_hmap"))
+              .select(groupCols.map(col) :+
+                transform(sequence(lit(0), lit(m - 1)),
+                  i => coalesce(element_at(col("_hmap"), i), lit(0))).as(out): _*)
+          }
+        val insRegs = regsOf(changes.filter(isIns), "_ins_regs")
+
         // touched-group re-aggregation for the non-invertible measures
-        val recomputed: Option[org.apache.spark.sql.DataFrame] =
-          if (minMaxCols.isEmpty) None
+        val nonInvertible = minMaxCols.nonEmpty || hllCol.isDefined
+        val (recomputed, reRegs): (Option[org.apache.spark.sql.DataFrame],
+            Option[org.apache.spark.sql.DataFrame]) =
+          if (!nonInvertible) (None, None)
           else {
             val delKeys = delta.filter(col("d_del") === 1)
               .select(groupCols.map(col): _*).distinct()
             val anyDeletes = !delKeys.isEmpty
-            val reAggs = minMaxCols.flatMap(c => Seq(
-              min(col(c)).as(s"_re_min_$c"), max(col(c)).as(s"_re_max_$c")))
-            if (!anyDeletes)
-              // no delete this batch: empty frame with the right shape
-              // keeps the fold expressions resolvable, reads nothing
-              Some(delta.limit(0).select(groupCols.map(col): _*)
-                .select(groupCols.map(col) ++ minMaxCols.flatMap(c => Seq(
-                  lit(null).as(s"_re_min_$c"), lit(null).as(s"_re_max_$c"))): _*))
-            else {
+            if (!anyDeletes) {
+              // no delete this batch: empty frames with the right shape
+              // keep the fold expressions resolvable, read nothing
+              val emptyMm =
+                if (minMaxCols.isEmpty) None
+                else Some(delta.limit(0).select(groupCols.map(col): _*)
+                  .select(groupCols.map(col) ++ minMaxCols.flatMap(c => Seq(
+                    lit(null).as(s"_re_min_$c"), lit(null).as(s"_re_max_$c"))): _*))
+              val emptyRegs = hllCol.map(_ =>
+                delta.limit(0).select(groupCols.map(col) :+
+                  lit(null).cast(s"array<int>").as("_re_regs"): _*))
+              (emptyMm, emptyRegs)
+            } else {
               val srcParts = srcPartitionCol.map { c =>
                 delKeys.select(col(c).cast("string"))
                   .distinct().collect().map(_.getString(0)).toSeq
               }
               val src = VersionedLake.read(spark, srcLake,
                 version = Some(toV), partitions = srcParts)
-              Some(src.join(broadcast(delKeys), groupCols)
-                .groupBy(groupCols.map(col): _*)
-                .agg(reAggs.head, reAggs.tail: _*))
+              val touched = src.join(broadcast(delKeys), groupCols)
+              val mm =
+                if (minMaxCols.isEmpty) None
+                else {
+                  val reAggs = minMaxCols.flatMap(c => Seq(
+                    min(col(c)).as(s"_re_min_$c"), max(col(c)).as(s"_re_max_$c")))
+                  Some(touched.groupBy(groupCols.map(col): _*)
+                    .agg(reAggs.head, reAggs.tail: _*))
+                }
+              (mm, regsOf(touched, "_re_regs"))
             }
           }
 
@@ -141,14 +206,17 @@ object MaterializedAgg {
         val viewNullCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
           ("agg_sum" -> delta.schema("d_sum").dataType) ::
             ("agg_count" -> org.apache.spark.sql.types.LongType) ::
-            minMaxCols.flatMap(c => Seq(
+            (minMaxCols.flatMap(c => Seq(
               s"min_$c" -> delta.schema(s"_ins_min_$c").dataType,
-              s"max_$c" -> delta.schema(s"_ins_max_$c").dataType)).toList
+              s"max_$c" -> delta.schema(s"_ins_max_$c").dataType)) ++
+              hllCol.map(_ => HllRegsCol -> org.apache.spark.sql.types
+                .ArrayType(org.apache.spark.sql.types.IntegerType))).toList
+        val deltaJ = insRegs.fold(delta)(r => delta.join(r, groupCols, "left"))
         val merged0 =
           if (viewV == 0)
             // bootstrap: same fold expressions over typed-null view
             // columns (coalesce/least absorb them)
-            viewNullCols.foldLeft(delta) { case (d, (c, t)) =>
+            viewNullCols.foldLeft(deltaJ) { case (d, (c, t)) =>
               d.withColumn(c, lit(null).cast(t))
             }
           else {
@@ -156,9 +224,10 @@ object MaterializedAgg {
             val touched = delta.select(col(partitionCol).cast("string"))
               .distinct().collect().map(_.getString(0)).toSeq
             VersionedLake.read(spark, viewLake, partitions = Some(touched))
-              .join(delta, groupCols, "full")
+              .join(deltaJ, groupCols, "full")
           }
-        val base = recomputed.fold(merged0)(r => merged0.join(r, groupCols, "left"))
+        val base0 = recomputed.fold(merged0)(r => merged0.join(r, groupCols, "left"))
+        val base = reRegs.fold(base0)(r => base0.join(r, groupCols, "left"))
         // lit(0) (int) coerces to the value column's own type — an
         // integer-typed measure stays integer-exact through the
         // incremental folds (what lets a hash gate compare the
@@ -177,7 +246,19 @@ object MaterializedAgg {
                 .as(s"min_$c"),
               when(col("d_del") === 1, col(s"_re_max_$c"))
                 .otherwise(greatest(col(s"max_$c"), col(s"_ins_max_$c")))
-                .as(s"max_$c")))
+                .as(s"max_$c"))) ++
+            hllCol.map { _ =>
+              val empty = array_repeat(lit(0), m)
+              // insert path: element-wise register max of old ∪ batch;
+              // delete-touched path: the re-read registers (null when
+              // the group emptied — the row is deleted below anyway)
+              when(col("d_del") === 1, col("_re_regs"))
+                .otherwise(zip_with(
+                  coalesce(col(HllRegsCol), empty),
+                  coalesce(col("_ins_regs"), empty),
+                  (a, b) => greatest(a, b)))
+                .as(HllRegsCol)
+            }
         val rows = base.select(outCols: _*)
           .withColumn("_deleted", col("agg_count") <= 0)
         if (viewV == 0) {

@@ -106,6 +106,32 @@ class IvfSpec extends SparkSpec {
     assert(sampled >= full - 0.2, s"sampled-training recall $sampled vs full $full")
   }
 
+  test("annRecall: hits monotone in nprobe, full probe is exactly 1.0, counts add up") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 5)
+    val (assigned, centroids) = Similarity.quantizedKMeans(
+      emb, "vec_id", "embedding", nlist = 8, dim = 64, iters = 4)
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cell", "cv")
+    val rows = Similarity.annRecall(emb, q, "vec_id", "embedding",
+      k = 10, nprobes = Seq(1, 2, 4, 8), assigned, cdf)
+      .orderBy(col("nprobe"))
+      .select("nprobe", "hits", "max_hits", "recall_pct")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(rows.forall(r => r._3 == 50L), rows.mkString(","))
+    // nested candidate sets: recovered true neighbors never decrease
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"hits regressed: $a -> $b")
+    }
+    // full probe IS brute force
+    assert(rows.last._2 == 50L && rows.last._4 == 100.0, rows.last.toString)
+    // a shallow probe on 8 cells must lose something on this corpus,
+    // or the harness could not distinguish operating points
+    assert(rows.head._2 < 50L, s"nprobe=1 suspiciously perfect: ${rows.head}")
+  }
+
   test("quantized IVF: full probe equals brute force; partition-invariant") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     val q = emb.filter(col("vec_id") < 3)

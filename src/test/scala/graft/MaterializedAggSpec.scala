@@ -149,6 +149,80 @@ class MaterializedAggSpec extends SparkSpec {
     assert(mm(view) == Map("s1" -> ((5.0, 15.0))))
   }
 
+  test("HLL distinct view: inserts merge registers, deletes re-read, estimate equals one-shot") {
+    import graft.operators.Sketch
+    val root = tmp("magg_hll")
+    val src = s"$root/src"
+    val state = s"$root/state"
+    val view = s"$root/view"
+    val p = 5
+    def maintain() = MaterializedAgg.maintain(spark, src, state, view,
+      groupCols = Seq("sensor"), valueCol = "value", partitionCol = "sensor",
+      srcPartitionCol = Some("sensor"), hllCol = Some("user"), hllP = p)
+    // strongest pin: the MAINTAINED register arrays equal the one-shot
+    // register build over the current source state, bucket for bucket
+    def viewRegs(): Map[String, Seq[Int]] =
+      VersionedLake.read(spark, view).select("sensor", MaterializedAgg.HllRegsCol)
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[Int](1).toList.asInstanceOf[Seq[Int]]).toMap
+    def oneShotRegs(): Map[String, Seq[Int]] =
+      Sketch.hllRegisters(VersionedLake.read(spark, src),
+        col("user").cast("string"), Seq("sensor"), p)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1).map { case (k, rows) =>
+          val arr = Array.fill(1 << p)(0)
+          rows.foreach { case (_, b, mr) => arr(b) = mr }
+          k -> arr.toSeq
+        }
+    def viewEst(): Map[String, Double] =
+      VersionedLake.read(spark, view).select(col("sensor"),
+        MaterializedAgg.hllEstimate(col(MaterializedAgg.HllRegsCol), p).as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def oneShotEst(): Map[String, Double] =
+      Sketch.hllDistinct(VersionedLake.read(spark, src),
+        col("user").cast("string"), Seq("sensor"), p)
+        .collect().map(r => r.getString(0) ->
+          r.getAs[Double]("hll_estimate")).toMap
+
+    // v1 bootstrap: overlapping users within and across sensors
+    VersionedLake.create(
+      (1L to 30L).map(i => (i, if (i % 3 == 0) "s2" else "s1", s"u${i % 12}", 1.0))
+        .toDF("id", "sensor", "user", "value"), src, "sensor")
+    assert(maintain() == 1)
+    assert(viewRegs() == oneShotRegs())
+    assert(viewEst() == oneShotEst())
+
+    // v2 insert-only: registers fold by element-wise max, no source read
+    VersionedLake.append(
+      (31L to 45L).map(i => (i, "s1", s"u${i}", 1.0))
+        .toDF("id", "sensor", "user", "value"), src, "sensor")
+    assert(maintain() == 1)
+    assert(viewRegs() == oneShotRegs())
+    assert(viewEst() == oneShotEst())
+
+    // v3 deletes rows of s1 (including every row of some users — not
+    // invertible from registers) and empties nothing; v4 empties s2
+    VersionedLake.mergeUpsert(spark, src,
+      ((31L to 40L).map(i => (i, "s1", s"u${i}", 1.0, true)) :+
+        ((1L, "s1", "u1", 1.0, true)))
+        .toDF("id", "sensor", "user", "value", "_deleted"), Seq("id"), "sensor")
+    assert(maintain() == 1)
+    assert(viewRegs() == oneShotRegs())
+    assert(viewEst() == oneShotEst())
+
+    VersionedLake.mergeUpsert(spark, src,
+      (1L to 30L).filter(_ % 3 == 0).map(i => (i, "s2", s"u${i % 12}", 1.0, true))
+        .toDF("id", "sensor", "user", "value", "_deleted"), Seq("id"), "sensor")
+    assert(maintain() == 1)
+    assert(!viewRegs().contains("s2"))
+    assert(viewRegs() == oneShotRegs())
+
+    // exactly-once: re-running maintenance with nothing new is a no-op
+    val vv = VersionedLake.currentVersion(view)
+    assert(maintain() == 0)
+    assert(VersionedLake.currentVersion(view) == vv)
+  }
+
   test("streaming sink auto-maintains its view: interleaved commits, restart, exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

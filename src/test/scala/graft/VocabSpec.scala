@@ -222,6 +222,50 @@ class VocabSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("unigramPrune: loss ranking beats count ranking; chars survive; exact target; determinism") {
+    import spark.implicits._
+    // corpus: 'xy' is rare, 'qz' is common
+    val docs = (Seq.fill(2)("xy") ++ Seq.fill(20)("qz"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // model counts: 'xy' LOOKS important (high count → cheap cost, so
+    // removing it barely hurts — the char path is nearly as cheap),
+    // 'qz' looks unimportant (count 3) but its chars are expensive, so
+    // removal costs a lot per occurrence × 20 occurrences
+    val model = Seq("x" -> 100L, "y" -> 100L, "q" -> 1L, "z" -> 1L,
+      "xy" -> 50L, "qz" -> 3L)
+    val pruned = Vocab.unigramPrune(docs, "text", model, targetSize = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact target, all four chars survive with loss 0
+    assert(pruned.length == 5)
+    assert(pruned.filter(_._1.length == 1).map(_._1).sorted.toSeq ==
+      Seq("q", "x", "y", "z"))
+    assert(pruned.filter(_._1.length == 1).forall(_._4 == 0L))
+    // the count-ranked rule would keep 'xy' (50 > 3); loss ranking
+    // keeps 'qz' — the piece whose removal actually hurts the corpus
+    assert(pruned.map(_._1).contains("qz") && !pruned.map(_._1).contains("xy"),
+      pruned.mkString(","))
+    // determinism: same inputs, identical rows
+    val again = Vocab.unigramPrune(docs, "text", model, targetSize = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == pruned.toSeq)
+    // a piece on NO optimal path prices at 0 and is eliminated first
+    // among equals; equal (loss, cnt) ties break lexicographically
+    val model2 = Seq("a" -> 10L, "b" -> 10L, "ab" -> 5L, "ba" -> 5L)
+    val docs2 = Seq((1L, "ab ab")).toDF("id", "text")
+    val p2 = Vocab.unigramPrune(docs2, "text", model2, targetSize = 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(p2 == Seq("a", "ab", "b"), p2.toString) // 'ba' never on-path, loss 0
+    // pruning below the char floor is refused loudly
+    intercept[IllegalArgumentException] {
+      Vocab.unigramPrune(docs2, "text", model2, targetSize = 1)
+    }
+    // the pruned model still segments the corpus (totality via chars)
+    val seg = Vocab.unigramEncode(docs, "id", "text",
+      pruned.map(p => (p._1, p._3)).toSeq)
+      .collect()
+    assert(seg.length == 22 && seg.forall(_.getAs[Long]("n_pieces") > 0))
+  }
+
   test("ngramCountOfCounts: the table sums back to the distinct n-gram count") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val coc = Vocab.ngramCountOfCounts(docs, "text", 3)
