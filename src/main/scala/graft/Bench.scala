@@ -64,13 +64,19 @@ object Bench {
     // warm the session (codegen, shuffle machinery) so the first timed
     // query doesn't absorb JVM startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes for local
+    // iteration on a few gates (the driver never sets it)
+    val benchOnly: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(p) => name => p.split(",").exists(name.startsWith)
+      case None => _ => true
+    }
     // construct every plan once, untimed: gate construction materializes
     // any one-time fixtures (CSV lake, export lakes), so the timed loop
     // measures the queries themselves, not first-call fixture builds.
     // Failures are REPORTED, not swallowed — a gate whose fixture fails
     // here would otherwise be timed as its (fast) error path and read
     // as a performance win instead of a broken fixture.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => benchOnly(kv._1)).foreach { case (name, fn) =>
       try { fn(spark, sfDir); () } catch { case e: Throwable =>
         System.err.println(s"[bench] construction of $name failed: " +
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -98,7 +104,7 @@ object Bench {
     }
 
     var errors = List.empty[String]
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq.filter(kv => benchOnly(kv._1)).sortBy(_._1)
     // ~9 interior samples + the closing one
     val stride = math.max(1, ordered.size / 9)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -88,10 +88,15 @@ object LearnedQuality {
       col(text).as("t"))
     val tok = lab.select(col("good"), explode(split(col("t"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val cnt = tok.select(mdBucket(col("tok"), buckets).as("b"), col("good"))
-      .groupBy(col("b")).agg(
-        sum(when(col("good"), 1L).otherwise(0L)).as("cg"),
-        sum(when(!col("good"), 1L).otherwise(0L)).as("cb"))
+    // persisted: the totals action below and the weights projection
+    // both consume this ≤`buckets`-row aggregate — without the persist
+    // the token-level corpus scan runs twice
+    val cnt = graft.CacheRegistry.retain(
+      tok.select(mdBucket(col("tok"), buckets).as("b"), col("good"))
+        .groupBy(col("b")).agg(
+          sum(when(col("good"), 1L).otherwise(0L)).as("cg"),
+          sum(when(!col("good"), 1L).otherwise(0L)).as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val t = cnt.agg(coalesce(sum("cg"), lit(0L)).as("ng"),
       coalesce(sum("cb"), lit(0L)).as("nb")).head()
     val (ng, nb) = (t.getLong(0), t.getLong(1))

@@ -326,4 +326,25 @@ class PlanSpec extends SparkSpec {
       s"query count changed the shuffle census:\n$small\n---\n$large")
     assert(small.contains("BroadcastHashJoin"), small)
   }
+
+  test("markup extraction is a pure projection — zero exchanges, no join") {
+    val df = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"),
+        graft.operators.Markup.extractText(col("text")).as("e"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"markup extraction shuffles:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("learned-quality scoring: model rides broadcast, one per-doc aggregate") {
+    import org.apache.spark.sql.functions.lit
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val model = graft.operators.LearnedQuality.train(
+      docs, "doc_id", "text", col("doc_id") % 2 === 0, buckets = 64)
+    val p = graft.operators.LearnedQuality.score(model, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the bucket-bounded model must never be the stream side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
