@@ -48,6 +48,14 @@ object PostingsLake {
 
   private def postingsDir(lakeDir: String) = s"$lakeDir/postings"
   private def doclensDir(lakeDir: String) = s"$lakeDir/doclens"
+  private def statsDir(lakeDir: String) = s"$lakeDir/stats"
+
+  /** Table property marking a lake whose EVERY commit also maintained
+    * the corpus-stats ledger — what lets [[search]] trust it. Recorded
+    * at first append; a lake created by pre-ledger code can never
+    * acquire it (properties are immutable after the first commit), so
+    * mixed state is impossible by construction. */
+  private val StatsProp = "stats"
 
   /** Tokenize one increment of documents and append its postings and
     * doc lengths. Creates the lakes on first call; `batchId` arms the
@@ -69,12 +77,44 @@ object PostingsLake {
     if (batchId.forall(_ > VersionedLake.committedBatchId(postingsDir(lakeDir))))
       VersionedLake.append(postings, postingsDir(lakeDir), "tp", batchId,
         blooms = Seq(BloomSpec("term", m = 32768), BloomSpec("doc_id")),
-        props = Map("termParts" -> termParts.toString))
+        props = Map("termParts" -> termParts.toString, StatsProp -> "ledger"))
     if (batchId.forall(_ > VersionedLake.committedBatchId(doclensDir(lakeDir))))
       VersionedLake.append(doclens, doclensDir(lakeDir), "dp", batchId,
         blooms = Seq(BloomSpec("doc_id")),
         props = Map("docParts" -> docParts.toString))
+    // corpus-stats LEDGER: one (n_docs, sum_dl) row per increment, so
+    // search derives (N, avgdl) from an increments-sized read instead
+    // of scanning the doclens lake per query — at corpus scale the
+    // doclens scan is the new bottleneck once tokenize-on-query is
+    // gone. Deletes append NEGATIVE rows ([[delete]]), keeping the
+    // ledger exact under retraction.
+    if (batchId.forall(_ > VersionedLake.committedBatchId(statsDir(lakeDir)))) {
+      val inc = doclens.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+        .withColumn("sp", lit(0L))
+      VersionedLake.append(inc, statsDir(lakeDir), "sp", batchId)
+    }
   }
+
+  /** Corpus statistics (N, avgdl): from the ledger when this lake has
+    * maintained one since creation ([[StatsProp]]), else the doclens
+    * scan (pre-ledger lakes). The ledger read is increments-sized —
+    * metadata, not corpus. */
+  private[graft] def corpusStats(spark: SparkSession, lakeDir: String,
+      version: Option[Int]): DataFrame =
+    if (version.isEmpty &&
+        VersionedLake.tableProps(postingsDir(lakeDir)).contains(StatsProp))
+      VersionedLake.read(spark, statsDir(lakeDir))
+        .agg(sum(col("n")).as("n_docs"),
+          (sum(col("sdl")).cast("double") / sum(col("n")).cast("double"))
+            .as("avgdl"))
+    else
+      // a version-pinned search replays history: the doclens lake AT
+      // that version is the unambiguous source (mapping a postings
+      // version to a ledger version would re-introduce the coupling
+      // the batch-id watermarks exist to avoid)
+      VersionedLake.read(spark, doclensDir(lakeDir), version)
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
   /** The recorded termParts when the lake recorded one; pre-props
     * lakes fall back to the caller's value (the original contract). */
@@ -132,8 +172,7 @@ object PostingsLake {
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = VersionedLake.read(spark, doclensDir(lakeDir), version)
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val stats = corpusStats(spark, lakeDir, version)
     val scored = tf
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -199,6 +238,16 @@ object PostingsLake {
     val d = candRead(doclensDir(lakeDir))
       .join(ids, Seq("doc_id"), "left_semi")
       .withColumn("_deleted", lit(true))
+    // the removed docs' ledger correction rides as a NEGATIVE row —
+    // computed from the SAME candidate-bounded read the merge deletes,
+    // before the merge commits it away
+    if (batchId.forall(_ > VersionedLake.committedBatchId(statsDir(lakeDir))) &&
+        VersionedLake.tableProps(postingsDir(lakeDir)).contains(StatsProp)) {
+      val neg = d.agg((-count(lit(1))).as("n"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("sdl"))
+        .withColumn("sp", lit(0L))
+      VersionedLake.append(neg, statsDir(lakeDir), "sp", batchId)
+    }
     if (batchId.forall(_ > VersionedLake.committedBatchId(doclensDir(lakeDir))))
       VersionedLake.mergeUpsert(spark, doclensDir(lakeDir), d,
         Seq("doc_id"), "dp", batchId = batchId)

@@ -86,6 +86,26 @@ class PostingsLakeSpec extends SparkSpec {
     assert(viaSql == viaApi && viaSql.nonEmpty)
   }
 
+  test("corpus stats come from the increments ledger, exact under append and delete") {
+    import org.apache.spark.sql.functions.{avg, count, lit}
+    val r = java.nio.file.Files.createTempDirectory("graft_postings_stats").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", r, batchId = Some(0L))
+    PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", r, batchId = Some(1L))
+    PostingsLake.delete(docs.filter(col("doc_id") % 5 === 0), "doc_id", r,
+      batchId = Some(2L))
+    val ledger = PostingsLake.corpusStats(spark, r, None).head()
+    val truth = VersionedLake.read(spark, s"$r/doclens")
+      .agg(count(lit(1)), avg(col("dl"))).head()
+    assert(ledger.getLong(0) == truth.getLong(0))
+    assert(ledger.getDouble(1) == truth.getDouble(1),
+      s"ledger ${ledger.getDouble(1)} vs scan ${truth.getDouble(1)}")
+    // the ledger itself stays increments-sized: 3 rows, not corpus-sized
+    assert(VersionedLake.read(spark, s"$r/stats").count() == 3L)
+  }
+
   test("delete retracts documents: search equals one-shot on the surviving corpus") {
     val r = java.nio.file.Files.createTempDirectory("graft_postings_del").toString
     val docs = Tables.documents(spark, sf("sf0.001"))
