@@ -444,6 +444,25 @@ object Similarity {
           col("hits") * 100.0 / lit((nQueries * k).toDouble)).as("recall_pct"))
   }
 
+  /** The actionable half of [[annRecall]]: the smallest nprobe whose
+    * measured recall@k on the query sample meets `targetRecallPct` —
+    * probe depths swept doubling (1, 2, 4, …, nlist), so the harness
+    * costs O(log nlist) searches plus the one brute-force leg. Returns
+    * nlist when nothing smaller suffices (full probe IS brute force,
+    * so the target is always eventually met for targets ≤ 100). */
+  def chooseNprobe(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nlist: Int, targetRecallPct: Double,
+      assigned: DataFrame, centroids: DataFrame): Int = {
+    require(nlist >= 1 && targetRecallPct <= 100.0,
+      s"bad chooseNprobe params: nlist=$nlist target=$targetRecallPct")
+    val depths = (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist).toSeq :+ nlist).distinct
+    val rows = annRecall(corpus, queries, id, vec, k, depths,
+      assigned, centroids)
+      .select(col("nprobe"), col("recall_pct"))
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).sortBy(_._1)
+    rows.find(_._2 >= targetRecallPct).map(_._1).getOrElse(nlist)
+  }
+
   // ---------------------------------------------------------------------------
   // Product quantization — compressed-domain ANN
   // ---------------------------------------------------------------------------

@@ -1807,6 +1807,66 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Link graph + integer PageRank (graft.operators.LinkGraph): the
+    // domain-authority signal a crawl scheduler / mixture-weighting
+    // stage reads. Each document is given a constructed page linking
+    // to two modular-arithmetic hosts (one repeated in UPPERCASE — the
+    // case-folding test), plus relative/mailto links (no host — must
+    // drop out) and a self-link (must drop). The oracle replays href
+    // extraction, host parsing, the weighted edge aggregate, and all
+    // three scaled-integer PageRank rounds as unrolled CTEs.
+    QDef(
+      "x_link_graph",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        val html = concat(
+          lit("<p>see <a href=\"https://h"), (col("doc_id") % 17).cast("string"),
+          lit(".example/p\">one</a> and <a href=\"https://h"),
+          (col("doc_id") % 5).cast("string"),
+          lit(".example/q?x=1\">two</a> <a href=\"/relative/skip\">rel</a>" +
+            " <a href=\"mailto:a@b.c\">mail</a> <a href=\"HTTPS://H"),
+          (col("doc_id") % 17).cast("string"),
+          lit(".EXAMPLE/upper\">dup</a> <a href=\"https://"), col("source"),
+          lit(".example/self\">self</a></p>"))
+        val docs = Tables.documents(s, dir)
+          .select(concat(col("source"), lit(".example")).as("host"),
+            html.as("html"))
+        LinkGraph.pagerank(LinkGraph.domainEdges(docs, "host", "html"),
+          iters = 3)
+          .orderBy(col("host"))
+      },
+      Some {
+        s"""WITH h AS (
+           |  SELECT lower(source || '.example') AS src,
+           |         '<p>see <a href="https://h' || CAST(doc_id % 17 AS VARCHAR) ||
+           |         '.example/p">one</a> and <a href="https://h' ||
+           |         CAST(doc_id % 5 AS VARCHAR) ||
+           |         '.example/q?x=1">two</a> <a href="/relative/skip">rel</a>' ||
+           |         ' <a href="mailto:a@b.c">mail</a> <a href="HTTPS://H' ||
+           |         CAST(doc_id % 17 AS VARCHAR) ||
+           |         '.EXAMPLE/upper">dup</a> <a href="https://' || source ||
+           |         '.example/self">self</a></p>' AS html
+           |  FROM documents
+           |), lnk AS (
+           |  SELECT src,
+           |         unnest(regexp_extract_all(html,
+           |           '(?is)<a[^>]*href="([^"]*)"', 1)) AS u
+           |  FROM h
+           |), tgt AS (
+           |  SELECT src,
+           |         CASE WHEN regexp_extract(u, '^(?i)https?://([^/?#]+)', 1) <> ''
+           |              THEN lower(regexp_extract(u, '^(?i)https?://([^/?#]+)', 1))
+           |         END AS dst
+           |  FROM lnk
+           |), edges AS (
+           |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tgt
+           |  WHERE dst IS NOT NULL AND dst <> src GROUP BY src, dst
+           |),
+           |${graft.operators.LinkGraph.pagerankOracleCtes(3)}
+           |SELECT host, out_weight, in_weight, rank FROM prF
+           |ORDER BY host""".stripMargin
+      }),
+
     // Learned quality classifier (graft.operators.LearnedQuality):
     // hashed-feature multinomial Naive Bayes, trained and scored in
     // deterministic integer arithmetic (md5 feature hash, ×1024

@@ -130,6 +130,17 @@ class IvfSpec extends SparkSpec {
     // a shallow probe on 8 cells must lose something on this corpus,
     // or the harness could not distinguish operating points
     assert(rows.head._2 < 50L, s"nprobe=1 suspiciously perfect: ${rows.head}")
+
+    // the chooser turns the table into a configuration decision:
+    // a 100% target needs the full probe; an achievable mid target
+    // picks the smallest depth that measured at or above it
+    val full = Similarity.chooseNprobe(emb, q, "vec_id", "embedding",
+      k = 10, nlist = 8, targetRecallPct = 100.0, assigned, cdf)
+    assert(full == 8 ||
+      rows.find(_._1 == full).exists(_._4 >= 100.0), s"chose $full")
+    val mid = Similarity.chooseNprobe(emb, q, "vec_id", "embedding",
+      k = 10, nlist = 8, targetRecallPct = rows.head._4 + 0.01, assigned, cdf)
+    assert(mid > 1 && mid <= 8, s"chose $mid")
   }
 
   test("quantized IVF: full probe equals brute force; partition-invariant") {
