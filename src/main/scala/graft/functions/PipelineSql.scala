@@ -42,7 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `bm25_lake_search` (the incremental postings lake), `rrf_fuse`
   * (hybrid-retrieval reciprocal-rank fusion), `ann_lake_search`
   * (probe-pruned search over the lake-backed incremental ANN
-  * index), and the 4-arg
+  * index), `html_extract` (markup/boilerplate extraction),
+  * `domain_edges` / `link_pagerank` (the crawl link graph and its
+  * integer authority scores), `quality_learned` (train-and-score
+  * hashed Naive Bayes), `ann_recall` (the recall@k-vs-nprobe
+  * calibration table), `unigram_prune` (loss-ranked vocab
+  * elimination from a persisted model table), and the 4-arg
   * `read_range` column form over per-column zone maps — the whole
   * extension-operator inventory.
   *
@@ -798,6 +803,84 @@ object PipelineSql {
           nbits = int("semantic_dedup", es(4), "bits per LSH table"),
           tables = int("semantic_dedup", es(5), "LSH table count"),
           dim = int("semantic_dedup", es(6), "embedding dimension")))
+    }
+
+    // markup extraction: (table, id col, html col, densityNum, densityDen)
+    // → (id, text, n_blocks, n_kept)
+    reg("html_extract") { es =>
+      argc("html_extract", es, 5)
+      val idc = str("html_extract", es(1), "id column")
+      table("html_extract", es(0))
+        .select(org.apache.spark.sql.functions.col(idc),
+          graft.operators.Markup.extractText(
+            org.apache.spark.sql.functions.col(
+              str("html_extract", es(2), "html column")),
+            num = int("html_extract", es(3), "density numerator"),
+            den = int("html_extract", es(4), "density denominator")).as("e"))
+        .select(org.apache.spark.sql.functions.col(idc),
+          org.apache.spark.sql.functions.col("e.text").as("text"),
+          org.apache.spark.sql.functions.col("e.n_blocks").as("n_blocks"),
+          org.apache.spark.sql.functions.col("e.n_kept").as("n_kept"))
+    }
+
+    // link graph: host-level weighted edges from (host, html) documents
+    reg("domain_edges") { es =>
+      argc("domain_edges", es, 3)
+      graft.operators.LinkGraph.domainEdges(
+        table("domain_edges", es(0)),
+        host = str("domain_edges", es(1), "host column"),
+        html = str("domain_edges", es(2), "html column"))
+    }
+    // scaled-integer PageRank over an edge table (src, dst, weight)
+    reg("link_pagerank") { es =>
+      argc("link_pagerank", es, 3)
+      graft.operators.LinkGraph.pagerank(
+        table("link_pagerank", es(0)),
+        iters = int("link_pagerank", es(1), "iterations"),
+        dampingPct = int("link_pagerank", es(2), "damping percent"))
+    }
+
+    // learned quality: train on (table, id, text, label EXPRESSION,
+    // buckets) and score the same table — (doc_id, n_toks, score, pred)
+    reg("quality_learned") { es =>
+      argc("quality_learned", es, 5)
+      val t = table("quality_learned", es(0))
+      val id = str("quality_learned", es(1), "id column")
+      val text = str("quality_learned", es(2), "text column")
+      val model = graft.operators.LearnedQuality.train(t, id, text,
+        expr(str("quality_learned", es(3), "label expression")),
+        buckets = int("quality_learned", es(4), "feature buckets"))
+      graft.operators.LearnedQuality.score(model, t, id, text)
+    }
+
+    // ANN recall harness over a persisted index: (corpus, queries, id,
+    // vec, k, 'n1,n2,...', assigned table, centroids table)
+    reg("ann_recall") { es =>
+      argc("ann_recall", es, 8)
+      graft.operators.Similarity.annRecall(
+        table("ann_recall", es(0)), table("ann_recall", es(1)),
+        id = str("ann_recall", es(2), "id column"),
+        vec = str("ann_recall", es(3), "vector column"),
+        k = int("ann_recall", es(4), "k"),
+        nprobes = csv(str("ann_recall", es(5), "nprobe list")).map(_.toInt),
+        assigned = table("ann_recall", es(6)),
+        centroids = table("ann_recall", es(7)))
+    }
+
+    // loss-ranked unigram pruning: the model arrives as a TABLE of
+    // (piece, cnt) — e.g. a persisted unigram_train output
+    reg("unigram_prune") { es =>
+      argc("unigram_prune", es, 5)
+      val model = table("unigram_prune", es(2))
+        .select(org.apache.spark.sql.functions.col("piece"),
+          org.apache.spark.sql.functions.col("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.operators.Vocab.unigramPrune(
+        table("unigram_prune", es(0)),
+        text = str("unigram_prune", es(1), "text column"),
+        model = model,
+        targetSize = int("unigram_prune", es(3), "target vocab size"),
+        maxLen = int("unigram_prune", es(4), "max piece length"))
     }
   }
 }

@@ -567,4 +567,47 @@ class DialectSpec extends SparkSpec {
     assert(rows(spark.sql("SELECT * FROM rrf_fuse('rrf_lex', 'rrf_vec', 5, 60)")) ==
       rows(graft.operators.TextSearch.rrfFuse(lex, vec, k = 5)))
   }
+
+  test("round-14 TVFs equal the Scala API: html_extract, link graph, learned quality, prune") {
+    graft.functions.PipelineSql.register(spark)
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+
+    val pages = Seq(
+      ("a.example", 1L, "<p>body text here</p><nav><a href=\"https://b.example/\">b</a> " +
+        "<a href=\"https://c.example/\">c</a></nav>"),
+      ("b.example", 2L, "<p>more prose</p><a href=\"https://a.example/\">a</a>"))
+      .toDF("host", "doc_id", "html")
+    pages.createOrReplaceTempView("lg_pages")
+
+    assert(rows(spark.sql("SELECT * FROM html_extract('lg_pages', 'doc_id', 'html', 1, 2)")) ==
+      rows(pages.select(col("doc_id"),
+        graft.operators.Markup.extractText(col("html")).as("e"))
+        .select(col("doc_id"), col("e.text").as("text"),
+          col("e.n_blocks").as("n_blocks"), col("e.n_kept").as("n_kept"))))
+
+    val edges = graft.operators.LinkGraph.domainEdges(pages, "host", "html")
+    assert(rows(spark.sql("SELECT * FROM domain_edges('lg_pages', 'host', 'html')")) ==
+      rows(edges))
+    edges.createOrReplaceTempView("lg_edges")
+    assert(rows(spark.sql("SELECT * FROM link_pagerank('lg_edges', 2, 85)")) ==
+      rows(graft.operators.LinkGraph.pagerank(edges, iters = 2)))
+
+    val docs = Seq((1L, "aa bb cc", true), (2L, "dd ee ff", false))
+      .toDF("doc_id", "text", "lab")
+    docs.createOrReplaceTempView("lq_docs")
+    val model = graft.operators.LearnedQuality.train(docs, "doc_id", "text",
+      col("lab"), buckets = 64)
+    assert(rows(spark.sql(
+      "SELECT * FROM quality_learned('lq_docs', 'doc_id', 'text', 'lab', 64)")) ==
+      rows(graft.operators.LearnedQuality.score(model, docs, "doc_id", "text")))
+
+    val corpus = Seq((1L, "ab ab"), (2L, "ab ba")).toDF("doc_id", "text")
+    corpus.createOrReplaceTempView("up_docs")
+    val m = Seq(("a", 10L), ("b", 10L), ("ab", 5L), ("ba", 2L)).toDF("piece", "cnt")
+    m.createOrReplaceTempView("up_model")
+    assert(rows(spark.sql("SELECT * FROM unigram_prune('up_docs', 'text', 'up_model', 3, 6)")) ==
+      rows(graft.operators.Vocab.unigramPrune(corpus, "text",
+        Seq(("a", 10L), ("b", 10L), ("ab", 5L), ("ba", 2L)), targetSize = 3)))
+  }
 }
