@@ -1746,11 +1746,65 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        s"""WITH ${markupCtes(htmlExtractFixtureSql)}
-           |SELECT doc_id, n_blocks, n_kept,
-           |       CAST(len(extracted) AS BIGINT) AS kept_chars,
-           |       md5(extracted) AS extracted_md5
-           |FROM ext ORDER BY doc_id""".stripMargin
+        val dec = (x: String) =>
+          s"""replace(replace(replace(replace(replace(replace(
+             |  $x,
+             |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |  '&nbsp;', ' '), '&amp;', '&')""".stripMargin
+        val blockTags = graft.operators.Markup.BlockTags.mkString("|")
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           |         '</title><style>p { color: red; }</style>' ||
+           |         '<script>if (1 < 2) { x = "<div>&amp;</div>"; }</script></head><body>' ||
+           |         '<nav><a href="/">home</a> <a href="/about">about us</a> ' ||
+           |         '<a href="/more">more links</a></nav>' ||
+           |         '<h1>Report &amp; notes for doc ' || CAST(doc_id AS VARCHAR) ||
+           |         '</h1><p>' || text ||
+           |         ' &lt;end&gt; &quot;fin&quot; &#39;ok&#39;&nbsp;.</p>' ||
+           |         '<footer>copyright <a href="/home">back to the home page</a>' ||
+           |         '</footer></body></html>' AS html
+           |  FROM documents
+           |), s AS (
+           |  SELECT doc_id,
+           |         regexp_replace(regexp_replace(html,
+           |           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           |           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x
+           |  FROM h
+           |), bl AS (
+           |  SELECT doc_id, string_split(regexp_replace(x,
+           |           '(?i)</?($blockTags)([ \t][^>]*)?/?>',
+           |           chr(10), 'g'), chr(10)) AS bs
+           |  FROM s
+           |), ub AS (
+           |  SELECT doc_id, i, bs[i] AS b
+           |  FROM bl, UNNEST(generate_series(1, len(bs))) t(i)
+           |), pb AS (
+           |  SELECT doc_id, i,
+           |         trim(regexp_replace(
+           |           ${dec("regexp_replace(b, '<[^>]*>', ' ', 'g')")},
+           |           '\\s+', ' ', 'g')) AS txt,
+           |         coalesce(list_sum(list_transform(
+           |           regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+           |           a -> len(${dec("regexp_replace(a, '<[^>]*>', '', 'g')")}))), 0) AS ll
+           |  FROM ub
+           |), nz AS (
+           |  SELECT * FROM pb WHERE len(txt) > 0
+           |), m AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           |         CAST(count(*) FILTER (WHERE ll * 2 <= len(txt)) AS BIGINT) AS n_kept
+           |  FROM nz GROUP BY doc_id
+           |), e AS (
+           |  SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS extracted
+           |  FROM nz WHERE ll * 2 <= len(txt) GROUP BY doc_id
+           |)
+           |SELECT d.doc_id,
+           |       coalesce(m.n_blocks, 0) AS n_blocks,
+           |       coalesce(m.n_kept, 0) AS n_kept,
+           |       CAST(len(coalesce(e.extracted, '')) AS BIGINT) AS kept_chars,
+           |       md5(coalesce(e.extracted, '')) AS extracted_md5
+           |FROM documents d LEFT JOIN m USING (doc_id) LEFT JOIN e USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
       }),
 
     // Link graph + integer PageRank (graft.operators.LinkGraph): the
