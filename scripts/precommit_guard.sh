@@ -1,0 +1,22 @@
+#!/bin/bash
+# Pre-commit guard: refuse any commit that would snapshot a non-compiling
+# tree. Round 14's end-of-round snapshot committed a half-finished refactor
+# (undefined helpers in TextQueries.scala) and invalidated every gate for
+# the round; this hook makes that impossible.
+#
+# Install (done by scripts/install_hooks.sh, idempotent):
+#   ln -sf ../../scripts/precommit_guard.sh .git/hooks/pre-commit
+#
+# Fast path: commits that stage no .scala / build file skip the compile.
+set -e
+cd "$(git rev-parse --show-toplevel)"
+
+if git diff --cached --name-only | grep -qE '\.(scala|sbt)$|project/'; then
+  echo "[precommit_guard] Scala sources staged; running sbt compile..." >&2
+  if ! sbt -batch compile > /tmp/precommit_compile.log 2>&1; then
+    echo "[precommit_guard] REFUSING COMMIT: sbt compile failed." >&2
+    tail -30 /tmp/precommit_compile.log >&2
+    exit 1
+  fi
+  echo "[precommit_guard] compile green." >&2
+fi
