@@ -22,7 +22,11 @@ object Bench {
     *
     * A gate is suspect when it cleared `floorSec` (sub-half-second
     * jitter is not worth a re-run) AND any of:
-    *  - baseline rule: > factor × its previous clean time;
+    *  - baseline rule: > baselineFactor × its previous clean time
+    *    (2.0 — the round bar is "no gate >2× its per-gate baseline on
+    *    the measured run", and isolation runs show these gates at
+    *    ~1.0× baseline, so anything above 2× in suite context is
+    *    contention worth one adjudication re-run);
     *  - canary rule: its position lies within one canary stride of a
     *    canary sample that itself ran > factor × the canary minimum
     *    (the contention window demonstrably overlapped the gate);
@@ -36,6 +40,7 @@ object Bench {
       canarySamples: Seq[(Int, Double)],
       stride: Int,
       factor: Double = 3.0,
+      baselineFactor: Double = 2.0,
       floorSec: Double = 0.5): Seq[String] = {
     val sorted = times.map(_._2).sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
@@ -45,7 +50,7 @@ object Bench {
     }
     times.zipWithIndex.collect {
       case ((name, t), i) if t > floorSec && (
-        baseline.get(name).exists(b => b > 0 && t > factor * b) ||
+        baseline.get(name).exists(b => b > 0 && t > baselineFactor * b) ||
           inflatedCanaryPos.exists(p => math.abs(p - i) <= stride) ||
           (!baseline.contains(name) && t > factor * median && t > 2.0)) =>
         name

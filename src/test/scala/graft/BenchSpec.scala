@@ -27,6 +27,15 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspects(times, baseline, flatCanary, stride = 5) == Seq("b"))
   }
 
+  test("baseline rule fires above 2x — the round bar — not just 3x") {
+    // the r13 x_doc_repetition case: 2.7x its clean value, previously
+    // below the 3x factor and so never adjudicated
+    val baseline = Map("x_doc_repetition" -> 0.28, "ok" -> 1.0)
+    val times = Seq("x_doc_repetition" -> 0.76, "ok" -> 1.9)
+    assert(Bench.suspects(times, baseline, flatCanary, stride = 5) ==
+      Seq("x_doc_repetition"))
+  }
+
   test("floor: sub-half-second jitter never re-runs, even at high ratios") {
     val baseline = Map("a" -> 0.01)
     assert(Bench.suspects(Seq("a" -> 0.4), baseline, flatCanary, 5).isEmpty)
