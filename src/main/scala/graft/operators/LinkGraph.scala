@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * x_link_graph gate replays extraction, graph build, and every
   * PageRank round in DuckDB):
   *
-  *  - [[extractHrefs]]: the href targets of `<a>` elements
-  *    (double-quoted hrefs — the overwhelmingly dominant form; the
-  *    regex dialect is the RE2-safe subset [[Markup]] established);
+  *  - [[extractHrefs]]: the href targets of `<a>` elements in all
+  *    three HTML quoting forms — double-quoted, single-quoted, and
+  *    unquoted (real crawl HTML mixes them); the regex dialect is the
+  *    RE2-safe subset [[Markup]] established;
   *  - [[domainEdges]]: host-level (src, dst, weight) edges — absolute
   *    http(s) links only (relative/mailto/javascript links have no
   *    host and drop out via the empty-match rule both engines share),
@@ -33,18 +34,47 @@ import org.apache.spark.sql.functions._
   * distributed form — edges ⋈ ranks on src (ranks are host-vocabulary
   * sized, broadcastable for web-scale edge tables), then one hash
   * aggregate on dst with map-side partial sums, so a mega-hub dst is
-  * combined before the shuffle. Overflow bound (documented, checked):
-  * d·r·w must fit int64 — with S = 10^6 that holds while
-  * totalRank·maxWeight < 10^11, far past any real host graph at the
-  * default damping; pick a smaller S for pathological weights. */
+  * combined before the shuffle. Overflow bound (documented AND
+  * enforced — [[pagerank]] fails fast instead of silently wrapping):
+  * d·r·w must fit int64; total rank mass never exceeds nodes·Scale
+  * (the base injection is (100−d)% of Scale and each round
+  * redistributes at most the damped mass), so requiring
+  * 100·nodes·Scale·maxWeight < 2^63 bounds every round's arithmetic.
+  * With S = 10^6 that holds while nodes·maxWeight < ~9·10^10, far past
+  * any real host graph; pick a smaller S for pathological weights. */
 object LinkGraph {
 
   /** Rank fixed-point scale: every host starts at S. */
   val Scale = 1000000L
 
-  /** href targets of double-quoted `<a>` elements, in document order. */
-  def extractHrefs(html: Column): Column =
-    regexp_extract_all(html, lit("(?is)<a[^>]*href=\"([^\"]*)\""), lit(1))
+  /** href targets of `<a>` elements, in document order, in all three
+    * HTML quoting forms: `href="…"`, `href='…'`, and unquoted
+    * `href=…` (terminated by whitespace or `>`, per the HTML spec's
+    * unquoted-attribute rules). The match keeps the surrounding quotes
+    * in one capture group and strips them in a second pass, because a
+    * single regex group can't alternate across quote styles in both
+    * engines' dialects (the gate replays this two-step verbatim in
+    * DuckDB via list_transform). */
+  def extractHrefs(html: Column): Column = {
+    val toks = regexp_extract_all(html,
+      lit("(?is)<a[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"), lit(1))
+    transform(toks, t => {
+      val first = substring(t, 1, 1)
+      when(first === "\"" || first === "'",
+        t.substr(lit(2), length(t) - 2)).otherwise(t)
+    })
+  }
+
+  /** The DuckDB twin of [[extractHrefs]] as a SQL expression over
+    * `htmlSql` — same regex, same quote-strip transform — so every
+    * gate/oracle that replays extraction stays in lockstep with the
+    * Spark side by construction. */
+  def extractHrefsSql(htmlSql: String): String =
+    s"""list_transform(
+       |  regexp_extract_all($htmlSql,
+       |    '(?is)<a[^>]*?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)', 1),
+       |  t -> CASE WHEN substr(t, 1, 1) IN ('"', '''')
+       |            THEN substr(t, 2, length(t) - 2) ELSE t END)""".stripMargin
 
   /** Lowercased host of an absolute http(s) URL; null for anything
     * else (relative, mailto, javascript, malformed). */
@@ -77,6 +107,20 @@ object LinkGraph {
       e.select(col("src").as("host"))
         .unionByName(e.select(col("dst").as("host"))).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Overflow guard — the scaladoc's documented bound, enforced: the
+    // largest contribution numerator any round can form is
+    // dampingPct·r·w with r ≤ total rank mass ≤ nodes·Scale (induction:
+    // newSum ≤ n·(1−d)·S + d·oldSum, fixed point n·S), so requiring
+    // 100·n·S·maxW to fit int64 (with headroom) makes every round's
+    // scaled-integer arithmetic exact by construction. Both inputs are
+    // model-sized aggregates over the persisted edge table.
+    val nNodes = nodes.count()
+    val maxW = e.agg(coalesce(max(col("weight")), lit(0L))).head().getLong(0)
+    require(
+      100.0 * nNodes.toDouble * Scale.toDouble * maxW.toDouble
+        < Long.MaxValue.toDouble * 0.99,
+      s"pagerank int64 overflow: nodes=$nNodes maxWeight=$maxW at " +
+        s"Scale=$Scale — rescale weights or use a smaller Scale")
     val outd = e.groupBy(col("src")).agg(sum(col("weight")).as("outw"))
     val base = (100L - dampingPct) * Scale / 100L
     var ranks = nodes.select(col("host"), lit(Scale).as("r"))

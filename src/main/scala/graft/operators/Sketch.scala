@@ -100,32 +100,35 @@ object Sketch {
     (bucket, rho)
   }
 
-  /** Per-group HLL distinct estimate of `key` (a string-typed column),
-    * with the exact `count(distinct)` alongside for calibration (drop
-    * the exact leg at scale — it IS the distinct-shuffle the sketch
-    * replaces).
+  /** Per-group HLL distinct estimate of `key` (a string-typed column).
     *
-    * Output: groupCols..., hll_estimate (half-up 2dp), exact_distinct,
-    * rel_err_pct (half-up 2dp).
+    * Default output: groupCols..., hll_estimate (half-up 2dp) — the
+    * scale-safe form, whose only shuffle is register-sized (≤ 2^p rows
+    * per group). `exact = true` adds a calibration leg
+    * (`exact_distinct`, `rel_err_pct` half-up 2dp) computed with a real
+    * `count(distinct)` — useful while tuning `p`, but that leg IS the
+    * distinct-shuffle the sketch replaces, so it is opt-in and should
+    * never ship in a production pipeline at corpus scale.
     */
-  def hllDistinct(df: DataFrame, key: Column, groupCols: Seq[String], p: Int): DataFrame = {
+  def hllDistinct(df: DataFrame, key: Column, groupCols: Seq[String], p: Int,
+      exact: Boolean = false): DataFrame = {
     import graft.functions.Arith.r2
     val gs = groupCols.map(col)
     val harmonic = hllEstimate(hllRegisters(df, key, groupCols, p), groupCols, p)
-    val exact = df
+    if (!exact) return harmonic.select(gs :+ col("hll_estimate"): _*)
+    val exactLeg = df
       .groupBy(gs: _*)
       .agg(countDistinct(key).as("exact_distinct"))
     val joined =
-      if (groupCols.isEmpty) harmonic.crossJoin(exact)
-      else harmonic.join(exact, groupCols)
-    val out = joined
+      if (groupCols.isEmpty) harmonic.crossJoin(exactLeg)
+      else harmonic.join(exactLeg, groupCols)
+    joined
       .withColumn(
         "rel_err_pct",
         r2((col("hll_estimate") - col("exact_distinct")) * 100.0 /
           col("exact_distinct")))
       .select(gs ++ Seq(col("hll_estimate"), col("exact_distinct"),
         col("rel_err_pct")): _*)
-    out
   }
 
   /** Per-group register SETS — the mergeable partial state a pipeline
@@ -296,8 +299,10 @@ object Sketch {
     * bucket/rho extraction (instr-on-hex-alphabet nibble arithmetic),
     * identical BIGINT harmonic sum, identical final double ops.
     * `keySql` must render the key exactly as the Spark column does
-    * (bigints print identically in both engines). */
-  def hllOracleSql(src: String, keySql: String, groupCols: Seq[String], p: Int): String = {
+    * (bigints print identically in both engines). `exact` mirrors the
+    * Spark side's calibration switch. */
+  def hllOracleSql(src: String, keySql: String, groupCols: Seq[String], p: Int,
+      exact: Boolean = false): String = {
     val m = 1 << p
     val numer = hllNumerator(p).toString
     val gSel = groupCols.map(g => s"$g, ").mkString
@@ -306,20 +311,26 @@ object Sketch {
       if (groupCols.isEmpty) "ON TRUE"
       else "USING (" + groupCols.mkString(", ") + ")"
     val ord = if (groupCols.isEmpty) "" else s"\nORDER BY ${groupCols.mkString(", ")}"
-    s"""WITH ${regsCtes(src, keySql, gSel, m)}, est AS (
-       |  SELECT $gSel
-       |         floor($numer / CAST(
-       |             sum(CAST(power(2.0, $RhoScale - mr) AS BIGINT))
-       |             + ($m - count(*)) * ${TermScale}
-       |           AS DOUBLE) * 100 + 0.5) / 100.0 AS hll_estimate
-       |  FROM regs $gBy
-       |), ex AS (
-       |  SELECT $gSel count(DISTINCT $keySql) AS exact_distinct FROM $src $gBy
-       |)
-       |SELECT $gSel hll_estimate, exact_distinct,
-       |       floor((hll_estimate - exact_distinct) * 100.0 / exact_distinct
-       |             * 100 + 0.5) / 100.0 AS rel_err_pct
-       |FROM est JOIN ex $gJoin$ord""".stripMargin
+    val estCte =
+      s"""WITH ${regsCtes(src, keySql, gSel, m)}, est AS (
+         |  SELECT $gSel
+         |         floor($numer / CAST(
+         |             sum(CAST(power(2.0, $RhoScale - mr) AS BIGINT))
+         |             + ($m - count(*)) * ${TermScale}
+         |           AS DOUBLE) * 100 + 0.5) / 100.0 AS hll_estimate
+         |  FROM regs $gBy
+         |)""".stripMargin
+    if (!exact)
+      s"""$estCte
+         |SELECT $gSel hll_estimate FROM est$ord""".stripMargin
+    else
+      s"""$estCte, ex AS (
+         |  SELECT $gSel count(DISTINCT $keySql) AS exact_distinct FROM $src $gBy
+         |)
+         |SELECT $gSel hll_estimate, exact_distinct,
+         |       floor((hll_estimate - exact_distinct) * 100.0 / exact_distinct
+         |             * 100 + 0.5) / 100.0 AS rel_err_pct
+         |FROM est JOIN ex $gJoin$ord""".stripMargin
   }
 
   /** The h → zr → rho → regs CTE chain shared by the HLL oracles. */

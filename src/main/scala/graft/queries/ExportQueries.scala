@@ -828,7 +828,7 @@ object ExportQueries {
       Some(graft.operators.Sketch.hllOracleSql(
         "(SELECT CASE WHEN event_id % 7 = 0 THEN 'adjusted' ELSE event_type END" +
           " AS event_type, user_id FROM events WHERE user_id % 5 <> 0) mg",
-        "CAST(user_id AS VARCHAR)", Seq("event_type"), p = 5))),
+        "CAST(user_id AS VARCHAR)", Seq("event_type"), p = 5, exact = true))),
 
     // Lake maintenance 11: PER-COLUMN zone maps. Every commit records
     // min/max for every stats-encodable column (numeric, date,

@@ -190,6 +190,39 @@ object RelationalQueries {
       },
       Some(enrichmentOracle)),
 
+    // J5 persistent form — the reference's enrichment view is a durable
+    // CREATE VIEW in the Athena/Glue catalog (README.md:430-444), not a
+    // session-scoped one. This gate registers the CSV dims and the
+    // parquet fact as EXTERNAL catalog tables, creates a persistent
+    // (non-TEMPORARY) view over them, then reads the view from a FRESH
+    // session (spark.newSession() — same warehouse, empty temp-view
+    // registry). A temp view would fail to resolve there; only catalog
+    // persistence makes this pass. Same relation as j_enrichment_view
+    // ⇒ same oracle.
+    QDef(
+      "j5_persistent_view",
+      (s, dir) => {
+        val tmp = Fixtures.dir("csv_lake", dir) { out =>
+          graft.sources.CsvLake.exportCsv(Tables.nation(s, dir), s"$out/nation_csv")
+          graft.sources.CsvLake.exportCsv(Tables.region(s, dir), s"$out/region_csv")
+        }
+        graft.sources.CsvLake.registerExternalCatalogTable(s, s"$tmp/nation_csv", "lake_nation")
+        graft.sources.CsvLake.registerExternalCatalogTable(s, s"$tmp/region_csv", "lake_region")
+        graft.sources.CsvLake.registerParquetCatalogTable(s, s"$dir/customer.parquet", "lake_customer")
+        s.sql(
+          """CREATE OR REPLACE VIEW enriched_customers AS
+            |SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+            |       floor(c.c_acctbal * 100 + 0.5) / 100.0D AS acctbal,
+            |       concat_ws('-', c.c_mktsegment, n.n_name) AS segment_key
+            |FROM lake_customer c
+            |JOIN lake_nation n ON c.c_nationkey = CAST(n.n_nationkey AS BIGINT)
+            |JOIN lake_region r ON CAST(n.n_regionkey AS BIGINT) = CAST(r.r_regionkey AS BIGINT)
+            |WHERE c.c_acctbal > 0""".stripMargin)
+        s.newSession().sql(
+          "SELECT * FROM enriched_customers ORDER BY c_custkey")
+      },
+      Some(enrichmentOracle)),
+
     // J1+J2+J5 — the Athena enrichment view shape (README.md:430-444):
     // fact enriched through two small dimensions; dims auto-broadcast.
     QDef(

@@ -90,23 +90,26 @@ object SketchQueries {
         "event_type = 'click'", "event_type = 'purchase'", p = 10))),
 
     // Distinct users per day at m=32 registers: the grouped sketch
-    // (30 groups, each its own register set). exact_distinct /
-    // rel_err_pct ride along as calibration columns (both engines
-    // compute them identically).
+    // (30 groups, each its own register set), run in CALIBRATION mode
+    // (exact = true): exact_distinct / rel_err_pct ride along, computed
+    // identically by both engines. This is the tuning form — the
+    // exact leg is the distinct-shuffle the sketch replaces, so it is
+    // opt-in and k_hll_events below gates the production default.
     QDef(
       "k_hll_users",
       (s, dir) => Sketch.hllDistinct(
         Tables.events(s, dir)
           .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
         col("user_id").cast("string"),
-        groupCols = Seq("day"), p = 5)
+        groupCols = Seq("day"), p = 5, exact = true)
         .orderBy(col("day")),
       Some(Sketch.hllOracleSql(
         "(SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, user_id FROM events) ev",
-        "CAST(user_id AS VARCHAR)", Seq("day"), p = 5))),
+        "CAST(user_id AS VARCHAR)", Seq("day"), p = 5, exact = true))),
 
     // Global distinct event ids at m=1024 registers: the high-precision
-    // ungrouped sketch (~3% expected error).
+    // ungrouped sketch (~3% expected error) in its DEFAULT estimate-only
+    // form — no exact leg, so the only shuffle is register-sized.
     QDef(
       "k_hll_events",
       (s, dir) => Sketch.hllDistinct(

@@ -1811,10 +1811,13 @@ object TextQueries {
     // domain-authority signal a crawl scheduler / mixture-weighting
     // stage reads. Each document is given a constructed page linking
     // to two modular-arithmetic hosts (one repeated in UPPERCASE — the
-    // case-folding test), plus relative/mailto links (no host — must
-    // drop out) and a self-link (must drop). The oracle replays href
-    // extraction, host parsing, the weighted edge aggregate, and all
-    // three scaled-integer PageRank rounds as unrolled CTEs.
+    // case-folding test) plus a single-quoted and an UNQUOTED link
+    // (real crawl HTML mixes all three attribute-quoting forms), plus
+    // relative/mailto links (no host — must drop out) and a self-link
+    // (must drop). The oracle replays href extraction (the shared
+    // extractHrefsSql twin), host parsing, the weighted edge
+    // aggregate, and all three scaled-integer PageRank rounds as
+    // unrolled CTEs.
     QDef(
       "x_link_graph",
       (s, dir) => {
@@ -1823,7 +1826,11 @@ object TextQueries {
           lit("<p>see <a href=\"https://h"), (col("doc_id") % 17).cast("string"),
           lit(".example/p\">one</a> and <a href=\"https://h"),
           (col("doc_id") % 5).cast("string"),
-          lit(".example/q?x=1\">two</a> <a href=\"/relative/skip\">rel</a>" +
+          lit(".example/q?x=1\">two</a> <a href='https://s"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example/sq'>sq</a> <a href=https://u"),
+          (col("doc_id") % 3).cast("string"),
+          lit(".example/uq>uq</a> <a href=\"/relative/skip\">rel</a>" +
             " <a href=\"mailto:a@b.c\">mail</a> <a href=\"HTTPS://H"),
           (col("doc_id") % 17).cast("string"),
           lit(".EXAMPLE/upper\">dup</a> <a href=\"https://"), col("source"),
@@ -1841,7 +1848,11 @@ object TextQueries {
            |         '<p>see <a href="https://h' || CAST(doc_id % 17 AS VARCHAR) ||
            |         '.example/p">one</a> and <a href="https://h' ||
            |         CAST(doc_id % 5 AS VARCHAR) ||
-           |         '.example/q?x=1">two</a> <a href="/relative/skip">rel</a>' ||
+           |         '.example/q?x=1">two</a> <a href=''https://s' ||
+           |         CAST(doc_id % 7 AS VARCHAR) ||
+           |         '.example/sq''>sq</a> <a href=https://u' ||
+           |         CAST(doc_id % 3 AS VARCHAR) ||
+           |         '.example/uq>uq</a> <a href="/relative/skip">rel</a>' ||
            |         ' <a href="mailto:a@b.c">mail</a> <a href="HTTPS://H' ||
            |         CAST(doc_id % 17 AS VARCHAR) ||
            |         '.EXAMPLE/upper">dup</a> <a href="https://' || source ||
@@ -1849,8 +1860,7 @@ object TextQueries {
            |  FROM documents
            |), lnk AS (
            |  SELECT src,
-           |         unnest(regexp_extract_all(html,
-           |           '(?is)<a[^>]*href="([^"]*)"', 1)) AS u
+           |         unnest(${graft.operators.LinkGraph.extractHrefsSql("html")}) AS u
            |  FROM h
            |), tgt AS (
            |  SELECT src,

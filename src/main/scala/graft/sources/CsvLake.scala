@@ -83,4 +83,37 @@ object CsvLake {
       .option("inferSchema", "true")
       .csv(path))
       .write.mode("overwrite").saveAsTable(table)
+
+  /** S5/J5 persistent form: an EXTERNAL schema-on-read catalog TABLE —
+    * same OpenCSVSerde semantics as [[registerExternalTable]] (header
+    * consumed for names, every column string, casts in the query) but
+    * registered in the session CATALOG, so any other session against
+    * the same warehouse (`spark.newSession()`, a JDBC/Thrift client)
+    * resolves it by name — the Athena external-table behavior, where
+    * registration outlives the registering session. No data is copied:
+    * the table is `USING csv` over the lake prefix, so the scan still
+    * prunes/pushes like any file-source read. DROP + CREATE keeps the
+    * call idempotent and re-points the table if the prefix moved.
+    */
+  def registerExternalCatalogTable(spark: SparkSession, path: String, name: String): Unit = {
+    val header = stripBom(spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(path)).columns
+    val ddlCols = header.map(c => s"`$c` STRING").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` ($ddlCols) USING csv " +
+      s"OPTIONS (path '$path', header 'true')")
+  }
+
+  /** Catalog registration of a parquet prefix as an EXTERNAL table —
+    * the fact-table counterpart of [[registerExternalCatalogTable]],
+    * needed because a persistent view may only reference catalog
+    * objects (a view over a temp view would be dropped with the
+    * session that owns the temp view).
+    */
+  def registerParquetCatalogTable(spark: SparkSession, path: String, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` USING parquet OPTIONS (path '$path')")
+  }
 }

@@ -108,6 +108,48 @@ object Ingest {
       .start()
   }
 
+  /** S1 NETWORK form: the reference ingests from a managed network
+    * stream, not files (the Flink notebook's Kinesis source DDL,
+    * kinesis-studio-notebook/notebook.txt:2-17). The Spark-native
+    * equivalent is the Kafka source, whose wire schema (`key`/`value`
+    * binary + topic/partition/offset/timestamp) feeds the SAME
+    * parse→pivot→sink path as the file form: [[parseSensorJson]] reads
+    * `value` cast to string, which is exactly the Kafka value column.
+    *
+    * `format`/`options` are caller-supplied so the wiring is one line
+    * in production:
+    * {{{
+    * Ingest.networkIngestStream(spark, "kafka",
+    *   Map("kafka.bootstrap.servers" -> "broker:9092",
+    *       "subscribe" -> "sensor-events",
+    *       "startingOffsets" -> "earliest"),
+    *   outDir, checkpointDir)
+    * }}}
+    * The spark-sql-kafka connector jar is not in this build's pinned
+    * jar set (no network egress in the build environment), so there is
+    * no embedded-broker spec; IngestSpec drives the identical code path
+    * with the `text` source (also `value: string`-shaped), which
+    * exercises everything except the broker client itself. Offsets ride
+    * in the checkpoint either way, so the exactly-once story of
+    * [[ingestStream]] carries over unchanged.
+    */
+  def networkIngestStream(spark: SparkSession, format: String,
+      options: Map[String, String], outDir: String, checkpointDir: String,
+      dims: Seq[String] = Seq("sensor_id", "status"),
+      measures: Seq[String] = Seq("temperature"),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream.format(format).options(options).load()
+    val narrow = toNarrow(parseSensorJson(raw), dims, measures)
+      .withColumn("event_date", to_date(col("time")))
+    narrow.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date")
+      .trigger(trigger)
+      .start()
+  }
+
   /** [[ingestStream]] with DEDUP AT THE DOOR: at-least-once upstreams
     * (retried producer sends, replayed shards — exactly the reference
     * Lambda's retry behavior) re-deliver records, and a training-data

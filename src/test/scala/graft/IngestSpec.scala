@@ -61,6 +61,26 @@ class IngestSpec extends SparkSpec {
     assert(out.toFile.list().exists(_.startsWith("event_date=")))
   }
 
+  test("network ingest entry point: caller-supplied source feeds the same parse path") {
+    // The production call is format="kafka" (value: binary → cast to
+    // string inside parseSensorJson); the connector jar isn't in the
+    // pinned build classpath, so drive the identical code path with the
+    // text source, which exposes the same value-shaped column.
+    val in = tmp("netingest_in")
+    val out = tmp("netingest_out")
+    val ckpt = tmp("netingest_ckpt")
+    val events = Generator.generate(spark, sensors = 5, ticks = 10)
+    val lines = Generator.toJsonLines(events).collect().map(_.getString(0)).toSeq
+    writeJsonFile(in, "tick1.json", lines)
+    val q = Ingest.networkIngestStream(
+      spark, "text", Map("path" -> in.toString), out.toString, ckpt.toString)
+    q.awaitTermination()
+    val got = narrowSet(spark.read.parquet(out.toString))
+    val expect = narrowSet(Ingest.toNarrow(events, Seq("sensor_id", "status"), Seq("temperature")))
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("restart with same checkpoint is exactly-once; new files append") {
     val in = tmp("ingest2_in")
     val out = tmp("ingest2_out")

@@ -12,19 +12,33 @@ class LinkGraphSpec extends SparkSpec {
   import spark.implicits._
 
   test("href extraction and host parsing: quoting, case, ports, non-http forms") {
+    // all three HTML attribute-quoting forms: double, single, unquoted
     val html = "<a href=\"https://A.Example/p\">x</a> <a class=\"z\" " +
       "href=\"http://b.example:8080/q?u=1\">y</a> <a href=\"/rel\">r</a> " +
-      "<a href=\"mailto:a@b\">m</a> <a href='single.example'>s</a>"
+      "<a href=\"mailto:a@b\">m</a> <a href='https://single.example/s'>s</a> " +
+      "<a href=https://bare.example/u>u</a> <a href = \"https://sp.example\">sp</a>"
     val row = Seq(html).toDF("h")
       .select(LinkGraph.extractHrefs(col("h")).as("us"))
       .select(explode(col("us")).as("u"))
       .select(col("u"), LinkGraph.hostOf(col("u")).as("host"))
       .collect().map(r => r.getString(0) -> Option(r.getString(1)))
-    // single-quoted href is outside the documented subset and not matched
     assert(row.map(_._1).toSeq ==
-      Seq("https://A.Example/p", "http://b.example:8080/q?u=1", "/rel", "mailto:a@b"))
+      Seq("https://A.Example/p", "http://b.example:8080/q?u=1", "/rel",
+        "mailto:a@b", "https://single.example/s", "https://bare.example/u",
+        "https://sp.example"))
     assert(row.map(_._2).toSeq ==
-      Seq(Some("a.example"), Some("b.example:8080"), None, None))
+      Seq(Some("a.example"), Some("b.example:8080"), None, None,
+        Some("single.example"), Some("bare.example"), Some("sp.example")))
+  }
+
+  test("pagerank overflow guard fails fast on a bound-breaking weight") {
+    import spark.implicits._
+    // one edge whose weight alone pushes 100·n·Scale·maxW past int64
+    val edges = Seq(("a", "b", Long.MaxValue / 100000L)).toDF("src", "dst", "weight")
+    val e = intercept[IllegalArgumentException] {
+      LinkGraph.pagerank(edges, iters = 1)
+    }
+    assert(e.getMessage.contains("overflow"))
   }
 
   test("pagerank: hand-computed two-round ranks; dangling host absorbs; degrees") {
