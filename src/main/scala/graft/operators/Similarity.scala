@@ -340,12 +340,28 @@ object Similarity {
   def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int, nlist: Int, nprobe: Int, dim: Int,
       iters: Int = 10, trainFraction: Double = 1.0): DataFrame = {
+    val (assigned, centroids) =
+      ivfQuantizedBuild(corpus, id, vec, nlist, dim, iters, trainFraction)
+    ivfQuantizedSearch(corpus, queries, id, vec, k, nprobe, assigned, centroids)
+  }
+
+  /** The BUILD half of the quantized IVF as a public entry point:
+    * trains the deterministic integer quantizer and returns the index
+    * in exactly the shapes [[ivfQuantizedSearch]], [[annRecall]], and
+    * [[chooseNprobe]] consume — `assigned` (doc, cell, qv) and
+    * `centroids` (cell, cv) — both all-integral, so they round-trip
+    * through parquet unchanged (build once at ingest, persist, search
+    * many). */
+  def ivfQuantizedBuild(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, dim: Int, iters: Int = 10,
+      trainFraction: Double = 1.0): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (assigned, centroids) =
       quantizedKMeans(corpus, id, vec, nlist, dim, iters, trainFraction)
-    ivfQuantizedSearch(corpus, queries, id, vec, k, nprobe, assigned,
-      centroids.zipWithIndex.map { case (c, j) => (j, c) }.toSeq.toDF("cell", "cv"))
+    (assigned,
+      centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+        .toDF("cell", "cv"))
   }
 
   /** Cell probing of the quantized IVF: each query's `nprobe` closest

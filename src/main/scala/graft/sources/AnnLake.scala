@@ -131,15 +131,7 @@ object AnnLake {
     // candidate-bounded rows-to-delete read: only files whose doc
     // Bloom might hold a named id (pre-Bloom lakes fall back to the
     // full read; key sets past the driver bound do too)
-    val candRows =
-      if (VersionedLake.currentVersion(dir) >= 1 &&
-          VersionedLake.manifestEntries(dir, VersionedLake.currentVersion(dir))
-            .exists(_.colBlooms.contains("doc"))) {
-        val keys = ids.select(col("doc").cast("string")).limit(20001)
-          .collect().map(_.getString(0)).toSeq
-        if (keys.size > 20000) VersionedLake.read(spark, dir)
-        else VersionedLake.readPoints(spark, dir, "doc", keys)
-      } else VersionedLake.read(spark, dir)
+    val candRows = VersionedLake.pointReadOrFull(spark, dir, "doc", ids)
     val changes = candRows
       .join(ids, Seq("doc"), "left_semi")
       .withColumn("_deleted", lit(true))

@@ -52,17 +52,38 @@ object PostingsLake {
 
   /** Table property marking a lake whose EVERY commit also maintained
     * the corpus-stats ledger — what lets [[search]] trust it. Recorded
-    * at first append; a lake created by pre-ledger code can never
-    * acquire it (properties are immutable after the first commit), so
-    * mixed state is impossible by construction. */
+    * at first append ONLY when that append carries a `batchId`: the
+    * ledger is a separately-committed leg, and only the batch-id
+    * watermark makes a crash between the doclens and stats commits
+    * healable by redelivery. A lake created without a batchId (or by
+    * pre-ledger code) never acquires the property — its searches use
+    * the doclens scan — and a ledger lake REFUSES unwatermarked
+    * appends/deletes, so a silently desynced ledger is impossible by
+    * construction (properties are immutable after the first commit). */
   private val StatsProp = "stats"
+
+  private def requireLedgerBatchId(op: String, hasLedger: Boolean,
+      batchId: Option[Long]): Unit =
+    require(!hasLedger || batchId.isDefined,
+      s"$op on a corpus-stats-ledger lake requires a batchId: the ledger " +
+        "is a separate commit, and only the batch-id watermark lets a " +
+        "redelivered increment heal a crash between the doclens and " +
+        "stats commits — an unwatermarked write could desync (N, avgdl) " +
+        "for every future search with no detection path")
 
   /** Tokenize one increment of documents and append its postings and
     * doc lengths. Creates the lakes on first call; `batchId` arms the
-    * exactly-once watermark on both. */
+    * exactly-once watermark on both AND opts the lake into the
+    * corpus-stats ledger (see [[StatsProp]] — unwatermarked lakes
+    * derive stats from the doclens scan instead). */
   def append(docs: DataFrame, id: String, text: String, lakeDir: String,
       termParts: Int = 64, docParts: Int = 16,
       batchId: Option[Long] = None): Unit = {
+    val creating = VersionedLake.currentVersion(postingsDir(lakeDir)) < 1
+    val hasLedger = !creating &&
+      VersionedLake.tableProps(postingsDir(lakeDir)).contains(StatsProp)
+    requireLedgerBatchId("append", hasLedger, batchId)
+    val maintainLedger = hasLedger || (creating && batchId.isDefined)
     val toks = docs.select(col(id).as("doc_id"), split(col(text), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
@@ -74,10 +95,12 @@ object PostingsLake {
     val doclens = docs.select(col(id).as("doc_id"),
       size(split(col(text), " ")).cast("long").as("dl"))
       .withColumn("dp", pmod(xxhash64(col("doc_id")), lit(docParts)))
+    val props = Map("termParts" -> termParts.toString) ++
+      (if (maintainLedger) Map(StatsProp -> "ledger") else Map.empty)
     if (batchId.forall(_ > VersionedLake.committedBatchId(postingsDir(lakeDir))))
       VersionedLake.append(postings, postingsDir(lakeDir), "tp", batchId,
         blooms = Seq(BloomSpec("term", m = 32768), BloomSpec("doc_id")),
-        props = Map("termParts" -> termParts.toString, StatsProp -> "ledger"))
+        props = props)
     if (batchId.forall(_ > VersionedLake.committedBatchId(doclensDir(lakeDir))))
       VersionedLake.append(doclens, doclensDir(lakeDir), "dp", batchId,
         blooms = Seq(BloomSpec("doc_id")),
@@ -88,7 +111,8 @@ object PostingsLake {
     // doclens scan is the new bottleneck once tokenize-on-query is
     // gone. Deletes append NEGATIVE rows ([[delete]]), keeping the
     // ledger exact under retraction.
-    if (batchId.forall(_ > VersionedLake.committedBatchId(statsDir(lakeDir)))) {
+    if (maintainLedger &&
+        batchId.forall(_ > VersionedLake.committedBatchId(statsDir(lakeDir)))) {
       val inc = doclens.agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sdl"))
         .withColumn("sp", lit(0L))
@@ -219,16 +243,12 @@ object PostingsLake {
   def delete(docs: DataFrame, id: String, lakeDir: String,
       batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
+    requireLedgerBatchId("delete",
+      VersionedLake.tableProps(postingsDir(lakeDir)).contains(StatsProp),
+      batchId)
     val ids = docs.select(col(id).as("doc_id")).distinct()
     def candRead(dir: String): DataFrame =
-      if (VersionedLake.currentVersion(dir) >= 1 &&
-          VersionedLake.manifestEntries(dir, VersionedLake.currentVersion(dir))
-            .exists(_.colBlooms.contains("doc_id"))) {
-        val keys = ids.select(col("doc_id").cast("string")).limit(20001)
-          .collect().map(_.getString(0)).toSeq
-        if (keys.size > 20000) VersionedLake.read(spark, dir)
-        else VersionedLake.readPoints(spark, dir, "doc_id", keys)
-      } else VersionedLake.read(spark, dir)
+      VersionedLake.pointReadOrFull(spark, dir, "doc_id", ids)
     val p = candRead(postingsDir(lakeDir))
       .join(ids, Seq("doc_id"), "left_semi")
       .withColumn("_deleted", lit(true))

@@ -385,10 +385,49 @@ object VersionedLake {
     * full-manifest scan — the documented large-tick fallback. */
   def readPoints(spark: SparkSession, lakeDir: String, column: String,
       keys: Seq[String], version: Option[Int] = None,
-      maxKeys: Int = 20000, partitions: Option[Seq[String]] = None): DataFrame = {
+      maxKeys: Int = MaxPointKeys, partitions: Option[Seq[String]] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(lakeDir))
     readFiles(spark, lakeDir, v,
       pointPrune(lakeDir, v, column, keys, maxKeys, partitions))
+  }
+
+  /** Driver-side key-collection cap shared by [[readPoints]],
+    * [[prunedPointFiles]] and [[pointReadOrFull]] — ONE named constant
+    * so raising it changes the degeneration bound everywhere at once
+    * instead of silently diverging between paths. */
+  val MaxPointKeys = 20000
+
+  /** The candidate-bounded read every incremental-lake point path
+    * makes (DedupStream ticks, PostingsLake.delete, AnnLake.retract),
+    * in one place so the fallback rules can't drift:
+    *
+    *  - no file of the current version records a Bloom for `column`
+    *    (pre-Bloom lake, or all-empty commits) → plain
+    *    (partition-narrowed) read — NOT readPoints' loud refusal,
+    *    because for these callers an unindexed lake is a legitimate
+    *    degraded state, not a caller bug;
+    *  - more than `maxKeys` DISTINCT keys → plain (partition-narrowed)
+    *    read — collecting an unbounded key set to the driver is the
+    *    degenerate case [[readPoints]] itself refuses to pay for;
+    *  - otherwise → [[readPoints]] with the collected key set
+    *    (partition pruning composes with per-file Bloom admission).
+    *
+    * `keysDf`'s FIRST column is the key (cast to string to match the
+    * Bloom digest form). False positives pass; the caller's exact
+    * join/filter against the result stays complete. */
+  def pointReadOrFull(spark: SparkSession, lakeDir: String, column: String,
+      keysDf: DataFrame, maxKeys: Int = MaxPointKeys,
+      partitions: Option[Seq[String]] = None): DataFrame = {
+    val v = currentVersion(lakeDir)
+    val hasBloom = v >= 1 &&
+      manifestEntries(lakeDir, v).exists(_.colBlooms.contains(column))
+    if (!hasBloom) return read(spark, lakeDir, partitions = partitions)
+    val keyCol = keysDf.columns.head
+    val keys = keysDf.select(col(keyCol).cast("string")).distinct()
+      .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq
+    if (keys.size > maxKeys) read(spark, lakeDir, partitions = partitions)
+    else readPoints(spark, lakeDir, column, keys,
+      maxKeys = maxKeys, partitions = partitions)
   }
 
   /** The shared file-skipping rule behind [[readPoints]] and
@@ -437,7 +476,7 @@ object VersionedLake {
     * `maxKeys` fallback as the read itself ([[pointPrune]] is shared),
     * so the reported list is never smaller than the actual scan. */
   def prunedPointFiles(lakeDir: String, column: String, keys: Seq[String],
-      version: Option[Int] = None, maxKeys: Int = 20000,
+      version: Option[Int] = None, maxKeys: Int = MaxPointKeys,
       partitions: Option[Seq[String]] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(lakeDir))
     pointPrune(lakeDir, v, column, keys, maxKeys, partitions)

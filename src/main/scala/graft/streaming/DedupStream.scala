@@ -71,9 +71,10 @@ object DedupStream {
   private val PartsProp = "parts"
 
   /** Keys collected to the driver for a Bloom-set candidate read; past
-    * it [[pointRead]] falls back to partition-level pruning (the same
-    * degeneration bound as [[VersionedLake.readPoints]]' own). */
-  private val MaxPointKeys = 20000
+    * it [[pointRead]] falls back to partition-level pruning. One
+    * constant shared with every other candidate-bounded path
+    * ([[VersionedLake.MaxPointKeys]]) so the bound can't drift. */
+  private def MaxPointKeys = VersionedLake.MaxPointKeys
 
   private def mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -103,30 +104,18 @@ object DedupStream {
     * reasons about is exactly what a tick scans. */
   private[graft] def pointRead(spark: SparkSession, lake: String,
       column: String, keyed: DataFrame): DataFrame = {
-    val withParts = keyed.columns.contains("p")
-    val rows = keyed.limit(MaxPointKeys + 1).collect()
-    val over = rows.length > MaxPointKeys
     val parts =
-      if (!withParts) None
-      // over the cap the keys are useless but the partition SET is
-      // still bounded (≤ the lake's partition count) — a second tiny
-      // aggregate recovers it
-      else if (over) Some(keyed.select(col("p")).distinct()
+      if (!keyed.columns.contains("p")) None
+      // the partition SET stays bounded (≤ the lake's partition count)
+      // even when the key set is over the cap, so it always narrows
+      else Some(keyed.select(col("p")).distinct()
         .collect().map(_.getString(0)).toSeq)
-      else Some(rows.map(_.getString(keyed.columns.indexOf("p"))).distinct.toSeq)
-    // Bloom presence is checked against the ENTRIES, not just the
-    // table-spec header: a lake whose files predate the spec (or whose
-    // recorded files are all empty) must fall back to the partition
-    // read, not hit readPoints' loud unrecorded-column refusal
-    val v = VersionedLake.currentVersion(lake)
-    val hasBloom = v >= 1 &&
-      VersionedLake.manifestEntries(lake, v).exists(_.colBlooms.contains(column))
-    if (over || !hasBloom)
-      VersionedLake.read(spark, lake, partitions = parts)
-    else
-      VersionedLake.readPoints(spark, lake, column,
-        rows.map(_.getString(keyed.columns.indexOf("k"))).toSeq,
-        maxKeys = MaxPointKeys, partitions = parts)
+    // Bloom presence, key-cap degeneration, and the pre-Bloom-lake
+    // fallback all live in the ONE shared helper — what this tick
+    // scans is exactly what PostingsLake.delete and AnnLake.retract
+    // scan for the same key set
+    VersionedLake.pointReadOrFull(spark, lake, column,
+      keyed.select(col("k")), maxKeys = MaxPointKeys, partitions = parts)
   }
 
   /** (k, p) candidate-key frame for a lake hash-partitioned on `key`

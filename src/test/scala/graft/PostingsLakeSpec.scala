@@ -106,6 +106,31 @@ class PostingsLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, s"$r/stats").count() == 3L)
   }
 
+  test("a ledger lake refuses unwatermarked appends/deletes; a batchId-less lake never ledgers") {
+    import org.apache.spark.sql.functions.{avg, count, lit}
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    // `root` was created WITH batch ids → it maintains the ledger, and
+    // an unwatermarked write (which could crash between the doclens
+    // and stats commits with no healing path) is refused loudly
+    assert(intercept[IllegalArgumentException] {
+      PostingsLake.append(docs, "doc_id", "text", root)
+    }.getMessage.contains("batchId"))
+    assert(intercept[IllegalArgumentException] {
+      PostingsLake.delete(docs, "doc_id", root)
+    }.getMessage.contains("batchId"))
+    // a lake created WITHOUT a batchId never acquires the ledger and
+    // derives stats from the doclens scan — correct, just not
+    // increments-sized
+    val r = java.nio.file.Files.createTempDirectory("graft_postings_noledger").toString
+    PostingsLake.append(docs, "doc_id", "text", r)
+    assert(!new java.io.File(s"$r/stats").exists())
+    val stats = PostingsLake.corpusStats(spark, r, None).head()
+    val truth = VersionedLake.read(spark, s"$r/doclens")
+      .agg(count(lit(1)), avg(col("dl"))).head()
+    assert(stats.getLong(0) == truth.getLong(0))
+    assert(stats.getDouble(1) == truth.getDouble(1))
+  }
+
   test("delete retracts documents: search equals one-shot on the surviving corpus") {
     val r = java.nio.file.Files.createTempDirectory("graft_postings_del").toString
     val docs = Tables.documents(spark, sf("sf0.001"))
