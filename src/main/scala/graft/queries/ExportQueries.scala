@@ -41,6 +41,32 @@ object ExportQueries {
     (defs, select)
   }
 
+  /** Shared export-lake fixture (c6 and s23_hot_tier): the January
+    * backfill plus one re-run window, materialized once per JVM. */
+  private def exportLakeFixture(s: SparkSession, dir: String): String =
+    Fixtures.dir("export_lake", dir) { o =>
+      val events = Tables.events(s, dir)
+      Exporter.backfillOnePass(events, P, o, windows)
+      val (s2, e2) = windows(2)
+      Exporter.exportWindow(events, P, o, s2, e2)
+    }
+
+  /** The export lake's full content, per-window oracles unioned —
+    * shared by c6 (plain read) and s23 (tiered read), which must be
+    * row-identical. */
+  private lazy val exportLakeOracle: String = {
+    val parts = windows.zipWithIndex.map { case ((st, en), i) =>
+      windowOracle(s"_w$i", st, en)
+    }
+    val cte = "WITH " + parts.map(_._1).mkString(",\n")
+    val body = parts.map(_._2).mkString("\nUNION ALL\n")
+    s"""$cte
+       |SELECT * FROM (
+       |$body
+       |)
+       |ORDER BY partition_key, user_id, time""".stripMargin
+  }
+
   /** Shared versioned-lake fixture (s14/s15 and their SQL-TVF forms):
     * v1 = raw events partitioned by day; v2 = the s13 merge algebra
     * (update %7, delete %13, insert %11 with shifted ids) committed on
@@ -180,29 +206,30 @@ object ExportQueries {
         // are both inside the hash-checked gate. The lake materializes
         // once per JVM (Fixtures): repeated invocations are pure reads,
         // so bench times the read+sort, not two lake writes.
-        val out = Fixtures.dir("export_lake", dir) { o =>
-          val events = Tables.events(s, dir)
-          Exporter.backfillOnePass(events, P, o, windows)
-          val (s2, e2) = windows(2)
-          Exporter.exportWindow(events, P, o, s2, e2)
-        }
-        Exporter.readExport(s, out)
+        Exporter.readExport(s, exportLakeFixture(s, dir))
           .select(col("partition_key").cast("string").as("partition_key"),
             col("user_id"), col("time"), col("status"), col("temperature"))
           .orderBy(col("partition_key"), col("user_id"), col("time"))
       },
-      Some {
-        val parts = windows.zipWithIndex.map { case ((st, en), i) =>
-          windowOracle(s"_w$i", st, en)
-        }
-        val cte = "WITH " + parts.map(_._1).mkString(",\n")
-        val body = parts.map(_._2).mkString("\nUNION ALL\n")
-        s"""$cte
-           |SELECT * FROM (
-           |$body
-           |)
-           |ORDER BY partition_key, user_id, time""".stripMargin
-      }),
+      Some(exportLakeOracle)),
+
+    // §1.6 hot/cold storage tiers: the SAME lake read through the
+    // tiered path — partitions from window 3 on pinned in executor
+    // memory (Timestream's memory store), older partitions scanned
+    // from the lake (magnetic store). Tier-transparent by
+    // construction, so the oracle is the plain export oracle: any
+    // dropped/duplicated row at the tier seam is a hash mismatch.
+    // Cache engagement and pruning are pinned in ExporterSpec.
+    QDef(
+      "s23_hot_tier",
+      (s, dir) => {
+        val out = exportLakeFixture(s, dir)
+        Exporter.hotColdRead(s, out, hotCutoffKey = s"${windows(3)._1}T00-00")
+          .select(col("partition_key").cast("string").as("partition_key"),
+            col("user_id"), col("time"), col("status"), col("temperature"))
+          .orderBy(col("partition_key"), col("user_id"), col("time"))
+      },
+      Some(exportLakeOracle)),
 
     // S6 faithful raw-prefix layout (timestream-airflow-demo.py:41-43):
     // two scheduled windows land under raw YYYY-MM-DDTHH-mm/ prefixes,

@@ -60,6 +60,30 @@ class ExporterSpec extends SparkSpec {
     assert(left == Set("2024-01-15T00-00"))
   }
 
+  test("hot/cold tiered read: row-identical to the plain read, hot leg cached, cold leg prunes") {
+    val out = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    Exporter.backfill(events, P, out, windows)
+    val cutoff = "2024-01-08T00-00"
+    val tiered = Exporter.hotColdRead(spark, out, cutoff)
+    val plain = Exporter.readExport(spark, out)
+    assert(tiered.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    // the hot leg engaged the block-manager cache: an InMemoryRelation
+    // appears in the tiered plan, and it covers ONLY hot partitions
+    val physical = tiered.queryExecution.executedPlan.toString
+    assert(physical.contains("InMemoryTableScan") || physical.contains("InMemoryRelation"),
+      physical.take(2000))
+    // a time filter into the cold tier reads only that partition's files
+    val coldOnly = tiered.filter(col("partition_key") === "2024-01-01T00-00")
+    val readFiles = coldOnly.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(readFiles.nonEmpty &&
+      readFiles.forall(_.contains("partition_key=2024-01-01T00-00")), readFiles.toSeq)
+    // second tiered read reuses the SAME cached leg (no duplicate persist)
+    val again = Exporter.hotColdRead(spark, out, cutoff)
+    assert(again.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+  }
+
   test("one-pass backfill equals the serial per-window loop exactly") {
     val outA = freshDir; val outB = freshDir
     val events = Tables.events(spark, sf("sf0.001"))
