@@ -47,9 +47,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * integer authority scores), `quality_learned` (train-and-score
   * hashed Naive Bayes), `ann_recall` (the recall@k-vs-nprobe
   * calibration table), `unigram_prune` (loss-ranked vocab
-  * elimination from a persisted model table), and the 4-arg
-  * `read_range` column form over per-column zone maps — the whole
-  * extension-operator inventory.
+  * elimination from a persisted model table), `hot_cold_read` /
+  * `retention_drop` (the export lake's memory/magnetic tiers and
+  * their expiry), and the 4-arg `read_range` column form over
+  * per-column zone maps — the whole extension-operator inventory.
   *
   * The builder resolves the named table THROUGH the session catalog at
   * analysis time and splices the operator's analyzed plan into the
@@ -881,6 +882,28 @@ object PipelineSql {
         model = model,
         targetSize = int("unigram_prune", es(3), "target vocab size"),
         maxLen = int("unigram_prune", es(4), "max piece length"))
+    }
+
+    // hot/cold tiered read of an export lake: ('<lake dir>',
+    // '<hot cutoff partition key>') — partitions at or above the
+    // cutoff served from the block-manager cache, colder from parquet
+    reg("hot_cold_read") { es =>
+      argc("hot_cold_read", es, 2)
+      graft.streaming.Exporter.hotColdRead(spark,
+        str("hot_cold_read", es(0), "export lake dir"),
+        str("hot_cold_read", es(1), "hot cutoff partition key"))
+    }
+
+    // retention expiry: drop export partitions strictly below the
+    // cutoff key; returns one row per dropped partition (the
+    // side-effecting lake_compact/lake_vacuum convention)
+    reg("retention_drop") { es =>
+      argc("retention_drop", es, 2)
+      val dropped = graft.streaming.Exporter.dropPartitionsOlderThan(spark,
+        str("retention_drop", es(0), "export lake dir"),
+        str("retention_drop", es(1), "cutoff partition key"))
+      import spark.implicits._
+      dropped.toDF("dropped_partition")
     }
   }
 }

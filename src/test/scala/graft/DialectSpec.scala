@@ -610,4 +610,24 @@ class DialectSpec extends SparkSpec {
       rows(graft.operators.Vocab.unigramPrune(corpus, "text",
         Seq(("a", 10L), ("b", 10L), ("ab", 5L), ("ba", 2L)), targetSize = 3)))
   }
+
+  test("round-15 TVFs equal the Scala API: hot_cold_read, retention_drop") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    import graft.streaming.Exporter
+    import graft.operators.TimeSeries.GridParams
+    val out = java.nio.file.Files.createTempDirectory("tvf_tier").toString
+    val p = GridParams(key = "user_id", time = "ts", value = "value",
+      status = "event_type", step = "1 HOUR")
+    Exporter.backfill(Tables.events(spark, sf("sf0.001")), p, out, Seq(
+      ("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15")))
+    assert(rows(spark.sql(
+      s"SELECT * FROM hot_cold_read('$out', '2024-01-08T00-00')")) ==
+      rows(Exporter.readExport(spark, out)))
+    assert(rows(spark.sql(
+      s"SELECT * FROM retention_drop('$out', '2024-01-08T00-00')")) ==
+      Set(Seq("2024-01-01T00-00")))
+    assert(rows(Exporter.readExport(spark, out)
+      .select(col("partition_key").cast("string")).distinct()) ==
+      Set(Seq("2024-01-08T00-00")))
+  }
 }
