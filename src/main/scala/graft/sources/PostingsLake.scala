@@ -218,12 +218,27 @@ object PostingsLake {
 
   /** Fold per-increment file growth back to one file per partition in
     * both lakes (OCC compaction — concurrent appends just defer a
-    * partition to the next run). Search results are unchanged by
-    * construction; run it on the `compactEvery` cadence of whatever
-    * drives the appends. */
+    * partition to the next run), and FOLD the corpus-stats ledger to a
+    * single cumulative row: the ledger grows one row per increment and
+    * one per delete, so after years of ticks the "increments-sized"
+    * stats read would quietly become tick-count-sized —
+    * the fold ([[VersionedLake.rewritePartitions]], a copy-on-write
+    * content commit) keeps it O(1) while summing to exactly the same
+    * (N, avgdl). The batch-id watermark is recorded per VERSION and
+    * [[VersionedLake.committedBatchId]] takes the max over history, so
+    * exactly-once redelivery protection survives the fold. Search
+    * results are unchanged by construction; run on the `compactEvery`
+    * cadence of whatever drives the appends. */
   def compact(spark: SparkSession, lakeDir: String): Unit = {
     VersionedLake.compactPartitions(spark, postingsDir(lakeDir), "tp")
     VersionedLake.compactPartitions(spark, doclensDir(lakeDir), "dp")
+    if (VersionedLake.tableProps(postingsDir(lakeDir)).contains(StatsProp) &&
+        VersionedLake.currentVersion(statsDir(lakeDir)) >= 1)
+      VersionedLake.rewritePartitions(spark, statsDir(lakeDir), "sp", led =>
+        led.groupBy(col("sp"))
+          .agg(sum(col("n")).as("n"),
+            coalesce(sum(col("sdl")), lit(0L)).as("sdl"))
+          .select(col("n"), col("sdl"), col("sp")))
     ()
   }
 

@@ -759,6 +759,50 @@ object VersionedLake {
     if (p.touched.isEmpty) p.baseVersion else commitPending(lakeDir, p)
   }
 
+  /** Copy-on-write CONTENT rewrite of whole partitions — the commit
+    * primitive behind ledger folds and any other "replace these
+    * partitions' rows with a transformed form" maintenance. Where
+    * [[compactPartitions]] rewrites LAYOUT only (same rows, fewer
+    * files), this applies `transform` to the touched partitions'
+    * current content and commits the result in their place, with the
+    * same OCC discipline as merge/compact (a concurrent commit to a
+    * touched partition aborts the rewrite, staged files deleted) and
+    * full history: pre-rewrite versions stay time-travel-readable
+    * until vacuumed.
+    *
+    * `transform` must preserve `partitionCol` (and must not move rows
+    * into partitions outside `partitions`, or the commit would
+    * silently double rows that also survive in untouched files — the
+    * require guards the former; callers own the latter, which is why
+    * the default rewrites ALL partitions). Returns the committed
+    * version. */
+  def rewritePartitions(spark: SparkSession, lakeDir: String,
+      partitionCol: String, transform: DataFrame => DataFrame,
+      partitions: Option[Seq[String]] = None): Int = {
+    val v = currentVersion(lakeDir)
+    require(v >= 1, s"$lakeDir has no committed version to rewrite")
+    val (inhStats, inhBloom) = tableMeta(lakeDir)
+    val inhBlooms = tableBlooms(lakeDir)
+    val inhProps = tableProps(lakeDir)
+    val entries = manifestEntries(lakeDir, v)
+    val touched = partitions match {
+      case Some(ps) => ps.map(escapedPartition).toSet
+      case None => entries.map(_.partition).toSet
+    }
+    val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
+    if (files.isEmpty) return v
+    val recorded = recordedSchema(lakeDir, v)
+    val out = transform(readDataFiles(spark, lakeDir, files, recorded))
+    require(out.columns.contains(partitionCol),
+      s"rewrite transform dropped partition column '$partitionCol'")
+    val newEntries = writeCommitFiles(out.repartition(col(partitionCol)),
+      lakeDir, commitId = v + 1, partitionCol, inhStats, inhBloom,
+      inhBlooms, colStatsOn(inhProps))
+    commitPending(lakeDir, PendingCommit(v, entries, touched, newEntries,
+      insertOnly = false, None, inhStats, inhBloom,
+      recorded.map(_.json), inhBlooms, inhProps))
+  }
+
   /** Plan a compaction against the CURRENT version and stage its
     * consolidated files, without committing — split from
     * [[compactPartitions]] exactly like [[planMerge]], so the spec can

@@ -104,6 +104,25 @@ class PostingsLakeSpec extends SparkSpec {
       s"ledger ${ledger.getDouble(1)} vs scan ${truth.getDouble(1)}")
     // the ledger itself stays increments-sized: 3 rows, not corpus-sized
     assert(VersionedLake.read(spark, s"$r/stats").count() == 3L)
+
+    // compaction FOLDS the ledger to one cumulative row with the same
+    // (N, avgdl) — the O(1) form a years-old index converges to
+    PostingsLake.compact(spark, r)
+    assert(VersionedLake.read(spark, s"$r/stats").count() == 1L)
+    val folded = PostingsLake.corpusStats(spark, r, None).head()
+    assert(folded.getLong(0) == truth.getLong(0))
+    assert(folded.getDouble(1) == truth.getDouble(1))
+    // the batch-id watermark survives the fold: a redelivered increment
+    // is still a no-op on every leg, including the folded ledger
+    val vAfter = (VersionedLake.currentVersion(s"$r/postings"),
+      VersionedLake.currentVersion(s"$r/doclens"),
+      VersionedLake.currentVersion(s"$r/stats"))
+    PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", r, batchId = Some(0L))
+    assert((VersionedLake.currentVersion(s"$r/postings"),
+      VersionedLake.currentVersion(s"$r/doclens"),
+      VersionedLake.currentVersion(s"$r/stats")) == vAfter)
+    assert(VersionedLake.read(spark, s"$r/stats").count() == 1L)
   }
 
   test("a ledger lake refuses unwatermarked appends/deletes; a batchId-less lake never ledgers") {

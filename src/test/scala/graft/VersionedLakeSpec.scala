@@ -492,6 +492,42 @@ class VersionedLakeSpec extends SparkSpec {
       .filter(col("id") === 137L).count() == 1)
   }
 
+  test("rewritePartitions: content fold commits in place, history intact, scope guarded") {
+    import spark.implicits._
+    val root = tmp("vlake_rewrite")
+    val lake = s"$root/lake"
+    VersionedLake.create(
+      (1 to 60).map(i => (i.toLong, s"p${i % 3}")).toDF("v", "part"), lake, "part")
+    VersionedLake.append(
+      (61 to 90).map(i => (i.toLong, s"p${i % 3}")).toDF("v", "part"), lake, "part")
+    val preSum = VersionedLake.read(spark, lake).agg(sum("v")).head().getLong(0)
+
+    // fold every partition to one (sum, part) row
+    val v = VersionedLake.rewritePartitions(spark, lake, "part", df =>
+      df.groupBy(col("part")).agg(sum(col("v")).as("v"))
+        .select(col("v"), col("part")))
+    assert(v == 3)
+    val folded = VersionedLake.read(spark, lake)
+    assert(folded.count() == 3)
+    assert(folded.agg(sum("v")).head().getLong(0) == preSum)
+    // pre-rewrite versions stay time-travel-readable
+    assert(VersionedLake.read(spark, lake, Some(2)).count() == 90)
+    // a transform that drops the partition column is refused loudly
+    assert(intercept[IllegalArgumentException] {
+      VersionedLake.rewritePartitions(spark, lake, "part",
+        df => df.select(col("v")))
+    }.getMessage.contains("partition column"))
+    // scoped rewrite touches only the named partition
+    val v4 = VersionedLake.rewritePartitions(spark, lake, "part",
+      df => df.withColumn("v", col("v") * 2), partitions = Some(Seq("p0")))
+    assert(v4 == 4)
+    val after = VersionedLake.read(spark, lake)
+      .select("part", "v").as[(String, Long)].collect().toMap
+    val before = folded.select("part", "v").as[(String, Long)].collect().toMap
+    assert(after("p0") == 2 * before("p0"))
+    assert(after("p1") == before("p1") && after("p2") == before("p2"))
+  }
+
   test("compaction OCC: interleaved commit to a compacted partition aborts; disjoint rebases") {
     import spark.implicits._
     val root = tmp("vlake_compact_occ")
