@@ -603,6 +603,33 @@ object SimilarityQueries {
       },
       Some(exactTopKOracle(10))),
 
+    // Index-drift repair: the lake is built on half the corpus and
+    // grown by appends (the drift scenario — assignments frozen at
+    // half-corpus geometry), then REINDEXED blue/green into a fresh
+    // lake whose quantizer saw everything. Full-probe search of the
+    // reindexed lake must reproduce brute-force cosine exactly (full
+    // probe is centroid-independent), so the whole
+    // read→retrain→reassign→search chain hashes against the same
+    // exact-cosine oracle. Drift detection (cellStats) and search
+    // parity old-vs-new are pinned in AnnLakeSpec.
+    QDef(
+      "s24_ann_reindex",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_reindex", dir) { o =>
+          graft.sources.AnnLake.create(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", s"$o/old", nlist = 8, dim = 64)
+          graft.sources.AnnLake.append(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", s"$o/old", batchId = Some(0L))
+          graft.sources.AnnLake.reindex(s, s"$o/old", s"$o/new",
+            nlist = 8, dim = 64)
+        }
+        graft.sources.AnnLake.search(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/new", k = 10, nprobe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(exactTopKOracle(10))),
+
     // HYBRID retrieval: reciprocal-rank fusion of the lexical arm
     // (query-table BM25 over documents) and the vector arm (exact
     // cosine top-k over embeddings) — the standard two-tower search

@@ -139,6 +139,47 @@ object AnnLake {
       Seq("doc"), "cell", batchId = batchId)
   }
 
+  /** Per-cell population from MANIFEST METADATA alone — no data scan:
+    * the drift signal for a long-lived index. Appends assign against
+    * frozen centroids, so as the corpus distribution moves, cells
+    * skew; a skewed cell means partial-probe searches read more data
+    * for the same recall. One row per cell: (cell, files, rows).
+    * `rows` is null only for files written before row counts were
+    * recorded in the manifest. Check max(rows)/avg(rows) on a cadence
+    * and [[reindex]] when it drifts past tolerance. */
+  def cellStats(spark: SparkSession, lakeDir: String): DataFrame = {
+    import spark.implicits._
+    val v = VersionedLake.currentVersion(vectorsDir(lakeDir))
+    VersionedLake.manifestEntries(vectorsDir(lakeDir), v)
+      .map(e => (e.partition, 1L, e.rows))
+      .toDF("cell", "files", "rows")
+      .groupBy(col("cell"))
+      .agg(sum(col("files")).as("files"), sum(col("rows")).as("rows"))
+  }
+
+  /** REINDEX — the drift repair: retrain the quantizer on the CURRENT
+    * corpus and build a fresh index at `newLakeDir`, blue/green style.
+    * Deliberately NOT in place:
+    *
+    *  - time-travel correctness: `search(version = v)` prunes with the
+    *    centroids the version's rows were ASSIGNED under; an in-place
+    *    centroid swap would probe old assignments with new geometry
+    *    and silently read the wrong cells;
+    *  - concurrent appends keep landing in the old index (assignments
+    *    against its still-frozen centroids stay valid) while the new
+    *    one builds; the caller cuts over by swapping the directory
+    *    pointer and replaying the append tail, exactly like any
+    *    blue/green index rotation.
+    *
+    * The old lake remains intact and searchable until retired. */
+  def reindex(spark: SparkSession, lakeDir: String, newLakeDir: String,
+      nlist: Int, dim: Int, iters: Int = 4,
+      trainFraction: Double = 1.0): Unit = {
+    val corpus = VersionedLake.read(spark, vectorsDir(lakeDir))
+      .select(col("doc"), col("v"))
+    create(corpus, "doc", "v", newLakeDir, nlist, dim, iters, trainFraction)
+  }
+
   /** The pruned file set a probe plan would read — exposed so specs
     * and operators can reason about I/O without executing a search. */
   def prunedInputFiles(spark: SparkSession, queries: DataFrame, id: String,

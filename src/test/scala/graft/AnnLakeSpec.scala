@@ -116,6 +116,29 @@ class AnnLakeSpec extends SparkSpec {
       Seq("absent-983245872")).isEmpty)
   }
 
+  test("cellStats reads population from manifest metadata; reindex rebuilds blue/green") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 5)
+    // drift signal: per-cell rows from the manifest alone, summing to
+    // the corpus — no data files are opened for this
+    val stats = AnnLake.cellStats(spark, root).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(stats.values.sum == emb.count(), stats.toString)
+    assert(stats.keySet.size <= 8 && stats.keySet.nonEmpty)
+    // blue/green reindex: fresh quantizer over the grown corpus in a
+    // NEW lake; the old lake is untouched and both agree at full probe
+    val nw = java.nio.file.Files.createTempDirectory("graft_ann_reindex").toString
+    AnnLake.reindex(spark, root, nw, nlist = 8, dim = 64)
+    val oldFull = AnnLake.search(spark, queries, "vec_id", "embedding",
+      root, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val newFull = AnnLake.search(spark, queries, "vec_id", "embedding",
+      nw, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    assert(newFull == oldFull && newFull.nonEmpty)
+    // the new quantizer trained on everything: its lake carries the
+    // same doc set, reassigned
+    assert(VersionedLake.read(spark, s"$nw/vectors").count() == emb.count())
+  }
+
   test("compact folds increment files; search unchanged") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 5)
