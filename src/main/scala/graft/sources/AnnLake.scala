@@ -87,6 +87,36 @@ object AnnLake {
     VersionedLake.append(rows, vectorsDir(lakeDir), "cell", batchId)
   }
 
+  /** Drive [[append]] from a STREAM of embeddings — the ingest-time
+    * form: each micro-batch is assigned against the frozen centroids
+    * and lands exactly-once (the batch id arms the lake's replay
+    * watermark; a crashed tick re-delivers into a no-op). The lake
+    * must exist ([[create]] trains the quantizer) before the stream
+    * starts — assignment needs centroids. `compactEvery` > 0 folds
+    * per-tick file growth every N batches (maintenance never fails a
+    * data batch — a lost OCC race just defers to a later tick). */
+  def indexStream(stream: DataFrame, id: String, vec: String,
+      lakeDir: String, checkpointDir: String, compactEvery: Int = 0,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "AnnLake.indexStream expects a streaming DataFrame")
+    require(VersionedLake.currentVersion(vectorsDir(lakeDir)) >= 1,
+      s"create($lakeDir) first: streaming appends assign against the frozen centroids")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        append(b.toDF(), id, vec, lakeDir, batchId = Some(batchId))
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          try { compact(b.sparkSession, lakeDir); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        ()
+      }
+      .start()
+  }
+
   /** Probe, prune, rank: each query's `nprobe` nearest cells by the
     * shared probe rule; only those cells' PARTITIONS are read from the
     * lake; exact-cosine top-k over the probed members. `version`

@@ -120,6 +120,36 @@ object PostingsLake {
     }
   }
 
+  /** Drive [[append]] from a STREAM of documents — the ingest-time
+    * form of the inverted index: each micro-batch tokenizes and lands
+    * exactly-once on all three lakes (postings, doclens, stats ledger
+    * — the shared batch id makes a crashed tick re-deliver into
+    * watermark-guarded no-ops, which is also what keeps the ledger in
+    * sync; see [[StatsProp]]). `compactEvery` > 0 folds per-tick file
+    * growth AND the stats ledger every N batches; maintenance never
+    * fails a data batch. */
+  def indexStream(stream: DataFrame, id: String, text: String,
+      lakeDir: String, checkpointDir: String, termParts: Int = 64,
+      docParts: Int = 16, compactEvery: Int = 0,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "PostingsLake.indexStream expects a streaming DataFrame")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        append(b.toDF(), id, text, lakeDir, termParts, docParts,
+          batchId = Some(batchId))
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          try { compact(b.sparkSession, lakeDir); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        ()
+      }
+      .start()
+  }
+
   /** Corpus statistics (N, avgdl): from the ledger when this lake has
     * maintained one since creation ([[StatsProp]]), else the doclens
     * scan (pre-ledger lakes). The ledger read is increments-sized —

@@ -546,20 +546,47 @@ object VersionedLake {
     * their recorded type (a type CHANGE is refused loudly — this lake
     * does add-column evolution, not type migration); new fields
     * append. */
+  /** Strip every nullability flag to `true`, recursively — the
+    * RECORDED form when two writers agree on types but disagree on
+    * nullability (a Scala primitive encoder says containsNull=false,
+    * parquet says true): nullable is the safe superset for reads, and
+    * refusing the append over an advisory flag would break legitimate
+    * mixed-encoder pipelines. */
+  private def widenNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, _) => ArrayType(widenNullability(et), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(widenNullability(k), widenNullability(v), valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = widenNullability(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
   private def mergeSchemas(base: Option[org.apache.spark.sql.types.StructType],
       next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     base match {
       case None => next
       case Some(b) =>
         val have = b.fieldNames.toSet
-        next.fields.filter(f => have.contains(f.name)).foreach { f =>
-          val old = b(f.name)
-          require(old.dataType == f.dataType,
-            s"schema evolution cannot change '${f.name}' from " +
-              s"${old.dataType.simpleString} to ${f.dataType.simpleString}")
+        val nextByName = next.fields.map(f => f.name -> f).toMap
+        val merged = b.fields.map { old =>
+          nextByName.get(old.name) match {
+            case Some(f) if old.dataType != f.dataType =>
+              // same type up to nullability evolves (recorded widened);
+              // a genuine type change is refused loudly
+              require(widenNullability(old.dataType) == widenNullability(f.dataType),
+                s"schema evolution cannot change '${f.name}' from " +
+                  s"${old.dataType.simpleString} to ${f.dataType.simpleString}")
+              old.copy(dataType = widenNullability(old.dataType),
+                nullable = old.nullable || f.nullable)
+            case _ => old
+          }
         }
         org.apache.spark.sql.types.StructType(
-          b.fields ++ next.fields.filterNot(f => have.contains(f.name)))
+          merged ++ next.fields.filterNot(f => have.contains(f.name)))
     }
 
   /** Read a set of committed data files under the version's recorded

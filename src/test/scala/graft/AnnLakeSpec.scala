@@ -139,6 +139,35 @@ class AnnLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, s"$nw/vectors").count() == emb.count())
   }
 
+  test("indexStream: streamed embeddings land exactly-once; full probe equals brute force") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    AnnLake.create(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      r, nlist = 8, dim = 64)
+    val tail = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    tail.grouped(math.max(1, tail.length / 2 + 1)).foreach { b =>
+      ms.addData(b.toSeq)
+      // NB the encoder's array<float> has containsNull=false while the
+      // lake recorded the parquet (nullable-element) form — the lake's
+      // nullability-widening schema merge accepts the append
+      AnnLake.indexStream(ms.toDS().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", r, s"$r/ckpt").awaitTermination()
+    }
+    val queries = emb.filter(col("vec_id") < 5)
+    val viaLake = AnnLake.search(spark, queries, "vec_id", "embedding",
+      r, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val brute = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaLake == brute && viaLake.nonEmpty)
+    assert(VersionedLake.read(spark, s"$r/vectors").count() == emb.count())
+  }
+
   test("compact folds increment files; search unchanged") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 5)

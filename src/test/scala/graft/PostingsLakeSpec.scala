@@ -125,6 +125,33 @@ class PostingsLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, s"$r/stats").count() == 1L)
   }
 
+  test("indexStream: streamed documents build the same index as batched appends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_postings_stream").toString
+    // filter, not limit: an unordered LIMIT may pick different rows in
+    // the stream fixture and the one-shot reference plans
+    val docs = Tables.documents(spark, sf("sf0.001")).filter(col("doc_id") < 200)
+    val rowsArr = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    rowsArr.grouped(math.max(1, rowsArr.length / 3 + 1)).foreach { b =>
+      ms.addData(b.toSeq)
+      PostingsLake.indexStream(ms.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", r, s"$r/ckpt", compactEvery = 2).awaitTermination()
+    }
+    val viaStream = PostingsLake.search(spark, r, query, k = 30)
+      .collect().map(_.toSeq).toSet
+    val oneShot = TextSearch.bm25TopK(docs, "doc_id", "text", query, k = 30)
+      .collect().map(_.toSeq).toSet
+    assert(viaStream == oneShot && viaStream.nonEmpty)
+    // streamed ticks carried batch ids, so the lake maintains the
+    // stats ledger (and the mid-stream compaction folded it)
+    assert(VersionedLake.tableProps(s"$r/postings").contains("stats"))
+    assert(VersionedLake.read(spark, s"$r/stats").count() <= 3L)
+  }
+
   test("a ledger lake refuses unwatermarked appends/deletes; a batchId-less lake never ledgers") {
     import org.apache.spark.sql.functions.{avg, count, lit}
     val docs = Tables.documents(spark, sf("sf0.001")).limit(50)

@@ -765,6 +765,19 @@ class VersionedLakeSpec extends SparkSpec {
         lake, "part")
     }
     assert(ex.getMessage.contains("schema evolution"), ex.getMessage)
+    // nullability is ADVISORY, not a type: an append whose array column
+    // differs only in containsNull (primitive-encoder vs parquet form)
+    // evolves the recorded schema to the widened nullable form
+    val nlake = s"$root/nlake"
+    VersionedLake.create(Seq((1L, Seq(1.0f), "p1")).toDF("id", "vs", "part")
+      .select(col("id"), col("vs").cast("array<float>"), col("part")),
+      nlake, "part")
+    VersionedLake.append(
+      Seq((2L, Seq(2.0f), "p1")).toDF("id", "vs", "part"), nlake, "part")
+    assert(VersionedLake.read(spark, nlake).count() == 2)
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    assert(VersionedLake.recordedSchema(nlake, 2)
+      .exists(_("vs").dataType == ArrayType(FloatType, containsNull = true)))
   }
 
   test("timestamp time travel: versionAt/readAsOf resolve the commit-time headers") {
