@@ -2,7 +2,15 @@
 # Pre-commit guard: refuse any commit that would snapshot a non-compiling
 # tree. Round 14's end-of-round snapshot committed a half-finished refactor
 # (undefined helpers in TextQueries.scala) and invalidated every gate for
-# the round; this hook makes that impossible.
+# the round; this hook makes that class of commit fail fast.
+#
+# Scope note: the guard compiles the WORKING TREE, which equals the staged
+# snapshot for whole-tree commits (the end-of-round `git add -A` case this
+# exists for). Under PARTIAL staging the two can diverge — a passing
+# working-tree compile does not prove the staged subset compiles — so the
+# hook detects that case and warns loudly rather than claiming coverage it
+# doesn't have (a staged-snapshot compile would need a clean checkout-index
+# and a cold full build on every commit).
 #
 # Install (done by scripts/install_hooks.sh, idempotent):
 #   ln -sf ../../scripts/precommit_guard.sh .git/hooks/pre-commit
@@ -12,6 +20,12 @@ set -e
 cd "$(git rev-parse --show-toplevel)"
 
 if git diff --cached --name-only | grep -qE '\.(scala|sbt)$|project/'; then
+  if git diff --name-only | grep -qE '\.(scala|sbt)$|project/'; then
+    echo "[precommit_guard] WARNING: unstaged Scala/build changes exist —" >&2
+    echo "[precommit_guard] compiling the working tree, which differs from" >&2
+    echo "[precommit_guard] the staged snapshot. Stage everything (-A) for" >&2
+    echo "[precommit_guard] a guarantee that the COMMIT compiles." >&2
+  fi
   echo "[precommit_guard] Scala sources staged; running sbt compile..." >&2
   if ! sbt -batch compile > /tmp/precommit_compile.log 2>&1; then
     echo "[precommit_guard] REFUSING COMMIT: sbt compile failed." >&2

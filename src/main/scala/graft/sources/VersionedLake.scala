@@ -418,15 +418,30 @@ object VersionedLake {
   def pointReadOrFull(spark: SparkSession, lakeDir: String, column: String,
       keysDf: DataFrame, maxKeys: Int = MaxPointKeys,
       partitions: Option[Seq[String]] = None): DataFrame = {
+    // distinct BEFORE the cap probe: maxKeys+1 distinct survivors prove
+    // the set is over (→ fallback); limiting before distinct could
+    // truncate a complete key set and silently miss candidates
+    val keyCol = keysDf.columns.head
+    val keys = keysDf.select(col(keyCol).cast("string")).distinct()
+      .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq
+    pointReadOrFull(spark, lakeDir, column, keys, maxKeys, partitions)
+  }
+
+  /** [[pointReadOrFull]] for callers that already hold the candidate
+    * keys on the driver (one prior collect — the per-tick hot path):
+    * `keys` must be the COMPLETE candidate set unless its distinct
+    * size exceeds `maxKeys`, in which case the degeneration fallback
+    * fires and completeness of the list no longer matters. */
+  def pointReadOrFull(spark: SparkSession, lakeDir: String, column: String,
+      keys: Seq[String], maxKeys: Int,
+      partitions: Option[Seq[String]]): DataFrame = {
     val v = currentVersion(lakeDir)
     val hasBloom = v >= 1 &&
       manifestEntries(lakeDir, v).exists(_.colBlooms.contains(column))
     if (!hasBloom) return read(spark, lakeDir, partitions = partitions)
-    val keyCol = keysDf.columns.head
-    val keys = keysDf.select(col(keyCol).cast("string")).distinct()
-      .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq
-    if (keys.size > maxKeys) read(spark, lakeDir, partitions = partitions)
-    else readPoints(spark, lakeDir, column, keys,
+    val distinctKeys = keys.distinct
+    if (distinctKeys.size > maxKeys) read(spark, lakeDir, partitions = partitions)
+    else readPoints(spark, lakeDir, column, distinctKeys,
       maxKeys = maxKeys, partitions = partitions)
   }
 
@@ -574,14 +589,19 @@ object VersionedLake {
         val nextByName = next.fields.map(f => f.name -> f).toMap
         val merged = b.fields.map { old =>
           nextByName.get(old.name) match {
-            case Some(f) if old.dataType != f.dataType =>
-              // same type up to nullability evolves (recorded widened);
-              // a genuine type change is refused loudly
+            // nullability differences — nested (dataType != but same up
+            // to null flags) OR the top-level field flag — evolve to
+            // the widened nullable form: recording non-nullable over
+            // files that carry nulls would let codegen elide null
+            // checks and surface garbage. A genuine type change is
+            // refused loudly.
+            case Some(f) if old.dataType != f.dataType || old.nullable != f.nullable =>
               require(widenNullability(old.dataType) == widenNullability(f.dataType),
                 s"schema evolution cannot change '${f.name}' from " +
                   s"${old.dataType.simpleString} to ${f.dataType.simpleString}")
-              old.copy(dataType = widenNullability(old.dataType),
-                nullable = old.nullable || f.nullable)
+              val dt = if (old.dataType == f.dataType) old.dataType
+                else widenNullability(old.dataType)
+              old.copy(dataType = dt, nullable = old.nullable || f.nullable)
             case _ => old
           }
         }

@@ -104,18 +104,32 @@ object DedupStream {
     * reasons about is exactly what a tick scans. */
   private[graft] def pointRead(spark: SparkSession, lake: String,
       column: String, keyed: DataFrame): DataFrame = {
+    val withParts = keyed.columns.contains("p")
+    // ONE collect serves both the key set and the partition set on the
+    // under-cap hot path (the common case, once per tick) — keyed's
+    // lineage re-executes per job, so extra jobs here are not free
+    val rows = keyed.limit(MaxPointKeys + 1).collect()
+    val over = rows.length > MaxPointKeys
     val parts =
-      if (!keyed.columns.contains("p")) None
-      // the partition SET stays bounded (≤ the lake's partition count)
-      // even when the key set is over the cap, so it always narrows
-      else Some(keyed.select(col("p")).distinct()
+      if (!withParts) None
+      // over the cap the collected rows are a truncated sample, but the
+      // partition SET is still bounded (≤ the lake's partition count) —
+      // a second tiny aggregate recovers it in full
+      else if (over) Some(keyed.select(col("p")).distinct()
         .collect().map(_.getString(0)).toSeq)
-    // Bloom presence, key-cap degeneration, and the pre-Bloom-lake
-    // fallback all live in the ONE shared helper — what this tick
-    // scans is exactly what PostingsLake.delete and AnnLake.retract
-    // scan for the same key set
-    VersionedLake.pointReadOrFull(spark, lake, column,
-      keyed.select(col("k")), maxKeys = MaxPointKeys, partitions = parts)
+      else Some(rows.map(_.getString(keyed.columns.indexOf("p"))).distinct.toSeq)
+    if (over)
+      // a truncated key list must never reach the point read — it would
+      // silently miss candidates; degenerate to the partition read
+      VersionedLake.read(spark, lake, partitions = parts)
+    else
+      // Bloom presence, key-cap degeneration, and the pre-Bloom-lake
+      // fallback live in the shared helper — what this tick scans is
+      // what PostingsLake.delete and AnnLake.retract scan for the same
+      // key set
+      VersionedLake.pointReadOrFull(spark, lake, column,
+        rows.map(_.getString(keyed.columns.indexOf("k"))).toSeq,
+        maxKeys = MaxPointKeys, partitions = parts)
   }
 
   /** (k, p) candidate-key frame for a lake hash-partitioned on `key`

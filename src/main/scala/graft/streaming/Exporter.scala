@@ -159,13 +159,17 @@ object Exporter {
   def readExport(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
 
-  /** One cached hot leg per (lake, cutoff) per JVM — see
-    * [[hotColdRead]]. The registry's releases (bench/verify clear
-    * caches between gates) are honored by re-persisting a leg whose
-    * storage level was dropped, so the tier re-engages instead of
-    * silently degrading to an uncached plan forever. */
-  private val hotLegs =
-    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+  /** One cached hot leg per LAKE per JVM — see [[hotColdRead]]. The
+    * value carries the cutoff and the file listing the cached plan was
+    * built over: a new cutoff (the moving 24h-window case) or a
+    * changed hot file set (re-exported window, continuous appends)
+    * REPLACES the leg — old blocks unpersisted, fresh listing cached —
+    * instead of serving stale files or accumulating overlapping pinned
+    * copies. The registry's releases (bench/verify clear caches
+    * between gates) are honored by re-persisting a leg whose storage
+    * level was dropped. */
+  private case class HotLeg(cutoff: String, files: Set[String], df: DataFrame)
+  private val hotLegs = scala.collection.mutable.Map.empty[String, HotLeg]
 
   /** §1.6 hot/cold STORAGE TIERS: Timestream serves a recent window
     * from the memory store and ages the rest into magnetic storage
@@ -186,9 +190,24 @@ object Exporter {
     * reads → magnetic-tier reads → expiry. */
   def hotColdRead(spark: SparkSession, outDir: String,
       hotCutoffKey: String): DataFrame = hotLegs.synchronized {
-    val hot = hotLegs.getOrElseUpdate((outDir, hotCutoffKey),
-      readExport(spark, outDir)
-        .filter(col("partition_key").cast("string") >= hotCutoffKey))
+    def freshLeg(): DataFrame = readExport(spark, outDir)
+      .filter(col("partition_key").cast("string") >= hotCutoffKey)
+    // the lake's CURRENT file listing — metadata only (inputFiles
+    // ignores the partition filter, so this is the whole lake's set);
+    // compared against the cached leg's frozen listing to detect
+    // re-exported windows / appended ticks that must invalidate it.
+    // Cold-only changes over-invalidate — correct, just re-caches.
+    def listing(df: DataFrame): Set[String] = df.inputFiles.toSet
+    val hot = hotLegs.get(outDir) match {
+      case Some(leg) if leg.cutoff == hotCutoffKey &&
+          leg.files == listing(freshLeg()) => leg.df
+      case prior =>
+        prior.foreach(l => try { l.df.unpersist(); () }
+          catch { case scala.util.control.NonFatal(_) => () })
+        val df = freshLeg()
+        hotLegs(outDir) = HotLeg(hotCutoffKey, listing(df), df)
+        df
+    }
     if (hot.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       graft.CacheRegistry.retain(hot.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

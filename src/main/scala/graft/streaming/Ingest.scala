@@ -85,6 +85,23 @@ object Ingest {
       .filter(col("measure_value").isNotNull)
   }
 
+  /** The ONE parse→pivot→sink wiring every ingest entry point shares:
+    * raw `value` rows → typed wide → narrow + event_date → checkpointed
+    * parquet sink partitioned by event date. */
+  private def narrowSink(raw: DataFrame, outDir: String, checkpointDir: String,
+      dims: Seq[String], measures: Seq[String],
+      trigger: Trigger): StreamingQuery = {
+    val narrow = toNarrow(parseSensorJson(raw), dims, measures)
+      .withColumn("event_date", to_date(col("time")))
+    narrow.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date")
+      .trigger(trigger)
+      .start()
+  }
+
   /** S1+S4+C5 end to end: watch `inputDir` for JSON-line files, pivot
     * to narrow, append to a parquet table partitioned by event date.
     * Trigger.AvailableNow drains what exists and stops — the batched
@@ -97,15 +114,8 @@ object Ingest {
     val raw = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(inputDir)
-    val narrow = toNarrow(parseSensorJson(raw), dims, measures)
-      .withColumn("event_date", to_date(col("time")))
-    narrow.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .partitionBy("event_date")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    narrowSink(raw, outDir, checkpointDir, dims, measures,
+      Trigger.AvailableNow())
   }
 
   /** S1 NETWORK form: the reference ingests from a managed network
@@ -137,18 +147,9 @@ object Ingest {
       options: Map[String, String], outDir: String, checkpointDir: String,
       dims: Seq[String] = Seq("sensor_id", "status"),
       measures: Seq[String] = Seq("temperature"),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val raw = spark.readStream.format(format).options(options).load()
-    val narrow = toNarrow(parseSensorJson(raw), dims, measures)
-      .withColumn("event_date", to_date(col("time")))
-    narrow.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .partitionBy("event_date")
-      .trigger(trigger)
-      .start()
-  }
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    narrowSink(spark.readStream.format(format).options(options).load(),
+      outDir, checkpointDir, dims, measures, trigger)
 
   /** [[ingestStream]] with DEDUP AT THE DOOR: at-least-once upstreams
     * (retried producer sends, replayed shards — exactly the reference

@@ -82,6 +82,14 @@ class ExporterSpec extends SparkSpec {
     // second tiered read reuses the SAME cached leg (no duplicate persist)
     val again = Exporter.hotColdRead(spark, out, cutoff)
     assert(again.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    // a LATER hot-tier write (new window exported above the cutoff)
+    // invalidates the cached leg: the tiered read serves the new
+    // partition instead of a stale frozen file listing
+    Exporter.exportWindow(events, P, out, "2024-01-22", "2024-01-29")
+    val tiered2 = Exporter.hotColdRead(spark, out, cutoff)
+    assert(tiered2.collect().map(_.toSeq).toSet ==
+      Exporter.readExport(spark, out).collect().map(_.toSeq).toSet)
+    assert(tiered2.filter(col("partition_key") === "2024-01-22T00-00").count() > 0)
   }
 
   test("one-pass backfill equals the serial per-window loop exactly") {

@@ -778,6 +778,17 @@ class VersionedLakeSpec extends SparkSpec {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     assert(VersionedLake.recordedSchema(nlake, 2)
       .exists(_("vs").dataType == ArrayType(FloatType, containsNull = true)))
+    // TOP-LEVEL field nullability widens too: a tuple-encoder create
+    // (id nullable=false) then an append whose id is genuinely
+    // nullable must record nullable=true, or codegen would elide null
+    // checks over files that carry nulls
+    val tlake = s"$root/tlake"
+    VersionedLake.create(Seq((1L, "p1")).toDF("id", "part"), tlake, "part")
+    assert(VersionedLake.recordedSchema(tlake, 1).exists(!_("id").nullable))
+    VersionedLake.append(
+      Seq((Some(2L), "p1"), (None, "p1")).toDF("id", "part"), tlake, "part")
+    assert(VersionedLake.recordedSchema(tlake, 2).exists(_("id").nullable))
+    assert(VersionedLake.read(spark, tlake).filter(col("id").isNull).count() == 1)
   }
 
   test("timestamp time travel: versionAt/readAsOf resolve the commit-time headers") {
