@@ -49,7 +49,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * calibration table), `unigram_prune` (loss-ranked vocab
   * elimination from a persisted model table), `hot_cold_read` /
   * `retention_drop` (the export lake's memory/magnetic tiers and
-  * their expiry), and the 4-arg `read_range` column form over
+  * their expiry), `ann_cell_stats` (the ANN index's metadata-only
+  * drift signal), and the 4-arg `read_range` column form over
   * per-column zone maps — the whole extension-operator inventory.
   *
   * The builder resolves the named table THROUGH the session catalog at
@@ -904,6 +905,14 @@ object PipelineSql {
         str("retention_drop", es(1), "cutoff partition key"))
       import spark.implicits._
       dropped.toDF("dropped_partition")
+    }
+
+    // ANN index drift signal: per-cell population from manifest
+    // metadata alone — ('<ann lake dir>')
+    reg("ann_cell_stats") { es =>
+      argc("ann_cell_stats", es, 1)
+      graft.sources.AnnLake.cellStats(spark,
+        str("ann_cell_stats", es(0), "ann lake dir"))
     }
   }
 }

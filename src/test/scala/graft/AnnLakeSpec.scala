@@ -123,6 +123,10 @@ class AnnLakeSpec extends SparkSpec {
     // the corpus — no data files are opened for this
     val stats = AnnLake.cellStats(spark, root).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // SQL form sees the same table
+    graft.functions.PipelineSql.register(spark)
+    assert(spark.sql(s"SELECT * FROM ann_cell_stats('$root')").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap == stats)
     assert(stats.values.sum == emb.count(), stats.toString)
     assert(stats.keySet.size <= 8 && stats.keySet.nonEmpty)
     // blue/green reindex: fresh quantizer over the grown corpus in a
