@@ -39,14 +39,14 @@ object Curation {
     */
   def decontaminate(train: DataFrame, bench: DataFrame, id: String,
       text: String, n: Int): DataFrame = {
+    // WordShingles (compiled per-row loop) emits each doc's DISTINCT
+    // n-grams in one pass, so the per-side dropDuplicates SHUFFLE the
+    // interpreted transform/slice/array_join chain needed is gone —
+    // a doc's grams all live in its own pre-explode row, never across
+    // partitions, so per-row distinctness IS per-doc distinctness
     def ngrams(df: DataFrame, idAlias: String) = df
-      .select(col(id).as(idAlias), split(col(text), " ").as("w"))
-      .select(col(idAlias), explode(
-        when(size(col("w")) >= n,
-          transform(sequence(lit(0), size(col("w")) - n),
-            i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("g"))
-      .dropDuplicates(idAlias, "g")
+      .select(col(id).as(idAlias),
+        explode(graft.functions.TextFunctions.wordShingles(col(text), n)).as("g"))
     val tg = ngrams(train, "doc_id")
     val bg = ngrams(bench, "bench_id")
     tg.join(bg, "g")
@@ -68,14 +68,11 @@ object Curation {
     */
   def contaminationScore(train: DataFrame, bench: DataFrame, id: String,
       text: String, n: Int): DataFrame = {
+    // same WordShingles shape as [[decontaminate]]: per-row distinct
+    // grams make the per-side dropDuplicates shuffle unnecessary
     def ngrams(df: DataFrame) = df
-      .select(col(id).as("doc_id"), split(col(text), " ").as("w"))
-      .select(col("doc_id"), explode(
-        when(size(col("w")) >= n,
-          transform(sequence(lit(0), size(col("w")) - n),
-            i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("g"))
-      .dropDuplicates("doc_id", "g")
+      .select(col(id).as("doc_id"),
+        explode(graft.functions.TextFunctions.wordShingles(col(text), n)).as("g"))
     // ONE pass over the train n-gram table: a LEFT join against the
     // (broadcastable) benchmark gram set marks hits, and a single
     // aggregate counts totals and hits together — the naive

@@ -120,6 +120,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("specifiedwindowframe(RangeFrame"), p)
   }
 
+  test("decontaminate: gram build is shuffle-free — the only hash exchange is the final aggregate") {
+    val p = plan("x_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // WordShingles emits per-doc-distinct grams in the row itself, so
+    // neither side pays a dropDuplicates exchange; what remains is the
+    // final aggregate's two-phase multi-count-distinct (Catalyst's
+    // expand rewrite — 2 hash exchanges, its floor for two DISTINCT
+    // aggregates). 4 would mean the gram-build shuffles came back.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"decontaminate has $exchanges hash exchanges:\n$p")
+  }
+
   test("contamination scoring marks hits via one broadcast join, no duplicated gram build") {
     val p = plan("x_contamination_score")
     // the benchmark gram set is the small side at corpus scale
