@@ -20,11 +20,16 @@ set -e
 cd "$(git rev-parse --show-toplevel)"
 
 if git diff --cached --name-only | grep -qE '\.(scala|sbt)$|project/'; then
-  if git diff --name-only | grep -qE '\.(scala|sbt)$|project/'; then
-    echo "[precommit_guard] WARNING: unstaged Scala/build changes exist —" >&2
-    echo "[precommit_guard] compiling the working tree, which differs from" >&2
-    echo "[precommit_guard] the staged snapshot. Stage everything (-A) for" >&2
-    echo "[precommit_guard] a guarantee that the COMMIT compiles." >&2
+  # divergence check must include UNTRACKED sources: the motivating
+  # failure is staged code calling helpers in a new file nobody added —
+  # the working tree compiles, the committed snapshot doesn't
+  if { git diff --name-only; git ls-files --others --exclude-standard; } \
+      | grep -qE '\.(scala|sbt)$|project/'; then
+    echo "[precommit_guard] WARNING: unstaged or untracked Scala/build" >&2
+    echo "[precommit_guard] files exist — compiling the working tree," >&2
+    echo "[precommit_guard] which differs from the staged snapshot." >&2
+    echo "[precommit_guard] Stage everything (-A) for a guarantee that" >&2
+    echo "[precommit_guard] the COMMIT compiles." >&2
   fi
   echo "[precommit_guard] Scala sources staged; running sbt compile..." >&2
   if ! sbt -batch compile > /tmp/precommit_compile.log 2>&1; then

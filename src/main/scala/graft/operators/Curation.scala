@@ -77,11 +77,16 @@ object Curation {
     // (broadcastable) benchmark gram set marks hits, and a single
     // aggregate counts totals and hits together — the naive
     // totals-aggregate + hits-aggregate form would execute the
-    // explode/dropDuplicates plan twice
+    // explode plan twice. DISTINCT aggregates, not plain counts:
+    // per-row distinctness covers per-doc distinctness only while
+    // doc ids are unique, and an input carrying the same id twice
+    // (re-ingested doc, sharded text) must still score its distinct
+    // gram set, not a row-weighted average
     val marked = ngrams(train)
       .join(ngrams(bench).select(col("g"), lit(1).as("_hit")).distinct(), Seq("g"), "left")
     val scored = marked.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("hits"))
+      .agg(count_distinct(col("g")).as("n_grams"),
+        count_distinct(when(col("_hit").isNotNull, col("g"))).as("hits"))
     // left join from the full train id set: docs too short for any
     // n-gram still score, at 0
     train.select(col(id).as("doc_id")).distinct()

@@ -418,6 +418,11 @@ object VersionedLake {
   def pointReadOrFull(spark: SparkSession, lakeDir: String, column: String,
       keysDf: DataFrame, maxKeys: Int = MaxPointKeys,
       partitions: Option[Seq[String]] = None): DataFrame = {
+    // Bloom check FIRST: a pre-Bloom (degraded) lake takes the plain
+    // read without paying the key-collection job whose result would be
+    // discarded anyway
+    if (!hasColumnBloom(lakeDir, column))
+      return read(spark, lakeDir, partitions = partitions)
     // distinct BEFORE the cap probe: maxKeys+1 distinct survivors prove
     // the set is over (→ fallback); limiting before distinct could
     // truncate a complete key set and silently miss candidates
@@ -425,6 +430,15 @@ object VersionedLake {
     val keys = keysDf.select(col(keyCol).cast("string")).distinct()
       .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq
     pointReadOrFull(spark, lakeDir, column, keys, maxKeys, partitions)
+  }
+
+  /** Does ANY file of the current version record a Bloom for `column`?
+    * (Entries, not the table-spec header: files predating the spec, or
+    * all-empty commits, must route callers to the fallback read rather
+    * than readPoints' loud unrecorded-column refusal.) */
+  private def hasColumnBloom(lakeDir: String, column: String): Boolean = {
+    val v = currentVersion(lakeDir)
+    v >= 1 && manifestEntries(lakeDir, v).exists(_.colBlooms.contains(column))
   }
 
   /** [[pointReadOrFull]] for callers that already hold the candidate
@@ -435,10 +449,8 @@ object VersionedLake {
   def pointReadOrFull(spark: SparkSession, lakeDir: String, column: String,
       keys: Seq[String], maxKeys: Int,
       partitions: Option[Seq[String]]): DataFrame = {
-    val v = currentVersion(lakeDir)
-    val hasBloom = v >= 1 &&
-      manifestEntries(lakeDir, v).exists(_.colBlooms.contains(column))
-    if (!hasBloom) return read(spark, lakeDir, partitions = partitions)
+    if (!hasColumnBloom(lakeDir, column))
+      return read(spark, lakeDir, partitions = partitions)
     val distinctKeys = keys.distinct
     if (distinctKeys.size > maxKeys) read(spark, lakeDir, partitions = partitions)
     else readPoints(spark, lakeDir, column, distinctKeys,
@@ -605,8 +617,14 @@ object VersionedLake {
             case _ => old
           }
         }
+        // a NEW column is nullable in the evolved table no matter what
+        // the writer's encoder claimed: every pre-evolution file
+        // surfaces null for it, and a non-nullable recording would let
+        // NullPropagation fold IsNull(col) to false — silently hiding
+        // exactly the pre-evolution rows a reader filters for
         org.apache.spark.sql.types.StructType(
-          merged ++ next.fields.filterNot(f => have.contains(f.name)))
+          merged ++ next.fields.filterNot(f => have.contains(f.name)).map(f =>
+            f.copy(dataType = widenNullability(f.dataType), nullable = true)))
     }
 
   /** Read a set of committed data files under the version's recorded

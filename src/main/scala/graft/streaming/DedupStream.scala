@@ -87,8 +87,12 @@ object DedupStream {
 
   /** The candidate-bounded state read every tick makes: given the
     * tick's candidate keys as a one- or two-column frame
-    * (`k` = the key cast to string — the Bloom probe form;
-    * optional `p` = the key's partition value, when the lake is
+    * (`k` = the key cast to string — the Bloom probe form, one row per
+    * DISTINCT candidate: every producer below builds `keyed` from a
+    * distinct id/hash set, and the over-cap probe counts raw rows, so
+    * a duplicate-heavy frame would degenerate to the partition read
+    * earlier than its distinct size warrants — conservative, never
+    * wrong; optional `p` = the key's partition value, when the lake is
     * hash-partitioned on the key), hand the scan only the files that
     * might hold them — [[VersionedLake.readPoints]]' manifest-level
     * partition pruning composed with per-file Bloom admission.

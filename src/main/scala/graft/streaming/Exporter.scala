@@ -159,17 +159,22 @@ object Exporter {
   def readExport(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
 
-  /** One cached hot leg per LAKE per JVM — see [[hotColdRead]]. The
-    * value carries the cutoff and the file listing the cached plan was
-    * built over: a new cutoff (the moving 24h-window case) or a
-    * changed hot file set (re-exported window, continuous appends)
-    * REPLACES the leg — old blocks unpersisted, fresh listing cached —
-    * instead of serving stale files or accumulating overlapping pinned
-    * copies. The registry's releases (bench/verify clear caches
-    * between gates) are honored by re-persisting a leg whose storage
-    * level was dropped. */
-  private case class HotLeg(cutoff: String, files: Set[String], df: DataFrame)
-  private val hotLegs = scala.collection.mutable.Map.empty[String, HotLeg]
+  /** Cached hot legs, keyed (lake, cutoff) — see [[hotColdRead]]. Each
+    * carries the file listing its plan was built over: a changed file
+    * set (re-exported window, continuous appends) REPLACES the leg —
+    * old blocks unpersisted, fresh listing cached — instead of serving
+    * stale files. Distinct cutoffs coexist (a 24h dashboard and a 7d
+    * verifier on the same lake each keep their leg cached), bounded at
+    * [[MaxHotLegsPerLake]] per lake with least-recently-used eviction,
+    * so a MOVING cutoff (a new key every day) cannot accumulate
+    * overlapping pinned copies without bound. The registry's releases
+    * (bench/verify clear caches between gates) are honored by
+    * re-persisting a leg whose storage level was dropped. */
+  private final class HotLeg(val files: Set[String], val df: DataFrame,
+    var used: Long)
+  private val hotLegs = scala.collection.mutable.Map.empty[(String, String), HotLeg]
+  private var hotLegClock = 0L
+  private val MaxHotLegsPerLake = 4
 
   /** §1.6 hot/cold STORAGE TIERS: Timestream serves a recent window
     * from the memory store and ages the rest into magnetic storage
@@ -189,24 +194,37 @@ object Exporter {
     * [[dropPartitionsOlderThan]] for the full lifecycle: memory-tier
     * reads → magnetic-tier reads → expiry. */
   def hotColdRead(spark: SparkSession, outDir: String,
-      hotCutoffKey: String): DataFrame = hotLegs.synchronized {
-    def freshLeg(): DataFrame = readExport(spark, outDir)
+      hotCutoffKey: String): DataFrame = {
+    def safeUnpersist(l: HotLeg): Unit =
+      try { l.df.unpersist(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    // ONE fresh plan and ONE lake listing per call, built OUTSIDE the
+    // lock — listing latency (object-store metadata) must not
+    // serialize concurrent tiered reads. inputFiles ignores the
+    // partition filter, so this is the whole lake's file set;
+    // cold-only changes over-invalidate — correct, just re-caches.
+    val fresh = readExport(spark, outDir)
       .filter(col("partition_key").cast("string") >= hotCutoffKey)
-    // the lake's CURRENT file listing — metadata only (inputFiles
-    // ignores the partition filter, so this is the whole lake's set);
-    // compared against the cached leg's frozen listing to detect
-    // re-exported windows / appended ticks that must invalidate it.
-    // Cold-only changes over-invalidate — correct, just re-caches.
-    def listing(df: DataFrame): Set[String] = df.inputFiles.toSet
-    val hot = hotLegs.get(outDir) match {
-      case Some(leg) if leg.cutoff == hotCutoffKey &&
-          leg.files == listing(freshLeg()) => leg.df
-      case prior =>
-        prior.foreach(l => try { l.df.unpersist(); () }
-          catch { case scala.util.control.NonFatal(_) => () })
-        val df = freshLeg()
-        hotLegs(outDir) = HotLeg(hotCutoffKey, listing(df), df)
-        df
+    val files = fresh.inputFiles.toSet
+    val key = (outDir, hotCutoffKey)
+    val hot = hotLegs.synchronized {
+      hotLegClock += 1
+      hotLegs.get(key) match {
+        case Some(leg) if leg.files == files =>
+          leg.used = hotLegClock
+          leg.df
+        case prior =>
+          prior.foreach(safeUnpersist)
+          hotLegs(key) = new HotLeg(files, fresh, hotLegClock)
+          // bound the per-lake pin budget: evict the LRU leg beyond it
+          val lakeKeys = hotLegs.keysIterator.filter(_._1 == outDir).toSeq
+          if (lakeKeys.size > MaxHotLegsPerLake) {
+            val lru = lakeKeys.minBy(k => hotLegs(k).used)
+            safeUnpersist(hotLegs(lru))
+            hotLegs.remove(lru)
+          }
+          fresh
+      }
     }
     if (hot.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       graft.CacheRegistry.retain(hot.persist(

@@ -81,6 +81,24 @@ class CurationSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("contaminationScore is invariant under duplicated doc-id rows") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "shared benchmark phrase one two three four five tail"),
+      (2L, "completely unrelated text with no overlap at all")).toDF("doc_id", "text")
+    // the same docs re-ingested: identical rows duplicated
+    val dup = train.unionAll(train)
+    val bench = Seq(
+      (100L, "prefix shared benchmark phrase one two three four five"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Curation.contaminationScore(dup, bench, "doc_id", "text", 5)) ==
+      rows(Curation.contaminationScore(train, bench, "doc_id", "text", 5)))
+    assert(rows(Curation.decontaminate(dup, bench, "doc_id", "text", 5)) ==
+      rows(Curation.decontaminate(train, bench, "doc_id", "text", 5)))
+  }
+
   test("mixtureSample honors integral weights and bounds fractional ones") {
     import spark.implicits._
     val docs = (1L to 400L).map(i =>

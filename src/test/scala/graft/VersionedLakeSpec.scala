@@ -747,6 +747,13 @@ class VersionedLakeSpec extends SparkSpec {
     val cur = VersionedLake.read(spark, lake)
       .select("id", "score").as[(Long, Option[Double])].collect().toMap
     assert(cur == Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+    // the NEW column is recorded nullable even though the writer's
+    // tuple encoder claimed nullable=false — otherwise NullPropagation
+    // folds IsNull(score) to false and this filter silently loses the
+    // pre-evolution rows
+    assert(VersionedLake.recordedSchema(lake, 2).exists(_("score").nullable))
+    assert(VersionedLake.read(spark, lake)
+      .filter(col("score").isNull).count() == 2)
     // time travel reads v1 under ITS schema — no score column at all
     assert(!VersionedLake.read(spark, lake, Some(1)).columns.contains("score"))
     // compaction rewrites under the evolved schema (the column
