@@ -50,14 +50,17 @@ object LinkGraph {
   /** href targets of `<a>` elements, in document order, in all three
     * HTML quoting forms: `href="…"`, `href='…'`, and unquoted
     * `href=…` (terminated by whitespace or `>`, per the HTML spec's
-    * unquoted-attribute rules). The match keeps the surrounding quotes
+    * unquoted-attribute rules). The attribute name must be preceded by
+    * a separator (whitespace or a closing quote) so attributes merely
+    * ENDING in "href" — `data-href=`, `xhref=` — are not extracted as
+    * link targets. The match keeps the surrounding quotes
     * in one capture group and strips them in a second pass, because a
     * single regex group can't alternate across quote styles in both
     * engines' dialects (the gate replays this two-step verbatim in
     * DuckDB via list_transform). */
   def extractHrefs(html: Column): Column = {
     val toks = regexp_extract_all(html,
-      lit("(?is)<a[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"), lit(1))
+      lit("(?is)<a[^>]*?[\\s\"']href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"), lit(1))
     transform(toks, t => {
       val first = substring(t, 1, 1)
       when(first === "\"" || first === "'",
@@ -72,7 +75,7 @@ object LinkGraph {
   def extractHrefsSql(htmlSql: String): String =
     s"""list_transform(
        |  regexp_extract_all($htmlSql,
-       |    '(?is)<a[^>]*?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)', 1),
+       |    '(?is)<a[^>]*?[\\s"'']href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)', 1),
        |  t -> CASE WHEN substr(t, 1, 1) IN ('"', '''')
        |            THEN substr(t, 2, length(t) - 2) ELSE t END)""".stripMargin
 

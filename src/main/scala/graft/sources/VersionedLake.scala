@@ -860,12 +860,19 @@ object VersionedLake {
     val out = transform(readDataFiles(spark, lakeDir, files, recorded))
     require(out.columns.contains(partitionCol),
       s"rewrite transform dropped partition column '$partitionCol'")
+    // the transform's OUTPUT schema must be committable, not silently
+    // shadowed by the old recording: a type-changing transform (int
+    // sum widening to long) would otherwise write parquet that
+    // diverges from the schema header every later read trusts.
+    // mergeSchemas refuses type changes loudly and records new or
+    // nullability-widened columns the evolved way.
+    val committedSchema = recorded.map(r => mergeSchemas(Some(r), out.schema))
     val newEntries = writeCommitFiles(out.repartition(col(partitionCol)),
       lakeDir, commitId = v + 1, partitionCol, inhStats, inhBloom,
       inhBlooms, colStatsOn(inhProps))
     commitPending(lakeDir, PendingCommit(v, entries, touched, newEntries,
       insertOnly = false, None, inhStats, inhBloom,
-      recorded.map(_.json), inhBlooms, inhProps))
+      committedSchema.map(_.json), inhBlooms, inhProps))
   }
 
   /** Plan a compaction against the CURRENT version and stage its

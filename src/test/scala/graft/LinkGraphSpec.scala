@@ -31,6 +31,17 @@ class LinkGraphSpec extends SparkSpec {
         Some("single.example"), Some("bare.example"), Some("sp.example")))
   }
 
+  test("attributes merely ending in 'href' (data-href, xhref) are not link targets") {
+    val html = "<a data-href=\"https://wrong.example/d\">d</a> " +
+      "<a xhref=\"https://wrong.example/x\">x</a> " +
+      "<a data-href=\"https://wrong.example/d2\" href=\"https://right.example/r\">both</a> " +
+      "<a title=\"t\"href=\"https://tight.example/q\">quote-separated</a>"
+    val got = Seq(html).toDF("h")
+      .select(explode(LinkGraph.extractHrefs(col("h"))).as("u"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("https://right.example/r", "https://tight.example/q"))
+  }
+
   test("pagerank overflow guard fails fast on a bound-breaking weight") {
     import spark.implicits._
     // one edge whose weight alone pushes 100·n·Scale·maxW past int64

@@ -517,6 +517,15 @@ class VersionedLakeSpec extends SparkSpec {
       VersionedLake.rewritePartitions(spark, lake, "part",
         df => df.select(col("v")))
     }.getMessage.contains("partition column"))
+    // a TYPE-changing transform is refused before anything commits —
+    // silently re-recording the old schema over narrowed parquet would
+    // break every later read at scan time
+    assert(intercept[IllegalArgumentException] {
+      VersionedLake.rewritePartitions(spark, lake, "part",
+        df => df.withColumn("v", col("v").cast("int")))
+    }.getMessage.contains("schema evolution"))
+    assert(VersionedLake.currentVersion(lake) == 3,
+      "refused rewrites must not commit")
     // scoped rewrite touches only the named partition
     val v4 = VersionedLake.rewritePartitions(spark, lake, "part",
       df => df.withColumn("v", col("v") * 2), partitions = Some(Seq("p0")))
