@@ -630,6 +630,67 @@ object SimilarityQueries {
       },
       Some(exactTopKOracle(10))),
 
+    // The reindexed lake at a REAL operating point (nprobe < nlist):
+    // full probe (s24) proves no rows were lost, but is centroid-
+    // independent by construction — this gate proves the NEW
+    // centroids and the reassignments are self-consistent for the
+    // pruned reads reindexing exists to serve. The green quantizer
+    // trained on the COMPLETE corpus with the deterministic integer
+    // Lloyd's (init = lowest-doc rows — insertion-order independent,
+    // so training from the lake read equals training from the source
+    // table), and the oracle replays that build bit-for-bit: the same
+    // replay as s_ann_ivf_quantized, here reached through the whole
+    // create→append→reindex→assign→prune chain.
+    QDef(
+      "s26_ann_reindex_probe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_reindex", dir) { o =>
+          graft.sources.AnnLake.create(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", s"$o/old", nlist = 8, dim = 64)
+          graft.sources.AnnLake.append(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", s"$o/old", batchId = Some(0L))
+          graft.sources.AnnLake.reindex(s, s"$o/old", s"$o/new",
+            nlist = 8, dim = 64)
+        }
+        graft.sources.AnnLake.search(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/new", k = 10, nprobe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfQuantizedOracle(10, nlist = 8, nprobe = 4, iters = 4))),
+
+    // The COMPLETE blue/green rotation: the index is built on a third
+    // of the corpus, grown by a watermarked append, reindexed into a
+    // green lake — and while the green build runs, ANOTHER watermarked
+    // append lands on the old index (the in-flight window every real
+    // rotation has). cutover() replays that tail into the green index
+    // and swaps the handle, so the search below — through the
+    // ORIGINAL path, full probe — must reproduce brute-force cosine
+    // over the COMPLETE corpus: one row lost in flight (or the handle
+    // resolving to the stale index) is a hash mismatch. Pointer
+    // mechanics, rerun idempotence, and retire are pinned in
+    // AnnLakeSpec.
+    QDef(
+      "s25_ann_cutover",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_cutover", dir) { o =>
+          graft.sources.AnnLake.create(emb.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", s"$o/live", nlist = 8, dim = 64)
+          graft.sources.AnnLake.append(emb.filter(col("vec_id") % 3 === 1),
+            "vec_id", "embedding", s"$o/live", batchId = Some(0L))
+          graft.sources.AnnLake.reindex(s, s"$o/live", s"$o/green",
+            nlist = 8, dim = 64)
+          graft.sources.AnnLake.append(emb.filter(col("vec_id") % 3 === 2),
+            "vec_id", "embedding", s"$o/live", batchId = Some(1L))
+          graft.sources.AnnLake.cutover(s, s"$o/live", s"$o/green")
+        }
+        graft.sources.AnnLake.search(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/live", k = 10, nprobe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(exactTopKOracle(10))),
+
     // HYBRID retrieval: reciprocal-rank fusion of the lexical arm
     // (query-table BM25 over documents) and the vector arm (exact
     // cosine top-k over embeddings) — the standard two-tower search

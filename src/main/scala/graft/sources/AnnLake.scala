@@ -44,12 +44,50 @@ object AnnLake {
   private def vectorsDir(lakeDir: String) = s"$lakeDir/vectors"
   private def centroidsDir(lakeDir: String) = s"$lakeDir/centroids"
 
+  /** Table property on a reindexed (green) lake: the source lake's
+    * version its corpus was read at. [[cutover]] replays every append
+    * committed AFTER this version, so nothing in flight during the
+    * rebuild is lost. */
+  private val SourceVersionProp = "reindexSourceVersion"
+
+  /** The pointer file a [[cutover]] writes under the original lake
+    * path: subsequent reads/appends/searches of that path resolve to
+    * the green index it names — callers keep their handle, blue/green
+    * style. */
+  private val PointerName = "CURRENT"
+
+  /** Resolve a lake handle through its cutover pointer, if any. One
+    * hop only: a chained pointer means a repoint went through a
+    * retired handle — refuse loudly rather than walk an unbounded
+    * chain a concurrent writer could be mutating. */
+  private[graft] def resolved(lakeDir: String): String = {
+    val ptr = new java.io.File(lakeDir, PointerName)
+    if (!ptr.isFile) lakeDir
+    else {
+      val target = new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(!new java.io.File(target, PointerName).isFile,
+        s"chained index pointer: $lakeDir -> $target is itself cut over; " +
+          "repoint the original handle directly")
+      target
+    }
+  }
+
   /** Train the quantizer on `corpus` and materialize the index lake.
     * `trainFraction` < 1 trains the quantizer on a sample; every row
     * is still assigned and stored. */
   def create(corpus: DataFrame, id: String, vec: String, lakeDir: String,
       nlist: Int, dim: Int, iters: Int = 4,
-      trainFraction: Double = 1.0): Unit = {
+      trainFraction: Double = 1.0): Unit =
+    doCreate(corpus, id, vec, lakeDir, nlist, dim, iters, trainFraction,
+      Map.empty)
+
+  private def doCreate(corpus: DataFrame, id: String, vec: String,
+      lakeDir: String, nlist: Int, dim: Int, iters: Int,
+      trainFraction: Double, extraProps: Map[String, String]): Unit = {
+    require(!new java.io.File(lakeDir, PointerName).isFile,
+      s"$lakeDir is a cut-over handle (it has a $PointerName pointer); " +
+        "create at a fresh directory and cutover() to swap")
     val spark = corpus.sparkSession
     import spark.implicits._
     val (assigned, centroids) = Similarity.quantizedKMeans(
@@ -62,7 +100,7 @@ object AnnLake {
     // cell, so manifest partition pruning is already exact.)
     VersionedLake.create(rows, vectorsDir(lakeDir), "cell",
       blooms = Seq(VersionedLake.BloomSpec("doc")),
-      props = Map("nlist" -> nlist.toString))
+      props = Map("nlist" -> nlist.toString) ++ extraProps)
     centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
       .toDF("cell", "cv").coalesce(1).write.mode("overwrite")
       .parquet(centroidsDir(lakeDir))
@@ -75,16 +113,17 @@ object AnnLake {
   def append(newVecs: DataFrame, id: String, vec: String, lakeDir: String,
       batchId: Option[Long] = None): Unit = {
     val spark = newVecs.sparkSession
-    if (batchId.exists(_ <= VersionedLake.committedBatchId(vectorsDir(lakeDir))))
+    val root = resolved(lakeDir)
+    if (batchId.exists(_ <= VersionedLake.committedBatchId(vectorsDir(root))))
       return
-    val centroids = loadCentroids(spark, lakeDir)
+    val centroids = loadCentroids(spark, root)
     val qv = newVecs.select(col(id).as("doc"),
       Similarity.quant20(col(vec)).as("qv"))
     val assigned = Similarity.assignCells(qv, centroids)
       .select(col("doc"), col("cell"))
     val rows = newVecs.select(col(id).as("doc"), col(vec).as("v"))
       .join(assigned, "doc")
-    VersionedLake.append(rows, vectorsDir(lakeDir), "cell", batchId)
+    VersionedLake.append(rows, vectorsDir(root), "cell", batchId)
   }
 
   /** Drive [[append]] from a STREAM of embeddings — the ingest-time
@@ -101,7 +140,7 @@ object AnnLake {
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(stream.isStreaming, "AnnLake.indexStream expects a streaming DataFrame")
-    require(VersionedLake.currentVersion(vectorsDir(lakeDir)) >= 1,
+    require(VersionedLake.currentVersion(vectorsDir(resolved(lakeDir))) >= 1,
       s"create($lakeDir) first: streaming appends assign against the frozen centroids")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -125,11 +164,12 @@ object AnnLake {
   def search(spark: SparkSession, queries: DataFrame, id: String,
       vec: String, lakeDir: String, k: Int, nprobe: Int,
       version: Option[Int] = None): DataFrame = {
-    val cdf = spark.read.parquet(centroidsDir(lakeDir))
+    val root = resolved(lakeDir)
+    val cdf = spark.read.parquet(centroidsDir(root))
     val cells = Similarity.quantizedProbe(queries, id, vec, nprobe, cdf)
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0).toString).toSeq // nlist-bounded metadata
-    val rows = VersionedLake.read(spark, vectorsDir(lakeDir), version,
+    val rows = VersionedLake.read(spark, vectorsDir(root), version,
       partitions = Some(cells))
       .select(col("doc"), col("v"), col("cell").cast("int").as("cell"))
     Similarity.ivfQuantizedSearch(
@@ -141,7 +181,7 @@ object AnnLake {
   /** Fold per-increment file growth back to one file per cell (OCC
     * compaction; search unchanged by construction). */
   def compact(spark: SparkSession, lakeDir: String): Unit = {
-    VersionedLake.compactPartitions(spark, vectorsDir(lakeDir), "cell")
+    VersionedLake.compactPartitions(spark, vectorsDir(resolved(lakeDir)), "cell")
     ()
   }
 
@@ -154,10 +194,11 @@ object AnnLake {
   def delete(docs: DataFrame, id: String, lakeDir: String,
       batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
-    if (batchId.exists(_ <= VersionedLake.committedBatchId(vectorsDir(lakeDir))))
+    val root = resolved(lakeDir)
+    if (batchId.exists(_ <= VersionedLake.committedBatchId(vectorsDir(root))))
       return
     val ids = docs.select(col(id).as("doc")).distinct()
-    val dir = vectorsDir(lakeDir)
+    val dir = vectorsDir(root)
     // candidate-bounded rows-to-delete read: only files whose doc
     // Bloom might hold a named id (pre-Bloom lakes fall back to the
     // full read; key sets past the driver bound do too)
@@ -165,7 +206,7 @@ object AnnLake {
     val changes = candRows
       .join(ids, Seq("doc"), "left_semi")
       .withColumn("_deleted", lit(true))
-    VersionedLake.mergeUpsert(spark, vectorsDir(lakeDir), changes,
+    VersionedLake.mergeUpsert(spark, dir, changes,
       Seq("doc"), "cell", batchId = batchId)
   }
 
@@ -182,8 +223,10 @@ object AnnLake {
     * [[reindex]] when it drifts past tolerance. */
   def cellStats(spark: SparkSession, lakeDir: String): DataFrame = {
     import spark.implicits._
-    val v = VersionedLake.currentVersion(vectorsDir(lakeDir))
-    VersionedLake.manifestEntries(vectorsDir(lakeDir), v)
+    val root = resolved(lakeDir)
+    val v = VersionedLake.currentVersion(vectorsDir(root))
+    require(v >= 1, s"no ANN index at $lakeDir — create() it first")
+    VersionedLake.manifestEntries(vectorsDir(root), v)
       .map(e => (e.partition, 1L, e.rows))
       .toDF("cell", "files", "rows")
       .groupBy(col("cell"))
@@ -204,31 +247,141 @@ object AnnLake {
     *    and silently read the wrong cells;
     *  - concurrent appends keep landing in the old index (assignments
     *    against its still-frozen centroids stay valid) while the new
-    *    one builds; the caller cuts over by swapping the directory
-    *    pointer and replaying the append tail, exactly like any
-    *    blue/green index rotation.
+    *    one builds; [[cutover]] then swaps the handle and replays the
+    *    append tail, exactly like any blue/green index rotation.
     *
-    * The old lake remains intact and searchable until retired. */
+    * The corpus read is PINNED to the source version current when the
+    * rebuild starts, and that version is recorded on the green lake
+    * ([[SourceVersionProp]]) — the replay point [[cutover]] resumes
+    * from. The old lake remains intact and searchable until retired. */
   def reindex(spark: SparkSession, lakeDir: String, newLakeDir: String,
       nlist: Int, dim: Int, iters: Int = 4,
       trainFraction: Double = 1.0): Unit = {
-    val corpus = VersionedLake.read(spark, vectorsDir(lakeDir))
+    val src = resolved(lakeDir)
+    val v = VersionedLake.currentVersion(vectorsDir(src))
+    require(v >= 1, s"no ANN index at $lakeDir — create() it first")
+    val corpus = VersionedLake.read(spark, vectorsDir(src), Some(v))
       .select(col("doc"), col("v"))
-    create(corpus, "doc", "v", newLakeDir, nlist, dim, iters, trainFraction)
+    doCreate(corpus, "doc", "v", newLakeDir, nlist, dim, iters,
+      trainFraction, Map(SourceVersionProp -> v.toString))
+  }
+
+  /** CUTOVER — finish the blue/green rotation [[reindex]] started:
+    *
+    *  1. replay the WATERMARKED append tail — every version the old
+    *     index committed after the green one's recorded source version
+    *     re-assigns against the green centroids and lands with its
+    *     original batch id, so a crashed-and-rerun cutover is a no-op
+    *     past the watermark (exactly-once, same argument as any
+    *     streaming append);
+    *  2. swap the handle: an atomically-renamed pointer file under
+    *     `lakeDir` makes every subsequent read/append/search of the
+    *     ORIGINAL path resolve to the green index — callers keep their
+    *     handle (the VersionedLake CURRENT-rename discipline, one
+    *     level up);
+    *  3. replay once more, catching any append that committed to the
+    *     old index between step 1's read and the swap. After the swap
+    *     new appends resolve to green, so this tail is final.
+    *
+    * Appends only: a delete in the tail aborts the cutover loudly
+    * (apply takedowns after rotating — replaying a delete+append
+    * version would trip the shared watermark). A stream driving
+    * [[indexStream]] keeps its checkpoint across the rotation: the
+    * green lake inherits the old one's batch-id high-water through the
+    * replay, so the resumed stream's next batch is past it. */
+  def cutover(spark: SparkSession, lakeDir: String, greenDir: String): Unit = {
+    val old = resolved(lakeDir)
+    val samePath = new java.io.File(old).getCanonicalPath ==
+      new java.io.File(greenDir).getCanonicalPath
+    require(!new java.io.File(greenDir, PointerName).isFile,
+      s"cutover target $greenDir is itself a cut-over handle")
+    val from = VersionedLake.tableProps(vectorsDir(greenDir))
+      .get(SourceVersionProp).map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$greenDir records no $SourceVersionProp — it was not built by " +
+          s"reindex(); cutover cannot know where the append tail starts"))
+    if (samePath && old != lakeDir) {
+      // rerun after a completed swap (a crash between the swap and the
+      // final replay reruns the whole cutover): the handle already
+      // resolves to green and the old index — still on disk under the
+      // handle itself until retired — receives no further appends, so
+      // only the final-tail replay remains, and its batch-id
+      // watermarks make repeating it a no-op past what landed.
+      replayAppendTail(spark, lakeDir, greenDir, from)
+      return
+    }
+    require(!samePath, s"cutover target $greenDir IS the live index")
+    val replayed = replayAppendTail(spark, old, greenDir, from)
+    writePointer(lakeDir, greenDir)
+    replayAppendTail(spark, old, greenDir, replayed)
+    ()
+  }
+
+  /** Replay versions `(fromV, current]` of the old index's vectors
+    * lake onto the green index. Returns the version replayed up to. */
+  private def replayAppendTail(spark: SparkSession, oldRoot: String,
+      greenDir: String, fromV: Int): Int = {
+    val dir = vectorsDir(oldRoot)
+    val cur = VersionedLake.currentVersion(dir)
+    for (w <- fromV + 1 to cur) {
+      val bid = VersionedLake.committedBatchId(dir, Some(w))
+      require(bid >= 0,
+        s"old-index version $w carries no batch id: cutover replays only " +
+          "the watermarked append tail (idempotence under a crashed " +
+          "cutover needs the ids); reindex again from the current version")
+      val changes = VersionedLake.diff(spark, dir, w - 1, w)
+      require(changes.filter(col("_change") === "delete").isEmpty,
+        s"old-index version $w contains deletes: cutover replays appends " +
+          "only — apply takedowns to the green index after rotating")
+      append(changes.filter(col("_change") === "insert")
+        .select(col("doc"), col("v")), "doc", "v", greenDir,
+        batchId = Some(bid))
+    }
+    cur
+  }
+
+  private def writePointer(lakeDir: String, target: String): Unit = {
+    val dir = new java.io.File(lakeDir)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, s"$PointerName.tmp${System.nanoTime()}")
+    java.nio.file.Files.write(tmp.toPath,
+      target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, PointerName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Retire a cut-over handle's OLD index files (vectors + centroids
+    * under `lakeDir` itself). Refuses when no pointer exists — that
+    * would delete the live index. The pointer stays: the handle keeps
+    * resolving to the green index. */
+  def retire(lakeDir: String): Unit = {
+    require(new java.io.File(lakeDir, PointerName).isFile,
+      s"$lakeDir has not been cut over — retiring would delete the LIVE index")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+      ()
+    }
+    rm(new java.io.File(vectorsDir(lakeDir)))
+    rm(new java.io.File(centroidsDir(lakeDir)))
   }
 
   /** The pruned file set a probe plan would read — exposed so specs
     * and operators can reason about I/O without executing a search. */
   def prunedInputFiles(spark: SparkSession, queries: DataFrame, id: String,
       vec: String, lakeDir: String, nprobe: Int): Array[String] = {
-    val cdf = spark.read.parquet(centroidsDir(lakeDir))
+    val root = resolved(lakeDir)
+    val cdf = spark.read.parquet(centroidsDir(root))
     val cells = Similarity.quantizedProbe(queries, id, vec, nprobe, cdf)
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0).toString).toSeq
-    VersionedLake.read(spark, vectorsDir(lakeDir),
+    VersionedLake.read(spark, vectorsDir(root),
       partitions = Some(cells)).inputFiles
   }
 
+  /** `loadCentroids` takes the RESOLVED root (all callers resolve). */
   private def loadCentroids(spark: SparkSession, lakeDir: String): Array[Array[Long]] = {
     val rows = spark.read.parquet(centroidsDir(lakeDir))
       .collect().map(r => r.getAs[Int]("cell") ->

@@ -172,6 +172,68 @@ class AnnLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, s"$r/vectors").count() == emb.count())
   }
 
+  test("cutover: tail replayed, handle repointed, rerun idempotent, retire guarded") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_cut").toString
+    val live = s"$base/live"; val green = s"$base/green"
+    AnnLake.create(emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      live, nlist = 8, dim = 64)
+    AnnLake.append(emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
+      live, batchId = Some(0L))
+    AnnLake.reindex(spark, live, green, nlist = 8, dim = 64)
+    // in-flight: an append lands on the OLD index while green builds
+    AnnLake.append(emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding",
+      live, batchId = Some(1L))
+    AnnLake.cutover(spark, live, green)
+    // the ORIGINAL handle now resolves to the green index, and the
+    // full-probe search over it sees the COMPLETE corpus — nothing in
+    // flight during the rebuild was lost
+    val viaHandle = AnnLake.search(spark, queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val brute = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaHandle == brute && viaHandle.nonEmpty)
+    assert(VersionedLake.read(spark, s"$green/vectors").count() == emb.count())
+    // a crashed-and-rerun cutover is a no-op past the watermark
+    val vBefore = VersionedLake.currentVersion(s"$green/vectors")
+    AnnLake.cutover(spark, live, green)
+    assert(VersionedLake.currentVersion(s"$green/vectors") == vBefore)
+    assert(VersionedLake.read(spark, s"$green/vectors").count() == emb.count())
+    // retire refuses on a live (un-cut-over) lake, works on the handle
+    assert(intercept[IllegalArgumentException] {
+      AnnLake.retire(green)
+    }.getMessage.contains("not been cut over"))
+    AnnLake.retire(live)
+    assert(!new java.io.File(s"$live/vectors").exists())
+    assert(AnnLake.search(spark, queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 8).collect().map(_.toSeq).toSet == brute)
+    // appends through the handle land in the green index
+    AnnLake.append(emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", live, batchId = Some(2L))
+    assert(VersionedLake.read(spark, s"$green/vectors").count() == emb.count() + 1)
+    // create through a cut-over handle is refused (it would clobber green)
+    assert(intercept[IllegalArgumentException] {
+      AnnLake.create(emb, "vec_id", "embedding", live, nlist = 8, dim = 64)
+    }.getMessage.contains("cut-over handle"))
+  }
+
+  test("cutover preconditions: non-reindexed target refused; cellStats names a missing lake") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_cut2").toString
+    // a lake NOT built by reindex records no source version to replay from
+    AnnLake.create(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      s"$base/other", nlist = 8, dim = 64)
+    assert(intercept[IllegalArgumentException] {
+      AnnLake.cutover(spark, root, s"$base/other")
+    }.getMessage.contains("reindex"))
+    // cellStats on a never-created lake names the real problem
+    assert(intercept[IllegalArgumentException] {
+      AnnLake.cellStats(spark, s"$base/nowhere")
+    }.getMessage.contains("no ANN index"))
+  }
+
   test("compact folds increment files; search unchanged") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 5)
