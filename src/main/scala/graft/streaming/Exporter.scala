@@ -160,21 +160,45 @@ object Exporter {
     spark.read.parquet(outDir)
 
   /** Cached hot legs, keyed (lake, cutoff) — see [[hotColdRead]]. Each
-    * carries the file listing its plan was built over: a changed file
-    * set (re-exported window, continuous appends) REPLACES the leg —
-    * old blocks unpersisted, fresh listing cached — instead of serving
-    * stale files. Distinct cutoffs coexist (a 24h dashboard and a 7d
-    * verifier on the same lake each keep their leg cached), bounded at
-    * [[MaxHotLegsPerLake]] per lake with least-recently-used eviction,
-    * so a MOVING cutoff (a new key every day) cannot accumulate
-    * overlapping pinned copies without bound. The registry's releases
-    * (bench/verify clear caches between gates) are honored by
-    * re-persisting a leg whose storage level was dropped. */
-  private final class HotLeg(val files: Set[String], val df: DataFrame,
+    * carries the staleness token its plan was built under: a changed
+    * token (re-exported window, continuous appends, new partition)
+    * REPLACES the leg — old blocks unpersisted, fresh plan cached —
+    * instead of serving stale files. Distinct cutoffs coexist (a 24h
+    * dashboard and a 7d verifier on the same lake each keep their leg
+    * cached), bounded at [[MaxHotLegsPerLake]] per lake with
+    * least-recently-used eviction, so a MOVING cutoff (a new key every
+    * day) cannot accumulate overlapping pinned copies without bound.
+    * The registry's releases (bench/verify clear caches between gates)
+    * are honored by re-persisting a leg whose storage level was
+    * dropped. */
+  private final class HotLeg(val token: Set[(String, Long)], val df: DataFrame,
     var used: Long)
   private val hotLegs = scala.collection.mutable.Map.empty[(String, String), HotLeg]
   private var hotLegClock = 0L
   private val MaxHotLegsPerLake = 4
+  /** Observability hook for the spec: how many times a hot leg was
+    * (re)built — a token-hit read must not re-list or re-plan. */
+  private[graft] var hotLegBuilds = 0L
+
+  /** The staleness token: ONE non-recursive listing of the lake root —
+    * (child name, mtime) per partition directory, O(partitions)
+    * metadata instead of the O(files) leaf listing `inputFiles` costs.
+    * Any partition write (dynamic overwrite, append, new partition,
+    * retention drop) changes its directory's name set or mtime.
+    * Granularity caveat: two rewrites of the same partition within one
+    * filesystem clock tick are indistinguishable — on an object store
+    * (no directory mtimes) or under that write cadence, invalidate via
+    * an export manifest instead of this token. Cold-only changes
+    * over-invalidate (the token spans the whole lake) — correct, just
+    * re-caches. */
+  private def lakeToken(spark: SparkSession, outDir: String): Set[(String, Long)] = {
+    val fs = new Path(outDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(outDir)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).toSeq
+      .map(st => st.getPath.getName -> st.getModificationTime).toSet
+  }
 
   /** §1.6 hot/cold STORAGE TIERS: Timestream serves a recent window
     * from the memory store and ages the rest into magnetic storage
@@ -198,32 +222,41 @@ object Exporter {
     def safeUnpersist(l: HotLeg): Unit =
       try { l.df.unpersist(); () }
       catch { case scala.util.control.NonFatal(_) => () }
-    // ONE fresh plan and ONE lake listing per call, built OUTSIDE the
-    // lock — listing latency (object-store metadata) must not
-    // serialize concurrent tiered reads. inputFiles ignores the
-    // partition filter, so this is the whole lake's file set;
-    // cold-only changes over-invalidate — correct, just re-caches.
-    val fresh = readExport(spark, outDir)
-      .filter(col("partition_key").cast("string") >= hotCutoffKey)
-    val files = fresh.inputFiles.toSet
+    // ONE cheap staleness probe per call, taken OUTSIDE the lock —
+    // metadata latency must not serialize concurrent tiered reads. The
+    // expensive work (the leaf-file listing `spark.read.parquet` does
+    // at plan time, plus re-caching) happens ONLY when the token
+    // changed; a token-hit read reuses the cached leg's plan without
+    // touching the lake's leaves.
+    val token = lakeToken(spark, outDir)
     val key = (outDir, hotCutoffKey)
-    val hot = hotLegs.synchronized {
+    def hit(): Option[DataFrame] = hotLegs.synchronized {
       hotLegClock += 1
       hotLegs.get(key) match {
-        case Some(leg) if leg.files == files =>
+        case Some(leg) if leg.token == token =>
           leg.used = hotLegClock
-          leg.df
-        case prior =>
-          prior.foreach(safeUnpersist)
-          hotLegs(key) = new HotLeg(files, fresh, hotLegClock)
-          // bound the per-lake pin budget: evict the LRU leg beyond it
-          val lakeKeys = hotLegs.keysIterator.filter(_._1 == outDir).toSeq
-          if (lakeKeys.size > MaxHotLegsPerLake) {
-            val lru = lakeKeys.minBy(k => hotLegs(k).used)
-            safeUnpersist(hotLegs(lru))
-            hotLegs.remove(lru)
-          }
-          fresh
+          Some(leg.df)
+        case _ => None
+      }
+    }
+    val hot = hit().getOrElse {
+      // the leaf-file listing and plan build stay OUTSIDE the lock so
+      // a slow rebuild cannot serialize other lakes' token-hit reads;
+      // two concurrent misses both build and the later insert wins
+      val fresh = readExport(spark, outDir)
+        .filter(col("partition_key").cast("string") >= hotCutoffKey)
+      hotLegs.synchronized {
+        hotLegs.get(key).foreach(safeUnpersist)
+        hotLegBuilds += 1
+        hotLegs(key) = new HotLeg(token, fresh, hotLegClock)
+        // bound the per-lake pin budget: evict the LRU leg beyond it
+        val lakeKeys = hotLegs.keysIterator.filter(_._1 == outDir).toSeq
+        if (lakeKeys.size > MaxHotLegsPerLake) {
+          val lru = lakeKeys.minBy(k => hotLegs(k).used)
+          safeUnpersist(hotLegs(lru))
+          hotLegs.remove(lru)
+        }
+        fresh
       }
     }
     if (hot.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
@@ -288,11 +321,25 @@ object Exporter {
     * the lake converges to the batch-backfill answer with no duplicate
     * partitions (ExporterSpec: stream-vs-batch parity + restart).
     *
-    * Scale shape: the per-tick cost is one partition-name listing plus
-    * one windowed flagship per NEW window; the min/max completeness
-    * probe reads parquet footer stats. In production the staging lake
-    * is the (date-partitioned) ingest lake, so each window's filter
-    * partition-prunes instead of scanning history.
+    * Scale shape — per-tick cost is HISTORY-INDEPENDENT: each tick
+    * reads the batch it just staged plus one PENDING snapshot holding
+    * only the rows of not-yet-exported windows (bounded by step +
+    * slack worth of data, however old the stream), exports the newly
+    * complete windows, rewrites the trimmed pending snapshot, and
+    * RETIRES everything superseded. Exported windows' rows are dead by
+    * the completeness contract (exported partitions are never
+    * revisited), so trimming them loses nothing; staging holds at most
+    * the current batch, the new pending snapshot, and its predecessor
+    * (kept one tick as the replay fallback). A stream alive for months
+    * lists three prefixes per tick, not tens of thousands
+    * (ExporterSpec pins the flat staged-file count).
+    *
+    * Replay safety: both the batch prefix and the pending snapshot are
+    * keyed by BATCH ID and written with overwrite, so a replayed tick
+    * reads the same predecessor (`p<w>, w < id` — its own partial
+    * output is invisible to it) and rewrites the same prefixes;
+    * retirement only deletes strictly-older generations the replay no
+    * longer reads.
     */
   def continuousExport(events: DataFrame, p: GridParams, stagingDir: String,
       outDir: String, checkpointDir: String, stepMicros: Long,
@@ -308,18 +355,55 @@ object Exporter {
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         batch.write.mode("overwrite").parquet(s"$stagingDir/b$id")
         val spark = batch.sparkSession
-        val staged = spark.read.parquet(s"$stagingDir/b*")
-        exportCompleteWindows(staged, p, outDir, stepMicros, slackMicros)
+        val fs = new Path(stagingDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev = stagedGenerations(fs, stagingDir, "p").filter(_ < id)
+          .maxOption
+        val batchDf = spark.read.parquet(s"$stagingDir/b$id")
+        val staged = prev match {
+          case Some(w) => spark.read.parquet(s"$stagingDir/p$w")
+            .unionByName(batchDf)
+          case None => batchDf
+        }
+        val (_, floor) = exportCompleteWindows(staged, p, outDir,
+          stepMicros, slackMicros)
+        staged.filter(unix_micros(col(p.time)) >= lit(floor))
+          .write.mode("overwrite").parquet(s"$stagingDir/p$id")
+        // retire superseded generations: pendings older than the
+        // replay fallback, and every batch prefix this tick consumed
+        stagedGenerations(fs, stagingDir, "p")
+          .filter(w => w < id && !prev.contains(w))
+          .foreach(w => fs.delete(new Path(s"$stagingDir/p$w"), true))
+        stagedGenerations(fs, stagingDir, "b").filter(_ < id)
+          .foreach(w => fs.delete(new Path(s"$stagingDir/b$w"), true))
         ()
       }
       .start()
+  }
+
+  /** Batch-id generations staged under `dir` with the given prefix
+    * (`b` = raw batches, `p` = pending snapshots). */
+  private def stagedGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, prefix: String): Seq[Long] = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) &&
+        n.drop(prefix.length).forall(_.isDigit) &&
+        n.length > prefix.length => n.drop(prefix.length).toLong }
   }
 
   /** One tick of [[continuousExport]]: export every step-aligned
     * window complete w.r.t. `staged` and absent from `outDir`. Window
     * k = [k·step, (k+1)·step) is complete iff (k+1)·step + slack ≤
     * max staged event time. Returns the exported partition keys
-    * (testing hook). Bounds and keys are rendered THROUGH the
+    * (testing hook) and the LIVE FLOOR in epoch micros — the start of
+    * the first not-yet-exportable window: staged rows below it belong
+    * to exported (or skipped-as-existing) windows, are never read
+    * again by contract, and are what the caller trims from the next
+    * pending snapshot. Long.MinValue when nothing is complete yet
+    * (everything stays live). Bounds and keys are rendered THROUGH the
     * session-timezone cast (driver-side string formatting could skew
     * an hour against [[exportWindow]]'s own casts).
     *
@@ -333,15 +417,16 @@ object Exporter {
     * that much, the streaming analog of a watermark delay.
     */
   private[graft] def exportCompleteWindows(staged: DataFrame, p: GridParams,
-      outDir: String, stepMicros: Long, slackMicros: Long = 0L): Seq[String] = {
+      outDir: String, stepMicros: Long,
+      slackMicros: Long = 0L): (Seq[String], Long) = {
     val spark = staged.sparkSession
     val mm = staged.agg(
       min(unix_micros(col(p.time))).as("lo"),
       max(unix_micros(col(p.time))).as("hi")).head()
-    if (mm.isNullAt(0)) return Nil
+    if (mm.isNullAt(0)) return (Nil, Long.MinValue)
     val first = Math.floorDiv(mm.getLong(0), stepMicros)
     val lastComplete = Math.floorDiv(mm.getLong(1) - slackMicros, stepMicros) - 1
-    if (lastComplete < first) return Nil
+    if (lastComplete < first) return (Nil, Long.MinValue)
     val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: Set[String] =
       if (fs.exists(new Path(outDir)))
@@ -360,7 +445,7 @@ object Exporter {
       .collect()
       .filterNot(r => existing.contains(r.getString(2)))
     todo.foreach(r => exportWindow(staged, p, outDir, r.getString(0), r.getString(1)))
-    todo.map(_.getString(2)).toSeq
+    (todo.map(_.getString(2)).toSeq, (lastComplete + 1) * stepMicros)
   }
 
   /** §1.6 retention: drop export partitions whose key sorts strictly

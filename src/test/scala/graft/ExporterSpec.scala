@@ -79,17 +79,28 @@ class ExporterSpec extends SparkSpec {
       .collect().map(_.getString(0)).filter(_.nonEmpty)
     assert(readFiles.nonEmpty &&
       readFiles.forall(_.contains("partition_key=2024-01-01T00-00")), readFiles.toSeq)
-    // second tiered read reuses the SAME cached leg (no duplicate persist)
+    // second tiered read reuses the SAME cached leg — the staleness
+    // probe is one O(partitions) root listing, and a token hit must
+    // not re-plan (no leaf-file listing): the build counter is flat
+    val buildsAfterFirst = Exporter.hotLegBuilds
     val again = Exporter.hotColdRead(spark, out, cutoff)
     assert(again.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    assert(Exporter.hotLegBuilds == buildsAfterFirst,
+      "a token-hit read rebuilt the hot leg")
     // a LATER hot-tier write (new window exported above the cutoff)
     // invalidates the cached leg: the tiered read serves the new
-    // partition instead of a stale frozen file listing
+    // partition instead of a stale frozen file listing — ONE rebuild
+    // per invalidation, not one per read
     Exporter.exportWindow(events, P, out, "2024-01-22", "2024-01-29")
     val tiered2 = Exporter.hotColdRead(spark, out, cutoff)
+    assert(Exporter.hotLegBuilds == buildsAfterFirst + 1,
+      "the partition write must invalidate exactly once")
     assert(tiered2.collect().map(_.toSeq).toSet ==
       Exporter.readExport(spark, out).collect().map(_.toSeq).toSet)
     assert(tiered2.filter(col("partition_key") === "2024-01-22T00-00").count() > 0)
+    // and the read after the rebuild is a token hit again
+    Exporter.hotColdRead(spark, out, cutoff)
+    assert(Exporter.hotLegBuilds == buildsAfterFirst + 1)
   }
 
   test("one-pass backfill equals the serial per-window loop exactly") {
@@ -269,6 +280,59 @@ class ExporterSpec extends SparkSpec {
     assert(aAfter == a)
   }
 
+  test("continuous exporter staging is history-independent: bounded prefixes, trimmed pending") {
+    val in = freshDir; val staging = freshDir; val out = freshDir; val ckpt = freshDir
+    val events = Tables.events(spark, sf("sf0.001"))
+    // 8 arrival files → 8 ticks (maxFilesPerTrigger=1): a stream 8
+    // ticks old must stage the same number of prefixes as one 3 ticks
+    // old, or per-tick cost grows linearly with stream age
+    (0 until 8).foreach { i =>
+      val s = java.time.LocalDate.of(2024, 1, 1).plusDays(4L * i)
+      events.filter(col("ts") >= lit(s.toString).cast("timestamp") &&
+        col("ts") < lit(s.plusDays(4).toString).cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val step = 7L * 24 * 3600 * 1000000L
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    Exporter.continuousExport(src, P, staging, out, ckpt, step)
+      .awaitTermination()
+    // staging holds at most: the last batch, the last pending
+    // snapshot, and its replay-fallback predecessor — NOT 8 batches
+    val staged = new java.io.File(staging).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(staged.size <= 3, s"staging grew with stream age: $staged")
+    assert(staged.count(_.startsWith("b")) <= 1, staged.toString)
+    // the surviving pending snapshot holds ONLY live rows (at or past
+    // the last exported window's end) — history was trimmed, and the
+    // trimmed rows are exactly the exported windows' rows
+    val lastPending = staged.filter(_.startsWith("p")).map(_.drop(1).toLong).max
+    val pend = spark.read.parquet(s"$staging/p$lastPending")
+    val exportedKeys = Exporter.readExport(spark, out)
+      .select("partition_key").distinct().collect().map(_.getString(0)).toSet
+    assert(exportedKeys.nonEmpty)
+    val lastEnd = java.time.LocalDateTime.parse(exportedKeys.max,
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm"))
+      .plusDays(7)
+    assert(pend.filter(col("ts") <
+      lit(lastEnd.toString.replace('T', ' ')).cast("timestamp")).count() == 0,
+      "pending snapshot still carries exported-window rows")
+    // and the stream's lake equals the batch backfill of those windows
+    val outB = freshDir
+    val ws = exportedKeys.toSeq.sorted.map { k =>
+      val s = java.time.LocalDateTime.parse(k,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm"))
+      val f = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      (s.format(f), s.plusDays(7).format(f))
+    }
+    Exporter.backfill(events, P, outB, ws)
+    val cols = Seq("partition_key", "user_id", "time", "status", "temperature")
+    assert(Exporter.readExport(spark, out).select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet ==
+      Exporter.readExport(spark, outB).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("raw-prefix layout holds the same data as the hive layout, key recovered from the path") {
     val outHive = freshDir; val outRaw = freshDir
     val events = Tables.events(spark, sf("sf0.001"))
@@ -311,14 +375,16 @@ class ExporterSpec extends SparkSpec {
     val staged = spark.read.parquet(staging)
     val step = 7L * 24 * 3600 * 1000000L // weekly, epoch-aligned
     // no slack: max(ts) just past the Jan-8..Jan-15 window end exports it
-    val k0 = graft.streaming.Exporter.exportCompleteWindows(
+    val (k0, f0) = graft.streaming.Exporter.exportCompleteWindows(
       staged, P, outNoSlack, step)
     // 12h slack: the same window is NOT yet complete (max < end + slack),
     // so only the first window exports — the export trails the head
-    val k1 = graft.streaming.Exporter.exportCompleteWindows(
+    val (k1, f1) = graft.streaming.Exporter.exportCompleteWindows(
       staged, P, outSlack, step, slackMicros = 12L * 3600 * 1000000L)
     assert(k0.size == k1.size + 1, s"noSlack=$k0 slack=$k1")
     assert(k1.toSet.subsetOf(k0.toSet))
+    // the live floor trails by exactly one window under the slack
+    assert(f0 == f1 + step, s"floors: $f0 vs $f1")
   }
 
   test("windowed export equals flagship computed directly on that window") {
