@@ -145,8 +145,16 @@ object TextSearch {
       .agg(sum(col("w")).as("score"),
         count(lit(1)).as("matched_terms"),
         sum(col("tf")).as("total_tf"))
-    // two-phase group-limit: bucketed prune bounds every task, then
-    // the per-query rank runs over <= k * 16^bucketChars rows
+    rankTopKPerQuery(scored, k, bucketChars)
+  }
+
+  /** Two-phase per-query group-limit over a (query_id, doc_id, dl,
+    * score, matched_terms, total_tf) frame: a bucketed prune bounds
+    * every task, then the per-query rank runs over <= k *
+    * 16^bucketChars rows. Shared by the one-shot batch form and the
+    * postings-lake batch form so both rank identically. */
+  private[graft] def rankTopKPerQuery(scored: DataFrame, k: Int,
+      bucketChars: Int): DataFrame = {
     val bucket = substring(md5(concat(lit("bm25:"), col("doc_id").cast("string"))),
       1, bucketChars)
     val pruned = scored

@@ -635,6 +635,38 @@ object TextQueries {
         "documents", "doc_id", "text",
         query = Seq("spark", "hash", "join", "stream"), k = 50))),
 
+    // Lexical retrieval 4b: the QUERY-TABLE form against the lake —
+    // the decontamination-review shape at index scale (a prompt table
+    // ranked in ONE pruned index pass; search()'s isin() literal list
+    // is the interactive shape). Reuses the two-increment lake
+    // fixture, so equality with x_bm25_batch's oracle proves the
+    // whole chain: lake df/tf/ledger-stats over pruned partitions ≡
+    // the one-shot corpus computation, per query, hash-checked.
+    QDef(
+      "x_bm25_lake_batch",
+      (s, dir) => {
+        val lake = Fixtures.dir("bm25_lake_incr", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(0L))
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(1L))
+        }
+        val queries = Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+        graft.sources.PostingsLake.searchBatch(s, s"$lake/lake",
+          queries, "query_id", "qtext", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(graft.operators.TextSearch.bm25BatchOracleSql(
+        "documents", "doc_id", "text",
+        queriesCte =
+          """SELECT doc_id AS query_id,
+            |         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS qtext
+            |  FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+        k = 10))),
+
     // Lexical retrieval 5: RETRACTION. The index ingests the whole
     // corpus, then half of it is deleted (copy-on-write MERGE touching
     // only the partitions that hold the retracted docs' postings) —

@@ -246,6 +246,70 @@ object PostingsLake {
         col("matched_terms"), col("total_tf"), col("dl").cast("long").as("dl"))
   }
 
+  /** BM25 top-k over the lake for a QUERY TABLE — the thousand-prompt
+    * decontamination-review shape, ranked in ONE index pass instead of
+    * one [[search]] per query (whose `isin(terms:_*)` literal list is
+    * an interactive-query shape). Identical semantics and output
+    * schema to [[graft.operators.TextSearch.bm25TopKBatch]] on the
+    * union corpus ((query_id, rank, doc_id, matched_terms, total_tf,
+    * dl); BM25+ idf; two-phase bucketed group-limit; ties on doc_id) —
+    * but the corpus-sized tokenize pass is GONE:
+    *
+    *  - partition pruning needs only the query terms' PARTITION IDS,
+    *    computed in-engine and collected bounded by `termParts` —
+    *    never the terms themselves;
+    *  - file-level Bloom admission collects the distinct terms only
+    *    while bounded ([[VersionedLake.pointReadOrFull]]'s maxKeys
+    *    rule); a past-the-bound query table degrades to the
+    *    partition-pruned read, never to a driver blowup;
+    *  - the posting rows then semi-filter through a broadcast of the
+    *    term table (exact — pruning conservatism stays invisible), df
+    *    is an aggregate over those rows, and the corpus stats come
+    *    from the O(1) ledger.
+    */
+  def searchBatch(spark: SparkSession, lakeDir: String, queries: DataFrame,
+      qid: String, qtext: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      termParts: Int = 64, version: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qterms = queries
+      .select(col(qid).as("query_id"),
+        explode(split(col(qtext), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val allTerms = qterms.select(col("term")).distinct()
+    val tp = effTermParts(lakeDir, termParts)
+    val tps = allTerms
+      .select(pmod(xxhash64(col("term")), lit(tp)).as("tp"))
+      .distinct().collect().map(_.getLong(0).toString).toSeq // <= termParts rows
+    val dir = postingsDir(lakeDir)
+    val rows = version match {
+      // a version-pinned replay reads partition-pruned (Bloom presence
+      // varies across history; queryRead documents the same rule)
+      case Some(v) => VersionedLake.read(spark, dir, Some(v),
+        partitions = Some(tps))
+      case None => VersionedLake.pointReadOrFull(spark, dir, "term",
+        allTerms, partitions = Some(tps))
+    }
+    val base = rows.join(broadcast(allTerms), "term")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val dfreq = base.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = corpusStats(spark, lakeDir, version)
+    val scored = base
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(sum(col("w")).as("score"),
+        count(lit(1)).as("matched_terms"),
+        sum(col("tf")).as("total_tf"))
+    graft.operators.TextSearch.rankTopKPerQuery(scored, k, bucketChars = 2)
+  }
+
   /** Fold per-increment file growth back to one file per partition in
     * both lakes (OCC compaction — concurrent appends just defer a
     * partition to the next run), and FOLD the corpus-stats ledger to a
