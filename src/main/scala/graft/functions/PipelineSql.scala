@@ -118,6 +118,16 @@ object PipelineSql {
     def reg(name: String)(builder: Seq[Expression] => DataFrame): Unit =
       registerTableFunction(spark, name, es => analyzedPlan(builder(es)))
 
+    // side-effecting maintenance TVFs: the builder (analysis time)
+    // only parses arguments and declares the receipt schema; the
+    // operation runs when the plan EXECUTES (graft.plans.DeferredEffect
+    // — EXPLAIN and failed outer analysis leave the lake untouched)
+    graft.plans.DeferredEffect.install(spark)
+    def regDeferred(name: String, schema: org.apache.spark.sql.types.StructType)(
+        builder: Seq[Expression] => () => Seq[Seq[Any]]): Unit =
+      registerTableFunction(spark, name,
+        es => graft.plans.DeferredEffect.plan(schema)(builder(es)))
+
     // dedup family
     reg("minhash_lsh_pairs") { es =>
       argc("minhash_lsh_pairs", es, 5)
@@ -506,19 +516,22 @@ object PipelineSql {
           dbl("read_range", es(2), "range high"))
       }
     }
-    // maintenance TVFs: the operation runs when the query is analyzed
-    // and the relation is its receipt — SQL-first maintenance, the way
-    // a table format exposes OPTIMIZE/VACUUM as SQL statements. Each
-    // returns what it did so the caller can assert on it.
-    reg("lake_compact") { es =>
+    // maintenance TVFs: the argument parsing happens at analysis, the
+    // OPERATION at first execution, and the relation is its receipt —
+    // SQL-first maintenance, the way a table format exposes
+    // OPTIMIZE/VACUUM as SQL statements. Each returns what it did so
+    // the caller can assert on it; EXPLAIN touches nothing
+    // (DialectSpec pins that).
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    regDeferred("lake_compact",
+      StructType(Seq(StructField("committed_version", LongType)))) { es =>
       if (es.length < 2 || es.length > 3)
         fail("lake_compact", s"expects 2 or 3 arguments, got ${es.length}")
-      import spark.implicits._
       val dir = str("lake_compact", es(0), "lake directory")
-      val v = graft.sources.VersionedLake.compactPartitions(spark, dir,
-        str("lake_compact", es(1), "partition column"),
-        statsCol = es.lift(2).map(str("lake_compact", _, "stats column")))
-      Seq(v.toLong).toDF("committed_version")
+      val part = str("lake_compact", es(1), "partition column")
+      val statsCol = es.lift(2).map(str("lake_compact", _, "stats column"))
+      () => Seq(Seq(graft.sources.VersionedLake.compactPartitions(
+        spark, dir, part, statsCol = statsCol).toLong))
     }
     reg("lake_row_count") { es =>
       if (es.length < 1 || es.length > 2)
@@ -529,22 +542,23 @@ object PipelineSql {
         es.lift(1).map(int("lake_row_count", _, "version"))))
         .toDF("n_rows")
     }
-    reg("lake_vacuum") { es =>
+    regDeferred("lake_vacuum",
+      StructType(Seq(StructField("keep_from", LongType),
+        StructField("current_version", LongType)))) { es =>
       argc("lake_vacuum", es, 2)
-      import spark.implicits._
       val dir = str("lake_vacuum", es(0), "lake directory")
       val keepFrom = int("lake_vacuum", es(1), "keep-from version")
-      graft.sources.VersionedLake.vacuum(dir, keepFrom)
-      Seq((keepFrom.toLong,
-        graft.sources.VersionedLake.currentVersion(dir).toLong))
-        .toDF("keep_from", "current_version")
+      () => {
+        graft.sources.VersionedLake.vacuum(dir, keepFrom)
+        Seq(Seq(keepFrom.toLong,
+          graft.sources.VersionedLake.currentVersion(dir).toLong))
+      }
     }
-    reg("lake_clean_orphans") { es =>
+    regDeferred("lake_clean_orphans",
+      StructType(Seq(StructField("deleted_path", StringType)))) { es =>
       argc("lake_clean_orphans", es, 1)
-      import spark.implicits._
-      graft.sources.VersionedLake.cleanOrphans(
-        str("lake_clean_orphans", es(0), "lake directory"))
-        .toDF("deleted_path")
+      val dir = str("lake_clean_orphans", es(0), "lake directory")
+      () => graft.sources.VersionedLake.cleanOrphans(dir).map(Seq(_))
     }
 
     reg("exact_substring_scrub") { es =>
@@ -769,6 +783,17 @@ object PipelineSql {
         str("bm25_lake_search", es(0), "postings lake dir"),
         terms, k = int("bm25_lake_search", es(2), "k"))
     }
+    // the QUERY-TABLE form over the lake: ('<lake dir>', '<queries
+    // table>', '<query id col>', '<query text col>', k)
+    reg("bm25_lake_batch") { es =>
+      argc("bm25_lake_batch", es, 5)
+      val q = table("bm25_lake_batch", es(1))
+      graft.sources.PostingsLake.searchBatch(q.sparkSession,
+        str("bm25_lake_batch", es(0), "postings lake dir"), q,
+        qid = str("bm25_lake_batch", es(2), "query id column"),
+        qtext = str("bm25_lake_batch", es(3), "query text column"),
+        k = int("bm25_lake_batch", es(4), "k"))
+    }
     // probe-pruned search over a lake-backed incremental ANN index
     reg("ann_lake_search") { es =>
       argc("ann_lake_search", es, 6)
@@ -896,15 +921,19 @@ object PipelineSql {
     }
 
     // retention expiry: drop export partitions strictly below the
-    // cutoff key; returns one row per dropped partition (the
-    // side-effecting lake_compact/lake_vacuum convention)
-    reg("retention_drop") { es =>
+    // cutoff key; returns one row per dropped partition. Execution-
+    // time like the other maintenance TVFs — this one DELETES DATA, so
+    // analysis-time execution (the pre-r16 convention) was the worst
+    // of the footguns: an EXPLAIN would expire partitions.
+    regDeferred("retention_drop",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dropped_partition",
+          org.apache.spark.sql.types.StringType)))) { es =>
       argc("retention_drop", es, 2)
-      val dropped = graft.streaming.Exporter.dropPartitionsOlderThan(spark,
-        str("retention_drop", es(0), "export lake dir"),
-        str("retention_drop", es(1), "cutoff partition key"))
-      import spark.implicits._
-      dropped.toDF("dropped_partition")
+      val dir = str("retention_drop", es(0), "export lake dir")
+      val cutoff = str("retention_drop", es(1), "cutoff partition key")
+      () => graft.streaming.Exporter.dropPartitionsOlderThan(spark, dir, cutoff)
+        .map(Seq(_))
     }
 
     // ANN index drift signal: per-cell population from manifest

@@ -630,4 +630,51 @@ class DialectSpec extends SparkSpec {
       .select(col("partition_key").cast("string")).distinct()) ==
       Set(Seq("2024-01-08T00-00")))
   }
+
+  test("side-effecting TVFs run at EXECUTION, not analysis: EXPLAIN touches nothing") {
+    import graft.streaming.Exporter
+    import graft.operators.TimeSeries.GridParams
+    val out = java.nio.file.Files.createTempDirectory("tvf_defer").toString
+    val p = GridParams(key = "user_id", time = "ts", value = "value",
+      status = "event_type", step = "1 HOUR")
+    Exporter.backfill(Tables.events(spark, sf("sf0.001")), p, out, Seq(
+      ("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15")))
+    def keys = Exporter.readExport(spark, out)
+      .select(col("partition_key").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val drop = s"SELECT * FROM retention_drop('$out', '2024-01-08T00-00')"
+    // analysis-only paths leave the lake untouched: EXPLAIN, a
+    // formatted-plan dump, and an outer query that fails analysis
+    spark.sql(s"EXPLAIN $drop").collect()
+    spark.sql(drop).explain()
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT no_such_column FROM ($drop)").collect()
+    }
+    assert(keys == Set("2024-01-01T00-00", "2024-01-08T00-00"),
+      "resolving retention_drop must not drop partitions")
+    // executing it drops, and the receipt names what it dropped; a
+    // SECOND collect of the SAME Dataset reuses the receipt instead of
+    // re-running the operation (command semantics per statement — a
+    // re-run would find nothing left to drop and return empty)
+    val dropped = spark.sql(drop)
+    assert(dropped.collect().map(_.getString(0)).toSeq == Seq("2024-01-01T00-00"))
+    assert(dropped.collect().map(_.getString(0)).toSeq == Seq("2024-01-01T00-00"),
+      "same Dataset must reuse the receipt")
+    assert(keys == Set("2024-01-08T00-00"))
+    // a NEW statement is a new command and runs again (now a no-op)
+    assert(spark.sql(drop).collect().isEmpty)
+    // lake_compact defers the same way
+    val vlake = java.nio.file.Files.createTempDirectory("tvf_defer_l").toString + "/lake"
+    import spark.implicits._
+    graft.sources.VersionedLake.create(
+      (1 to 8).map(i => (i.toLong, s"p${i % 2}")).toDF("v", "part"), vlake, "part")
+    graft.sources.VersionedLake.append(
+      (9 to 16).map(i => (i.toLong, s"p${i % 2}")).toDF("v", "part"), vlake, "part")
+    spark.sql(s"EXPLAIN SELECT * FROM lake_compact('$vlake', 'part')").collect()
+    assert(graft.sources.VersionedLake.currentVersion(vlake) == 2,
+      "EXPLAIN must not compact")
+    assert(spark.sql(s"SELECT * FROM lake_compact('$vlake', 'part')")
+      .head().getLong(0) == 3L)
+    assert(graft.sources.VersionedLake.currentVersion(vlake) == 3)
+  }
 }

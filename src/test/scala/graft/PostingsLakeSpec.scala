@@ -84,6 +84,19 @@ class PostingsLakeSpec extends SparkSpec {
     val viaApi = PostingsLake.search(spark, s"$r/lake", query, k = 20)
       .collect().map(_.toSeq).toSet
     assert(viaSql == viaApi && viaSql.nonEmpty)
+    // the query-TABLE form: bm25_lake_batch ≡ searchBatch
+    spark.sql("SELECT 1L AS query_id, 'spark hash join stream' AS qtext")
+      .createOrReplaceTempView("pl_queries")
+    val batchSql = spark.sql(
+      s"SELECT * FROM bm25_lake_batch('$r/lake', 'pl_queries', 'query_id', 'qtext', 20)")
+      .collect().map(_.toSeq).toSet
+    val batchApi = PostingsLake.searchBatch(spark, s"$r/lake",
+      spark.table("pl_queries"), "query_id", "qtext", k = 20)
+      .collect().map(_.toSeq).toSet
+    assert(batchSql == batchApi && batchSql.nonEmpty)
+    // and a one-query batch ranks exactly like the single-query form
+    // (drop the query_id column; both emit (rank, doc_id, ...))
+    assert(batchApi.map(_.drop(1)) == viaApi)
   }
 
   test("corpus stats come from the increments ledger, exact under append and delete") {
