@@ -76,6 +76,31 @@ class StreamingCepSpec extends SparkSpec {
     assert(runStream(ev, 1, tight).isEmpty && runBatch(ev, tight).isEmpty)
   }
 
+  test("C2 ordering contract: in-batch event_time order governs, cross-batch disorder is not repaired") {
+    // The reference orders by PROCESSING time (notebook.txt:7,52) but
+    // computes every measure from event_time; this engine's documented
+    // contract (CepStream.scala scaladoc) sorts each micro-batch by
+    // (event_time, event_id) and does not repair disorder ACROSS
+    // batches. This case pins both halves so the contract cannot
+    // silently change.
+    val inOrder = seq("k1", T0, E, ok(10), ok(20), E)
+    // arrival order scrambled WITHIN one batch: C, B1, A, B2
+    val shuffled = Seq(inOrder(3), inOrder(1), inOrder(0), inOrder(2))
+    val s = runStream(shuffled, chunks = 1)
+    assert(norm(s) == norm(runBatch(inOrder)),
+      "a single micro-batch must match in event_time order, not arrival order")
+    assert(s.head.history == "OK-OK" && s.head.elapsed == 3)
+    // the same disorder split one-event-per-batch is NOT repaired: the
+    // state machine sees C before A and the event-time sandwich never
+    // assembles — the documented divergence, relying on the source
+    // (a Kinesis shard, a partitioned Kafka topic) preserving each
+    // key's order across batches
+    val sCross = runStream(shuffled, chunks = 4)
+    assert(norm(sCross) != norm(runBatch(inOrder)),
+      "cross-batch disorder unexpectedly produced the event-time-order result " +
+        "— the documented C2 contract changed")
+  }
+
   test("state survives micro-batch boundaries (A, B, C in separate batches)") {
     val ev = seq("k1", T0, E, ok(10), ok(20), E)
     val out = runStream(ev, chunks = 4) // one event per batch
