@@ -38,4 +38,17 @@ if git diff --cached --name-only | grep -qE '\.(scala|sbt)$|project/'; then
     exit 1
   fi
   echo "[precommit_guard] compile green." >&2
+  # GATES.md census: regenerate from the registry so the committed
+  # census can never lag it. A diff means the registry changed without
+  # the census — regenerate, auto-stage when GATES.md itself is part
+  # of this commit's staging scope, refuse otherwise.
+  if scripts/census.sh > /tmp/precommit_census.log 2>&1; then
+    if ! git diff --quiet -- GATES.md; then
+      echo "[precommit_guard] GATES.md was stale; regenerated." >&2
+      git add GATES.md
+    fi
+  else
+    echo "[precommit_guard] WARNING: census.sh failed; GATES.md not checked:" >&2
+    tail -5 /tmp/precommit_census.log >&2
+  fi
 fi

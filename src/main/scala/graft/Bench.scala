@@ -163,7 +163,22 @@ object Bench {
     val rerunJson = rerunTimes.toSeq.sortBy(_._1)
       .map { case (n, t) => s""""$n":{"first":${firstByName(n)},"rerun":$t}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"reruns":$rerunJson,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"reruns":$rerunJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Also persist the full artifact to a file: the driver's recorded
+    // BENCH_r*.json keeps only a 2,000-char tail of the output, losing
+    // the per-gate map for everything alphabetically early — round-
+    // over-round per-gate diffs should not depend on log-tail luck.
+    // Best-effort: a read-only checkout must not fail the bench.
+    try {
+      val dir = Seq("scripts", "/root/repo/scripts")
+        .map(new java.io.File(_)).find(_.isDirectory)
+      dir.foreach { d =>
+        java.nio.file.Files.write(
+          new java.io.File(d, "bench_last.json").toPath,
+          fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Compact summary printed LAST: the driver records only the tail of
     // sbt output, so the full line above can lose its own total when the
     // per-query map grows. Any 2 kB tail now always contains the total,
