@@ -239,6 +239,23 @@ object PipelineSql {
           n = int("neardup_clusters", es(3), "shingle size n"),
           threshold = dbl("neardup_clusters", es(4), "jaccard threshold")))
     }
+    // cluster-keyed train/val/test: near-dups never straddle the
+    // boundary — ('<docs table>', '<id>', '<text>', n, threshold,
+    // trainPct, valPct)
+    reg("leakage_safe_split") { es =>
+      argc("leakage_safe_split", es, 7)
+      val t = table("leakage_safe_split", es(0))
+      val idc = str("leakage_safe_split", es(1), "id column")
+      graft.operators.Curation.leakageSafeSplit(
+        t, idc,
+        pairs = graft.operators.Dedup.jaccardPairs(
+          t, idc,
+          text = str("leakage_safe_split", es(2), "text column"),
+          n = int("leakage_safe_split", es(3), "shingle size n"),
+          threshold = dbl("leakage_safe_split", es(4), "jaccard threshold")),
+        trainPct = int("leakage_safe_split", es(5), "train percent"),
+        valPct = int("leakage_safe_split", es(6), "val percent"))
+    }
 
     // similarity family
     reg("cosine_topk") { es =>
@@ -782,6 +799,16 @@ object PipelineSql {
         org.apache.spark.sql.SparkSession.active,
         str("bm25_lake_search", es(0), "postings lake dir"),
         terms, k = int("bm25_lake_search", es(2), "k"))
+    }
+    // retrieval evaluation: ('<run table (query_id, rank, doc_id)>',
+    // '<qrels table (query_id, doc_id)>', k) — per-query hits/recall@k
+    // and the reciprocal-rank MRR term
+    reg("retrieval_metrics") { es =>
+      argc("retrieval_metrics", es, 3)
+      graft.operators.TextSearch.retrievalMetrics(
+        table("retrieval_metrics", es(0)),
+        table("retrieval_metrics", es(1)),
+        k = int("retrieval_metrics", es(2), "k"))
     }
     // the QUERY-TABLE form over the lake: ('<lake dir>', '<queries
     // table>', '<query id col>', '<query text col>', k)

@@ -245,6 +245,39 @@ object Curation {
     * kept spans; docs whose every span was deduplicated away keep a
     * row with empty text (the caller decides whether to drop them).
     */
+  /** LEAKAGE-SAFE train/val/test split: the assignment hashes the
+    * document's NEAR-DUP CLUSTER id, not the document id, so two
+    * near-duplicates can never straddle the train/test boundary — the
+    * eval-contamination leak a per-doc split (x_train_split's shape)
+    * structurally allows: a test document whose near-twin sits in
+    * train is a leaked answer, and at corpus scale the per-doc split
+    * leaks one for every near-dup pair.
+    *
+    * `pairs` is any (d1, d2) near-dup pair table (MinHash-LSH, SimHash,
+    * embedding-blocked — the caller picks the notion of "too similar
+    * to separate"); clusters come from [[Dedup.neardupClusters]]'s
+    * scale-safe connected components, and the split is the same
+    * md5-uniform hash discipline as the per-doc split, keyed on the
+    * cluster representative. Singletons hash on themselves, so on a
+    * mostly-unique corpus the marginal distribution matches the
+    * requested percentages exactly as the per-doc form does.
+    *
+    * Returns (doc, cluster_id, cluster_size, split) — unsorted, like
+    * every operator here. */
+  def leakageSafeSplit(docs: DataFrame, id: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 100, s"bad trainPct $trainPct")
+    require(valPct >= 0 && trainPct + valPct <= 100,
+      s"train + val must fit in 100, got $trainPct + $valPct")
+    val u = graft.functions.HashRandom.uniform(
+      concat(lit("split:"), col("cluster_id").cast("string")))
+    Dedup.neardupClusters(docs, id, pairs)
+      .select(col("doc"), col("cluster_id"), col("cluster_size"),
+        when(u < trainPct / 100.0, "train")
+          .when(u < (trainPct + valPct) / 100.0, "val")
+          .otherwise("test").as("split"))
+  }
+
   def lineDedup(df: DataFrame, id: String, text: String,
       spanWords: Int): DataFrame = {
     require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")

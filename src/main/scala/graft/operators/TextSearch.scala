@@ -209,6 +209,46 @@ object TextSearch {
         coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
   }
 
+  /** Retrieval EVALUATION against a relevance table — the harness that
+    * turns the retrieval stack (BM25, ANN, RRF fusion) from "returns
+    * rows" into a measured system. `run` is any per-query ranking
+    * (query_id, rank, doc_id — the shared output shape of bm25TopK*,
+    * cosineTopK renamed, rrfFuse); `qrels` is (query_id, doc_id)
+    * relevance judgments. One row per JUDGED query:
+    * (query_id, n_rel, hits, first_rel_rank, rr, recall_at_k) with
+    * hits/recall over ranks <= k and rr = 1/first_rel_rank (0 when
+    * nothing relevant retrieved — reciprocal rank, the per-query MRR
+    * term).
+    *
+    * Engine-parity discipline: every metric is integers plus a single
+    * correctly-rounded IEEE division (1/rank, hits/n_rel) — no
+    * accumulated float sums — so per-query rows hash identically in
+    * any engine. Corpus MEANS (MRR proper, macro recall) are sums of
+    * doubles whose order the engine picks; compute them from these
+    * rows when needed, but they stay out of the hash-checked surface
+    * by design.
+    *
+    * Scale shape: two hash aggregates on query_id and one equi-join on
+    * (query_id, doc_id); the run is already per-query-bounded by k and
+    * qrels are judgment-sized, so nothing here is corpus-sized. */
+  def retrievalMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rels = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val r = run.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"))
+    val hits = r.join(rels, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rel_rank"))
+    val nrel = rels.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    nrel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("n_rel"))
+          .as("recall_at_k"))
+  }
+
   /** DuckDB replay of [[bm25TopKBatch]]: same formula, tie-break, and
     * rank discipline, with the query table spliced in as a CTE. */
   def bm25BatchOracleSql(src: String, idSql: String, textSql: String,

@@ -667,6 +667,60 @@ object TextQueries {
             |  FROM documents WHERE doc_id % 25 = 0""".stripMargin,
         k = 10))),
 
+    // Retrieval EVALUATION: the harness that scores the stack.
+    // Queries are five-word prefixes of every 25th document; the
+    // relevance judgments are the documents carrying the exact text
+    // the prefix came from (the query doc and its verbatim
+    // duplicates) — "did retrieval surface the source?", the standard
+    // self-retrieval sanity eval. The BM25 run and the metric
+    // arithmetic (1/first_rel_rank, hits/n_rel — single IEEE
+    // divisions, no accumulated float sums) are both replayed by the
+    // oracle, so per-query MRR terms and recall@k hash end to end.
+    QDef(
+      "x_retrieval_eval",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val queries = docs.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+        val run = graft.operators.TextSearch.bm25TopKBatch(
+          docs, "doc_id", "text", queries, "query_id", "qtext", k = 10)
+        val qrels = docs.filter(col("doc_id") % 25 === 0).alias("q")
+          .join(docs.alias("d"), md5(col("q.text")) === md5(col("d.text")))
+          .select(col("q.doc_id").as("query_id"), col("d.doc_id").as("doc_id"))
+        graft.operators.TextSearch.retrievalMetrics(run, qrels, k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val runSql = graft.operators.TextSearch.bm25BatchOracleSql(
+          "documents", "doc_id", "text",
+          queriesCte =
+            """SELECT doc_id AS query_id,
+              |         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS qtext
+              |  FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+          k = 10)
+        s"""WITH run AS (
+           |$runSql
+           |), qrels AS (
+           |  SELECT q.doc_id AS query_id, d.doc_id
+           |  FROM documents q JOIN documents d ON md5(d.text) = md5(q.text)
+           |  WHERE q.doc_id % 25 = 0
+           |), rels AS (SELECT DISTINCT query_id, doc_id FROM qrels),
+           |nrel AS (SELECT query_id, count(*) AS n_rel FROM rels GROUP BY 1),
+           |hits AS (
+           |  SELECT r.query_id, count(*) AS hits, min(r.rank) AS first_rel_rank
+           |  FROM run r JOIN rels USING (query_id, doc_id)
+           |  WHERE r.rank <= 10
+           |  GROUP BY 1)
+           |SELECT n.query_id, n.n_rel,
+           |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           |       CAST(coalesce(h.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+           |       coalesce(CAST(1.0 AS DOUBLE) / h.first_rel_rank, CAST(0 AS DOUBLE)) AS rr,
+           |       CAST(coalesce(h.hits, 0) AS DOUBLE) / n.n_rel AS recall_at_k
+           |FROM nrel n LEFT JOIN hits h USING (query_id)
+           |ORDER BY query_id""".stripMargin
+      }),
+
     // Lexical retrieval 5: RETRACTION. The index ingests the whole
     // corpus, then half of it is deleted (copy-on-write MERGE touching
     // only the partitions that hold the retracted docs' postings) —
@@ -1325,13 +1379,10 @@ object TextQueries {
       "x_leakage_safe_split",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val clusters = graft.operators.Dedup.neardupClusters(docs, "doc_id",
+        graft.operators.Curation.leakageSafeSplit(docs, "doc_id",
           graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
             n = 3, threshold = 0.8, maxShingleDf = Some(100L)))
-        val u = graft.functions.HashRandom.uniform(
-          concat(lit("split:"), col("cluster_id").cast("string")))
-        clusters.select(col("doc"), col("cluster_id"),
-          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+          .select(col("doc"), col("cluster_id"), col("split"))
           .orderBy(col("doc"))
       },
       Some {
@@ -2193,7 +2244,7 @@ object TextQueries {
 
   /** md5-nibble uniform [0,1) in DuckDB SQL — the oracle twin of
     * graft.functions.HashRandom.uniform. */
-  private def mdUniformSql(key: String): String = {
+  private[queries] def mdUniformSql(key: String): String = {
     val md = s"md5($key)"
     val nibs = (1 to 6).map { k =>
       s"(CASE WHEN ascii(substr($md, $k, 1)) <= 57" +

@@ -119,6 +119,49 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._2 == "en").map(_._3).distinct.length == 2)
   }
 
+  test("leakageSafeSplit: near-dups share a split, singletons match the per-doc marginal") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 40 singleton docs + 3 near-dup families (ids 100x share text)
+    val singles = (1L to 40L).map(i => (i, s"unique document number $i with words " + ("w" + i) * 3))
+    val fams = Seq(100L, 200L, 300L).flatMap { base =>
+      (0 until 3).map(j => (base + j, s"family $base shared shingle text body repeated tokens alpha beta gamma delta"))
+    }
+    val docs = (singles ++ fams).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    val out = Curation.leakageSafeSplit(docs, "doc_id", pairs,
+      trainPct = 80, valPct = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // every cluster lands in exactly ONE split — the leak a per-doc
+    // split allows is structurally impossible
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._4).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    // the three families are clusters of 3 (same text → jaccard 1.0)
+    assert(out.filter(_._3 == 3L).map(_._2).distinct.sorted.toSeq == Seq(100L, 200L, 300L))
+    // singletons hash on themselves — identical to the per-doc draw
+    val u = graft.functions.HashRandom.uniform(
+      concat(lit("split:"), col("doc_id").cast("string")))
+    val perDoc = docs.filter(col("doc_id") <= 40)
+      .select(col("doc_id"), when(u < 0.8, "train").when(u < 0.9, "val")
+        .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_._1 <= 40L).foreach { case (d, c, sz, sp) =>
+      assert(c == d && sz == 1L && sp == perDoc(d), s"singleton $d diverged")
+    }
+    // SQL TVF parity
+    graft.functions.PipelineSql.register(spark)
+    docs.createOrReplaceTempView("lss_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM leakage_safe_split('lss_docs', 'doc_id', 'text', 3, 0.8D, 80, 10)")
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == out.map(t => Seq[Any](t._1, t._2, t._3, t._4)).toSet)
+    // percentage contract is validated
+    assert(intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(docs, "doc_id", pairs, trainPct = 95, valPct = 10)
+    }.getMessage.contains("fit in 100"))
+  }
+
   test("packShards rejects a non-positive budget") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")

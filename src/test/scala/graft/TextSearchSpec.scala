@@ -132,4 +132,35 @@ class TextSearchSpec extends SparkSpec {
       (1L, 10L, 1L, 2L), (2L, 13L, 3L, 4L), (3L, 14L, 4L, 3L),
       (4L, 12L, 0L, 1L), (5L, 11L, 2L, 0L)), out.toSeq.toString)
   }
+
+  test("retrievalMetrics: hits, first-rel rank, rr, recall@k; zero-hit and unjudged queries") {
+    import spark.implicits._
+    // q1: rels {10, 11, 12}, run hits 11@2 and 10@4 within k=5, 12@7 outside
+    // q2: rels {20}, run never retrieves it (rr 0, recall 0)
+    // q3: judged {30} but absent from the run entirely (still reported)
+    // run rows for q4 have no judgments -> not reported
+    val run = Seq(
+      (1L, 1L, 99L), (1L, 2L, 11L), (1L, 3L, 98L), (1L, 4L, 10L), (1L, 7L, 12L),
+      (2L, 1L, 97L), (2L, 2L, 96L),
+      (4L, 1L, 40L))
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 12L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "doc_id")
+    val out = graft.operators.TextSearch.retrievalMetrics(run, qrels, k = 5)
+      .orderBy(col("query_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, 2L, 0.5, 2.0 / 3.0),
+      (2L, 1L, 0L, 0L, 0.0, 0.0),
+      (3L, 1L, 0L, 0L, 0.0, 0.0)), out.toSeq.toString)
+    // SQL TVF parity
+    graft.functions.PipelineSql.register(spark)
+    run.createOrReplaceTempView("rm_run")
+    qrels.createOrReplaceTempView("rm_qrels")
+    assert(spark.sql("SELECT * FROM retrieval_metrics('rm_run', 'rm_qrels', 5)")
+      .orderBy(col("query_id")).collect().map(_.toSeq).toSeq ==
+      graft.operators.TextSearch.retrievalMetrics(run, qrels, 5)
+        .orderBy(col("query_id")).collect().map(_.toSeq).toSeq)
+  }
 }
