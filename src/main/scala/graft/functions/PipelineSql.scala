@@ -800,6 +800,15 @@ object PipelineSql {
         str("bm25_lake_search", es(0), "postings lake dir"),
         terms, k = int("bm25_lake_search", es(2), "k"))
     }
+    // exact phrase search: ('<docs table>', '<id>', '<text>', '<phrase>')
+    reg("phrase_search") { es =>
+      argc("phrase_search", es, 4)
+      graft.operators.TextSearch.phraseSearch(
+        table("phrase_search", es(0)),
+        id = str("phrase_search", es(1), "id column"),
+        text = str("phrase_search", es(2), "text column"),
+        phrase = str("phrase_search", es(3), "phrase"))
+    }
     // retrieval evaluation: ('<run table (query_id, rank, doc_id)>',
     // '<qrels table (query_id, doc_id)>', k) — per-query hits/recall@k
     // and the reciprocal-rank MRR term

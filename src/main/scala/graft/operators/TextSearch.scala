@@ -209,6 +209,47 @@ object TextSearch {
         coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
   }
 
+  /** Exact PHRASE search: documents containing the token sequence
+    * `phrase` contiguously, with occurrence count and first position —
+    * the retrieval primitive bag-of-words BM25 cannot express (a doc
+    * scoring high on {"new", "york"} need not contain "new york").
+    *
+    * Anchor-vote formulation, NOT a (len-1)-way positional self-join:
+    * each (doc, pos, term) token matching ANY phrase word at offset
+    * `off` votes for anchor = pos − off; an anchor collecting all
+    * `len` DISTINCT offsets is one contiguous occurrence (a repeated
+    * phrase word votes once per offset it appears at, so "a b a"
+    * resolves correctly). One broadcast join of the token stream
+    * against the len-row phrase table + one hash aggregate on
+    * (doc, anchor) — cost is the matching tokens, never tokens², and
+    * independent of phrase length.
+    *
+    * Output: (doc_id, n_occurrences, first_pos), 0-based positions,
+    * unsorted. Empty tokens from repeated separators keep their
+    * positions (they can never match a phrase word, but collapsing
+    * them would shift adjacency). */
+  def phraseSearch(docs: DataFrame, id: String, text: String,
+      phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(words.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pw = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("off", "term")
+    docs
+      .select(col(id).as("doc_id"),
+        posexplode(split(col(text), " ")).as(Seq("p", "term")))
+      .join(broadcast(pw), "term")
+      .select(col("doc_id"), (col("p") - col("off")).as("anchor"), col("off"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("_nhit"))
+      .filter(col("_nhit") === words.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("anchor")).cast("long").as("first_pos"))
+  }
+
   /** Retrieval EVALUATION against a relevance table — the harness that
     * turns the retrieval stack (BM25, ANN, RRF fusion) from "returns
     * rows" into a measured system. `run` is any per-query ranking

@@ -667,6 +667,46 @@ object TextQueries {
             |  FROM documents WHERE doc_id % 25 = 0""".stripMargin,
         k = 10))),
 
+    // Exact PHRASE search — the retrieval primitive bag-of-words BM25
+    // cannot express. The phrase is the first three words of the
+    // lowest-id document, derived identically by both engines; the
+    // anchor-vote formulation (each matching token votes pos − off;
+    // an anchor with all offsets distinct-counted is one contiguous
+    // occurrence) is replayed by the oracle as the same join + two
+    // aggregates — occurrence counts and first positions are exact
+    // integers, hash-checked.
+    QDef(
+      "x_phrase_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val phrase = docs.orderBy(col("doc_id")).limit(1)
+          .select(array_join(slice(split(col("text"), " "), 1, 3), " "))
+          .head().getString(0)
+        graft.operators.TextSearch.phraseSearch(docs, "doc_id", "text", phrase)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH pw AS (
+          |  SELECT i - 1 AS off, w[i] AS term
+          |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+          |        WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+          |       UNNEST(generate_series(1, 3)) t(i)
+          |), toks AS (
+          |  SELECT doc_id, i - 1 AS p, w[i] AS term
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |       UNNEST(generate_series(1, len(w))) t(i)
+          |), votes AS (
+          |  SELECT t.doc_id, t.p - pw.off AS anchor, pw.off
+          |  FROM toks t JOIN pw ON t.term = pw.term
+          |  WHERE t.p - pw.off >= 0
+          |), occ AS (
+          |  SELECT doc_id, anchor FROM votes
+          |  GROUP BY doc_id, anchor HAVING count(DISTINCT off) = 3
+          |)
+          |SELECT doc_id, count(*) AS n_occurrences,
+          |       CAST(min(anchor) AS BIGINT) AS first_pos
+          |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Retrieval EVALUATION: the harness that scores the stack.
     // Queries are five-word prefixes of every 25th document; the
     // relevance judgments are the documents carrying the exact text

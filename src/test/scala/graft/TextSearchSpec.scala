@@ -133,6 +133,36 @@ class TextSearchSpec extends SparkSpec {
       (4L, 12L, 0L, 1L), (5L, 11L, 2L, 0L)), out.toSeq.toString)
   }
 
+  test("phraseSearch: contiguity, overlap, repeated words, boundaries, no-match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york is not york new"),        // one occurrence at 0
+      (2L, "a new york b new york"),           // two occurrences
+      (3L, "new house york"),                  // words present, not adjacent
+      (4L, "york new"),                        // reversed — no match
+      (5L, "a b a b a"),                       // overlapping repeated-word phrase
+      (6L, "ends with new york"))              // match at the end
+      .toDF("doc_id", "text")
+    def run(phrase: String) =
+      graft.operators.TextSearch.phraseSearch(docs, "doc_id", "text", phrase)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run("new york") == Seq((1L, 1L, 0L), (2L, 2L, 1L), (6L, 1L, 2L)))
+    // overlapping occurrences of a phrase with a REPEATED word: "a b a"
+    // occurs at 0 and 2 in doc 5 (the shared 'a' serves both)
+    assert(run("a b a") == Seq((5L, 2L, 0L)))
+    // single-word phrase degenerates to term positions
+    assert(run("york") == Seq((1L, 2L, 1L), (2L, 2L, 2L), (3L, 1L, 2L),
+      (4L, 1L, 0L), (6L, 1L, 3L)))
+    // SQL TVF parity
+    graft.functions.PipelineSql.register(spark)
+    docs.createOrReplaceTempView("ps_docs")
+    assert(spark.sql(
+      "SELECT * FROM phrase_search('ps_docs', 'doc_id', 'text', 'new york') ORDER BY doc_id")
+      .collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, 1L, 0L), Seq(2L, 2L, 1L), Seq(6L, 1L, 2L)))
+  }
+
   test("retrievalMetrics: hits, first-rel rank, rr, recall@k; zero-hit and unjudged queries") {
     import spark.implicits._
     // q1: rels {10, 11, 12}, run hits 11@2 and 10@4 within k=5, 12@7 outside
