@@ -819,6 +819,15 @@ object PipelineSql {
         table("retrieval_metrics", es(1)),
         k = int("retrieval_metrics", es(2), "k"))
     }
+    // phrase search over the positional postings lake:
+    // ('<lake dir>', '<phrase>')
+    reg("phrase_lake_search") { es =>
+      argc("phrase_lake_search", es, 2)
+      graft.sources.PostingsLake.phraseSearch(
+        org.apache.spark.sql.SparkSession.active,
+        str("phrase_lake_search", es(0), "postings lake dir"),
+        str("phrase_lake_search", es(1), "phrase"))
+    }
     // the QUERY-TABLE form over the lake: ('<lake dir>', '<queries
     // table>', '<query id col>', '<query text col>', k)
     reg("bm25_lake_batch") { es =>

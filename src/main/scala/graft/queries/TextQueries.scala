@@ -685,27 +685,32 @@ object TextQueries {
         graft.operators.TextSearch.phraseSearch(docs, "doc_id", "text", phrase)
           .orderBy(col("doc_id"))
       },
-      Some(
-        """WITH pw AS (
-          |  SELECT i - 1 AS off, w[i] AS term
-          |  FROM (SELECT string_split(text, ' ') AS w FROM documents
-          |        WHERE doc_id = (SELECT min(doc_id) FROM documents)),
-          |       UNNEST(generate_series(1, 3)) t(i)
-          |), toks AS (
-          |  SELECT doc_id, i - 1 AS p, w[i] AS term
-          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-          |       UNNEST(generate_series(1, len(w))) t(i)
-          |), votes AS (
-          |  SELECT t.doc_id, t.p - pw.off AS anchor, pw.off
-          |  FROM toks t JOIN pw ON t.term = pw.term
-          |  WHERE t.p - pw.off >= 0
-          |), occ AS (
-          |  SELECT doc_id, anchor FROM votes
-          |  GROUP BY doc_id, anchor HAVING count(DISTINCT off) = 3
-          |)
-          |SELECT doc_id, count(*) AS n_occurrences,
-          |       CAST(min(anchor) AS BIGINT) AS first_pos
-          |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(phraseOracleSql)),
+
+    // The same phrase answered from the POSITIONAL POSTINGS LAKE —
+    // contiguity from the index alone, reading only the phrase words'
+    // partitions (PostingsLakeSpec pins the pruned file set). The
+    // positions recorded at append index the raw token array, so the
+    // lake result must hash against the IDENTICAL oracle as the
+    // one-shot x_phrase_search: one anchor off by one anywhere in the
+    // ingest path is a mismatch.
+    QDef(
+      "x_phrase_lake",
+      (s, dir) => {
+        val lake = Fixtures.dir("bm25_lake_incr", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(0L))
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(1L))
+        }
+        val phrase = Tables.documents(s, dir).orderBy(col("doc_id")).limit(1)
+          .select(array_join(slice(split(col("text"), " "), 1, 3), " "))
+          .head().getString(0)
+        graft.sources.PostingsLake.phraseSearch(s, s"$lake/lake", phrase)
+          .orderBy(col("doc_id"))
+      },
+      Some(phraseOracleSql)),
 
     // Retrieval EVALUATION: the harness that scores the stack.
     // Queries are five-word prefixes of every 25th document; the
@@ -2281,6 +2286,33 @@ object TextQueries {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
   }
+
+  /** Anchor-vote phrase oracle shared by x_phrase_search (one-shot)
+    * and x_phrase_lake (positional postings): the phrase is the first
+    * three words of the lowest-id document, each matching token votes
+    * anchor = pos − off, and an anchor carrying all three distinct
+    * offsets is one contiguous occurrence. */
+  private val phraseOracleSql: String =
+    """WITH pw AS (
+      |  SELECT i - 1 AS off, w[i] AS term
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+      |        WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+      |       UNNEST(generate_series(1, 3)) t(i)
+      |), toks AS (
+      |  SELECT doc_id, i - 1 AS p, w[i] AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w))) t(i)
+      |), votes AS (
+      |  SELECT t.doc_id, t.p - pw.off AS anchor, pw.off
+      |  FROM toks t JOIN pw ON t.term = pw.term
+      |  WHERE t.p - pw.off >= 0
+      |), occ AS (
+      |  SELECT doc_id, anchor FROM votes
+      |  GROUP BY doc_id, anchor HAVING count(DISTINCT off) = 3
+      |)
+      |SELECT doc_id, count(*) AS n_occurrences,
+      |       CAST(min(anchor) AS BIGINT) AS first_pos
+      |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** md5-nibble uniform [0,1) in DuckDB SQL — the oracle twin of
     * graft.functions.HashRandom.uniform. */

@@ -84,13 +84,18 @@ object PostingsLake {
       VersionedLake.tableProps(postingsDir(lakeDir)).contains(StatsProp)
     requireLedgerBatchId("append", hasLedger, batchId)
     val maintainLedger = hasLedger || (creating && batchId.isDefined)
+    // positions ride each posting row (sorted, 0-based into the raw
+    // token array — empty tokens keep their slots so adjacency never
+    // shifts): the classic positional-postings layout, what lets
+    // [[phraseSearch]] answer contiguity from the index alone
     val toks = docs.select(col(id).as("doc_id"), split(col(text), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
+        posexplode(col("toks")).as(Seq("p", "term")))
       .filter(length(col("term")) > 0)
     val postings = toks
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p").cast("long"))).as("positions"))
       .withColumn("tp", pmod(xxhash64(col("term")), lit(termParts)))
     val doclens = docs.select(col(id).as("doc_id"),
       size(split(col(text), " ")).cast("long").as("dl"))
@@ -308,6 +313,46 @@ object PostingsLake {
         count(lit(1)).as("matched_terms"),
         sum(col("tf")).as("total_tf"))
     graft.operators.TextSearch.rankTopKPerQuery(scored, k, bucketChars = 2)
+  }
+
+  /** Exact PHRASE search over the lake — contiguity answered from the
+    * POSITIONAL postings alone, reading only the phrase words'
+    * partitions (and, within them, only files whose term Bloom admits
+    * a phrase word): |phrase| terms of I/O against a corpus-sized
+    * index. Same anchor-vote algorithm and output as
+    * [[graft.operators.TextSearch.phraseSearch]] ((doc_id,
+    * n_occurrences, first_pos), 0-based) — the positions recorded at
+    * [[append]] index the raw token array, so lake and one-shot
+    * adjacency agree exactly (gate-pinned against the same oracle).
+    *
+    * Refuses loudly when any matched posting predates positional
+    * recording (a pre-positions lake evolved by later appends would
+    * otherwise silently miss old documents' occurrences). */
+  def phraseSearch(spark: SparkSession, lakeDir: String, phrase: String,
+      termParts: Int = 64, version: Option[Int] = None): DataFrame = {
+    val words = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(words.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val distinctWords = words.distinct
+    val rows = queryRead(spark, lakeDir, distinctWords, termParts, version)
+      .filter(col("term").isin(distinctWords: _*))
+    require(rows.columns.contains("positions"),
+      s"$lakeDir records no positional postings — re-ingest to phrase-search it")
+    require(rows.filter(col("positions").isNull).isEmpty,
+      s"$lakeDir holds pre-positional postings for these terms — " +
+        "compact/re-ingest before phrase-searching them")
+    import spark.implicits._
+    val pw = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("off", "term")
+    rows.join(broadcast(pw), "term")
+      .select(col("doc_id"), explode(col("positions")).as("p"), col("off"))
+      .select(col("doc_id"), (col("p") - col("off")).as("anchor"), col("off"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("_nhit"))
+      .filter(col("_nhit") === words.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("anchor")).cast("long").as("first_pos"))
   }
 
   /** Fold per-increment file growth back to one file per partition in

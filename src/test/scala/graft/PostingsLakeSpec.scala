@@ -56,6 +56,41 @@ class PostingsLakeSpec extends SparkSpec {
     }
   }
 
+  test("phraseSearch: lake equals one-shot, reads only phrase partitions, refuses pre-positional rows") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // a phrase that exists: first two words of the lowest-id doc
+    val phrase = docs.orderBy(col("doc_id")).limit(1)
+      .select(array_join(slice(split(col("text"), " "), 1, 2), " "))
+      .head().getString(0)
+    val viaLake = PostingsLake.phraseSearch(spark, root, phrase)
+      .collect().map(_.toSeq).toSet
+    val oneShot = TextSearch.phraseSearch(docs, "doc_id", "text", phrase)
+      .collect().map(_.toSeq).toSet
+    assert(viaLake == oneShot && viaLake.nonEmpty)
+    // the phrase read is the phrase WORDS' pruned file set, not the index
+    val all = VersionedLake.read(spark, s"$root/postings").inputFiles.length
+    val pruned = PostingsLake.prunedInputFiles(spark, root,
+      phrase.split(" ").toSeq)
+    assert(pruned.nonEmpty && pruned.length < all)
+    // a lake whose postings predate positional recording refuses
+    // loudly instead of silently missing occurrences
+    val old = java.nio.file.Files.createTempDirectory("graft_prepos").toString
+    VersionedLake.create(
+      Seq(("alpha", 1L, 1L, 2L, 0L), ("beta", 1L, 1L, 2L, 1L))
+        .toDF("term", "doc_id", "tf", "dl", "tp"),
+      s"$old/postings", "tp", props = Map("termParts" -> "64"))
+    assert(intercept[IllegalArgumentException] {
+      PostingsLake.phraseSearch(spark, old, "alpha beta")
+    }.getMessage.contains("no positional postings"))
+    // evolved lake (old rows null positions) also refuses on contact
+    PostingsLake.append(Seq((2L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", old)
+    assert(intercept[IllegalArgumentException] {
+      PostingsLake.phraseSearch(spark, old, "alpha beta")
+    }.getMessage.contains("pre-positional"))
+  }
+
   test("append is exactly-once under batch-id re-delivery") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val before = PostingsLake.search(spark, root, query, k = 50)
