@@ -359,4 +359,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("lake batch BM25: query tables ride broadcast, postings scan is partition-pruned") {
+    val p = plan("x_bm25_lake_batch")
+    // the term/query/df sides are all broadcast against the pruned
+    // postings read — a sort-merge join here would shuffle the
+    // postings once per join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // (the pruned-file-set I/O contract is pinned in PostingsLakeSpec
+    // via prunedInputFiles — plan text doesn't expose the file list)
+  }
+
+  test("phrase search: one broadcast of the phrase table, no self-join of the token stream") {
+    val p = plan("x_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly ONE join: the token-vs-phrase-table vote — adjacency is
+    // aggregation, not a per-offset positional self-join cascade
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+    val pl = plan("x_phrase_lake")
+    assert("BroadcastHashJoin".r.findAllIn(pl).size == 1, pl)
+    assert(!pl.contains("SortMergeJoin") && !pl.contains("CartesianProduct"), pl)
+  }
+
+  test("retrieval metrics: judgment-sized joins only — no corpus-sized exchange beyond the run") {
+    val p = plan("x_retrieval_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    // qrels and hits are judgment-sized; nothing here may plan a
+    // nested loop over the run
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      // the bm25 run itself carries one 1-row stats crossJoin — that
+      // single-row broadcast is the documented scoring shape
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
 }
