@@ -981,6 +981,14 @@ object PipelineSql {
         .map(Seq(_))
     }
 
+    // per-partition column stats from manifest metadata alone (no data
+    // scan): ('<lake dir>', '<column>') — the zone maps as a TABLE
+    reg("lake_col_stats") { es =>
+      argc("lake_col_stats", es, 2)
+      graft.sources.VersionedLake.columnStats(spark,
+        str("lake_col_stats", es(0), "lake directory"),
+        str("lake_col_stats", es(1), "column"))
+    }
     // ANN index drift signal: per-cell population from manifest
     // metadata alone — ('<ann lake dir>')
     reg("ann_cell_stats") { es =>

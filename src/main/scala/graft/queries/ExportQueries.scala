@@ -972,6 +972,31 @@ object ExportQueries {
           |       CAST(max(cents) AS BIGINT) AS max_cents
           |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin)),
 
+    // Lake maintenance 13: the zone maps AS A TABLE — per-partition
+    // (n_files, n_rows, min, max) read from manifest METADATA alone,
+    // through SQL text (lake_col_stats TVF). Per-file min/max are
+    // exact commit-time aggregates, so their fold must equal the
+    // oracle's full recompute over the merged state — any drift
+    // between what the manifests claim and what the data holds (the
+    // metadata the range reads PRUNE with) is a hash mismatch. The
+    // n_files column is layout, not content — excluded from the gate.
+    QDef(
+      "s27_lake_col_stats",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        graft.functions.PipelineSql.register(s)
+        s.sql(
+          s"""SELECT CAST(partition AS STRING) AS event_date, n_rows,
+             |       min, max
+             |FROM lake_col_stats('$lake', 'value')
+             |ORDER BY event_date""".stripMargin)
+      },
+      Some(mergedCtes +
+        """
+          |SELECT event_date, count(*) AS n_rows,
+          |       min(value) AS min, max(value) AS max
+          |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin)),
+
     // Lake maintenance 12: MULTI-COLUMN per-file Bloom filters. The
     // fixture declares a column-SET Bloom spec (event_id AND user_id)
     // at create; the spec is carried through one copy-on-write merge

@@ -1092,6 +1092,43 @@ object VersionedLake {
     else read(spark, lakeDir, Some(v)).count()
   }
 
+  /** Per-PARTITION column statistics from manifest metadata alone — no
+    * data scan: (partition, n_files, n_rows, min, max), the aggregate
+    * the zone maps already paid for at commit time. Per-file min/max
+    * are exact (computed from the data by the commit's stats job), so
+    * their fold is the exact partition min/max; `n_rows` is
+    * null-poisoned the [[graft.sources.AnnLake.cellStats]] way when
+    * any file predates row-count recording (never a silent partial
+    * sum). Refuses loudly when no file records stats for `column`,
+    * naming the columns that can answer — same contract as
+    * [[readRange]]. */
+  def columnStats(spark: SparkSession, lakeDir: String, column: String,
+      version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.getOrElse(currentVersion(lakeDir))
+    require(v >= 1, s"$lakeDir has no committed version")
+    val entries = manifestEntries(lakeDir, v)
+    if (entries.nonEmpty && !entries.exists(_.colStats.contains(column))) {
+      val available = entries.flatMap(_.colStats.keys).distinct.sorted
+      throw new IllegalArgumentException(
+        s"no file of $lakeDir v$v records column stats for '$column'; " +
+          s"recorded columns: ${available.mkString(", ")}")
+    }
+    entries
+      .map(e => (e.partition, e.colStats.get(column), e.rows))
+      .toDF("partition", "mm", "rows")
+      .groupBy(col("partition"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        when(count(col("rows")) === count(lit(1)), sum(col("rows")))
+          .as("n_rows"),
+        // a file with NO stats for the column (all-null values there)
+        // contributes nothing to min/max — min/max skip nulls, which
+        // is exactly the aggregate's own null semantics
+        min(col("mm._1")).as("min"),
+        max(col("mm._2")).as("max"))
+  }
+
   /** input_file_name() yields a (possibly URI-encoded) file: URI while
     * manifest entries carry plain absolute paths — compare on the
     * decoded filesystem path. */

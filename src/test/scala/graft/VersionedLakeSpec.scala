@@ -1015,6 +1015,28 @@ class VersionedLakeSpec extends SparkSpec {
     // the legacy statsCol read still prunes
     assert(VersionedLake.readRange(spark, s"$root/lake", 0.0, 15.0)
       .count() == 1)
+    // the metadata-only stats table refuses the same way on a lake
+    // that recorded nothing for the column
+    assert(intercept[IllegalArgumentException](
+      VersionedLake.columnStats(spark, s"$root/lake", "id"))
+      .getMessage.contains("records column stats"))
+  }
+
+  test("columnStats: exact per-partition fold of the zone maps, no data scan") {
+    val root = tmp("vlake_colstats_tbl")
+    val df = Seq((1L, 10.0, "p1"), (2L, 25.0, "p1"), (3L, -4.0, "p2"))
+      .toDF("id", "score", "part")
+    VersionedLake.create(df, s"$root/lake", "part")
+    VersionedLake.append(Seq((4L, 99.0, "p1")).toDF("id", "score", "part"),
+      s"$root/lake", "part")
+    val got = VersionedLake.columnStats(spark, s"$root/lake", "score")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // file COUNT is layout (write parallelism); rows/min/max are content
+    assert(got("p1")._1 >= 2L && got("p1")._2 == 3L &&
+      got("p1")._3 == 10.0 && got("p1")._4 == 99.0, got.toString)
+    assert(got("p2")._2 == 1L && got("p2")._3 == -4.0 && got("p2")._4 == -4.0,
+      got.toString)
   }
 
   test("per-commit column stats and blooms scan ONLY the commit's new files") {
