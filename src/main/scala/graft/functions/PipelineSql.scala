@@ -800,6 +800,17 @@ object PipelineSql {
         str("bm25_lake_search", es(0), "postings lake dir"),
         terms, k = int("bm25_lake_search", es(2), "k"))
     }
+    // search-result highlighting: ('<docs table>', '<id>', '<text>',
+    // '<terms csv>', window)
+    reg("highlight") { es =>
+      argc("highlight", es, 5)
+      graft.operators.TextSearch.highlight(
+        table("highlight", es(0)),
+        id = str("highlight", es(1), "id column"),
+        text = str("highlight", es(2), "text column"),
+        terms = csv(str("highlight", es(3), "query terms")),
+        window = int("highlight", es(4), "window"))
+    }
     // exact phrase search: ('<docs table>', '<id>', '<text>', '<phrase>')
     reg("phrase_search") { es =>
       argc("phrase_search", es, 4)

@@ -250,6 +250,52 @@ object TextSearch {
         min(col("anchor")).cast("long").as("first_pos"))
   }
 
+  /** Search-result HIGHLIGHTING: per document, the merged ±`window`
+    * word spans around every query-term hit, reassembled as a snippet
+    * ("… " joins disjoint spans) — what a search UI renders under each
+    * result. Gaps-and-islands span merge: hits sorted per doc, a new
+    * island starts when the next hit is more than 2·window away (spans
+    * would not touch), islands fold to [max(0, min−window),
+    * max+window]. Per-DOC windows only — state is the doc's own hits,
+    * never corpus-sized. Output: (doc_id, n_hits, n_spans, snippet),
+    * docs without hits absent. */
+  def highlight(docs: DataFrame, id: String, text: String,
+      terms: Seq[String], window: Int): DataFrame = {
+    require(terms.nonEmpty, "highlight needs at least one term")
+    require(window >= 0, s"window must be >= 0, got $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tq = terms.distinct.toDF("term")
+    val hits = docs
+      .select(col(id).as("doc_id"),
+        posexplode(split(col(text), " ")).as(Seq("p", "term")))
+      .join(broadcast(tq), "term")
+      .select(col("doc_id"), col("p").cast("long").as("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = hits
+      .withColumn("_gap",
+        when(col("p") - lag(col("p"), 1).over(w) > 2L * window, 1L)
+          .otherwise(0L))
+      .withColumn("_grp", sum(col("_gap"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(greatest(min(col("p")) - window, lit(0L)).as("s"),
+        (max(col("p")) + window).as("e"),
+        count(lit(1)).as("nh"))
+    spans
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nh")).as("n_hits"), count(lit(1)).as("n_spans"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("_sp"))
+      .join(docs.select(col(id).as("doc_id"), split(col(text), " ").as("_w")),
+        "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_spans"),
+        array_join(
+          transform(col("_sp"), x =>
+            array_join(slice(col("_w"), (x("s") + 1).cast("int"),
+              (x("e") - x("s") + 1).cast("int")), " ")),
+          " ... ").as("snippet"))
+  }
+
   /** Retrieval EVALUATION against a relevance table — the harness that
     * turns the retrieval stack (BM25, ANN, RRF fusion) from "returns
     * rows" into a measured system. `run` is any per-query ranking

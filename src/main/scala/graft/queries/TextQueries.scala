@@ -712,6 +712,59 @@ object TextQueries {
       },
       Some(phraseOracleSql)),
 
+    // Search-result HIGHLIGHTING: merged ±3-word spans around every
+    // hit of the bm25 gates' query terms, reassembled with "…"
+    // separators — the last mile of the retrieval stack. The
+    // gaps-and-islands merge (new span when hits are > 2·window
+    // apart), span clipping at position 0, and the word-level
+    // reassembly are all string/integer exact, so the full snippet
+    // text hash-checks against the oracle's identical windowed-lag
+    // replay.
+    QDef(
+      "x_highlight",
+      (s, dir) => graft.operators.TextSearch.highlight(
+        Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "stream"), window = 3)
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, i - 1 AS p, w[i] AS term
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |       UNNEST(generate_series(1, len(w))) t(i)
+          |), hits AS (
+          |  SELECT doc_id, CAST(p AS BIGINT) AS p FROM toks
+          |  WHERE term IN ('spark', 'stream')
+          |), g AS (
+          |  SELECT doc_id, p,
+          |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 6
+          |              THEN 1 ELSE 0 END AS gap
+          |  FROM hits
+          |), g2 AS (
+          |  SELECT doc_id, p,
+          |         sum(gap) OVER (PARTITION BY doc_id ORDER BY p
+          |                        ROWS UNBOUNDED PRECEDING) AS grp
+          |  FROM g
+          |), spans AS (
+          |  SELECT doc_id, grp, greatest(min(p) - 3, 0) AS s, max(p) + 3 AS e,
+          |         count(*) AS nh
+          |  FROM g2 GROUP BY doc_id, grp
+          |), agg AS (
+          |  SELECT doc_id, CAST(sum(nh) AS BIGINT) AS n_hits,
+          |         count(*) AS n_spans,
+          |         list(struct_pack(s := s, e := e) ORDER BY s) AS sp
+          |  FROM spans GROUP BY doc_id
+          |)
+          |SELECT a.doc_id, n_hits, n_spans,
+          |       array_to_string(
+          |         list_transform(sp, x ->
+          |           array_to_string(list_slice(d.w, CAST(x.s + 1 AS BIGINT),
+          |             CAST(x.e + 1 AS BIGINT)), ' ')),
+          |         ' ... ') AS snippet
+          |FROM agg a
+          |JOIN (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+          |  USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
     // Retrieval EVALUATION: the harness that scores the stack.
     // Queries are five-word prefixes of every 25th document; the
     // relevance judgments are the documents carrying the exact text

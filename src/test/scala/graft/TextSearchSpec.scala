@@ -163,6 +163,30 @@ class TextSearchSpec extends SparkSpec {
       Seq(Seq(1L, 1L, 0L), Seq(2L, 2L, 1L), Seq(6L, 1L, 2L)))
   }
 
+  test("highlight: span merge, clipping at both ends, disjoint snippets, hit accounting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x hit a b c d e f g h i j k hit y"),   // two disjoint spans (gap 11 > 2w)
+      (2L, "hit a b hit c d e f g h"),              // overlapping spans merge (gap 3 <= 4)
+      (3L, "a b c d e hit"),                        // clipped at the end
+      (4L, "no match here"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextSearch.highlight(docs, "doc_id", "text",
+      Seq("hit"), window = 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, "x hit a b ... j k hit y"),
+      (2L, 2L, 1L, "hit a b hit c d"),
+      (3L, 1L, 1L, "d e hit")), out.toSeq.toString)
+    // SQL TVF parity
+    graft.functions.PipelineSql.register(spark)
+    docs.createOrReplaceTempView("hl_docs")
+    assert(spark.sql(
+      "SELECT * FROM highlight('hl_docs', 'doc_id', 'text', 'hit', 2) ORDER BY doc_id")
+      .collect().map(_.toSeq).toSeq == out.map(t => Seq[Any](t._1, t._2, t._3, t._4)).toSeq)
+  }
+
   test("retrievalMetrics: hits, first-rel rank, rr, recall@k; zero-hit and unjudged queries") {
     import spark.implicits._
     // q1: rels {10, 11, 12}, run hits 11@2 and 10@4 within k=5, 12@7 outside
