@@ -219,6 +219,47 @@ class AnnLakeSpec extends SparkSpec {
     }.getMessage.contains("cut-over handle"))
   }
 
+  test("a live indexStream survives cutover: checkpoint kept, batch ids continue, nothing lost") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_cutstream").toString
+    val live = s"$base/live"; val green = s"$base/green"
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    AnnLake.create(emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      live, nlist = 8, dim = 64)
+    val tail = emb.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val parts = tail.grouped(math.max(1, tail.length / 4 + 1)).toSeq
+    assert(parts.length == 4, s"fixture expects 4 stream batches, got ${parts.length}")
+    val ms = MemoryStream[(Long, Seq[Float])]
+    def drain(): Unit =
+      AnnLake.indexStream(ms.toDS().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", live, s"$base/ckpt").awaitTermination()
+    // batches 0 and 1 land on the old index
+    ms.addData(parts(0)); drain()
+    ms.addData(parts(1)); drain()
+    // rebuild while live: green pins the pre-reindex version...
+    AnnLake.reindex(spark, live, green, nlist = 8, dim = 64)
+    // ...and batch 2 lands on the OLD index mid-rebuild
+    ms.addData(parts(2)); drain()
+    AnnLake.cutover(spark, live, green)
+    // the SAME checkpoint keeps the stream going — batch 3 resolves
+    // through the handle into the green index, past the inherited
+    // batch-id high-water
+    ms.addData(parts(3)); drain()
+    assert(VersionedLake.read(spark, s"$green/vectors").count() == emb.count())
+    // full-probe search through the handle sees every vector
+    val queries = emb.filter(col("vec_id") < 5)
+    val viaHandle = AnnLake.search(spark, queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 8)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaHandle == brute && viaHandle.nonEmpty)
+  }
+
   test("cutover preconditions: non-reindexed target refused; cellStats names a missing lake") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val base = java.nio.file.Files.createTempDirectory("graft_ann_cut2").toString
