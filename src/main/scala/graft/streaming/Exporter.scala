@@ -354,31 +354,57 @@ object Exporter {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         batch.write.mode("overwrite").parquet(s"$stagingDir/b$id")
-        val spark = batch.sparkSession
-        val fs = new Path(stagingDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prev = stagedGenerations(fs, stagingDir, "p").filter(_ < id)
-          .maxOption
-        val batchDf = spark.read.parquet(s"$stagingDir/b$id")
-        val staged = prev match {
-          case Some(w) => spark.read.parquet(s"$stagingDir/p$w")
-            .unionByName(batchDf)
-          case None => batchDf
-        }
-        val (_, floor) = exportCompleteWindows(staged, p, outDir,
-          stepMicros, slackMicros)
-        staged.filter(unix_micros(col(p.time)) >= lit(floor))
-          .write.mode("overwrite").parquet(s"$stagingDir/p$id")
-        // retire superseded generations: pendings older than the
-        // replay fallback, and every batch prefix this tick consumed
-        stagedGenerations(fs, stagingDir, "p")
-          .filter(w => w < id && !prev.contains(w))
-          .foreach(w => fs.delete(new Path(s"$stagingDir/p$w"), true))
-        stagedGenerations(fs, stagingDir, "b").filter(_ < id)
-          .foreach(w => fs.delete(new Path(s"$stagingDir/b$w"), true))
+        exportTick(batch.sparkSession, p, stagingDir, outDir, stepMicros,
+          slackMicros, id)
         ()
       }
       .start()
+  }
+
+  /** One tick of [[continuousExport]] after the batch landed under
+    * `b<id>`: assemble the live staged set, export the newly complete
+    * windows, rewrite the trimmed pending snapshot, retire superseded
+    * generations. Split out so the tick (including the legacy-layout
+    * bootstrap) is unit-testable without a stream. */
+  private[graft] def exportTick(spark: SparkSession, p: GridParams,
+      stagingDir: String, outDir: String, stepMicros: Long,
+      slackMicros: Long, id: Long): Seq[String] = {
+    val fs = new Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = stagedGenerations(fs, stagingDir, "p").filter(_ < id)
+      .maxOption
+    val older = stagedGenerations(fs, stagingDir, "b").filter(_ < id)
+    val batchDf = spark.read.parquet(s"$stagingDir/b$id")
+    val staged = prev match {
+      case Some(w) => spark.read.parquet(s"$stagingDir/p$w")
+        .unionByName(batchDf)
+      // UPGRADE BOOTSTRAP: no pending snapshot but older batch
+      // prefixes exist — a pre-retirement staging layout carried over
+      // a restart (the checkpoint continues batch ids, so legacy
+      // prefixes are always < id). Fold them into this tick's staged
+      // set ONCE; the trimmed pending snapshot then supersedes them
+      // and the retirement below reclaims the history.
+      case None if older.nonEmpty => spark.read.parquet(
+        (older.sorted.map(w => s"$stagingDir/b$w") :+ s"$stagingDir/b$id"): _*)
+      case None => batchDf
+    }
+    val (keys, floor) = exportCompleteWindows(staged, p, outDir,
+      stepMicros, slackMicros)
+    staged.filter(unix_micros(col(p.time)) >= lit(floor))
+      .write.mode("overwrite").parquet(s"$stagingDir/p$id")
+    // retire superseded generations: pendings older than the replay
+    // fallback, and every batch prefix this tick consumed. In the
+    // bootstrap case the legacy prefixes SURVIVE this tick — a crash
+    // here replays with no prior pending (p<id> is not a predecessor
+    // of id), so the legacy prefixes must still be readable; the NEXT
+    // tick sees p<id> as its predecessor and reclaims them.
+    stagedGenerations(fs, stagingDir, "p")
+      .filter(w => w < id && !prev.contains(w))
+      .foreach(w => fs.delete(new Path(s"$stagingDir/p$w"), true))
+    if (prev.isDefined)
+      stagedGenerations(fs, stagingDir, "b").filter(_ < id)
+        .foreach(w => fs.delete(new Path(s"$stagingDir/b$w"), true))
+    keys
   }
 
   /** Batch-id generations staged under `dir` with the given prefix
