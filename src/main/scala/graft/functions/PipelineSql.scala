@@ -50,8 +50,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * elimination from a persisted model table), `hot_cold_read` /
   * `retention_drop` (the export lake's memory/magnetic tiers and
   * their expiry), `ann_cell_stats` (the ANN index's metadata-only
-  * drift signal), and the 4-arg `read_range` column form over
-  * per-column zone maps — the whole extension-operator inventory.
+  * drift signal), `bm25_lake_batch` (query-TABLE retrieval over the
+  * postings lake), `phrase_search` / `phrase_lake_search` (exact
+  * contiguity, one-shot and positional-postings forms), `highlight`
+  * (merged hit spans as snippets), `retrieval_metrics` (per-query
+  * recall@k and reciprocal rank), `leakage_safe_split` (cluster-keyed
+  * train/val/test), `lake_col_stats` (the zone maps as a table), and
+  * the 4-arg `read_range` column form over per-column zone maps — the
+  * whole extension-operator inventory.
+  *
+  * SIDE-EFFECTING maintenance TVFs (`lake_compact`, `lake_vacuum`,
+  * `lake_clean_orphans`, `retention_drop`) parse their arguments at
+  * analysis but run the operation at first EXECUTION
+  * ([[graft.plans.DeferredEffect]]) — EXPLAIN and failed outer
+  * analysis never mutate a lake.
   *
   * The builder resolves the named table THROUGH the session catalog at
   * analysis time and splices the operator's analyzed plan into the
