@@ -156,6 +156,10 @@ object RangeJoinBinRewrite {
 /** Cluster-deploy entry point:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(sp => RangeJoinBinRewrite(sp))
+    // plans the deferred-effect leaf the side-effecting maintenance
+    // TVFs build (PipelineSql.register also installs it live)
+    ext.injectPlannerStrategy(_ => DeferredEffect.Strategy)
+  }
 }
