@@ -873,6 +873,18 @@ object PipelineSql {
         k = int("ann_lake_search", es(4), "k"),
         nprobe = int("ann_lake_search", es(5), "nprobe"))
     }
+    // filtered ANN: same, restricted to an allow TABLE of doc ids
+    reg("ann_lake_search_filtered") { es =>
+      argc("ann_lake_search_filtered", es, 7)
+      val q = table("ann_lake_search_filtered", es(0))
+      graft.sources.AnnLake.searchFiltered(q.sparkSession, q,
+        str("ann_lake_search_filtered", es(1), "id column"),
+        str("ann_lake_search_filtered", es(2), "vector column"),
+        str("ann_lake_search_filtered", es(3), "index lake dir"),
+        k = int("ann_lake_search_filtered", es(4), "k"),
+        nprobe = int("ann_lake_search_filtered", es(5), "nprobe"),
+        allow = table("ann_lake_search_filtered", es(6)))
+    }
     reg("dedup_index_elements") { es =>
       argc("dedup_index_elements", es, 6)
       val cap = long("dedup_index_elements", es(5), "max element df")

@@ -318,7 +318,7 @@ object SimilarityQueries {
     * the ground truth for cosineTopK AND for any ANN configuration that
     * is provably exhaustive (IVF at nprobe = nlist probes every cell).
     */
-  private def exactTopKOracle(k: Int): String =
+  private def exactTopKOracle(k: Int, neighborWhere: String = ""): String =
     s"""WITH e AS (
        |  SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
        |  FROM embeddings
@@ -327,7 +327,7 @@ object SimilarityQueries {
        |), scored AS (
        |  SELECT query_id, e.vec_id AS neighbor_id,
        |         ${dotSql("qv", "nv").replace("\n", "\n    ")} AS cos
-       |  FROM q JOIN e ON e.vec_id <> q.query_id
+       |  FROM q JOIN e ON e.vec_id <> q.query_id$neighborWhere
        |), ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -690,6 +690,31 @@ object SimilarityQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(exactTopKOracle(10))),
+
+    // FILTERED ANN: "nearest neighbors WHERE doc is allowed" — the
+    // filtered-search shape (a post-filtered plain top-k under-fills k
+    // whenever the filter is selective; here k fills from allowed docs
+    // only). The allow list is the even half of the corpus, the probe
+    // is full (membership is orthogonal to cell geometry), so the
+    // result must be exactly brute-force cosine over the ALLOWED
+    // corpus — one disallowed doc leaking into a ranking, or one
+    // allowed doc displaced, is a hash mismatch.
+    QDef(
+      "s28_ann_filtered",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_incr", dir) { o =>
+          graft.sources.AnnLake.create(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", s"$o/lake", nlist = 8, dim = 64)
+          graft.sources.AnnLake.append(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", s"$o/lake", batchId = Some(0L))
+        }
+        graft.sources.AnnLake.searchFiltered(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/lake", k = 10, nprobe = 8,
+          allow = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id")))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(exactTopKOracle(10, neighborWhere = " AND e.vec_id % 2 = 0"))),
 
     // HYBRID retrieval: reciprocal-rank fusion of the lexical arm
     // (query-table BM25 over documents) and the vector arm (exact

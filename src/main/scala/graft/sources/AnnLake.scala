@@ -163,15 +163,41 @@ object AnnLake {
     * travel for free. */
   def search(spark: SparkSession, queries: DataFrame, id: String,
       vec: String, lakeDir: String, k: Int, nprobe: Int,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None): DataFrame =
+    doSearch(spark, queries, id, vec, lakeDir, k, nprobe, version, None)
+
+  /** FILTERED search — "nearest neighbors WHERE <predicate>", the
+    * filtered-ANN shape every production vector store needs (a plain
+    * top-k then post-filter under-fills k whenever the filter is
+    * selective). `allow`'s FIRST column is the allowed doc ids; the
+    * probed candidates semi-join against it BEFORE ranking, so k is
+    * filled from allowed docs only. Membership is orthogonal to cell
+    * geometry (probing is query-side), so at full probe the result is
+    * exactly brute-force cosine over the allowed corpus — the
+    * s28_ann_filtered gate pins that — and at partial probe the usual
+    * IVF recall applies to the allowed candidates. */
+  def searchFiltered(spark: SparkSession, queries: DataFrame, id: String,
+      vec: String, lakeDir: String, k: Int, nprobe: Int,
+      allow: DataFrame, version: Option[Int] = None): DataFrame =
+    doSearch(spark, queries, id, vec, lakeDir, k, nprobe, version, Some(allow))
+
+  private def doSearch(spark: SparkSession, queries: DataFrame, id: String,
+      vec: String, lakeDir: String, k: Int, nprobe: Int,
+      version: Option[Int], allow: Option[DataFrame]): DataFrame = {
     val root = resolved(lakeDir)
     val cdf = spark.read.parquet(centroidsDir(root))
     val cells = Similarity.quantizedProbe(queries, id, vec, nprobe, cdf)
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0).toString).toSeq // nlist-bounded metadata
-    val rows = VersionedLake.read(spark, vectorsDir(root), version,
+    val rows0 = VersionedLake.read(spark, vectorsDir(root), version,
       partitions = Some(cells))
       .select(col("doc"), col("v"), col("cell").cast("int").as("cell"))
+    val rows = allow match {
+      case Some(a) => rows0.join(
+        a.select(col(a.columns.head).as("doc")).distinct(),
+        Seq("doc"), "left_semi")
+      case None => rows0
+    }
     Similarity.ivfQuantizedSearch(
       rows.select(col("doc").as(id), col("v").as(vec)),
       queries, id, vec, k, nprobe,

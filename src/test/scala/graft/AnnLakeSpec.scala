@@ -275,6 +275,33 @@ class AnnLakeSpec extends SparkSpec {
     }.getMessage.contains("no ANN index"))
   }
 
+  test("filtered search fills k from ALLOWED docs only; TVF parity") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val allow = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val got = AnnLake.searchFiltered(spark, queries, "vec_id", "embedding",
+      root, k = 10, nprobe = 8, allow = allow)
+    val rows = got.collect()
+    // nothing disallowed leaks, and k still fills (a post-filtered
+    // plain top-k would under-fill whenever odd ids ranked high)
+    assert(rows.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
+    assert(rows.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 10))
+    // equals brute force over the allowed corpus (full probe)
+    val brute = Similarity.cosineTopK(emb.filter(col("vec_id") % 2 === 0),
+      queries, "vec_id", "embedding", 10)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == brute && rows.nonEmpty)
+    // SQL form
+    graft.functions.PipelineSql.register(spark)
+    queries.createOrReplaceTempView("annf_q")
+    allow.createOrReplaceTempView("annf_allow")
+    assert(spark.sql(
+      s"""SELECT * FROM ann_lake_search_filtered('annf_q', 'vec_id',
+         |'embedding', '$root', 10, 8, 'annf_allow')""".stripMargin)
+      .collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
   test("compact folds increment files; search unchanged") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 5)
