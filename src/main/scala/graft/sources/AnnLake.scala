@@ -350,18 +350,24 @@ object AnnLake {
     val dir = vectorsDir(oldRoot)
     val cur = VersionedLake.currentVersion(dir)
     for (w <- fromV + 1 to cur) {
-      val bid = VersionedLake.committedBatchId(dir, Some(w))
-      require(bid >= 0,
-        s"old-index version $w carries no batch id: cutover replays only " +
-          "the watermarked append tail (idempotence under a crashed " +
-          "cutover needs the ids); reindex again from the current version")
       val changes = VersionedLake.diff(spark, dir, w - 1, w)
       require(changes.filter(col("_change") === "delete").isEmpty,
         s"old-index version $w contains deletes: cutover replays appends " +
           "only — apply takedowns to the green index after rotating")
-      append(changes.filter(col("_change") === "insert")
-        .select(col("doc"), col("v")), "doc", "v", greenDir,
-        batchId = Some(bid))
+      val inserts = changes.filter(col("_change") === "insert")
+        .select(col("doc"), col("v"))
+      // row-less versions (compaction from indexStream's compactEvery,
+      // an aborted-writer slot) replay as nothing — only row-carrying
+      // tail versions need the batch-id watermark for idempotence
+      if (!inserts.isEmpty) {
+        val bid = VersionedLake.committedBatchId(dir, Some(w))
+        require(bid >= 0,
+          s"old-index version $w carries rows but no batch id: cutover " +
+            "replays only the watermarked append tail (idempotence under " +
+            "a crashed cutover needs the ids); reindex again from the " +
+            "current version")
+        append(inserts, "doc", "v", greenDir, batchId = Some(bid))
+      }
     }
     cur
   }

@@ -182,9 +182,12 @@ class AnnLakeSpec extends SparkSpec {
     AnnLake.append(emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
       live, batchId = Some(0L))
     AnnLake.reindex(spark, live, green, nlist = 8, dim = 64)
-    // in-flight: an append lands on the OLD index while green builds
+    // in-flight: an append lands on the OLD index while green builds,
+    // and maintenance compacts it (a row-less tail version the replay
+    // must skip, not refuse — indexStream's compactEvery produces these)
     AnnLake.append(emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding",
       live, batchId = Some(1L))
+    AnnLake.compact(spark, live)
     AnnLake.cutover(spark, live, green)
     // the ORIGINAL handle now resolves to the green index, and the
     // full-probe search over it sees the COMPLETE corpus — nothing in
