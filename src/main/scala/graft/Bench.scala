@@ -169,8 +169,10 @@ object Bench {
     // BENCH_r*.json keeps only a 2,000-char tail of the output, losing
     // the per-gate map for everything alphabetically early — round-
     // over-round per-gate diffs should not depend on log-tail luck.
+    // FULL runs only: a SPARK_GRAFT_BENCH_ONLY iteration run must not
+    // clobber the complete artifact with its subset.
     // Best-effort: a read-only checkout must not fail the bench.
-    try {
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) try {
       val dir = Seq("scripts", "/root/repo/scripts")
         .map(new java.io.File(_)).find(_.isDirectory)
       dir.foreach { d =>
