@@ -486,6 +486,9 @@ object Exporter {
   def dropPartitionsOlderThan(spark: SparkSession, outDir: String,
       cutoffKey: String): Seq[String] = {
     val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a lake that never exported anything has nothing to expire — not
+    // an error (retention runs on a schedule, possibly before data)
+    if (!fs.exists(new Path(outDir))) return Nil
     val dropped = fs.listStatus(new Path(outDir)).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
