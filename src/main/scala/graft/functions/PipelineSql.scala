@@ -589,6 +589,24 @@ object PipelineSql {
       val dir = str("lake_clean_orphans", es(0), "lake directory")
       () => graft.sources.VersionedLake.cleanOrphans(dir).map(Seq(_))
     }
+    // partition-level retention as a COMMIT: expire partitions below
+    // the cutoff by manifest exclusion — metadata-only, time travel
+    // keeps pre-drop versions until vacuumed. Receipt: (version,
+    // dropped partition) per expired partition, or one null-partition
+    // row when nothing matched.
+    regDeferred("lake_expire_below",
+      StructType(Seq(StructField("committed_version", LongType),
+        StructField("dropped_partition", StringType)))) { es =>
+      argc("lake_expire_below", es, 2)
+      val dir = str("lake_expire_below", es(0), "lake directory")
+      val cutoff = str("lake_expire_below", es(1), "cutoff partition value")
+      () => {
+        val (v, dropped) = graft.sources.VersionedLake
+          .expirePartitionsBelow(dir, cutoff)
+        if (dropped.isEmpty) Seq(Seq(v.toLong, null))
+        else dropped.map(p => Seq(v.toLong, p))
+      }
+    }
 
     reg("exact_substring_scrub") { es =>
       argc("exact_substring_scrub", es, 4)

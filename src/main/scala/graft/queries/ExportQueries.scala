@@ -997,6 +997,59 @@ object ExportQueries {
           |       min(value) AS min, max(value) AS max
           |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin)),
 
+    // Lake maintenance 14: partition-level retention as a COMMIT —
+    // the versioned lake's TTL. The fixture commits the events lake
+    // and expires every date partition below Jan 15 via the (deferred)
+    // lake_expire_below TVF: a metadata-only manifest exclusion, so
+    // the gate hashes BOTH the surviving current version against the
+    // oracle's date-filtered recompute AND the pre-drop version's
+    // row count via time travel — retention that cannot silently eat
+    // history (VersionedLakeSpec pins vacuum reclaim and OCC).
+    QDef(
+      "s29_lake_expire",
+      (s, dir) => {
+        val lake = {
+          val out = Fixtures.dir("expire_lake", dir) { o =>
+            val ev = Tables.events(s, dir)
+              .withColumn("event_date", to_date(col("ts")).cast("string"))
+            graft.sources.VersionedLake.create(ev, s"$o/lake", "event_date")
+            graft.functions.PipelineSql.register(s)
+            val receipt = s.sql(
+              s"SELECT * FROM lake_expire_below('$o/lake', '2024-01-15')")
+              .collect()
+            require(receipt.nonEmpty && !receipt.head.isNullAt(1),
+              "expiry dropped nothing")
+          }
+          s"$out/lake"
+        }
+        val survivors = graft.sources.VersionedLake.read(s, lake)
+          .groupBy(col("event_date").cast("string").as("event_date"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        val history = graft.sources.VersionedLake.read(s, lake, Some(1))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .select(lit("v1:all").as("event_date"), col("n_rows"),
+            col("sum_cents"))
+        survivors.unionByName(history)
+          .select(col("event_date"), col("n_rows"), col("sum_cents"))
+          .orderBy(col("event_date"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT value, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+          |  FROM events)
+          |SELECT * FROM (
+          |  SELECT event_date, count(*) AS n_rows,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |  FROM ev WHERE event_date >= '2024-01-15'
+          |  GROUP BY event_date
+          |  UNION ALL
+          |  SELECT 'v1:all', count(*),
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |  FROM ev)
+          |ORDER BY event_date""".stripMargin)),
+
     // Lake maintenance 12: MULTI-COLUMN per-file Bloom filters. The
     // fixture declares a column-SET Bloom spec (event_id AND user_id)
     // at create; the spec is carried through one copy-on-write merge

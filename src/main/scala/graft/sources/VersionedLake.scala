@@ -1092,6 +1092,55 @@ object VersionedLake {
     else read(spark, lakeDir, Some(v)).count()
   }
 
+  /** Partition-level RETENTION as a COMMIT: drop whole partitions from
+    * the current version by manifest EXCLUSION — metadata-only (no
+    * data file is touched), so expiring a year of history costs one
+    * manifest write, and every pre-drop version stays time-travel
+    * readable until [[vacuum]] reclaims the excluded files — retention
+    * stays explicit, never accidental. This is the versioned-lake
+    * analog of [[graft.streaming.Exporter.dropPartitionsOlderThan]],
+    * which physically deletes from the (unversioned) export layout.
+    *
+    * OCC like every commit: a concurrent write landing in a dropped
+    * partition between plan and commit aborts the drop (retry decides
+    * whether the new data changes the retention call). `batchId` arms
+    * the replay watermark for schedule-driven callers. Unknown
+    * partition values are ignored (idempotent on a schedule). Returns
+    * the committed version — unchanged when nothing matched. */
+  def dropPartitions(lakeDir: String, partitions: Seq[String],
+      batchId: Option[Long] = None): Int =
+    dropEscaped(lakeDir, partitions.map(escapedPartition).toSet, batchId)
+
+  private def dropEscaped(lakeDir: String, escaped: Set[String],
+      batchId: Option[Long]): Int = {
+    val v = currentVersion(lakeDir)
+    require(v >= 1, s"$lakeDir has no committed version")
+    if (batchId.exists(_ <= committedBatchId(lakeDir))) return v
+    val entries = manifestEntries(lakeDir, v)
+    val touched = escaped.intersect(entries.map(_.partition).toSet)
+    if (touched.isEmpty) return v
+    val (inhStats, inhBloom) = tableMeta(lakeDir)
+    commitPending(lakeDir, PendingCommit(v, entries, touched, Nil,
+      insertOnly = false, batchId, inhStats, inhBloom,
+      recordedSchema(lakeDir, v).map(_.json), tableBlooms(lakeDir),
+      tableProps(lakeDir)))
+  }
+
+  /** [[dropPartitions]] for time-keyed partition values: expire every
+    * partition sorting strictly below `cutoff` (dates and the
+    * export-key format are lexicographically time-ordered). Compares
+    * in the escaped directory namespace — identical to the raw value
+    * for date/time strings. Returns (committed version, dropped
+    * partition names). */
+  def expirePartitionsBelow(lakeDir: String, cutoff: String,
+      batchId: Option[Long] = None): (Int, Seq[String]) = {
+    val v = currentVersion(lakeDir)
+    require(v >= 1, s"$lakeDir has no committed version")
+    val below = manifestEntries(lakeDir, v).map(_.partition).distinct
+      .filter(_ < escapedPartition(cutoff)).sorted
+    (dropEscaped(lakeDir, below.toSet, batchId), below)
+  }
+
   /** Per-PARTITION column statistics from manifest metadata alone — no
     * data scan: (partition, n_files, n_rows, min, max), the aggregate
     * the zone maps already paid for at commit time. Per-file min/max

@@ -1022,6 +1022,40 @@ class VersionedLakeSpec extends SparkSpec {
       .getMessage.contains("records column stats"))
   }
 
+  test("dropPartitions: metadata-only expiry, history readable, vacuum reclaims, replay guarded") {
+    val root = tmp("vlake_expire")
+    val lake = s"$root/lake"
+    val df = (1 to 30).map(i => (i.toLong, f"2024-01-${i % 3 + 1}%02d"))
+      .toDF("v", "day")
+    VersionedLake.create(df, lake, "day")
+    val filesBefore = VersionedLake.read(spark, lake).inputFiles.toSet
+    val (v2, dropped) = VersionedLake.expirePartitionsBelow(lake, "2024-01-03",
+      batchId = Some(5L))
+    assert(v2 == 2 && dropped == Seq("2024-01-01", "2024-01-02"))
+    // current excludes the expired partitions; nothing else moved
+    val cur = VersionedLake.read(spark, lake)
+    assert(cur.select("day").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("2024-01-03"))
+    // METADATA-only: every surviving file is byte-identical (same path)
+    assert(cur.inputFiles.toSet.subsetOf(filesBefore))
+    // history stays readable until vacuumed
+    assert(VersionedLake.read(spark, lake, Some(1)).count() == 30)
+    // replayed batch id is a no-op; unknown partitions are ignored
+    assert(VersionedLake.dropPartitions(lake, Seq("2024-01-03"),
+      batchId = Some(5L)) == 2)
+    assert(VersionedLake.dropPartitions(lake, Seq("2099-12-31")) == 2)
+    // vacuum below v2 reclaims exactly the excluded partitions' files
+    VersionedLake.vacuum(lake, keepFrom = 2)
+    val gone = filesBefore -- VersionedLake.read(spark, lake).inputFiles.toSet
+    assert(gone.nonEmpty && gone.forall(p =>
+      p.contains("day=2024-01-01") || p.contains("day=2024-01-02")), gone)
+    assert(gone.forall(p => !new java.io.File(
+      new java.net.URI(p).getPath).exists()), "vacuum left expired files")
+    // the drop is a real commit: a fresh session's read agrees
+    assert(VersionedLake.read(spark, lake).count() ==
+      df.filter(col("day") === "2024-01-03").count())
+  }
+
   test("columnStats: exact per-partition fold of the zone maps, no data scan") {
     val root = tmp("vlake_colstats_tbl")
     val df = Seq((1L, 10.0, "p1"), (2L, 25.0, "p1"), (3L, -4.0, "p2"))
