@@ -55,12 +55,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * contiguity, one-shot and positional-postings forms), `highlight`
   * (merged hit spans as snippets), `retrieval_metrics` (per-query
   * recall@k and reciprocal rank), `leakage_safe_split` (cluster-keyed
-  * train/val/test), `lake_col_stats` (the zone maps as a table), and
+  * train/val/test), `lake_col_stats` (the zone maps as a table), `lake_expire_below`
+  * (partition-level retention as a deferred commit), and
   * the 4-arg `read_range` column form over per-column zone maps — the
   * whole extension-operator inventory.
   *
   * SIDE-EFFECTING maintenance TVFs (`lake_compact`, `lake_vacuum`,
-  * `lake_clean_orphans`, `retention_drop`) parse their arguments at
+  * `lake_clean_orphans`, `retention_drop`, `lake_expire_below`) parse their arguments at
   * analysis but run the operation at first EXECUTION
   * ([[graft.plans.DeferredEffect]]) — EXPLAIN and failed outer
   * analysis never mutate a lake.
