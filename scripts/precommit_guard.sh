@@ -44,8 +44,16 @@ if git diff --cached --name-only | grep -qE '\.(scala|sbt)$|project/'; then
   # of this commit's staging scope, refuse otherwise.
   if scripts/census.sh > /tmp/precommit_census.log 2>&1; then
     if ! git diff --quiet -- GATES.md; then
-      echo "[precommit_guard] GATES.md was stale; regenerated." >&2
-      git add GATES.md
+      if git diff --cached --name-only | grep -qx GATES.md; then
+        echo "[precommit_guard] GATES.md was stale; regenerated and re-staged." >&2
+        git add GATES.md
+      else
+        echo "[precommit_guard] REFUSING COMMIT: the gate census changed but" >&2
+        echo "[precommit_guard] GATES.md is not staged — review the diff and" >&2
+        echo "[precommit_guard] 'git add GATES.md' (or include it in -A):" >&2
+        git --no-pager diff --stat -- GATES.md >&2
+        exit 1
+      fi
     fi
   else
     echo "[precommit_guard] WARNING: census.sh failed; GATES.md not checked:" >&2

@@ -13,6 +13,35 @@ object Bench {
       .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
       .toMap
 
+  /** THIS checkout's scripts/ directory, found from where the Bench
+    * class itself was loaded (target/scala-2.13/classes or a jar under
+    * target/) by walking up to the first ancestor holding both
+    * build.sbt and scripts/ — so the baseline read and the artifact
+    * write always hit the repo that produced the running code, not a
+    * path baked in at authoring time or whatever the caller's cwd
+    * happens to be. Falls back to ./scripts when the code source is
+    * unavailable (e.g. a security manager) but the cwd looks like the
+    * repo; None otherwise — callers then skip their read/write. */
+  private[graft] def scriptsDir(): Option[java.io.File] = {
+    val fromCode = scala.util.Try {
+      var d = new java.io.File(Bench.getClass.getProtectionDomain
+        .getCodeSource.getLocation.toURI)
+      var found: Option[java.io.File] = None
+      while (found.isEmpty && d != null) {
+        val s = new java.io.File(d, "scripts")
+        if (s.isDirectory && new java.io.File(d, "build.sbt").isFile)
+          found = Some(s)
+        d = d.getParentFile
+      }
+      found
+    }.toOption.flatten
+    fromCode.orElse {
+      val cwd = new java.io.File("scripts")
+      if (cwd.isDirectory && new java.io.File("build.sbt").isFile) Some(cwd)
+      else None
+    }
+  }
+
   /** SELF-ADJUDICATION: which gates' first-pass timings look
     * contention-inflated and deserve one re-run. Both r11 bench
     * artifacts (the driver's and the judge's first) carried
@@ -135,11 +164,10 @@ object Bench {
 
     // adjudication pass: re-run the suspects once, keep the min —
     // contention collapses, real regressions reproduce
-    val baseline = Seq(
-      sys.env.get("SPARK_GRAFT_BASELINE"),
-      Some("scripts/bench_baseline.json"),
-      Some("/root/repo/scripts/bench_baseline.json"))
-      .flatten.map(new java.io.File(_)).find(_.isFile)
+    val baseline = (
+      sys.env.get("SPARK_GRAFT_BASELINE").map(new java.io.File(_)) ++
+        scriptsDir().map(new java.io.File(_, "bench_baseline.json")))
+      .find(_.isFile)
       .map(f => parseBaseline(new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
       .getOrElse(Map.empty)
@@ -173,9 +201,7 @@ object Bench {
     // clobber the complete artifact with its subset.
     // Best-effort: a read-only checkout must not fail the bench.
     if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) try {
-      val dir = Seq("scripts", "/root/repo/scripts")
-        .map(new java.io.File(_)).find(_.isDirectory)
-      dir.foreach { d =>
+      scriptsDir().foreach { d =>
         java.nio.file.Files.write(
           new java.io.File(d, "bench_last.json").toPath,
           fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -22,17 +22,26 @@ import org.apache.spark.sql.types.StructType
   * runs on the driver when the plan first EXECUTES (collect, write,
   * show — anything that forces the physical plan).
   *
-  * One run per QueryExecution: repeated actions on the same Dataset
-  * reuse the receipt (the exec node memoizes), while building the SQL
-  * again is a new statement and runs the operation again — exactly a
-  * command's semantics. The thunk runs ON THE DRIVER (maintenance ops
-  * list/delete files and launch their own jobs), then the receipt rows
-  * ship as a 1-partition RDD.
+  * One run per STATEMENT: the raw receipt is memoized on the LOGICAL
+  * leaf, not the physical node, because every action on the same
+  * Dataset plans a fresh QueryExecution — show() wraps the plan in a
+  * Limit, count() in an Aggregate — each with its own exec node. All
+  * of those derived plans share this one leaf instance, so a second
+  * show()/count()/write on the same Dataset reuses the receipt instead
+  * of committing the maintenance operation again; building the SQL
+  * again is a new statement (a new leaf) and runs the operation again —
+  * exactly a command's semantics. The thunk runs ON THE DRIVER
+  * (maintenance ops list/delete files and launch their own jobs), then
+  * the receipt rows ship as a 1-partition RDD.
   */
 case class DeferredEffectPlan(output: Seq[Attribute],
     thunk: () => Seq[Seq[Any]]) extends LeafNode {
   // receipt-sized by construction; never worth a broadcast decision
   override def computeStats(): Statistics = Statistics(sizeInBytes = 64)
+  /** The effect's raw rows, run at most once per statement (per leaf
+    * instance — optimizer copies of DERIVED plans keep leaf instances,
+    * so limit/aggregate wrappers from later actions all land here). */
+  lazy val result: Seq[Seq[Any]] = thunk()
 }
 
 case class DeferredEffectExec(output: Seq[Attribute],
@@ -57,7 +66,11 @@ object DeferredEffect {
 
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case DeferredEffectPlan(out, thunk) => DeferredEffectExec(out, thunk) :: Nil
+      // hand the exec node the LEAF's memoized result, not the raw
+      // thunk: fresh exec nodes from later actions on the same Dataset
+      // must reuse the receipt, not re-run the side effect
+      case p @ DeferredEffectPlan(out, _) =>
+        DeferredEffectExec(out, () => p.result) :: Nil
       case _ => Nil
     }
   }

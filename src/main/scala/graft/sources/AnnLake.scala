@@ -305,9 +305,16 @@ object AnnLake {
     *     ORIGINAL path resolve to the green index — callers keep their
     *     handle (the VersionedLake CURRENT-rename discipline, one
     *     level up);
-    *  3. replay once more, catching any append that committed to the
-    *     old index between step 1's read and the swap. After the swap
-    *     new appends resolve to green, so this tail is final.
+    *  3. replay the remaining tail TO STABILITY: an appender that
+    *     resolved the handle BEFORE the pointer existed may still be
+    *     in flight, targeting the old index — so the post-swap replay
+    *     loops until the old lake's version is unchanged across two
+    *     consecutive replays. Any racing append that commits within
+    *     the stabilization window is replayed onto green; one that
+    *     commits after it lands on a retired index (the inherent
+    *     blue/green window — an appender cannot be both un-swapped and
+    *     unbounded), which is why [[retire]] should follow only after
+    *     in-flight writers from before the swap have drained.
     *
     * Appends only: a delete in the tail aborts the cutover loudly
     * (apply takedowns after rotating — replaying a delete+append
@@ -339,9 +346,24 @@ object AnnLake {
     require(!samePath, s"cutover target $greenDir IS the live index")
     val replayed = replayAppendTail(spark, old, greenDir, from)
     writePointer(lakeDir, greenDir)
-    replayAppendTail(spark, old, greenDir, replayed)
-    ()
+    onPointerSwapped()
+    // stabilized final replay (scaladoc step 3): at least TWO post-swap
+    // version reads, repeated until consecutive reads agree — a
+    // pre-swap-resolved appender that commits after one replay's read
+    // is caught by the next iteration, not silently stranded on the
+    // old index (exiting on the first quiet read would leave the same
+    // single-read race window the stabilization exists to close)
+    var last = replayAppendTail(spark, old, greenDir, replayed)
+    var cur = replayAppendTail(spark, old, greenDir, last)
+    while (cur != last) {
+      last = cur
+      cur = replayAppendTail(spark, old, greenDir, last)
+    }
   }
+
+  /** Test seam: runs once right after the cutover pointer lands, i.e.
+    * inside the race window the stabilized replay exists to close. */
+  private[graft] var onPointerSwapped: () => Unit = () => ()
 
   /** Replay versions `(fromV, current]` of the old index's vectors
     * lake onto the green index. Returns the version replayed up to. */

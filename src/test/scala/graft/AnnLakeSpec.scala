@@ -222,6 +222,48 @@ class AnnLakeSpec extends SparkSpec {
     }.getMessage.contains("cut-over handle"))
   }
 
+  test("cutover stabilization: an append racing the pointer swap is replayed onto green") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_race").toString
+    val live = s"$base/live"; val green = s"$base/green"
+    AnnLake.create(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      live, nlist = 8, dim = 64)
+    AnnLake.reindex(spark, live, green, nlist = 8, dim = 64)
+    // the racing appender RESOLVED the handle before the swap (no
+    // pointer existed), so its write targets the old index root; its
+    // commit lands inside cutover's swap → final-replay window via the
+    // test seam. Going through AnnLake.append(live) here would resolve
+    // the fresh pointer to green and miss the race entirely — replicate
+    // the pre-swap-resolved appender's exact writes instead.
+    val straggler = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnLake.onPointerSwapped = () => {
+      AnnLake.onPointerSwapped = () => ()
+      val cents = spark.read.parquet(s"$live/centroids")
+        .collect().sortBy(_.getInt(0))
+        .map(_.getAs[scala.collection.Seq[Long]]("cv").toArray)
+      val assigned = Similarity.assignCells(
+        straggler.select(col("vec_id").as("doc"),
+          Similarity.quant20(col("embedding")).as("qv")), cents)
+        .select(col("doc"), col("cell"))
+      val rows = straggler
+        .select(col("vec_id").as("doc"), col("embedding").as("v"))
+        .join(assigned, "doc")
+      VersionedLake.append(rows, s"$live/vectors", "cell", Some(7L))
+    }
+    try AnnLake.cutover(spark, live, green)
+    finally AnnLake.onPointerSwapped = () => ()
+    // nothing stranded: green holds the complete corpus and a
+    // full-probe search through the handle equals brute force over it
+    assert(VersionedLake.read(spark, s"$green/vectors").count() == emb.count(),
+      "the racing append must be replayed onto the green index")
+    val queries = emb.filter(col("vec_id") < 5)
+    val viaHandle = AnnLake.search(spark, queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val brute = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaHandle == brute && viaHandle.nonEmpty)
+  }
+
   test("a live indexStream survives cutover: checkpoint kept, batch ids continue, nothing lost") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

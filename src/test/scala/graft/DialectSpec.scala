@@ -676,5 +676,18 @@ class DialectSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM lake_compact('$vlake', 'part')")
       .head().getLong(0) == 3L)
     assert(graft.sources.VersionedLake.currentVersion(vlake) == 3)
+    // receipt reuse must survive DERIVED plans too: show() wraps the
+    // plan in a Limit and count() in an Aggregate — each a NEW
+    // QueryExecution with a fresh exec node. The memo lives on the
+    // shared logical leaf, so one Dataset = one committed compaction
+    // however many (and whichever kind of) actions run on it.
+    graft.sources.VersionedLake.append(
+      (17 to 20).map(i => (i.toLong, s"p${i % 2}")).toDF("v", "part"), vlake, "part")
+    val compactOnce = spark.sql(s"SELECT * FROM lake_compact('$vlake', 'part')")
+    assert(compactOnce.count() == 1L)
+    compactOnce.show()
+    assert(compactOnce.head().getLong(0) == 5L)
+    assert(graft.sources.VersionedLake.currentVersion(vlake) == 5,
+      "count()+show()+head() on one Dataset must commit exactly one compaction")
   }
 }
