@@ -271,6 +271,20 @@ object TextSearch {
         posexplode(split(col(text), " ")).as(Seq("p", "term")))
       .join(broadcast(tq), "term")
       .select(col("doc_id"), col("p").cast("long").as("p"))
+    assembleSnippets(hits,
+      docs.select(col(id).as("doc_id"), split(col(text), " ").as("_w")), window)
+  }
+
+  /** The span-merge + snippet-assembly half of [[highlight]], shared
+    * with the postings-lake form ([[graft.sources.PostingsLake
+    * .highlight]] derives `hits` from positional postings and
+    * `docWords` from a Bloom point-read of only the hit docs) so both
+    * render byte-identical snippets. `hits` = (doc_id, p: long) one row
+    * per query-term hit; `docWords` = (doc_id, _w: array<string>) —
+    * extra docs are dropped by the inner join, missing hit docs drop
+    * their rows (the lake form's contract makes that impossible). */
+  private[graft] def assembleSnippets(hits: DataFrame, docWords: DataFrame,
+      window: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val spans = hits
       .withColumn("_gap",
@@ -286,8 +300,7 @@ object TextSearch {
       .groupBy(col("doc_id"))
       .agg(sum(col("nh")).as("n_hits"), count(lit(1)).as("n_spans"),
         sort_array(collect_list(struct(col("s"), col("e")))).as("_sp"))
-      .join(docs.select(col(id).as("doc_id"), split(col(text), " ").as("_w")),
-        "doc_id")
+      .join(docWords, "doc_id")
       .select(col("doc_id"), col("n_hits"), col("n_spans"),
         array_join(
           transform(col("_sp"), x =>

@@ -712,6 +712,58 @@ object TextQueries {
       },
       Some(phraseOracleSql)),
 
+    // The QUERY-TABLE phrase form — decontamination review at index
+    // scale: every 50th document's three-word prefix is a "benchmark
+    // phrase", and ALL of them are answered in one partition-pruned
+    // pass over the positional postings (the single-string form would
+    // re-probe the lake per phrase). The oracle replays the identical
+    // anchor-vote per phrase over the same phrase table, so per-phrase
+    // occurrence counts and first positions hash end to end — one
+    // anchor off by one for any phrase anywhere is a mismatch.
+    QDef(
+      "x_phrase_lake_batch",
+      (s, dir) => {
+        val lake = Fixtures.dir("bm25_lake_incr", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(0L))
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(1L))
+        }
+        val phrases = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("phrase_id"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("ptext"))
+        graft.sources.PostingsLake.phraseSearchBatch(s, s"$lake/lake",
+          phrases, "phrase_id", "ptext")
+          .orderBy(col("phrase_id"), col("doc_id"))
+      },
+      Some(
+        """WITH phrases AS (
+          |  SELECT doc_id AS phrase_id,
+          |         array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS ptext
+          |  FROM documents WHERE doc_id % 50 = 0
+          |), pw AS (
+          |  SELECT phrase_id, i - 1 AS off, w[i] AS term, len(w) AS plen
+          |  FROM (SELECT phrase_id, string_split(ptext, ' ') AS w FROM phrases),
+          |       UNNEST(generate_series(1, len(w))) t(i)
+          |), toks AS (
+          |  SELECT doc_id, i - 1 AS p, w[i] AS term
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |       UNNEST(generate_series(1, len(w))) t(i)
+          |), votes AS (
+          |  SELECT pw.phrase_id, pw.plen, t.doc_id, t.p - pw.off AS anchor, pw.off
+          |  FROM toks t JOIN pw ON t.term = pw.term
+          |  WHERE t.p - pw.off >= 0
+          |), occ AS (
+          |  SELECT phrase_id, doc_id, anchor FROM votes
+          |  GROUP BY phrase_id, plen, doc_id, anchor
+          |  HAVING count(DISTINCT off) = plen
+          |)
+          |SELECT phrase_id, doc_id, count(*) AS n_occurrences,
+          |       CAST(min(anchor) AS BIGINT) AS first_pos
+          |FROM occ GROUP BY phrase_id, doc_id
+          |ORDER BY phrase_id, doc_id""".stripMargin)),
+
     // Search-result HIGHLIGHTING: merged ±3-word spans around every
     // hit of the bm25 gates' query terms, reassembled with "…"
     // separators — the last mile of the retrieval stack. The
@@ -726,44 +778,37 @@ object TextQueries {
         Tables.documents(s, dir), "doc_id", "text",
         terms = Seq("spark", "stream"), window = 3)
         .orderBy(col("doc_id")),
-      Some(
-        """WITH toks AS (
-          |  SELECT doc_id, i - 1 AS p, w[i] AS term
-          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-          |       UNNEST(generate_series(1, len(w))) t(i)
-          |), hits AS (
-          |  SELECT doc_id, CAST(p AS BIGINT) AS p FROM toks
-          |  WHERE term IN ('spark', 'stream')
-          |), g AS (
-          |  SELECT doc_id, p,
-          |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 6
-          |              THEN 1 ELSE 0 END AS gap
-          |  FROM hits
-          |), g2 AS (
-          |  SELECT doc_id, p,
-          |         sum(gap) OVER (PARTITION BY doc_id ORDER BY p
-          |                        ROWS UNBOUNDED PRECEDING) AS grp
-          |  FROM g
-          |), spans AS (
-          |  SELECT doc_id, grp, greatest(min(p) - 3, 0) AS s, max(p) + 3 AS e,
-          |         count(*) AS nh
-          |  FROM g2 GROUP BY doc_id, grp
-          |), agg AS (
-          |  SELECT doc_id, CAST(sum(nh) AS BIGINT) AS n_hits,
-          |         count(*) AS n_spans,
-          |         list(struct_pack(s := s, e := e) ORDER BY s) AS sp
-          |  FROM spans GROUP BY doc_id
-          |)
-          |SELECT a.doc_id, n_hits, n_spans,
-          |       array_to_string(
-          |         list_transform(sp, x ->
-          |           array_to_string(list_slice(d.w, CAST(x.s + 1 AS BIGINT),
-          |             CAST(x.e + 1 AS BIGINT)), ' ')),
-          |         ' ... ') AS snippet
-          |FROM agg a
-          |JOIN (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
-          |  USING (doc_id)
-          |ORDER BY doc_id""".stripMargin)),
+      Some(highlightOracleSql)),
+
+    // The same snippets from the LAKES: hit positions from the
+    // positional postings (term-partition pruned, Bloom-admitted),
+    // text point-read through the docs lake's doc_id Bloom for ONLY
+    // the hit documents — the I/O shape a search UI needs against a
+    // corpus-sized index. Must hash against the IDENTICAL oracle as
+    // x_highlight: one span boundary or separator off anywhere in the
+    // postings-driven reassembly is a mismatch.
+    QDef(
+      "x_highlight_lake",
+      (s, dir) => {
+        val plake = Fixtures.dir("bm25_lake_incr", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(0L))
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(1L))
+        }
+        val dlake = Fixtures.dir("highlight_docs_lake", dir) { o =>
+          graft.sources.VersionedLake.create(
+            Tables.documents(s, dir).select(col("doc_id"), col("text"))
+              .withColumn("dp", pmod(xxhash64(col("doc_id")), lit(16))),
+            s"$o/lake", "dp",
+            blooms = Seq(graft.sources.VersionedLake.BloomSpec("doc_id")))
+        }
+        graft.sources.PostingsLake.highlight(s, s"$plake/lake", s"$dlake/lake",
+          "doc_id", "text", terms = Seq("spark", "stream"), window = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(highlightOracleSql)),
 
     // Retrieval EVALUATION: the harness that scores the stack.
     // Queries are five-word prefixes of every 25th document; the
@@ -2366,6 +2411,50 @@ object TextQueries {
       |SELECT doc_id, count(*) AS n_occurrences,
       |       CAST(min(anchor) AS BIGINT) AS first_pos
       |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Gaps-and-islands highlight oracle shared by x_highlight (one-shot
+    * re-tokenize) and x_highlight_lake (positions from the postings
+    * lake, text point-read through the docs lake): merged ±3-word
+    * spans around every 'spark'/'stream' hit, reassembled with " ... "
+    * separators — string/integer exact end to end. */
+  private val highlightOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, i - 1 AS p, w[i] AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w))) t(i)
+      |), hits AS (
+      |  SELECT doc_id, CAST(p AS BIGINT) AS p FROM toks
+      |  WHERE term IN ('spark', 'stream')
+      |), g AS (
+      |  SELECT doc_id, p,
+      |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 6
+      |              THEN 1 ELSE 0 END AS gap
+      |  FROM hits
+      |), g2 AS (
+      |  SELECT doc_id, p,
+      |         sum(gap) OVER (PARTITION BY doc_id ORDER BY p
+      |                        ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM g
+      |), spans AS (
+      |  SELECT doc_id, grp, greatest(min(p) - 3, 0) AS s, max(p) + 3 AS e,
+      |         count(*) AS nh
+      |  FROM g2 GROUP BY doc_id, grp
+      |), agg AS (
+      |  SELECT doc_id, CAST(sum(nh) AS BIGINT) AS n_hits,
+      |         count(*) AS n_spans,
+      |         list(struct_pack(s := s, e := e) ORDER BY s) AS sp
+      |  FROM spans GROUP BY doc_id
+      |)
+      |SELECT a.doc_id, n_hits, n_spans,
+      |       array_to_string(
+      |         list_transform(sp, x ->
+      |           array_to_string(list_slice(d.w, CAST(x.s + 1 AS BIGINT),
+      |             CAST(x.e + 1 AS BIGINT)), ' ')),
+      |         ' ... ') AS snippet
+      |FROM agg a
+      |JOIN (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+      |  USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** md5-nibble uniform [0,1) in DuckDB SQL — the oracle twin of
     * graft.functions.HashRandom.uniform. */

@@ -181,6 +181,25 @@ object PostingsLake {
     VersionedLake.tableProps(postingsDir(lakeDir))
       .get("termParts").map(_.toInt).getOrElse(callers)
 
+  /** Past this many query terms, [[search]]/[[phraseSearch]] stop
+    * building an `isin(terms:_*)` literal list (a plan-sized wall on
+    * degenerate inputs: thousands of literals bloat analysis and
+    * codegen) and restrict through a broadcast semi-join instead —
+    * the same shape [[searchBatch]] always uses. Semantics identical;
+    * private[graft] so the boundary spec can sit exactly on it. */
+  private[graft] val MaxLiteralTerms = 1024
+
+  /** Exact restriction of posting rows to `terms`: literal `isin` at
+    * interactive term counts (codegen'd, no extra plan node), broadcast
+    * left-semi past [[MaxLiteralTerms]]. */
+  private def restrictToTerms(rows: DataFrame, terms: Seq[String]): DataFrame =
+    if (terms.size <= MaxLiteralTerms) rows.filter(col("term").isin(terms: _*))
+    else {
+      val spark = rows.sparkSession
+      import spark.implicits._
+      rows.join(broadcast(terms.toDF("term")), Seq("term"), "left_semi")
+    }
+
   /** The postings files a query reads: its terms' hash PARTITIONS
     * (manifest-level pruning), then within them only the files whose
     * term Bloom might contain at least one query term — one shared
@@ -227,8 +246,8 @@ object PostingsLake {
     require(query.nonEmpty, "search needs at least one query term")
     require(k >= 1, s"k must be >= 1, got $k")
     val terms = query.distinct
-    val tf = queryRead(spark, lakeDir, terms, termParts, version)
-      .filter(col("term").isin(terms: _*))
+    val tf = restrictToTerms(
+      queryRead(spark, lakeDir, terms, termParts, version), terms)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = corpusStats(spark, lakeDir, version)
@@ -333,8 +352,9 @@ object PostingsLake {
     val words = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
     require(words.nonEmpty, "phraseSearch needs a non-empty phrase")
     val distinctWords = words.distinct
-    val rows = queryRead(spark, lakeDir, distinctWords, termParts, version)
-      .filter(col("term").isin(distinctWords: _*))
+    val rows = restrictToTerms(
+      queryRead(spark, lakeDir, distinctWords, termParts, version),
+      distinctWords)
     require(rows.columns.contains("positions"),
       s"$lakeDir records no positional postings — re-ingest to phrase-search it")
     require(rows.filter(col("positions").isNull).isEmpty,
@@ -353,6 +373,119 @@ object PostingsLake {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"),
         min(col("anchor")).cast("long").as("first_pos"))
+  }
+
+  /** PHRASE search for a QUERY TABLE — the decontamination-review
+    * shape (thousands of benchmark phrases checked for verbatim
+    * presence) answered in ONE partition-pruned index pass, where
+    * [[phraseSearch]]'s single-string form would re-probe the lake per
+    * phrase. Per phrase, identical anchor-vote semantics and evidence
+    * columns as the one-shot ((phrase_id, doc_id, n_occurrences,
+    * first_pos), 0-based; a repeated phrase word votes once per offset,
+    * so "a b a" resolves correctly); a phrase with no contiguous
+    * occurrence contributes no rows, and an all-whitespace phrase can
+    * never match (it has no words to vote).
+    *
+    * Scale shape:
+    *  - partition pruning needs only the union of the phrases' words'
+    *    PARTITION IDS — computed in-engine, collected bounded by
+    *    `termParts`, never the words themselves;
+    *  - file-level Bloom admission via [[VersionedLake.pointReadOrFull]]
+    *    (its maxKeys rule: a past-the-bound word set degrades to the
+    *    partition-pruned read, never a driver blowup);
+    *  - the (phrase_id, off, term) table rides a broadcast; the only
+    *    corpus-sized aggregate is the per-(phrase, doc, anchor) vote —
+    *    cost is the matching tokens × covering phrases, never tokens².
+    *
+    * Same pre-positional refusal as the one-shot lake form. */
+  def phraseSearchBatch(spark: SparkSession, lakeDir: String,
+      phrases: DataFrame, pid: String, ptext: String,
+      termParts: Int = 64, version: Option[Int] = None): DataFrame = {
+    val pw = phrases
+      .select(col(pid).as("phrase_id"),
+        split(regexp_replace(trim(col(ptext)), "\\s+", " "), " ").as("w"))
+      .select(col("phrase_id"), size(col("w")).cast("long").as("plen"),
+        posexplode(col("w")).as(Seq("off", "term")))
+      .filter(length(col("term")) > 0)
+      .select(col("phrase_id"), col("plen"), col("off").cast("long").as("off"),
+        col("term"))
+    val allWords = pw.select(col("term")).distinct()
+    val tp = effTermParts(lakeDir, termParts)
+    val tps = allWords
+      .select(pmod(xxhash64(col("term")), lit(tp)).as("tp"))
+      .distinct().collect().map(_.getLong(0).toString).toSeq // <= termParts
+    val dir = postingsDir(lakeDir)
+    val rows = version match {
+      case Some(v) => VersionedLake.read(spark, dir, Some(v),
+        partitions = Some(tps))
+      case None => VersionedLake.pointReadOrFull(spark, dir, "term",
+        allWords, partitions = Some(tps))
+    }
+    require(rows.columns.contains("positions"),
+      s"$lakeDir records no positional postings — re-ingest to phrase-search it")
+    // exact restriction to the phrases' words (Bloom admission is
+    // conservative) BEFORE the pre-positional check, so only postings a
+    // phrase could actually touch can trip the refusal
+    val matched = rows.join(broadcast(allWords), Seq("term"), "left_semi")
+    require(matched.filter(col("positions").isNull).isEmpty,
+      s"$lakeDir holds pre-positional postings for these phrases' words — " +
+        "compact/re-ingest before phrase-searching them")
+    matched.join(broadcast(pw), "term")
+      .select(col("phrase_id"), col("plen"), col("doc_id"),
+        explode(col("positions")).as("p"), col("off"))
+      .select(col("phrase_id"), col("plen"), col("doc_id"),
+        (col("p") - col("off")).as("anchor"), col("off"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("phrase_id"), col("plen"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("_nhit"))
+      .filter(col("_nhit") === col("plen"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("anchor")).cast("long").as("first_pos"))
+  }
+
+  /** Search-result HIGHLIGHTING from the lake: hit positions come from
+    * the POSITIONAL POSTINGS (only the query terms' partitions are
+    * read, Bloom-admitted at the file level), spans merge from those
+    * positions alone, and the raw text needed for snippet assembly is
+    * POINT-READ for only the hit documents through `docsLake`'s doc-id
+    * Bloom ([[VersionedLake.pointReadOrFull]]) — so a handful of hits
+    * against a corpus-sized lake opens a handful of text files, where
+    * [[graft.operators.TextSearch.highlight]] re-tokenizes every
+    * document per call. Same span rule and output ((doc_id, n_hits,
+    * n_spans, snippet)), rendered by the SHARED assembly
+    * ([[TextSearch.assembleSnippets]]), so lake and one-shot snippets
+    * are byte-identical — the x_highlight_lake gate hashes this form
+    * against x_highlight's oracle.
+    *
+    * `docsLake` is a versioned lake holding (id, text) rows — build it
+    * with a Bloom on the id column to get the candidate-bounded text
+    * read; pre-Bloom lakes degrade to a full (still partition-narrowed)
+    * scan, never to a wrong snippet. Positions index the raw token
+    * array (recorded at [[append]]), exactly what the one-shot form's
+    * `split` produces, so adjacency and span windows agree. */
+  def highlight(spark: SparkSession, lakeDir: String, docsLake: String,
+      id: String, text: String, terms: Seq[String], window: Int,
+      termParts: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "highlight needs at least one term")
+    require(window >= 0, s"window must be >= 0, got $window")
+    val distinctTerms = terms.distinct
+    val rows = restrictToTerms(
+      queryRead(spark, lakeDir, distinctTerms, termParts, None), distinctTerms)
+    require(rows.columns.contains("positions"),
+      s"$lakeDir records no positional postings — re-ingest to highlight from it")
+    require(rows.filter(col("positions").isNull).isEmpty,
+      s"$lakeDir holds pre-positional postings for these terms — " +
+        "compact/re-ingest before highlighting from them")
+    val hits = rows
+      .select(col("doc_id"), explode(col("positions")).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("p"))
+    // ONLY the hit docs' text: Bloom-admitted files, exact inner join
+    // downstream (assembleSnippets joins spans to words on doc_id)
+    val docWords = VersionedLake.pointReadOrFull(spark, docsLake, id,
+      hits.select(col("doc_id")).distinct())
+      .select(col(id).as("doc_id"), split(col(text), " ").as("_w"))
+    graft.operators.TextSearch.assembleSnippets(hits, docWords, window)
   }
 
   /** Fold per-increment file growth back to one file per partition in

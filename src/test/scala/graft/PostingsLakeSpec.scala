@@ -91,6 +91,61 @@ class PostingsLakeSpec extends SparkSpec {
     }.getMessage.contains("pre-positional"))
   }
 
+  test("phraseSearchBatch: every phrase equals its one-shot phraseSearch, in one pass") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val phrases = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("phrase_id"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("ptext"))
+    val batch = PostingsLake.phraseSearchBatch(spark, root,
+      phrases, "phrase_id", "ptext")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val serial = phrases.collect().flatMap { pr =>
+      PostingsLake.phraseSearch(spark, root, pr.getString(1)).collect()
+        .map(r => (pr.getLong(0), r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(batch == serial && batch.nonEmpty)
+  }
+
+  test("lake highlight: postings-driven snippets equal the one-shot form byte for byte") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val base = java.nio.file.Files.createTempDirectory("graft_hl_docs").toString
+    VersionedLake.create(
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("dp", pmod(xxhash64(col("doc_id")), lit(16))),
+      s"$base/lake", "dp",
+      blooms = Seq(VersionedLake.BloomSpec("doc_id")))
+    val viaLake = PostingsLake.highlight(spark, root, s"$base/lake",
+      "doc_id", "text", terms = Seq("spark", "stream"), window = 3)
+      .collect().map(_.toSeq).toSet
+    val oneShot = TextSearch.highlight(docs, "doc_id", "text",
+      terms = Seq("spark", "stream"), window = 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaLake == oneShot && viaLake.nonEmpty)
+    // the snippet assembly rides the Bloom point-read: a single hit
+    // doc admits a strict subset of the docs lake's files
+    val one = docs.agg(min(col("doc_id"))).head().getLong(0).toString
+    val all = VersionedLake.read(spark, s"$base/lake").inputFiles.length
+    val pruned = VersionedLake.prunedPointFiles(s"$base/lake", "doc_id", Seq(one))
+    assert(pruned.length < all,
+      s"expected Bloom pruning for one hit doc: ${pruned.length} vs $all")
+  }
+
+  test("past the literal-list bound, search routes through the broadcast form identically") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // absent terms carry no postings, so the fat query's answer is the
+    // real terms' answer — what changes is only the restriction plan
+    // (isin literals under the bound, broadcast semi-join over it)
+    val fat = query ++
+      (1 to PostingsLake.MaxLiteralTerms + 10).map(i => s"zzz-absent-$i")
+    assert(fat.size > PostingsLake.MaxLiteralTerms)
+    val viaLake = PostingsLake.search(spark, root, fat, k = 50)
+      .collect().map(_.toSeq).toSet
+    val oneShot = TextSearch.bm25TopK(docs, "doc_id", "text", query, k = 50)
+      .collect().map(_.toSeq).toSet
+    assert(viaLake == oneShot && viaLake.nonEmpty)
+  }
+
   test("append is exactly-once under batch-id re-delivery") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val before = PostingsLake.search(spark, root, query, k = 50)
