@@ -1796,37 +1796,33 @@ object TextQueries {
           "doc_id", "text", n = 5)
           .orderBy(col("doc_id"))
       },
-      Some {
-        val gram = (0 until 5).map(j => s"words[i+$j]").mkString(" || ' ' || ")
-        s"""WITH w AS (
-           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-           |), g AS (
-           |  SELECT doc_id, unnest(
-           |    CASE WHEN len(words) >= 5 THEN list_distinct(list_transform(
-           |           generate_series(1, len(words) - 4), i -> $gram))
-           |         ELSE [] END) AS ng
-           |  FROM w
-           |), bench AS (
-           |  SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0
-           |), totals AS (
-           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
-           |  FROM g WHERE doc_id % 10 <> 0 GROUP BY doc_id
-           |), hits AS (
-           |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits
-           |  FROM g JOIN bench USING (ng)
-           |  WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id
-           |)
-           |SELECT d.doc_id,
-           |       coalesce(t.n_grams, 0) AS n_grams,
-           |       coalesce(h.hits, 0) AS hits,
-           |       CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
-           |            ELSE floor(CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
-           |                       * 10000 + 0.5) / 10000.0 END AS overlap_r4
-           |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
-           |LEFT JOIN totals t USING (doc_id)
-           |LEFT JOIN hits h USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin
-      }),
+      Some(contaminationScoreOracle(n = 5))),
+
+    // The INDEX-BACKED forms: the same decontaminate / score answers
+    // from the GramLake (train grams shingled once, bench grams
+    // appended in TWO tranches with batch ids — the growing-benchmark
+    // production shape, where a new eval suite pays only its own
+    // tokenize). Both hash against the SAME oracles as the one-shot
+    // gates above, so the whole chain is pinned: per-tranche shingling,
+    // exactly-once appends, bench-driven partition + Bloom pruning of
+    // the train read, and the join/aggregate itself.
+    QDef(
+      "x_decontaminate_incr",
+      (s, dir) => {
+        val lake = Fixtures.dir("gram_lake_incr", dir)(gramLakeBuild(s, dir))
+        graft.sources.GramLake.decontaminate(s, s"$lake/lake")
+          .orderBy(col("doc_id"))
+      },
+      Some(decontaminateOracle(n = 5))),
+
+    QDef(
+      "x_contamination_score_incr",
+      (s, dir) => {
+        val lake = Fixtures.dir("gram_lake_incr", dir)(gramLakeBuild(s, dir))
+        graft.sources.GramLake.contaminationScore(s, s"$lake/lake")
+          .orderBy(col("doc_id"))
+      },
+      Some(contaminationScoreOracle(n = 5))),
 
     // Priority sampling: k=100 docs weighted by n_chars, without
     // replacement, each carrying the unbiased max(w, tau) subset-sum
@@ -2365,6 +2361,55 @@ object TextQueries {
   }
 
   /** DuckDB twin of Curation.decontaminate at word n-grams. */
+  /** The GramLake gate fixture: train grams (doc_id % 10 <> 0) in one
+    * increment, bench grams (doc_id % 10 = 0) in TWO tranches split on
+    * mod 20 — their union is exactly the one-shot gates' bench slice,
+    * which is what lets both _incr gates reuse the one-shot oracles. */
+  private def gramLakeBuild(s: SparkSession, dir: String)(o: String): Unit = {
+    val docs = Tables.documents(s, dir)
+    graft.sources.GramLake.appendTrain(docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", n = 5, s"$o/lake", batchId = Some(0L))
+    graft.sources.GramLake.appendBench(docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 5, s"$o/lake", batchId = Some(0L))
+    graft.sources.GramLake.appendBench(docs.filter(col("doc_id") % 20 === 10),
+      "doc_id", "text", n = 5, s"$o/lake", batchId = Some(1L))
+  }
+
+  /** Graded-contamination oracle shared by x_contamination_score
+    * (one-shot) and x_contamination_score_incr (GramLake): every train
+    * doc's distinct-n-gram overlap with the bench slice, half-up 4-dp. */
+  private def contaminationScoreOracle(n: Int): String = {
+    val gram = (0 until n).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(words) >= $n THEN list_distinct(list_transform(
+       |           generate_series(1, len(words) - ${n - 1}), i -> $gram))
+       |         ELSE [] END) AS ng
+       |  FROM w
+       |), bench AS (
+       |  SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0
+       |), totals AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM g WHERE doc_id % 10 <> 0 GROUP BY doc_id
+       |), hits AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM g JOIN bench USING (ng)
+       |  WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(t.n_grams, 0) AS n_grams,
+       |       coalesce(h.hits, 0) AS hits,
+       |       CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+       |            ELSE floor(CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+       |                       * 10000 + 0.5) / 10000.0 END AS overlap_r4
+       |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+       |LEFT JOIN totals t USING (doc_id)
+       |LEFT JOIN hits h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def decontaminateOracle(n: Int): String = {
     val gram = (0 until n).map(j => s"words[i+$j]").mkString(" || ' ' || ")
     s"""WITH w AS (
