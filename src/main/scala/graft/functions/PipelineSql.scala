@@ -56,12 +56,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (merged hit spans as snippets), `retrieval_metrics` (per-query
   * recall@k and reciprocal rank), `leakage_safe_split` (cluster-keyed
   * train/val/test), `lake_col_stats` (the zone maps as a table), `lake_expire_below`
-  * (partition-level retention as a deferred commit), and
+  * (partition-level retention as a deferred commit), `ann_rotate`
+  * (the blue/green ANN rotation as one deferred statement), and
   * the 4-arg `read_range` column form over per-column zone maps — the
   * whole extension-operator inventory.
   *
   * SIDE-EFFECTING maintenance TVFs (`lake_compact`, `lake_vacuum`,
-  * `lake_clean_orphans`, `retention_drop`, `lake_expire_below`) parse their arguments at
+  * `lake_clean_orphans`, `retention_drop`, `lake_expire_below`,
+  * `ann_rotate`) parse their arguments at
   * analysis but run the operation at first EXECUTION
   * ([[graft.plans.DeferredEffect]]) — EXPLAIN and failed outer
   * analysis never mutate a lake.
@@ -1049,6 +1051,30 @@ object PipelineSql {
       argc("ann_cell_stats", es, 1)
       graft.sources.AnnLake.cellStats(spark,
         str("ann_cell_stats", es(0), "ann lake dir"))
+    }
+    // the whole blue/green ANN rotation (reindex → cutover) as ONE
+    // deferred maintenance statement — ('<live lake dir>',
+    // '<green dir>', nlist, dim[, iters]); the receipt is the pinned
+    // source version, the replayed tail length, and the green path.
+    // Deliberately no retire argument: retiring is only safe once
+    // pre-swap writers have drained (AnnLake.rotate documents it), so
+    // SQL callers retire on a LATER tick, not inside the rotation.
+    regDeferred("ann_rotate",
+      StructType(Seq(StructField("old_version", LongType),
+        StructField("replayed_versions", LongType),
+        StructField("green_dir", StringType)))) { es =>
+      if (es.length < 4 || es.length > 5)
+        fail("ann_rotate", s"expects 4 or 5 arguments, got ${es.length}")
+      val dir = str("ann_rotate", es(0), "live ann lake dir")
+      val green = str("ann_rotate", es(1), "green (rebuild target) dir")
+      val nlist = int("ann_rotate", es(2), "nlist")
+      val dim = int("ann_rotate", es(3), "dim")
+      val iters = es.lift(4).map(int("ann_rotate", _, "iters")).getOrElse(4)
+      () => {
+        val (oldV, replayed, greenDir) = graft.sources.AnnLake.rotate(
+          spark, dir, green, nlist, dim, iters)
+        Seq(Seq(oldV, replayed, greenDir))
+      }
     }
   }
 }

@@ -691,6 +691,37 @@ object SimilarityQueries {
       },
       Some(exactTopKOracle(10))),
 
+    // The SAME rotation driven from SQL TEXT: ann_rotate is a
+    // deferred-effect maintenance TVF (reindex → cutover in one
+    // statement, receipt = pinned source version + replayed tail +
+    // green path; EXPLAIN-inertness is pinned in DialectSpec), so the
+    // SQL surface every other maintenance op has — lake_compact,
+    // lake_expire_below, retention_drop — now covers index rotation
+    // too. Full-probe search through the rotated handle must equal
+    // brute-force cosine over the complete corpus, same oracle as the
+    // Scala-driven s25.
+    QDef(
+      "s30_ann_rotate",
+      (s, dir) => {
+        graft.functions.PipelineSql.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_rotate", dir) { o =>
+          graft.sources.AnnLake.create(emb.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", s"$o/live", nlist = 8, dim = 64)
+          graft.sources.AnnLake.append(emb.filter(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", s"$o/live", batchId = Some(0L))
+          val receipt = s.sql(
+            s"SELECT * FROM ann_rotate('$o/live', '$o/green', 8, 64)").collect()
+          require(receipt.length == 1 &&
+            receipt.head.getString(2) == s"$o/green",
+            s"unexpected ann_rotate receipt: ${receipt.mkString(",")}")
+        }
+        graft.sources.AnnLake.search(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/live", k = 10, nprobe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(exactTopKOracle(10))),
+
     // FILTERED ANN: "nearest neighbors WHERE doc is allowed" — the
     // filtered-search shape (a post-filtered plain top-k under-fills k
     // whenever the filter is selective; here k fills from allowed docs

@@ -365,6 +365,29 @@ object AnnLake {
     * inside the race window the stabilized replay exists to close. */
   private[graft] var onPointerSwapped: () => Unit = () => ()
 
+  /** The whole blue/green rotation as ONE maintenance call —
+    * [[reindex]] → [[cutover]] → optionally [[retire]] — so SQL
+    * callers can drive it through the `ann_rotate` deferred-effect TVF
+    * the way they drive `lake_compact`/`retention_drop`. Returns the
+    * receipt (old_version = the source version the rebuild was pinned
+    * to, replayed_versions = old-index versions the cutover walked
+    * onto green, green_dir). `retireOld` defaults to FALSE: retiring
+    * inside the rotation is only safe once in-flight writers from
+    * before the swap have drained (see [[cutover]] step 3) — leave the
+    * old index searchable and retire on the next maintenance tick
+    * unless the caller owns all writers. */
+  def rotate(spark: SparkSession, lakeDir: String, greenDir: String,
+      nlist: Int, dim: Int, iters: Int = 4, trainFraction: Double = 1.0,
+      retireOld: Boolean = false): (Long, Long, String) = {
+    val old = resolved(lakeDir)
+    reindex(spark, lakeDir, greenDir, nlist, dim, iters, trainFraction)
+    val from = VersionedLake.tableProps(vectorsDir(greenDir))(SourceVersionProp).toInt
+    cutover(spark, lakeDir, greenDir)
+    val replayed = VersionedLake.currentVersion(vectorsDir(old)) - from
+    if (retireOld) retire(lakeDir)
+    (from.toLong, replayed.toLong, greenDir)
+  }
+
   /** Replay versions `(fromV, current]` of the old index's vectors
     * lake onto the green index. Returns the version replayed up to. */
   private def replayAppendTail(spark: SparkSession, oldRoot: String,

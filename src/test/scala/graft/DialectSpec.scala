@@ -632,6 +632,7 @@ class DialectSpec extends SparkSpec {
   }
 
   test("side-effecting TVFs run at EXECUTION, not analysis: EXPLAIN touches nothing") {
+    graft.functions.PipelineSql.register(spark) // order-independent
     import graft.streaming.Exporter
     import graft.operators.TimeSeries.GridParams
     val out = java.nio.file.Files.createTempDirectory("tvf_defer").toString
@@ -689,5 +690,24 @@ class DialectSpec extends SparkSpec {
     assert(compactOnce.head().getLong(0) == 5L)
     assert(graft.sources.VersionedLake.currentVersion(vlake) == 5,
       "count()+show()+head() on one Dataset must commit exactly one compaction")
+    // ann_rotate defers the same way: EXPLAIN must neither rebuild nor
+    // swap; execution rotates and the receipt names what it did
+    graft.functions.PipelineSql.register(spark)
+    val abase = java.nio.file.Files.createTempDirectory("tvf_defer_ann").toString
+    val live = s"$abase/live"; val green = s"$abase/green"
+    graft.sources.AnnLake.create(
+      Tables.embeddings(spark, sf("sf0.001")).limit(60),
+      "vec_id", "embedding", live, nlist = 4, dim = 64)
+    val rot = s"SELECT * FROM ann_rotate('$live', '$green', 4, 64)"
+    spark.sql(s"EXPLAIN $rot").collect()
+    assert(!new java.io.File(green).exists(), "EXPLAIN must not reindex")
+    assert(!new java.io.File(s"$live/CURRENT").isFile, "EXPLAIN must not cut over")
+    val receipt = spark.sql(rot).head()
+    assert(receipt.getLong(0) == 1L && receipt.getLong(1) == 0L &&
+      receipt.getString(2) == green)
+    assert(new java.io.File(s"$live/CURRENT").isFile,
+      "executing ann_rotate must swap the handle")
+    // the old index survives the rotation (retire is a LATER tick)
+    assert(new java.io.File(s"$live/vectors").isDirectory)
   }
 }
