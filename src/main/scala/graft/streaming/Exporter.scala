@@ -42,6 +42,7 @@ object Exporter {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("partition_key")
       .parquet(outDir)
+    bumpExportManifest(events.sparkSession, outDir)
   }
 
   /** Backfill: run every [start, end) pair — the Airflow catchup loop.
@@ -152,6 +153,7 @@ object Exporter {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("partition_key")
       .parquet(outDir)
+    bumpExportManifest(events.sparkSession, outDir)
   }
 
   /** Read the exported lake layout back (partition column included,
@@ -180,24 +182,76 @@ object Exporter {
     * (re)built — a token-hit read must not re-list or re-plan. */
   private[graft] var hotLegBuilds = 0L
 
+  /** The export lake's own manifest: a tiny file at the lake root
+    * holding "<counter>-<nonce>", rewritten (atomic rename) by every
+    * writer this module owns ([[exportWindow]], [[backfillOnePass]],
+    * [[dropPartitionsOlderThan]]). It exists because directory mtimes
+    * are a LOSSY staleness signal: object stores don't have them, and
+    * two rewrites of one partition within a filesystem clock tick are
+    * indistinguishable — the manifest's counter+nonce changes on EVERY
+    * write regardless of clock or store. The `_` prefix keeps it out
+    * of every parquet directory listing (Spark's hidden-file filter). */
+  private val ExportManifestName = "_export_manifest"
+
+  private def bumpExportManifest(spark: SparkSession, outDir: String): Unit = {
+    val fs = new Path(outDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(outDir)
+    if (!fs.exists(root)) return
+    val dst = new Path(root, ExportManifestName)
+    val counter = readExportManifest(fs, dst)
+      .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty)
+      .map(_.toLong).getOrElse(0L) + 1L
+    val tmp = new Path(root, s".${ExportManifestName}.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$counter-${System.nanoTime()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // two concurrent bumps may both write counter+1 — the nonce keeps
+    // their contents distinct, so any interleaved reader still sees a
+    // token change; a briefly-missing manifest (delete→rename window)
+    // reads as a change too: over-invalidation, never staleness
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+    ()
+  }
+
+  private def readExportManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](256)
+        val n = in.read(bytes)
+        new String(bytes, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+    }.toOption
+
   /** The staleness token: ONE non-recursive listing of the lake root —
     * (child name, mtime) per partition directory, O(partitions)
     * metadata instead of the O(files) leaf listing `inputFiles` costs.
     * Any partition write (dynamic overwrite, append, new partition,
-    * retention drop) changes its directory's name set or mtime.
-    * Granularity caveat: two rewrites of the same partition within one
-    * filesystem clock tick are indistinguishable — on an object store
-    * (no directory mtimes) or under that write cadence, invalidate via
-    * an export manifest instead of this token. Cold-only changes
-    * over-invalidate (the token spans the whole lake) — correct, just
-    * re-caches. */
+    * retention drop) changes its directory's name set or mtime; when
+    * the lake carries an [[ExportManifestName]] (every lake written by
+    * this module does), the manifest's CONTENT rides in the token too,
+    * so same-clock-tick double rewrites and mtime-less object stores
+    * are covered — the manifest entry's identity is its content, not
+    * its mtime. External writers that bypass the manifest still flip
+    * the mtime half. Cold-only changes over-invalidate (the token
+    * spans the whole lake) — correct, just re-caches. */
   private def lakeToken(spark: SparkSession, outDir: String): Set[(String, Long)] = {
     val fs = new Path(outDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(outDir)
     if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root).toSeq
-      .map(st => st.getPath.getName -> st.getModificationTime).toSet
+    else fs.listStatus(root).toSeq.map { st =>
+      val name = st.getPath.getName
+      if (name == ExportManifestName)
+        s"$name:${readExportManifest(fs, st.getPath).getOrElse("")}" -> 0L
+      else name -> st.getModificationTime
+    }.toSet
   }
 
   /** §1.6 hot/cold STORAGE TIERS: Timestream serves a recent window
@@ -497,6 +551,14 @@ object Exporter {
         key.headOption.exists(_.isDigit) && key < cutoffKey
       }
     dropped.foreach(fs.delete(_, true))
+    // manifest bump for the hive layout only (raw-prefix lakes are read
+    // by a `$outDir/*` glob that must see partition dirs exclusively);
+    // a no-op drop changes nothing, so nothing to signal
+    if (dropped.nonEmpty &&
+        (fs.exists(new Path(outDir, ExportManifestName)) ||
+          fs.listStatus(new Path(outDir)).exists(
+            _.getPath.getName.startsWith("partition_key="))))
+      bumpExportManifest(spark, outDir)
     dropped.map(_.getName.stripPrefix("partition_key="))
   }
 }

@@ -101,6 +101,18 @@ class ExporterSpec extends SparkSpec {
     // and the read after the rebuild is a token hit again
     Exporter.hotColdRead(spark, out, cutoff)
     assert(Exporter.hotLegBuilds == buildsAfterFirst + 1)
+    // SAME-partition rewrites invalidate EVERY time, even back-to-back
+    // within one filesystem clock tick: the export manifest's counter
+    // changes per write where the directory mtime alone could not —
+    // the object-store-safe half of the staleness token
+    val b0 = Exporter.hotLegBuilds
+    Exporter.exportWindow(events, P, out, "2024-01-22", "2024-01-29")
+    Exporter.hotColdRead(spark, out, cutoff)
+    Exporter.exportWindow(events, P, out, "2024-01-22", "2024-01-29")
+    Exporter.hotColdRead(spark, out, cutoff)
+    assert(Exporter.hotLegBuilds == b0 + 2,
+      "each same-partition rewrite must invalidate the cached leg once")
+    assert(new java.io.File(out, "_export_manifest").isFile)
   }
 
   test("one-pass backfill equals the serial per-window loop exactly") {
