@@ -138,6 +138,9 @@ object PipelineSql {
     // operation runs when the plan EXECUTES (graft.plans.DeferredEffect
     // — EXPLAIN and failed outer analysis leave the lake untouched)
     graft.plans.DeferredEffect.install(spark)
+    // zone-map file skipping for range predicates over lake scans —
+    // planner-automatic (the read_range TVF stays the explicit form)
+    graft.plans.ZoneMapPrune.install(spark)
     def regDeferred(name: String, schema: org.apache.spark.sql.types.StructType)(
         builder: Seq[Expression] => () => Seq[Seq[Any]]): Unit =
       registerTableFunction(spark, name,

@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+/** Optimizer rule that turns range predicates over a versioned-lake
+  * scan into MANIFEST-LEVEL file skipping — automatically, so the
+  * natural SQL
+  *
+  *   SELECT * FROM time_travel('<lake>', v) WHERE x BETWEEN lo AND hi
+  *
+  * reads only the files whose recorded zone map overlaps [lo, hi],
+  * without opting in through the `read_range` TVF. The lake already
+  * records per-file per-column min/max at every commit
+  * ([[graft.sources.VersionedLake]]'s colStats); this rule is the
+  * missing planner half: it recognizes a lake scan inside an arbitrary
+  * plan (via the relation registry [[graft.sources.VersionedLake
+  * .zoneInfoFor]] populates at read time), folds the filter's numeric
+  * range conjuncts per column, drops every file whose recorded
+  * interval is provably disjoint, and re-plans the scan over the
+  * surviving file list. The original Filter STAYS on top — zone maps
+  * bound files, not rows — so the rewrite is semantics-preserving by
+  * construction, exactly like [[graft.sources.VersionedLake.readRange]]
+  * whose overlap-and-NaN rules it shares.
+  *
+  * Scope guards (a rule that fires wrongly is worse than no rule):
+  * Filter DIRECTLY over a registered lake relation; bounds only from
+  * `attr {=, <, <=, >, >=} numeric-literal` conjuncts (either operand
+  * order; strict bounds conservatively widened to closed intervals;
+  * OR-branches and non-numeric comparisons contribute nothing); files
+  * without stats for a bounded column — or with NaN stats — are KEPT;
+  * the rewrite only happens when it strictly shrinks the CURRENT file
+  * set (which also terminates the fixpoint: re-pruning a pruned scan
+  * removes nothing). Timestamp/date predicates are not folded here —
+  * their zone maps use epoch-micro/day encodings; use `read_range`'s
+  * column form for those until a literal-encoding table is added.
+  *
+  * `spark.graft.zonemap.prune.enabled=false` switches the rule off.
+  */
+case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import ZoneMapPrune._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption(EnabledKey).forall(_.toBoolean)) return plan
+    plan.transformUp {
+      case f @ Filter(cond, lr: LogicalRelation) =>
+        graft.sources.VersionedLake.zoneInfoFor(lr.relation)
+          .map(info => tryPrune(f, cond, lr, info._1, info._2))
+          .getOrElse(f)
+    }
+  }
+
+  private def tryPrune(f: Filter, cond: Expression, lr: LogicalRelation,
+      lakeDir: String, v: Int): LogicalPlan = {
+    val bounds = extractBounds(cond)
+    if (bounds.isEmpty) return f
+    val current = lr.relation match {
+      case hfs: HadoopFsRelation =>
+        hfs.location.inputFiles
+          .map(graft.sources.VersionedLake.normalizePath).toSet
+      case _ => return f
+    }
+    // only entries this scan actually covers (it may already be
+    // partition- or point-pruned); a bounded column no file records
+    // stats for simply never prunes (conservative, like readRange's
+    // per-file rule — but no loud refusal here: the user wrote a
+    // filter, not a range read)
+    val entries = graft.sources.VersionedLake.manifestEntries(lakeDir, v)
+      .filter(e => current.contains(
+        graft.sources.VersionedLake.normalizePath(e.path)))
+    val admissible = entries.filter { e =>
+      bounds.forall { case (name, (lo, hi)) =>
+        e.colStats.get(name) match {
+          case Some((mn, mx)) if mn.isNaN || mx.isNaN => true // no stats
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+    if (admissible.size >= entries.size || entries.size != current.size) return f
+    val pruned = graft.sources.VersionedLake.readFiles(
+      spark, lakeDir, v, admissible.map(_.path))
+    val newPlan = pruned.queryExecution.analyzed
+    val byName = newPlan.output.map(a => a.name -> a).toMap
+    if (!lr.output.forall(o => byName.contains(o.name))) return f
+    // re-expose the ORIGINAL attribute ids so every downstream
+    // reference (including cond itself) keeps resolving
+    val aliases = lr.output.map(o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId))
+    Filter(cond, Project(aliases, newPlan))
+  }
+
+  /** Per-column closed-interval bounds from the filter's conjuncts. */
+  private def extractBounds(cond: Expression): Map[String, (Double, Double)] = {
+    def num(l: Literal): Option[Double] = (l.value, l.dataType) match {
+      case (null, _) => None
+      case (d: Decimal, _: DecimalType) => Some(d.toDouble)
+      case (n: Number, _: NumericType) => Some(n.doubleValue())
+      case _ => None
+    }
+    val one = splitConjuncts(cond).flatMap {
+      // lower bounds (strict widened to closed — conservative)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, v, Double.PositiveInfinity))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, v, Double.PositiveInfinity))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        num(l).map(v => (a.name, v, Double.PositiveInfinity))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        num(l).map(v => (a.name, v, Double.PositiveInfinity))
+      // upper bounds
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, Double.NegativeInfinity, v))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, Double.NegativeInfinity, v))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        num(l).map(v => (a.name, Double.NegativeInfinity, v))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        num(l).map(v => (a.name, Double.NegativeInfinity, v))
+      // point predicates
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, v, v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        num(l).map(v => (a.name, v, v))
+      case _ => None
+    }
+    one.groupBy(_._1).map { case (name, bs) =>
+      name -> (bs.map(_._2).max, bs.map(_._3).min)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+}
+
+object ZoneMapPrune {
+  val EnabledKey = "spark.graft.zonemap.prune.enabled"
+
+  /** Live-session installation, idempotent (same discipline as
+    * [[RangeJoinBinRewrite.install]]). */
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[ZoneMapPrune]))
+      spark.experimental.extraOptimizations = existing :+ ZoneMapPrune(spark)
+  }
+}

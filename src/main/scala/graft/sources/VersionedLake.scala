@@ -509,7 +509,7 @@ object VersionedLake {
     pointPrune(lakeDir, v, column, keys, maxKeys, partitions)
   }
 
-  private def readFiles(spark: SparkSession, lakeDir: String, v: Int,
+  private[graft] def readFiles(spark: SparkSession, lakeDir: String, v: Int,
       files: Seq[String]): DataFrame = {
     // the version's recorded schema (when present) is authoritative:
     // no footer inference at planning time, and files written before a
@@ -533,7 +533,16 @@ object VersionedLake {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val base = spark.read.option("basePath", s"$lakeDir/data")
-      recorded.fold(base)(base.schema).parquet(files: _*)
+      val df = recorded.fold(base)(base.schema).parquet(files: _*)
+      // register on the ANALYZED plan: the reader's raw logical plan is
+      // an unresolved wrapper in Spark 4; forcing analysis here also
+      // pins the one relation instance every derived Dataset will share
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          zoneInfo.put(lr.relation, (lakeDir, v))
+        case _ => ()
+      }
+      df
     }
   }
 
@@ -1181,8 +1190,23 @@ object VersionedLake {
   /** input_file_name() yields a (possibly URI-encoded) file: URI while
     * manifest entries carry plain absolute paths — compare on the
     * decoded filesystem path. */
-  private def normalizePath(p: String): String =
+  private[graft] def normalizePath(p: String): String =
     if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
+
+  /** Zone-info registry: BaseRelation identity → (lakeDir, version)
+    * for every relation [[readFiles]] hands out, so the
+    * [[graft.plans.ZoneMapPrune]] optimizer rule can recognize a lake
+    * scan inside an arbitrary SQL plan and re-derive its manifest zone
+    * maps — what makes `WHERE col BETWEEN lo AND hi` over a
+    * `time_travel(...)`/lake read skip files AUTOMATICALLY instead of
+    * only through the opt-in `read_range` TVF. Weak keys: a dropped
+    * DataFrame releases its entry with its relation. */
+  private val zoneInfo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, (String, Int)]())
+
+  private[graft] def zoneInfoFor(relation: AnyRef): Option[(String, Int)] =
+    Option(zoneInfo.get(relation))
 
   /** Append `df` as a new version: the new manifest is the old one
     * plus this batch's files — the insert-only commit a streaming

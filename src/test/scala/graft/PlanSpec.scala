@@ -385,6 +385,49 @@ class PlanSpec extends SparkSpec {
     assert(!pl.contains("SortMergeJoin") && !pl.contains("CartesianProduct"), pl)
   }
 
+  test("zone-map prune rule: a range WHERE over a lake scan skips files from the manifest") {
+    import spark.implicits._
+    import graft.sources.VersionedLake
+    graft.plans.ZoneMapPrune.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmp").toString + "/lake"
+    // three commits with DISJOINT value ranges → three files whose zone
+    // maps can prove exclusion for a mid-range predicate
+    VersionedLake.create((0 until 10).map(i => (i.toLong, "p0")).toDF("v", "part"),
+      dir, "part")
+    VersionedLake.append((10 until 20).map(i => (i.toLong, "p0")).toDF("v", "part"),
+      dir, "part")
+    VersionedLake.append((20 until 30).map(i => (i.toLong, "p0")).toDF("v", "part"),
+      dir, "part")
+    def scannedFiles(df: DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+      }.flatten
+    val all = VersionedLake.read(spark, dir).inputFiles.length
+    assert(all >= 3)
+    val q = VersionedLake.read(spark, dir)
+      .filter(col("v") >= 12 && col("v") <= 17)
+    assert(q.collect().map(_.getLong(0)).toSet == (12L to 17L).toSet,
+      "pruning must not change the rows")
+    val pruned = scannedFiles(q)
+    assert(pruned.nonEmpty && pruned.length < all,
+      s"expected manifest file skipping: ${pruned.length} vs $all")
+    // the same predicate through SQL TEXT over the time_travel TVF
+    graft.functions.PipelineSql.register(spark)
+    val v = VersionedLake.currentVersion(dir)
+    val qSql = spark.sql(
+      s"SELECT * FROM time_travel('$dir', $v) WHERE v BETWEEN 12 AND 17")
+    assert(qSql.collect().map(_.getLong(0)).toSet == (12L to 17L).toSet)
+    assert(scannedFiles(qSql).length < all, "SQL range must prune too")
+    // the off switch restores the full scan
+    spark.conf.set(graft.plans.ZoneMapPrune.EnabledKey, "false")
+    try {
+      val qOff = VersionedLake.read(spark, dir)
+        .filter(col("v") >= 12 && col("v") <= 17)
+      assert(scannedFiles(qOff).length == all)
+    } finally spark.conf.unset(graft.plans.ZoneMapPrune.EnabledKey)
+  }
+
   test("retrieval metrics: judgment-sized joins only — no corpus-sized exchange beyond the run") {
     val p = plan("x_retrieval_eval")
     assert(!p.contains("CartesianProduct"), p)
