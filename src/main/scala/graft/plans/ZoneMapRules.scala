@@ -35,9 +35,10 @@ import org.apache.spark.sql.types._
   * without stats for a bounded column — or with NaN stats — are KEPT;
   * the rewrite only happens when it strictly shrinks the CURRENT file
   * set (which also terminates the fixpoint: re-pruning a pruned scan
-  * removes nothing). Timestamp/date predicates are not folded here —
-  * their zone maps use epoch-micro/day encodings; use `read_range`'s
-  * column form for those until a literal-encoding table is added.
+  * removes nothing). Timestamp and date literals fold through the
+  * manifest's own encodings (epoch micros / epoch days — Catalyst
+  * already stores them that way); TimestampNTZ does not (its stats
+  * encoding is session-timezone-dependent), use `read_range` there.
   *
   * `spark.graft.zonemap.prune.enabled=false` switches the rule off.
   */
@@ -95,12 +96,24 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     Filter(cond, Project(aliases, newPlan))
   }
 
-  /** Per-column closed-interval bounds from the filter's conjuncts. */
+  /** Per-column closed-interval bounds from the filter's conjuncts.
+    * Literal encodings mirror [[graft.sources.VersionedLake]]'s
+    * statsEncoding exactly: numerics as doubles, timestamps as epoch
+    * MICROS (Catalyst already stores timestamp literals that way),
+    * dates as epoch DAYS — so a `WHERE ts >= TIMESTAMP '...'` over a
+    * time-keyed lake prunes files the same way a numeric range does. */
   private def extractBounds(cond: Expression): Map[String, (Double, Double)] = {
     def num(l: Literal): Option[Double] = (l.value, l.dataType) match {
       case (null, _) => None
       case (d: Decimal, _: DecimalType) => Some(d.toDouble)
       case (n: Number, _: NumericType) => Some(n.doubleValue())
+      // Catalyst internal values: micros since epoch / days since epoch
+      // — the very encodings the manifest records for these types
+      // NOT TimestampNTZType: its stats encoding goes through a
+      // session-timezone cast, so literal micros only match in UTC
+      // sessions — folding it would prune wrongly elsewhere
+      case (micros: java.lang.Long, TimestampType) => Some(micros.toDouble)
+      case (days: java.lang.Integer, DateType) => Some(days.toDouble)
       case _ => None
     }
     val one = splitConjuncts(cond).flatMap {

@@ -426,6 +426,24 @@ class PlanSpec extends SparkSpec {
         .filter(col("v") >= 12 && col("v") <= 17)
       assert(scannedFiles(qOff).length == all)
     } finally spark.conf.unset(graft.plans.ZoneMapPrune.EnabledKey)
+    // TIMESTAMP predicates fold through the manifest's epoch-micros
+    // encoding — the time-keyed-lake shape this rule exists for
+    val tdir = java.nio.file.Files.createTempDirectory("graft_zmpts").toString + "/lake"
+    def tsRows(d0: Int, d1: Int) = (d0 until d1)
+      .map(i => (i.toLong, f"2024-01-$i%02d 00:00:00", "p0"))
+      .toDF("v", "s", "part")
+      .select(col("v"), org.apache.spark.sql.functions.to_timestamp(col("s")).as("ts"),
+        col("part"))
+    VersionedLake.create(tsRows(1, 10), tdir, "part")
+    VersionedLake.append(tsRows(10, 20), tdir, "part")
+    VersionedLake.append(tsRows(20, 28), tdir, "part")
+    val tAll = VersionedLake.read(spark, tdir).inputFiles.length
+    val tq = VersionedLake.read(spark, tdir)
+      .filter(col("ts") >= org.apache.spark.sql.functions.lit("2024-01-12").cast("timestamp") &&
+        col("ts") < org.apache.spark.sql.functions.lit("2024-01-15").cast("timestamp"))
+    assert(tq.collect().map(_.getLong(0)).toSet == Set(12L, 13L, 14L))
+    assert(scannedFiles(tq).length < tAll,
+      s"timestamp range must prune: ${scannedFiles(tq).length} vs $tAll")
   }
 
   test("retrieval metrics: judgment-sized joins only — no corpus-sized exchange beyond the run") {
