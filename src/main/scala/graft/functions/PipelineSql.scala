@@ -51,9 +51,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `retention_drop` (the export lake's memory/magnetic tiers and
   * their expiry), `ann_cell_stats` (the ANN index's metadata-only
   * drift signal), `bm25_lake_batch` (query-TABLE retrieval over the
-  * postings lake), `phrase_search` / `phrase_lake_search` (exact
-  * contiguity, one-shot and positional-postings forms), `highlight`
-  * (merged hit spans as snippets), `retrieval_metrics` (per-query
+  * postings lake), `phrase_search` / `phrase_lake_search` /
+  * `phrase_lake_batch` (exact contiguity: one-shot,
+  * positional-postings, and query-TABLE forms), `highlight` /
+  * `highlight_lake` (merged hit spans as snippets, one-shot and
+  * postings-driven), `gram_decontaminate` / `gram_score` (the
+  * incremental decontamination index), `retrieval_metrics` (per-query
   * recall@k and reciprocal rank), `leakage_safe_split` (cluster-keyed
   * train/val/test), `lake_col_stats` (the zone maps as a table), `lake_expire_below`
   * (partition-level retention as a deferred commit), `ann_rotate`
@@ -63,7 +66,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * SIDE-EFFECTING maintenance TVFs (`lake_compact`, `lake_vacuum`,
   * `lake_clean_orphans`, `retention_drop`, `lake_expire_below`,
-  * `ann_rotate`) parse their arguments at
+  * `ann_rotate`, `bm25_lake_append`) parse their arguments at
   * analysis but run the operation at first EXECUTION
   * ([[graft.plans.DeferredEffect]]) — EXPLAIN and failed outer
   * analysis never mutate a lake.
@@ -817,15 +820,22 @@ object PipelineSql {
     // append one increment of documents into a postings lake, and
     // BM25-search it with term-partition pruning (terms as a
     // comma-separated literal, the hist_quantiles list convention)
-    reg("bm25_lake_append") { es =>
+    // DEFERRED like every other mutating TVF: the table resolves at
+    // analysis, but the tokenize-and-commit runs at first execution —
+    // EXPLAIN on an ingest statement must not grow the index
+    regDeferred("bm25_lake_append",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType)))) { es =>
       argc("bm25_lake_append", es, 4)
       val t = table("bm25_lake_append", es(0))
-      graft.sources.PostingsLake.append(t,
-        str("bm25_lake_append", es(1), "id column"),
-        str("bm25_lake_append", es(2), "text column"),
-        str("bm25_lake_append", es(3), "postings lake dir"))
-      t.sparkSession.range(1).select(
-        org.apache.spark.sql.functions.lit("appended").as("status"))
+      val id = str("bm25_lake_append", es(1), "id column")
+      val text = str("bm25_lake_append", es(2), "text column")
+      val dir = str("bm25_lake_append", es(3), "postings lake dir")
+      () => {
+        graft.sources.PostingsLake.append(t, id, text, dir)
+        Seq(Seq("appended"))
+      }
     }
     reg("bm25_lake_search") { es =>
       argc("bm25_lake_search", es, 3)
@@ -874,6 +884,43 @@ object PipelineSql {
         org.apache.spark.sql.SparkSession.active,
         str("phrase_lake_search", es(0), "postings lake dir"),
         str("phrase_lake_search", es(1), "phrase"))
+    }
+    // the QUERY-TABLE phrase form over the lake: ('<lake dir>',
+    // '<phrases table>', '<phrase id col>', '<phrase text col>')
+    reg("phrase_lake_batch") { es =>
+      argc("phrase_lake_batch", es, 4)
+      graft.sources.PostingsLake.phraseSearchBatch(
+        org.apache.spark.sql.SparkSession.active,
+        str("phrase_lake_batch", es(0), "postings lake dir"),
+        table("phrase_lake_batch", es(1)),
+        pid = str("phrase_lake_batch", es(2), "phrase id column"),
+        ptext = str("phrase_lake_batch", es(3), "phrase text column"))
+    }
+    // lake-backed highlighting: ('<postings lake>', '<docs lake>',
+    // '<id>', '<text>', '<terms csv>', window)
+    reg("highlight_lake") { es =>
+      argc("highlight_lake", es, 6)
+      graft.sources.PostingsLake.highlight(
+        org.apache.spark.sql.SparkSession.active,
+        str("highlight_lake", es(0), "postings lake dir"),
+        str("highlight_lake", es(1), "docs lake dir"),
+        id = str("highlight_lake", es(2), "id column"),
+        text = str("highlight_lake", es(3), "text column"),
+        terms = csv(str("highlight_lake", es(4), "query terms")),
+        window = int("highlight_lake", es(5), "window"))
+    }
+    // index-backed decontamination over a GramLake: ('<gram lake dir>')
+    reg("gram_decontaminate") { es =>
+      argc("gram_decontaminate", es, 1)
+      graft.sources.GramLake.decontaminate(
+        org.apache.spark.sql.SparkSession.active,
+        str("gram_decontaminate", es(0), "gram lake dir"))
+    }
+    reg("gram_score") { es =>
+      argc("gram_score", es, 1)
+      graft.sources.GramLake.contaminationScore(
+        org.apache.spark.sql.SparkSession.active,
+        str("gram_score", es(0), "gram lake dir"))
     }
     // the QUERY-TABLE form over the lake: ('<lake dir>', '<queries
     // table>', '<query id col>', '<query text col>', k)

@@ -59,6 +59,16 @@ class GramLakeSpec extends SparkSpec {
       s"expected pruning: ${pruned.length} vs $all")
   }
 
+  test("gram TVFs equal the Scala API") {
+    graft.functions.PipelineSql.register(spark)
+    assert(spark.sql(s"SELECT * FROM gram_decontaminate('$root')")
+      .collect().map(_.toSeq).toSet ==
+      GramLake.decontaminate(spark, root).collect().map(_.toSeq).toSet)
+    assert(spark.sql(s"SELECT * FROM gram_score('$root')")
+      .collect().map(_.toSeq).toSet ==
+      GramLake.contaminationScore(spark, root).collect().map(_.toSeq).toSet)
+  }
+
   test("appends are exactly-once under batch-id re-delivery; mismatched n is refused") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val vT = VersionedLake.currentVersion(s"$root/train")

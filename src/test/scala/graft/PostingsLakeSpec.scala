@@ -187,6 +187,37 @@ class PostingsLakeSpec extends SparkSpec {
     // and a one-query batch ranks exactly like the single-query form
     // (drop the query_id column; both emit (rank, doc_id, ...))
     assert(batchApi.map(_.drop(1)) == viaApi)
+    // the ingest statement DEFERS: EXPLAIN must not grow the index
+    val vNow = VersionedLake.currentVersion(s"$r/lake/postings")
+    spark.sql(
+      s"EXPLAIN SELECT * FROM bm25_lake_append('pl_docs', 'doc_id', 'text', '$r/lake')")
+      .collect()
+    assert(VersionedLake.currentVersion(s"$r/lake/postings") == vNow,
+      "EXPLAIN on bm25_lake_append must not append")
+    // phrase_lake_batch ≡ phraseSearchBatch
+    val phrase = Tables.documents(spark, sf("sf0.001")).orderBy(col("doc_id"))
+      .limit(1).select(array_join(slice(split(col("text"), " "), 1, 3), " "))
+      .head().getString(0)
+    spark.sql(s"SELECT 1L AS pid, '$phrase' AS ptext")
+      .createOrReplaceTempView("pl_phrases")
+    val pbSql = spark.sql(
+      s"SELECT * FROM phrase_lake_batch('$r/lake', 'pl_phrases', 'pid', 'ptext')")
+      .collect().map(_.toSeq).toSet
+    val pbApi = PostingsLake.phraseSearchBatch(spark, s"$r/lake",
+      spark.table("pl_phrases"), "pid", "ptext").collect().map(_.toSeq).toSet
+    assert(pbSql == pbApi && pbSql.nonEmpty)
+    // highlight_lake ≡ PostingsLake.highlight
+    VersionedLake.create(
+      Tables.documents(spark, sf("sf0.001")).limit(100)
+        .select(col("doc_id"), col("text"))
+        .withColumn("dp", pmod(xxhash64(col("doc_id")), lit(16))),
+      s"$r/docs", "dp", blooms = Seq(VersionedLake.BloomSpec("doc_id")))
+    val hlSql = spark.sql(
+      s"SELECT * FROM highlight_lake('$r/lake', '$r/docs', 'doc_id', 'text', 'spark,stream', 3)")
+      .collect().map(_.toSeq).toSet
+    val hlApi = PostingsLake.highlight(spark, s"$r/lake", s"$r/docs",
+      "doc_id", "text", Seq("spark", "stream"), 3).collect().map(_.toSeq).toSet
+    assert(hlSql == hlApi && hlSql.nonEmpty)
   }
 
   test("corpus stats come from the increments ledger, exact under append and delete") {
