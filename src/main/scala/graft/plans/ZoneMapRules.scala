@@ -140,6 +140,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         num(l).map(v => (a.name, v, v))
       case EqualTo(l: Literal, a: AttributeReference) =>
         num(l).map(v => (a.name, v, v))
+      // IN-lists fold to their envelope [min, max] — lossy vs a
+      // per-value membership test but sound, and often enough to drop
+      // whole files when the list is clustered
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val ds = vs.map(v => num(v.asInstanceOf[Literal]))
+        if (ds.exists(_.isEmpty)) None
+        else Some((a.name, ds.flatten.min, ds.flatten.max))
       case _ => None
     }
     one.groupBy(_._1).map { case (name, bs) =>

@@ -444,6 +444,11 @@ class PlanSpec extends SparkSpec {
     assert(tq.collect().map(_.getLong(0)).toSet == Set(12L, 13L, 14L))
     assert(scannedFiles(tq).length < tAll,
       s"timestamp range must prune: ${scannedFiles(tq).length} vs $tAll")
+    // IN-lists fold to their [min, max] envelope
+    val inQ = VersionedLake.read(spark, dir).filter(col("v").isin(13, 14, 16))
+    assert(inQ.collect().map(_.getLong(0)).toSet == Set(13L, 14L, 16L))
+    assert(scannedFiles(inQ).length < all,
+      s"IN-list envelope must prune: ${scannedFiles(inQ).length} vs $all")
   }
 
   test("retrieval metrics: judgment-sized joins only — no corpus-sized exchange beyond the run") {
