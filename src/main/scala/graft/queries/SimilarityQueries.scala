@@ -773,7 +773,53 @@ object SimilarityQueries {
         graft.operators.TextSearch.rrfFuse(lex, vec, k = 15)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some {
+      Some(hybridOracleSql)),
+
+    // The SAME hybrid stack served entirely FROM THE INDEX LAKES: the
+    // lexical arm is the query-TABLE BM25 over the postings lake (one
+    // term-partition-pruned pass), the vector arm is a full-probe
+    // search of the incremental ANN lake (cell-partition-pruned), and
+    // the fusion is the identical RRF arithmetic — hash-checked
+    // against the SAME oracle as x_hybrid_rrf, which is what proves
+    // the whole production path: both index lakes reproduce their
+    // one-shot arms exactly, rank for rank, through the fusion.
+    QDef(
+      "x_hybrid_lake",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val plake = Fixtures.dir("bm25_lake_incr", dir) { o =>
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(0L))
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(1L))
+        }
+        val alake = Fixtures.dir("ann_lake_incr", dir) { o =>
+          graft.sources.AnnLake.create(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", s"$o/lake", nlist = 8, dim = 64)
+          graft.sources.AnnLake.append(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", s"$o/lake", batchId = Some(0L))
+        }
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+        val lex = graft.sources.PostingsLake.searchBatch(s, s"$plake/lake",
+          queries, "query_id", "qtext", k = 20)
+        val vec = graft.sources.AnnLake.search(s,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          s"$alake/lake", k = 20, nprobe = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+        graft.operators.TextSearch.rrfFuse(lex, vec, k = 15)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(hybridOracleSql))
+  )
+
+  /** RRF fusion oracle shared by x_hybrid_rrf (one-shot arms) and
+    * x_hybrid_lake (postings-lake + ANN-lake arms): both arms replayed
+    * in full as CTEs, fused with the same full-outer 1/(60+rank)
+    * arithmetic — reciprocals of small integers, hash-portable. */
+  private lazy val hybridOracleSql: String = {
         val lexSql = graft.operators.TextSearch.bm25BatchOracleSql(
           "documents", "doc_id", "text",
           queriesCte =
@@ -820,6 +866,5 @@ object SimilarityQueries {
            |       CAST(vec_rank AS BIGINT) AS vec_rank
            |FROM reranked WHERE rank <= 15
            |ORDER BY query_id, rank""".stripMargin
-      })
-  )
+  }
 }

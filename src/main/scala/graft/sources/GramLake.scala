@@ -84,6 +84,31 @@ object GramLake {
         props = Map("n" -> n.toString, "gramParts" -> gramParts.toString))
   }
 
+  /** Drive [[appendBench]] from a STREAM of benchmark documents — the
+    * production arrival shape (eval suites land as tranches over
+    * time): each micro-batch shingles ONLY itself and lands
+    * exactly-once (the batch id arms the lake's replay watermark, so a
+    * crashed tick re-delivers into a no-op). The train side must exist
+    * before querying, not before streaming — the two legs are
+    * independent lakes. */
+  def benchStream(stream: DataFrame, id: String, text: String, n: Int,
+      lakeDir: String, checkpointDir: String, gramParts: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "GramLake.benchStream expects a streaming DataFrame")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        appendBench(b.toDF(), id, text, n, lakeDir, gramParts,
+          batchId = Some(batchId))
+        ()
+      }
+      .start()
+  }
+
   /** Both sides of the contamination join, train side PRUNED by the
     * bench grams: partitions from the bench grams' own hash (collected
     * bounded by gramParts), files within them through the g Blooms

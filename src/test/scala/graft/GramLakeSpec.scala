@@ -59,6 +59,30 @@ class GramLakeSpec extends SparkSpec {
       s"expected pruning: ${pruned.length} vs $all")
   }
 
+  test("benchStream: streamed tranches build the same index as batched appends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_gram_stream").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    GramLake.appendTrain(train, "doc_id", "text", n = 5, r, batchId = Some(0L))
+    val src = MemoryStream[(Long, String)]
+    val q = GramLake.benchStream(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", n = 5, r,
+      checkpointDir = s"$r/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    def tranche(m: Int): Seq[(Long, String)] = docs
+      .filter(col("doc_id") % 20 === m).select(col("doc_id"), col("text"))
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    src.addData(tranche(0): _*)
+    q.processAllAvailable()
+    src.addData(tranche(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(GramLake.decontaminate(spark, r).collect().map(_.toSeq).toSet ==
+      GramLake.decontaminate(spark, root).collect().map(_.toSeq).toSet)
+  }
+
   test("gram TVFs equal the Scala API") {
     graft.functions.PipelineSql.register(spark)
     assert(spark.sql(s"SELECT * FROM gram_decontaminate('$root')")
