@@ -200,6 +200,16 @@ object PostingsLake {
       rows.join(broadcast(terms.toDF("term")), Seq("term"), "left_semi")
     }
 
+  /** The positions column, guarded IN-PATH against pre-positional rows:
+    * evaluating a null-positions posting raises with `msg` instead of
+    * silently missing occurrences. In-path (assert_true fused into the
+    * projection) rather than an eager `filter(isNull).isEmpty` require,
+    * which would read the restricted postings TWICE — once to validate,
+    * once to answer — doubling every positional query's I/O. */
+  private def positionsOrFail(msg: String) =
+    when(assert_true(col("positions").isNotNull, lit(msg)).isNull,
+      col("positions"))
+
   /** The postings files a query reads: its terms' hash PARTITIONS
     * (manifest-level pruning), then within them only the files whose
     * term Bloom might contain at least one query term — one shared
@@ -357,14 +367,15 @@ object PostingsLake {
       distinctWords)
     require(rows.columns.contains("positions"),
       s"$lakeDir records no positional postings — re-ingest to phrase-search it")
-    require(rows.filter(col("positions").isNull).isEmpty,
-      s"$lakeDir holds pre-positional postings for these terms — " +
-        "compact/re-ingest before phrase-searching them")
     import spark.implicits._
     val pw = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
       .toDF("off", "term")
     rows.join(broadcast(pw), "term")
-      .select(col("doc_id"), explode(col("positions")).as("p"), col("off"))
+      .select(col("doc_id"),
+        explode(positionsOrFail(
+          s"$lakeDir holds pre-positional postings for these terms — " +
+            "compact/re-ingest before phrase-searching them")).as("p"),
+        col("off"))
       .select(col("doc_id"), (col("p") - col("off")).as("anchor"), col("off"))
       .filter(col("anchor") >= 0)
       .groupBy(col("doc_id"), col("anchor"))
@@ -423,16 +434,12 @@ object PostingsLake {
     }
     require(rows.columns.contains("positions"),
       s"$lakeDir records no positional postings — re-ingest to phrase-search it")
-    // exact restriction to the phrases' words (Bloom admission is
-    // conservative) BEFORE the pre-positional check, so only postings a
-    // phrase could actually touch can trip the refusal
-    val matched = rows.join(broadcast(allWords), Seq("term"), "left_semi")
-    require(matched.filter(col("positions").isNull).isEmpty,
-      s"$lakeDir holds pre-positional postings for these phrases' words — " +
-        "compact/re-ingest before phrase-searching them")
-    matched.join(broadcast(pw), "term")
+    rows.join(broadcast(pw), "term")
       .select(col("phrase_id"), col("plen"), col("doc_id"),
-        explode(col("positions")).as("p"), col("off"))
+        explode(positionsOrFail(
+          s"$lakeDir holds pre-positional postings for these phrases' " +
+            "words — compact/re-ingest before phrase-searching them")).as("p"),
+        col("off"))
       .select(col("phrase_id"), col("plen"), col("doc_id"),
         (col("p") - col("off")).as("anchor"), col("off"))
       .filter(col("anchor") >= 0)
@@ -474,11 +481,10 @@ object PostingsLake {
       queryRead(spark, lakeDir, distinctTerms, termParts, None), distinctTerms)
     require(rows.columns.contains("positions"),
       s"$lakeDir records no positional postings — re-ingest to highlight from it")
-    require(rows.filter(col("positions").isNull).isEmpty,
-      s"$lakeDir holds pre-positional postings for these terms — " +
-        "compact/re-ingest before highlighting from them")
     val hits = rows
-      .select(col("doc_id"), explode(col("positions")).as("p"))
+      .select(col("doc_id"), explode(positionsOrFail(
+        s"$lakeDir holds pre-positional postings for these terms — " +
+          "compact/re-ingest before highlighting from them")).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("p"))
     // ONLY the hit docs' text: Bloom-admitted files, exact inner join
     // downstream (assembleSnippets joins spans to words on doc_id)

@@ -83,12 +83,16 @@ class PostingsLakeSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       PostingsLake.phraseSearch(spark, old, "alpha beta")
     }.getMessage.contains("no positional postings"))
-    // evolved lake (old rows null positions) also refuses on contact
+    // evolved lake (old rows null positions) also refuses on contact —
+    // at EVALUATION (the guard is fused into the projection so the
+    // postings are read once, not once to validate and once to answer)
     PostingsLake.append(Seq((2L, "alpha beta")).toDF("doc_id", "text"),
       "doc_id", "text", old)
-    assert(intercept[IllegalArgumentException] {
-      PostingsLake.phraseSearch(spark, old, "alpha beta")
-    }.getMessage.contains("pre-positional"))
+    val e = intercept[Exception] {
+      PostingsLake.phraseSearch(spark, old, "alpha beta").collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("pre-positional"), e.getMessage)
   }
 
   test("phraseSearchBatch: every phrase equals its one-shot phraseSearch, in one pass") {
