@@ -385,6 +385,33 @@ class PlanSpec extends SparkSpec {
     assert(!pl.contains("SortMergeJoin") && !pl.contains("CartesianProduct"), pl)
   }
 
+  test("batch phrase search: phrase table rides broadcast, token stream never self-joins") {
+    val p = plan("x_phrase_lake_batch")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // contiguity is aggregation over anchor votes, never a positional
+    // self-join cascade: no sort-merge join of the postings with
+    // themselves anywhere in the plan
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("index-backed decontamination: gram equi-joins only, no pairwise doc scan") {
+    val p = plan("x_decontaminate_incr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val ps = plan("x_contamination_score_incr")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
+  }
+
+  test("lake hybrid: both arms fuse without a cartesian; only the 1-row stats crossJoin") {
+    val p = plan("x_hybrid_lake")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop broadcasts allowed are the BOUNDED products
+    // both arms document: the lexical arm's 1-row corpus-stats
+    // crossJoin and the vector arm's query×nlist centroid probes —
+    // never a corpus-sized side
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
+  }
+
   test("zone-map prune rule: a range WHERE over a lake scan skips files from the manifest") {
     import spark.implicits._
     import graft.sources.VersionedLake
