@@ -116,8 +116,8 @@ object GramLake {
     * degrades to the partition-pruned read, never a driver blowup).
     * Refuses a lake whose two sides were shingled with different n —
     * the join would be silently meaningless. */
-  private def joinSides(spark: SparkSession,
-      lakeDir: String): (DataFrame, DataFrame) = {
+  private def joinSides(spark: SparkSession, lakeDir: String,
+      benchVersion: Option[Int]): (DataFrame, DataFrame) = {
     require(VersionedLake.currentVersion(trainDir(lakeDir)) >= 1,
       s"no train grams at $lakeDir — appendTrain first")
     require(VersionedLake.currentVersion(benchDir(lakeDir)) >= 1,
@@ -128,7 +128,7 @@ object GramLake {
       s"train (n=${tProps.get("n")}) and bench (n=${bProps.get("n")}) grams " +
         s"at $lakeDir were shingled with different sizes")
     val gp = tProps("gramParts").toInt
-    val bg = VersionedLake.read(spark, benchDir(lakeDir))
+    val bg = VersionedLake.read(spark, benchDir(lakeDir), benchVersion)
       .select(col("bench_id"), col("g"))
     val tps = bg.select(pmod(xxhash64(col("g")), lit(gp)).as("gp"))
       .distinct().collect().map(_.getLong(0).toString).toSeq // <= gramParts
@@ -141,9 +141,13 @@ object GramLake {
   /** [[graft.operators.Curation.decontaminate]] answered from the
     * index: one row per CONTAMINATED train doc — (doc_id, hits =
     * distinct shared n-grams, bench_docs = distinct benchmark docs
-    * sharing at least one) — with zero shingling at query time. */
-  def decontaminate(spark: SparkSession, lakeDir: String): DataFrame = {
-    val (tg, bg) = joinSides(spark, lakeDir)
+    * sharing at least one) — with zero shingling at query time.
+    * `benchVersion` pins the bench side to an earlier tranche set
+    * ("the contamination report as of suite N" — report time travel,
+    * free from the lake). */
+  def decontaminate(spark: SparkSession, lakeDir: String,
+      benchVersion: Option[Int] = None): DataFrame = {
+    val (tg, bg) = joinSides(spark, lakeDir, benchVersion)
     tg.join(bg, "g")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("g")).as("hits"),
@@ -155,8 +159,9 @@ object GramLake {
     * overlap_r4) — the totals coming from the roster leg (no text
     * read), the hits from the pruned gram join. Same half-up 4-dp
     * rounding as the one-shot, so both hash identically. */
-  def contaminationScore(spark: SparkSession, lakeDir: String): DataFrame = {
-    val (tg, bg) = joinSides(spark, lakeDir)
+  def contaminationScore(spark: SparkSession, lakeDir: String,
+      benchVersion: Option[Int] = None): DataFrame = {
+    val (tg, bg) = joinSides(spark, lakeDir, benchVersion)
     val hits = tg.join(bg.select(col("g")).distinct(), Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("g")).as("hits"))

@@ -39,6 +39,21 @@ class GramLakeSpec extends SparkSpec {
     assert(viaLake == oneShot && viaLake.nonEmpty)
   }
 
+  test("benchVersion pins the report to an earlier tranche set (report time travel)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // bench v1 = tranche 0 only: the pinned report must equal the
+    // one-shot operator run against ONLY that tranche
+    val pinned = GramLake.decontaminate(spark, root, benchVersion = Some(1))
+      .collect().map(_.toSeq).toSet
+    val oneShot = Curation.decontaminate(train,
+      docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 5)
+      .collect().map(_.toSeq).toSet
+    assert(pinned == oneShot && pinned.nonEmpty)
+    assert(pinned != GramLake.decontaminate(spark, root)
+      .collect().map(_.toSeq).toSet,
+      "the second tranche must change the current report")
+  }
+
   test("index-backed contaminationScore equals the one-shot, zero-gram docs included") {
     val viaLake = GramLake.contaminationScore(spark, root)
       .collect().map(_.toSeq).toSet
