@@ -338,8 +338,14 @@ class PostingsLakeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
-  test("compact folds increment files; search unchanged") {
+  test("compact folds increment files; search and phrase positions unchanged") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val phrase = docs.orderBy(col("doc_id")).limit(1)
+      .select(array_join(slice(split(col("text"), " "), 1, 2), " "))
+      .head().getString(0)
     val before = PostingsLake.search(spark, root, query, k = 50)
+      .collect().map(_.toSeq).toSet
+    val phraseBefore = PostingsLake.phraseSearch(spark, root, phrase)
       .collect().map(_.toSeq).toSet
     val filesBefore = VersionedLake.read(spark, s"$root/postings").inputFiles.length
     PostingsLake.compact(spark, root)
@@ -347,5 +353,10 @@ class PostingsLakeSpec extends SparkSpec {
     assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
     assert(PostingsLake.search(spark, root, query, k = 50)
       .collect().map(_.toSeq).toSet == before)
+    // the rewrite carries POSITIONS: contiguity answers are identical
+    // post-compaction (a compactor dropping or reordering the column
+    // would silently break every phrase query)
+    assert(PostingsLake.phraseSearch(spark, root, phrase)
+      .collect().map(_.toSeq).toSet == phraseBefore && phraseBefore.nonEmpty)
   }
 }
