@@ -674,6 +674,37 @@ object ExportQueries {
           |WHERE value >= 40.0 AND value <= 120.0
           |GROUP BY event_date ORDER BY event_date""".stripMargin)),
 
+    // The same range answered with NO explicit range TVF: a plain
+    // WHERE over time_travel(...), file-skipped AUTOMATICALLY by the
+    // ZoneMapPrune optimizer rule (PipelineSql.register installs it) —
+    // the planner half of read_range. Hash-equality against the same
+    // oracle is the CORRECTNESS guard an optimizer rule needs: the
+    // rewrite may only move I/O, never rows (planning-time skip sets
+    // are pinned in PlanSpec; this gate proves row exactness at the
+    // driver's scale).
+    QDef(
+      "q_sql_zonemap_auto",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        graft.functions.PipelineSql.register(s)
+        val v = graft.sources.VersionedLake.currentVersion(lake)
+        s.sql(
+          s"""SELECT CAST(event_date AS STRING) AS event_date,
+             |       count(*) AS n_rows,
+             |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+             |FROM time_travel('$lake', $v)
+             |WHERE value >= 40.0 AND value <= 120.0
+             |GROUP BY CAST(event_date AS STRING)
+             |ORDER BY event_date""".stripMargin)
+      },
+      Some(mergedCtes +
+        """
+          |SELECT event_date, count(*) AS n_rows,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM merged
+          |WHERE value >= 40.0 AND value <= 120.0
+          |GROUP BY event_date ORDER BY event_date""".stripMargin)),
+
     // Lake maintenance 8: small-file COMPACTION committed as a version
     // under optimistic concurrency. The fixture leaves the lake the way
     // a streaming sink does (two multi-file commits fragment every date

@@ -478,6 +478,40 @@ class PlanSpec extends SparkSpec {
       s"IN-list envelope must prune: ${scannedFiles(inQ).length} vs $all")
   }
 
+  test("zone-map prune never changes rows: randomized interval sweep, rule on vs off") {
+    import spark.implicits._
+    import graft.sources.VersionedLake
+    graft.plans.ZoneMapPrune.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmprop").toString + "/lake"
+    val rnd = new scala.util.Random(42)
+    // three commits of uniformly random values: per-file intervals
+    // OVERLAP, so pruning decisions are non-trivial (any bug in the
+    // overlap arithmetic shows up as a missing or phantom row)
+    def commit(k: Int): Unit = {
+      val rows = (0 until 400).map(_ => (rnd.nextLong(1000L), s"p${rnd.nextInt(3)}"))
+        .toDF("v", "part")
+      if (k == 0) VersionedLake.create(rows, dir, "part")
+      else VersionedLake.append(rows, dir, "part")
+    }
+    (0 until 3).foreach(commit)
+    def run(lo: Long, hi: Long): Set[Seq[Any]] =
+      VersionedLake.read(spark, dir)
+        .filter(col("v") >= lo && col("v") <= hi)
+        .groupBy(col("part")).agg(
+          org.apache.spark.sql.functions.count(col("v")).as("n"),
+          org.apache.spark.sql.functions.sum(col("v")).as("s"))
+        .collect().map(_.toSeq).toSet
+    for (_ <- 0 until 12) {
+      val a = rnd.nextLong(1100L) - 50L
+      val b = a + rnd.nextLong(400L)
+      val withRule = run(a, b)
+      spark.conf.set(graft.plans.ZoneMapPrune.EnabledKey, "false")
+      val without = try run(a, b)
+        finally spark.conf.unset(graft.plans.ZoneMapPrune.EnabledKey)
+      assert(withRule == without, s"rows diverged for [$a, $b]")
+    }
+  }
+
   test("retrieval metrics: judgment-sized joins only — no corpus-sized exchange beyond the run") {
     val p = plan("x_retrieval_eval")
     assert(!p.contains("CartesianProduct"), p)
