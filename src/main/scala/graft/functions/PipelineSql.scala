@@ -616,6 +616,27 @@ object PipelineSql {
         else dropped.map(p => Seq(v.toLong, p))
       }
     }
+    // Z-order re-clustering as a deferred maintenance statement — the
+    // OPTIMIZE ... ZORDER BY of this lake. Receipt: the committed
+    // version and the clustered version's file count.
+    regDeferred("lake_zorder",
+      StructType(Seq(StructField("committed_version", LongType),
+        StructField("n_files", LongType)))) { es =>
+      if (es.length < 3 || es.length > 4)
+        fail("lake_zorder", s"expects 3 or 4 arguments, got ${es.length}")
+      val dir = str("lake_zorder", es(0), "lake directory")
+      val part = str("lake_zorder", es(1), "partition column")
+      val zc = str("lake_zorder", es(2), "comma-separated z-order columns")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val fpp = es.lift(3).map(int("lake_zorder", _, "files per partition"))
+        .getOrElse(4)
+      () => {
+        val v = graft.sources.VersionedLake.zorderPartitions(
+          spark, dir, part, zc, fpp)
+        Seq(Seq(v.toLong,
+          graft.sources.VersionedLake.manifestEntries(dir, v).size.toLong))
+      }
+    }
 
     reg("exact_substring_scrub") { es =>
       argc("exact_substring_scrub", es, 4)

@@ -1081,6 +1081,81 @@ object ExportQueries {
           |  FROM ev)
           |ORDER BY event_date""".stripMargin)),
 
+    // Lake maintenance 15: Z-ORDER re-clustering as a maintenance
+    // commit — OPTIMIZE ... ZORDER BY for the versioned lake, driven
+    // through SQL text (the deferred lake_zorder TVF). The fixture
+    // commits the events lake with deliberately value-scrambled files
+    // (repartition(6): every file spans the full value range, so zone
+    // maps can prove nothing), z-orders by (value, user_id), and
+    // REQUIREs from manifest metadata alone that a mid-range value
+    // envelope now excludes files it could not exclude before — the
+    // clustering claim, checked where range reads actually prune. The
+    // gate then hashes the SAME range aggregate at v1 (pre-zorder) and
+    // v2 (post-zorder, auto zone-map-pruned scan) against one oracle:
+    // identical legs prove the rewrite moved bytes, never rows.
+    QDef(
+      "s30_lake_zorder",
+      (s, dir) => {
+        val lake = {
+          // NOT "zorder_lake" — that key is s12's (LakeOps.zorderWrite)
+          // fixture; a shared key would skip whichever builder runs
+          // second and break its reads
+          val out = Fixtures.dir("zorder_vlake", dir) { o =>
+            val ev = Tables.events(s, dir)
+              .withColumn("event_date", to_date(col("ts")).cast("string"))
+            graft.sources.VersionedLake.create(
+              ev.repartition(6), s"$o/lake", "event_date")
+            graft.functions.PipelineSql.register(s)
+            val receipt = s.sql(
+              s"""SELECT * FROM
+                 |lake_zorder('$o/lake', 'event_date', 'value, user_id', 4)"""
+                .stripMargin).collect()
+            require(receipt.head.getLong(0) == 2L,
+              s"zorder must commit v2, got ${receipt.head.getLong(0)}")
+            def overlapping(v: Int) = {
+              val es = graft.sources.VersionedLake.manifestEntries(s"$o/lake", v)
+              (es.size, es.count(_.colStats.get("value")
+                .forall { case (mn, mx) => mx >= 10.0 && mn <= 20.0 }))
+            }
+            val (n1, o1) = overlapping(1)
+            val (n2, o2) = overlapping(2)
+            require(o2 < n2,
+              s"zorder must make the [10,20] envelope skip files: $o2 of $n2")
+            // relative claim (absolute full-overlap would be flaky on
+            // tiny-SF files): clustering must shrink the overlap
+            // FRACTION vs the scrambled layout
+            require(o2.toDouble * n1 < o1.toDouble * n2,
+              s"zorder must shrink the overlap fraction: $o2/$n2 vs $o1/$n1")
+          }
+          s"$out/lake"
+        }
+        graft.functions.PipelineSql.register(s)
+        def leg(v: Int) = s.sql(
+          s"""SELECT CAST($v AS BIGINT) AS version,
+             |       CAST(event_date AS STRING) AS event_date,
+             |       count(*) AS n_rows,
+             |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+             |FROM time_travel('$lake', $v)
+             |WHERE value >= 10.0 AND value <= 20.0
+             |GROUP BY CAST(event_date AS STRING)""".stripMargin)
+        leg(1).unionByName(leg(2))
+          .orderBy(col("version"), col("event_date"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT value, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date
+          |  FROM events),
+          |agg AS (
+          |  SELECT event_date, count(*) AS n_rows,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |  FROM ev WHERE value >= 10.0 AND value <= 20.0
+          |  GROUP BY event_date)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS version, * FROM agg
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT) AS version, * FROM agg)
+          |ORDER BY version, event_date""".stripMargin)),
+
     // Lake maintenance 12: MULTI-COLUMN per-file Bloom filters. The
     // fixture declares a column-SET Bloom spec (event_id AND user_id)
     // at create; the spec is carried through one copy-on-write merge

@@ -884,6 +884,111 @@ object VersionedLake {
       committedSchema.map(_.json), inhBlooms, inhProps))
   }
 
+  /** Z-ORDER layout rewrite: re-cluster the touched partitions' files
+    * so that rows close in the multi-column space `zCols` land in the
+    * same file — the Delta/Iceberg `OPTIMIZE ... ZORDER BY` shape,
+    * built on this lake's own primitives. Same rows, same versioned
+    * history, different FILE boundaries: after the rewrite each file's
+    * per-column zone map ([[writeCommitFiles]]'s colStats) covers a
+    * tight interval on EVERY z column at once, so both [[readRange]]
+    * and the automatic [[graft.plans.ZoneMapPrune]] rule skip most of
+    * a partition for selective predicates on any of them — the
+    * before/after file counts are what `LakePlanSpec` pins.
+    *
+    * Mechanics (all distributed; driver state is the quantile
+    * boundary model, ≤ zCols × 2^bits doubles):
+    *  1. per z column, approx-quantile cut points at 2^bits ranks —
+    *     RANK-based bucketing, so skewed value distributions still
+    *     spread across buckets (uniform `width_bucket` would not);
+    *  2. per row, interleave the bucket ids bit-by-bit into one long
+    *     (the Morton key) with builtin shift/mask columns — no UDF,
+    *     stays inside whole-stage codegen;
+    *  3. range-repartition by (partition, zkey) into
+    *     touched × filesPerPartition tasks and sort within each, so
+    *     every output file covers one contiguous Morton range;
+    *  4. commit copy-on-write with the standard OCC discipline — a
+    *     concurrent commit to a touched partition aborts the rewrite.
+    *
+    * Returns the committed version (current version unchanged when the
+    * touched set is empty). */
+  def zorderPartitions(spark: SparkSession, lakeDir: String,
+      partitionCol: String, zCols: Seq[String], filesPerPartition: Int = 4,
+      partitions: Option[Seq[String]] = None, bits: Int = 6): Int = {
+    val p = planZorder(spark, lakeDir, partitionCol, zCols,
+      filesPerPartition, partitions, bits)
+    if (p.touched.isEmpty) p.baseVersion else commitPending(lakeDir, p)
+  }
+
+  /** Plan/stage half of [[zorderPartitions]] — split like
+    * [[planCompact]] so the spec can interleave a competing writer. */
+  private[graft] def planZorder(spark: SparkSession, lakeDir: String,
+      partitionCol: String, zCols: Seq[String], filesPerPartition: Int,
+      partitions: Option[Seq[String]], bits: Int): PendingCommit = {
+    require(zCols.nonEmpty, "zorder needs at least one column")
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    require(bits >= 1 && bits * zCols.size <= 60,
+      s"bits × zCols must fit a long: $bits × ${zCols.size}")
+    val v = currentVersion(lakeDir)
+    require(v >= 1, s"$lakeDir has no committed version to zorder")
+    val (inhStats, inhBloom) = tableMeta(lakeDir)
+    val inhBlooms = tableBlooms(lakeDir)
+    val inhProps = tableProps(lakeDir)
+    val entries = manifestEntries(lakeDir, v)
+    val touched = partitions match {
+      case Some(ps) => ps.map(escapedPartition).toSet
+      case None => entries.map(_.partition).toSet
+    }
+    val files = entries.filter(e => touched.contains(e.partition)).map(_.path)
+    if (files.isEmpty)
+      return PendingCommit(v, entries, Set.empty, Seq.empty,
+        insertOnly = false, None, inhStats, inhBloom, None, inhBlooms,
+        inhProps)
+    val recorded = recordedSchema(lakeDir, v)
+    val df = readDataFiles(spark, lakeDir, files, recorded)
+    val fieldByName = df.schema.fields.map(f => f.name -> f).toMap
+    val encoded = zCols.map { c =>
+      val f = fieldByName.getOrElse(c,
+        throw new IllegalArgumentException(s"zorder column '$c' not in lake schema"))
+      statsEncoding(f).getOrElse(throw new IllegalArgumentException(
+        s"zorder column '$c' (${f.dataType.simpleString}) records no zone-map " +
+          "stats — only numeric/date/timestamp columns can cluster"))
+    }
+    // rank-based cut points: 2^bits - 1 interior quantiles per column
+    // (the only collect — a bounded model, like ANN centroids)
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val proj = df.select(encoded.zipWithIndex.map { case (e, i) =>
+      e.as(s"_z$i")
+    }: _*)
+    val bounds: Seq[Array[Double]] = zCols.indices.map { i =>
+      proj.stat.approxQuantile(s"_z$i", probs, 0.001)
+    }
+    val k = zCols.size
+    // bucket id per column: count of cut points <= value (null → 0),
+    // via a codegen'd fold over the literal boundary array
+    val buckets = encoded.zipWithIndex.map { case (e, i) =>
+      // an all-null column yields no cut points: every row buckets to 0
+      if (bounds(i).isEmpty) lit(0L)
+      else aggregate(array(bounds(i).toSeq.map(lit): _*), lit(0L),
+        (acc, b) => acc + when(e >= b, 1L).otherwise(0L))
+    }
+    // Morton interleave: bit i of column j lands at position i*k + j
+    val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + j))
+      }
+    }
+    val nTasks = math.max(1, touched.size * filesPerPartition)
+    val clustered = df.withColumn("_zkey", zkey)
+      .repartitionByRange(nTasks, col(partitionCol), col("_zkey"))
+      .sortWithinPartitions(col(partitionCol), col("_zkey"))
+      .drop("_zkey")
+    val newEntries = writeCommitFiles(clustered, lakeDir, commitId = v + 1,
+      partitionCol, inhStats, inhBloom, inhBlooms, colStatsOn(inhProps))
+    PendingCommit(v, entries, touched, newEntries, insertOnly = false, None,
+      inhStats, inhBloom, recorded.map(_.json), inhBlooms, inhProps)
+  }
+
   /** Plan a compaction against the CURRENT version and stage its
     * consolidated files, without committing — split from
     * [[compactPartitions]] exactly like [[planMerge]], so the spec can

@@ -580,6 +580,65 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.manifestEntries(lake, 6).count(_.partition == "p0") == 1)
   }
 
+  test("zorder: multi-column re-clustering makes box predicates prune; rows identical; OCC abort") {
+    import spark.implicits._
+    val root = tmp("vlake_zorder")
+    val lake = s"$root/lake"
+    val rnd = new scala.util.Random(7)
+    // 2000 rows, values scrambled across 8 round-robin files: every
+    // file spans the whole (x, y) square, so zone maps prove nothing
+    val raw = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextDouble() * 100.0, rnd.nextLong(1000L), "p0")
+    }
+    VersionedLake.create(raw.toDF("id", "x", "y", "part").repartition(8),
+      lake, "part")
+    def overlaps(es: Seq[VersionedLake.Entry], c: String,
+        lo: Double, hi: Double): Int =
+      es.count(_.colStats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val before = VersionedLake.manifestEntries(lake, 1)
+    assert(before.size >= 8)
+    assert(overlaps(before, "x", 10, 20) == before.size,
+      "scrambled files should all cover the x slice")
+    val v = VersionedLake.zorderPartitions(spark, lake, "part",
+      Seq("x", "y"), filesPerPartition = 8)
+    assert(v == 2)
+    val after = VersionedLake.manifestEntries(lake, 2)
+    // same rows, different layout
+    assert(VersionedLake.read(spark, lake).select("id").as[Long]
+      .collect().toSet == raw.map(_._1).toSet)
+    // each clustered file is now tight on BOTH columns at once
+    assert(overlaps(after, "x", 10, 20) < after.size)
+    assert(overlaps(after, "y", 100, 200) < after.size)
+    // …and the automatic prune rule turns that into fewer scanned files
+    graft.plans.ZoneMapPrune.install(spark)
+    val q = VersionedLake.read(spark, lake)
+      .filter(col("x") >= 10 && col("x") <= 20 &&
+        col("y") >= 100 && col("y") <= 200)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+    }.flatten
+    assert(scanned.length < after.size,
+      s"box predicate should skip files: ${scanned.length} vs ${after.size}")
+    val expected = raw.count(r =>
+      r._2 >= 10 && r._2 <= 20 && r._3 >= 100 && r._3 <= 200)
+    assert(q.count() == expected, "pruning must not change the rows")
+    // OCC: a commit to a touched partition between plan and commit
+    // aborts the layout rewrite and cleans its staged files
+    val stale = VersionedLake.planZorder(spark, lake, "part", Seq("x"),
+      filesPerPartition = 4, partitions = None, bits = 6)
+    VersionedLake.append(Seq((9999L, 1.0, 1L, "p0")).toDF("id", "x", "y", "part"),
+      lake, "part")
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitPending(lake, stale)
+    }
+    assert(stale.newEntries.forall(e => !new java.io.File(e.path).exists()))
+    // a retry clusters the post-append state
+    val v2 = VersionedLake.zorderPartitions(spark, lake, "part", Seq("x"))
+    assert(v2 == 4)
+    assert(VersionedLake.read(spark, lake).count() == 2001)
+  }
+
   test("vacuum reclaims the small files a compaction superseded") {
     import spark.implicits._
     val root = tmp("vlake_compact_vacuum")
