@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The training data-LOADER surface: the deterministic layout steps a
+  * pretraining run performs between a curated corpus and the tensors a
+  * trainer streams — fixed-length sequence packing with position ids,
+  * and the per-epoch reshuffle that re-deals the corpus into loader
+  * shards every epoch.
+  *
+  * Everything here is a pure function of document ids (md5-derived,
+  * the [[graft.functions.HashRandom]] convention): identical across
+  * partitionings, task retries, cluster sizes, AND engines — which is
+  * what makes a 100 TB layout resumable (re-running a failed epoch
+  * regenerates byte-identical shards) and lets the driver's DuckDB
+  * oracle replay every step exactly.
+  */
+object Loader {
+
+  /** Shared deterministic-shuffle prefix sum: each document's global
+    * token offset (`gstart`) in md5-shuffle order — the same two-level
+    * distributed form as [[Curation.packShards]] (256 md5-prefix range
+    * buckets → parallel per-bucket running sums → bounded 256-row
+    * offset broadcast), bit-identical to the single global window the
+    * oracles compute. Returns (doc_id, tokens, gstart); zero-token
+    * documents are dropped (they occupy no layout space). */
+  private[graft] def shuffleOffsets(docs: DataFrame, id: String,
+      tokens: Column): DataFrame = {
+    val keyed = docs.select(
+      col(id).as("doc_id"),
+      tokens.cast("long").as("tokens"),
+      md5(concat(lit("shuffle:"), col(id).cast("string"))).as("sk"))
+      .filter(col("tokens") > 0)
+      .withColumn("bucket", conv(substring(col("sk"), 1, 2), 16, 10).cast("int"))
+    val inBucket = keyed.withColumn("cum",
+      sum(col("tokens")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("sk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(sum(col("tokens")).as("btotal"))
+      .withColumn("boffset",
+        coalesce(sum(col("btotal")).over(
+          Window.partitionBy(pmod(col("bucket"), lit(1))).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boffset"))
+    inBucket.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("tokens"),
+        (col("boffset") + col("cum") - col("tokens")).as("gstart"))
+  }
+
+  /** GPT-style CONCAT-AND-CHUNK packing: lay the corpus out in its
+    * deterministic shuffle order, concatenate all tokens, and cut the
+    * stream into fixed `seqLen`-token training sequences — documents
+    * SPAN sequence boundaries (no padding, no loss of tokens), unlike
+    * [[Curation.packShards]] whose shards own whole documents.
+    *
+    * The result is the SLICE MAP a loader needs: one row per
+    * (document, sequence) intersection with
+    *   - `seq_id`   — which training sequence the slice lands in,
+    *   - `seq_pos`  — the slice's first position WITHIN the sequence
+    *                  (the position-id the trainer assigns its first
+    *                  token),
+    *   - `doc_off`  — the slice's first token WITHIN the document,
+    *   - `len`      — slice length in tokens.
+    * Per sequence, slices tile [0, seqLen) exactly (the final partial
+    * sequence tiles [0, total mod seqLen)); per document, slice
+    * lengths sum to the document's token count — both invariants are
+    * spec-pinned.
+    *
+    * 100 TB shape: the offsets come from the shared two-level prefix
+    * sum (never a global single-task window); the explode emits one
+    * row per OUTPUT slice (≈ tokens / seqLen + 1 per document), so
+    * work is proportional to the layout being produced; everything
+    * downstream of the 256-row broadcast is embarrassingly parallel. */
+  def packSequences(docs: DataFrame, id: String, tokens: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive, got $seqLen")
+    val L = lit(seqLen)
+    val g = shuffleOffsets(docs, id, tokens)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("gstart") / seqLen.toDouble).cast("long"),
+        floor((col("gstart") + col("tokens") - 1) / seqLen.toDouble).cast("long"))))
+    val sliceStart = greatest(col("gstart"), col("seq_id") * L)
+    val sliceEnd = least(col("gstart") + col("tokens"), (col("seq_id") + 1) * L)
+    g.select(
+      col("doc_id"), col("seq_id"),
+      (sliceStart - col("seq_id") * L).as("seq_pos"),
+      (sliceStart - col("gstart")).as("doc_off"),
+      (sliceEnd - sliceStart).as("len"))
+  }
+
+  /** Per-EPOCH reshuffle into loader shards: every epoch re-deals the
+    * corpus into `shards` deterministic shards and orders each shard
+    * internally — the "reshuffle every epoch" a trainer expects,
+    * without `rand()` (resumable, retry-stable, oracle-replayable).
+    * Different epochs produce different permutations of the SAME
+    * corpus; the same (seed, epoch) always produces the same one.
+    *
+    * Returns (doc_id, shard_id, pos): shard from the md5-uniform of
+    * "shard:<seed>:<epoch>:<id>" (balanced in expectation — at scale,
+    * size `shards` so a shard's index fits a loader worker), pos =
+    * dense 0-based rank within the shard by the independent
+    * "epoch:<seed>:<epoch>:<id>" key. The only exchange is the
+    * per-shard window, bounded by corpus/shards. */
+  def epochShuffle(docs: DataFrame, id: String, epoch: Int, shards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val u = graft.functions.HashRandom.uniform(
+      concat(lit(s"shard:$seed:$epoch:"), col(id).cast("string")))
+    val orderKey = md5(concat(lit(s"epoch:$seed:$epoch:"), col(id).cast("string")))
+    docs.select(col(id).as("doc_id"),
+      floor(u * shards).cast("long").as("shard_id"), orderKey.as("_k"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard_id")).orderBy(col("_k"), col("doc_id")))
+        - 1).cast("long"))
+      .select(col("doc_id"), col("shard_id"), col("pos"))
+  }
+}

@@ -2279,7 +2279,88 @@ object TextQueries {
           |SELECT shard_id, count(*) AS n_docs,
           |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
           |       md5(string_agg(text, '<|eos|>' ORDER BY gstart - shard_id * 2000, doc_id)) AS seq_md5
-          |FROM g GROUP BY shard_id ORDER BY shard_id""".stripMargin))
+          |FROM g GROUP BY shard_id ORDER BY shard_id""".stripMargin)),
+
+    // Loader 1: GPT-style concat-and-chunk packing — the corpus token
+    // stream cut into fixed 1,024-token training sequences, documents
+    // SPANNING boundaries (packShards keeps documents whole; this is
+    // the no-padding form trainers actually consume). The gate hashes
+    // the full (doc, sequence) SLICE MAP — sequence id, in-sequence
+    // position id, in-document offset, slice length — against the
+    // oracle's single global running sum; the Spark side computes the
+    // same offsets with the two-level distributed prefix sum
+    // (LoaderSpec pins the tiling invariants).
+    QDef(
+      "x_pack_sequences",
+      (s, dir) => graft.operators.Loader.packSequences(
+        Tables.documents(s, dir), "doc_id",
+        size(split(col("text"), " ")).cast("long"), seqLen = 1024L)
+        .orderBy(col("seq_id"), col("seq_pos"), col("doc_id")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+          |         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sk
+          |  FROM documents
+          |  WHERE len(string_split(text, ' ')) > 0
+          |), c AS (
+          |  SELECT doc_id, tokens,
+          |         sum(tokens) OVER (ORDER BY sk, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS gstart
+          |  FROM t
+          |), e AS (
+          |  SELECT doc_id, tokens, gstart,
+          |         unnest(generate_series(
+          |           CAST(floor(gstart / 1024.0) AS BIGINT),
+          |           CAST(floor((gstart + tokens - 1) / 1024.0) AS BIGINT))) AS seq_id
+          |  FROM c
+          |)
+          |SELECT doc_id, seq_id,
+          |       CAST(greatest(gstart, seq_id * 1024) - seq_id * 1024 AS BIGINT) AS seq_pos,
+          |       CAST(greatest(gstart, seq_id * 1024) - gstart AS BIGINT) AS doc_off,
+          |       CAST(least(gstart + tokens, (seq_id + 1) * 1024)
+          |            - greatest(gstart, seq_id * 1024) AS BIGINT) AS len
+          |FROM e ORDER BY seq_id, seq_pos, doc_id""".stripMargin)),
+
+    // Loader 2: the per-EPOCH reshuffle — two epochs of the same
+    // corpus re-dealt into 12 loader shards with dense in-shard
+    // positions, every assignment a pure md5 function of
+    // (seed, epoch, id) so the permutations differ BETWEEN epochs yet
+    // replay bit-identically within one (resumable training). The
+    // oracle recomputes both epochs' full (shard, pos) layout; a
+    // divergence anywhere in the hash→shard→rank chain is a hash
+    // mismatch.
+    QDef(
+      "x_epoch_shuffle",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        (0 to 1).map(e =>
+          graft.operators.Loader.epochShuffle(d, "doc_id", epoch = e, shards = 12)
+            .withColumn("epoch", lit(e.toLong)))
+          .reduce(_ unionByName _)
+          .select(col("epoch"), col("shard_id"), col("pos"), col("doc_id"))
+          .orderBy(col("epoch"), col("shard_id"), col("pos"))
+      },
+      Some {
+        val u = mdUniformSql(
+          "'shard:42:' || CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+        s"""WITH e AS (
+           |  SELECT doc_id, 0 AS ep FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS ep FROM documents
+           |), k AS (
+           |  SELECT CAST(ep AS BIGINT) AS epoch, doc_id,
+           |         CAST(floor($u * 12) AS BIGINT) AS shard_id,
+           |         md5('epoch:42:' || CAST(ep AS VARCHAR) || ':'
+           |             || CAST(doc_id AS VARCHAR)) AS ok
+           |  FROM e
+           |)
+           |SELECT epoch, shard_id,
+           |       CAST(row_number() OVER (PARTITION BY epoch, shard_id
+           |         ORDER BY ok, doc_id) - 1 AS BIGINT) AS pos,
+           |       doc_id
+           |FROM k ORDER BY epoch, shard_id, pos""".stripMargin
+      })
   )
 
   /** DuckDB replay of the full pHash pipeline, shared by the

@@ -206,6 +206,16 @@ class DialectSpec extends SparkSpec {
       "SELECT * FROM cap_per_group('psql_docs', 'source', 'doc_id', 10)")) ==
       rows(graft.operators.Curation.capPerGroup(docs, "source", "doc_id", 10)))
 
+    // loader family
+    assert(rows(spark.sql(
+      """SELECT * FROM pack_sequences('psql_docs', 'doc_id',
+        |  'CAST(size(split(text, " ")) AS BIGINT)', 1024)""".stripMargin)) ==
+      rows(graft.operators.Loader.packSequences(docs, "doc_id",
+        size(split(col("text"), " ")).cast("long"), 1024L)))
+    assert(rows(spark.sql(
+      "SELECT * FROM epoch_shuffle('psql_docs', 'doc_id', 1, 12)")) ==
+      rows(graft.operators.Loader.epochShuffle(docs, "doc_id", 1, 12)))
+
     // temporal family: as-of join of late events onto early events
     events.filter(col("event_id") % 2 === 0).createOrReplaceTempView("psql_left")
     events.filter(col("event_id") % 2 === 1)
