@@ -568,10 +568,13 @@ object Similarity {
     * exact integer distance, ties to the lower cell. */
   private def assignSubs(subs: DataFrame,
       books: Array[Array[Array[Long]]]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = subs.sparkSession
     import spark.implicits._
-    val cdf = broadcast(bookRows(books).toDF("m", "cell", "cv"))
+    assignSubsCdf(subs, broadcast(bookRows(books).toDF("m", "cell", "cv")))
+  }
+
+  private def assignSubsCdf(subs: DataFrame, cdf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dist = aggregate(
       zip_with(transform(col("sv"), _.cast("double")),
         transform(col("cv"), _.cast("double")), (a, b) => (a - b) * (a - b)),
@@ -583,6 +586,16 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("doc"), col("m"), col("sv"), col("cell"))
   }
+
+  /** ENCODE-ONLY pass against FROZEN codebooks (the `books` DataFrame
+    * form [[pqTrain]] persists): new vectors become m codes each
+    * without retraining — the append path of a PQ index at rest.
+    * Same tie rule as training's assignment, so encoding a vector the
+    * trainer saw reproduces its training-time codes exactly. */
+  private[graft] def pqEncode(df: DataFrame, id: String, vec: String,
+      m: Int, dim: Int, books: DataFrame): DataFrame =
+    assignSubsCdf(subspaceRows(df, id, vec, m, dim / m), broadcast(books))
+      .select(col("doc"), col("m"), col("cell"))
 
   private[graft] def bookRows(books: Array[Array[Array[Long]]]): Seq[(Int, Int, Seq[Long])] =
     books.zipWithIndex.flatMap { case (cents, mm) =>
@@ -643,6 +656,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("adist"))
+  }
+
+  /** The REFINE step over [[pqSearchAdc]] — the standard IVF-PQ/DiskANN
+    * two-stage search: ADC's integer ranking shortlists `k × refine`
+    * candidates per query from the compressed codes alone, then ONLY
+    * those rows' full vectors are fetched and reranked by exact cosine.
+    * This is how compressed-domain search recovers accuracy without
+    * giving up the memory story: the corpus stays m bytes/vector at
+    * rest; exact arithmetic touches queries × k·refine rows, never the
+    * corpus.
+    *
+    * Scale shape: the shortlist (queries × k·refine rows) is the small
+    * side of both vector fetches — Spark broadcasts it against the
+    * corpus read, so the refine pass is one pruned scan + a bounded
+    * window. Determinism: the shortlist is exact integer ADC ranking
+    * and the rerank is the same sequential dot fold as [[cosineTopK]],
+    * so the full output is oracle-replayable (gate s31_ann_pq_refine);
+    * recall-vs-refine monotonicity is SimilaritySpec's assertion.
+    */
+  def pqSearchRefined(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, refine: Int, m: Int, dim: Int,
+      codes: DataFrame, books: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    val shortlist = pqSearchAdc(queries, id, vec, k * refine, m, dim,
+      codes, books)
+      .select(col("query_id"), col("neighbor_id"))
+    shortlist
+      .join(normalized(corpus, id, vec, "neighbor_id", "nv"), "neighbor_id")
+      .join(broadcast(normalized(queries, id, vec, "query_id", "qv")), "query_id")
+      .withColumn("cos", dotN(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000.0).as("cos_r4"))
   }
 
   /** ANN top-k via multi-table LSH: candidates share the query's bucket

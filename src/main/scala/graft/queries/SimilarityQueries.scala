@@ -193,8 +193,56 @@ object SimilarityQueries {
     * the gate hash-checks the FULL ranking including the distance
     * values.
     */
-  private def pqAdcOracle(k: Int, m: Int, ksub: Int, dim: Int, iters: Int): String = {
+  private def pqAdcOracle(k: Int, m: Int, ksub: Int, dim: Int, iters: Int,
+      trainPred: Option[String] = None): String =
+    pqAdcRankedCtes(m, ksub, dim, iters, trainPred) +
+      s"""
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+
+  /** The refine tail over the same ADC replay: shortlist k × refine by
+    * integer ADC rank, rerank ONLY those rows by the exact-cosine fold
+    * (same arithmetic as the s_cosine_topk oracle). */
+  private def pqRefineOracle(k: Int, refine: Int, m: Int, ksub: Int,
+      dim: Int, iters: Int, trainPred: Option[String] = None): String =
+    pqAdcRankedCtes(m, ksub, dim, iters, trainPred) +
+      s""",
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= ${k * refine}
+         |), e AS (
+         |  SELECT vec_id, ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nv
+         |  FROM embeddings
+         |), rescored AS (
+         |  SELECT query_id, neighbor_id,
+         |         ${dotSql("qe.nv", "ne.nv").replace("\n", "\n    ")} AS cos
+         |  FROM short
+         |  JOIN e qe ON qe.vec_id = query_id
+         |  JOIN e ne ON ne.vec_id = neighbor_id
+         |), rr AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rescored
+         |)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |       floor(cos * 10000 + 0.5) / 10000.0 AS cos_r4
+         |FROM rr WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+
+  /** With `trainPred` set (e.g. "doc % 2 = 0"), codebooks train on the
+    * matching docs only and a final `enc` pass encodes EVERY doc
+    * against the fitted books — the replay of AnnLake.createPq on a
+    * slice plus appendPq of the rest (pqTrain's sampled-training
+    * semantics: codes are the post-final-update encoding). Without it,
+    * the original full-training replay (codes = last round's
+    * assignment) is preserved byte-for-byte. */
+  private def pqAdcRankedCtes(m: Int, ksub: Int, dim: Int, iters: Int,
+      trainPred: Option[String] = None): String = {
     val dsub = dim / m
+    val trainSrc = trainPred
+      .map(p => s"(SELECT * FROM subs WHERE $p)").getOrElse("subs")
+    val initWhere = trainPred.map(p => s"WHERE $p ").getOrElse("")
+    val codesSrc = trainPred.map(_ => "enc").getOrElse(s"a$iters")
     val q20 = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
     def idist(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -204,7 +252,7 @@ object SimilarityQueries {
     val rounds = (1 to iters).map { i =>
       s"""s$i AS (
          |  SELECT q.doc, q.m, q.sv, c.cell, ${idist("q.sv", "c.cv").replace("\n", "\n  ")} AS dist
-         |  FROM subs q JOIN c${i - 1} c USING (m)
+         |  FROM $trainSrc q JOIN c${i - 1} c USING (m)
          |), a$i AS (
          |  SELECT doc, m, sv, cell FROM (
          |    SELECT doc, m, sv, cell,
@@ -230,9 +278,20 @@ object SimilarityQueries {
        |), c0 AS (
        |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY doc) - 1 AS INTEGER) AS cell,
        |         sv AS cv
-       |  FROM subs WHERE doc IN (SELECT doc FROM qv ORDER BY doc LIMIT $ksub)
+       |  FROM subs WHERE doc IN (SELECT doc FROM qv ${initWhere}ORDER BY doc LIMIT $ksub)
        |),
-       |$rounds,
+       |$rounds,${trainPred.map { _ =>
+      s"""
+         |es AS (
+         |  SELECT q.doc, q.m, c.cell, ${idist("q.sv", "c.cv").replace("\n", "\n  ")} AS dist
+         |  FROM subs q JOIN c$iters c USING (m)
+         |), enc AS (
+         |  SELECT doc, m, cell FROM (
+         |    SELECT doc, m, cell,
+         |           row_number() OVER (PARTITION BY doc, m ORDER BY dist, cell) AS rn
+         |    FROM es) WHERE rn = 1
+         |),""".stripMargin
+    }.getOrElse("")}
        |dtab AS (
        |  SELECT q.doc AS query_id, q.m, c.cell,
        |         CAST(${idist("q.sv", "c.cv").replace("\n", "\n  ")} AS BIGINT) AS sdist
@@ -241,17 +300,14 @@ object SimilarityQueries {
        |), adc AS (
        |  SELECT d.query_id, a.doc AS neighbor_id,
        |         CAST(sum(d.sdist) AS BIGINT) AS adist
-       |  FROM a$iters a JOIN dtab d ON a.m = d.m AND a.cell = d.cell
+       |  FROM $codesSrc a JOIN dtab d ON a.m = d.m AND a.cell = d.cell
        |  WHERE a.doc <> d.query_id
        |  GROUP BY d.query_id, a.doc
        |), ranked AS (
        |  SELECT query_id, neighbor_id, adist,
        |         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
        |  FROM adc
-       |)
-       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
-       |FROM ranked WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |)""".stripMargin
   }
 
   /** Full SQL twin of Similarity.annTopK: rebuild the md5 hyperplanes,
@@ -554,6 +610,84 @@ object SimilarityQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(pqAdcOracle(10, m = 8, ksub = 16, dim = 64, iters = 3))),
+
+    // The REFINE step over the same persisted PQ index: ADC shortlists
+    // k×3 candidates from the 8-byte codes alone, then only those 30
+    // rows per query fetch full vectors and rerank by exact cosine —
+    // the two-stage search every production PQ deployment runs.
+    // Shortlisting is exact integer ranking and the rerank is the
+    // exact-cosine fold, so the oracle replays codebooks, shortlist,
+    // and rerank bit-for-bit; recall-vs-refine monotonicity is
+    // SimilaritySpec's assertion.
+    QDef(
+      "s31_ann_pq_refine",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("pq_index", dir) { o =>
+          val (codes, books) = Similarity.pqTrain(
+            emb, "vec_id", "embedding", m = 8, ksub = 16, dim = 64, iters = 3)
+          codes.write.parquet(s"$o/codes")
+          val sp = s; import sp.implicits._
+          Similarity.bookRows(books).toDF("m", "cell", "cv")
+            .write.parquet(s"$o/books")
+        }
+        Similarity.pqSearchRefined(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, refine = 3, m = 8, dim = 64,
+          s.read.parquet(s"$ix/codes"), s.read.parquet(s"$ix/books"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqRefineOracle(10, refine = 3, m = 8, ksub = 16, dim = 64, iters = 3))),
+
+    // PQ codes AT REST in the versioned index lake — the compressed
+    // production index: codebooks train on HALF the corpus at create,
+    // the other half arrives through the frozen-books encode-append
+    // path (exactly-once batch id), and search ranks by integer ADC
+    // over partition-pruned code files — the corpus floats are never
+    // read. Full probe makes cell geometry irrelevant, so the oracle
+    // replays half-training + the single encode-all pass bit-for-bit;
+    // the whole create→append→probe→ADC chain is one hash.
+    QDef(
+      "s32_ann_lake_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_pq", dir) { o =>
+          graft.sources.AnnLake.createPq(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", s"$o/lake", nlist = 8, m = 8, ksub = 16,
+            dim = 64, itersPq = 3)
+          graft.sources.AnnLake.appendPq(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", s"$o/lake", batchId = Some(0L))
+        }
+        graft.sources.AnnLake.searchPq(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/lake", k = 10, nprobe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqAdcOracle(10, m = 8, ksub = 16, dim = 64, iters = 3,
+        trainPred = Some("doc % 2 = 0")))),
+
+    // The code lake's two-stage search: ADC shortlists k×3 from the
+    // probed code partitions, then ONLY those rows fetch full vectors
+    // from the caller's corpus table (the cold store) and rerank by
+    // exact cosine — codes hot, vectors cold, the memory/recall split
+    // a production PQ deployment runs. Same fixture, same half-train
+    // replay, refine tail hashed at full precision.
+    QDef(
+      "s33_ann_lake_pq_refine",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_pq", dir) { o =>
+          graft.sources.AnnLake.createPq(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", s"$o/lake", nlist = 8, m = 8, ksub = 16,
+            dim = 64, itersPq = 3)
+          graft.sources.AnnLake.appendPq(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", s"$o/lake", batchId = Some(0L))
+        }
+        graft.sources.AnnLake.searchPqRefined(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/lake", k = 10, refine = 3, nprobe = 8,
+          corpus = emb)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqRefineOracle(10, refine = 3, m = 8, ksub = 16, dim = 64,
+        iters = 3, trainPred = Some("doc % 2 = 0")))),
 
     // IVF's exactness property as a HASH gate: at nprobe = nlist every
     // cell is probed, so the index must reproduce brute-force cosine

@@ -156,6 +156,137 @@ object AnnLake {
       .start()
   }
 
+  private def booksDir(lakeDir: String) = s"$lakeDir/books"
+
+  /** PQ codes AT REST — the compressed-index form of this lake: rows
+    * store m one-byte-scale codes instead of dim floats (the memory
+    * story that makes a billion-vector index feasible), partitioned by
+    * IVF cell exactly like [[create]], so probes still prune
+    * partitions from the manifest. Two frozen models persist beside
+    * the codes: the cell centroids (probing) and the m per-subspace
+    * codebooks (encoding + ADC search). Both quantizers train with the
+    * deterministic integer Lloyd's, so the whole index — codes
+    * included — replays in the DuckDB oracle (s32/s33 gates).
+    *
+    * The full vectors are NOT stored here; [[searchPq]] ranks from
+    * codes alone and [[searchPqRefined]] fetches only its shortlist's
+    * vectors from the caller's corpus table — the standard split of a
+    * production PQ deployment (codes hot, vectors cold). */
+  def createPq(corpus: DataFrame, id: String, vec: String, lakeDir: String,
+      nlist: Int, m: Int, ksub: Int, dim: Int, itersIvf: Int = 4,
+      itersPq: Int = 3, trainFraction: Double = 1.0): Unit = {
+    require(!new java.io.File(lakeDir, PointerName).isFile,
+      s"$lakeDir is a cut-over handle; create at a fresh directory")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (assigned, centroids) = Similarity.quantizedKMeans(
+      corpus, id, vec, nlist, dim, itersIvf, trainFraction)
+    val (_, books) = Similarity.pqTrain(
+      corpus, id, vec, m, ksub, dim, itersPq, trainFraction)
+    val booksDf = Similarity.bookRows(books).toDF("m", "cell", "cv")
+    // stored codes are ENCODED AGAINST THE PERSISTED (final) books —
+    // not pqTrain's last-round assignment (which predates the final
+    // centroid update) — so create-time and append-time codes obey one
+    // rule and the oracle's single encode pass replays the whole lake
+    val codes = Similarity.pqEncode(corpus, id, vec, m, dim, booksDf)
+    val rows = packCodes(codes).join(assigned.select(col("doc"), col("cell")), "doc")
+    VersionedLake.create(rows, vectorsDir(lakeDir), "cell",
+      blooms = Seq(VersionedLake.BloomSpec("doc")),
+      props = Map("nlist" -> nlist.toString, "pq_m" -> m.toString,
+        "pq_ksub" -> ksub.toString, "pq_dim" -> dim.toString))
+    centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cell", "cv").coalesce(1).write.mode("overwrite")
+      .parquet(centroidsDir(lakeDir))
+    booksDf.coalesce(1).write.mode("overwrite").parquet(booksDir(lakeDir))
+  }
+
+  /** (doc, m, cell) code rows → one (doc, code[m]) array row — the
+    * at-rest shape (sorted by subspace, so packing is deterministic
+    * and [[unpackCodes]] is its exact inverse). */
+  private def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("doc")).agg(
+      transform(array_sort(collect_list(struct(col("m"), col("cell")))),
+        x => x.getField("cell")).as("code"))
+
+  private def unpackCodes(rows: DataFrame): DataFrame =
+    rows.select(col("doc"), posexplode(col("code")).as(Seq("m", "cell")))
+
+  /** Append to a PQ lake: assign cells against the frozen centroids,
+    * ENCODE against the frozen codebooks (no retraining — same tie
+    * rule as training, so re-encoding a trained row reproduces its
+    * codes), and commit with the same exactly-once batch-id guard as
+    * [[append]]. */
+  def appendPq(newVecs: DataFrame, id: String, vec: String,
+      lakeDir: String, batchId: Option[Long] = None): Unit = {
+    val spark = newVecs.sparkSession
+    val root = resolved(lakeDir)
+    if (batchId.exists(_ <= VersionedLake.committedBatchId(vectorsDir(root))))
+      return
+    val (m, _, dim) = pqParams(root)
+    val centroids = loadCentroids(spark, root)
+    val qv = newVecs.select(col(id).as("doc"),
+      Similarity.quant20(col(vec)).as("qv"))
+    val assigned = Similarity.assignCells(qv, centroids)
+      .select(col("doc"), col("cell"))
+    val codes = Similarity.pqEncode(newVecs, id, vec, m, dim,
+      spark.read.parquet(booksDir(root)))
+    VersionedLake.append(packCodes(codes).join(assigned, "doc"),
+      vectorsDir(root), "cell", batchId)
+  }
+
+  /** ADC search over the code lake: probe `nprobe` cells, read ONLY
+    * those partitions' code files, rank by exact-integer asymmetric
+    * distance — the corpus's floats are never touched. At full probe
+    * this is exactly [[Similarity.pqTopKAdc]]'s ranking (gate s32). */
+  def searchPq(spark: SparkSession, queries: DataFrame, id: String,
+      vec: String, lakeDir: String, k: Int, nprobe: Int,
+      version: Option[Int] = None): DataFrame = {
+    val root = resolved(lakeDir)
+    val (m, _, dim) = pqParams(root)
+    Similarity.pqSearchAdc(queries, id, vec, k, m, dim,
+      probedCodes(spark, queries, id, vec, root, nprobe, version),
+      spark.read.parquet(booksDir(root)))
+  }
+
+  /** Two-stage search over the code lake: ADC shortlists k × refine
+    * from the probed codes, then only those rows fetch full vectors
+    * from `corpus` (the cold store) and rerank by exact cosine. At
+    * full probe with the whole corpus shortlisted this is exactly
+    * brute-force cosine; at production settings it is the
+    * memory-bounded path to near-exact recall (gate s33). */
+  def searchPqRefined(spark: SparkSession, queries: DataFrame, id: String,
+      vec: String, lakeDir: String, k: Int, refine: Int, nprobe: Int,
+      corpus: DataFrame, version: Option[Int] = None): DataFrame = {
+    val root = resolved(lakeDir)
+    val (m, _, dim) = pqParams(root)
+    Similarity.pqSearchRefined(corpus, queries, id, vec, k, refine, m, dim,
+      probedCodes(spark, queries, id, vec, root, nprobe, version),
+      spark.read.parquet(booksDir(root)))
+  }
+
+  private def pqParams(root: String): (Int, Int, Int) = {
+    val props = VersionedLake.tableProps(vectorsDir(root))
+    def p(k: String): Int = props.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"$root is not a PQ index lake (no '$k' table property); " +
+          "searchPq/appendPq serve createPq lakes — use search/append")).toInt
+    (p("pq_m"), p("pq_ksub"), p("pq_dim"))
+  }
+
+  /** The probed cells' code rows, unpacked to (doc, m, cell) for the
+    * shared ADC core — partition-pruned from the manifest exactly like
+    * [[doSearch]]. */
+  private def probedCodes(spark: SparkSession, queries: DataFrame,
+      id: String, vec: String, root: String, nprobe: Int,
+      version: Option[Int]): DataFrame = {
+    val cdf = spark.read.parquet(centroidsDir(root))
+    val cells = Similarity.quantizedProbe(queries, id, vec, nprobe, cdf)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0).toString).toSeq // nlist-bounded metadata
+    unpackCodes(VersionedLake.read(spark, vectorsDir(root), version,
+      partitions = Some(cells)))
+  }
+
   /** Probe, prune, rank: each query's `nprobe` nearest cells by the
     * shared probe rule; only those cells' PARTITIONS are read from the
     * lake; exact-cosine top-k over the probed members. `version`

@@ -52,6 +52,57 @@ class AnnLakeSpec extends SparkSpec {
     assert(pruned == unpruned && pruned.nonEmpty)
   }
 
+  test("PQ code lake: codes round-trip packing, appendPq exactly-once, partial probe prunes, refine at full shortlist is exact") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val r = java.nio.file.Files.createTempDirectory("graft_ann_pq").toString
+    AnnLake.createPq(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      r, nlist = 8, m = 8, ksub = 16, dim = 64)
+    AnnLake.appendPq(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      r, batchId = Some(0L))
+    // exactly-once: a re-delivered batch is a no-op
+    val rowsBefore = VersionedLake.read(spark, s"$r/vectors").count()
+    AnnLake.appendPq(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      r, batchId = Some(0L))
+    assert(VersionedLake.read(spark, s"$r/vectors").count() == rowsBefore)
+    assert(rowsBefore == emb.count())
+    // every stored row is m codes in [0, ksub)
+    val lake = VersionedLake.read(spark, s"$r/vectors")
+    assert(lake.filter(size(col("code")) =!= 8).count() == 0)
+    assert(lake.select(explode(col("code")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 16).count() == 0)
+    val queries = emb.filter(col("vec_id") < 3)
+    // partial probe reads fewer code files than full probe, and its
+    // candidates come only from the probed cells' partitions
+    val full = AnnLake.searchPq(spark, queries, "vec_id", "embedding",
+      r, k = 10, nprobe = 8).collect()
+    assert(full.length == 30)
+    val partial = AnnLake.searchPq(spark, queries, "vec_id", "embedding",
+      r, k = 10, nprobe = 2).collect().map(_.getLong(2)).toSet
+    val probedDocs = lake.select(col("doc")).collect().map(_.getLong(0)).toSet
+    assert(partial.subsetOf(probedDocs) && partial.nonEmpty)
+    // refine with a corpus-sized shortlist at full probe IS brute force
+    val n = emb.count().toInt
+    val refined = AnnLake.searchPqRefined(spark, queries, "vec_id", "embedding",
+      r, k = 10, refine = n, nprobe = 8, corpus = emb)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(_.toSeq).toSet
+    assert(refined == brute && refined.nonEmpty)
+    // a plain (non-PQ) lake is refused loudly by the PQ search
+    val e = intercept[IllegalArgumentException] {
+      AnnLake.searchPq(spark, queries, "vec_id", "embedding", root,
+        k = 10, nprobe = 8)
+    }
+    assert(e.getMessage.contains("not a PQ index lake"))
+    // TVF parity
+    graft.functions.PipelineSql.register(spark)
+    queries.createOrReplaceTempView("annpq_q")
+    val viaSql = spark.sql(
+      s"SELECT * FROM ann_lake_search_pq('annpq_q', 'vec_id', 'embedding', '$r', 10, 8)")
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == full.map(_.toSeq).toSet)
+  }
+
   test("append is exactly-once under batch-id re-delivery; frozen assignment rule") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val v = VersionedLake.currentVersion(s"$root/vectors")

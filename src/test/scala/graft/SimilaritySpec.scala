@@ -79,6 +79,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ recall $recall below floor")
   }
 
+  test("PQ refine: exact rerank lifts recall over raw ADC; full-corpus shortlist equals brute force") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 5)
+    val (codes, books) = Similarity.pqTrain(
+      emb, "vec_id", "embedding", m = 8, ksub = 16, dim = 64, iters = 3)
+    val sp = spark; import sp.implicits._
+    val booksDf = Similarity.bookRows(books).toDF("m", "cell", "cv")
+    val brute = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      (pairs & brute).size.toDouble / brute.size
+    val adc = Similarity.pqSearchAdc(q, "vec_id", "embedding",
+      k = 10, m = 8, dim = 64, codes, booksDf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def refined(refine: Int): Set[(Long, Long)] =
+      Similarity.pqSearchRefined(emb, q, "vec_id", "embedding",
+        k = 10, refine = refine, m = 8, dim = 64, codes, booksDf)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the exact rerank can only promote true neighbors the shortlist
+    // already contains — recall must be monotone in the refine factor
+    // and at least match raw ADC
+    val r3 = recallOf(refined(3))
+    val r10 = recallOf(refined(10))
+    assert(r3 >= recallOf(adc) - 1e-9, s"refine=3 recall $r3 below ADC ${recallOf(adc)}")
+    assert(r10 >= r3 - 1e-9, s"refine=10 recall $r10 < refine=3 $r3")
+    // a shortlist covering the whole corpus makes refine EXACT: the
+    // output is brute-force cosine top-k, ranks and all
+    val n = emb.count().toInt
+    val full = Similarity.pqSearchRefined(emb, q, "vec_id", "embedding",
+      k = 10, refine = n, m = 8, dim = 64, codes, booksDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bruteRanked = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == bruteRanked, "full-shortlist refine must equal brute force")
+  }
+
   test("PQ sampled codebook training: recall parity with full training") {
     // the 100 TB path: Lloyd's rounds see trainFraction of the corpus,
     // then ONE encode pass covers every doc. Quality must track full
