@@ -178,6 +178,23 @@ object PipelineSql {
         budget = long("pack_shards", es(3), "shard budget"))
     }
 
+    reg("pack_sequences") { es =>
+      argc("pack_sequences", es, 4)
+      graft.operators.Loader.packSequences(
+        table("pack_sequences", es(0)),
+        id = str("pack_sequences", es(1), "id column"),
+        tokens = expr(str("pack_sequences", es(2), "tokens expression")),
+        seqLen = long("pack_sequences", es(3), "sequence length"))
+    }
+    reg("epoch_shuffle") { es =>
+      argc("epoch_shuffle", es, 4)
+      graft.operators.Loader.epochShuffle(
+        table("epoch_shuffle", es(0)),
+        id = str("epoch_shuffle", es(1), "id column"),
+        epoch = int("epoch_shuffle", es(2), "epoch"),
+        shards = int("epoch_shuffle", es(3), "shard count"))
+    }
+
     // per-source quota family
     reg("cap_per_group") { es =>
       argc("cap_per_group", es, 4)
@@ -964,6 +981,18 @@ object PipelineSql {
         str("ann_lake_search", es(3), "index lake dir"),
         k = int("ann_lake_search", es(4), "k"),
         nprobe = int("ann_lake_search", es(5), "nprobe"))
+    }
+    // ADC search over a PQ code lake (createPq): probe, prune, rank
+    // from the compressed codes alone
+    reg("ann_lake_search_pq") { es =>
+      argc("ann_lake_search_pq", es, 6)
+      val q = table("ann_lake_search_pq", es(0))
+      graft.sources.AnnLake.searchPq(q.sparkSession, q,
+        str("ann_lake_search_pq", es(1), "id column"),
+        str("ann_lake_search_pq", es(2), "vector column"),
+        str("ann_lake_search_pq", es(3), "index lake dir"),
+        k = int("ann_lake_search_pq", es(4), "k"),
+        nprobe = int("ann_lake_search_pq", es(5), "nprobe"))
     }
     // filtered ANN: same, restricted to an allow TABLE of doc ids
     reg("ann_lake_search_filtered") { es =>
