@@ -654,6 +654,19 @@ object PipelineSql {
           graft.sources.VersionedLake.manifestEntries(dir, v).size.toLong))
       }
     }
+    // one tranche of the packed-dataset lake: pack the named table's
+    // documents from the carried token offset and append the slices
+    regDeferred("pack_lake_append",
+      StructType(Seq(StructField("committed_version", LongType)))) { es =>
+      argc("pack_lake_append", es, 5)
+      val src = table("pack_lake_append", es(0))
+      val id = str("pack_lake_append", es(1), "id column")
+      val tokens = expr(str("pack_lake_append", es(2), "tokens expression"))
+      val seqLen = long("pack_lake_append", es(3), "sequence length")
+      val dir = str("pack_lake_append", es(4), "pack lake directory")
+      () => Seq(Seq(graft.operators.Loader.packedLakeAppend(
+        src, id, tokens, seqLen, dir).toLong))
+    }
 
     reg("exact_substring_scrub") { es =>
       argc("exact_substring_scrub", es, 4)

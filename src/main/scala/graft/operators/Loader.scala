@@ -91,6 +91,113 @@ object Loader {
       (sliceEnd - sliceStart).as("len"))
   }
 
+  /** [[packSequences]] with the global token stream STARTING at
+    * `tokenBase` — the tranche form: a batch of new documents packs
+    * into sequences that continue exactly where the previous tranche's
+    * stream ended (a trailing partial sequence is FILLED by the next
+    * tranche, positions continuing mid-sequence). Shuffle order is
+    * per-tranche: production packed datasets are append-only, so new
+    * documents never re-deal earlier tranches' layout. */
+  def packSequencesFrom(docs: DataFrame, id: String, tokens: Column,
+      seqLen: Long, tokenBase: Long): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive, got $seqLen")
+    require(tokenBase >= 0, s"tokenBase must be >= 0, got $tokenBase")
+    val L = lit(seqLen)
+    val g = shuffleOffsets(docs, id, tokens)
+      .withColumn("g0", col("gstart") + lit(tokenBase))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("g0") / seqLen.toDouble).cast("long"),
+        floor((col("g0") + col("tokens") - 1) / seqLen.toDouble).cast("long"))))
+    val sliceStart = greatest(col("g0"), col("seq_id") * L)
+    val sliceEnd = least(col("g0") + col("tokens"), (col("seq_id") + 1) * L)
+    g.select(
+      col("doc_id"), col("seq_id"),
+      (sliceStart - col("seq_id") * L).as("seq_pos"),
+      (sliceStart - col("g0")).as("doc_off"),
+      (sliceEnd - sliceStart).as("len"))
+  }
+
+  /** The packed dataset AS A GROWING LAKE: each tranche of new
+    * documents appends its slice map to a versioned lake, continuing
+    * the token stream where the last tranche ended — the production
+    * loader shape, where training shards are append-only and a new
+    * crawl tranche never rewrites (or re-deals) what earlier epochs
+    * already trained on. Slices partition by sequence BLOCK
+    * (seq_id / blockSize), so a trainer asking for a sequence range
+    * opens only its blocks' files.
+    *
+    * The continuation offset is read from the lake itself — the MAX
+    * block partition's last sequence end — which manifest partition
+    * pruning makes an O(one partition) read, not a scan; no side
+    * ledger to drift. `batchId` arms the lake's replay watermark:
+    * re-delivering a crashed tranche is a no-op (exactly-once), the
+    * [[graft.sources.VersionedLake]] discipline. Returns the committed
+    * version (unchanged for an empty or replayed tranche).
+    *
+    * Earlier tranches' slices are IMMUTABLE by construction — a new
+    * tranche can only add rows to the tail sequence's partition, never
+    * change committed (doc, seq, pos) rows; LoaderSpec pins that. */
+  def packedLakeAppend(docs: DataFrame, id: String, tokens: Column,
+      seqLen: Long, lakeDir: String, batchId: Option[Long] = None,
+      blockSize: Long = 256L): Int = {
+    import graft.sources.VersionedLake
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val spark = docs.sparkSession
+    val exists = VersionedLake.currentVersion(lakeDir) >= 1
+    if (exists &&
+      batchId.exists(_ <= VersionedLake.committedBatchId(lakeDir))) {
+      return VersionedLake.currentVersion(lakeDir)
+    }
+    val tokenBase: Long = if (!exists) 0L else {
+      val v = VersionedLake.currentVersion(lakeDir)
+      val blocks = VersionedLake.manifestEntries(lakeDir, v).map(_.partition)
+      if (blocks.isEmpty) 0L else {
+        val last = blocks.map(_.toLong).max.toString
+        VersionedLake.read(spark, lakeDir, Some(v), partitions = Some(Seq(last)))
+          .agg(max(col("seq_id") * seqLen + col("seq_pos") + col("len")))
+          .head().getLong(0)
+      }
+    }
+    val slices = packSequencesFrom(docs, id, tokens, seqLen, tokenBase)
+      .withColumn("block", floor(col("seq_id") / blockSize.toDouble)
+        .cast("long").cast("string"))
+    if (slices.isEmpty) {
+      if (exists) VersionedLake.currentVersion(lakeDir) else 0
+    } else if (!exists) {
+      VersionedLake.create(slices, lakeDir, "block",
+        props = Map("seq_len" -> seqLen.toString,
+          "block_size" -> blockSize.toString))
+      VersionedLake.currentVersion(lakeDir)
+    } else {
+      VersionedLake.requireProps(lakeDir,
+        Map("seq_len" -> seqLen.toString, "block_size" -> blockSize.toString))
+      VersionedLake.append(slices, lakeDir, "block", batchId)
+      VersionedLake.currentVersion(lakeDir)
+    }
+  }
+
+  /** Drive [[packedLakeAppend]] from a STREAM of documents — packing
+    * at ingest: each micro-batch is one tranche, landing exactly-once
+    * (the batch id arms the replay watermark; a crashed tick
+    * re-delivers into a no-op). */
+  def packStream(stream: DataFrame, id: String, tokensExpr: String,
+      seqLen: Long, lakeDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "Loader.packStream expects a streaming DataFrame")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        packedLakeAppend(b.toDF(), id, expr(tokensExpr), seqLen, lakeDir,
+          batchId = Some(batchId))
+        ()
+      }
+      .start()
+  }
+
   /** Per-EPOCH reshuffle into loader shards: every epoch re-deals the
     * corpus into `shards` deterministic shards and orders each shard
     * internally — the "reshuffle every epoch" a trainer expects,

@@ -2360,7 +2360,70 @@ object TextQueries {
            |         ORDER BY ok, doc_id) - 1 AS BIGINT) AS pos,
            |       doc_id
            |FROM k ORDER BY epoch, shard_id, pos""".stripMargin
-      })
+      }),
+
+    // Loader 3: the packed dataset AS A GROWING LAKE — two tranches of
+    // the corpus appended in turn, the second continuing the token
+    // stream exactly where the first ended (the trailing partial
+    // sequence is FILLED, not padded; earlier slices never rewritten —
+    // LoaderSpec pins immutability and exactly-once replay). The gate
+    // hashes the whole lake's slice map against an oracle that packs
+    // tranche 1's stream then tranche 2's at the carried offset —
+    // continuation, block partitioning, and the manifest-pruned offset
+    // read all land in one hash.
+    QDef(
+      "x_pack_incremental",
+      (s, dir) => {
+        val lake = {
+          val out = Fixtures.dir("pack_lake", dir) { o =>
+            val d = Tables.documents(s, dir).select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("tokens"))
+            graft.operators.Loader.packedLakeAppend(
+              d.filter(col("doc_id") % 2 === 0), "doc_id", col("tokens"),
+              1024L, s"$o/lake", batchId = Some(0L))
+            graft.operators.Loader.packedLakeAppend(
+              d.filter(col("doc_id") % 2 =!= 0), "doc_id", col("tokens"),
+              1024L, s"$o/lake", batchId = Some(1L))
+          }
+          s"$out/lake"
+        }
+        graft.sources.VersionedLake.read(s, lake)
+          .select(col("doc_id"), col("seq_id"), col("seq_pos"),
+            col("doc_off"), col("len"))
+          .orderBy(col("seq_id"), col("seq_pos"), col("doc_id"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+          |         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sk,
+          |         doc_id % 2 AS tr
+          |  FROM documents
+          |  WHERE len(string_split(text, ' ')) > 0
+          |), c AS (
+          |  SELECT doc_id, tokens, tr,
+          |         sum(tokens) OVER (PARTITION BY tr ORDER BY sk, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS lstart
+          |  FROM t
+          |), tot AS (
+          |  SELECT CAST(coalesce(sum(tokens), 0) AS BIGINT) AS t0 FROM t WHERE tr = 0
+          |), g AS (
+          |  SELECT doc_id, tokens,
+          |         lstart + CASE WHEN tr = 1 THEN t0 ELSE 0 END AS g0
+          |  FROM c, tot
+          |), e AS (
+          |  SELECT doc_id, tokens, g0,
+          |         unnest(generate_series(
+          |           CAST(floor(g0 / 1024.0) AS BIGINT),
+          |           CAST(floor((g0 + tokens - 1) / 1024.0) AS BIGINT))) AS seq_id
+          |  FROM g
+          |)
+          |SELECT doc_id, seq_id,
+          |       CAST(greatest(g0, seq_id * 1024) - seq_id * 1024 AS BIGINT) AS seq_pos,
+          |       CAST(greatest(g0, seq_id * 1024) - g0 AS BIGINT) AS doc_off,
+          |       CAST(least(g0 + tokens, (seq_id + 1) * 1024)
+          |            - greatest(g0, seq_id * 1024) AS BIGINT) AS len
+          |FROM e ORDER BY seq_id, seq_pos, doc_id""".stripMargin))
   )
 
   /** DuckDB replay of the full pHash pipeline, shared by the

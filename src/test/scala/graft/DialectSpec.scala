@@ -719,5 +719,15 @@ class DialectSpec extends SparkSpec {
       "executing ann_rotate must swap the handle")
     // the old index survives the rotation (retire is a LATER tick)
     assert(new java.io.File(s"$live/vectors").isDirectory)
+    // pack_lake_append defers the same way: EXPLAIN packs nothing
+    val pbase = java.nio.file.Files.createTempDirectory("tvf_defer_pack").toString
+    Tables.documents(spark, sf("sf0.001")).limit(40)
+      .createOrReplaceTempView("tvf_pack_docs")
+    val pack = "SELECT * FROM pack_lake_append('tvf_pack_docs', 'doc_id', " +
+      s"'CAST(size(split(text, \" \")) AS BIGINT)', 512, '$pbase/lake')"
+    spark.sql(s"EXPLAIN $pack").collect()
+    assert(!new java.io.File(s"$pbase/lake").exists(), "EXPLAIN must not pack")
+    assert(spark.sql(pack).head().getLong(0) == 1L)
+    assert(graft.sources.VersionedLake.currentVersion(s"$pbase/lake") == 1)
   }
 }

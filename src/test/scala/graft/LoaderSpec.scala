@@ -68,6 +68,79 @@ class LoaderSpec extends SparkSpec {
     assert(s2.count() == slices.length)
   }
 
+  test("packedLakeAppend: tranches continue the stream, earlier slices immutable, replay no-op, props guarded") {
+    import graft.sources.VersionedLake
+    val L = 100L
+    val dir = java.nio.file.Files.createTempDirectory("graft_packlake").toString + "/lake"
+    val docs = corpus(200, 150)
+    val t1 = docs.filter(col("doc_id") % 2 === 0)
+    val t2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val v1 = graft.operators.Loader.packedLakeAppend(
+      t1, "doc_id", col("tokens"), L, dir, batchId = Some(0L))
+    assert(v1 == 1)
+    val snap1 = VersionedLake.read(spark, dir, Some(1))
+      .collect().map(_.toSeq).toSet
+    val total1 = t1.agg(sum("tokens")).as[Long].head()
+    // tranche 1 alone == the one-shot packing of tranche 1
+    val oneShot = graft.operators.Loader.packSequences(t1, "doc_id", col("tokens"), L)
+      .collect().map(_.toSeq).toSet
+    assert(snap1.map(_.dropRight(1)) == oneShot) // minus the block column
+    val v2 = graft.operators.Loader.packedLakeAppend(
+      t2, "doc_id", col("tokens"), L, dir, batchId = Some(1L))
+    assert(v2 == 2)
+    // tranche 2's first token lands EXACTLY at tranche 1's total —
+    // the trailing partial sequence is continued, not padded
+    val t2starts = VersionedLake.read(spark, dir)
+      .join(t2.select(col("doc_id")), "doc_id")
+      .select((col("seq_id") * L + col("seq_pos")).as("g"))
+      .agg(min(col("g"))).as[Long].head()
+    assert(t2starts == total1, s"tranche 2 starts at $t2starts, want $total1")
+    // earlier slices are immutable: v1 re-reads identically, and v2 is
+    // a strict superset (append-only layout)
+    assert(VersionedLake.read(spark, dir, Some(1))
+      .collect().map(_.toSeq).toSet == snap1)
+    val snap2 = VersionedLake.read(spark, dir).collect().map(_.toSeq).toSet
+    assert(snap1.subsetOf(snap2) && snap2.size > snap1.size)
+    // no token lost across the whole lake
+    val lakeTokens = VersionedLake.read(spark, dir)
+      .agg(sum("len")).as[Long].head()
+    assert(lakeTokens == docs.agg(sum("tokens")).as[Long].head())
+    // replayed tranche is a no-op
+    assert(graft.operators.Loader.packedLakeAppend(
+      t2, "doc_id", col("tokens"), L, dir, batchId = Some(1L)) == 2)
+    assert(VersionedLake.read(spark, dir).count() == snap2.size)
+    // a different seqLen against the same lake is refused loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Loader.packedLakeAppend(
+        t2, "doc_id", col("tokens"), 64L, dir, batchId = Some(2L))
+    }
+  }
+
+  test("packStream: micro-batches pack exactly-once; restart replays into a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.VersionedLake
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_packstream").toString
+    // AvailableNow snapshots the source at START: add each tranche,
+    // then run one stream to termination (the indexStream idiom)
+    val ms = MemoryStream[(Long, Int)]
+    def tick(): Unit = graft.operators.Loader.packStream(
+      ms.toDF().toDF("doc_id", "tokens"), "doc_id", "tokens", 100L,
+      s"$dir/lake", s"$dir/ckpt").awaitTermination()
+    ms.addData((0 until 50).map(i => (i.toLong, 30)): _*)
+    tick()
+    ms.addData((50 until 80).map(i => (i.toLong, 45)): _*)
+    tick()
+    val got = VersionedLake.read(spark, s"$dir/lake")
+      .agg(sum("len")).as[Long].head()
+    assert(got == 50L * 30 + 30L * 45)
+    // restart over the same checkpoint replays nothing
+    tick()
+    assert(VersionedLake.read(spark, s"$dir/lake")
+      .agg(sum("len")).as[Long].head() == got)
+  }
+
   test("epochShuffle: replay-identical within an epoch, different across epochs, dense per-shard positions") {
     val docs = corpus(500, 10).select("doc_id")
     def layout(epoch: Int) = Loader.epochShuffle(docs, "doc_id", epoch, shards = 8)
