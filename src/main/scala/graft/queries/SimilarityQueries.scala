@@ -194,8 +194,9 @@ object SimilarityQueries {
     * values.
     */
   private def pqAdcOracle(k: Int, m: Int, ksub: Int, dim: Int, iters: Int,
-      trainPred: Option[String] = None): String =
-    pqAdcRankedCtes(m, ksub, dim, iters, trainPred) +
+      trainPred: Option[String] = None,
+      allowPred: Option[String] = None): String =
+    pqAdcRankedCtes(m, ksub, dim, iters, trainPred, allowPred) +
       s"""
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
          |FROM ranked WHERE rank <= $k
@@ -237,7 +238,8 @@ object SimilarityQueries {
     * the original full-training replay (codes = last round's
     * assignment) is preserved byte-for-byte. */
   private def pqAdcRankedCtes(m: Int, ksub: Int, dim: Int, iters: Int,
-      trainPred: Option[String] = None): String = {
+      trainPred: Option[String] = None,
+      allowPred: Option[String] = None): String = {
     val dsub = dim / m
     val trainSrc = trainPred
       .map(p => s"(SELECT * FROM subs WHERE $p)").getOrElse("subs")
@@ -301,7 +303,7 @@ object SimilarityQueries {
        |  SELECT d.query_id, a.doc AS neighbor_id,
        |         CAST(sum(d.sdist) AS BIGINT) AS adist
        |  FROM $codesSrc a JOIN dtab d ON a.m = d.m AND a.cell = d.cell
-       |  WHERE a.doc <> d.query_id
+       |  WHERE a.doc <> d.query_id${allowPred.map(p => s" AND ($p)").getOrElse("")}
        |  GROUP BY d.query_id, a.doc
        |), ranked AS (
        |  SELECT query_id, neighbor_id, adist,
@@ -688,6 +690,33 @@ object SimilarityQueries {
       },
       Some(pqRefineOracle(10, refine = 3, m = 8, ksub = 16, dim = 64,
         iters = 3, trainPred = Some("doc % 2 = 0")))),
+
+    // Filtered search over the code lake: the allow table semi-joins
+    // the probed CODES before ranking, so k fills from allowed docs
+    // only — the s28_ann_filtered guarantee carried to the compressed
+    // index. At full probe the result is exactly the ADC ranking over
+    // the allowed corpus, which the oracle replays as a predicate on
+    // the encoded docs.
+    QDef(
+      "s34_ann_lake_pq_filtered",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_pq", dir) { o =>
+          graft.sources.AnnLake.createPq(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", s"$o/lake", nlist = 8, m = 8, ksub = 16,
+            dim = 64, itersPq = 3)
+          graft.sources.AnnLake.appendPq(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", s"$o/lake", batchId = Some(0L))
+        }
+        val allow = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("allowed_id"))
+        graft.sources.AnnLake.searchPqFiltered(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/lake", k = 10, nprobe = 8, allow = allow)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqAdcOracle(10, m = 8, ksub = 16, dim = 64, iters = 3,
+        trainPred = Some("doc % 2 = 0"),
+        allowPred = Some("a.doc % 3 = 0")))),
 
     // IVF's exactness property as a HASH gate: at nprobe = nlist every
     // cell is probed, so the index must reproduce brute-force cosine

@@ -264,6 +264,24 @@ object AnnLake {
       spark.read.parquet(booksDir(root)))
   }
 
+  /** FILTERED ADC search — the PQ-lake twin of [[searchFiltered]]:
+    * `allow`'s first column names the allowed doc ids, semi-joined
+    * against the probed CODES before ranking, so k fills from allowed
+    * docs only (a post-filter would under-fill whenever the filter is
+    * selective). At full probe this is exactly the ADC ranking over
+    * the allowed corpus (gate s34). */
+  def searchPqFiltered(spark: SparkSession, queries: DataFrame, id: String,
+      vec: String, lakeDir: String, k: Int, nprobe: Int, allow: DataFrame,
+      version: Option[Int] = None): DataFrame = {
+    val root = resolved(lakeDir)
+    val (m, _, dim) = pqParams(root)
+    val codes = probedCodes(spark, queries, id, vec, root, nprobe, version)
+      .join(allow.select(col(allow.columns.head).as("doc")).distinct(),
+        Seq("doc"), "left_semi")
+    Similarity.pqSearchAdc(queries, id, vec, k, m, dim, codes,
+      spark.read.parquet(booksDir(root)))
+  }
+
   private def pqParams(root: String): (Int, Int, Int) = {
     val props = VersionedLake.tableProps(vectorsDir(root))
     def p(k: String): Int = props.getOrElse(k,

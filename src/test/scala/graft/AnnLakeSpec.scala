@@ -94,6 +94,13 @@ class AnnLakeSpec extends SparkSpec {
         k = 10, nprobe = 8)
     }
     assert(e.getMessage.contains("not a PQ index lake"))
+    // filtered form fills k from ALLOWED docs only (no under-fill):
+    // a 1-in-5 filter still returns k rows per query, all allowed
+    val allow = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    val filt = AnnLake.searchPqFiltered(spark, queries, "vec_id", "embedding",
+      r, k = 10, nprobe = 8, allow = allow).collect()
+    assert(filt.length == 30)
+    assert(filt.forall(_.getLong(2) % 5 == 0))
     // TVF parity
     graft.functions.PipelineSql.register(spark)
     queries.createOrReplaceTempView("annpq_q")

@@ -512,6 +512,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("loader packing: two-level prefix sum — no cartesian, offsets side broadcast, no global window") {
+    val p = plan("x_pack_sequences")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the 256-row bucket-offset side rides a broadcast, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only single-task window is the bounded offsets fold: every
+    // Window must carry a partition key (the corpus-side windows
+    // partition by bucket; the offsets side by the explicit pmod)
+    assert(!p.contains("windowspecdefinition()"), p)
+    // the incremental gate reads its PREBUILT slice lake — the plan to
+    // pin there is the pure partition-pruned scan (packing's own shape
+    // is the x_pack_sequences plan above, same code path)
+    val pi = plan("x_pack_incremental")
+    assert(!pi.contains("CartesianProduct") && !pi.contains("Exchange hash"), pi)
+  }
+
+  test("epoch shuffle: per-shard windows only, no corpus-wide single-partition exchange") {
+    val p = plan("x_epoch_shuffle")
+    assert(!p.contains("CartesianProduct"), p)
+    // row_number partitions by shard_id — a windowspec with no
+    // partition key would collapse the corpus into one task
+    assert(!p.contains("windowspecdefinition()") &&
+      p.contains("windowspecdefinition(shard_id"), p)
+  }
+
+  test("PQ lake search: codes ride one broadcast-joined distance table; no corpus-sized nested loop") {
+    val p = plan("s32_ann_lake_pq")
+    assert(!p.contains("CartesianProduct"), p)
+    // dtab (queries × m × ksub) broadcasts against the code scan; the
+    // only nested-loop broadcast allowed is the bounded centroid probe
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("retrieval metrics: judgment-sized joins only — no corpus-sized exchange beyond the run") {
     val p = plan("x_retrieval_eval")
     assert(!p.contains("CartesianProduct"), p)
