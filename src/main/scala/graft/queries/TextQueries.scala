@@ -2423,7 +2423,80 @@ object TextQueries {
           |       CAST(greatest(g0, seq_id * 1024) - g0 AS BIGINT) AS doc_off,
           |       CAST(least(g0 + tokens, (seq_id + 1) * 1024)
           |            - greatest(g0, seq_id * 1024) AS BIGINT) AS len
-          |FROM e ORDER BY seq_id, seq_pos, doc_id""".stripMargin))
+          |FROM e ORDER BY seq_id, seq_pos, doc_id""".stripMargin)),
+
+    // Loader 4: ONE EPOCH of training data end to end — quality floor
+    // (≥30 tokens), per-language mixture weights (en upsampled ×1.5 via
+    // the md5-uniform fractional draw), replication into per-copy
+    // rows, and concat-and-chunk packing of the replicated stream into
+    // 1,024-token sequences. Every stage is the deterministic operator
+    // the standalone gates pin; this gate hashes their COMPOSITION —
+    // the full slice map a trainer would consume — against an oracle
+    // that replays filter → weights → copies → global cumsum in closed
+    // form. The x_curation_pipeline of the loader side.
+    QDef(
+      "x_loader_epoch",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("tokens"))
+          .filter(col("tokens") >= 30)
+        val mix = graft.operators.Curation.mixtureSample(d, "doc_id", "lang",
+          Map("en" -> 1.5, "de" -> 1.0, "es" -> 0.75, "fr" -> 0.5, "zh" -> 0.25))
+        // one row per kept copy; replica ids pack into doc_id × 4 + copy
+        // (weights < 4, so the id space never collides)
+        val replicas = mix.filter(col("n_copies") > 0)
+          .join(d.select(col("doc_id"), col("tokens")), "doc_id")
+          .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+          .select((col("doc_id") * 4 + col("copy")).as("rep_id"), col("tokens"))
+        graft.operators.Loader.packSequences(replicas, "rep_id",
+          col("tokens"), seqLen = 1024L)
+          .orderBy(col("seq_id"), col("seq_pos"), col("doc_id"))
+      },
+      Some {
+        val u = mdUniformSql("'mix:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH d AS (
+           |  SELECT doc_id, lang,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 30
+           |), mix AS (
+           |  SELECT doc_id, tokens,
+           |         CAST(CASE lang
+           |                WHEN 'en' THEN 1 + (CASE WHEN $u < 0.5 THEN 1 ELSE 0 END)
+           |                WHEN 'de' THEN 1
+           |                WHEN 'es' THEN (CASE WHEN $u < 0.75 THEN 1 ELSE 0 END)
+           |                WHEN 'fr' THEN (CASE WHEN $u < 0.5 THEN 1 ELSE 0 END)
+           |                WHEN 'zh' THEN (CASE WHEN $u < 0.25 THEN 1 ELSE 0 END)
+           |                ELSE 1 END AS BIGINT) AS n_copies
+           |  FROM d
+           |), rep AS (
+           |  SELECT doc_id * 4 + unnest(generate_series(0, n_copies - 1)) AS rep_id,
+           |         tokens
+           |  FROM mix WHERE n_copies > 0
+           |), t AS (
+           |  SELECT rep_id, tokens,
+           |         md5('shuffle:' || CAST(rep_id AS VARCHAR)) AS sk
+           |  FROM rep WHERE tokens > 0
+           |), c AS (
+           |  SELECT rep_id, tokens,
+           |         sum(tokens) OVER (ORDER BY sk, rep_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS gstart
+           |  FROM t
+           |), e AS (
+           |  SELECT rep_id, tokens, gstart,
+           |         unnest(generate_series(
+           |           CAST(floor(gstart / 1024.0) AS BIGINT),
+           |           CAST(floor((gstart + tokens - 1) / 1024.0) AS BIGINT))) AS seq_id
+           |  FROM c
+           |)
+           |SELECT rep_id AS doc_id, seq_id,
+           |       CAST(greatest(gstart, seq_id * 1024) - seq_id * 1024 AS BIGINT) AS seq_pos,
+           |       CAST(greatest(gstart, seq_id * 1024) - gstart AS BIGINT) AS doc_off,
+           |       CAST(least(gstart + tokens, (seq_id + 1) * 1024)
+           |            - greatest(gstart, seq_id * 1024) AS BIGINT) AS len
+           |FROM e ORDER BY seq_id, seq_pos, doc_id""".stripMargin
+      })
   )
 
   /** DuckDB replay of the full pHash pipeline, shared by the
