@@ -144,6 +144,9 @@ object PipelineSql {
     // zone-map file skipping for range predicates over lake scans —
     // planner-automatic (the read_range TVF stays the explicit form)
     graft.plans.ZoneMapPrune.install(spark)
+    // COUNT(*) over a lake scan answered from the manifest's recorded
+    // row counts (the lake_row_count TVF stays the explicit form)
+    graft.plans.LakeCountFromManifest.install(spark)
     def regDeferred(name: String, schema: org.apache.spark.sql.types.StructType)(
         builder: Seq[Expression] => () => Seq[Seq[Any]]): Unit =
       registerTableFunction(spark, name,

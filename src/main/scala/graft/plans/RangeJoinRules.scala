@@ -159,6 +159,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(sp => RangeJoinBinRewrite(sp))
     ext.injectOptimizerRule(sp => ZoneMapPrune(sp))
+    ext.injectOptimizerRule(sp => LakeCountFromManifest(sp))
     // plans the deferred-effect leaf the side-effecting maintenance
     // TVFs build (PipelineSql.register also installs it live)
     ext.injectPlannerStrategy(_ => DeferredEffect.Strategy)

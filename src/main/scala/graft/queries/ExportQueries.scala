@@ -705,6 +705,40 @@ object ExportQueries {
           |WHERE value >= 40.0 AND value <= 120.0
           |GROUP BY event_date ORDER BY event_date""".stripMargin)),
 
+    // COUNT(*) answered from the MANIFEST's recorded per-file row
+    // counts — the LakeCountFromManifest optimizer rule (the planner
+    // half of lake_row_count, the way ZoneMapPrune is read_range's).
+    // Both versions' bare counts take the metadata path (PlanSpec pins
+    // the scan-free plan); the third leg filters, which the rule must
+    // NOT touch — its count comes from the real scan, and all three
+    // hash against the oracle's recompute. A manifest row count that
+    // drifted from the data would split the legs apart here.
+    QDef(
+      "q_sql_count_meta",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        graft.functions.PipelineSql.register(s)
+        def bare(v: Int) = s.sql(
+          s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows
+             |FROM time_travel('$lake', $v)""".stripMargin)
+        val filtered = s.sql(
+          s"""SELECT CAST(3 AS BIGINT) AS version, count(*) AS n_rows
+             |FROM time_travel('$lake', 2)
+             |WHERE value >= 40.0 AND value <= 120.0""".stripMargin)
+        bare(1).unionByName(bare(2)).unionByName(filtered)
+          .orderBy(col("version"))
+      },
+      Some(mergedCtes +
+        """
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows FROM ev
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), count(*) FROM merged
+          |  UNION ALL
+          |  SELECT CAST(3 AS BIGINT), count(*) FROM merged
+          |  WHERE value >= 40.0 AND value <= 120.0)
+          |ORDER BY version""".stripMargin)),
+
     // Lake maintenance 8: small-file COMPACTION committed as a version
     // under optimistic concurrency. The fixture leaves the lake the way
     // a streaming sink does (two multi-file commits fragment every date

@@ -478,6 +478,46 @@ class PlanSpec extends SparkSpec {
       s"IN-list envelope must prune: ${scannedFiles(inQ).length} vs $all")
   }
 
+  test("count-from-manifest: a bare COUNT(*) over a lake plans NO scan; filters and count(col) keep it") {
+    import spark.implicits._
+    import graft.sources.VersionedLake
+    graft.plans.LakeCountFromManifest.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmeta").toString + "/lake"
+    VersionedLake.create((0 until 25).map(i =>
+      (i.toLong, if (i % 5 == 0) null else s"n$i", s"p${i % 3}"))
+      .toDF("v", "name", "part"), dir, "part")
+    VersionedLake.append((25 until 40).map(i => (i.toLong, s"n$i", s"p${i % 3}"))
+      .toDF("v", "name", "part"), dir, "part")
+    def hasScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("FileScan")
+    val bare = VersionedLake.read(spark, dir).groupBy().count()
+    assert(!hasScan(bare), bare.queryExecution.executedPlan.toString)
+    assert(bare.head().getLong(0) == 40L)
+    // a PARTITION-pruned read still answers from its files' entries
+    val pruned = VersionedLake.read(spark, dir, None, partitions = Some(Seq("p0")))
+      .groupBy().count()
+    assert(!hasScan(pruned))
+    assert(pruned.head().getLong(0) == 14L)
+    // filters must scan (the count depends on rows, not files)
+    val filtered = VersionedLake.read(spark, dir).filter(col("v") >= 10)
+      .groupBy().count()
+    assert(hasScan(filtered))
+    assert(filtered.head().getLong(0) == 30L)
+    // count(col) is null-sensitive — never rewritten
+    val nullSensitive = VersionedLake.read(spark, dir)
+      .agg(org.apache.spark.sql.functions.count(col("name")))
+    assert(hasScan(nullSensitive))
+    assert(nullSensitive.head().getLong(0) == 35L)
+    // the off switch restores the scan
+    spark.conf.set(graft.plans.LakeCountFromManifest.EnabledKey, "false")
+    try assert(hasScan(VersionedLake.read(spark, dir).groupBy().count()))
+    finally spark.conf.unset(graft.plans.LakeCountFromManifest.EnabledKey)
+    // SQL text through time_travel takes the same metadata path
+    graft.functions.PipelineSql.register(spark)
+    val sqlCount = spark.sql(s"SELECT count(*) AS n FROM time_travel('$dir', 2)")
+    assert(!hasScan(sqlCount) && sqlCount.head().getLong(0) == 40L)
+  }
+
   test("zone-map prune never changes rows: randomized interval sweep, rule on vs off") {
     import spark.implicits._
     import graft.sources.VersionedLake
