@@ -920,6 +920,15 @@ object PipelineSql {
         text = str("phrase_search", es(2), "text column"),
         phrase = str("phrase_search", es(3), "phrase"))
     }
+    reg("proximity_search") { es =>
+      argc("proximity_search", es, 5)
+      graft.operators.TextSearch.proximitySearch(
+        table("proximity_search", es(0)),
+        id = str("proximity_search", es(1), "id column"),
+        text = str("proximity_search", es(2), "text column"),
+        phrase = str("proximity_search", es(3), "phrase"),
+        slop = int("proximity_search", es(4), "slop"))
+    }
     // retrieval evaluation: ('<run table (query_id, rank, doc_id)>',
     // '<qrels table (query_id, doc_id)>', k) — per-query hits/recall@k
     // and the reciprocal-rank MRR term

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,6 +248,67 @@ object TextSearch {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"),
         min(col("anchor")).cast("long").as("first_pos"))
+  }
+
+  /** ORDERED PROXIMITY ("sloppy phrase") search: a document matches
+    * when the phrase's words occur IN ORDER with total token span
+    * ≤ len + slop — the loose matching decontamination review and
+    * search both need where exact contiguity ([[phraseSearch]]) is too
+    * strict. slop = 0 degenerates to the exact phrase (spec-pinned
+    * equivalence).
+    *
+    * Semantics are exact, not heuristic: for each occurrence p0 of the
+    * first word, each later word greedily takes its SMALLEST position
+    * after the previous one — the tightest chain from that start — and
+    * the chain matches iff its span fits the window. Greedy-min is
+    * optimal per start (any valid chain from p0 ends no earlier), so
+    * "exists a window" is decided exactly.
+    *
+    * 100 TB shape: documents pre-filter to those containing ALL words
+    * (the per-slot aggregation drops everything else), and the chain
+    * fold is higher-order-function expressions over the doc's OWN
+    * occurrence lists — per-doc work is |occurrences(w0)| × k bounded
+    * list scans, never tokens², never a UDF, never corpus state.
+    * Returns (doc_id, n_windows, first_start, min_span_tokens). */
+  def proximitySearch(docs: DataFrame, id: String, text: String,
+      phrase: String, slop: Int): DataFrame = {
+    val words = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(words.nonEmpty, "proximitySearch needs a non-empty phrase")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val k = words.length
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = words.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("slot", "term")
+    val perSlot = docs
+      .select(col(id).as("doc_id"),
+        posexplode(split(col(text), " ")).as(Seq("p", "term")))
+      .join(broadcast(slots), "term")
+      .groupBy(col("doc_id"), col("slot"))
+      .agg(sort_array(collect_list(col("p").cast("long"))).as("ps"))
+    val byDoc = perSlot.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("ps"))))
+        .as("m"))
+      .filter(size(col("m")) === k)
+    // greedy minimal chain per occurrence of the first word; a missing
+    // step yields null and null propagates through the later filters
+    def step(acc: Column, i: Int): Column =
+      try_element_at(filter(element_at(col("m"), lit(i)), x => x > acc), lit(1))
+    val chains = transform(element_at(col("m"), lit(0)),
+      p0 => struct(p0.as("p0"), (1 until k).foldLeft(p0)(step).as("e")))
+    val lim = (k - 1 + slop).toLong
+    byDoc
+      .withColumn("_c", filter(chains,
+        c => c.getField("e").isNotNull &&
+          c.getField("e") - c.getField("p0") <= lim))
+      .filter(size(col("_c")) > 0)
+      .select(col("doc_id"),
+        size(col("_c")).cast("long").as("n_windows"),
+        aggregate(col("_c"), lit(Long.MaxValue),
+          (b, c) => least(b, c.getField("p0"))).as("first_start"),
+        aggregate(col("_c"), lit(Long.MaxValue),
+          (b, c) => least(b, c.getField("e") - c.getField("p0") + 1))
+          .as("min_span_tokens"))
   }
 
   /** Search-result HIGHLIGHTING: per document, the merged ±`window`

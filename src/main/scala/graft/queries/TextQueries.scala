@@ -687,6 +687,58 @@ object TextQueries {
       },
       Some(phraseOracleSql)),
 
+    // ORDERED PROXIMITY over the same phrase: the words in order
+    // within a len+slop token window (slop 2), decided by the exact
+    // greedy-minimal chain per start — the loose matching
+    // decontamination review needs where contiguity is too strict.
+    // Window counts, first starts, and tightest spans are exact
+    // integers; the oracle unrolls the same greedy fold per slot, so
+    // one wrong chain step anywhere in the corpus is a hash mismatch.
+    QDef(
+      "x_proximity_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val phrase = docs.orderBy(col("doc_id")).limit(1)
+          .select(array_join(slice(split(col("text"), " "), 1, 3), " "))
+          .head().getString(0)
+        graft.operators.TextSearch.proximitySearch(
+          docs, "doc_id", "text", phrase, slop = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH pw AS (
+          |  SELECT i - 1 AS slot, w[i] AS term
+          |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+          |        WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+          |       UNNEST(generate_series(1, 3)) t(i)
+          |), toks AS (
+          |  SELECT doc_id, i - 1 AS p, w[i] AS term
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |       UNNEST(generate_series(1, len(w))) t(i)
+          |), slotlists AS (
+          |  SELECT t.doc_id, pw.slot, list(t.p ORDER BY t.p) AS ps
+          |  FROM toks t JOIN pw ON t.term = pw.term
+          |  GROUP BY t.doc_id, pw.slot
+          |), m AS (
+          |  SELECT doc_id,
+          |         any_value(ps) FILTER (WHERE slot = 0) AS ps0,
+          |         any_value(ps) FILTER (WHERE slot = 1) AS ps1,
+          |         any_value(ps) FILTER (WHERE slot = 2) AS ps2
+          |  FROM slotlists GROUP BY doc_id HAVING count(*) = 3
+          |), chains AS (
+          |  SELECT doc_id, p0,
+          |         list_filter(ps2, x ->
+          |           x > list_filter(ps1, y -> y > p0)[1])[1] AS e
+          |  FROM m, UNNEST(ps0) u(p0)
+          |), ok AS (
+          |  SELECT doc_id, p0, e FROM chains
+          |  WHERE e IS NOT NULL AND e - p0 <= 4
+          |)
+          |SELECT doc_id, count(*) AS n_windows,
+          |       CAST(min(p0) AS BIGINT) AS first_start,
+          |       CAST(min(e - p0 + 1) AS BIGINT) AS min_span_tokens
+          |FROM ok GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // The same phrase answered from the POSITIONAL POSTINGS LAKE —
     // contiguity from the index alone, reading only the phrase words'
     // partitions (PostingsLakeSpec pins the pruned file set). The

@@ -163,6 +163,46 @@ class TextSearchSpec extends SparkSpec {
       Seq(Seq(1L, 1L, 0L), Seq(2L, 2L, 1L), Seq(6L, 1L, 2L)))
   }
 
+  test("proximitySearch: windowed order, slop-0 ≡ phrase, greedy tightest span, misordered excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york is great"),                // exact phrase, span 2
+      (2L, "new big shiny york"),               // in order, gap 2 → span 4
+      (3L, "york then new"),                    // out of order — never matches
+      (4L, "new a b c d york"),                 // gap 4 → span 6, needs slop ≥ 4
+      (5L, "new york and new also york"))       // two windows at slop ≥ 1
+      .toDF("doc_id", "text")
+    def run(phrase: String, slop: Int) =
+      graft.operators.TextSearch.proximitySearch(docs, "doc_id", "text", phrase, slop)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // slop 0 = exact contiguity
+    assert(run("new york", 0) == Seq((1L, 1L, 0L, 2L), (5L, 1L, 0L, 2L)))
+    // slop 2 admits the gap-2 doc; spans are the greedy-tightest
+    assert(run("new york", 2) ==
+      Seq((1L, 1L, 0L, 2L), (2L, 1L, 0L, 4L), (5L, 2L, 0L, 2L)))
+    // slop 4 admits the gap-4 doc; doc 3 (reversed) never matches
+    assert(run("new york", 4).map(_._1) == Seq(1L, 2L, 4L, 5L))
+    // slop-0 equivalence with phraseSearch on the match set + counts
+    val corpus = Seq(
+      (10L, "a b c a b"), (11L, "b a"), (12L, "a x b a b")).toDF("doc_id", "text")
+    val viaProx = graft.operators.TextSearch
+      .proximitySearch(corpus, "doc_id", "text", "a b", 0)
+      .select(col("doc_id"), col("n_windows"), col("first_start"))
+      .collect().map(_.toSeq).toSet
+    val viaPhrase = graft.operators.TextSearch
+      .phraseSearch(corpus, "doc_id", "text", "a b")
+      .collect().map(_.toSeq).toSet
+    assert(viaProx == viaPhrase)
+    // SQL TVF parity
+    graft.functions.PipelineSql.register(spark)
+    docs.createOrReplaceTempView("prox_docs")
+    assert(spark.sql(
+      "SELECT * FROM proximity_search('prox_docs', 'doc_id', 'text', 'new york', 2) ORDER BY doc_id")
+      .collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, 1L, 0L, 2L), Seq(2L, 1L, 0L, 4L), Seq(5L, 2L, 0L, 2L)))
+  }
+
   test("highlight: span merge, clipping at both ends, disjoint snippets, hit accounting") {
     import spark.implicits._
     val docs = Seq(
