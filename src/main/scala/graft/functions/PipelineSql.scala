@@ -948,6 +948,14 @@ object PipelineSql {
         str("phrase_lake_search", es(0), "postings lake dir"),
         str("phrase_lake_search", es(1), "phrase"))
     }
+    reg("proximity_lake_search") { es =>
+      argc("proximity_lake_search", es, 3)
+      graft.sources.PostingsLake.proximitySearch(
+        org.apache.spark.sql.SparkSession.active,
+        str("proximity_lake_search", es(0), "postings lake dir"),
+        str("proximity_lake_search", es(1), "phrase"),
+        slop = int("proximity_lake_search", es(2), "slop"))
+    }
     // the QUERY-TABLE phrase form over the lake: ('<lake dir>',
     // '<phrases table>', '<phrase id col>', '<phrase text col>')
     reg("phrase_lake_batch") { es =>

@@ -286,6 +286,15 @@ object TextSearch {
       .join(broadcast(slots), "term")
       .groupBy(col("doc_id"), col("slot"))
       .agg(sort_array(collect_list(col("p").cast("long"))).as("ps"))
+    proximityFromSlotLists(perSlot, k, slop)
+  }
+
+  /** The chain-fold half of [[proximitySearch]], over prepared
+    * per-(doc, slot) SORTED position lists — shared with the postings
+    * lake form ([[graft.sources.PostingsLake.proximitySearch]]), whose
+    * positions come from the index instead of a tokenize. */
+  private[graft] def proximityFromSlotLists(perSlot: DataFrame, k: Int,
+      slop: Int): DataFrame = {
     val byDoc = perSlot.groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("slot"), col("ps"))))
         .as("m"))

@@ -705,39 +705,31 @@ object TextQueries {
           docs, "doc_id", "text", phrase, slop = 2)
           .orderBy(col("doc_id"))
       },
-      Some(
-        """WITH pw AS (
-          |  SELECT i - 1 AS slot, w[i] AS term
-          |  FROM (SELECT string_split(text, ' ') AS w FROM documents
-          |        WHERE doc_id = (SELECT min(doc_id) FROM documents)),
-          |       UNNEST(generate_series(1, 3)) t(i)
-          |), toks AS (
-          |  SELECT doc_id, i - 1 AS p, w[i] AS term
-          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-          |       UNNEST(generate_series(1, len(w))) t(i)
-          |), slotlists AS (
-          |  SELECT t.doc_id, pw.slot, list(t.p ORDER BY t.p) AS ps
-          |  FROM toks t JOIN pw ON t.term = pw.term
-          |  GROUP BY t.doc_id, pw.slot
-          |), m AS (
-          |  SELECT doc_id,
-          |         any_value(ps) FILTER (WHERE slot = 0) AS ps0,
-          |         any_value(ps) FILTER (WHERE slot = 1) AS ps1,
-          |         any_value(ps) FILTER (WHERE slot = 2) AS ps2
-          |  FROM slotlists GROUP BY doc_id HAVING count(*) = 3
-          |), chains AS (
-          |  SELECT doc_id, p0,
-          |         list_filter(ps2, x ->
-          |           x > list_filter(ps1, y -> y > p0)[1])[1] AS e
-          |  FROM m, UNNEST(ps0) u(p0)
-          |), ok AS (
-          |  SELECT doc_id, p0, e FROM chains
-          |  WHERE e IS NOT NULL AND e - p0 <= 4
-          |)
-          |SELECT doc_id, count(*) AS n_windows,
-          |       CAST(min(p0) AS BIGINT) AS first_start,
-          |       CAST(min(e - p0 + 1) AS BIGINT) AS min_span_tokens
-          |FROM ok GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(proximityOracleSql)),
+
+    // The same proximity query answered from the POSITIONAL POSTINGS
+    // LAKE — windowed order from the index alone, reading only the
+    // words' partitions, multi-tranche postings flattened before the
+    // shared chain fold. Must hash against the IDENTICAL oracle as the
+    // one-shot x_proximity_search: a position lost or duplicated
+    // anywhere in the ingest/compaction path is a mismatch.
+    QDef(
+      "x_proximity_lake",
+      (s, dir) => {
+        val lake = Fixtures.dir("bm25_lake_incr", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(0L))
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(1L))
+        }
+        val phrase = Tables.documents(s, dir).orderBy(col("doc_id")).limit(1)
+          .select(array_join(slice(split(col("text"), " "), 1, 3), " "))
+          .head().getString(0)
+        graft.sources.PostingsLake.proximitySearch(s, s"$lake/lake", phrase,
+          slop = 2).orderBy(col("doc_id"))
+      },
+      Some(proximityOracleSql)),
 
     // The same phrase answered from the POSITIONAL POSTINGS LAKE —
     // contiguity from the index alone, reading only the phrase words'
@@ -2704,6 +2696,44 @@ object TextQueries {
     * three words of the lowest-id document, each matching token votes
     * anchor = pos − off, and an anchor carrying all three distinct
     * offsets is one contiguous occurrence. */
+  /** Greedy-minimal-chain proximity oracle shared by
+    * x_proximity_search (one-shot tokenize) and x_proximity_lake
+    * (positions from the postings lake): the min-doc 3-word prefix,
+    * slop 2 → window limit k-1+slop = 4. */
+  private val proximityOracleSql: String =
+    """WITH pw AS (
+      |  SELECT i - 1 AS slot, w[i] AS term
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+      |        WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+      |       UNNEST(generate_series(1, 3)) t(i)
+      |), toks AS (
+      |  SELECT doc_id, i - 1 AS p, w[i] AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w))) t(i)
+      |), slotlists AS (
+      |  SELECT t.doc_id, pw.slot, list(t.p ORDER BY t.p) AS ps
+      |  FROM toks t JOIN pw ON t.term = pw.term
+      |  GROUP BY t.doc_id, pw.slot
+      |), m AS (
+      |  SELECT doc_id,
+      |         any_value(ps) FILTER (WHERE slot = 0) AS ps0,
+      |         any_value(ps) FILTER (WHERE slot = 1) AS ps1,
+      |         any_value(ps) FILTER (WHERE slot = 2) AS ps2
+      |  FROM slotlists GROUP BY doc_id HAVING count(*) = 3
+      |), chains AS (
+      |  SELECT doc_id, p0,
+      |         list_filter(ps2, x ->
+      |           x > list_filter(ps1, y -> y > p0)[1])[1] AS e
+      |  FROM m, UNNEST(ps0) u(p0)
+      |), ok AS (
+      |  SELECT doc_id, p0, e FROM chains
+      |  WHERE e IS NOT NULL AND e - p0 <= 4
+      |)
+      |SELECT doc_id, count(*) AS n_windows,
+      |       CAST(min(p0) AS BIGINT) AS first_start,
+      |       CAST(min(e - p0 + 1) AS BIGINT) AS min_span_tokens
+      |FROM ok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val phraseOracleSql: String =
     """WITH pw AS (
       |  SELECT i - 1 AS off, w[i] AS term

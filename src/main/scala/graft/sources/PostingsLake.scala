@@ -386,6 +386,40 @@ object PostingsLake {
         min(col("anchor")).cast("long").as("first_pos"))
   }
 
+  /** ORDERED PROXIMITY over the lake's positional postings — the
+    * sloppy-phrase twin of [[phraseSearch]]: words in order within a
+    * len+slop token window, decided by the same exact greedy-minimal
+    * chain as [[graft.operators.TextSearch.proximitySearch]] (whose
+    * fold this shares), with positions from the INDEX alone: only the
+    * phrase words' partitions are read, nothing re-tokenizes, and
+    * multi-tranche postings for a (doc, word) flatten into one sorted
+    * list before the fold. Same pre-positional refusal as the phrase
+    * forms. */
+  def proximitySearch(spark: SparkSession, lakeDir: String, phrase: String,
+      slop: Int, termParts: Int = 64, version: Option[Int] = None): DataFrame = {
+    val words = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(words.nonEmpty, "proximitySearch needs a non-empty phrase")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val distinctWords = words.distinct
+    val rows = restrictToTerms(
+      queryRead(spark, lakeDir, distinctWords, termParts, version),
+      distinctWords)
+    require(rows.columns.contains("positions"),
+      s"$lakeDir records no positional postings — re-ingest to proximity-search it")
+    import spark.implicits._
+    val slots = words.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("slot", "term")
+    val perSlot = rows.join(broadcast(slots), "term")
+      .select(col("doc_id"), col("slot"),
+        positionsOrFail(
+          s"$lakeDir holds pre-positional postings for these terms — " +
+            "compact/re-ingest before proximity-searching them").as("positions"))
+      .groupBy(col("doc_id"), col("slot"))
+      .agg(sort_array(flatten(collect_list(col("positions")))).as("ps"))
+    graft.operators.TextSearch.proximityFromSlotLists(
+      perSlot, words.length, slop)
+  }
+
   /** PHRASE search for a QUERY TABLE — the decontamination-review
     * shape (thousands of benchmark phrases checked for verbatim
     * presence) answered in ONE partition-pruned index pass, where

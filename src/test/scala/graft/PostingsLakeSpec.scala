@@ -95,6 +95,43 @@ class PostingsLakeSpec extends SparkSpec {
       .contains("pre-positional"), e.getMessage)
   }
 
+  test("proximitySearch: lake equals one-shot across slops; slop 0 matches phrase occurrences; refusal shared") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val phrase = docs.orderBy(col("doc_id")).limit(1)
+      .select(array_join(slice(split(col("text"), " "), 1, 3), " "))
+      .head().getString(0)
+    for (slop <- Seq(0, 2, 5)) {
+      val viaLake = PostingsLake.proximitySearch(spark, root, phrase, slop)
+        .collect().map(_.toSeq).toSet
+      val oneShot = TextSearch.proximitySearch(docs, "doc_id", "text", phrase, slop)
+        .collect().map(_.toSeq).toSet
+      assert(viaLake == oneShot && viaLake.nonEmpty, s"slop=$slop diverged")
+    }
+    // slop 0 matches the exact-phrase doc set
+    val prox0 = PostingsLake.proximitySearch(spark, root, phrase, 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = PostingsLake.phraseSearch(spark, root, phrase)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(prox0 == exact)
+    // pre-positional lakes refuse loudly through the shared read path
+    val old = java.nio.file.Files.createTempDirectory("graft_preposx").toString
+    VersionedLake.create(
+      Seq(("alpha", 1L, 1L, 2L, 0L), ("beta", 1L, 1L, 2L, 1L))
+        .toDF("term", "doc_id", "tf", "dl", "tp"),
+      s"$old/postings", "tp", props = Map("termParts" -> "64"))
+    assert(intercept[IllegalArgumentException] {
+      PostingsLake.proximitySearch(spark, old, "alpha beta", 1)
+    }.getMessage.contains("no positional postings"))
+    // TVF parity
+    graft.functions.PipelineSql.register(spark)
+    assert(spark.sql(
+      s"SELECT * FROM proximity_lake_search('$root', '$phrase', 2)")
+      .collect().map(_.toSeq).toSet ==
+      PostingsLake.proximitySearch(spark, root, phrase, 2)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("phraseSearchBatch: every phrase equals its one-shot phraseSearch, in one pass") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val phrases = docs.filter(col("doc_id") % 50 === 0)
