@@ -161,19 +161,20 @@ object Loader {
     val slices = packSequencesFrom(docs, id, tokens, seqLen, tokenBase)
       .withColumn("block", floor(col("seq_id") / blockSize.toDouble)
         .cast("long").cast("string"))
-    if (slices.isEmpty) {
-      if (exists) VersionedLake.currentVersion(lakeDir) else 0
-    } else if (!exists) {
-      VersionedLake.create(slices, lakeDir, "block",
+    if (slices.isEmpty)
+      return if (exists) VersionedLake.currentVersion(lakeDir) else 0
+    // first tranche: commit an EMPTY v1 first so the tranche itself
+    // lands as a WATERMARKED append — if create carried the first
+    // tranche's rows directly, no batch id would be recorded and a
+    // crash-replay of that one micro-batch would duplicate its slices
+    if (!exists)
+      VersionedLake.create(slices.limit(0), lakeDir, "block",
         props = Map("seq_len" -> seqLen.toString,
           "block_size" -> blockSize.toString))
-      VersionedLake.currentVersion(lakeDir)
-    } else {
-      VersionedLake.requireProps(lakeDir,
-        Map("seq_len" -> seqLen.toString, "block_size" -> blockSize.toString))
-      VersionedLake.append(slices, lakeDir, "block", batchId)
-      VersionedLake.currentVersion(lakeDir)
-    }
+    VersionedLake.requireProps(lakeDir,
+      Map("seq_len" -> seqLen.toString, "block_size" -> blockSize.toString))
+    VersionedLake.append(slices, lakeDir, "block", batchId)
+    VersionedLake.currentVersion(lakeDir)
   }
 
   /** Drive [[packedLakeAppend]] from a STREAM of documents — packing

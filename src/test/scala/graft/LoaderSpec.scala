@@ -77,8 +77,8 @@ class LoaderSpec extends SparkSpec {
     val t2 = docs.filter(col("doc_id") % 2 =!= 0)
     val v1 = graft.operators.Loader.packedLakeAppend(
       t1, "doc_id", col("tokens"), L, dir, batchId = Some(0L))
-    assert(v1 == 1)
-    val snap1 = VersionedLake.read(spark, dir, Some(1))
+    assert(v1 == 2) // v1 of the lake is the empty watermark-arming commit
+    val snap1 = VersionedLake.read(spark, dir, Some(2))
       .collect().map(_.toSeq).toSet
     val total1 = t1.agg(sum("tokens")).as[Long].head()
     // tranche 1 alone == the one-shot packing of tranche 1
@@ -87,7 +87,7 @@ class LoaderSpec extends SparkSpec {
     assert(snap1.map(_.dropRight(1)) == oneShot) // minus the block column
     val v2 = graft.operators.Loader.packedLakeAppend(
       t2, "doc_id", col("tokens"), L, dir, batchId = Some(1L))
-    assert(v2 == 2)
+    assert(v2 == 3)
     // tranche 2's first token lands EXACTLY at tranche 1's total —
     // the trailing partial sequence is continued, not padded
     val t2starts = VersionedLake.read(spark, dir)
@@ -97,7 +97,7 @@ class LoaderSpec extends SparkSpec {
     assert(t2starts == total1, s"tranche 2 starts at $t2starts, want $total1")
     // earlier slices are immutable: v1 re-reads identically, and v2 is
     // a strict superset (append-only layout)
-    assert(VersionedLake.read(spark, dir, Some(1))
+    assert(VersionedLake.read(spark, dir, Some(2))
       .collect().map(_.toSeq).toSet == snap1)
     val snap2 = VersionedLake.read(spark, dir).collect().map(_.toSeq).toSet
     assert(snap1.subsetOf(snap2) && snap2.size > snap1.size)
@@ -107,7 +107,7 @@ class LoaderSpec extends SparkSpec {
     assert(lakeTokens == docs.agg(sum("tokens")).as[Long].head())
     // replayed tranche is a no-op
     assert(graft.operators.Loader.packedLakeAppend(
-      t2, "doc_id", col("tokens"), L, dir, batchId = Some(1L)) == 2)
+      t2, "doc_id", col("tokens"), L, dir, batchId = Some(1L)) == 3)
     assert(VersionedLake.read(spark, dir).count() == snap2.size)
     // a different seqLen against the same lake is refused loudly
     intercept[IllegalArgumentException] {
