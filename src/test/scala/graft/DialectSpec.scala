@@ -727,7 +727,8 @@ class DialectSpec extends SparkSpec {
       s"'CAST(size(split(text, \" \")) AS BIGINT)', 512, '$pbase/lake')"
     spark.sql(s"EXPLAIN $pack").collect()
     assert(!new java.io.File(s"$pbase/lake").exists(), "EXPLAIN must not pack")
-    assert(spark.sql(pack).head().getLong(0) == 1L)
-    assert(graft.sources.VersionedLake.currentVersion(s"$pbase/lake") == 1)
+    // v1 is the empty watermark-arming commit; the tranche lands as v2
+    assert(spark.sql(pack).head().getLong(0) == 2L)
+    assert(graft.sources.VersionedLake.currentVersion(s"$pbase/lake") == 2)
   }
 }
