@@ -78,10 +78,14 @@ object Loader {
       seqLen: Long): DataFrame = {
     require(seqLen > 0, s"sequence length must be positive, got $seqLen")
     val L = lit(seqLen)
+    // integral `div`, not floor(x / double): exact at ANY global token
+    // offset — double division only stays exact below 2^53, and an
+    // operator whose pitch is bit-determinism at 100 TB should not
+    // carry that analysis burden (LoaderSpec pins a past-2^53 offset)
     val g = shuffleOffsets(docs, id, tokens)
       .withColumn("seq_id", explode(sequence(
-        floor(col("gstart") / seqLen.toDouble).cast("long"),
-        floor((col("gstart") + col("tokens") - 1) / seqLen.toDouble).cast("long"))))
+        expr(s"gstart div $seqLen"),
+        expr(s"(gstart + tokens - 1) div $seqLen"))))
     val sliceStart = greatest(col("gstart"), col("seq_id") * L)
     val sliceEnd = least(col("gstart") + col("tokens"), (col("seq_id") + 1) * L)
     g.select(
@@ -103,11 +107,13 @@ object Loader {
     require(seqLen > 0, s"sequence length must be positive, got $seqLen")
     require(tokenBase >= 0, s"tokenBase must be >= 0, got $tokenBase")
     val L = lit(seqLen)
+    // same integral `div` as packSequences: tokenBase grows without
+    // bound in a production pack lake, so layout ids must never round
     val g = shuffleOffsets(docs, id, tokens)
       .withColumn("g0", col("gstart") + lit(tokenBase))
       .withColumn("seq_id", explode(sequence(
-        floor(col("g0") / seqLen.toDouble).cast("long"),
-        floor((col("g0") + col("tokens") - 1) / seqLen.toDouble).cast("long"))))
+        expr(s"g0 div $seqLen"),
+        expr(s"(g0 + tokens - 1) div $seqLen"))))
     val sliceStart = greatest(col("g0"), col("seq_id") * L)
     val sliceEnd = least(col("g0") + col("tokens"), (col("seq_id") + 1) * L)
     g.select(
@@ -136,7 +142,18 @@ object Loader {
     *
     * Earlier tranches' slices are IMMUTABLE by construction — a new
     * tranche can only add rows to the tail sequence's partition, never
-    * change committed (doc, seq, pos) rows; LoaderSpec pins that. */
+    * change committed (doc, seq, pos) rows; LoaderSpec pins that.
+    *
+    * SINGLE-WRITER contract: tranches are SEQUENTIAL by design — the
+    * continuation offset is read before the commit, and the lake's
+    * optimistic concurrency REBASES a lost append race rather than
+    * aborting it, so two concurrent tranche writers would both read
+    * the same tokenBase and commit overlapping (seq_id, seq_pos)
+    * slices. That is the correct protocol for the one shape this
+    * operator serves (a [[packStream]] foreachBatch loop, where the
+    * streaming engine serializes batches); fan-in from multiple
+    * producers must funnel through one stream, not call this
+    * concurrently. */
   def packedLakeAppend(docs: DataFrame, id: String, tokens: Column,
       seqLen: Long, lakeDir: String, batchId: Option[Long] = None,
       blockSize: Long = 256L): Int = {
@@ -158,33 +175,53 @@ object Loader {
           .head().getLong(0)
       }
     }
+    // cached across the emptiness probe and the append below — the
+    // two-level prefix-sum/explode pipeline must run once per tranche,
+    // not once per consumer
     val slices = packSequencesFrom(docs, id, tokens, seqLen, tokenBase)
-      .withColumn("block", floor(col("seq_id") / blockSize.toDouble)
-        .cast("long").cast("string"))
-    if (slices.isEmpty)
-      return if (exists) VersionedLake.currentVersion(lakeDir) else 0
-    // first tranche: commit an EMPTY v1 first so the tranche itself
-    // lands as a WATERMARKED append — if create carried the first
-    // tranche's rows directly, no batch id would be recorded and a
-    // crash-replay of that one micro-batch would duplicate its slices
-    if (!exists)
-      VersionedLake.create(slices.limit(0), lakeDir, "block",
-        props = Map("seq_len" -> seqLen.toString,
-          "block_size" -> blockSize.toString))
-    VersionedLake.requireProps(lakeDir,
-      Map("seq_len" -> seqLen.toString, "block_size" -> blockSize.toString))
-    VersionedLake.append(slices, lakeDir, "block", batchId)
-    VersionedLake.currentVersion(lakeDir)
+      .withColumn("block", expr(s"seq_id div $blockSize").cast("string"))
+      .persist()
+    try {
+      if (slices.isEmpty)
+        return if (exists) VersionedLake.currentVersion(lakeDir) else 0
+      // first tranche: commit an EMPTY v1 first so the tranche itself
+      // lands as a WATERMARKED append — if create carried the first
+      // tranche's rows directly, no batch id would be recorded and a
+      // crash-replay of that one micro-batch would duplicate its slices
+      if (!exists)
+        VersionedLake.create(slices.limit(0), lakeDir, "block",
+          props = Map("seq_len" -> seqLen.toString,
+            "block_size" -> blockSize.toString))
+      VersionedLake.requireProps(lakeDir,
+        Map("seq_len" -> seqLen.toString, "block_size" -> blockSize.toString))
+      VersionedLake.append(slices, lakeDir, "block", batchId)
+      VersionedLake.currentVersion(lakeDir)
+    } finally {
+      slices.unpersist()
+      ()
+    }
   }
 
   /** Drive [[packedLakeAppend]] from a STREAM of documents — packing
     * at ingest: each micro-batch is one tranche, landing exactly-once
     * (the batch id arms the replay watermark; a crashed tick
-    * re-delivers into a no-op). */
+    * re-delivers into a no-op).
+    *
+    * `compactEvery` = N > 0 folds the lake's small files every N
+    * micro-batches ([[compactPackedLake]]): each tranche commits at
+    * least one file into the tail block partition, so a long-running
+    * pack stream accumulates tranche-count files per block without
+    * maintenance. Compaction rewrites LAYOUT only — the slice map is
+    * byte-identical across it (LoaderSpec pins that) and the replay
+    * watermark survives (every commit re-states it), so exactly-once
+    * holds across the fold. Runs INSIDE foreachBatch: the streaming
+    * engine serializes it with the appends, keeping the lake's
+    * single-writer contract. */
   def packStream(stream: DataFrame, id: String, tokensExpr: String,
       seqLen: Long, lakeDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(stream.isStreaming, "Loader.packStream expects a streaming DataFrame")
     stream.writeStream
@@ -194,10 +231,26 @@ object Loader {
           batchId: Long) =>
         packedLakeAppend(b.toDF(), id, expr(tokensExpr), seqLen, lakeDir,
           batchId = Some(batchId))
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compactPackedLake(b.sparkSession, lakeDir)
         ()
       }
       .start()
   }
+
+  /** Fold a pack lake's per-tranche file growth back to one file per
+    * sequence block — [[graft.sources.VersionedLake.compactPartitions]]
+    * on the lake's `block` partitioning, exposed here so maintenance
+    * doesn't need to know the pack lake's layout column. Rewrites
+    * bytes, never the slice map: committed (doc, seq, pos) rows are
+    * immutable through it, history stays time-travel readable until
+    * vacuumed, and a concurrent tranche commit aborts the fold (OCC),
+    * deferring it to the next cadence. Returns the committed version
+    * (unchanged when every block is already compact). */
+  def compactPackedLake(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, filesPerPartition: Int = 1): Int =
+    graft.sources.VersionedLake.compactPartitions(spark, lakeDir, "block",
+      filesPerPartition)
 
   /** Per-EPOCH reshuffle into loader shards: every epoch re-deals the
     * corpus into `shards` deterministic shards and orders each shard
@@ -225,4 +278,58 @@ object Loader {
         - 1).cast("long"))
       .select(col("doc_id"), col("shard_id"), col("pos"))
   }
+
+  /** The epoch layouts AS A LAKE: [[epochShuffle]] is a pure function,
+    * but a trainer restart that RE-DERIVES epoch e's layout re-pays
+    * the corpus-wide shuffle — so each epoch's shard manifest is
+    * COMMITTED once, partitioned by (epoch, shard), and a restart
+    * re-reads the committed layout instead (one manifest-pruned
+    * partition per loader worker). `batchId = epoch` arms the lake's
+    * replay watermark: re-submitting a committed epoch is a no-op
+    * (exactly-once per epoch — "resumable mid-epoch" means workers
+    * read a layout whose commit either fully happened or didn't).
+    * Epochs must commit IN ORDER (the watermark is monotone — the
+    * natural trainer loop); shards/seed are table properties, so a
+    * writer re-deriving with different geometry is refused loudly.
+    * Returns the committed version (unchanged on replay). */
+  def epochLakeAppend(docs: DataFrame, id: String, epoch: Int, shards: Int,
+      lakeDir: String, seed: Long = 42L): Int = {
+    import graft.sources.VersionedLake
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val exists = VersionedLake.currentVersion(lakeDir) >= 1
+    if (exists && epoch <= VersionedLake.committedBatchId(lakeDir))
+      return VersionedLake.currentVersion(lakeDir)
+    val props = Map("shards" -> shards.toString, "seed" -> seed.toString)
+    val layout = epochShuffle(docs, id, epoch, shards, seed)
+      .withColumn("part", concat(lit(s"e$epoch-s"), col("shard_id")))
+    if (!exists)
+      VersionedLake.create(layout.limit(0), lakeDir, "part", props = props)
+    VersionedLake.requireProps(lakeDir, props)
+    VersionedLake.append(layout, lakeDir, "part", Some(epoch.toLong))
+    VersionedLake.currentVersion(lakeDir)
+  }
+
+  /** One epoch's full layout back from the lake — every shard's
+    * partition, manifest-pruned (other epochs' files are never
+    * opened). Shard count comes from the recorded table properties. */
+  def readEpoch(spark: org.apache.spark.sql.SparkSession, lakeDir: String,
+      epoch: Int): DataFrame = {
+    import graft.sources.VersionedLake
+    val shards = VersionedLake.tableProps(lakeDir).getOrElse("shards",
+      throw new IllegalArgumentException(
+        s"$lakeDir records no 'shards' property — not an epoch lake")).toInt
+    VersionedLake.read(spark, lakeDir,
+      partitions = Some((0 until shards).map(s => s"e$epoch-s$s")))
+      .select(col("doc_id"), col("shard_id"), col("pos"))
+  }
+
+  /** One (epoch, shard) partition — what a single loader worker
+    * resumes from: one manifest-pruned partition read, ordered by the
+    * committed positions. */
+  def readEpochShard(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, epoch: Int, shard: Int): DataFrame =
+    graft.sources.VersionedLake.read(spark, lakeDir,
+      partitions = Some(Seq(s"e$epoch-s$shard")))
+      .select(col("doc_id"), col("shard_id"), col("pos"))
+      .orderBy(col("pos"))
 }

@@ -684,7 +684,19 @@ object Similarity {
       codes, books)
       .select(col("query_id"), col("neighbor_id"))
     shortlist
-      .join(normalized(corpus, id, vec, "neighbor_id", "nv"), "neighbor_id")
+      // LEFT join + loud per-row refusal, not an inner join: a
+      // shortlisted neighbor absent from `corpus` means the codes and
+      // the vector table have drifted apart, and silently dropping it
+      // would under-fill below k with no error — the same
+      // loud-refusal discipline as the lake's other guards. The check
+      // is one codegen'd null test over the BOUNDED shortlist
+      // (queries × k·refine rows), never the corpus.
+      .join(normalized(corpus, id, vec, "neighbor_id", "nv"),
+        Seq("neighbor_id"), "left")
+      .withColumn("nv", when(col("nv").isNull, raise_error(concat(
+        lit("pqSearchRefined: shortlisted neighbor "), col("neighbor_id"),
+        lit(" has no vector in the corpus — codes lake and corpus table " +
+          "are out of sync")))).otherwise(col("nv")))
       .join(broadcast(normalized(queries, id, vec, "query_id", "qv")), "query_id")
       .withColumn("cos", dotN(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(

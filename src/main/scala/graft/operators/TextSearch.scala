@@ -320,6 +320,48 @@ object TextSearch {
           .as("min_span_tokens"))
   }
 
+  /** The QUERY-TABLE generalization of [[proximityFromSlotLists]]:
+    * per (phrase_id, doc_id), the same greedy-minimal chain, but the
+    * slot fold is a runtime `aggregate` over `sequence(1, plen - 1)`
+    * instead of a compile-time unrolling — so one plan serves phrases
+    * of DIFFERENT lengths in one pass. `perSlot` = (phrase_id,
+    * plen: long, doc_id, slot: long, ps: sorted array<long>); a
+    * missing slot (size(m) < plen) means a word never occurs and the
+    * (phrase, doc) pair can't match; a null mid-fold propagates (the
+    * filter-on-null-bound yields an empty list, try_element_at of it
+    * null) exactly like the unrolled form's missing step. Everything
+    * is HOF expressions over the doc's own occurrence lists — never
+    * tokens², never a UDF. */
+  private[graft] def proximityFromSlotListsBatch(perSlot: DataFrame,
+      slop: Int): DataFrame = {
+    val byDoc = perSlot.groupBy(col("phrase_id"), col("plen"), col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("ps"))))
+        .as("m"))
+      .filter(size(col("m")) === col("plen"))
+    def chainEnd(p0: Column): Column =
+      // sequence(1, 0) would DESCEND in Spark — a 1-word phrase has no
+      // later slots to chain, its window is the occurrence itself
+      when(col("plen") === 1L, p0).otherwise(
+        aggregate(sequence(lit(1L), col("plen") - 1L), p0,
+          (acc, i) => try_element_at(
+            filter(element_at(col("m"), i), x => x > acc), lit(1))))
+    val chains = transform(element_at(col("m"), lit(0L)),
+      p0 => struct(p0.as("p0"), chainEnd(p0).as("e")))
+    val lim = col("plen") - 1L + lit(slop.toLong)
+    byDoc
+      .withColumn("_c", filter(chains,
+        c => c.getField("e").isNotNull &&
+          c.getField("e") - c.getField("p0") <= lim))
+      .filter(size(col("_c")) > 0)
+      .select(col("phrase_id"), col("doc_id"),
+        size(col("_c")).cast("long").as("n_windows"),
+        aggregate(col("_c"), lit(Long.MaxValue),
+          (b, c) => least(b, c.getField("p0"))).as("first_start"),
+        aggregate(col("_c"), lit(Long.MaxValue),
+          (b, c) => least(b, c.getField("e") - c.getField("p0") + 1))
+          .as("min_span_tokens"))
+  }
+
   /** Search-result HIGHLIGHTING: per document, the merged ±`window`
     * word spans around every query-term hit, reassembled as a snippet
     * ("… " joins disjoint spans) — what a search UI renders under each

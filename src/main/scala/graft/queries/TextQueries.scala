@@ -731,6 +731,83 @@ object TextQueries {
       },
       Some(proximityOracleSql)),
 
+    // The QUERY-TABLE proximity form — the last member of the lake's
+    // batch family (BM25, exact phrase, now sloppy phrase):
+    // decontamination review runs thousands of loose phrases per pass,
+    // and all of them are decided in ONE partition-pruned positional
+    // read over the union of their words. Phrase LENGTHS vary (2–4
+    // words by doc_id) to exercise the runtime chain fold — the
+    // per-phrase greedy-minimal chain is an `aggregate` over each
+    // phrase's own slot count, not a compile-time unrolling. The
+    // oracle replays the identical greedy fold per phrase (unrolled
+    // per length in SQL), so window counts, first starts, and tightest
+    // spans hash end to end for every (phrase, doc) pair.
+    QDef(
+      "x_proximity_lake_batch",
+      (s, dir) => {
+        val lake = Fixtures.dir("bm25_lake_incr", dir) { o =>
+          val docs = Tables.documents(s, dir)
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(0L))
+          graft.sources.PostingsLake.append(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", s"$o/lake", batchId = Some(1L))
+        }
+        val phrases = Tables.documents(s, dir).filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id").as("phrase_id"),
+            array_join(slice(split(col("text"), " "), lit(1),
+              (lit(2) + col("doc_id") % 3).cast("int")), " ").as("ptext"))
+        graft.sources.PostingsLake.proximitySearchBatch(s, s"$lake/lake",
+          phrases, "phrase_id", "ptext", slop = 2)
+          .orderBy(col("phrase_id"), col("doc_id"))
+      },
+      Some(
+        """WITH phrases AS (
+          |  SELECT doc_id AS phrase_id,
+          |         array_to_string(list_slice(string_split(text, ' '), 1,
+          |           CAST(2 + doc_id % 3 AS INT)), ' ') AS ptext
+          |  FROM documents WHERE doc_id % 40 = 0
+          |), pw AS (
+          |  SELECT phrase_id, i - 1 AS slot, w[i] AS term, len(w) AS plen
+          |  FROM (SELECT phrase_id, string_split(ptext, ' ') AS w FROM phrases),
+          |       UNNEST(generate_series(1, len(w))) t(i)
+          |), toks AS (
+          |  SELECT doc_id, i - 1 AS p, w[i] AS term
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |       UNNEST(generate_series(1, len(w))) t(i)
+          |), slotlists AS (
+          |  SELECT pw.phrase_id, pw.plen, t.doc_id, pw.slot,
+          |         list(t.p ORDER BY t.p) AS ps
+          |  FROM toks t JOIN pw ON t.term = pw.term
+          |  GROUP BY pw.phrase_id, pw.plen, t.doc_id, pw.slot
+          |), m AS (
+          |  SELECT phrase_id, plen, doc_id,
+          |         any_value(ps) FILTER (WHERE slot = 0) AS ps0,
+          |         any_value(ps) FILTER (WHERE slot = 1) AS ps1,
+          |         any_value(ps) FILTER (WHERE slot = 2) AS ps2,
+          |         any_value(ps) FILTER (WHERE slot = 3) AS ps3
+          |  FROM slotlists GROUP BY phrase_id, plen, doc_id
+          |  HAVING count(*) = plen
+          |), chains AS (
+          |  SELECT phrase_id, plen, doc_id, p0,
+          |         CASE plen
+          |           WHEN 2 THEN list_filter(ps1, x -> x > p0)[1]
+          |           WHEN 3 THEN list_filter(ps2, x ->
+          |                  x > list_filter(ps1, y -> y > p0)[1])[1]
+          |           WHEN 4 THEN list_filter(ps3, x ->
+          |                  x > list_filter(ps2, y ->
+          |                    y > list_filter(ps1, z -> z > p0)[1])[1])[1]
+          |         END AS e
+          |  FROM m, UNNEST(ps0) u(p0)
+          |), ok AS (
+          |  SELECT phrase_id, doc_id, p0, e FROM chains
+          |  WHERE e IS NOT NULL AND e - p0 <= plen - 1 + 2
+          |)
+          |SELECT phrase_id, doc_id, count(*) AS n_windows,
+          |       CAST(min(p0) AS BIGINT) AS first_start,
+          |       CAST(min(e - p0 + 1) AS BIGINT) AS min_span_tokens
+          |FROM ok GROUP BY phrase_id, doc_id
+          |ORDER BY phrase_id, doc_id""".stripMargin)),
+
     // The same phrase answered from the POSITIONAL POSTINGS LAKE —
     // contiguity from the index alone, reading only the phrase words'
     // partitions (PostingsLakeSpec pins the pruned file set). The
@@ -2385,26 +2462,41 @@ object TextQueries {
           .select(col("epoch"), col("shard_id"), col("pos"), col("doc_id"))
           .orderBy(col("epoch"), col("shard_id"), col("pos"))
       },
-      Some {
-        val u = mdUniformSql(
-          "'shard:42:' || CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
-        s"""WITH e AS (
-           |  SELECT doc_id, 0 AS ep FROM documents
-           |  UNION ALL
-           |  SELECT doc_id, 1 AS ep FROM documents
-           |), k AS (
-           |  SELECT CAST(ep AS BIGINT) AS epoch, doc_id,
-           |         CAST(floor($u * 12) AS BIGINT) AS shard_id,
-           |         md5('epoch:42:' || CAST(ep AS VARCHAR) || ':'
-           |             || CAST(doc_id AS VARCHAR)) AS ok
-           |  FROM e
-           |)
-           |SELECT epoch, shard_id,
-           |       CAST(row_number() OVER (PARTITION BY epoch, shard_id
-           |         ORDER BY ok, doc_id) - 1 AS BIGINT) AS pos,
-           |       doc_id
-           |FROM k ORDER BY epoch, shard_id, pos""".stripMargin
-      }),
+      Some(epochShuffleOracleSql)),
+
+    // The epoch layouts COMMITTED AS A LAKE: each epoch's shard
+    // manifest lands once as a version (batch-id = epoch, so a
+    // re-submitted epoch — exercised by the builder — replays into a
+    // no-op), partitioned by (epoch, shard) so a resuming loader
+    // worker opens exactly its own partition instead of re-deriving
+    // the corpus-wide shuffle. Both epochs read BACK from the lake
+    // must hash against the IDENTICAL oracle as x_epoch_shuffle: the
+    // commit/replay/read path may move bytes, never the permutation.
+    QDef(
+      "x_epoch_lake",
+      (s, dir) => {
+        val lake = {
+          val out = Fixtures.dir("epoch_lake", dir) { o =>
+            val d = Tables.documents(s, dir).select(col("doc_id"))
+            graft.operators.Loader.epochLakeAppend(
+              d, "doc_id", epoch = 0, shards = 12, s"$o/lake")
+            graft.operators.Loader.epochLakeAppend(
+              d, "doc_id", epoch = 1, shards = 12, s"$o/lake")
+            // replayed epoch: must be a no-op, not a duplicate layout
+            graft.operators.Loader.epochLakeAppend(
+              d, "doc_id", epoch = 1, shards = 12, s"$o/lake")
+            ()
+          }
+          s"$out/lake"
+        }
+        (0 to 1).map(e =>
+          graft.operators.Loader.readEpoch(s, lake, e)
+            .withColumn("epoch", lit(e.toLong)))
+          .reduce(_ unionByName _)
+          .select(col("epoch"), col("shard_id"), col("pos"), col("doc_id"))
+          .orderBy(col("epoch"), col("shard_id"), col("pos"))
+      },
+      Some(epochShuffleOracleSql)),
 
     // Loader 3: the packed dataset AS A GROWING LAKE — two tranches of
     // the corpus appended in turn, the second continuing the token
@@ -2700,6 +2792,31 @@ object TextQueries {
     * x_proximity_search (one-shot tokenize) and x_proximity_lake
     * (positions from the postings lake): the min-doc 3-word prefix,
     * slop 2 → window limit k-1+slop = 4. */
+  /** Per-epoch reshuffle oracle shared by x_epoch_shuffle (derived
+    * in-flight) and x_epoch_lake (committed layouts read back): the
+    * md5-uniform shard deal and the independent md5 order key, epochs
+    * 0 and 1, 12 shards, seed 42. */
+  private lazy val epochShuffleOracleSql: String = {
+    val u = mdUniformSql(
+      "'shard:42:' || CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH e AS (
+       |  SELECT doc_id, 0 AS ep FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS ep FROM documents
+       |), k AS (
+       |  SELECT CAST(ep AS BIGINT) AS epoch, doc_id,
+       |         CAST(floor($u * 12) AS BIGINT) AS shard_id,
+       |         md5('epoch:42:' || CAST(ep AS VARCHAR) || ':'
+       |             || CAST(doc_id AS VARCHAR)) AS ok
+       |  FROM e
+       |)
+       |SELECT epoch, shard_id,
+       |       CAST(row_number() OVER (PARTITION BY epoch, shard_id
+       |         ORDER BY ok, doc_id) - 1 AS BIGINT) AS pos,
+       |       doc_id
+       |FROM k ORDER BY epoch, shard_id, pos""".stripMargin
+  }
+
   private val proximityOracleSql: String =
     """WITH pw AS (
       |  SELECT i - 1 AS slot, w[i] AS term

@@ -240,6 +240,73 @@ object PostingsLake {
       VersionedLake.read(spark, dir, Some(v), partitions = Some(tps))
   }
 
+  /** The pruned positional read a QUERY-TABLE form makes: the union
+    * of the word TABLE's partition ids (computed in-engine, collected
+    * bounded by `termParts` — never the words themselves), then
+    * file-level Bloom admission via [[VersionedLake.pointReadOrFull]]
+    * whose maxKeys rule degrades a past-the-bound word set to the
+    * partition-pruned read, never a driver blowup. Shared by
+    * [[phraseSearchBatch]] and [[proximitySearchBatch]]. */
+  private def batchQueryRead(spark: SparkSession, lakeDir: String,
+      allWords: DataFrame, termParts: Int, version: Option[Int]): DataFrame = {
+    val tp = effTermParts(lakeDir, termParts)
+    val tps = allWords
+      .select(pmod(xxhash64(col("term")), lit(tp)).as("tp"))
+      .distinct().collect().map(_.getLong(0).toString).toSeq // <= termParts
+    val dir = postingsDir(lakeDir)
+    version match {
+      case Some(v) => VersionedLake.read(spark, dir, Some(v),
+        partitions = Some(tps))
+      case None => VersionedLake.pointReadOrFull(spark, dir, "term",
+        allWords, partitions = Some(tps))
+    }
+  }
+
+  /** ORDERED PROXIMITY for a QUERY TABLE — the sloppy-phrase twin of
+    * [[phraseSearchBatch]], closing the batch family (BM25, exact
+    * phrase, now proximity): thousands of decontamination-review
+    * phrases decided in ONE partition-pruned positional pass over the
+    * union of their words, instead of one index read per phrase
+    * through [[proximitySearch]]. Per phrase, identical
+    * greedy-minimal-chain semantics and evidence columns as the
+    * one-shot ((phrase_id, doc_id, n_windows, first_start,
+    * min_span_tokens)); phrase LENGTHS may vary freely — the chain
+    * fold is a runtime `aggregate` over each phrase's own slot count
+    * ([[graft.operators.TextSearch.proximityFromSlotListsBatch]]).
+    *
+    * Scale shape mirrors [[phraseSearchBatch]]: partition ids and
+    * Bloom admission through [[batchQueryRead]], the (phrase_id, slot,
+    * term) table rides a broadcast, per-doc work is bounded by the
+    * phrase words' occurrence lists — never tokens². Same
+    * pre-positional refusal as the other positional forms. */
+  def proximitySearchBatch(spark: SparkSession, lakeDir: String,
+      phrases: DataFrame, pid: String, ptext: String, slop: Int,
+      termParts: Int = 64, version: Option[Int] = None): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val pw = phrases
+      .select(col(pid).as("phrase_id"),
+        split(regexp_replace(trim(col(ptext)), "\\s+", " "), " ").as("w"))
+      .select(col("phrase_id"), size(col("w")).cast("long").as("plen"),
+        posexplode(col("w")).as(Seq("slot", "term")))
+      .filter(length(col("term")) > 0)
+      .select(col("phrase_id"), col("plen"), col("slot").cast("long").as("slot"),
+        col("term"))
+    val rows = batchQueryRead(spark, lakeDir,
+      pw.select(col("term")).distinct(), termParts, version)
+    require(rows.columns.contains("positions"),
+      s"$lakeDir records no positional postings — re-ingest to " +
+        "proximity-search it")
+    val perSlot = rows.join(broadcast(pw), "term")
+      .select(col("phrase_id"), col("plen"), col("doc_id"), col("slot"),
+        positionsOrFail(
+          s"$lakeDir holds pre-positional postings for these phrases' " +
+            "words — compact/re-ingest before proximity-searching them")
+          .as("positions"))
+      .groupBy(col("phrase_id"), col("plen"), col("doc_id"), col("slot"))
+      .agg(sort_array(flatten(collect_list(col("positions")))).as("ps"))
+    graft.operators.TextSearch.proximityFromSlotListsBatch(perSlot, slop)
+  }
+
   /** BM25 top-k over the lake for a bag-of-words query — identical
     * semantics and output schema to [[graft.operators.TextSearch
     * .bm25TopK]] on the union corpus ((rank, doc_id, matched_terms,
@@ -454,18 +521,8 @@ object PostingsLake {
       .filter(length(col("term")) > 0)
       .select(col("phrase_id"), col("plen"), col("off").cast("long").as("off"),
         col("term"))
-    val allWords = pw.select(col("term")).distinct()
-    val tp = effTermParts(lakeDir, termParts)
-    val tps = allWords
-      .select(pmod(xxhash64(col("term")), lit(tp)).as("tp"))
-      .distinct().collect().map(_.getLong(0).toString).toSeq // <= termParts
-    val dir = postingsDir(lakeDir)
-    val rows = version match {
-      case Some(v) => VersionedLake.read(spark, dir, Some(v),
-        partitions = Some(tps))
-      case None => VersionedLake.pointReadOrFull(spark, dir, "term",
-        allWords, partitions = Some(tps))
-    }
+    val rows = batchQueryRead(spark, lakeDir,
+      pw.select(col("term")).distinct(), termParts, version)
     require(rows.columns.contains("positions"),
       s"$lakeDir records no positional postings — re-ingest to phrase-search it")
     rows.join(broadcast(pw), "term")

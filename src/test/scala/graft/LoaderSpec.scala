@@ -68,6 +68,48 @@ class LoaderSpec extends SparkSpec {
     assert(s2.count() == slices.length)
   }
 
+  test("packSequencesFrom: layout ids stay exact past double's 2^53 integer range") {
+    // a continuation offset beyond 2^53, deliberately NOT on a seqLen
+    // boundary: the old floor(x / double) form rounds up here and
+    // shifts every slice one sequence over; integral `div` must not
+    val L = 1024L
+    val base = (1L << 53) + 511L
+    val docs = (0 until 40).map(i => (i.toLong, 100L + (i * 37) % 400))
+      .toDF("doc_id", "tokens")
+    val total = docs.agg(sum("tokens")).as[Long].head()
+    val slices = Loader.packSequencesFrom(docs, "doc_id", col("tokens"), L, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(slices.map(_._5).sum == total)
+    // the first emitted sequence is exactly base div L, and its first
+    // slice starts mid-sequence at base mod L — the double form would
+    // start one sequence later with seq_pos 0
+    val firstSeq = slices.map(_._2).min
+    assert(firstSeq == base / L, s"first seq $firstSeq != ${base / L}")
+    assert(slices.filter(_._2 == firstSeq).map(_._3).min == base % L)
+    // per sequence: interior sequences tile [base mod L adjusted] — all
+    // sequences strictly between first and last tile [0, L) exactly
+    val lastSeq = (base + total - 1) / L
+    slices.groupBy(_._2).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 == b._3, s"gap in seq $seq")
+        case _ =>
+      }
+      if (seq > firstSeq && seq < lastSeq) {
+        assert(sorted.head._3 == 0L && sorted.map(_._5).sum == L,
+          s"interior seq $seq does not tile [0, $L)")
+      }
+    }
+    // per document: lossless slicing survives the huge offset
+    val byDoc = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    slices.groupBy(_._1).foreach { case (d, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      assert(sorted.map(_._5).sum == byDoc(d))
+    }
+  }
+
   test("packedLakeAppend: tranches continue the stream, earlier slices immutable, replay no-op, props guarded") {
     import graft.sources.VersionedLake
     val L = 100L
@@ -139,6 +181,102 @@ class LoaderSpec extends SparkSpec {
     tick()
     assert(VersionedLake.read(spark, s"$dir/lake")
       .agg(sum("len")).as[Long].head() == got)
+  }
+
+  test("pack-lake compaction: files collapse per block, slice map byte-identical, replay watermark survives") {
+    import graft.sources.VersionedLake
+    val L = 100L
+    val dir = java.nio.file.Files.createTempDirectory("graft_packcomp").toString + "/lake"
+    val docs = corpus(240, 150)
+    // four tranches with a SMALL block size fragment every block
+    (0 until 4).foreach { t =>
+      graft.operators.Loader.packedLakeAppend(
+        docs.filter(col("doc_id") % 4 === t), "doc_id", col("tokens"), L,
+        dir, batchId = Some(t.toLong), blockSize = 8L)
+    }
+    val before = VersionedLake.read(spark, dir).collect().map(_.toSeq).toSet
+    val filesBefore = VersionedLake.read(spark, dir).inputFiles.length
+    val vComp = graft.operators.Loader.compactPackedLake(spark, dir)
+    val filesAfter = VersionedLake.read(spark, dir).inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"compaction must collapse files: $filesBefore -> $filesAfter")
+    // one file per block partition (the s17 discipline)
+    val blocks = VersionedLake.manifestEntries(dir, vComp).map(_.partition)
+    assert(blocks.distinct.size == blocks.size, "one file per block")
+    // the slice map is BYTE-IDENTICAL across the layout rewrite
+    assert(VersionedLake.read(spark, dir).collect().map(_.toSeq).toSet == before)
+    // pre-compaction versions stay time-travel readable
+    assert(VersionedLake.read(spark, dir, Some(vComp - 1))
+      .collect().map(_.toSeq).toSet == before)
+    // the replay watermark survives the fold: a replayed tranche is
+    // still a no-op, and the NEXT tranche continues the stream exactly
+    assert(graft.operators.Loader.packedLakeAppend(
+      docs.filter(col("doc_id") % 4 === 3), "doc_id", col("tokens"), L,
+      dir, batchId = Some(3L), blockSize = 8L) == vComp)
+    val total = docs.agg(sum("tokens")).as[Long].head()
+    graft.operators.Loader.packedLakeAppend(
+      corpus(10, 50).withColumn("doc_id", col("doc_id") + 1000L),
+      "doc_id", col("tokens"), L, dir, batchId = Some(4L), blockSize = 8L)
+    val nextStart = VersionedLake.read(spark, dir)
+      .filter(col("doc_id") >= 1000L)
+      .select((col("seq_id") * L + col("seq_pos")).as("g"))
+      .agg(min(col("g"))).as[Long].head()
+    assert(nextStart == total, s"post-compaction tranche starts at $nextStart, want $total")
+  }
+
+  test("packStream with compactEvery: maintenance folds files on cadence without changing the layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.VersionedLake
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_packstrc").toString
+    val ms = MemoryStream[(Long, Int)]
+    def tick(): Unit = graft.operators.Loader.packStream(
+      ms.toDF().toDF("doc_id", "tokens"), "doc_id", "tokens", 100L,
+      s"$dir/lake", s"$dir/ckpt", compactEvery = 2).awaitTermination()
+    ms.addData((0 until 40).map(i => (i.toLong, 30)): _*)
+    tick()
+    ms.addData((40 until 80).map(i => (i.toLong, 30)): _*)
+    tick() // batch 1: 1 % 2 == 1 → compaction fires after the append
+    val entries = VersionedLake.manifestEntries(s"$dir/lake",
+      VersionedLake.currentVersion(s"$dir/lake"))
+    assert(entries.groupBy(_.partition).forall(_._2.size == 1),
+      "compaction cadence must leave one file per block")
+    assert(VersionedLake.read(spark, s"$dir/lake")
+      .agg(sum("len")).as[Long].head() == 80L * 30)
+  }
+
+  test("epochLakeAppend: committed layouts equal the derivation, replay no-op, shard reads pruned, geometry guarded") {
+    import graft.sources.VersionedLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_epochlake").toString + "/lake"
+    val docs = corpus(300, 10).select("doc_id")
+    val v0 = Loader.epochLakeAppend(docs, "doc_id", epoch = 0, shards = 8, dir)
+    val v1 = Loader.epochLakeAppend(docs, "doc_id", epoch = 1, shards = 8, dir)
+    assert(v1 > v0)
+    // committed layout == the pure derivation, per epoch
+    for (e <- 0 to 1) {
+      val lake = Loader.readEpoch(spark, dir, e)
+        .collect().map(_.toSeq).toSet
+      val derived = Loader.epochShuffle(docs, "doc_id", e, 8)
+        .collect().map(_.toSeq).toSet
+      assert(lake == derived && lake.size == 300, s"epoch $e diverged")
+    }
+    // replayed epoch is a no-op (batch-id watermark)
+    assert(Loader.epochLakeAppend(docs, "doc_id", 1, 8, dir) == v1)
+    assert(VersionedLake.read(spark, dir).count() == 600)
+    // a single (epoch, shard) read opens ONLY its partition's files
+    val shard3 = Loader.readEpochShard(spark, dir, 1, 3)
+    assert(shard3.inputFiles.length <
+      VersionedLake.read(spark, dir).inputFiles.length)
+    val ps = shard3.select("pos").collect().map(_.getLong(0))
+    assert(ps.toSeq == ps.sorted.toSeq && ps.toSet == (0L until ps.length).toSet)
+    // re-deriving with different geometry is refused loudly
+    intercept[IllegalArgumentException] {
+      Loader.epochLakeAppend(docs, "doc_id", 2, shards = 16, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Loader.epochLakeAppend(docs, "doc_id", 2, 8, dir, seed = 7L)
+    }
   }
 
   test("epochShuffle: replay-identical within an epoch, different across epochs, dense per-shard positions") {

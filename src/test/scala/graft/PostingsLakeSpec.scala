@@ -148,6 +148,38 @@ class PostingsLakeSpec extends SparkSpec {
     assert(batch == serial && batch.nonEmpty)
   }
 
+  test("proximitySearchBatch: mixed-length phrases each equal their one-shot form, in one pass") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // lengths 1–4 plus a REPEATED-word phrase: the runtime chain fold
+    // must agree with the unrolled one-shot at every length, including
+    // the degenerate single-word window and duplicate slots
+    val prefixes = docs.filter(col("doc_id") % 60 === 0)
+      .select(col("doc_id"),
+        slice(split(col("text"), " "), 1, 4).as("w4"))
+      .collect().zipWithIndex.map { case (r, i) =>
+        val w = r.getSeq[String](1)
+        val len = 1 + i % 4
+        (r.getLong(0), w.take(len).mkString(" "))
+      }
+    val dupWord = docs.orderBy(col("doc_id")).limit(1)
+      .select(split(col("text"), " ")).head().getSeq[String](0).head
+    val all = prefixes :+ (999999L, s"$dupWord $dupWord")
+    val phrases = all.toSeq.toDF("phrase_id", "ptext")
+    for (slop <- Seq(0, 2)) {
+      val batch = PostingsLake.proximitySearchBatch(spark, root,
+        phrases, "phrase_id", "ptext", slop)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val serial = all.flatMap { case (pid, ptext) =>
+        PostingsLake.proximitySearch(spark, root, ptext, slop).collect()
+          .map(r => (pid, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.toSet
+      assert(batch == serial && batch.nonEmpty, s"slop=$slop diverged")
+    }
+  }
+
   test("lake highlight: postings-driven snippets equal the one-shot form byte for byte") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val base = java.nio.file.Files.createTempDirectory("graft_hl_docs").toString

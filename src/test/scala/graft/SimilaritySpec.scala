@@ -114,6 +114,16 @@ class SimilaritySpec extends SparkSpec {
     val bruteRanked = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(full == bruteRanked, "full-shortlist refine must equal brute force")
+    // a corpus OUT OF SYNC with the codes (missing shortlisted rows)
+    // must refuse loudly, not under-fill below k silently
+    val holed = emb.filter(col("vec_id") >= 40)
+    val ex = intercept[Exception] {
+      Similarity.pqSearchRefined(holed, q, "vec_id", "embedding",
+        k = 10, refine = 3, m = 8, dim = 64, codes, booksDf).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("out of sync")), ex.toString)
   }
 
   test("PQ sampled codebook training: recall parity with full training") {
