@@ -147,6 +147,9 @@ object PipelineSql {
     // COUNT(*) over a lake scan answered from the manifest's recorded
     // row counts (the lake_row_count TVF stays the explicit form)
     graft.plans.LakeCountFromManifest.install(spark)
+    // unfiltered MIN/MAX over a lake scan folded from the manifest's
+    // per-file zone maps (the same metadata ZoneMapPrune skips files by)
+    graft.plans.LakeMinMaxFromManifest.install(spark)
     def regDeferred(name: String, schema: org.apache.spark.sql.types.StructType)(
         builder: Seq[Expression] => () => Seq[Seq[Any]]): Unit =
       registerTableFunction(spark, name,
@@ -559,8 +562,22 @@ object PipelineSql {
     // 3-arg form prunes on the legacy commit-time statsCol; the 4-arg
     // form names ANY column with recorded per-column zone maps
     // (timestamps probe in epoch micros, dates in epoch days)
+    // the 4-arg form with STRING bounds prunes on the truncated string
+    // envelopes commits record for every string column (binary UTF-8
+    // order — categorical filters like lang = 'en' probe with lo = hi)
     reg("read_range") { es =>
-      if (es.length == 4)
+      def isStr(e: Expression): Boolean = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(_, t) =>
+          t == org.apache.spark.sql.types.StringType
+        case _ => false
+      }
+      if (es.length == 4 && isStr(es(2)) && isStr(es(3)))
+        graft.sources.VersionedLake.readRange(spark,
+          str("read_range", es(0), "lake directory"),
+          str("read_range", es(1), "stats column"),
+          str("read_range", es(2), "range low"),
+          str("read_range", es(3), "range high"), None)
+      else if (es.length == 4)
         graft.sources.VersionedLake.readRange(spark,
           str("read_range", es(0), "lake directory"),
           str("read_range", es(1), "stats column"),
@@ -966,6 +983,18 @@ object PipelineSql {
         table("phrase_lake_batch", es(1)),
         pid = str("phrase_lake_batch", es(2), "phrase id column"),
         ptext = str("phrase_lake_batch", es(3), "phrase text column"))
+    }
+    // the QUERY-TABLE proximity form over the lake: ('<lake dir>',
+    // '<phrases table>', '<phrase id col>', '<phrase text col>', slop)
+    reg("proximity_lake_batch") { es =>
+      argc("proximity_lake_batch", es, 5)
+      graft.sources.PostingsLake.proximitySearchBatch(
+        org.apache.spark.sql.SparkSession.active,
+        str("proximity_lake_batch", es(0), "postings lake dir"),
+        table("proximity_lake_batch", es(1)),
+        pid = str("proximity_lake_batch", es(2), "phrase id column"),
+        ptext = str("proximity_lake_batch", es(3), "phrase text column"),
+        slop = int("proximity_lake_batch", es(4), "slop"))
     }
     // lake-backed highlighting: ('<postings lake>', '<docs lake>',
     // '<id>', '<text>', '<terms csv>', window)

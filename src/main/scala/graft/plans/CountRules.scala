@@ -101,3 +101,157 @@ object LakeCountFromManifest {
       spark.experimental.extraOptimizations = existing :+ LakeCountFromManifest(spark)
   }
 }
+
+/** Optimizer rule that answers unfiltered `MIN(col)` / `MAX(col)` (and
+  * any `COUNT(*)`s riding the same select list) over a versioned-lake
+  * scan from the MANIFEST's zone maps — the natural completion of
+  * [[LakeCountFromManifest]]: every commit already records per-file
+  * per-column min/max, and the min over files of the per-file minima
+  * IS the table minimum when every scanned file has stats.
+  *
+  * Scope guards (strictly the cases where the fold is provably exact):
+  *  - Aggregate with NO grouping keys over a registered lake scan
+  *    (attribute-only Project in between fine; Filter keeps the scan —
+  *    zone maps bound files, not rows);
+  *  - inside the aggregate list, every aggregate function is a plain
+  *    `min(col)` / `max(col)` over a DIRECT column, or a `count(*)`
+  *    (non-null literal child) — no DISTINCT, no FILTER clause;
+  *    arbitrary scalar expressions AROUND the aggregates are fine
+  *    (the fold substitutes literals and leaves the arithmetic);
+  *  - the column's type round-trips the manifest's double encoding
+  *    EXACTLY: int family, float/double, date (epoch days), timestamp
+  *    (epoch micros). Longs fold only when the folded value sits
+  *    within double's 2^53 integer-exact range. Strings never fold
+  *    (their recorded stats are truncated BOUNDS, not attained
+  *    values); TimestampNTZ never folds (its stats encoding is
+  *    session-timezone-dependent); decimals never fold (double
+  *    round-trip not guaranteed).
+  *  - every file the scan covers has recorded stats for every folded
+  *    column (a NaN-bearing double file records NO stats — so a NaN
+  *    anywhere keeps the scan, preserving NaN-greatest max semantics),
+  *    and a recorded row count when a count(*) rides along. An empty
+  *    file list folds to NULL min/max and 0 rows — the SQL semantics.
+  *
+  * `spark.graft.minmaxmeta.enabled=false` switches the rule off.
+  */
+case class LakeMinMaxFromManifest(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import LakeMinMaxFromManifest._
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+  import org.apache.spark.sql.catalyst.plans.logical.OneRowRelation
+  import org.apache.spark.sql.types._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption(EnabledKey).forall(_.toBoolean)) return plan
+    plan.transformUp {
+      case agg @ Aggregate(groups, aggExprs, child, _)
+          if groups.isEmpty && aggExprs.nonEmpty =>
+        rewrite(agg, aggExprs, child).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val lr = scanOf(child).getOrElse(return None)
+    val (lakeDir, v) = graft.sources.VersionedLake.zoneInfoFor(lr.relation)
+      .getOrElse(return None)
+    val aggs = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
+    if (aggs.isEmpty) return None
+    // at least one min/max (pure counts belong to LakeCountFromManifest)
+    if (!aggs.exists(_.aggregateFunction match {
+      case Min(_) | Max(_) => true; case _ => false
+    })) return None
+    if (!aggs.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
+      (ae.aggregateFunction match {
+        case Count(children) => children.forall(c => c.foldable && c.eval() != null)
+        case Min(a: AttributeReference) => exactType(a.dataType)
+        case Max(a: AttributeReference) => exactType(a.dataType)
+        case _ => false
+      }))) return None
+    val current = lr.relation match {
+      case hfs: HadoopFsRelation =>
+        hfs.location.inputFiles
+          .map(graft.sources.VersionedLake.normalizePath).toSet
+      case _ => return None
+    }
+    val entries = graft.sources.VersionedLake.manifestEntries(lakeDir, v)
+      .filter(e => current.contains(
+        graft.sources.VersionedLake.normalizePath(e.path)))
+    if (entries.size != current.size) return None
+    val needRows = aggs.exists(_.aggregateFunction.isInstanceOf[Count])
+    if (needRows && !entries.forall(_.rows.isDefined)) return None
+    val totalRows = entries.flatMap(_.rows).sum
+    // fold each aggregate to a literal; refuse the whole rewrite if any
+    // single one can't be answered exactly from the manifest
+    val folded: Map[AggregateExpression, Literal] = aggs.map { ae =>
+      val lit = ae.aggregateFunction match {
+        case Count(_) => Literal(totalRows, LongType)
+        case Min(a: AttributeReference) =>
+          foldMinMax(entries, a, isMin = true).getOrElse(return None)
+        case Max(a: AttributeReference) =>
+          foldMinMax(entries, a, isMin = false).getOrElse(return None)
+        case _ => return None
+      }
+      ae -> lit
+    }.toMap
+    val newExprs = aggExprs.map(_.transform {
+      case ae: AggregateExpression => folded(ae)
+    }.asInstanceOf[NamedExpression])
+    Some(Project(newExprs, OneRowRelation()))
+  }
+
+  /** The per-file stats fold: min of minima / max of maxima, decoded
+    * back to the column's INTERNAL Catalyst value. None = keep the
+    * scan (a file without stats for the column, or a long that
+    * exceeds double's integer-exact range). Empty file list → NULL. */
+  private def foldMinMax(entries: Seq[graft.sources.VersionedLake.Entry],
+      a: AttributeReference, isMin: Boolean): Option[Literal] = {
+    if (entries.isEmpty) return Some(Literal(null, a.dataType))
+    val per = entries.map(_.colStats.get(a.name).getOrElse(return None))
+    val d = if (isMin) per.map(_._1).min else per.map(_._2).max
+    val v: Any = a.dataType match {
+      case DoubleType => d
+      case FloatType => d.toFloat
+      case IntegerType => d.toInt
+      case ShortType => d.toShort
+      case ByteType => d.toByte
+      case DateType => d.toInt
+      case TimestampType =>
+        if (d == d.toLong.toDouble) d.toLong else return None
+      case LongType =>
+        if (math.abs(d) <= MaxExactLong && d == d.toLong.toDouble) d.toLong
+        else return None
+      case _ => return None
+    }
+    Some(Literal(v, a.dataType))
+  }
+
+  /** Types whose manifest double encoding is exact and reversible. */
+  private def exactType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def scanOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case lr: LogicalRelation => Some(lr)
+    case Project(projectList, lr: LogicalRelation)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
+    case _ => None
+  }
+}
+
+object LakeMinMaxFromManifest {
+  val EnabledKey = "spark.graft.minmaxmeta.enabled"
+
+  /** 2^53 — the largest magnitude at which every long is exactly
+    * representable as a double (the manifest's stats encoding). */
+  val MaxExactLong: Double = 9007199254740992.0
+
+  /** Live-session installation, idempotent. */
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[LakeMinMaxFromManifest]))
+      spark.experimental.extraOptimizations = existing :+ LakeMinMaxFromManifest(spark)
+  }
+}

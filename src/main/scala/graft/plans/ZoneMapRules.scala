@@ -59,7 +59,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryPrune(f: Filter, cond: Expression, lr: LogicalRelation,
       lakeDir: String, v: Int): LogicalPlan = {
     val bounds = extractBounds(cond)
-    if (bounds.isEmpty) return f
+    val strCons = extractStrConstraints(cond)
+    if (bounds.isEmpty && strCons.isEmpty) return f
     val current = lr.relation match {
       case hfs: HadoopFsRelation =>
         hfs.location.inputFiles
@@ -80,6 +81,16 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some((mn, mx)) if mn.isNaN || mx.isNaN => true // no stats
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true
+        }
+      } && strCons.forall { case (name, c) =>
+        e.strStats.get(name) match {
+          case Some((mn, mx)) => c match {
+            case StrLo(s) => cmp(mx, s) >= 0
+            case StrHi(s) => cmp(mn, s) <= 0
+            case StrIn(vs) =>
+              vs.exists(v => cmp(mn, v) <= 0 && cmp(mx, v) >= 0)
+          }
+          case None => true // no string stats for this file: kept
         }
       }
     }
@@ -155,6 +166,59 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** STRING-column constraints from the filter's conjuncts, pruned
+    * against the manifest's truncated string envelopes ([[graft
+    * .sources.VersionedLake.StrStatsLen]]-codepoint min/max, max
+    * truncated UP so containment is provable). All comparisons use
+    * UTF-8 byte order ([[cmp]]) — exactly the binary order Spark's
+    * UTF8String min/max and predicates use; only DEFAULT-collation
+    * string attributes qualify (a non-binary collation orders
+    * differently than the recorded stats). Unlike numeric IN-lists
+    * (which fold to their envelope), string IN-lists test each value
+    * against the file's envelope — `lang IN ('en','fr')` drops a file
+    * whose envelope contains neither, even when the envelope overlaps
+    * the ['en','fr'] range. Strict </> widen to closed bounds —
+    * conservative, like the numeric side. */
+  private def extractStrConstraints(cond: Expression): Seq[(String, StrCon)] = {
+    def strLit(l: Literal): Option[String] = (l.value, l.dataType) match {
+      case (u: org.apache.spark.unsafe.types.UTF8String, t)
+          if t == StringType => Some(u.toString)
+      case _ => None
+    }
+    def attr(a: AttributeReference): Boolean = a.dataType == StringType
+    splitConjuncts(cond).flatMap {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if attr(a) =>
+        strLit(l).map(v => (a.name, StrLo(v)))
+      case GreaterThan(a: AttributeReference, l: Literal) if attr(a) =>
+        strLit(l).map(v => (a.name, StrLo(v)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if attr(a) =>
+        strLit(l).map(v => (a.name, StrLo(v)))
+      case LessThan(l: Literal, a: AttributeReference) if attr(a) =>
+        strLit(l).map(v => (a.name, StrLo(v)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if attr(a) =>
+        strLit(l).map(v => (a.name, StrHi(v)))
+      case LessThan(a: AttributeReference, l: Literal) if attr(a) =>
+        strLit(l).map(v => (a.name, StrHi(v)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if attr(a) =>
+        strLit(l).map(v => (a.name, StrHi(v)))
+      case GreaterThan(l: Literal, a: AttributeReference) if attr(a) =>
+        strLit(l).map(v => (a.name, StrHi(v)))
+      case EqualTo(a: AttributeReference, l: Literal) if attr(a) =>
+        strLit(l).map(v => (a.name, StrIn(Seq(v))))
+      case EqualTo(l: Literal, a: AttributeReference) if attr(a) =>
+        strLit(l).map(v => (a.name, StrIn(Seq(v))))
+      case In(a: AttributeReference, vs) if attr(a) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val ss = vs.map(v => strLit(v.asInstanceOf[Literal]))
+        if (ss.exists(_.isEmpty)) None
+        else Some((a.name, StrIn(ss.flatten)))
+      case _ => None
+    }
+  }
+
+  private def cmp(a: String, b: String): Int =
+    graft.sources.VersionedLake.utf8Compare(a, b)
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
     case other => Seq(other)
@@ -163,6 +227,13 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object ZoneMapPrune {
   val EnabledKey = "spark.graft.zonemap.prune.enabled"
+
+  /** One string-column constraint: a lower bound, an upper bound, or a
+    * per-value IN-set (equality is a one-value set). */
+  private sealed trait StrCon
+  private final case class StrLo(v: String) extends StrCon
+  private final case class StrHi(v: String) extends StrCon
+  private final case class StrIn(vs: Seq[String]) extends StrCon
 
   /** Live-session installation, idempotent (same discipline as
     * [[RangeJoinBinRewrite.install]]). */

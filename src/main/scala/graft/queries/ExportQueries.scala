@@ -97,6 +97,26 @@ object ExportQueries {
     s"$out/lake"
   }
 
+  /** String-zone-map fixture: the documents table committed in three
+    * lang-disjoint tranches (de+en, es+fr, zh), partitioned by
+    * `source` — so every file's recorded string envelope for `lang`
+    * covers at most two languages and a categorical predicate can
+    * prove most files out from the manifest alone. coalesce(1) keeps
+    * it one file per (commit, source): 60 files, of which a
+    * `lang = 'en'` scan may open only the first tranche's 20. */
+  private def stringZoneLakeFixture(s: SparkSession, dir: String): String = {
+    val out = Fixtures.dir("string_zone_lake", dir) { o =>
+      val docs = Tables.documents(s, dir)
+      graft.sources.VersionedLake.create(
+        docs.filter(col("lang").isin("de", "en")).coalesce(1), s"$o/lake", "source")
+      graft.sources.VersionedLake.append(
+        docs.filter(col("lang").isin("es", "fr")).coalesce(1), s"$o/lake", "source")
+      graft.sources.VersionedLake.append(
+        docs.filter(col("lang") === "zh").coalesce(1), s"$o/lake", "source")
+    }
+    s"$out/lake"
+  }
+
   /** The s21 fixture: the SAME merge algebra as [[versionedLakeFixture]]
     * (so [[mergedCtes]] oracles apply), but the lake declares a
     * column-SET Bloom spec over TWO columns plus table properties at
@@ -738,6 +758,98 @@ object ExportQueries {
           |  SELECT CAST(3 AS BIGINT), count(*) FROM merged
           |  WHERE value >= 40.0 AND value <= 120.0)
           |ORDER BY version""".stripMargin)),
+
+    // MIN/MAX answered from the MANIFEST's per-file zone maps — the
+    // LakeMinMaxFromManifest rule, completing the metadata family
+    // (COUNT from row counts, files from zone maps, now extrema from
+    // zone maps). Versions 1 and 2 fold scan-free (PlanSpec pins the
+    // plan shape); the third leg filters, which the rule must NOT
+    // touch — its extrema come from the real scan. All three legs
+    // hash against DuckDB's recompute: a manifest stat that drifted
+    // from the data (or a fold that lost a commit's files) splits the
+    // legs apart here.
+    QDef(
+      "q_sql_minmax_meta",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        graft.functions.PipelineSql.register(s)
+        def leg(tag: Int, v: Int, where: String) = s.sql(
+          s"""SELECT CAST($tag AS BIGINT) AS version,
+             |       CAST(round(min(value) * 100) AS BIGINT) AS min_cents,
+             |       CAST(round(max(value) * 100) AS BIGINT) AS max_cents,
+             |       min(event_id) AS min_id, max(event_id) AS max_id,
+             |       count(*) AS n_rows
+             |FROM time_travel('$lake', $v)$where""".stripMargin)
+        leg(1, 1, "").unionByName(leg(2, 2, ""))
+          .unionByName(leg(3, 2, "\nWHERE value >= 40.0 AND value <= 120.0"))
+          .orderBy(col("version"))
+      },
+      Some(mergedCtes +
+        """
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS version,
+          |         CAST(round(min(value) * 100) AS BIGINT) AS min_cents,
+          |         CAST(round(max(value) * 100) AS BIGINT) AS max_cents,
+          |         min(event_id) AS min_id, max(event_id) AS max_id,
+          |         count(*) AS n_rows
+          |  FROM ev
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), CAST(round(min(value) * 100) AS BIGINT),
+          |         CAST(round(max(value) * 100) AS BIGINT),
+          |         min(event_id), max(event_id), count(*)
+          |  FROM merged
+          |  UNION ALL
+          |  SELECT CAST(3 AS BIGINT), CAST(round(min(value) * 100) AS BIGINT),
+          |         CAST(round(max(value) * 100) AS BIGINT),
+          |         min(event_id), max(event_id), count(*)
+          |  FROM merged WHERE value >= 40.0 AND value <= 120.0)
+          |ORDER BY version""".stripMargin)),
+
+    // STRING zone maps: commits record a truncated [min, max] envelope
+    // per string column, and categorical predicates — the most common
+    // filters in a curation pipeline (`lang = 'en'`) — skip files from
+    // the manifest alone, through three surfaces at once: the eq leg
+    // and the in leg ride the automatic ZoneMapPrune rule over a plain
+    // WHERE (per-value IN testing, not just the range envelope), the
+    // rng leg the read_range TVF's string form. The fixture's commits
+    // are lang-disjoint so the skip is provable (PlanSpec pins the
+    // pruned file counts); hash-equality against DuckDB's plain
+    // filters over the raw table proves pruning moved I/O, never rows.
+    QDef(
+      "q_sql_zonemap_string",
+      (s, dir) => {
+        val lake = stringZoneLakeFixture(s, dir)
+        graft.functions.PipelineSql.register(s)
+        val v = graft.sources.VersionedLake.currentVersion(lake)
+        s.sql(
+          s"""SELECT * FROM (
+             |  SELECT 'eq' AS leg, source, count(*) AS n_docs,
+             |         sum(n_chars) AS sum_chars
+             |  FROM time_travel('$lake', $v) WHERE lang = 'en'
+             |  GROUP BY source
+             |  UNION ALL
+             |  SELECT 'in', source, count(*), sum(n_chars)
+             |  FROM time_travel('$lake', $v) WHERE lang IN ('de', 'zh')
+             |  GROUP BY source
+             |  UNION ALL
+             |  SELECT 'rng', source, count(*), sum(n_chars)
+             |  FROM read_range('$lake', 'lang', 'es', 'fr')
+             |  WHERE lang >= 'es' AND lang <= 'fr'
+             |  GROUP BY source)
+             |ORDER BY leg, source""".stripMargin)
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT 'eq' AS leg, source, count(*) AS n_docs,
+          |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |  FROM documents WHERE lang = 'en' GROUP BY source
+          |  UNION ALL
+          |  SELECT 'in', source, count(*), CAST(sum(n_chars) AS BIGINT)
+          |  FROM documents WHERE lang IN ('de', 'zh') GROUP BY source
+          |  UNION ALL
+          |  SELECT 'rng', source, count(*), CAST(sum(n_chars) AS BIGINT)
+          |  FROM documents WHERE lang >= 'es' AND lang <= 'fr' GROUP BY source)
+          |ORDER BY leg, source""".stripMargin)),
 
     // Lake maintenance 8: small-file COMPACTION committed as a version
     // under optimistic concurrency. The fixture leaves the lake the way

@@ -90,7 +90,8 @@ object VersionedLake {
       bloom: Option[FileBloom] = None,
       rows: Option[Long] = None,
       colStats: Map[String, (Double, Double)] = Map.empty,
-      colBlooms: Map[String, FileBloom] = Map.empty)
+      colBlooms: Map[String, FileBloom] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty)
 
   /** Per-file Bloom filter of a key column, recorded in the manifest:
     * the point-lookup complement of the min/max zone maps. Same hash
@@ -170,6 +171,13 @@ object VersionedLake {
             java.net.URLDecoder.decode(n, "UTF-8") -> FileBloom(k.toInt, m.toInt,
               ws.split(",").map(java.lang.Long.parseUnsignedLong(_, 16)))
           }.toMap
+        def ss(v: String): Map[String, (String, String)] =
+          if (v.isEmpty) Map.empty
+          else v.split(";").iterator.map { ent =>
+            val Array(n, mn, mx) = ent.split(":", 3)
+            def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+            dec(n) -> ((dec(mn), dec(mx)))
+          }.toMap
         line.split("\t", -1) match {
           case Array(p, path) => Entry(p, path, None, None)
           case Array(p, path, mn, mx) => Entry(p, path, num(mn), num(mx))
@@ -181,6 +189,8 @@ object VersionedLake {
             Entry(p, path, num(mn), num(mx), bl(b), rw(r), cs(c))
           case Array(p, path, mn, mx, b, r, c, mb) =>
             Entry(p, path, num(mn), num(mx), bl(b), rw(r), cs(c), cb(mb))
+          case Array(p, path, mn, mx, b, r, c, mb, st) =>
+            Entry(p, path, num(mn), num(mx), bl(b), rw(r), cs(c), cb(mb), ss(st))
           case other =>
             throw new IllegalStateException(
               s"malformed manifest line (${other.length} fields): $line")
@@ -338,6 +348,93 @@ object VersionedLake {
     val wanted = entries.filter(_.colStats.get(column) match {
       case Some((mn, mx)) if mn.isNaN || mx.isNaN => true // NaN = no stats
       case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // no stats for this file: conservatively kept
+    })
+    readFiles(spark, lakeDir, v, wanted.map(_.path))
+  }
+
+  /** How many CODEPOINTS of a string column land in the per-file zone
+    * maps: commits record a truncated [min, max] envelope per string
+    * column (min truncated down — a prefix is <= the value; max
+    * truncated UP by [[strTruncUp]]), the Delta/Iceberg discipline
+    * that keeps manifests bounded while still proving containment. */
+  val StrStatsLen = 32
+
+  /** First [[StrStatsLen]] codepoints — a prefix, hence <= the value
+    * in the binary order string comparisons use. */
+  private[graft] def strTruncDown(s: String): String = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= StrStatsLen) s else new String(cps, 0, StrStatsLen)
+  }
+
+  /** Smallest recordable upper bound: values of <= StrStatsLen
+    * codepoints are exact; longer ones truncate to StrStatsLen and
+    * INCREMENT the last codepoint (carrying left past 0x10FFFF,
+    * skipping the surrogate block) — UTF-8 encodes codepoint order, so
+    * prefix+(c+1) > prefix+c+anything byte-wise. None when every
+    * codepoint is already U+10FFFF (no finite upper bound exists at
+    * this width — the file records no stats and is always kept). */
+  private[graft] def strTruncUp(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= StrStatsLen) Some(s)
+    else {
+      val head = cps.take(StrStatsLen)
+      var i = head.length - 1
+      while (i >= 0) {
+        val c = head(i)
+        if (c < 0x10FFFF) {
+          val next = if (c == 0xD7FF) 0xE000 else c + 1
+          val out = head.clone(); out(i) = next
+          return Some(new String(out, 0, i + 1))
+        }
+        i -= 1
+      }
+      None
+    }
+  }
+
+  /** Byte-wise UTF-8 comparison — the SAME binary order Spark's
+    * UTF8String (and DuckDB's collation-free memcmp) use for string
+    * min/max and predicates, so driver-side zone-map overlap tests
+    * agree with what the executors computed. Java's String.compareTo
+    * (UTF-16 code-unit order) differs for supplementary characters and
+    * must not be used here. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** STRING-column zone-map read: files whose recorded truncated
+    * [min, max] envelope for the named string column overlaps
+    * [lo, hi] (binary UTF-8 order — the order Spark compares strings
+    * in) are handed to the scan. The envelope is conservative (max is
+    * truncated UP), so false keeps are possible but false skips are
+    * not; the caller still applies the exact row filter. Same loud
+    * refusal as the numeric form when NO entry records string stats
+    * for the column. Point lookups probe with lo == hi; categorical
+    * curation filters (`lang = 'en'`) get the same automatic planner
+    * form via [[graft.plans.ZoneMapPrune]]. */
+  def readRange(spark: SparkSession, lakeDir: String, column: String,
+      lo: String, hi: String, version: Option[Int]): DataFrame = {
+    val v = version.getOrElse(currentVersion(lakeDir))
+    val entries = manifestEntries(lakeDir, v)
+    if (entries.nonEmpty && !entries.exists(_.strStats.contains(column))) {
+      val available = entries.flatMap(_.strStats.keys).distinct.sorted
+      throw new IllegalArgumentException(
+        s"no string zone-map stats recorded for column '$column' in " +
+          s"$lakeDir@v$v — a range read on it would silently scan every " +
+          s"file; string stats exist for [${available.mkString(", ")}]")
+    }
+    val wanted = entries.filter(_.strStats.get(column) match {
+      case Some((mn, mx)) => utf8Compare(mx, lo) >= 0 && utf8Compare(mn, hi) <= 0
       case None => true // no stats for this file: conservatively kept
     })
     readFiles(spark, lakeDir, v, wanted.map(_.path))
@@ -1098,12 +1195,31 @@ object VersionedLake {
       val encoded: Seq[(String, org.apache.spark.sql.Column)] =
         if (!perColStats) Seq.empty
         else src.schema.fields.toSeq.flatMap(f => statsEncoding(f).map(f.name -> _))
+      // string zone maps: min/max over a (StrStatsLen+1)-codepoint
+      // PREFIX of each value — prefix truncation is monotone under the
+      // binary string order Spark's min/max use, so
+      // min(prefix) = prefix(min) and max(prefix) = prefix(max); the
+      // aggregate never shuffles more than 33 codepoints per value no
+      // matter how long the documents are. The driver then truncates
+      // the min DOWN (a prefix is <= the value) and the max UP
+      // ([[strTruncUp]] increments the last codepoint, the
+      // Delta/Iceberg trick) so the recorded 32-codepoint envelope
+      // provably contains every value in the file.
+      val strCols: Seq[String] =
+        if (!perColStats) Seq.empty
+        else src.schema.fields.toSeq.collect {
+          case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+        }
       val aggs: Seq[org.apache.spark.sql.Column] =
         statsCol.toSeq.flatMap(c => Seq(
           min(col(c).cast("double")).as("_lmn"),
           max(col(c).cast("double")).as("_lmx"))) ++
           encoded.zipWithIndex.flatMap { case ((_, e), i) =>
             Seq(min(e).as(s"_n$i"), max(e).as(s"_x$i"))
+          } ++
+          strCols.zipWithIndex.flatMap { case (n, i) =>
+            Seq(min(substring(col(n), 1, StrStatsLen + 1)).as(s"_smn$i"),
+              max(substring(col(n), 1, StrStatsLen + 1)).as(s"_smx$i"))
           }
       if (aggs.isEmpty) bare else {
         val rows = src.groupBy(input_file_name().as("f"))
@@ -1122,12 +1238,23 @@ object VersionedLake {
           val per = encoded.zipWithIndex.flatMap { case ((n, _), i) =>
             for { mn <- d(s"_n$i"); mx <- d(s"_x$i") } yield n -> ((mn, mx))
           }.toMap
-          normalizePath(r.getString(r.fieldIndex("f"))) -> ((legacy, per))
+          def st(nm: String): Option[String] = {
+            val i = r.fieldIndex(nm)
+            if (r.isNullAt(i)) None else Some(r.getString(i))
+          }
+          val strs = strCols.zipWithIndex.flatMap { case (n, i) =>
+            for {
+              mnRaw <- st(s"_smn$i"); mxRaw <- st(s"_smx$i")
+              mx <- strTruncUp(mxRaw) // un-incrementable max: no stats
+            } yield n -> ((strTruncDown(mnRaw), mx))
+          }.toMap
+          normalizePath(r.getString(r.fieldIndex("f"))) -> ((legacy, per, strs))
         }.toMap
         bare.map { e =>
           byPath.get(normalizePath(e.path)) match {
-            case Some((legacy, per)) => e.copy(
-              min = legacy.map(_._1), max = legacy.map(_._2), colStats = per)
+            case Some((legacy, per, strs)) => e.copy(
+              min = legacy.map(_._1), max = legacy.map(_._2), colStats = per,
+              strStats = strs)
             case None => e // an empty file: no zone maps
           }
         }
@@ -1858,7 +1985,12 @@ object VersionedLake {
         val cb = e.colBlooms.toSeq.sortBy(_._1).map { case (n, fb) =>
           s"${enc(n)}:${blw(fb)}"
         }.mkString(";")
-        if (cb.nonEmpty)
+        val st = e.strStats.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+          s"${enc(n)}:${enc(lo)}:${enc(hi)}"
+        }.mkString(";")
+        if (st.nonEmpty)
+          s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t${e.rows.fold("")(_.toString)}\t$cs\t$cb\t$st"
+        else if (cb.nonEmpty)
           s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t${e.rows.fold("")(_.toString)}\t$cs\t$cb"
         else if (cs.nonEmpty)
           s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t${e.rows.fold("")(_.toString)}\t$cs"

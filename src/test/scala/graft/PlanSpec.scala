@@ -518,6 +518,68 @@ class PlanSpec extends SparkSpec {
     assert(!hasScan(sqlCount) && sqlCount.head().getLong(0) == 40L)
   }
 
+  test("minmax-from-manifest: unfiltered MIN/MAX over a lake plans NO scan; filters, strings, NaN keep it") {
+    import spark.implicits._
+    import graft.sources.VersionedLake
+    graft.plans.LakeMinMaxFromManifest.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmeta").toString + "/lake"
+    VersionedLake.create((0 until 25).map(i =>
+      (i.toLong, i * 1.5, s"n$i", s"p${i % 3}"))
+      .toDF("v", "d", "name", "part"), dir, "part")
+    VersionedLake.append((25 until 40).map(i =>
+      (i.toLong, i * 1.5, s"n$i", s"p${i % 3}"))
+      .toDF("v", "d", "name", "part"), dir, "part")
+    def hasScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("FileScan")
+    import org.apache.spark.sql.functions.{count => fcount, max => fmax, min => fmin}
+    // long + double extrema, with a count riding along and scalar
+    // arithmetic AROUND the aggregates — all folded from the manifest
+    val bare = VersionedLake.read(spark, dir)
+      .agg(fmin(col("v")).as("mn"), fmax(col("v")).as("mx"),
+        (fmax(col("d")) * 2).as("dx"), fcount(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(!hasScan(bare), bare.queryExecution.executedPlan.toString)
+    assert(bare.head() == org.apache.spark.sql.Row(0L, 39L, 117.0, 40L))
+    // a PARTITION-pruned read folds only its files' stats
+    val pruned = VersionedLake.read(spark, dir, None, partitions = Some(Seq("p1")))
+      .agg(fmin(col("v")), fmax(col("v")))
+    assert(!hasScan(pruned))
+    assert(pruned.head() == org.apache.spark.sql.Row(1L, 37L))
+    // filters must scan (extrema depend on rows, not files)
+    val filtered = VersionedLake.read(spark, dir).filter(col("v") >= 10)
+      .agg(fmin(col("v")))
+    assert(hasScan(filtered) && filtered.head().getLong(0) == 10L)
+    // strings never fold: recorded stats are truncated BOUNDS
+    val str = VersionedLake.read(spark, dir).agg(fmax(col("name")))
+    assert(hasScan(str) && str.head().getString(0) == "n9")
+    // a NaN-bearing double commit records no stats → the scan stays
+    // and NaN-greatest max semantics hold
+    val ndir = java.nio.file.Files.createTempDirectory("graft_mmnan").toString + "/lake"
+    VersionedLake.create(Seq((1.0, "p0"), (Double.NaN, "p0")).toDF("d", "part"),
+      ndir, "part")
+    val nan = VersionedLake.read(spark, ndir).agg(fmax(col("d")))
+    assert(hasScan(nan) && nan.head().getDouble(0).isNaN)
+    // the off switch restores the scan
+    spark.conf.set(graft.plans.LakeMinMaxFromManifest.EnabledKey, "false")
+    try assert(hasScan(VersionedLake.read(spark, dir).agg(fmin(col("v")))))
+    finally spark.conf.unset(graft.plans.LakeMinMaxFromManifest.EnabledKey)
+    // SQL text through time_travel takes the same metadata path,
+    // timestamps decode back through the epoch-micros encoding
+    graft.functions.PipelineSql.register(spark)
+    val sqlMm = spark.sql(
+      s"SELECT min(v) AS mn, max(d) AS mx, count(*) AS n FROM time_travel('$dir', 2)")
+    assert(!hasScan(sqlMm) && sqlMm.head() == org.apache.spark.sql.Row(0L, 58.5, 40L))
+    val tdir = java.nio.file.Files.createTempDirectory("graft_mmts").toString + "/lake"
+    VersionedLake.create(Seq(("2024-01-03 04:05:06", "p0"), ("2024-02-01 00:00:00", "p0"))
+      .toDF("s", "part")
+      .select(org.apache.spark.sql.functions.to_timestamp(col("s")).as("ts"), col("part")),
+      tdir, "part")
+    val ts = VersionedLake.read(spark, tdir)
+      .agg(fmin(col("ts")).cast("string"), fmax(col("ts")).cast("string"))
+    assert(!hasScan(ts))
+    assert(ts.head() == org.apache.spark.sql.Row(
+      "2024-01-03 04:05:06", "2024-02-01 00:00:00"))
+  }
+
   test("zone-map prune never changes rows: randomized interval sweep, rule on vs off") {
     import spark.implicits._
     import graft.sources.VersionedLake
@@ -550,6 +612,54 @@ class PlanSpec extends SparkSpec {
         finally spark.conf.unset(graft.plans.ZoneMapPrune.EnabledKey)
       assert(withRule == without, s"rows diverged for [$a, $b]")
     }
+  }
+
+  test("string zone-map prune: categorical predicates skip files from string envelopes") {
+    import spark.implicits._
+    import graft.sources.VersionedLake
+    graft.plans.ZoneMapPrune.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmstr").toString + "/lake"
+    // three lang-disjoint single-file commits: the q_sql_zonemap_string
+    // fixture shape, shrunk to pin EXACT pruned file counts
+    def rows(langs: Seq[String], base: Long) = langs.zipWithIndex.flatMap {
+      case (l, j) => (0 until 20).map(i => (base + j * 100 + i, l, "p0"))
+    }.toDF("v", "lang", "part")
+    VersionedLake.create(rows(Seq("de", "en"), 0L).coalesce(1), dir, "part")
+    VersionedLake.append(rows(Seq("es", "fr"), 1000L).coalesce(1), dir, "part")
+    VersionedLake.append(rows(Seq("zh"), 2000L).coalesce(1), dir, "part")
+    def scannedFiles(df: DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+      }.flatten
+    val all = VersionedLake.read(spark, dir).inputFiles.length
+    assert(all == 3)
+    val eq = VersionedLake.read(spark, dir).filter(col("lang") === "en")
+    assert(eq.count() == 20)
+    assert(scannedFiles(eq).length == 1, "equality must open only the de..en file")
+    // IN is tested PER VALUE against each file's envelope: ('de','zh')
+    // spans the whole range, but the middle file contains neither
+    val in = VersionedLake.read(spark, dir).filter(col("lang").isin("de", "zh"))
+    assert(in.count() == 40)
+    assert(scannedFiles(in).length == 2,
+      "per-value IN must skip the es..fr file inside the de..zh envelope")
+    val rng = VersionedLake.read(spark, dir)
+      .filter(col("lang") >= "es" && col("lang") <= "fr")
+    assert(rng.count() == 40)
+    assert(scannedFiles(rng).length == 1)
+    // the off switch restores the full scan
+    spark.conf.set(graft.plans.ZoneMapPrune.EnabledKey, "false")
+    try assert(scannedFiles(VersionedLake.read(spark, dir)
+      .filter(col("lang") === "en")).length == all)
+    finally spark.conf.unset(graft.plans.ZoneMapPrune.EnabledKey)
+    // the explicit string read_range surface: loud refusal for a
+    // column with no STRING stats (v is numeric), pruning for lang
+    intercept[IllegalArgumentException] {
+      VersionedLake.readRange(spark, dir, "v", "a", "b", None)
+    }
+    val rr = VersionedLake.readRange(spark, dir, "lang", "zh", "zh", None)
+    assert(rr.inputFiles.length == 1 &&
+      rr.filter(col("lang") === "zh").count() == 20)
   }
 
   test("loader packing: two-level prefix sum — no cartesian, offsets side broadcast, no global window") {

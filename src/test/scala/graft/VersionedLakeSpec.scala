@@ -1210,4 +1210,60 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, lake).count() == 1)
     assert(VersionedLake.committedRetractId(lake) == 6L)
   }
+
+  test("string zone maps: truncated envelopes contain every value; truncate-up arithmetic") {
+    // unit pins on the truncation arithmetic first
+    assert(VersionedLake.strTruncDown("a" * 40) == "a" * 32)
+    assert(VersionedLake.strTruncDown("short") == "short")
+    assert(VersionedLake.strTruncUp("short").contains("short"))
+    assert(VersionedLake.strTruncUp("a" * 33).contains("a" * 31 + "b"))
+    // the pre-surrogate codepoint U+D7FF increments PAST the surrogate
+    // block to U+E000
+    def cp(c: Int) = new String(Character.toChars(c))
+    assert(VersionedLake.strTruncUp("x" * 31 + cp(0xD7FF) + "tail")
+      .contains("x" * 31 + cp(0xE000)))
+    // un-incrementable: every codepoint already U+10FFFF
+    val top = new String(Array.fill(33)(0x10FFFF), 0, 33)
+    assert(VersionedLake.strTruncUp(top).isEmpty)
+    // byte-order comparison, not UTF-16 order: U+FFFD (3 UTF-8 bytes)
+    // sorts BELOW U+10000 (4 bytes) even though Java compareTo says
+    // otherwise (surrogate code units)
+    assert(VersionedLake.utf8Compare(cp(0xFFFD), cp(0x10000)) < 0)
+
+    // a lake whose string column exceeds the 32-codepoint width:
+    // envelopes must still PROVABLY contain every value, and disjoint
+    // long-string commits must still prune
+    val root = tmp("vlake_strstats")
+    val lake = s"$root/lake"
+    def docs(prefix: String, n: Int) = (0 until n)
+      .map(i => (i.toLong, prefix + ("x" * 40) + i, "p1"))
+      .toDF("id", "body", "part")
+    VersionedLake.create(docs("alpha-", 10).coalesce(1), lake, "part")
+    VersionedLake.append(docs("omega-", 10).coalesce(1), lake, "part")
+    val entries = VersionedLake.manifestEntries(lake, 2)
+    assert(entries.size == 2)
+    entries.foreach { e =>
+      val (mn, mx) = e.strStats("body")
+      assert(mn.codePointCount(0, mn.length) <= VersionedLake.StrStatsLen)
+      assert(mx.codePointCount(0, mx.length) <= VersionedLake.StrStatsLen)
+    }
+    // containment: every recorded envelope bounds every value in its file
+    val byFile = VersionedLake.read(spark, lake)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"), col("body"))
+      .collect().groupBy(r => r.getString(0)).map { case (f, rs) =>
+        VersionedLake.normalizePath(f) -> rs.map(_.getString(1)).toSeq
+      }
+    entries.foreach { e =>
+      val (mn, mx) = e.strStats("body")
+      byFile(VersionedLake.normalizePath(e.path)).foreach { v =>
+        assert(VersionedLake.utf8Compare(mn, v) <= 0, s"min $mn !<= $v")
+        assert(VersionedLake.utf8Compare(mx, v) >= 0, s"max $mx !>= $v")
+      }
+    }
+    // a probe on a LONG literal still prunes to the right commit's file
+    val probe = "omega-" + ("x" * 40) + "3"
+    val rr = VersionedLake.readRange(spark, lake, "body", probe, probe, None)
+    assert(rr.inputFiles.length == 1)
+    assert(rr.filter(col("body") === probe).count() == 1)
+  }
 }
