@@ -1238,5 +1238,31 @@ object PipelineSql {
         Seq(Seq(oldV, replayed, greenDir))
       }
     }
+    // the PQ twin: retrain IVF centroids AND PQ codebooks on the
+    // index's current membership, re-encode, cutover — ('<live dir>',
+    // '<green dir>', '<corpus table>', '<id col>', '<vec col>', nlist,
+    // m, ksub, dim). The corpus table is the cold vector store (codes
+    // are lossy — nothing can be re-encoded from the lake alone); same
+    // retire-later receipt discipline as ann_rotate.
+    regDeferred("ann_pq_rotate",
+      StructType(Seq(StructField("old_version", LongType),
+        StructField("replayed_versions", LongType),
+        StructField("green_dir", StringType)))) { es =>
+      argc("ann_pq_rotate", es, 9)
+      val dir = str("ann_pq_rotate", es(0), "live PQ lake dir")
+      val green = str("ann_pq_rotate", es(1), "green (rebuild target) dir")
+      val corpus = table("ann_pq_rotate", es(2))
+      val idc = str("ann_pq_rotate", es(3), "corpus id column")
+      val vecc = str("ann_pq_rotate", es(4), "corpus vector column")
+      val nlist = int("ann_pq_rotate", es(5), "nlist")
+      val m = int("ann_pq_rotate", es(6), "pq m")
+      val ksub = int("ann_pq_rotate", es(7), "pq ksub")
+      val dim = int("ann_pq_rotate", es(8), "dim")
+      () => {
+        val (oldV, replayed, greenDir) = graft.sources.AnnLake.rotatePq(
+          spark, dir, green, corpus, idc, vecc, nlist, m, ksub, dim)
+        Seq(Seq(oldV, replayed, greenDir))
+      }
+    }
   }
 }

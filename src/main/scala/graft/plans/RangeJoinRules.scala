@@ -160,6 +160,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(sp => RangeJoinBinRewrite(sp))
     ext.injectOptimizerRule(sp => ZoneMapPrune(sp))
     ext.injectOptimizerRule(sp => LakeCountFromManifest(sp))
+    ext.injectOptimizerRule(sp => LakeMinMaxFromManifest(sp))
     // plans the deferred-effect leaf the side-effecting maintenance
     // TVFs build (PipelineSql.register also installs it live)
     ext.injectPlannerStrategy(_ => DeferredEffect.Strategy)

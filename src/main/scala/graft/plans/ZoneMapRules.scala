@@ -114,6 +114,12 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * dates as epoch DAYS — so a `WHERE ts >= TIMESTAMP '...'` over a
     * time-keyed lake prunes files the same way a numeric range does. */
   private def extractBounds(cond: Expression): Map[String, (Double, Double)] = {
+    // Long/Decimal literals fold through Double deliberately: stats are
+    // stored as doubles anyway, and IEEE round-to-nearest is MONOTONE —
+    // a file's rounded max can never fall below a rounded bound its
+    // true values meet, so the widened interval only ever KEEPS extra
+    // files, never prunes a qualifying one. Any refactor that compares
+    // unrounded longs against these rounded stats must re-prove that.
     def num(l: Literal): Option[Double] = (l.value, l.dataType) match {
       case (null, _) => None
       case (d: Decimal, _: DecimalType) => Some(d.toDouble)

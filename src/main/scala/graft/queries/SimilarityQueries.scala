@@ -885,6 +885,44 @@ object SimilarityQueries {
       },
       Some(exactTopKOracle(10))),
 
+    // PQ blue/green rotation: createPq freezes IVF centroids AND PQ
+    // codebooks, so corpus drift degrades ADC quality with no in-place
+    // remedy — ann_pq_rotate retrains BOTH models on the index's
+    // current membership (vectors fetched from the cold corpus table;
+    // codes are lossy), re-encodes every member into a green code
+    // lake, and swaps the handle. The index starts books-trained on a
+    // THIRD of the corpus; post-rotation full-probe ADC through the
+    // ORIGINAL handle must equal the oracle's fresh-train replay over
+    // the FULL corpus — stale books (or a stale handle) produce a
+    // different ranking and hash-mismatch. Tail replay under racing
+    // appends and rerun idempotence are pinned in AnnLakeSpec.
+    QDef(
+      "s35_ann_pq_rotate",
+      (s, dir) => {
+        graft.functions.PipelineSql.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_pq_rotate", dir) { o =>
+          graft.sources.AnnLake.createPq(emb.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", s"$o/live", nlist = 8, m = 8, ksub = 16,
+            dim = 64, itersPq = 3)
+          graft.sources.AnnLake.appendPq(emb.filter(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", s"$o/live", batchId = Some(0L))
+          emb.createOrReplaceTempView("emb_pq_rotate")
+          val receipt = s.sql(
+            s"""SELECT * FROM ann_pq_rotate('$o/live', '$o/green',
+               |'emb_pq_rotate', 'vec_id', 'embedding', 8, 8, 16, 64)"""
+              .stripMargin.replace("\n", " ")).collect()
+          require(receipt.length == 1 &&
+            receipt.head.getString(2) == s"$o/green",
+            s"unexpected ann_pq_rotate receipt: ${receipt.mkString(",")}")
+        }
+        graft.sources.AnnLake.searchPq(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/live", k = 10, nprobe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqAdcOracle(10, m = 8, ksub = 16, dim = 64, iters = 3,
+        trainPred = Some("1 = 1")))),
+
     // FILTERED ANN: "nearest neighbors WHERE doc is allowed" — the
     // filtered-search shape (a post-filtered plain top-k under-fills k
     // whenever the filter is selective; here k fills from allowed docs

@@ -174,7 +174,14 @@ object AnnLake {
     * production PQ deployment (codes hot, vectors cold). */
   def createPq(corpus: DataFrame, id: String, vec: String, lakeDir: String,
       nlist: Int, m: Int, ksub: Int, dim: Int, itersIvf: Int = 4,
-      itersPq: Int = 3, trainFraction: Double = 1.0): Unit = {
+      itersPq: Int = 3, trainFraction: Double = 1.0): Unit =
+    doCreatePq(corpus, id, vec, lakeDir, nlist, m, ksub, dim, itersIvf,
+      itersPq, trainFraction, Map.empty)
+
+  private def doCreatePq(corpus: DataFrame, id: String, vec: String,
+      lakeDir: String, nlist: Int, m: Int, ksub: Int, dim: Int,
+      itersIvf: Int, itersPq: Int, trainFraction: Double,
+      extraProps: Map[String, String]): Unit = {
     require(!new java.io.File(lakeDir, PointerName).isFile,
       s"$lakeDir is a cut-over handle; create at a fresh directory")
     val spark = corpus.sparkSession
@@ -193,7 +200,7 @@ object AnnLake {
     VersionedLake.create(rows, vectorsDir(lakeDir), "cell",
       blooms = Seq(VersionedLake.BloomSpec("doc")),
       props = Map("nlist" -> nlist.toString, "pq_m" -> m.toString,
-        "pq_ksub" -> ksub.toString, "pq_dim" -> dim.toString))
+        "pq_ksub" -> ksub.toString, "pq_dim" -> dim.toString) ++ extraProps)
     centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
       .toDF("cell", "cv").coalesce(1).write.mode("overwrite")
       .parquet(centroidsDir(lakeDir))
@@ -471,7 +478,16 @@ object AnnLake {
     * [[indexStream]] keeps its checkpoint across the rotation: the
     * green lake inherits the old one's batch-id high-water through the
     * replay, so the resumed stream's next batch is past it. */
-  def cutover(spark: SparkSession, lakeDir: String, greenDir: String): Unit = {
+  def cutover(spark: SparkSession, lakeDir: String, greenDir: String): Unit =
+    doCutover(lakeDir, greenDir,
+      (oldRoot, fromV) => replayAppendTail(spark, oldRoot, greenDir, fromV))
+
+  /** The swap/stabilize skeleton shared by [[cutover]] (float lakes)
+    * and [[cutoverPq]] (code lakes) — only the tail-replay step
+    * differs. `replay(oldRoot, fromV)` replays `(fromV, current]` of
+    * the old index onto green and returns the version reached. */
+  private def doCutover(lakeDir: String, greenDir: String,
+      replay: (String, Int) => Int): Unit = {
     val old = resolved(lakeDir)
     val samePath = new java.io.File(old).getCanonicalPath ==
       new java.io.File(greenDir).getCanonicalPath
@@ -489,11 +505,11 @@ object AnnLake {
       // handle itself until retired — receives no further appends, so
       // only the final-tail replay remains, and its batch-id
       // watermarks make repeating it a no-op past what landed.
-      replayAppendTail(spark, lakeDir, greenDir, from)
+      replay(lakeDir, from)
       return
     }
     require(!samePath, s"cutover target $greenDir IS the live index")
-    val replayed = replayAppendTail(spark, old, greenDir, from)
+    val replayed = replay(old, from)
     writePointer(lakeDir, greenDir)
     onPointerSwapped()
     // stabilized final replay (scaladoc step 3): at least TWO post-swap
@@ -502,11 +518,11 @@ object AnnLake {
     // is caught by the next iteration, not silently stranded on the
     // old index (exiting on the first quiet read would leave the same
     // single-read race window the stabilization exists to close)
-    var last = replayAppendTail(spark, old, greenDir, replayed)
-    var cur = replayAppendTail(spark, old, greenDir, last)
+    var last = replay(old, replayed)
+    var cur = replay(old, last)
     while (cur != last) {
       last = cur
-      cur = replayAppendTail(spark, old, greenDir, last)
+      cur = replay(old, last)
     }
   }
 
@@ -535,6 +551,112 @@ object AnnLake {
     val replayed = VersionedLake.currentVersion(vectorsDir(old)) - from
     if (retireOld) retire(lakeDir)
     (from.toLong, replayed.toLong, greenDir)
+  }
+
+  /** REINDEX for a PQ code lake — the drift repair frozen codebooks
+    * otherwise lack ([[createPq]] freezes both quantizers; corpus
+    * drift degrades ADC quality with no in-place remedy): retrain IVF
+    * centroids AND PQ codebooks on the index's CURRENT membership,
+    * re-encode every member, and build a fresh green code lake —
+    * blue/green for the same reasons as [[reindex]] (time-travel
+    * correctness, concurrent appends keep landing in the old index
+    * until [[cutoverPq]]).
+    *
+    * The lake stores CODES, not vectors (codes are lossy — nothing can
+    * be re-encoded from them), so the member VECTORS come from the
+    * caller's `corpus` table, the same cold store [[searchPqRefined]]
+    * reranks from. Membership is pinned to the old lake's current
+    * version (recorded as the cutover replay point); a corpus missing
+    * any member vector is refused LOUDLY — silently retraining on a
+    * partial corpus would under-index the green lake. */
+  def reindexPq(spark: SparkSession, lakeDir: String, newLakeDir: String,
+      corpus: DataFrame, id: String, vec: String, nlist: Int, m: Int,
+      ksub: Int, dim: Int, itersIvf: Int = 4, itersPq: Int = 3,
+      trainFraction: Double = 1.0): Unit = {
+    val src = resolved(lakeDir)
+    pqParams(src) // loud refusal: reindexPq serves createPq lakes only
+    val v = VersionedLake.currentVersion(vectorsDir(src))
+    require(v >= 1, s"no PQ index at $lakeDir — createPq() it first")
+    val members = VersionedLake.read(spark, vectorsDir(src), Some(v))
+      .select(col("doc")).distinct()
+    val rows = corpus.select(col(id).as("doc"), col(vec).as("v"))
+      .join(members, Seq("doc"), "left_semi")
+    val nm = members.count()
+    val nr = rows.count()
+    require(nr == nm,
+      s"corpus is missing ${nm - nr} of the index's $nm member vectors — " +
+        "codes cannot be re-encoded (they are lossy); reindexPq needs the " +
+        "cold vector store the lake was built from")
+    doCreatePq(rows, "doc", "v", newLakeDir, nlist, m, ksub, dim,
+      itersIvf, itersPq, trainFraction, Map(SourceVersionProp -> v.toString))
+  }
+
+  /** CUTOVER for a PQ rotation — [[cutover]]'s protocol (watermarked
+    * tail replay, atomic pointer swap, replay to stability) with the
+    * PQ replay step: tail versions hold CODES encoded against the OLD
+    * books, so each tail doc's VECTOR is fetched from `corpus` and
+    * re-encoded against the green books ([[appendPq]]), landing with
+    * its original batch id (idempotent under rerun). A tail doc whose
+    * vector is absent from `corpus` is refused loudly. */
+  def cutoverPq(spark: SparkSession, lakeDir: String, greenDir: String,
+      corpus: DataFrame, id: String, vec: String): Unit =
+    doCutover(lakeDir, greenDir, (oldRoot, fromV) =>
+      replayAppendTailPq(spark, oldRoot, greenDir, fromV, corpus, id, vec))
+
+  /** The whole PQ blue/green rotation as ONE maintenance call —
+    * [[reindexPq]] → [[cutoverPq]] → optionally [[retire]] — the
+    * compressed-index twin of [[rotate]], drivable from SQL through
+    * the `ann_pq_rotate` deferred TVF. Same receipt, same
+    * retire-later default (see [[rotate]]). */
+  def rotatePq(spark: SparkSession, lakeDir: String, greenDir: String,
+      corpus: DataFrame, id: String, vec: String, nlist: Int, m: Int,
+      ksub: Int, dim: Int, itersIvf: Int = 4, itersPq: Int = 3,
+      trainFraction: Double = 1.0, retireOld: Boolean = false)
+      : (Long, Long, String) = {
+    val old = resolved(lakeDir)
+    reindexPq(spark, lakeDir, greenDir, corpus, id, vec, nlist, m, ksub,
+      dim, itersIvf, itersPq, trainFraction)
+    val from = VersionedLake.tableProps(vectorsDir(greenDir))(SourceVersionProp).toInt
+    cutoverPq(spark, lakeDir, greenDir, corpus, id, vec)
+    val replayed = VersionedLake.currentVersion(vectorsDir(old)) - from
+    if (retireOld) retire(lakeDir)
+    (from.toLong, replayed.toLong, greenDir)
+  }
+
+  /** [[replayAppendTail]]'s PQ twin: tail inserts are (doc, code)
+    * rows — re-encoding needs the original vectors, fetched from the
+    * caller's corpus per tail version (candidate-bounded: tail-sized
+    * semi-join, never a corpus scan on the lake side). */
+  private def replayAppendTailPq(spark: SparkSession, oldRoot: String,
+      greenDir: String, fromV: Int, corpus: DataFrame, id: String,
+      vec: String): Int = {
+    val dir = vectorsDir(oldRoot)
+    val cur = VersionedLake.currentVersion(dir)
+    for (w <- fromV + 1 to cur) {
+      val changes = VersionedLake.diff(spark, dir, w - 1, w)
+      require(changes.filter(col("_change") === "delete").isEmpty,
+        s"old-index version $w contains deletes: cutover replays appends " +
+          "only — apply takedowns to the green index after rotating")
+      val docs = changes.filter(col("_change") === "insert")
+        .select(col("doc")).distinct()
+      if (!docs.isEmpty) {
+        val bid = VersionedLake.committedBatchId(dir, Some(w))
+        require(bid >= 0,
+          s"old-index version $w carries rows but no batch id: cutover " +
+            "replays only the watermarked append tail (idempotence under " +
+            "a crashed cutover needs the ids); reindex again from the " +
+            "current version")
+        val rows = corpus.select(col(id).as("doc"), col(vec).as("v"))
+          .join(docs, Seq("doc"), "left_semi")
+        val nd = docs.count()
+        val nr = rows.count()
+        require(nr == nd,
+          s"corpus is missing ${nd - nr} of version $w's $nd tail vectors — " +
+            "codes are lossy; the cutover replay needs the cold vector store")
+        appendPq(rows, "doc", "v", greenDir, batchId = Some(bid))
+      }
+    }
+    cur
   }
 
   /** Replay versions `(fromV, current]` of the old index's vectors

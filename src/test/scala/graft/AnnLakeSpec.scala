@@ -322,6 +322,107 @@ class AnnLakeSpec extends SparkSpec {
     assert(viaHandle == brute && viaHandle.nonEmpty)
   }
 
+  test("PQ rotation: retrained books, tail re-encoded from the cold store, rerun idempotent, partial corpus refused") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_rot").toString
+    val live = s"$base/live"; val green = s"$base/green"; val ref = s"$base/ref"
+    AnnLake.createPq(emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      live, nlist = 8, m = 8, ksub = 16, dim = 64, itersPq = 3)
+    AnnLake.appendPq(emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
+      live, batchId = Some(0L))
+    // reindex pins membership {0,1}; an in-flight tail append lands on
+    // the OLD index during the rebuild window and must be re-encoded
+    // against the GREEN books by the cutover (codes are lossy — the
+    // replay fetches vectors from the cold corpus table)
+    AnnLake.reindexPq(spark, live, green, emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, dim = 64, itersPq = 3)
+    AnnLake.appendPq(emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding",
+      live, batchId = Some(1L))
+    AnnLake.cutoverPq(spark, live, green, emb, "vec_id", "embedding")
+    // deterministic reference: one-shot createPq on the pinned
+    // membership (same training rows → same books/centroids) plus a
+    // frozen-books append of the tail — the rotated handle must search
+    // identically
+    AnnLake.createPq(emb.filter(col("vec_id") % 3 =!= 2), "vec_id", "embedding",
+      ref, nlist = 8, m = 8, ksub = 16, dim = 64, itersPq = 3)
+    AnnLake.appendPq(emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding",
+      ref, batchId = Some(0L))
+    val viaHandle = AnnLake.searchPq(spark, queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val viaRef = AnnLake.searchPq(spark, queries, "vec_id", "embedding",
+      ref, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    assert(viaHandle == viaRef && viaHandle.nonEmpty)
+    assert(VersionedLake.read(spark, s"$green/vectors").count() == emb.count(),
+      "the tail append must be replayed onto the green code lake")
+    // a crashed-and-rerun cutover is a no-op past the watermark
+    val vB = VersionedLake.currentVersion(s"$green/vectors")
+    AnnLake.cutoverPq(spark, live, green, emb, "vec_id", "embedding")
+    assert(VersionedLake.currentVersion(s"$green/vectors") == vB)
+    // a corpus missing member vectors is refused loudly, not silently
+    // under-indexed
+    assert(intercept[IllegalArgumentException] {
+      AnnLake.reindexPq(spark, live, s"$base/g2",
+        emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, dim = 64)
+    }.getMessage.contains("missing"))
+    // reindexPq refuses a float (non-PQ) lake
+    AnnLake.create(emb.limit(50), "vec_id", "embedding",
+      s"$base/float", nlist = 4, dim = 64)
+    assert(intercept[IllegalArgumentException] {
+      AnnLake.reindexPq(spark, s"$base/float", s"$base/g3", emb,
+        "vec_id", "embedding", nlist = 4, m = 8, ksub = 16, dim = 64)
+    }.getMessage.contains("not a PQ index lake"))
+  }
+
+  test("PQ cutover stabilization: an append racing the pointer swap is replayed onto green") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_race").toString
+    val live = s"$base/live"; val green = s"$base/green"
+    AnnLake.createPq(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      live, nlist = 8, m = 8, ksub = 16, dim = 64, itersPq = 3)
+    AnnLake.reindexPq(spark, live, green, emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, dim = 64, itersPq = 3)
+    // the racing appender RESOLVED the handle before the swap —
+    // replicate appendPq's exact writes against the old root (going
+    // through the handle here would resolve the fresh pointer to green
+    // and miss the race)
+    val straggler = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnLake.onPointerSwapped = () => {
+      AnnLake.onPointerSwapped = () => ()
+      val cents = spark.read.parquet(s"$live/centroids")
+        .collect().sortBy(_.getInt(0))
+        .map(_.getAs[scala.collection.Seq[Long]]("cv").toArray)
+      val assigned = Similarity.assignCells(
+        straggler.select(col("vec_id").as("doc"),
+          Similarity.quant20(col("embedding")).as("qv")), cents)
+        .select(col("doc"), col("cell"))
+      val codes = Similarity.pqEncode(straggler, "vec_id", "embedding",
+        m = 8, dim = 64, spark.read.parquet(s"$live/books"))
+      val packed = codes.groupBy(col("doc")).agg(
+        transform(array_sort(collect_list(struct(col("m"), col("cell")))),
+          x => x.getField("cell")).as("code"))
+      VersionedLake.append(packed.join(assigned, "doc"),
+        s"$live/vectors", "cell", Some(7L))
+    }
+    try AnnLake.cutoverPq(spark, live, green, emb, "vec_id", "embedding")
+    finally AnnLake.onPointerSwapped = () => ()
+    assert(VersionedLake.read(spark, s"$green/vectors").count() == emb.count(),
+      "the racing PQ append must be replayed onto the green code lake")
+    // green's ADC through the handle equals a deterministic reference
+    // built the same way (train evens, frozen-books append of odds)
+    val ref = s"$base/ref"
+    AnnLake.createPq(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      ref, nlist = 8, m = 8, ksub = 16, dim = 64, itersPq = 3)
+    AnnLake.appendPq(straggler, "vec_id", "embedding", ref, batchId = Some(0L))
+    val queries = emb.filter(col("vec_id") < 5)
+    val viaHandle = AnnLake.searchPq(spark, queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val viaRef = AnnLake.searchPq(spark, queries, "vec_id", "embedding",
+      ref, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    assert(viaHandle == viaRef && viaHandle.nonEmpty)
+  }
+
   test("a live indexStream survives cutover: checkpoint kept, batch ids continue, nothing lost") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -719,6 +719,23 @@ class DialectSpec extends SparkSpec {
       "executing ann_rotate must swap the handle")
     // the old index survives the rotation (retire is a LATER tick)
     assert(new java.io.File(s"$live/vectors").isDirectory)
+    // ann_pq_rotate defers the same way: EXPLAIN neither retrains the
+    // books nor swaps; execution rotates the code lake
+    val pqlive = s"$abase/pqlive"; val pqgreen = s"$abase/pqgreen"
+    val pqemb = Tables.embeddings(spark, sf("sf0.001")).limit(60)
+    pqemb.createOrReplaceTempView("tvf_pq_rotate_emb")
+    graft.sources.AnnLake.createPq(pqemb, "vec_id", "embedding", pqlive,
+      nlist = 4, m = 8, ksub = 16, dim = 64, itersPq = 2)
+    val pqrot = s"SELECT * FROM ann_pq_rotate('$pqlive', '$pqgreen', " +
+      "'tvf_pq_rotate_emb', 'vec_id', 'embedding', 4, 8, 16, 64)"
+    spark.sql(s"EXPLAIN $pqrot").collect()
+    assert(!new java.io.File(pqgreen).exists(), "EXPLAIN must not reindexPq")
+    assert(!new java.io.File(s"$pqlive/CURRENT").isFile,
+      "EXPLAIN must not cut over the PQ lake")
+    val pqReceipt = spark.sql(pqrot).head()
+    assert(pqReceipt.getLong(0) == 1L && pqReceipt.getString(2) == pqgreen)
+    assert(new java.io.File(s"$pqlive/CURRENT").isFile,
+      "executing ann_pq_rotate must swap the handle")
     // pack_lake_append defers the same way: EXPLAIN packs nothing
     val pbase = java.nio.file.Files.createTempDirectory("tvf_defer_pack").toString
     Tables.documents(spark, sf("sf0.001")).limit(40)
