@@ -688,6 +688,36 @@ object PipelineSql {
         src, id, tokens, seqLen, dir).toLong))
     }
 
+    // epoch layouts as a lake: append commits one epoch's shard
+    // manifest exactly-once (batch id = epoch); the read forms serve a
+    // whole epoch or a single (epoch, shard) partition back,
+    // manifest-pruned — the SQL surface of Loader.epochLakeAppend/
+    // readEpoch/readEpochShard
+    regDeferred("epoch_lake_append",
+      StructType(Seq(StructField("committed_version", LongType)))) { es =>
+      argc("epoch_lake_append", es, 5)
+      val src = table("epoch_lake_append", es(0))
+      val id = str("epoch_lake_append", es(1), "id column")
+      val epoch = int("epoch_lake_append", es(2), "epoch")
+      val shards = int("epoch_lake_append", es(3), "shard count")
+      val dir = str("epoch_lake_append", es(4), "epoch lake directory")
+      () => Seq(Seq(graft.operators.Loader.epochLakeAppend(
+        src, id, epoch, shards, dir).toLong))
+    }
+    reg("epoch_read") { es =>
+      argc("epoch_read", es, 2)
+      graft.operators.Loader.readEpoch(spark,
+        str("epoch_read", es(0), "epoch lake directory"),
+        int("epoch_read", es(1), "epoch"))
+    }
+    reg("epoch_shard_read") { es =>
+      argc("epoch_shard_read", es, 3)
+      graft.operators.Loader.readEpochShard(spark,
+        str("epoch_shard_read", es(0), "epoch lake directory"),
+        int("epoch_shard_read", es(1), "epoch"),
+        int("epoch_shard_read", es(2), "shard"))
+    }
+
     reg("exact_substring_scrub") { es =>
       argc("exact_substring_scrub", es, 4)
       graft.operators.Dedup.exactSubstringScrub(

@@ -47,7 +47,8 @@ case class LakeCountFromManifest(spark: SparkSession) extends Rule[LogicalPlan] 
           if groups.isEmpty && aggExprs.nonEmpty && aggExprs.forall(isPlainCount) =>
         (for {
           lr <- scanOf(child)
-          info <- graft.sources.VersionedLake.zoneInfoFor(lr.relation)
+          info <- graft.sources.VersionedLake.zoneInfoForScan(
+            lr.relation, scanFiles(lr))
           n <- countFromManifest(lr, info._1, info._2)
         } yield LocalRelation(agg.output,
           Seq(InternalRow.fromSeq(Seq.fill(aggExprs.size)(n)))))
@@ -63,6 +64,11 @@ case class LakeCountFromManifest(spark: SparkSession) extends Rule[LogicalPlan] 
     case Project(projectList, lr: LogicalRelation)
         if projectList.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
     case _ => None
+  }
+
+  private def scanFiles(lr: LogicalRelation): Seq[String] = lr.relation match {
+    case hfs: HadoopFsRelation => hfs.location.inputFiles.toSeq
+    case _ => Seq.empty
   }
 
   private def isPlainCount(e: NamedExpression): Boolean = e match {
@@ -153,8 +159,8 @@ case class LakeMinMaxFromManifest(spark: SparkSession) extends Rule[LogicalPlan]
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
     val lr = scanOf(child).getOrElse(return None)
-    val (lakeDir, v) = graft.sources.VersionedLake.zoneInfoFor(lr.relation)
-      .getOrElse(return None)
+    val (lakeDir, v) = graft.sources.VersionedLake.zoneInfoForScan(
+      lr.relation, scanFiles(lr)).getOrElse(return None)
     val aggs = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
     if (aggs.isEmpty) return None
     // at least one min/max (pure counts belong to LakeCountFromManifest)
@@ -238,6 +244,11 @@ case class LakeMinMaxFromManifest(spark: SparkSession) extends Rule[LogicalPlan]
     case Project(projectList, lr: LogicalRelation)
         if projectList.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
     case _ => None
+  }
+
+  private def scanFiles(lr: LogicalRelation): Seq[String] = lr.relation match {
+    case hfs: HadoopFsRelation => hfs.location.inputFiles.toSeq
+    case _ => Seq.empty
   }
 }
 

@@ -50,10 +50,15 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!spark.conf.getOption(EnabledKey).forall(_.toBoolean)) return plan
     plan.transformUp {
       case f @ Filter(cond, lr: LogicalRelation) =>
-        graft.sources.VersionedLake.zoneInfoFor(lr.relation)
+        graft.sources.VersionedLake.zoneInfoForScan(lr.relation, scanFiles(lr))
           .map(info => tryPrune(f, cond, lr, info._1, info._2))
           .getOrElse(f)
     }
+  }
+
+  private def scanFiles(lr: LogicalRelation): Seq[String] = lr.relation match {
+    case hfs: HadoopFsRelation => hfs.location.inputFiles.toSeq
+    case _ => Seq.empty
   }
 
   private def tryPrune(f: Filter, cond: Expression, lr: LogicalRelation,
@@ -89,6 +94,11 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
             case StrHi(s) => cmp(mn, s) <= 0
             case StrIn(vs) =>
               vs.exists(v => cmp(mn, v) <= 0 && cmp(mx, v) >= 0)
+            // matches of `LIKE 'p%'` live in [p, prefixUpperBound(p)):
+            // the file qualifies iff its envelope meets that range
+            case StrPrefix(p) => cmp(mx, p) >= 0 &&
+              graft.sources.VersionedLake.prefixUpperBound(p)
+                .forall(u => cmp(mn, u) < 0)
           }
           case None => true // no string stats for this file: kept
         }
@@ -218,6 +228,10 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         val ss = vs.map(v => strLit(v.asInstanceOf[Literal]))
         if (ss.exists(_.isEmpty)) None
         else Some((a.name, StrIn(ss.flatten)))
+      // Catalyst rewrites `LIKE 'p%'` to StartsWith — the common
+      // categorical-family filter (`source LIKE 'crawl-%'`)
+      case StartsWith(a: AttributeReference, l: Literal) if attr(a) =>
+        strLit(l).map(v => (a.name, StrPrefix(v)))
       case _ => None
     }
   }
@@ -240,6 +254,7 @@ object ZoneMapPrune {
   private final case class StrLo(v: String) extends StrCon
   private final case class StrHi(v: String) extends StrCon
   private final case class StrIn(vs: Seq[String]) extends StrCon
+  private final case class StrPrefix(v: String) extends StrCon
 
   /** Live-session installation, idempotent (same discipline as
     * [[RangeJoinBinRewrite.install]]). */

@@ -808,9 +808,10 @@ object ExportQueries {
     // STRING zone maps: commits record a truncated [min, max] envelope
     // per string column, and categorical predicates — the most common
     // filters in a curation pipeline (`lang = 'en'`) — skip files from
-    // the manifest alone, through three surfaces at once: the eq leg
-    // and the in leg ride the automatic ZoneMapPrune rule over a plain
-    // WHERE (per-value IN testing, not just the range envelope), the
+    // the manifest alone, through four surfaces at once: the eq, in,
+    // and pfx legs ride the automatic ZoneMapPrune rule over a plain
+    // WHERE (per-value IN testing, not just the range envelope;
+    // LIKE 'e%' via the StartsWith → [p, upperBound(p)) range), the
     // rng leg the read_range TVF's string form. The fixture's commits
     // are lang-disjoint so the skip is provable (PlanSpec pins the
     // pruned file counts); hash-equality against DuckDB's plain
@@ -832,6 +833,10 @@ object ExportQueries {
              |  FROM time_travel('$lake', $v) WHERE lang IN ('de', 'zh')
              |  GROUP BY source
              |  UNION ALL
+             |  SELECT 'pfx', source, count(*), sum(n_chars)
+             |  FROM time_travel('$lake', $v) WHERE lang LIKE 'e%'
+             |  GROUP BY source
+             |  UNION ALL
              |  SELECT 'rng', source, count(*), sum(n_chars)
              |  FROM read_range('$lake', 'lang', 'es', 'fr')
              |  WHERE lang >= 'es' AND lang <= 'fr'
@@ -846,6 +851,9 @@ object ExportQueries {
           |  UNION ALL
           |  SELECT 'in', source, count(*), CAST(sum(n_chars) AS BIGINT)
           |  FROM documents WHERE lang IN ('de', 'zh') GROUP BY source
+          |  UNION ALL
+          |  SELECT 'pfx', source, count(*), CAST(sum(n_chars) AS BIGINT)
+          |  FROM documents WHERE lang LIKE 'e%' GROUP BY source
           |  UNION ALL
           |  SELECT 'rng', source, count(*), CAST(sum(n_chars) AS BIGINT)
           |  FROM documents WHERE lang >= 'es' AND lang <= 'fr' GROUP BY source)

@@ -377,20 +377,27 @@ object VersionedLake {
   private[graft] def strTruncUp(s: String): Option[String] = {
     val cps = s.codePoints().toArray
     if (cps.length <= StrStatsLen) Some(s)
-    else {
-      val head = cps.take(StrStatsLen)
-      var i = head.length - 1
-      while (i >= 0) {
-        val c = head(i)
-        if (c < 0x10FFFF) {
-          val next = if (c == 0xD7FF) 0xE000 else c + 1
-          val out = head.clone(); out(i) = next
-          return Some(new String(out, 0, i + 1))
-        }
-        i -= 1
+    else prefixUpperBound(new String(cps, 0, StrStatsLen))
+  }
+
+  /** Exclusive upper bound of the set of strings starting with `s`:
+    * increment the LAST codepoint (carrying left past U+10FFFF,
+    * skipping the surrogate block) — every extension of `s` is < the
+    * result in binary order. None when no finite bound exists (empty
+    * string, or all codepoints already U+10FFFF) — "no constraint". */
+  private[graft] def prefixUpperBound(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      val c = cps(i)
+      if (c < 0x10FFFF) {
+        val next = if (c == 0xD7FF) 0xE000 else c + 1
+        val out = cps.clone(); out(i) = next
+        return Some(new String(out, 0, i + 1))
       }
-      None
+      i -= 1
     }
+    None
   }
 
   /** Byte-wise UTF-8 comparison — the SAME binary order Spark's
@@ -997,6 +1004,11 @@ object VersionedLake {
     *  1. per z column, approx-quantile cut points at 2^bits ranks —
     *     RANK-based bucketing, so skewed value distributions still
     *     spread across buckets (uniform `width_bucket` would not);
+    *     STRING columns cluster through a byte-order-preserving
+    *     numeric surrogate (first 60 bits of the UTF-8 encoding), so
+    *     `OPTIMIZE ... ZORDER BY (lang, quality)` — the curation
+    *     shape — tightens the string envelopes [[graft.plans
+    *     .ZoneMapPrune]] prunes with;
     *  2. per row, interleave the bucket ids bit-by-bit into one long
     *     (the Morton key) with builtin shift/mask columns — no UDF,
     *     stays inside whole-stage codegen;
@@ -1046,9 +1058,25 @@ object VersionedLake {
     val encoded = zCols.map { c =>
       val f = fieldByName.getOrElse(c,
         throw new IllegalArgumentException(s"zorder column '$c' not in lake schema"))
-      statsEncoding(f).getOrElse(throw new IllegalArgumentException(
+      statsEncoding(f).orElse {
+        // STRING z columns cluster through a byte-order-preserving
+        // numeric surrogate: the first 60 bits of the UTF-8 encoding
+        // (15 hex chars, right-padded with the lowest digit so a
+        // prefix sorts before its extensions), converted to a double.
+        // hex() emits 0-9A-F whose char order matches nibble order, so
+        // the surrogate is monotone in the binary string order the
+        // string zone maps record; collisions past 7.5 bytes and the
+        // 2^53 rounding are harmless — rank-based bucketing needs
+        // ORDER, not exactness. Clustering by a categorical (lang,
+        // source) is the curation shape ZoneMapPrune's string
+        // envelopes reward.
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          Some(conv(rpad(substring(hex(col(f.name)), 1, 15), 15, "0"), 16, 10)
+            .cast("double"))
+        else None
+      }.getOrElse(throw new IllegalArgumentException(
         s"zorder column '$c' (${f.dataType.simpleString}) records no zone-map " +
-          "stats — only numeric/date/timestamp columns can cluster"))
+          "stats — only numeric/date/timestamp/string columns can cluster"))
     }
     // rank-based cut points: 2^bits - 1 interior quantiles per column
     // (the only collect — a bounded model, like ANN centroids)
@@ -1439,6 +1467,35 @@ object VersionedLake {
 
   private[graft] def zoneInfoFor(relation: AnyRef): Option[(String, Int)] =
     Option(zoneInfo.get(relation))
+
+  /** [[zoneInfoFor]] with a PATH-DERIVED fallback for the planner
+    * rules: a registry miss (a weak entry the GC collected, or a plan
+    * whose relation was recreated outside [[readFiles]]) must degrade
+    * to the same answer, not to a silent no-prune. The lake root is
+    * recovered from the scan's own file layout
+    * (`<root>/data/<col>=<v>/c<k>-…parquet`) and the CURRENT version's
+    * manifest is used — sound because per-file stats ride manifests
+    * VERBATIM (files are immutable and entries are carried forward),
+    * so any manifest covering all scanned files records identical
+    * stats for them; every caller already refuses when the manifest
+    * does not cover the exact scanned file set. */
+  private[graft] def zoneInfoForScan(relation: AnyRef,
+      files: => Seq[String]): Option[(String, Int)] =
+    zoneInfoFor(relation).orElse {
+      files.headOption.flatMap { f =>
+        val p = normalizePath(f)
+        val i = p.lastIndexOf("/data/")
+        if (i <= 0) None
+        else {
+          val root = p.substring(0, i)
+          if (!new File(versionsDir(root)).isDirectory) None
+          else {
+            val v = currentVersion(root)
+            if (v >= 1) Some((root, v)) else None
+          }
+        }
+      }
+    }
 
   /** Append `df` as a new version: the new manifest is the old one
     * plus this batch's files — the insert-only commit a streaming

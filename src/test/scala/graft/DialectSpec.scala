@@ -747,5 +747,21 @@ class DialectSpec extends SparkSpec {
     // v1 is the empty watermark-arming commit; the tranche lands as v2
     assert(spark.sql(pack).head().getLong(0) == 2L)
     assert(graft.sources.VersionedLake.currentVersion(s"$pbase/lake") == 2)
+    // epoch_lake_append defers the same way; the read TVFs serve the
+    // committed layouts back identical to the Scala API
+    val ebase = java.nio.file.Files.createTempDirectory("tvf_defer_epoch").toString
+    val eappend = "SELECT * FROM epoch_lake_append('tvf_pack_docs', " +
+      s"'doc_id', 0, 4, '$ebase/lake')"
+    spark.sql(s"EXPLAIN $eappend").collect()
+    assert(!new java.io.File(s"$ebase/lake").exists(),
+      "EXPLAIN must not commit an epoch layout")
+    assert(spark.sql(eappend).head().getLong(0) == 2L)
+    val viaTvf = spark.sql(s"SELECT * FROM epoch_read('$ebase/lake', 0)")
+      .collect().map(_.toSeq).toSet
+    assert(viaTvf == graft.operators.Loader.readEpoch(spark, s"$ebase/lake", 0)
+      .collect().map(_.toSeq).toSet && viaTvf.size == 40)
+    assert(spark.sql(s"SELECT * FROM epoch_shard_read('$ebase/lake', 0, 2)")
+      .collect().map(_.toSeq).toSet ==
+      viaTvf.filter(_(1) == 2L))
   }
 }

@@ -647,6 +647,12 @@ class PlanSpec extends SparkSpec {
       .filter(col("lang") >= "es" && col("lang") <= "fr")
     assert(rng.count() == 40)
     assert(scannedFiles(rng).length == 1)
+    // LIKE 'e%' (Catalyst rewrites to StartsWith) matches en + es —
+    // exactly the first two files' envelopes
+    val pfx = VersionedLake.read(spark, dir).filter(col("lang").like("e%"))
+    assert(pfx.count() == 40)
+    assert(scannedFiles(pfx).length == 2,
+      "prefix predicate must skip the zh file")
     // the off switch restores the full scan
     spark.conf.set(graft.plans.ZoneMapPrune.EnabledKey, "false")
     try assert(scannedFiles(VersionedLake.read(spark, dir)

@@ -639,6 +639,46 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, lake).count() == 2001)
   }
 
+  test("zorder on a STRING column: categorical re-clustering tightens the string envelopes and prunes") {
+    import spark.implicits._
+    val root = tmp("vlake_zstr")
+    val lake = s"$root/lake"
+    val rnd = new scala.util.Random(7)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    // langs scrambled across 8 round-robin files: every file's string
+    // envelope spans de..zh, so a categorical predicate prunes nothing
+    val raw = (0 until 2000).map { i =>
+      (i.toLong, langs(rnd.nextInt(langs.size)), rnd.nextLong(1000L), "p0")
+    }
+    VersionedLake.create(raw.toDF("id", "lang", "y", "part").repartition(8),
+      lake, "part")
+    def covering(es: Seq[VersionedLake.Entry], v: String): Int =
+      es.count(_.strStats.get("lang").forall { case (mn, mx) =>
+        VersionedLake.utf8Compare(mn, v) <= 0 && VersionedLake.utf8Compare(mx, v) >= 0
+      })
+    val before = VersionedLake.manifestEntries(lake, 1)
+    assert(covering(before, "es") == before.size,
+      "scrambled files should all cover 'es'")
+    val v = VersionedLake.zorderPartitions(spark, lake, "part",
+      Seq("lang", "y"), filesPerPartition = 8)
+    assert(v == 2)
+    val after = VersionedLake.manifestEntries(lake, 2)
+    assert(VersionedLake.read(spark, lake).select("id").as[Long]
+      .collect().toSet == raw.map(_._1).toSet, "same rows, new layout")
+    assert(covering(after, "es") < after.size,
+      "clustered files must be tight on the string column")
+    // the automatic rule turns the tight envelopes into skipped files
+    graft.plans.ZoneMapPrune.install(spark)
+    val q = VersionedLake.read(spark, lake).filter(col("lang") === "es")
+    val scanned = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+    }.flatten
+    assert(scanned.length < after.size,
+      s"lang = 'es' should skip files post-zorder: ${scanned.length} vs ${after.size}")
+    assert(q.count() == raw.count(_._2 == "es"), "pruning must not change rows")
+  }
+
   test("vacuum reclaims the small files a compaction superseded") {
     import spark.implicits._
     val root = tmp("vlake_compact_vacuum")
