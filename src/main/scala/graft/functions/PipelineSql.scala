@@ -58,11 +58,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * postings-driven), `gram_decontaminate` / `gram_score` (the
   * incremental decontamination index), `retrieval_metrics` (per-query
   * recall@k and reciprocal rank), `leakage_safe_split` (cluster-keyed
-  * train/val/test), `lake_col_stats` (the zone maps as a table), `lake_expire_below`
-  * (partition-level retention as a deferred commit), `ann_rotate`
-  * (the blue/green ANN rotation as one deferred statement), and
-  * the 4-arg `read_range` column form over per-column zone maps — the
-  * whole extension-operator inventory.
+  * train/val/test), `lake_col_stats` (the zone maps as a table —
+  * string columns fold their truncated envelopes), `lake_expire_below`
+  * (partition-level retention as a deferred commit), `ann_rotate` /
+  * `ann_pq_rotate` (the blue/green float and PQ rotations as one
+  * deferred statement each), `proximity_lake_batch` (query-TABLE
+  * sloppy-phrase search over the positional postings),
+  * `epoch_lake_append` / `epoch_read` / `epoch_shard_read` (the
+  * per-epoch loader layouts as a lake), `lake_history` (DESCRIBE
+  * HISTORY from the manifests), and the 4-arg `read_range` column
+  * form over per-column zone maps (string bounds prune on the
+  * truncated string envelopes) — the whole extension-operator
+  * inventory.
   *
   * SIDE-EFFECTING maintenance TVFs (`lake_compact`, `lake_vacuum`,
   * `lake_clean_orphans`, `retention_drop`, `lake_expire_below`,
@@ -616,6 +623,14 @@ object PipelineSql {
         str("lake_row_count", es(0), "lake directory"),
         es.lift(1).map(int("lake_row_count", _, "version"))))
         .toDF("n_rows")
+    }
+    // DESCRIBE HISTORY: one row per surviving version, straight from
+    // the manifests (commit ts, per-commit batch/retract ids, file and
+    // row counts) — metadata-only
+    reg("lake_history") { es =>
+      argc("lake_history", es, 1)
+      graft.sources.VersionedLake.history(spark,
+        str("lake_history", es(0), "lake directory"))
     }
     regDeferred("lake_vacuum",
       StructType(Seq(StructField("keep_from", LongType),

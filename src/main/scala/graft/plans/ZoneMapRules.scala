@@ -19,19 +19,22 @@ import org.apache.spark.sql.types._
   * ([[graft.sources.VersionedLake]]'s colStats); this rule is the
   * missing planner half: it recognizes a lake scan inside an arbitrary
   * plan (via the relation registry [[graft.sources.VersionedLake
-  * .zoneInfoFor]] populates at read time), folds the filter's numeric
-  * range conjuncts per column, drops every file whose recorded
-  * interval is provably disjoint, and re-plans the scan over the
-  * surviving file list. The original Filter STAYS on top — zone maps
-  * bound files, not rows — so the rewrite is semantics-preserving by
-  * construction, exactly like [[graft.sources.VersionedLake.readRange]]
-  * whose overlap-and-NaN rules it shares.
+  * .zoneInfoFor]] populates at read time, with a path-derived fallback
+  * for registry misses), folds the filter's numeric AND string
+  * conjuncts per column, drops every file whose recorded interval or
+  * string envelope is provably disjoint, and re-plans the scan over
+  * the surviving file list. The original Filter STAYS on top — zone
+  * maps bound files, not rows — so the rewrite is semantics-preserving
+  * by construction, exactly like [[graft.sources.VersionedLake
+  * .readRange]] whose overlap-and-NaN rules it shares.
   *
   * Scope guards (a rule that fires wrongly is worse than no rule):
   * Filter DIRECTLY over a registered lake relation; bounds only from
-  * `attr {=, <, <=, >, >=} numeric-literal` conjuncts (either operand
-  * order; strict bounds conservatively widened to closed intervals;
-  * OR-branches and non-numeric comparisons contribute nothing); files
+  * `attr {=, <, <=, >, >=} literal` conjuncts over numeric/timestamp/
+  * date columns, plus `=`, `<`/`>`-ranges, per-value IN-lists, and
+  * `LIKE 'p%'` (StartsWith) over DEFAULT-collation string columns
+  * (either operand order; strict bounds conservatively widened to
+  * closed intervals; OR-branches contribute nothing); files
   * without stats for a bounded column — or with NaN stats — are KEPT;
   * the rewrite only happens when it strictly shrinks the CURRENT file
   * set (which also terminates the fixpoint: re-pruning a pruned scan

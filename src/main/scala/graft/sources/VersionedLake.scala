@@ -141,11 +141,47 @@ object VersionedLake {
     else
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
 
+  /** Committed manifests are IMMUTABLE (the hard-link claim is the
+    * commit point; a slot is never rewritten), so their parsed entries
+    * cache perfectly: the planner rules re-derive zone maps on every
+    * optimized query, and re-parsing a 100k-file manifest per query is
+    * avoidable driver overhead. Bounded LRU; entries are validated
+    * against the file's (mtime, size) so even an out-of-band manifest
+    * edit (manual repair, a legacy-simulation test) reparses rather
+    * than serving stale entries, and the existence check stays OUTSIDE
+    * the cache so a vacuumed version still fails loudly. */
+  private val ManifestCacheSize = 64
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Int), (Long, Long, Seq[Entry])](
+      ManifestCacheSize, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), (Long, Long, Seq[Entry])]): Boolean =
+        size() > ManifestCacheSize
+    }
+
   /** Full manifest entries of a version, zone maps included. Header
     * lines (`#key=value` — e.g. the streaming batch id) are skipped. */
   def manifestEntries(lakeDir: String, version: Int): Seq[Entry] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
     require(Files.exists(f), s"version $version does not exist under $lakeDir")
+    val attrs = Files.readAttributes(f,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val mtime = attrs.lastModifiedTime.toMillis
+    val size = attrs.size
+    val k = (lakeDir, version)
+    manifestCache.synchronized {
+      val hit = manifestCache.get(k)
+      if (hit != null && hit._1 == mtime && hit._2 == size) return hit._3
+    }
+    val parsed = parseManifest(f)
+    manifestCache.synchronized {
+      manifestCache.put(k, (mtime, size, parsed))
+      ()
+    }
+    parsed
+  }
+
+  private def parseManifest(f: java.nio.file.Path): Seq[Entry] = {
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
@@ -1417,24 +1453,29 @@ object VersionedLake {
     * their fold is the exact partition min/max; `n_rows` is
     * null-poisoned the [[graft.sources.AnnLake.cellStats]] way when
     * any file predates row-count recording (never a silent partial
-    * sum). Refuses loudly when no file records stats for `column`,
-    * naming the columns that can answer — same contract as
-    * [[readRange]]. */
+    * sum). STRING columns fold their truncated envelopes instead —
+    * per-partition BOUNDS (min truncated down, max up), not attained
+    * values, which is what a drift dashboard over categorical columns
+    * needs; Spark's string min/max use the same binary order the
+    * envelopes are recorded in. Refuses loudly when no file records
+    * stats of either kind for `column`, naming the columns that can
+    * answer — same contract as [[readRange]]. */
   def columnStats(spark: SparkSession, lakeDir: String, column: String,
       version: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val v = version.getOrElse(currentVersion(lakeDir))
     require(v >= 1, s"$lakeDir has no committed version")
     val entries = manifestEntries(lakeDir, v)
-    if (entries.nonEmpty && !entries.exists(_.colStats.contains(column))) {
-      val available = entries.flatMap(_.colStats.keys).distinct.sorted
+    val numeric = entries.exists(_.colStats.contains(column))
+    if (entries.nonEmpty && !numeric &&
+        !entries.exists(_.strStats.contains(column))) {
+      val available = (entries.flatMap(_.colStats.keys) ++
+        entries.flatMap(_.strStats.keys)).distinct.sorted
       throw new IllegalArgumentException(
         s"no file of $lakeDir v$v records column stats for '$column'; " +
           s"recorded columns: ${available.mkString(", ")}")
     }
-    entries
-      .map(e => (e.partition, e.colStats.get(column), e.rows))
-      .toDF("partition", "mm", "rows")
+    def fold(df: DataFrame): DataFrame = df
       .groupBy(col("partition"))
       .agg(
         count(lit(1)).as("n_files"),
@@ -1445,6 +1486,12 @@ object VersionedLake {
         // is exactly the aggregate's own null semantics
         min(col("mm._1")).as("min"),
         max(col("mm._2")).as("max"))
+    if (numeric)
+      fold(entries.map(e => (e.partition, e.colStats.get(column), e.rows))
+        .toDF("partition", "mm", "rows"))
+    else
+      fold(entries.map(e => (e.partition, e.strStats.get(column), e.rows))
+        .toDF("partition", "mm", "rows"))
   }
 
   /** input_file_name() yields a (possibly URI-encoded) file: URI while
@@ -1647,6 +1694,38 @@ object VersionedLake {
           java.net.URLDecoder.decode(vv, "UTF-8")
       }.toMap
     }.getOrElse(Map.empty)
+
+  /** The commit HISTORY as a table — the `DESCRIBE HISTORY` shape,
+    * from the manifests alone (metadata-only, no data scan): one row
+    * per surviving version with its commit timestamp, the per-commit
+    * batch/retract ids (-1 = none recorded), file count, and row count
+    * (null when any entry predates row tracking — never a silent
+    * partial sum). Vacuumed versions are absent: their manifests are
+    * gone, which is exactly what vacuum means. */
+  def history(spark: SparkSession, lakeDir: String): DataFrame = {
+    import spark.implicits._
+    val vs = Option(new File(versionsDir(lakeDir)).listFiles())
+      .getOrElse(Array.empty[File]).map(_.getName)
+      .collect { case ManifestName(v) => v.toInt }.sorted.toSeq
+    vs.map { v =>
+      val hs = manifestHeaders(lakeDir, v)
+      val ts = hs.collectFirst { case CommitTsHeader(t) => t.toLong }
+      val bid = hs.collectFirst { case BatchIdHeader(id) => id.toLong }
+        .getOrElse(-1L)
+      val rid = hs.collectFirst { case RetractIdHeader(id) => id.toLong }
+        .getOrElse(-1L)
+      val es = manifestEntries(lakeDir, v)
+      val rows =
+        if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum)
+        else None
+      (v, ts, bid, rid, es.size.toLong, rows)
+    }.toDF("version", "ts_millis", "batch_id", "retract_id",
+      "n_files", "n_rows")
+      .withColumn("commit_ts", timestamp_millis(col("ts_millis")))
+      .select(col("version"), col("commit_ts"), col("batch_id"),
+        col("retract_id"), col("n_files"), col("n_rows"))
+      .orderBy(col("version"))
+  }
 
   private def manifestHeaders(lakeDir: String, version: Int): Array[String] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")

@@ -1170,6 +1170,50 @@ class VersionedLakeSpec extends SparkSpec {
       got("p1")._3 == 10.0 && got("p1")._4 == 99.0, got.toString)
     assert(got("p2")._2 == 1L && got("p2")._3 == -4.0 && got("p2")._4 == -4.0,
       got.toString)
+    // a STRING column folds its truncated envelopes — bounds, in the
+    // same binary order the envelopes were recorded in
+    val names = Seq((5L, "alpha", "p1"), (6L, "omega", "p1"), (7L, "kappa", "p2"))
+      .toDF("id", "name", "part")
+    VersionedLake.create(names, s"$root/slake", "part")
+    val sgot = VersionedLake.columnStats(spark, s"$root/slake", "name")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(3), r.getString(4))).toMap
+    assert(sgot("p1") == (("alpha", "omega")) && sgot("p2") == (("kappa", "kappa")),
+      sgot.toString)
+    // an unrecorded column still refuses, naming BOTH stats families
+    val err = intercept[IllegalArgumentException] {
+      VersionedLake.columnStats(spark, s"$root/slake", "nope")
+    }
+    assert(err.getMessage.contains("name"), err.getMessage)
+  }
+
+  test("history: one metadata row per surviving version; vacuum removes its rows; TVF parity") {
+    val root = tmp("vlake_history")
+    val lake = s"$root/lake"
+    VersionedLake.create(Seq((1L, "p1"), (2L, "p2")).toDF("id", "part"),
+      lake, "part")
+    VersionedLake.append(Seq((3L, "p1")).toDF("id", "part"), lake, "part",
+      batchId = Some(7L))
+    VersionedLake.mergeUpsert(spark, lake,
+      Seq((2L, "p2", true)).toDF("id", "part", "_deleted"),
+      Seq("id"), "part", retractId = Some(3L))
+    val h = VersionedLake.history(spark, lake).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(h.forall(!_.isNullAt(1)), "every commit records its timestamp")
+    val byV = h.map(r => r.getInt(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // file counts are layout; ids and row counts are content
+    assert(byV(1)._1 == -1L && byV(1)._2 == -1L && byV(1)._4 == 2L, byV.toString)
+    assert(byV(2)._1 == 7L && byV(2)._4 == 3L)            // batch-id append
+    assert(byV(3)._2 == 3L && byV(3)._4 == 2L)            // retraction
+    // vacuumed versions vanish from the history (their manifests are gone)
+    VersionedLake.vacuum(lake, keepFrom = 3)
+    assert(VersionedLake.history(spark, lake).collect()
+      .map(_.getInt(0)).toSeq == Seq(3))
+    // SQL surface
+    graft.functions.PipelineSql.register(spark)
+    assert(spark.sql(s"SELECT version, n_rows FROM lake_history('$lake')")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((3, 2L)))
   }
 
   test("per-commit column stats and blooms scan ONLY the commit's new files") {
