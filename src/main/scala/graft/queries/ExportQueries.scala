@@ -759,6 +759,39 @@ object ExportQueries {
           |  WHERE value >= 40.0 AND value <= 120.0)
           |ORDER BY version""".stripMargin)),
 
+    // Bloom point lookup through PLAIN SQL: the s16 probe expressed as
+    // `WHERE event_id = <key>` over time_travel, file-skipped
+    // AUTOMATICALLY by ZoneMapPrune's Bloom probing (the planner twin
+    // of read_point — the explicit TVF stays). Same oracle as s16: a
+    // Bloom false negative, a mis-rendered probe key, or a stale
+    // filter after the merge commit is a hash mismatch (false
+    // POSITIVES are invisible — the exact row predicate still runs).
+    // Plan-level skip counts are pinned in PlanSpec's bloom test.
+    QDef(
+      "q_sql_bloom_auto",
+      (s, dir) => {
+        val lake = versionedLakeFixture(s, dir)
+        graft.functions.PipelineSql.register(s)
+        val v = graft.sources.VersionedLake.currentVersion(lake)
+        val probe = Tables.events(s, dir)
+          .filter(col("event_id") % 13 =!= 0)
+          .agg(min(col("event_id"))).head().getLong(0)
+        s.sql(
+          s"""SELECT event_id, user_id, event_type,
+             |       CAST(round(value * 100) AS BIGINT) AS value_cents,
+             |       CAST(event_date AS STRING) AS event_date
+             |FROM time_travel('$lake', $v)
+             |WHERE event_id = $probe
+             |ORDER BY event_id""".stripMargin)
+      },
+      Some(mergedCtes +
+        """
+          |SELECT event_id, user_id, event_type,
+          |       CAST(round(value * 100) AS BIGINT) AS value_cents, event_date
+          |FROM merged
+          |WHERE event_id = (SELECT min(event_id) FROM events WHERE event_id % 13 <> 0)
+          |ORDER BY event_id""".stripMargin)),
+
     // MIN/MAX answered from the MANIFEST's per-file zone maps — the
     // LakeMinMaxFromManifest rule, completing the metadata family
     // (COUNT from row counts, files from zone maps, now extrema from

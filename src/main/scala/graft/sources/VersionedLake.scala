@@ -1779,7 +1779,7 @@ object VersionedLake {
     if (v == 0) (None, None) else tableMetaAt(lakeDir, v)
   }
 
-  private def tableMetaAt(lakeDir: String,
+  private[graft] def tableMetaAt(lakeDir: String,
       version: Int): (Option[String], Option[BloomSpec]) = {
     val headers = manifestHeaders(lakeDir, version)
     val stats = headers.collectFirst { case StatsColHeader(c) => c }

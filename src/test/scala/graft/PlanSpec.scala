@@ -518,6 +518,49 @@ class PlanSpec extends SparkSpec {
     assert(!hasScan(sqlCount) && sqlCount.head().getLong(0) == 40L)
   }
 
+  test("bloom point prune: equality over a Bloom-indexed lake skips files the envelopes cannot") {
+    import spark.implicits._
+    import graft.sources.VersionedLake
+    graft.plans.ZoneMapPrune.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmbloom").toString + "/lake"
+    // ids INTERLEAVED across three single-file commits: every file's
+    // numeric envelope spans ~[0, 60], so a point predicate gets
+    // nothing from zone maps — only the per-file Blooms can prove a
+    // file out
+    def rows(res: Int) = (0 until 20).map(i =>
+      (3L * i + res, s"n${3 * i + res}", "p0")).toDF("id", "name", "part")
+    VersionedLake.create(rows(0).coalesce(1), dir, "part",
+      blooms = Seq(VersionedLake.BloomSpec("id"), VersionedLake.BloomSpec("name")))
+    VersionedLake.append(rows(1).coalesce(1), dir, "part")
+    VersionedLake.append(rows(2).coalesce(1), dir, "part")
+    def scannedFiles(df: DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+      }.flatten
+    val all = VersionedLake.read(spark, dir).inputFiles.length
+    assert(all == 3)
+    // integral equality: one residue class → one file
+    val eq = VersionedLake.read(spark, dir).filter(col("id") === 31L)
+    assert(eq.count() == 1 && scannedFiles(eq).length == 1)
+    // string-column Bloom prunes too
+    val sEq = VersionedLake.read(spark, dir).filter(col("name") === "n32")
+    assert(sEq.count() == 1 && scannedFiles(sEq).length <= 2,
+      "name Bloom must skip at least one residue file")
+    // per-value IN: two residues → two files
+    val in = VersionedLake.read(spark, dir).filter(col("id").isin(30L, 31L))
+    assert(in.count() == 2 && scannedFiles(in).length == 2)
+    // a key NO file holds scans nothing at all... except conservatism:
+    // the strictly-shrinking guard still allows the empty file set
+    val miss = VersionedLake.read(spark, dir).filter(col("id") === 999999L)
+    assert(miss.count() == 0 && scannedFiles(miss).isEmpty)
+    // the off switch restores the full scan
+    spark.conf.set(graft.plans.ZoneMapPrune.EnabledKey, "false")
+    try assert(scannedFiles(VersionedLake.read(spark, dir)
+      .filter(col("id") === 31L)).length == all)
+    finally spark.conf.unset(graft.plans.ZoneMapPrune.EnabledKey)
+  }
+
   test("minmax-from-manifest: unfiltered MIN/MAX over a lake plans NO scan; filters, strings, NaN keep it") {
     import spark.implicits._
     import graft.sources.VersionedLake
@@ -612,6 +655,25 @@ class PlanSpec extends SparkSpec {
         finally spark.conf.unset(graft.plans.ZoneMapPrune.EnabledKey)
       assert(withRule == without, s"rows diverged for [$a, $b]")
     }
+    // OR of two random intervals: the tree evaluation must keep rows
+    // identical under any branch combination
+    def runOr(a1: Long, b1: Long, a2: Long, b2: Long): Set[Seq[Any]] =
+      VersionedLake.read(spark, dir)
+        .filter((col("v") >= a1 && col("v") <= b1) ||
+          (col("v") >= a2 && col("v") <= b2))
+        .groupBy(col("part")).agg(
+          org.apache.spark.sql.functions.count(col("v")).as("n"),
+          org.apache.spark.sql.functions.sum(col("v")).as("s"))
+        .collect().map(_.toSeq).toSet
+    for (_ <- 0 until 8) {
+      val a1 = rnd.nextLong(1000L); val b1 = a1 + rnd.nextLong(200L)
+      val a2 = rnd.nextLong(1000L); val b2 = a2 + rnd.nextLong(200L)
+      val withRule = runOr(a1, b1, a2, b2)
+      spark.conf.set(graft.plans.ZoneMapPrune.EnabledKey, "false")
+      val without = try runOr(a1, b1, a2, b2)
+        finally spark.conf.unset(graft.plans.ZoneMapPrune.EnabledKey)
+      assert(withRule == without, s"rows diverged for [$a1,$b1] OR [$a2,$b2]")
+    }
   }
 
   test("string zone-map prune: categorical predicates skip files from string envelopes") {
@@ -653,6 +715,26 @@ class PlanSpec extends SparkSpec {
     assert(pfx.count() == 40)
     assert(scannedFiles(pfx).length == 2,
       "prefix predicate must skip the zh file")
+    // OR branches: each file admitted iff EITHER branch admits it —
+    // de hits file 1, zh hits file 3, the es..fr file drops
+    val or = VersionedLake.read(spark, dir)
+      .filter(col("lang") === "de" || col("lang") === "zh")
+    assert(or.count() == 40)
+    assert(scannedFiles(or).length == 2,
+      "OR of two equalities must skip the middle file")
+    // nested and/or with a NUMERIC leaf on one side: (lang='zh' AND
+    // v >= 2000) OR lang='de' — file 2 fails both branches
+    val mixed = VersionedLake.read(spark, dir)
+      .filter((col("lang") === "zh" && col("v") >= 2000L) || col("lang") === "de")
+    assert(mixed.count() == 40)
+    assert(scannedFiles(mixed).length == 2, "nested and/or must prune")
+    // a NOT is opaque: its inner leaves are never tested positively,
+    // rows stay exact, and nothing is wrongly skipped
+    val not = VersionedLake.read(spark, dir)
+      .filter(!(col("lang") === "en") && col("lang") >= "es")
+    assert(not.count() == 60)
+    assert(scannedFiles(not).length == 2,
+      "the >= 'es' conjunct prunes; the NOT contributes nothing")
     // the off switch restores the full scan
     spark.conf.set(graft.plans.ZoneMapPrune.EnabledKey, "false")
     try assert(scannedFiles(VersionedLake.read(spark, dir)
