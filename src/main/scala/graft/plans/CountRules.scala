@@ -27,8 +27,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    relation (an attribute-only Project in between is fine; a Filter
   *    is not — filtered counts must scan);
   *  - every aggregate expression is a plain `count(<non-null literal>)`
-  *    (`count(*)` included) — no DISTINCT, no FILTER clause, no
-  *    `count(col)` (null-sensitive), nothing else in the select list;
+  *    (`count(*)` included) or a null-sensitive `count(col)` over a
+  *    DIRECT column — no DISTINCT, no FILTER clause, nothing else in
+  *    the select list. `count(col)` folds as rows − recorded per-file
+  *    null counts, and requires EVERY scanned file to record one for
+  *    the column (legacy files, and columns added by schema evolution
+  *    after a file was written — whose rows read back as nulls — keep
+  *    the scan);
   *  - every file the scan covers is a manifest entry WITH a recorded
   *    row count (partition- or point-pruned scans still qualify: the
   *    count folds only the scanned files' entries; legacy entries
@@ -49,9 +54,8 @@ case class LakeCountFromManifest(spark: SparkSession) extends Rule[LogicalPlan] 
           lr <- scanOf(child)
           info <- graft.sources.VersionedLake.zoneInfoForScan(
             lr.relation, scanFiles(lr))
-          n <- countFromManifest(lr, info._1, info._2)
-        } yield LocalRelation(agg.output,
-          Seq(InternalRow.fromSeq(Seq.fill(aggExprs.size)(n)))))
+          vals <- countsFromManifest(lr, aggExprs, info._1, info._2)
+        } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals))))
           .getOrElse(agg)
     }
   }
@@ -71,9 +75,13 @@ case class LakeCountFromManifest(spark: SparkSession) extends Rule[LogicalPlan] 
     case _ => Seq.empty
   }
 
+  /** count(*) (non-null-literal children) and null-sensitive
+    * count(col) over a DIRECT column both qualify — the latter folds
+    * from the recorded per-file null counts. */
   private def isPlainCount(e: NamedExpression): Boolean = e match {
     case Alias(ae: AggregateExpression, _) =>
       !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(Seq(_: AttributeReference)) => true
         case Count(children) =>
           children.forall(c => c.foldable && c.eval() != null)
         case _ => false
@@ -81,8 +89,9 @@ case class LakeCountFromManifest(spark: SparkSession) extends Rule[LogicalPlan] 
     case _ => false
   }
 
-  private def countFromManifest(lr: LogicalRelation, lakeDir: String,
-      v: Int): Option[Long] = {
+  private def countsFromManifest(lr: LogicalRelation,
+      aggExprs: Seq[NamedExpression], lakeDir: String,
+      v: Int): Option[Seq[Any]] = {
     val current = lr.relation match {
       case hfs: HadoopFsRelation =>
         hfs.location.inputFiles
@@ -92,8 +101,25 @@ case class LakeCountFromManifest(spark: SparkSession) extends Rule[LogicalPlan] 
     val entries = graft.sources.VersionedLake.manifestEntries(lakeDir, v)
       .filter(e => current.contains(
         graft.sources.VersionedLake.normalizePath(e.path)))
-    if (entries.size != current.size || !entries.forall(_.rows.isDefined)) None
-    else Some(entries.flatMap(_.rows).sum)
+    if (entries.size != current.size || !entries.forall(_.rows.isDefined))
+      return None
+    val total = entries.flatMap(_.rows).sum
+    val vals = aggExprs.map {
+      case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+        // count(col) = rows - nulls, exact ONLY when every scanned
+        // file records a null count for the column (legacy files, or
+        // columns added by schema evolution after a file was written —
+        // whose rows surface as nulls on read — keep the scan)
+        case Count(Seq(a: AttributeReference)) =>
+          if (entries.forall(_.nullCounts.contains(a.name)))
+            total - entries.map(_.nullCounts(a.name)).sum
+          else return None
+        case Count(_) => total
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(vals)
   }
 }
 
@@ -169,6 +195,7 @@ case class LakeMinMaxFromManifest(spark: SparkSession) extends Rule[LogicalPlan]
     })) return None
     if (!aggs.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
       (ae.aggregateFunction match {
+        case Count(Seq(_: AttributeReference)) => true
         case Count(children) => children.forall(c => c.foldable && c.eval() != null)
         case Min(a: AttributeReference) => exactType(a.dataType)
         case Max(a: AttributeReference) => exactType(a.dataType)
@@ -191,6 +218,11 @@ case class LakeMinMaxFromManifest(spark: SparkSession) extends Rule[LogicalPlan]
     // single one can't be answered exactly from the manifest
     val folded: Map[AggregateExpression, Literal] = aggs.map { ae =>
       val lit = ae.aggregateFunction match {
+        // null-sensitive count(col): rows − recorded per-file nulls
+        case Count(Seq(a: AttributeReference)) =>
+          if (entries.forall(_.nullCounts.contains(a.name)))
+            Literal(totalRows - entries.map(_.nullCounts(a.name)).sum, LongType)
+          else return None
         case Count(_) => Literal(totalRows, LongType)
         case Min(a: AttributeReference) =>
           foldMinMax(entries, a, isMin = true).getOrElse(return None)

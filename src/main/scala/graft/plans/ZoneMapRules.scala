@@ -150,6 +150,16 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         val filters = e.colBlooms.get(name).toSeq ++
           (if (legacyBloom.contains(name)) e.bloom.toSeq else Nil)
         filters.forall(fb => keys.exists(fb.mightContain))
+      } && nullLeaf(leaf).forall { case (name, wantNull) =>
+        // recorded per-file null counts decide null predicates exactly:
+        // IS NULL needs at least one null; IS NOT NULL needs at least
+        // one non-null (row count required to know that). Missing
+        // stats (legacy files, evolved columns) keep the file.
+        if (wantNull) e.nullCounts.get(name).forall(_ > 0)
+        else (e.rows, e.nullCounts.get(name)) match {
+          case (Some(r), Some(nc)) => nc < r
+          case _ => true
+        }
       }
   }
 
@@ -160,7 +170,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     case And(a, b) => usable(a) || usable(b)
     case Or(a, b) => usable(a) || usable(b)
     case leaf => numericLeaf(leaf).nonEmpty || strLeaf(leaf).nonEmpty ||
-      pointLeaf(leaf).nonEmpty
+      pointLeaf(leaf).nonEmpty || nullLeaf(leaf).nonEmpty
   }
 
   private def hasPointLeaf(cond: Expression): Boolean = cond match {
@@ -317,6 +327,18 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+
+  /** IS [NOT] NULL leaves, decided from the recorded per-file null
+    * counts (true = the predicate wants nulls). Catalyst injects
+    * IsNotNull beside nearly every comparison, so an all-null file
+    * drops from any equality query for free once counts are
+    * recorded. */
+  private def nullLeaf(leaf: Expression): Option[(String, Boolean)] =
+    leaf match {
+      case IsNull(a: AttributeReference) => Some((a.name, true))
+      case IsNotNull(a: AttributeReference) => Some((a.name, false))
+      case _ => None
+    }
 
   private def cmp(a: String, b: String): Int =
     graft.sources.VersionedLake.utf8Compare(a, b)

@@ -745,7 +745,13 @@ object ExportQueries {
           s"""SELECT CAST(3 AS BIGINT) AS version, count(*) AS n_rows
              |FROM time_travel('$lake', 2)
              |WHERE value >= 40.0 AND value <= 120.0""".stripMargin)
+        // null-sensitive count(col): folds as rows − recorded per-file
+        // null counts (scan-free — PlanSpec pins the plan)
+        val colCount = s.sql(
+          s"""SELECT CAST(4 AS BIGINT) AS version, count(event_type) AS n_rows
+             |FROM time_travel('$lake', 2)""".stripMargin)
         bare(1).unionByName(bare(2)).unionByName(filtered)
+          .unionByName(colCount)
           .orderBy(col("version"))
       },
       Some(mergedCtes +
@@ -756,7 +762,9 @@ object ExportQueries {
           |  SELECT CAST(2 AS BIGINT), count(*) FROM merged
           |  UNION ALL
           |  SELECT CAST(3 AS BIGINT), count(*) FROM merged
-          |  WHERE value >= 40.0 AND value <= 120.0)
+          |  WHERE value >= 40.0 AND value <= 120.0
+          |  UNION ALL
+          |  SELECT CAST(4 AS BIGINT), count(event_type) FROM merged)
           |ORDER BY version""".stripMargin)),
 
     // Bloom point lookup through PLAIN SQL: the s16 probe expressed as

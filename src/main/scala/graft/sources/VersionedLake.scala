@@ -91,7 +91,8 @@ object VersionedLake {
       rows: Option[Long] = None,
       colStats: Map[String, (Double, Double)] = Map.empty,
       colBlooms: Map[String, FileBloom] = Map.empty,
-      strStats: Map[String, (String, String)] = Map.empty)
+      strStats: Map[String, (String, String)] = Map.empty,
+      nullCounts: Map[String, Long] = Map.empty)
 
   /** Per-file Bloom filter of a key column, recorded in the manifest:
     * the point-lookup complement of the min/max zone maps. Same hash
@@ -214,6 +215,12 @@ object VersionedLake {
             def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
             dec(n) -> ((dec(mn), dec(mx)))
           }.toMap
+        def nc(v: String): Map[String, Long] =
+          if (v.isEmpty) Map.empty
+          else v.split(";").iterator.map { ent =>
+            val Array(n, c) = ent.split(":", 2)
+            java.net.URLDecoder.decode(n, "UTF-8") -> c.toLong
+          }.toMap
         line.split("\t", -1) match {
           case Array(p, path) => Entry(p, path, None, None)
           case Array(p, path, mn, mx) => Entry(p, path, num(mn), num(mx))
@@ -227,6 +234,9 @@ object VersionedLake {
             Entry(p, path, num(mn), num(mx), bl(b), rw(r), cs(c), cb(mb))
           case Array(p, path, mn, mx, b, r, c, mb, st) =>
             Entry(p, path, num(mn), num(mx), bl(b), rw(r), cs(c), cb(mb), ss(st))
+          case Array(p, path, mn, mx, b, r, c, mb, st, nl) =>
+            Entry(p, path, num(mn), num(mx), bl(b), rw(r), cs(c), cb(mb),
+              ss(st), nc(nl))
           case other =>
             throw new IllegalStateException(
               s"malformed manifest line (${other.length} fields): $line")
@@ -1274,6 +1284,11 @@ object VersionedLake {
         else src.schema.fields.toSeq.collect {
           case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
         }
+      // per-column NULL counts (every column, any type) — the
+      // Iceberg-class stat that makes IS NULL / IS NOT NULL prunable
+      // and null-sensitive count(col) answerable from the manifest
+      val allCols: Seq[String] =
+        if (!perColStats) Seq.empty else src.schema.fields.toSeq.map(_.name)
       val aggs: Seq[org.apache.spark.sql.Column] =
         statsCol.toSeq.flatMap(c => Seq(
           min(col(c).cast("double")).as("_lmn"),
@@ -1284,6 +1299,9 @@ object VersionedLake {
           strCols.zipWithIndex.flatMap { case (n, i) =>
             Seq(min(substring(col(n), 1, StrStatsLen + 1)).as(s"_smn$i"),
               max(substring(col(n), 1, StrStatsLen + 1)).as(s"_smx$i"))
+          } ++
+          allCols.zipWithIndex.map { case (n, i) =>
+            sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"_nc$i")
           }
       if (aggs.isEmpty) bare else {
         val rows = src.groupBy(input_file_name().as("f"))
@@ -1312,13 +1330,18 @@ object VersionedLake {
               mx <- strTruncUp(mxRaw) // un-incrementable max: no stats
             } yield n -> ((strTruncDown(mnRaw), mx))
           }.toMap
-          normalizePath(r.getString(r.fieldIndex("f"))) -> ((legacy, per, strs))
+          val nulls = allCols.zipWithIndex.flatMap { case (n, i) =>
+            val j = r.fieldIndex(s"_nc$i")
+            if (r.isNullAt(j)) None else Some(n -> r.getLong(j))
+          }.toMap
+          normalizePath(r.getString(r.fieldIndex("f"))) ->
+            ((legacy, per, strs, nulls))
         }.toMap
         bare.map { e =>
           byPath.get(normalizePath(e.path)) match {
-            case Some((legacy, per, strs)) => e.copy(
+            case Some((legacy, per, strs, nulls)) => e.copy(
               min = legacy.map(_._1), max = legacy.map(_._2), colStats = per,
-              strStats = strs)
+              strStats = strs, nullCounts = nulls)
             case None => e // an empty file: no zone maps
           }
         }
@@ -2124,7 +2147,12 @@ object VersionedLake {
         val st = e.strStats.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
           s"${enc(n)}:${enc(lo)}:${enc(hi)}"
         }.mkString(";")
-        if (st.nonEmpty)
+        val nl = e.nullCounts.toSeq.sortBy(_._1).map { case (n, c) =>
+          s"${enc(n)}:$c"
+        }.mkString(";")
+        if (nl.nonEmpty)
+          s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t${e.rows.fold("")(_.toString)}\t$cs\t$cb\t$st\t$nl"
+        else if (st.nonEmpty)
           s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t${e.rows.fold("")(_.toString)}\t$cs\t$cb\t$st"
         else if (cb.nonEmpty)
           s"${e.partition}\t${e.path}\t$mn\t$mx\t$bl\t${e.rows.fold("")(_.toString)}\t$cs\t$cb"

@@ -478,7 +478,7 @@ class PlanSpec extends SparkSpec {
       s"IN-list envelope must prune: ${scannedFiles(inQ).length} vs $all")
   }
 
-  test("count-from-manifest: a bare COUNT(*) over a lake plans NO scan; filters and count(col) keep it") {
+  test("count-from-manifest: bare COUNT(*) and null-sensitive count(col) plan NO scan; filters and legacy lakes keep it") {
     import spark.implicits._
     import graft.sources.VersionedLake
     graft.plans.LakeCountFromManifest.install(spark)
@@ -503,11 +503,22 @@ class PlanSpec extends SparkSpec {
       .groupBy().count()
     assert(hasScan(filtered))
     assert(filtered.head().getLong(0) == 30L)
-    // count(col) is null-sensitive — never rewritten
+    // count(col) is null-sensitive — answered from the recorded
+    // per-file null counts, scan-free and exact
     val nullSensitive = VersionedLake.read(spark, dir)
       .agg(org.apache.spark.sql.functions.count(col("name")))
-    assert(hasScan(nullSensitive))
+    assert(!hasScan(nullSensitive),
+      nullSensitive.queryExecution.executedPlan.toString)
     assert(nullSensitive.head().getLong(0) == 35L)
+    // ...but a lake without null counts (colstats off) must scan
+    val offDir = java.nio.file.Files.createTempDirectory("graft_cmoff").toString + "/lake"
+    VersionedLake.create((0 until 10).map(i =>
+      (i.toLong, if (i % 2 == 0) null else s"n$i", "p0"))
+      .toDF("v", "name", "part"), offDir, "part",
+      props = Map("colstats" -> "off"))
+    val offCount = VersionedLake.read(spark, offDir)
+      .agg(org.apache.spark.sql.functions.count(col("name")))
+    assert(hasScan(offCount) && offCount.head().getLong(0) == 5L)
     // the off switch restores the scan
     spark.conf.set(graft.plans.LakeCountFromManifest.EnabledKey, "false")
     try assert(hasScan(VersionedLake.read(spark, dir).groupBy().count()))
@@ -559,6 +570,25 @@ class PlanSpec extends SparkSpec {
     try assert(scannedFiles(VersionedLake.read(spark, dir)
       .filter(col("id") === 31L)).length == all)
     finally spark.conf.unset(graft.plans.ZoneMapPrune.EnabledKey)
+    // NULL-count pruning: an all-null file and a no-null file — the
+    // recorded per-file null counts decide IS [NOT] NULL exactly
+    val ndir = java.nio.file.Files.createTempDirectory("graft_zmnull").toString + "/lake"
+    VersionedLake.create((0 until 10).map(i =>
+      (i.toLong, null.asInstanceOf[String], "p0")).toDF("id", "tag", "part")
+      .coalesce(1), ndir, "part")
+    VersionedLake.append((10 until 20).map(i =>
+      (i.toLong, s"t$i", "p0")).toDF("id", "tag", "part").coalesce(1),
+      ndir, "part")
+    val isNull = VersionedLake.read(spark, ndir).filter(col("tag").isNull)
+    assert(isNull.count() == 10 && scannedFiles(isNull).length == 1,
+      "IS NULL must skip the fully-populated file")
+    val notNull = VersionedLake.read(spark, ndir).filter(col("tag").isNotNull)
+    assert(notNull.count() == 10 && scannedFiles(notNull).length == 1,
+      "IS NOT NULL must skip the all-null file")
+    // Catalyst injects IsNotNull beside equalities: the all-null file
+    // drops from an equality query through the same leaf
+    val eq2 = VersionedLake.read(spark, ndir).filter(col("tag") === "t15")
+    assert(eq2.count() == 1 && scannedFiles(eq2).length == 1)
   }
 
   test("minmax-from-manifest: unfiltered MIN/MAX over a lake plans NO scan; filters, strings, NaN keep it") {
