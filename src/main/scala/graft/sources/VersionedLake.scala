@@ -1508,13 +1508,19 @@ object VersionedLake {
         // contributes nothing to min/max — min/max skip nulls, which
         // is exactly the aggregate's own null semantics
         min(col("mm._1")).as("min"),
-        max(col("mm._2")).as("max"))
+        max(col("mm._2")).as("max"),
+        // null-poisoned like n_rows: a partial sum over only the
+        // files that recorded null counts would silently understate
+        when(count(col("nulls")) === count(lit(1)), sum(col("nulls")))
+          .as("n_nulls"))
     if (numeric)
-      fold(entries.map(e => (e.partition, e.colStats.get(column), e.rows))
-        .toDF("partition", "mm", "rows"))
+      fold(entries.map(e =>
+        (e.partition, e.colStats.get(column), e.rows, e.nullCounts.get(column)))
+        .toDF("partition", "mm", "rows", "nulls"))
     else
-      fold(entries.map(e => (e.partition, e.strStats.get(column), e.rows))
-        .toDF("partition", "mm", "rows"))
+      fold(entries.map(e =>
+        (e.partition, e.strStats.get(column), e.rows, e.nullCounts.get(column)))
+        .toDF("partition", "mm", "rows", "nulls"))
   }
 
   /** input_file_name() yields a (possibly URI-encoded) file: URI while

@@ -1171,15 +1171,17 @@ class VersionedLakeSpec extends SparkSpec {
     assert(got("p2")._2 == 1L && got("p2")._3 == -4.0 && got("p2")._4 == -4.0,
       got.toString)
     // a STRING column folds its truncated envelopes — bounds, in the
-    // same binary order the envelopes were recorded in
-    val names = Seq((5L, "alpha", "p1"), (6L, "omega", "p1"), (7L, "kappa", "p2"))
+    // same binary order the envelopes were recorded in — and the
+    // per-partition null counts fold exactly
+    val names = Seq((5L, "alpha", "p1"), (6L, "omega", "p1"),
+      (7L, null.asInstanceOf[String], "p1"), (8L, "kappa", "p2"))
       .toDF("id", "name", "part")
     VersionedLake.create(names, s"$root/slake", "part")
     val sgot = VersionedLake.columnStats(spark, s"$root/slake", "name")
       .collect().map(r => r.getString(0) ->
-        (r.getString(3), r.getString(4))).toMap
-    assert(sgot("p1") == (("alpha", "omega")) && sgot("p2") == (("kappa", "kappa")),
-      sgot.toString)
+        (r.getString(3), r.getString(4), r.getLong(5))).toMap
+    assert(sgot("p1") == (("alpha", "omega", 1L)) &&
+      sgot("p2") == (("kappa", "kappa", 0L)), sgot.toString)
     // an unrecorded column still refuses, naming BOTH stats families
     val err = intercept[IllegalArgumentException] {
       VersionedLake.columnStats(spark, s"$root/slake", "nope")
