@@ -297,8 +297,24 @@ object Loader {
     import graft.sources.VersionedLake
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     val exists = VersionedLake.currentVersion(lakeDir) >= 1
-    if (exists && epoch <= VersionedLake.committedBatchId(lakeDir))
-      return VersionedLake.currentVersion(lakeDir)
+    if (exists && epoch <= VersionedLake.committedBatchId(lakeDir)) {
+      // below the watermark means EITHER a legitimate replay (some
+      // version's manifest carries this epoch's batch id) or an epoch
+      // that was SKIPPED while later ones committed — the latter must
+      // refuse loudly, not silently return a success-looking version
+      // with no layout behind it (readEpoch would serve empty).
+      val cur = VersionedLake.currentVersion(lakeDir)
+      // a vacuumed manifest makes history uninspectable — treat as
+      // possibly-committed (preserves replay semantics after vacuum)
+      val committed = (1 to cur).exists(w =>
+        !VersionedLake.manifestExists(lakeDir, w) ||
+          VersionedLake.committedBatchId(lakeDir, Some(w)) == epoch.toLong)
+      require(committed,
+        s"epoch $epoch was never committed to $lakeDir but later epochs " +
+          "were — epochs must commit in order (the batch-id watermark is " +
+          "monotone); rebuild the lake or commit epochs sequentially")
+      return cur
+    }
     val props = Map("shards" -> shards.toString, "seed" -> seed.toString)
     val layout = epochShuffle(docs, id, epoch, shards, seed)
       .withColumn("part", concat(lit(s"e$epoch-s"), col("shard_id")))

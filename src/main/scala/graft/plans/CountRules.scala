@@ -246,7 +246,19 @@ case class LakeMinMaxFromManifest(spark: SparkSession) extends Rule[LogicalPlan]
       a: AttributeReference, isMin: Boolean): Option[Literal] = {
     if (entries.isEmpty) return Some(Literal(null, a.dataType))
     val per = entries.map(_.colStats.get(a.name).getOrElse(return None))
+    // NaN stats mean "no stats" everywhere else (readRange, ZoneMapPrune)
+    // — legacy manifests can carry them, and a NaN would both poison max
+    // (NaN sorts greatest) and silently drop out of min. Keep the scan.
+    if (per.exists { case (mn, mx) => mn.isNaN || mx.isNaN }) return None
     val d = if (isMin) per.map(_._1).min else per.map(_._2).max
+    // beyond double's integer-exact range the recorded stat is already
+    // rounded — folding it would return a value a real scan would not.
+    // Applies to BOTH 64-bit integral encodings (longs, and timestamps
+    // stored as epoch micros); strict < keeps the ambiguous boundary
+    // out (2^53 as a double could round-trip from 2^53 or 2^53+1).
+    def exactLong: Option[Long] =
+      if (math.abs(d) < MaxExactLong && d == d.toLong.toDouble) Some(d.toLong)
+      else None
     val v: Any = a.dataType match {
       case DoubleType => d
       case FloatType => d.toFloat
@@ -254,11 +266,8 @@ case class LakeMinMaxFromManifest(spark: SparkSession) extends Rule[LogicalPlan]
       case ShortType => d.toShort
       case ByteType => d.toByte
       case DateType => d.toInt
-      case TimestampType =>
-        if (d == d.toLong.toDouble) d.toLong else return None
-      case LongType =>
-        if (math.abs(d) <= MaxExactLong && d == d.toLong.toDouble) d.toLong
-        else return None
+      case TimestampType => exactLong.getOrElse(return None)
+      case LongType => exactLong.getOrElse(return None)
       case _ => return None
     }
     Some(Literal(v, a.dataType))

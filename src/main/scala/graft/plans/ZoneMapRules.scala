@@ -97,7 +97,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       spark, lakeDir, v, admissible.map(_.path))
     val newPlan = pruned.queryExecution.analyzed
     val byName = newPlan.output.map(a => a.name -> a).toMap
-    if (!lr.output.forall(o => byName.contains(o.name))) return f
+    // the spliced scan must agree with the original on TYPE, not just
+    // name: the path-fallback admits raw `parquet(<root>/data)` scans
+    // whose partition-type INFERENCE can disagree with the lake's
+    // recorded schema (an int-looking string partition), and aliasing
+    // under the old exprId would bind downstream expressions to values
+    // of the wrong runtime type. Nullability may only tighten.
+    if (!lr.output.forall(o => byName.get(o.name).exists(n =>
+      n.dataType == o.dataType && (o.nullable || !n.nullable)))) return f
     // re-expose the ORIGINAL attribute ids so every downstream
     // reference (including cond itself) keeps resolving
     val aliases = lr.output.map(o =>

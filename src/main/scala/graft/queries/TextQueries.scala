@@ -2783,15 +2783,6 @@ object TextQueries {
        |ORDER BY t.doc_id""".stripMargin
   }
 
-  /** Anchor-vote phrase oracle shared by x_phrase_search (one-shot)
-    * and x_phrase_lake (positional postings): the phrase is the first
-    * three words of the lowest-id document, each matching token votes
-    * anchor = pos − off, and an anchor carrying all three distinct
-    * offsets is one contiguous occurrence. */
-  /** Greedy-minimal-chain proximity oracle shared by
-    * x_proximity_search (one-shot tokenize) and x_proximity_lake
-    * (positions from the postings lake): the min-doc 3-word prefix,
-    * slop 2 → window limit k-1+slop = 4. */
   /** Per-epoch reshuffle oracle shared by x_epoch_shuffle (derived
     * in-flight) and x_epoch_lake (committed layouts read back): the
     * md5-uniform shard deal and the independent md5 order key, epochs
@@ -2817,6 +2808,10 @@ object TextQueries {
        |FROM k ORDER BY epoch, shard_id, pos""".stripMargin
   }
 
+  /** Greedy-minimal-chain proximity oracle shared by
+    * x_proximity_search (one-shot tokenize) and x_proximity_lake
+    * (positions from the postings lake): the min-doc 3-word prefix,
+    * slop 2 → window limit k-1+slop = 4. */
   private val proximityOracleSql: String =
     """WITH pw AS (
       |  SELECT i - 1 AS slot, w[i] AS term
@@ -2851,6 +2846,11 @@ object TextQueries {
       |       CAST(min(e - p0 + 1) AS BIGINT) AS min_span_tokens
       |FROM ok GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Anchor-vote phrase oracle shared by x_phrase_search (one-shot)
+    * and x_phrase_lake (positional postings): the phrase is the first
+    * three words of the lowest-id document, each matching token votes
+    * anchor = pos − off, and an anchor carrying all three distinct
+    * offsets is one contiguous occurrence. */
   private val phraseOracleSql: String =
     """WITH pw AS (
       |  SELECT i - 1 AS off, w[i] AS term

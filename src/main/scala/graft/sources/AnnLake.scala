@@ -581,12 +581,19 @@ object AnnLake {
       .select(col("doc")).distinct()
     val rows = corpus.select(col(id).as("doc"), col(vec).as("v"))
       .join(members, Seq("doc"), "left_semi")
+    // coverage and uniqueness are separate refusals: a duplicated id
+    // could otherwise exactly mask a missing member in a bare row-count
+    // comparison — the silent under-indexing this guard exists to stop
     val nm = members.count()
     val nr = rows.count()
-    require(nr == nm,
-      s"corpus is missing ${nm - nr} of the index's $nm member vectors — " +
+    val nd = rows.select(col("doc")).distinct().count()
+    require(nd == nm,
+      s"corpus is missing ${nm - nd} of the index's $nm member vectors — " +
         "codes cannot be re-encoded (they are lossy); reindexPq needs the " +
         "cold vector store the lake was built from")
+    require(nr == nd,
+      s"corpus holds ${nr - nd} duplicate ids among the index's members — " +
+        "ambiguous vectors; dedupe the corpus before reindexPq")
     doCreatePq(rows, "doc", "v", newLakeDir, nlist, m, ksub, dim,
       itersIvf, itersPq, trainFraction, Map(SourceVersionProp -> v.toString))
   }
@@ -648,11 +655,17 @@ object AnnLake {
             "current version")
         val rows = corpus.select(col(id).as("doc"), col(vec).as("v"))
           .join(docs, Seq("doc"), "left_semi")
+        // same split refusal as reindexPq: distinct coverage first
+        // (duplicates must not mask a missing vector), then uniqueness
         val nd = docs.count()
+        val nrd = rows.select(col("doc")).distinct().count()
         val nr = rows.count()
-        require(nr == nd,
-          s"corpus is missing ${nd - nr} of version $w's $nd tail vectors — " +
+        require(nrd == nd,
+          s"corpus is missing ${nd - nrd} of version $w's $nd tail vectors — " +
             "codes are lossy; the cutover replay needs the cold vector store")
+        require(nr == nrd,
+          s"corpus holds ${nr - nrd} duplicate ids among version $w's tail " +
+            "docs — ambiguous vectors; dedupe the corpus before cutoverPq")
         appendPq(rows, "doc", "v", greenDir, batchId = Some(bid))
       }
     }

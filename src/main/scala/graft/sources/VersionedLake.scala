@@ -248,6 +248,12 @@ object VersionedLake {
   def manifest(lakeDir: String, version: Int): Seq[(String, String)] =
     manifestEntries(lakeDir, version).map(e => (e.partition, e.path))
 
+  /** Whether a version's manifest still exists (false after [[vacuum]]
+    * expired it) — lets replay guards distinguish "provably never
+    * committed" from "history no longer inspectable". */
+  private[graft] def manifestExists(lakeDir: String, version: Int): Boolean =
+    Files.exists(Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest"))
+
   /** Create version 1 from `df`, partitioned by `partitionCol`.
     * `statsCol` (numeric) turns on zone maps: every commit records the
     * column's per-file min/max in the manifest, and
@@ -1756,11 +1762,25 @@ object VersionedLake {
       .orderBy(col("version"))
   }
 
+  /** Leading `#` header lines only — headers precede every entry line,
+    * so this stops at the first entry instead of reading a possibly
+    * multi-MB manifest for a handful of headers (the planner's Bloom
+    * probe reads these at plan time). */
   private def manifestHeaders(lakeDir: String, version: Int): Array[String] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
     if (!Files.exists(f)) Array.empty
-    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      .split("\n").takeWhile(_.startsWith("#"))
+    else {
+      val r = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var line = r.readLine()
+        while (line != null && line.startsWith("#")) {
+          out += line
+          line = r.readLine()
+        }
+        out.toArray
+      } finally r.close()
+    }
   }
 
   /** The schema recorded by a version's commit (None for manifests

@@ -366,6 +366,20 @@ class AnnLakeSpec extends SparkSpec {
         emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
         nlist = 8, m = 8, ksub = 16, dim = 64)
     }.getMessage.contains("missing"))
+    // ...and a DUPLICATED id must not mask the gap (row counts would
+    // match; distinct coverage is checked first), nor pass when
+    // coverage is complete (ambiguous vectors)
+    val oneDup = emb.filter(col("vec_id") === 0)
+    assert(intercept[IllegalArgumentException] {
+      AnnLake.reindexPq(spark, live, s"$base/g2b",
+        emb.filter(col("vec_id") =!= 3).unionByName(oneDup),
+        "vec_id", "embedding", nlist = 8, m = 8, ksub = 16, dim = 64)
+    }.getMessage.contains("missing"))
+    assert(intercept[IllegalArgumentException] {
+      AnnLake.reindexPq(spark, live, s"$base/g2c",
+        emb.unionByName(oneDup), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, dim = 64)
+    }.getMessage.contains("duplicate"))
     // reindexPq refuses a float (non-PQ) lake
     AnnLake.create(emb.limit(50), "vec_id", "embedding",
       s"$base/float", nlist = 4, dim = 64)

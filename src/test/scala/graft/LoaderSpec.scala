@@ -277,6 +277,16 @@ class LoaderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Loader.epochLakeAppend(docs, "doc_id", 2, 8, dir, seed = 7L)
     }
+    // a SKIPPED epoch submitted below the watermark is refused loudly —
+    // it is provably uncommitted (no manifest carries its batch id),
+    // unlike a legitimate replay which no-ops
+    Loader.epochLakeAppend(docs, "doc_id", 3, 8, dir) // skips epoch 2
+    assert(intercept[IllegalArgumentException] {
+      Loader.epochLakeAppend(docs, "doc_id", 2, 8, dir)
+    }.getMessage.contains("never committed"))
+    // replays of committed epochs still no-op after the gap
+    val vNow = graft.sources.VersionedLake.currentVersion(dir)
+    assert(Loader.epochLakeAppend(docs, "doc_id", 0, 8, dir) == vNow)
   }
 
   test("epochShuffle: replay-identical within an epoch, different across epochs, dense per-shard positions") {

@@ -591,6 +591,33 @@ class PlanSpec extends SparkSpec {
     assert(eq2.count() == 1 && scannedFiles(eq2).length == 1)
   }
 
+  test("path fallback never splices a scan whose inferred types disagree with the recorded schema") {
+    import spark.implicits._
+    import graft.sources.VersionedLake
+    graft.plans.ZoneMapPrune.install(spark)
+    // a pack-lake shape: STRING partition values that LOOK numeric, so
+    // a raw (unregistered) read of the data tree infers block as INT
+    // while the recorded schema says STRING — the path fallback makes
+    // the rule consider this scan, and the type guard must refuse the
+    // rewrite instead of aliasing INT attributes over STRING values
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmtype").toString + "/lake"
+    VersionedLake.create((0 until 10).map(i => (i.toLong, (i / 5).toString))
+      .toDF("v", "block").coalesce(1), dir, "block")
+    VersionedLake.append((10 until 20).map(i => (i.toLong, (i / 5).toString))
+      .toDF("v", "block").coalesce(1), dir, "block")
+    val raw = spark.read.parquet(s"$dir/data").filter(col("v") >= 12)
+    // must not throw and must return exactly the right rows
+    assert(raw.collect().map(_.getLong(0)).toSet == (12L until 20L).toSet)
+    // the REGISTERED read of the same lake still prunes normally
+    val reg = VersionedLake.read(spark, dir).filter(col("v") >= 12)
+    assert(reg.collect().map(_.getLong(0)).toSet == (12L until 20L).toSet)
+    val scanned = reg.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+    }.flatten
+    assert(scanned.length < VersionedLake.read(spark, dir).inputFiles.length)
+  }
+
   test("minmax-from-manifest: unfiltered MIN/MAX over a lake plans NO scan; filters, strings, NaN keep it") {
     import spark.implicits._
     import graft.sources.VersionedLake
@@ -651,6 +678,26 @@ class PlanSpec extends SparkSpec {
     assert(!hasScan(ts))
     assert(ts.head() == org.apache.spark.sql.Row(
       "2024-01-03 04:05:06", "2024-02-01 00:00:00"))
+    // a LEGACY manifest carrying NaN colStats (pre-NaN-filter writers;
+    // the parser round-trips them) must keep the scan, not fold NaN
+    // into max or silently drop the file from min
+    val mf = java.nio.file.Paths.get(s"$dir/_versions/v1.manifest")
+    val doctored = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .replaceAll("""v:[-0-9.E]+:[-0-9.E]+""", "v:NaN:NaN")
+    java.nio.file.Files.write(mf, doctored.getBytes("UTF-8"))
+    val nanLegacy = VersionedLake.read(spark, dir, Some(1)).agg(fmin(col("v")))
+    assert(hasScan(nanLegacy) && nanLegacy.head().getLong(0) == 0L)
+    // far-future timestamps (epoch micros beyond 2^53) never fold —
+    // the recorded double is already rounded
+    val fdir = java.nio.file.Files.createTempDirectory("graft_mmfar").toString + "/lake"
+    VersionedLake.create(Seq(("2024-01-01 00:00:00", "p0"), ("9999-12-31 23:59:59", "p0"))
+      .toDF("s", "part")
+      .select(org.apache.spark.sql.functions.to_timestamp(col("s")).as("ts"), col("part")),
+      fdir, "part")
+    val far = VersionedLake.read(spark, fdir)
+      .agg(fmax(col("ts")).cast("string"))
+    assert(hasScan(far), "micros past 2^53 must keep the scan")
+    assert(far.head().getString(0) == "9999-12-31 23:59:59")
   }
 
   test("zone-map prune never changes rows: randomized interval sweep, rule on vs off") {
