@@ -93,8 +93,28 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The app-status store collects per-task metrics even with the UI
+      // disabled (defaults: 1000 jobs/stages, 100k tasks, 1000 SQL
+      // executions). Over a 200-gate run that is hundreds of MB of
+      // retained listener state — heap grows, GC time grows, and late
+      // gates read slower than early ones (r18's position-correlated
+      // drift: terciles 1.01x/1.10x/1.17x). Cap retention to what a
+      // post-mortem actually needs.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "25")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v": extra runtime confs for bisects (e.g.
+    // the planner-rule kill-switches spark.graft.zonemap.prune.enabled /
+    // countmeta / minmaxmeta) without editing the bench. Driver-unset.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     // warm the session (codegen, shuffle machinery) so the first timed
     // query doesn't absorb JVM startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -130,6 +150,12 @@ object Bench {
     val canaryFn = SparkEntry.queries(canaryName)
     val canary = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
     def runCanary(pos: Int): Unit = {
+      // Untimed full GC at each canary point: ContextCleaner frees
+      // shuffle files / broadcast blocks only when their owners are
+      // GC'd, so a 200-gate session otherwise accumulates them for the
+      // whole run. Doing it here (never inside a gate's timed window)
+      // keeps late gates on the same heap footing as early ones.
+      System.gc()
       val t0 = System.nanoTime()
       try canaryFn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -137,11 +163,23 @@ object Bench {
       CacheRegistry.clearAll()
     }
 
+    // Per-gate heap/GC telemetry (r18 drift diagnosis): gc_ms = GC time
+    // that elapsed inside the gate's timed window; heap_mb = heap in use
+    // after the gate's cache clear. A flat heap curve with flat gc_ms
+    // proves the drift fix; a rising one points at the leak.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    def heapMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    val telemetry = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+
     var errors = List.empty[String]
     val ordered = SparkEntry.queries.toSeq.filter(kv => benchOnly(kv._1)).sortBy(_._1)
     // ~9 interior samples + the closing one
     val stride = math.max(1, ordered.size / 9)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop-format write executes the FULL physical plan (count() would
       // let Catalyst prune final sorts/projects and under-measure).
@@ -151,9 +189,11 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val gcDelta = gcMillis() - gc0
       // outside the timed window: drop operator-internal cached blocks
       // so later queries aren't measured under earlier queries' memory
       CacheRegistry.clearAll()
+      telemetry(name) = (gcDelta, heapMb()) // rerun overwrites first pass
       elapsed
     }
     val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
@@ -191,7 +231,10 @@ object Bench {
     val rerunJson = rerunTimes.toSeq.sortBy(_._1)
       .map { case (n, t) => s""""$n":{"first":${firstByName(n)},"rerun":$t}""" }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"reruns":$rerunJson,"sf":"$sfDir"}"""
+    val telemetryJson = telemetry.toSeq
+      .map { case (n, (gc, mb)) => s""""$n":{"gc_ms":$gc,"heap_mb":$mb}""" }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"reruns":$rerunJson,"telemetry":$telemetryJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Also persist the full artifact to a file: the driver's recorded
     // BENCH_r*.json keeps only a 2,000-char tail of the output, losing
@@ -215,7 +258,18 @@ object Bench {
     val canarySecs = canary.toSeq.map(_._2)
     val cMin = if (canarySecs.isEmpty) 0.0 else canarySecs.min
     val cMax = if (canarySecs.isEmpty) 0.0 else canarySecs.max
-    println(s"""{"metric":"total","value":$total,"unit":"sec","gates":${ordered.size},"errors":${errors.size},"reruns":${rerunTimes.size},"canary_min":$cMin,"canary_max":$cMax,"sf":"$sfDir"}""")
+    // Tercile sums of FIRST-pass times in run order: the r18 drift was
+    // position-correlated (1.01x/1.10x/1.17x vs r17), so the summary
+    // carries the curve every round — flat terciles round-over-round is
+    // the done-condition for the drift fix.
+    val fpTimes = firstPass.map(_._2)
+    val tSize = math.max(1, fpTimes.size / 3)
+    val terciles = fpTimes.grouped(tSize).toSeq.take(3)
+      .map(g => math.round(g.sum * 10.0) / 10.0)
+    val tercJson = terciles.mkString("[", ",", "]")
+    val gcTotalS = math.round(telemetry.values.map(_._1).sum / 100.0) / 10.0
+    val heapEndMb = telemetry.values.lastOption.map(_._2).getOrElse(0L)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gates":${ordered.size},"errors":${errors.size},"reruns":${rerunTimes.size},"canary_min":$cMin,"canary_max":$cMax,"terciles":$tercJson,"gc_s":$gcTotalS,"heap_end_mb":$heapEndMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

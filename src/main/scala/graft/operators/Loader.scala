@@ -144,19 +144,56 @@ object Loader {
     * tranche can only add rows to the tail sequence's partition, never
     * change committed (doc, seq, pos) rows; LoaderSpec pins that.
     *
-    * SINGLE-WRITER contract: tranches are SEQUENTIAL by design — the
-    * continuation offset is read before the commit, and the lake's
-    * optimistic concurrency REBASES a lost append race rather than
-    * aborting it, so two concurrent tranche writers would both read
-    * the same tokenBase and commit overlapping (seq_id, seq_pos)
-    * slices. That is the correct protocol for the one shape this
-    * operator serves (a [[packStream]] foreachBatch loop, where the
-    * streaming engine serializes batches); fan-in from multiple
-    * producers must funnel through one stream, not call this
-    * concurrently. */
+    * CONCURRENCY (upgraded from the r17 single-writer contract): the
+    * continuation offset is read before the commit, so a plain append
+    * race would let two tranche writers read the same tokenBase and
+    * commit overlapping (seq_id, seq_pos) slices. Each tranche
+    * therefore commits under a GUARDED append
+    * ([[graft.sources.VersionedLake.PendingCommit]]'s guard): at
+    * commit time the tail state tokenBase was derived from — the max
+    * block partition and its exact file set — is re-checked against
+    * the current manifest, and any change (a concurrent tranche, a
+    * compaction of the tail block) ABORTS the commit, deleting the
+    * staged files; this method then re-reads the offset, re-packs, and
+    * retries (up to `maxAttempts` across [[packedLakeAppendImpl]]).
+    * [[packStream]]'s foreachBatch loop still serializes its own
+    * tranches — the guard is what makes an out-of-band writer safe
+    * instead of silently corrupting the tiling. */
   def packedLakeAppend(docs: DataFrame, id: String, tokens: Column,
       seqLen: Long, lakeDir: String, batchId: Option[Long] = None,
-      blockSize: Long = 256L): Int = {
+      blockSize: Long = 256L): Int =
+    packedLakeAppendImpl(docs, id, tokens, seqLen, lakeDir, batchId,
+      blockSize, () => ())
+
+  /** Retry loop around [[packedTrancheAttempt]]; `interleave` runs
+    * between the first attempt's offset read and its commit — the
+    * LoaderSpec race seam (subsequent retries never interleave, or the
+    * test race would never converge). */
+  private[graft] def packedLakeAppendImpl(docs: DataFrame, id: String,
+      tokens: Column, seqLen: Long, lakeDir: String, batchId: Option[Long],
+      blockSize: Long, interleave: () => Unit, maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try {
+        return packedTrancheAttempt(docs, id, tokens, seqLen, lakeDir,
+          batchId, blockSize, if (attempt == 1) interleave else () => ())
+      } catch {
+        case e: java.util.ConcurrentModificationException => last = e
+      }
+    }
+    throw new IllegalStateException(
+      s"packedLakeAppend lost the tail-guard race $maxAttempts times on " +
+        s"$lakeDir — a writer storm; serialize producers or raise attempts",
+      last)
+  }
+
+  /** ONE optimistic tranche attempt: read the continuation offset,
+    * pack, commit guarded on the tail state the offset came from. */
+  private def packedTrancheAttempt(docs: DataFrame, id: String,
+      tokens: Column, seqLen: Long, lakeDir: String, batchId: Option[Long],
+      blockSize: Long, interleave: () => Unit): Int = {
     import graft.sources.VersionedLake
     require(blockSize > 0, s"blockSize must be positive, got $blockSize")
     val spark = docs.sparkSession
@@ -165,14 +202,22 @@ object Loader {
       batchId.exists(_ <= VersionedLake.committedBatchId(lakeDir))) {
       return VersionedLake.currentVersion(lakeDir)
     }
-    val tokenBase: Long = if (!exists) 0L else {
+    // tail snapshot AT OFFSET-READ TIME — the guard closure re-checks
+    // exactly this state at commit time (not planAppend's base, which
+    // is snapshotted later and could already include a racer's commit)
+    val (tokenBase, tailId, tailFiles) = if (!exists)
+      (0L, None: Option[Long], Set.empty[String])
+    else {
       val v = VersionedLake.currentVersion(lakeDir)
-      val blocks = VersionedLake.manifestEntries(lakeDir, v).map(_.partition)
-      if (blocks.isEmpty) 0L else {
-        val last = blocks.map(_.toLong).max.toString
-        VersionedLake.read(spark, lakeDir, Some(v), partitions = Some(Seq(last)))
+      val entries = VersionedLake.manifestEntries(lakeDir, v)
+      if (entries.isEmpty) (0L, None, Set.empty[String]) else {
+        val lastBlock = entries.map(_.partition.toLong).max
+        val tb = VersionedLake.read(spark, lakeDir, Some(v),
+          partitions = Some(Seq(lastBlock.toString)))
           .agg(max(col("seq_id") * seqLen + col("seq_pos") + col("len")))
           .head().getLong(0)
+        (tb, Some(lastBlock),
+          entries.filter(_.partition == lastBlock.toString).map(_.path).toSet)
       }
     }
     // cached across the emptiness probe and the append below — the
@@ -194,7 +239,18 @@ object Loader {
             "block_size" -> blockSize.toString))
       VersionedLake.requireProps(lakeDir,
         Map("seq_len" -> seqLen.toString, "block_size" -> blockSize.toString))
-      VersionedLake.append(slices, lakeDir, "block", batchId)
+      interleave()
+      // conflict iff the tail moved: a LATER block exists, the tail
+      // block's file set changed, or (first tranche) any block appeared
+      val guard: Seq[VersionedLake.Entry] => Boolean = cur => tailId match {
+        case None => cur.nonEmpty
+        case Some(t) =>
+          cur.exists(_.partition.toLong > t) ||
+            cur.filter(_.partition == t.toString).map(_.path).toSet != tailFiles
+      }
+      VersionedLake.commitPending(lakeDir,
+        VersionedLake.planAppend(slices, lakeDir, "block", batchId,
+          guard = Some(guard)))
       VersionedLake.currentVersion(lakeDir)
     } finally {
       slices.unpersist()
@@ -325,15 +381,40 @@ object Loader {
     VersionedLake.currentVersion(lakeDir)
   }
 
+  /** Refuse a read of an epoch that was never committed: a trainer
+    * restarted AHEAD of the writer would otherwise train zero batches
+    * from the silently-empty partition-pruned read — at odds with the
+    * loud-refusal discipline [[epochLakeAppend]] enforces on the write
+    * side. Same manifest walk as the append's replay check: an epoch is
+    * committed when some version's manifest carries its batch id; a
+    * vacuumed (missing) manifest makes history uninspectable, so it
+    * counts as possibly-committed rather than refusing reads of
+    * legitimately old epochs. */
+  private def requireEpochCommitted(lakeDir: String, epoch: Int): Unit = {
+    import graft.sources.VersionedLake
+    val cur = VersionedLake.currentVersion(lakeDir)
+    val committed = epoch.toLong <= VersionedLake.committedBatchId(lakeDir) &&
+      (1 to cur).exists(w =>
+        !VersionedLake.manifestExists(lakeDir, w) ||
+          VersionedLake.committedBatchId(lakeDir, Some(w)) == epoch.toLong)
+    if (!committed) throw new IllegalArgumentException(
+      s"epoch $epoch was never committed to $lakeDir (watermark " +
+        s"${VersionedLake.committedBatchId(lakeDir)}) — run epochLakeAppend " +
+        "for it first; refusing a silently-empty layout read")
+  }
+
   /** One epoch's full layout back from the lake — every shard's
     * partition, manifest-pruned (other epochs' files are never
-    * opened). Shard count comes from the recorded table properties. */
+    * opened). Shard count comes from the recorded table properties.
+    * Refuses loudly (IllegalArgumentException) when the epoch was never
+    * committed. */
   def readEpoch(spark: org.apache.spark.sql.SparkSession, lakeDir: String,
       epoch: Int): DataFrame = {
     import graft.sources.VersionedLake
     val shards = VersionedLake.tableProps(lakeDir).getOrElse("shards",
       throw new IllegalArgumentException(
         s"$lakeDir records no 'shards' property — not an epoch lake")).toInt
+    requireEpochCommitted(lakeDir, epoch)
     VersionedLake.read(spark, lakeDir,
       partitions = Some((0 until shards).map(s => s"e$epoch-s$s")))
       .select(col("doc_id"), col("shard_id"), col("pos"))
@@ -341,11 +422,14 @@ object Loader {
 
   /** One (epoch, shard) partition — what a single loader worker
     * resumes from: one manifest-pruned partition read, ordered by the
-    * committed positions. */
+    * committed positions. Same loud refusal as [[readEpoch]] for an
+    * uncommitted epoch (one driver-side manifest walk per call). */
   def readEpochShard(spark: org.apache.spark.sql.SparkSession,
-      lakeDir: String, epoch: Int, shard: Int): DataFrame =
+      lakeDir: String, epoch: Int, shard: Int): DataFrame = {
+    requireEpochCommitted(lakeDir, epoch)
     graft.sources.VersionedLake.read(spark, lakeDir,
       partitions = Some(Seq(s"e$epoch-s$shard")))
       .select(col("doc_id"), col("shard_id"), col("pos"))
       .orderBy(col("pos"))
+  }
 }

@@ -27,10 +27,18 @@ import org.apache.spark.sql.functions._
   *    ([[decodeJpeg]]): marker walk, DQT/DHT collection, Huffman
   *    entropy decode with byte unstuffing, dequantize/dezigzag,
   *    separable IDCT — grayscale subset.
+  *  - JPEG SOI with progressive SOF2 → the progressive extension of
+  *    the baseline decoder (spectral selection + successive
+  *    approximation refinement passes).
+  *  - 'RIFF…WAVE' → a REAL pure-JVM WAV/PCM parse ([[decodeWav]]):
+  *    chunk walk, 8/16-bit mono/stereo PCM, Goertzel band features.
+  *  - 'RIFF…AVI ' → a REAL pure-JVM MJPEG-AVI parse ([[decodeAvi]]):
+  *    chunk/list walk, per-frame JPEG decode through [[decodeJpeg]],
+  *    frame sampling.
   *  - anything else → the deterministic [[stubDecode]], standing in
-  *    for codecs that DO need native libraries (audio/video) in an
-  *    environment that has none. Swapping one in changes one branch
-  *    of the dispatch and nothing about the distributed plan.
+  *    for the codecs beyond these six that DO need native libraries
+  *    in an environment that has none. Swapping one in changes one
+  *    branch of the dispatch and nothing about the distributed plan.
   */
 object Multimodal {
 

@@ -98,7 +98,9 @@ case class LakeCountFromManifest(spark: SparkSession) extends Rule[LogicalPlan] 
           .map(graft.sources.VersionedLake.normalizePath).toSet
       case _ => return None
     }
-    val entries = graft.sources.VersionedLake.manifestEntries(lakeDir, v)
+    val entries = graft.sources.VersionedLake
+      .manifestEntriesForPlanning(lakeDir, v)
+      .getOrElse(return None) // huge uncached manifest: keep the scan
       .filter(e => current.contains(
         graft.sources.VersionedLake.normalizePath(e.path)))
     if (entries.size != current.size || !entries.forall(_.rows.isDefined))
@@ -207,7 +209,9 @@ case class LakeMinMaxFromManifest(spark: SparkSession) extends Rule[LogicalPlan]
           .map(graft.sources.VersionedLake.normalizePath).toSet
       case _ => return None
     }
-    val entries = graft.sources.VersionedLake.manifestEntries(lakeDir, v)
+    val entries = graft.sources.VersionedLake
+      .manifestEntriesForPlanning(lakeDir, v)
+      .getOrElse(return None) // huge uncached manifest: keep the scan
       .filter(e => current.contains(
         graft.sources.VersionedLake.normalizePath(e.path)))
     if (entries.size != current.size) return None

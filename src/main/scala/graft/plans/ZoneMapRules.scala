@@ -87,8 +87,12 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     // partition- or point-pruned); a bounded column no file records
     // stats for simply never prunes (conservative, like readRange's
     // per-file rule — but no loud refusal here: the user wrote a
-    // filter, not a range read)
-    val entries = graft.sources.VersionedLake.manifestEntries(lakeDir, v)
+    // filter, not a range read). A huge manifest's uncached first
+    // parse is refused by manifestEntriesForPlanning — the rule
+    // degrades to no pruning rather than stalling the optimizer.
+    val entries = graft.sources.VersionedLake
+      .manifestEntriesForPlanning(lakeDir, v)
+      .getOrElse(return f)
       .filter(e => current.contains(
         graft.sources.VersionedLake.normalizePath(e.path)))
     val admissible = entries.filter(e => admits(e, legacyBloom, cond))

@@ -718,6 +718,34 @@ object SimilarityQueries {
         trainPred = Some("doc % 2 = 0"),
         allowPred = Some("a.doc % 3 = 0")))),
 
+    // Code-lake COMPACTION parity (the s17 discipline on the PQ lake):
+    // two frozen-books tranches fragment every cell partition, the OCC
+    // fold collapses them to one file per cell, and full-probe ADC
+    // search over the compacted lake must hash-match the SAME oracle as
+    // the uncompacted s32 build — compaction rewrites layout, never
+    // codes. The fixture runs create→append×2→compact once; the gate
+    // measures search over the folded layout.
+    QDef(
+      "s36_ann_pq_compacted",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ix = Fixtures.dir("ann_lake_pq_compact", dir) { o =>
+          graft.sources.AnnLake.createPq(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", s"$o/lake", nlist = 8, m = 8, ksub = 16,
+            dim = 64, itersPq = 3)
+          graft.sources.AnnLake.appendPq(emb.filter(col("vec_id") % 4 === 1),
+            "vec_id", "embedding", s"$o/lake", batchId = Some(0L))
+          graft.sources.AnnLake.appendPq(emb.filter(col("vec_id") % 4 === 3),
+            "vec_id", "embedding", s"$o/lake", batchId = Some(1L))
+          graft.sources.AnnLake.compact(s, s"$o/lake")
+        }
+        graft.sources.AnnLake.searchPq(s, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", s"$ix/lake", k = 10, nprobe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqAdcOracle(10, m = 8, ksub = 16, dim = 64, iters = 3,
+        trainPred = Some("doc % 2 = 0")))),
+
     // IVF's exactness property as a HASH gate: at nprobe = nlist every
     // cell is probed, so the index must reproduce brute-force cosine
     // top-k exactly — same oracle as s_cosine_topk. (IvfSpec asserts the

@@ -361,10 +361,46 @@ object AnnLake {
   }
 
   /** Fold per-increment file growth back to one file per cell (OCC
-    * compaction; search unchanged by construction). */
+    * compaction; search unchanged by construction). Works on BOTH lake
+    * forms — float vectors and PQ codes share the cell partitioning,
+    * and compaction rewrites layout only, never rows. */
   def compact(spark: SparkSession, lakeDir: String): Unit = {
     VersionedLake.compactPartitions(spark, vectorsDir(resolved(lakeDir)), "cell")
     ()
+  }
+
+  /** Drive [[appendPq]] from a STREAM of embeddings — the PQ twin of
+    * [[indexStream]]: each micro-batch is assigned against the frozen
+    * centroids, encoded against the frozen codebooks, and lands
+    * exactly-once. Without maintenance, each tick commits at least one
+    * file into every cell partition it touches, so a long-running
+    * index stream fragments the code lake the same way pack lakes
+    * fragmented before `compactEvery` — `compactEvery` > 0 folds the
+    * growth every N batches ([[compact]]; layout-only, search results
+    * are hash-identical across the fold — AnnLakeSpec pins that).
+    * Maintenance never fails a data batch: a lost OCC race just defers
+    * the fold to a later tick. */
+  def indexStreamPq(stream: DataFrame, id: String, vec: String,
+      lakeDir: String, checkpointDir: String, compactEvery: Int = 0,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "AnnLake.indexStreamPq expects a streaming DataFrame")
+    require(VersionedLake.currentVersion(vectorsDir(resolved(lakeDir))) >= 1,
+      s"createPq($lakeDir) first: streaming appends encode against the " +
+        "frozen centroids and codebooks")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        appendPq(b.toDF(), id, vec, lakeDir, batchId = Some(batchId))
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          try { compact(b.sparkSession, lakeDir); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        ()
+      }
+      .start()
   }
 
   /** RETRACT embeddings from the index (takedown shape): a copy-on-

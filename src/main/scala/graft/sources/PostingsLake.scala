@@ -262,6 +262,21 @@ object PostingsLake {
     }
   }
 
+  /** LOUD-REFUSAL guard for the batch search family: a NULL, empty, or
+    * whitespace-only phrase tokenizes to zero words (its single ""
+    * token is filtered before the join), so without this check it would
+    * silently match nothing while carrying plen=1 — unlike the one-shot
+    * forms, whose `require(words.nonEmpty)` refuses up front (r18
+    * ADVICE). The phrase table is query-side and broadcast-bounded by
+    * design, so the one eager probe job is cheap relative to the index
+    * read it guards. */
+  private def requireNoBlankPhrases(phrases: DataFrame, ptext: String,
+      op: String): Unit =
+    require(phrases
+        .filter(col(ptext).isNull || trim(col(ptext)) === "").isEmpty,
+      s"$op: phrase table contains a NULL or whitespace-only '$ptext' — " +
+        "every phrase must tokenize to at least one word")
+
   /** ORDERED PROXIMITY for a QUERY TABLE — the sloppy-phrase twin of
     * [[phraseSearchBatch]], closing the batch family (BM25, exact
     * phrase, now proximity): thousands of decontamination-review
@@ -283,6 +298,7 @@ object PostingsLake {
       phrases: DataFrame, pid: String, ptext: String, slop: Int,
       termParts: Int = 64, version: Option[Int] = None): DataFrame = {
     require(slop >= 0, s"slop must be >= 0, got $slop")
+    requireNoBlankPhrases(phrases, ptext, "proximitySearchBatch")
     val pw = phrases
       .select(col(pid).as("phrase_id"),
         split(regexp_replace(trim(col(ptext)), "\\s+", " "), " ").as("w"))
@@ -513,6 +529,7 @@ object PostingsLake {
   def phraseSearchBatch(spark: SparkSession, lakeDir: String,
       phrases: DataFrame, pid: String, ptext: String,
       termParts: Int = 64, version: Option[Int] = None): DataFrame = {
+    requireNoBlankPhrases(phrases, ptext, "phraseSearchBatch")
     val pw = phrases
       .select(col(pid).as("phrase_id"),
         split(regexp_replace(trim(col(ptext)), "\\s+", " "), " ").as("w"))

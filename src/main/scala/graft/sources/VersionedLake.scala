@@ -147,18 +147,40 @@ object VersionedLake {
     * cache perfectly: the planner rules re-derive zone maps on every
     * optimized query, and re-parsing a 100k-file manifest per query is
     * avoidable driver overhead. Bounded LRU; entries are validated
-    * against the file's (mtime, size) so even an out-of-band manifest
-    * edit (manual repair, a legacy-simulation test) reparses rather
-    * than serving stale entries, and the existence check stays OUTSIDE
-    * the cache so a vacuumed version still fails loudly. */
+    * against the file's (mtime, size, head/tail fingerprint) so even an
+    * out-of-band manifest edit (manual repair, a legacy-simulation
+    * test) reparses rather than serving stale entries — the fingerprint
+    * covers equal-length in-place edits that coarse-mtime filesystems
+    * would otherwise hide (r18 ADVICE). Residual blind spot, accepted
+    * under the immutability contract: an equal-length edit confined to
+    * the middle bytes of a manifest, inside the mtime granularity
+    * window. The existence check stays OUTSIDE the cache so a vacuumed
+    * version still fails loudly. */
   private val ManifestCacheSize = 64
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Int), (Long, Long, Seq[Entry])](
+    new java.util.LinkedHashMap[(String, Int), (Long, Long, Long, Seq[Entry])](
       ManifestCacheSize, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), (Long, Long, Seq[Entry])]): Boolean =
+          e: java.util.Map.Entry[(String, Int), (Long, Long, Long, Seq[Entry])]): Boolean =
         size() > ManifestCacheSize
     }
+
+  /** Cheap content fingerprint: first and last 256 bytes hashed — two
+    * bounded reads, never a full-file scan, so validation stays O(1)
+    * for a 100k-entry manifest. */
+  private def manifestFingerprint(f: java.nio.file.Path, size: Long): Long = {
+    val n = 256
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val head = java.nio.ByteBuffer.allocate(n)
+      ch.read(head, 0L)
+      val tail = java.nio.ByteBuffer.allocate(n)
+      ch.read(tail, math.max(0L, size - n))
+      (java.util.Arrays.hashCode(head.array()).toLong << 32) |
+        (java.util.Arrays.hashCode(tail.array()).toLong & 0xffffffffL)
+    } finally ch.close()
+  }
 
   /** Full manifest entries of a version, zone maps included. Header
     * lines (`#key=value` — e.g. the streaming batch id) are skipped. */
@@ -169,17 +191,57 @@ object VersionedLake {
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val mtime = attrs.lastModifiedTime.toMillis
     val size = attrs.size
+    val fp = manifestFingerprint(f, size)
     val k = (lakeDir, version)
     manifestCache.synchronized {
       val hit = manifestCache.get(k)
-      if (hit != null && hit._1 == mtime && hit._2 == size) return hit._3
+      if (hit != null && hit._1 == mtime && hit._2 == size && hit._3 == fp)
+        return hit._4
     }
     val parsed = parseManifest(f)
     manifestCache.synchronized {
-      manifestCache.put(k, (mtime, size, parsed))
+      manifestCache.put(k, (mtime, size, fp, parsed))
       ()
     }
     parsed
+  }
+
+  private val warnedHugeManifests =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Planner-rule view of [[manifestEntries]]: serves the cached parse
+    * when present, but REFUSES (None) a FIRST parse of a manifest
+    * larger than `-Dgraft.manifest.maxPlanBytes` (default 16 MiB ≈ a
+    * 100k-file lake with Blooms) — that parse is a driver stall inside
+    * the optimizer, paid by whatever query happens to plan first, and
+    * a planner rule must degrade to "no pruning" rather than stall
+    * planning. Data-path reads (read/readRange/readPoint) still parse
+    * unconditionally: they need the file list to run at all, and their
+    * callers asked for that work — after any of them touches the lake
+    * the cached parse serves the planner too. Warns once per lake. */
+  private[graft] def manifestEntriesForPlanning(lakeDir: String,
+      version: Int): Option[Seq[Entry]] = {
+    val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
+    if (!Files.exists(f)) return None
+    val attrs = Files.readAttributes(f,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val size = attrs.size
+    manifestCache.synchronized {
+      val hit = manifestCache.get((lakeDir, version))
+      if (hit != null && hit._1 == attrs.lastModifiedTime.toMillis &&
+          hit._2 == size && hit._3 == manifestFingerprint(f, size))
+        return Some(hit._4)
+    }
+    val maxBytes = java.lang.Long.getLong("graft.manifest.maxPlanBytes",
+      16L << 20)
+    if (size > maxBytes) {
+      if (warnedHugeManifests.add(lakeDir))
+        System.err.println(s"[graft] $lakeDir v$version manifest is $size " +
+          s"bytes (> $maxBytes): planner-rule pruning skipped until a data " +
+          "read caches the parse; compact the lake or raise " +
+          "-Dgraft.manifest.maxPlanBytes")
+      None
+    } else Some(manifestEntries(lakeDir, version))
   }
 
   private def parseManifest(f: java.nio.file.Path): Seq[Entry] = {
@@ -805,7 +867,19 @@ object VersionedLake {
   /** A planned-but-uncommitted commit: everything [[commitPending]]
     * needs to claim a version slot, rebase, or abort. `baseEntries` is
     * the manifest snapshot the plan was computed against — conflict
-    * detection compares per-partition file sets base → current. */
+    * detection compares per-partition file sets base → current.
+    *
+    * `guard`: an OPTIONAL caller-supplied conflict test over the
+    * CURRENT manifest entries, checked on every commit attempt (even
+    * when the version didn't move — the caller's read of lake state
+    * may predate the plan's base snapshot). True = the lake state the
+    * plan DERIVED ITS DATA from has changed; the commit aborts
+    * (staged files deleted, ConcurrentModificationException) so the
+    * caller can re-derive and retry. This is what upgrades an
+    * insert-only append whose ROWS depend on prior content (a pack
+    * tranche's continuation offset) from "single-writer by contract"
+    * to real OCC — plain appends conflict with nothing and never set
+    * it. In-memory only (same-JVM commit protocol), never persisted. */
   private[graft] final case class PendingCommit(
       baseVersion: Int,
       baseEntries: Seq[Entry],
@@ -818,7 +892,8 @@ object VersionedLake {
       schemaJson: Option[String] = None,
       mblooms: Seq[BloomSpec] = Nil,
       props: Map[String, String] = Map.empty,
-      retractId: Option[Long] = None)
+      retractId: Option[Long] = None,
+      guard: Option[Seq[Entry] => Boolean] = None)
 
   /** Plan a merge against the CURRENT version and stage its data
     * files, without committing. Split from [[mergeUpsert]] so the
@@ -886,6 +961,16 @@ object VersionedLake {
       attempt += 1
       val cur = currentVersion(lakeDir)
       val curEntries = if (cur >= 1) manifestEntries(lakeDir, cur) else Seq.empty
+      // caller-supplied OCC guard: tested on EVERY attempt (the state it
+      // protects was read before the plan's base snapshot, so version
+      // equality proves nothing)
+      if (p.guard.exists(g => g(curEntries))) {
+        p.newEntries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"lake state this commit's rows were derived from changed under " +
+            s"it (now v$cur); commit aborted, staged files deleted — " +
+            "re-derive and retry")
+      }
       if (!p.insertOnly && cur != p.baseVersion) {
         val curByPart = curEntries.groupBy(_.partition)
           .view.mapValues(_.map(_.path).sorted).toMap
@@ -1607,7 +1692,8 @@ object VersionedLake {
       batchId: Option[Long] = None, statsCol: Option[String] = None,
       bloom: Option[BloomSpec] = None,
       blooms: Seq[BloomSpec] = Nil,
-      props: Map[String, String] = Map.empty): PendingCommit = {
+      props: Map[String, String] = Map.empty,
+      guard: Option[Seq[Entry] => Boolean] = None): PendingCommit = {
     val v = currentVersion(lakeDir)
     // the table's recorded metadata spec applies unless overridden;
     // first-append on an empty lake records the caller's blooms/props
@@ -1626,7 +1712,7 @@ object VersionedLake {
       if (v >= 1) recordedSchema(lakeDir, v) else None, df.schema)
     PendingCommit(v, Seq.empty, Set.empty, newEntries,
       insertOnly = true, batchId, effStats, effBloom, Some(evolved.json),
-      effBlooms, effProps)
+      effBlooms, effProps, guard = guard)
   }
 
   /** The highest batch id recorded by ANY committed version, -1 when

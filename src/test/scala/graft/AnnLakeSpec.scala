@@ -230,6 +230,48 @@ class AnnLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, s"$r/vectors").count() == emb.count())
   }
 
+  test("indexStreamPq + compaction: files collapse per cell, search results hash-identical across the fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_ann_pqstream").toString
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    AnnLake.createPq(emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      r, nlist = 8, m = 8, ksub = 16, dim = 64)
+    val tail = emb.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    // four ticks with compactEvery=2: batches 2 and (none later) fold
+    tail.grouped(math.max(1, tail.length / 4 + 1)).foreach { b =>
+      ms.addData(b.toSeq)
+      AnnLake.indexStreamPq(ms.toDS().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", r, s"$r/ckpt", compactEvery = 2)
+        .awaitTermination()
+    }
+    assert(VersionedLake.read(spark, s"$r/vectors").count() == emb.count())
+    val queries = emb.filter(col("vec_id") < 5)
+    def searchSet() = AnnLake.searchPq(spark, queries, "vec_id", "embedding",
+      r, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val preFold = searchSet()
+    val filesBefore = VersionedLake.read(spark, s"$r/vectors").inputFiles.length
+    AnnLake.compact(spark, r) // fold whatever the cadence left fragmented
+    val filesAfter = VersionedLake.read(spark, s"$r/vectors").inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"compaction must collapse code files: $filesBefore -> $filesAfter")
+    // one file per cell partition (the s17 discipline) and the SAME
+    // search results byte for byte — compaction rewrites layout only
+    val v = VersionedLake.currentVersion(s"$r/vectors")
+    val parts = VersionedLake.manifestEntries(s"$r/vectors", v).map(_.partition)
+    assert(parts.distinct.size == parts.size, "one file per cell")
+    assert(searchSet() == preFold && preFold.nonEmpty)
+    // replay after the fold is still a no-op (watermark survives)
+    val rows = VersionedLake.read(spark, s"$r/vectors").count()
+    AnnLake.appendPq(emb.filter(col("vec_id") % 4 === 1), "vec_id",
+      "embedding", r, batchId = Some(0L))
+    assert(VersionedLake.read(spark, s"$r/vectors").count() == rows)
+  }
+
   test("cutover: tail replayed, handle repointed, rerun idempotent, retire guarded") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 5)

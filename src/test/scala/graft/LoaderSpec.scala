@@ -158,6 +158,68 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("packedLakeAppend OCC: an interleaved tranche aborts the stale commit; the retry re-derives and the tiling holds") {
+    import graft.sources.VersionedLake
+    val L = 100L
+    val dir = java.nio.file.Files.createTempDirectory("graft_packocc").toString + "/lake"
+    val seed = corpus(30, 60).withColumn("doc_id", col("doc_id") + 9000L)
+    val a = corpus(60, 50)
+    val b = corpus(40, 45).withColumn("doc_id", col("doc_id") + 5000L)
+    val c = corpus(20, 40).withColumn("doc_id", col("doc_id") + 7000L)
+    Loader.packedLakeAppend(seed, "doc_id", col("tokens"), L, dir, blockSize = 4L)
+
+    // Seam: writer A reads its continuation offset, writer B commits a
+    // tranche underneath, A's guarded commit must ABORT (pre-fix, both
+    // landed and their slices overlapped the same (seq_id, seq_pos)s).
+    val err = intercept[IllegalStateException] {
+      Loader.packedLakeAppendImpl(a, "doc_id", col("tokens"), L, dir, None,
+        4L, () => {
+          Loader.packedLakeAppend(b, "doc_id", col("tokens"), L, dir,
+            blockSize = 4L)
+          ()
+        }, maxAttempts = 1)
+    }
+    assert(err.getCause.isInstanceOf[java.util.ConcurrentModificationException],
+      s"cause was ${err.getCause}")
+    // B landed; none of A's rows did (its staged files were deleted)
+    val afterAbort = VersionedLake.read(spark, dir)
+    assert(afterAbort.join(b.select("doc_id"), "doc_id").count() > 0)
+    assert(afterAbort.join(a.select("doc_id"), "doc_id").count() == 0)
+
+    // The RETRYING form: attempt 1 loses to an interleaved C, attempt 2
+    // re-reads the offset and lands.
+    Loader.packedLakeAppendImpl(a, "doc_id", col("tokens"), L, dir, None,
+      4L, () => {
+        Loader.packedLakeAppend(c, "doc_id", col("tokens"), L, dir,
+          blockSize = 4L)
+        ()
+      })
+
+    // tiling invariants across all four tranches: no token lost, every
+    // sequence tiles contiguously from 0 (final partial excepted), no
+    // (seq_id, seq_pos) double-booked
+    val all = Seq(seed, a, b, c).reduce(_ unionByName _)
+    val total = all.agg(sum("tokens")).as[Long].head()
+    val slices = VersionedLake.read(spark, dir)
+      .select("doc_id", "seq_id", "seq_pos", "doc_off", "len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(slices.map(_._5).sum == total)
+    assert(slices.map(s => (s._2, s._3)).distinct.length == slices.length,
+      "overlapping (seq_id, seq_pos) slices — the pre-OCC corruption")
+    val lastSeq = (total - 1) / L
+    slices.groupBy(_._2).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"seq $seq starts at ${sorted.head._3}")
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._3 + x._5 == y._3, s"gap in seq $seq")
+        case _ =>
+      }
+      val want = if (seq == lastSeq && total % L != 0) total % L else L
+      assert(sorted.map(_._5).sum == want, s"seq $seq sums wrong")
+    }
+  }
+
   test("packStream: micro-batches pack exactly-once; restart replays into a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.VersionedLake
@@ -287,6 +349,17 @@ class LoaderSpec extends SparkSpec {
     // replays of committed epochs still no-op after the gap
     val vNow = graft.sources.VersionedLake.currentVersion(dir)
     assert(Loader.epochLakeAppend(docs, "doc_id", 0, 8, dir) == vNow)
+    // READING an uncommitted epoch refuses loudly too — a trainer
+    // restarted ahead of the writer must not train zero batches from a
+    // silently-empty partition-pruned read (r18 ADVICE)
+    assert(intercept[IllegalArgumentException] {
+      Loader.readEpoch(spark, dir, 2) // the skipped epoch
+    }.getMessage.contains("never committed"))
+    assert(intercept[IllegalArgumentException] {
+      Loader.readEpochShard(spark, dir, 9, 0) // above the watermark
+    }.getMessage.contains("never committed"))
+    // committed epochs still read fine after the gap
+    assert(Loader.readEpoch(spark, dir, 3).count() == 300)
   }
 
   test("epochShuffle: replay-identical within an epoch, different across epochs, dense per-shard positions") {

@@ -180,6 +180,24 @@ class PostingsLakeSpec extends SparkSpec {
     }
   }
 
+  test("batch search surfaces refuse blank phrases loudly instead of silently matching nothing") {
+    import spark.implicits._
+    // an empty/whitespace phrase tokenizes to zero words (its "" token
+    // is filtered before the join) — the pre-fix behavior was plen=1
+    // with no slots, a silent no-match (r18 ADVICE)
+    for (bad <- Seq("", "   ", null.asInstanceOf[String])) {
+      val phrases = Seq((1L, "alpha beta"), (2L, bad)).toDF("phrase_id", "ptext")
+      assert(intercept[IllegalArgumentException] {
+        PostingsLake.proximitySearchBatch(spark, root, phrases,
+          "phrase_id", "ptext", 1)
+      }.getMessage.contains("whitespace-only"), s"proximity bad=[$bad]")
+      assert(intercept[IllegalArgumentException] {
+        PostingsLake.phraseSearchBatch(spark, root, phrases,
+          "phrase_id", "ptext")
+      }.getMessage.contains("whitespace-only"), s"phrase bad=[$bad]")
+    }
+  }
+
   test("lake highlight: postings-driven snippets equal the one-shot form byte for byte") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val base = java.nio.file.Files.createTempDirectory("graft_hl_docs").toString

@@ -36,6 +36,64 @@ class VersionedLakeSpec extends SparkSpec {
     VersionedLake.mergeUpsert(spark, s"$root/lake", changes, Seq("id"), "part")
   }
 
+  test("manifest cache: an equal-length in-place edit with restored mtime still re-parses (content fingerprint)") {
+    val root = tmp("vlake_fp")
+    VersionedLake.create(
+      Seq((1L, "p1"), (2L, "p2")).toDF("id", "part"), s"$root/lake", "part")
+    assert(VersionedLake.manifestEntries(s"$root/lake", 1)
+      .exists(_.partition == "p1")) // prime the cache
+    val f = Paths.get(s"$root/lake/_versions/v1.manifest")
+    val mtime = Files.getLastModifiedTime(f)
+    val text = Files.readString(f)
+    assert(text.contains("p1\t"), "expected a p1 entry line")
+    // same byte length, same restored mtime — the (mtime, size) pair the
+    // pre-fix cache validated with cannot tell this edit happened
+    Files.writeString(f, text.replaceFirst("p1\t", "p9\t"))
+    Files.setLastModifiedTime(f, mtime)
+    val after = VersionedLake.manifestEntries(s"$root/lake", 1)
+    assert(after.exists(_.partition == "p9") && !after.exists(_.partition == "p1"),
+      s"stale cache served: ${after.map(_.partition)}")
+  }
+
+  test("huge manifests: 50k-entry first parse stays bounded; the planner view refuses an uncached oversized parse") {
+    // a synthetic 50k-entry manifest in the on-disk format (partition,
+    // path) — the 100k-file-lake shape the optimizer rules must not
+    // stall on
+    def fakeLake(prefix: String, entries: Int): String = {
+      val root = tmp(prefix)
+      val vdir = new java.io.File(s"$root/lake/_versions"); vdir.mkdirs()
+      val sb = new StringBuilder
+      (0 until entries).foreach(i =>
+        sb.append(s"p${i % 64}\t$root/lake/data/p${i % 64}/f$i.parquet\t0\t9\n"))
+      Files.writeString(new java.io.File(vdir, "v1.manifest").toPath, sb.toString)
+      s"$root/lake"
+    }
+    val big = fakeLake("vlake_big", 50000)
+    val t0 = System.nanoTime()
+    val parsed = VersionedLake.manifestEntries(big, 1)
+    val parseSec = (System.nanoTime() - t0) / 1e9
+    assert(parsed.size == 50000)
+    assert(parseSec < 5.0, f"50k-entry first parse took $parseSec%.1f s")
+    // already-parsed manifests serve the planner regardless of size
+    assert(VersionedLake.manifestEntriesForPlanning(big, 1)
+      .exists(_.size == 50000))
+    // an UNCACHED manifest beyond the plan-bytes cap is refused for
+    // planning (rule degrades to no pruning) but still parses for data
+    // reads — after which the cache serves the planner too
+    val prev = System.getProperty("graft.manifest.maxPlanBytes")
+    System.setProperty("graft.manifest.maxPlanBytes", "1024")
+    try {
+      val big2 = fakeLake("vlake_big2", 5000)
+      assert(VersionedLake.manifestEntriesForPlanning(big2, 1).isEmpty)
+      assert(VersionedLake.manifestEntries(big2, 1).size == 5000)
+      assert(VersionedLake.manifestEntriesForPlanning(big2, 1)
+        .exists(_.size == 5000))
+    } finally {
+      if (prev == null) System.clearProperty("graft.manifest.maxPlanBytes")
+      else System.setProperty("graft.manifest.maxPlanBytes", prev)
+    }
+  }
+
   test("time travel: v1 is unchanged after the merge; v2 shows the merge") {
     val root = tmp("vlake")
     buildTwoVersions(root)
