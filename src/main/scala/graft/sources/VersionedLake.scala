@@ -961,6 +961,19 @@ object VersionedLake {
       attempt += 1
       val cur = currentVersion(lakeDir)
       val curEntries = if (cur >= 1) manifestEntries(lakeDir, cur) else Seq.empty
+      // COMMIT-TIME exactly-once: callers pre-check `batchId >
+      // committedBatchId` before planning, but that is check-then-act —
+      // a redelivered increment racing a live writer (or two writers
+      // fed the same id) would land twice. Enforce at the claim point:
+      // an id at or below the current watermark means this increment
+      // already committed, so the replay no-ops (staged files deleted,
+      // current version returned) — never a duplicate. Retractions get
+      // the same rule in their own watermark namespace.
+      if (p.batchId.exists(_ <= committedBatchId(lakeDir)) ||
+          p.retractId.exists(_ <= committedRetractId(lakeDir))) {
+        p.newEntries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
+        return cur
+      }
       // caller-supplied OCC guard: tested on EVERY attempt (the state it
       // protects was read before the plan's base snapshot, so version
       // equality proves nothing)

@@ -94,6 +94,31 @@ class VersionedLakeSpec extends SparkSpec {
     }
   }
 
+  test("commit-time exactly-once: two staged appends with one batch id land once (check-then-act race closed)") {
+    val root = tmp("vlake_ctonce")
+    val lake = s"$root/lake"
+    VersionedLake.create(Seq((1L, "p1")).toDF("id", "part"), lake, "part")
+    // two writers PLAN the same increment concurrently — both pass the
+    // caller-level `batchId > committedBatchId` pre-check because
+    // neither has committed yet
+    val inc = Seq((2L, "p1"), (3L, "p2")).toDF("id", "part")
+    val planA = VersionedLake.planAppend(inc, lake, "part", batchId = Some(7L))
+    val planB = VersionedLake.planAppend(inc, lake, "part", batchId = Some(7L))
+    val vA = VersionedLake.commitPending(lake, planA)
+    assert(vA == 2)
+    // B's commit must NO-OP at the claim point (watermark now 7): same
+    // version back, no duplicate rows, B's staged files reclaimed
+    val vB = VersionedLake.commitPending(lake, planB)
+    assert(vB == 2, s"replayed commit claimed v$vB")
+    assert(VersionedLake.read(spark, lake).count() == 3)
+    assert(planB.newEntries.forall(e => !Files.exists(Paths.get(e.path))),
+      "the losing writer's staged files must be deleted")
+    // a genuinely newer increment still lands
+    VersionedLake.append(Seq((4L, "p2")).toDF("id", "part"), lake, "part",
+      batchId = Some(8L))
+    assert(VersionedLake.read(spark, lake).count() == 4)
+  }
+
   test("time travel: v1 is unchanged after the merge; v2 shows the merge") {
     val root = tmp("vlake")
     buildTwoVersions(root)
