@@ -220,6 +220,51 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("packedLakeAppend OCC under real concurrency: parallel writers all land, tiling intact") {
+    import graft.sources.VersionedLake
+    val L = 100L
+    val dir = java.nio.file.Files.createTempDirectory("graft_packrace").toString + "/lake"
+    // seed so every racer takes the append path (the create race throws
+    // IllegalArgumentException, which is a loud refusal, not a retry)
+    Loader.packedLakeAppend(corpus(10, 40).withColumn("doc_id",
+      col("doc_id") + 90000L), "doc_id", col("tokens"), L, dir, blockSize = 4L)
+    // two writers, three tranches each, genuinely interleaved threads —
+    // every commit rides the tail guard; raised attempts absorb repeated
+    // losses under true contention
+    val tranches = (0 until 6).map(t =>
+      corpus(25, 35).withColumn("doc_id", col("doc_id") + lit(t * 1000L)))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() =>
+        try (0 until 3).foreach { i =>
+          Loader.packedLakeAppendImpl(tranches(w * 3 + i), "doc_id",
+            col("tokens"), L, dir, None, 4L, () => (), maxAttempts = 30)
+        } catch { case t: Throwable => failures.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer thread failed: ${failures.peek()}")
+    val all = tranches.reduce(_ unionByName _)
+    val total = all.agg(sum("tokens")).as[Long].head() +
+      corpus(10, 40).agg(sum("tokens")).as[Long].head()
+    val slices = VersionedLake.read(spark, dir)
+      .select("seq_id", "seq_pos", "len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(slices.map(_._3).sum == total, "tokens lost or double-booked")
+    assert(slices.map(s => (s._1, s._2)).distinct.length == slices.length,
+      "overlapping (seq_id, seq_pos) slices under concurrency")
+    val lastSeq = (total - 1) / L
+    slices.groupBy(_._1).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"seq $seq starts at ${sorted.head._2}")
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._2 + x._3 == y._2, s"gap in seq $seq")
+        case _ =>
+      }
+      val want = if (seq == lastSeq && total % L != 0) total % L else L
+      assert(sorted.map(_._3).sum == want, s"seq $seq sums wrong")
+    }
+  }
+
   test("packStream: micro-batches pack exactly-once; restart replays into a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.VersionedLake
