@@ -263,9 +263,12 @@ object Bench {
     // carries the curve every round — flat terciles round-over-round is
     // the done-condition for the drift fix.
     val fpTimes = firstPass.map(_._2)
-    val tSize = math.max(1, fpTimes.size / 3)
-    val terciles = fpTimes.grouped(tSize).toSeq.take(3)
-      .map(g => math.round(g.sum * 10.0) / 10.0)
+    // split at n/3 and 2n/3 so the remainder gates stay counted (a
+    // grouped(n/3).take(3) would silently drop up to 2 trailing gates
+    // and the terciles would no longer sum to the run)
+    val (cut1, cut2) = (fpTimes.size / 3, 2 * fpTimes.size / 3)
+    val terciles = Seq(fpTimes.take(cut1), fpTimes.slice(cut1, cut2),
+      fpTimes.drop(cut2)).map(g => math.round(g.sum * 10.0) / 10.0)
     val tercJson = terciles.mkString("[", ",", "]")
     val gcTotalS = math.round(telemetry.values.map(_._1).sum / 100.0) / 10.0
     val heapEndMb = telemetry.values.lastOption.map(_._2).getOrElse(0L)

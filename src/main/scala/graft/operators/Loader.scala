@@ -358,18 +358,13 @@ object Loader {
       // version's manifest carries this epoch's batch id) or an epoch
       // that was SKIPPED while later ones committed — the latter must
       // refuse loudly, not silently return a success-looking version
-      // with no layout behind it (readEpoch would serve empty).
-      val cur = VersionedLake.currentVersion(lakeDir)
-      // a vacuumed manifest makes history uninspectable — treat as
-      // possibly-committed (preserves replay semantics after vacuum)
-      val committed = (1 to cur).exists(w =>
-        !VersionedLake.manifestExists(lakeDir, w) ||
-          VersionedLake.committedBatchId(lakeDir, Some(w)) == epoch.toLong)
-      require(committed,
+      // with no layout behind it (readEpoch would serve empty). The
+      // SAME predicate guards the read side ([[epochCommitted]]).
+      require(epochCommitted(lakeDir, epoch),
         s"epoch $epoch was never committed to $lakeDir but later epochs " +
           "were — epochs must commit in order (the batch-id watermark is " +
           "monotone); rebuild the lake or commit epochs sequentially")
-      return cur
+      return VersionedLake.currentVersion(lakeDir)
     }
     val props = Map("shards" -> shards.toString, "seed" -> seed.toString)
     val layout = epochShuffle(docs, id, epoch, shards, seed)
@@ -381,27 +376,34 @@ object Loader {
     VersionedLake.currentVersion(lakeDir)
   }
 
+  /** Is `epoch` provably committed to the lake? True when it sits at
+    * or below the batch watermark AND some version's manifest carries
+    * its batch id; a vacuumed (missing) manifest makes history
+    * uninspectable, so it counts as possibly-committed rather than
+    * refusing legitimately old epochs. The ONE predicate both sides
+    * share — write-side replay detection ([[epochLakeAppend]]) and
+    * read-side refusal ([[readEpoch]]/[[readEpochShard]]) must never
+    * disagree on what counts as committed. */
+  private def epochCommitted(lakeDir: String, epoch: Int): Boolean = {
+    import graft.sources.VersionedLake
+    epoch.toLong <= VersionedLake.committedBatchId(lakeDir) && {
+      val cur = VersionedLake.currentVersion(lakeDir)
+      (1 to cur).exists(w =>
+        !VersionedLake.manifestExists(lakeDir, w) ||
+          VersionedLake.committedBatchId(lakeDir, Some(w)) == epoch.toLong)
+    }
+  }
+
   /** Refuse a read of an epoch that was never committed: a trainer
     * restarted AHEAD of the writer would otherwise train zero batches
     * from the silently-empty partition-pruned read — at odds with the
     * loud-refusal discipline [[epochLakeAppend]] enforces on the write
-    * side. Same manifest walk as the append's replay check: an epoch is
-    * committed when some version's manifest carries its batch id; a
-    * vacuumed (missing) manifest makes history uninspectable, so it
-    * counts as possibly-committed rather than refusing reads of
-    * legitimately old epochs. */
-  private def requireEpochCommitted(lakeDir: String, epoch: Int): Unit = {
-    import graft.sources.VersionedLake
-    val cur = VersionedLake.currentVersion(lakeDir)
-    val committed = epoch.toLong <= VersionedLake.committedBatchId(lakeDir) &&
-      (1 to cur).exists(w =>
-        !VersionedLake.manifestExists(lakeDir, w) ||
-          VersionedLake.committedBatchId(lakeDir, Some(w)) == epoch.toLong)
-    if (!committed) throw new IllegalArgumentException(
+    * side. */
+  private def requireEpochCommitted(lakeDir: String, epoch: Int): Unit =
+    if (!epochCommitted(lakeDir, epoch)) throw new IllegalArgumentException(
       s"epoch $epoch was never committed to $lakeDir (watermark " +
-        s"${VersionedLake.committedBatchId(lakeDir)}) — run epochLakeAppend " +
-        "for it first; refusing a silently-empty layout read")
-  }
+        s"${graft.sources.VersionedLake.committedBatchId(lakeDir)}) — run " +
+        "epochLakeAppend for it first; refusing a silently-empty layout read")
 
   /** One epoch's full layout back from the lake — every shard's
     * partition, manifest-pruned (other epochs' files are never

@@ -138,16 +138,33 @@ object AnnLake {
       lakeDir: String, checkpointDir: String, compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainedIndexStream(stream, lakeDir, checkpointDir, compactEvery,
+      trigger, "indexStream",
+      s"create($lakeDir) first: streaming appends assign against the frozen centroids")(
+      (b, batchId) => append(b, id, vec, lakeDir, batchId = Some(batchId)))
+
+  /** The ONE streaming-append-with-maintenance loop both index stream
+    * forms share (a fix to the cadence or the swallowed-maintenance
+    * policy must not fork between them): exactly-once appends via the
+    * micro-batch id, compaction at batch N, 2N, … when
+    * `compactEvery` = N > 0, maintenance never failing a data batch
+    * (a lost OCC race defers the fold to a later tick). */
+  private def maintainedIndexStream(stream: DataFrame, lakeDir: String,
+      checkpointDir: String, compactEvery: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      opName: String, createFirstMsg: String)(
+      appendBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(stream.isStreaming, "AnnLake.indexStream expects a streaming DataFrame")
+    require(stream.isStreaming, s"AnnLake.$opName expects a streaming DataFrame")
     require(VersionedLake.currentVersion(vectorsDir(resolved(lakeDir))) >= 1,
-      s"create($lakeDir) first: streaming appends assign against the frozen centroids")
+      createFirstMsg)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        append(b.toDF(), id, vec, lakeDir, batchId = Some(batchId))
+        appendBatch(b.toDF(), batchId)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           try { compact(b.sparkSession, lakeDir); () }
           catch { case scala.util.control.NonFatal(_) => () }
@@ -384,31 +401,25 @@ object AnnLake {
       lakeDir: String, checkpointDir: String, compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(stream.isStreaming, "AnnLake.indexStreamPq expects a streaming DataFrame")
-    require(VersionedLake.currentVersion(vectorsDir(resolved(lakeDir))) >= 1,
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainedIndexStream(stream, lakeDir, checkpointDir, compactEvery,
+      trigger, "indexStreamPq",
       s"createPq($lakeDir) first: streaming appends encode against the " +
-        "frozen centroids and codebooks")
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        appendPq(b.toDF(), id, vec, lakeDir, batchId = Some(batchId))
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          try { compact(b.sparkSession, lakeDir); () }
-          catch { case scala.util.control.NonFatal(_) => () }
-        ()
-      }
-      .start()
-  }
+        "frozen centroids and codebooks")(
+      (b, batchId) => appendPq(b, id, vec, lakeDir, batchId = Some(batchId)))
 
   /** RETRACT embeddings from the index (takedown shape): a copy-on-
     * write MERGE rewrites only the cells holding the named docs; the
     * frozen centroids are untouched (cell geometry is independent of
     * membership), so subsequent appends and searches are unaffected
     * beyond the removed rows. Pre-delete versions stay searchable via
-    * `search(version = ...)` until vacuumed. */
+    * `search(version = ...)` until vacuumed.
+    *
+    * `batchId` rides the lake's INGEST sequence — deletes interleave
+    * with appends in ONE monotone sequence (an id at or below the
+    * watermark is a replay and no-ops, enforced at the commit claim).
+    * An independently-sequenced takedown pipeline must use
+    * [[VersionedLake.mergeUpsert]]'s `retractId` namespace instead. */
   def delete(docs: DataFrame, id: String, lakeDir: String,
       batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession

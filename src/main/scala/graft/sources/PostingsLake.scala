@@ -640,7 +640,15 @@ object PostingsLake {
     * PostingsLakeSpec pins search ≡ the one-shot operator on the
     * surviving corpus. Pre-delete versions stay time-travel-readable
     * until vacuumed (which is what makes retention policy explicit
-    * rather than accidental). */
+    * rather than accidental).
+    *
+    * `batchId` rides the lake's INGEST sequence — deletes interleave
+    * with appends in ONE monotone sequence per lake (the ledger's
+    * crash-healing depends on the shared watermark, and the commit-
+    * claim enforcement no-ops any id at or below it). A takedown
+    * pipeline sequenced independently of ingest must not reuse this
+    * surface's ids; drive [[VersionedLake.mergeUpsert]]'s `retractId`
+    * namespace instead. */
   def delete(docs: DataFrame, id: String, lakeDir: String,
       batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession

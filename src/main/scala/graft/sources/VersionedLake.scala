@@ -182,28 +182,43 @@ object VersionedLake {
     } finally ch.close()
   }
 
+  /** The cache-validation stamp of one manifest file: (mtime, size,
+    * head/tail fingerprint). Two bounded reads, computed OUTSIDE any
+    * lock — concurrent planner threads must not serialize on file I/O
+    * for unrelated lakes. */
+  private def manifestStamp(f: java.nio.file.Path): (Long, Long, Long) = {
+    val attrs = Files.readAttributes(f,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val size = attrs.size
+    (attrs.lastModifiedTime.toMillis, size, manifestFingerprint(f, size))
+  }
+
+  private def cachedEntries(k: (String, Int),
+      stamp: (Long, Long, Long)): Option[Seq[Entry]] =
+    manifestCache.synchronized {
+      val hit = manifestCache.get(k)
+      if (hit != null && (hit._1, hit._2, hit._3) == stamp) Some(hit._4)
+      else None
+    }
+
+  private def parseAndCache(f: java.nio.file.Path, k: (String, Int),
+      stamp: (Long, Long, Long)): Seq[Entry] = {
+    val parsed = parseManifest(f)
+    manifestCache.synchronized {
+      manifestCache.put(k, (stamp._1, stamp._2, stamp._3, parsed))
+      ()
+    }
+    parsed
+  }
+
   /** Full manifest entries of a version, zone maps included. Header
     * lines (`#key=value` — e.g. the streaming batch id) are skipped. */
   def manifestEntries(lakeDir: String, version: Int): Seq[Entry] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
     require(Files.exists(f), s"version $version does not exist under $lakeDir")
-    val attrs = Files.readAttributes(f,
-      classOf[java.nio.file.attribute.BasicFileAttributes])
-    val mtime = attrs.lastModifiedTime.toMillis
-    val size = attrs.size
-    val fp = manifestFingerprint(f, size)
+    val stamp = manifestStamp(f)
     val k = (lakeDir, version)
-    manifestCache.synchronized {
-      val hit = manifestCache.get(k)
-      if (hit != null && hit._1 == mtime && hit._2 == size && hit._3 == fp)
-        return hit._4
-    }
-    val parsed = parseManifest(f)
-    manifestCache.synchronized {
-      manifestCache.put(k, (mtime, size, fp, parsed))
-      ()
-    }
-    parsed
+    cachedEntries(k, stamp).getOrElse(parseAndCache(f, k, stamp))
   }
 
   private val warnedHugeManifests =
@@ -223,25 +238,20 @@ object VersionedLake {
       version: Int): Option[Seq[Entry]] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
     if (!Files.exists(f)) return None
-    val attrs = Files.readAttributes(f,
-      classOf[java.nio.file.attribute.BasicFileAttributes])
-    val size = attrs.size
-    manifestCache.synchronized {
-      val hit = manifestCache.get((lakeDir, version))
-      if (hit != null && hit._1 == attrs.lastModifiedTime.toMillis &&
-          hit._2 == size && hit._3 == manifestFingerprint(f, size))
-        return Some(hit._4)
+    val stamp = manifestStamp(f)
+    val k = (lakeDir, version)
+    cachedEntries(k, stamp).orElse {
+      val maxBytes = java.lang.Long.getLong("graft.manifest.maxPlanBytes",
+        16L << 20)
+      if (stamp._2 > maxBytes) {
+        if (warnedHugeManifests.add(lakeDir))
+          System.err.println(s"[graft] $lakeDir v$version manifest is " +
+            s"${stamp._2} bytes (> $maxBytes): planner-rule pruning skipped " +
+            "until a data read caches the parse; compact the lake or raise " +
+            "-Dgraft.manifest.maxPlanBytes")
+        None
+      } else Some(parseAndCache(f, k, stamp))
     }
-    val maxBytes = java.lang.Long.getLong("graft.manifest.maxPlanBytes",
-      16L << 20)
-    if (size > maxBytes) {
-      if (warnedHugeManifests.add(lakeDir))
-        System.err.println(s"[graft] $lakeDir v$version manifest is $size " +
-          s"bytes (> $maxBytes): planner-rule pruning skipped until a data " +
-          "read caches the parse; compact the lake or raise " +
-          "-Dgraft.manifest.maxPlanBytes")
-      None
-    } else Some(manifestEntries(lakeDir, version))
   }
 
   private def parseManifest(f: java.nio.file.Path): Seq[Entry] = {
@@ -1734,18 +1744,60 @@ object VersionedLake {
     * streaming commits (the interleaved commit carries no batch id,
     * and reading only the newest version would reset the watermark
     * and let a replayed batch double-commit). Batch ids live in
-    * manifest headers, so only committed (visible) batches count. */
-  def committedBatchId(lakeDir: String): Long = {
-    val ids = Option(new File(versionsDir(lakeDir)).listFiles())
+    * manifest headers, so only committed (visible) batches count.
+    *
+    * Cost: every commit re-states the high-water `#batchwm`, so the
+    * NEWEST manifest's header lines alone answer — one bounded read,
+    * not an O(versions × manifest-size) walk per call (this runs on
+    * every commit attempt since the claim-point enforcement landed).
+    * Manifests predating the watermark header (hand-written legacy
+    * simulations) fall back to the full header walk. */
+  def committedBatchId(lakeDir: String): Long =
+    highWater(lakeDir,
+      { case BatchIdHeader(id) => id.toLong },
+      { case BatchWmHeader(id) => id.toLong })
+
+  private def highWater(lakeDir: String,
+      perCommit: PartialFunction[String, Long],
+      watermark: PartialFunction[String, Long]): Long = {
+    val files = Option(new File(versionsDir(lakeDir)).listFiles())
       .getOrElse(Array.empty[File])
       .filter(f => ManifestName.pattern.matcher(f.getName).matches())
-      .flatMap { f =>
-        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-          .split("\n").takeWhile(_.startsWith("#"))
-          .collect { case BatchIdHeader(id) => id.toLong
-                     case BatchWmHeader(id) => id.toLong }
+    if (files.isEmpty) return -1L
+    // the authority is the newest manifest FILE (the hard-link claim is
+    // the commit point; the CURRENT pointer may lag a crashed writer)
+    val newest = files.maxBy(f =>
+      f.getName.stripPrefix("v").stripSuffix(".manifest").toInt)
+    val hs = headerLines(newest.toPath)
+    hs.collectFirst(watermark) match {
+      case Some(w) => w // bwm/rwm already folds the commit's own id
+      // a manifest written by watermark-era code (it carries #committs
+      // or the OTHER namespace's watermark) that omits this namespace's
+      // header proves no id here ever committed: tryCommitManifest
+      // re-states a >= 0 watermark on every commit, by induction
+      case None if hs.exists(l => l.startsWith("#committs=") ||
+          l.startsWith("#batchwm=") || l.startsWith("#retractwm=")) => -1L
+      case None =>
+        // legacy (pre-watermark-header) lake: full walk, header lines
+        // only — never whole manifests
+        val ids = files.flatMap(f =>
+          headerLines(f.toPath).collect(perCommit.orElse(watermark)))
+        if (ids.isEmpty) -1L else ids.max
+    }
+  }
+
+  /** Leading `#` lines of one manifest file — bounded read. */
+  private def headerLines(f: java.nio.file.Path): Array[String] = {
+    val r = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var line = r.readLine()
+      while (line != null && line.startsWith("#")) {
+        out += line
+        line = r.readLine()
       }
-    if (ids.isEmpty) -1L else ids.max
+      out.toArray
+    } finally r.close()
   }
 
   /** The batch id recorded in one SPECIFIC version's manifest header
@@ -1784,18 +1836,10 @@ object VersionedLake {
     * append stream's: a retraction sequenced against its own watermark
     * cannot be silently swallowed by a later INGEST batch id
     * ([[mergeUpsert]]'s `retractId` writes it). */
-  def committedRetractId(lakeDir: String): Long = {
-    val ids = Option(new File(versionsDir(lakeDir)).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(f => ManifestName.pattern.matcher(f.getName).matches())
-      .flatMap { f =>
-        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-          .split("\n").takeWhile(_.startsWith("#"))
-          .collect { case RetractIdHeader(id) => id.toLong
-                     case RetractWmHeader(id) => id.toLong }
-      }
-    if (ids.isEmpty) -1L else ids.max
-  }
+  def committedRetractId(lakeDir: String): Long =
+    highWater(lakeDir,
+      { case RetractIdHeader(id) => id.toLong },
+      { case RetractWmHeader(id) => id.toLong })
 
   /** The column-SET Bloom spec recorded in the current manifest's
     * headers (the s22 complement of [[tableMeta]]'s single legacy
@@ -1867,19 +1911,7 @@ object VersionedLake {
     * probe reads these at plan time). */
   private def manifestHeaders(lakeDir: String, version: Int): Array[String] = {
     val f = Paths.get(s"${versionsDir(lakeDir)}/v$version.manifest")
-    if (!Files.exists(f)) Array.empty
-    else {
-      val r = Files.newBufferedReader(f, StandardCharsets.UTF_8)
-      try {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var line = r.readLine()
-        while (line != null && line.startsWith("#")) {
-          out += line
-          line = r.readLine()
-        }
-        out.toArray
-      } finally r.close()
-    }
+    if (!Files.exists(f)) Array.empty else headerLines(f)
   }
 
   /** The schema recorded by a version's commit (None for manifests
