@@ -383,15 +383,47 @@ object Loader {
     * refusing legitimately old epochs. The ONE predicate both sides
     * share — write-side replay detection ([[epochLakeAppend]]) and
     * read-side refusal ([[readEpoch]]/[[readEpochShard]]) must never
-    * disagree on what counts as committed. */
+    * disagree on what counts as committed.
+    *
+    * Cost (r19 ADVICE): [[requireEpochCommitted]] runs this on EVERY
+    * readEpoch/readEpochShard — a per-worker resume loop must not pay
+    * O(versions) manifest-header opens per shard read. Two escapes:
+    * epoch == watermark needs no walk at all (the watermark only rises
+    * through a commit carrying that very batch id, so equality proves
+    * commitment — the common resume case reads the newest header
+    * once); older epochs consult a per-(lake, currentVersion) cache of
+    * the walked id set. Only a POSITIVE cache answer is trusted: a
+    * negative one re-walks fresh before refusing, so a manifest
+    * vacuumed mid-session (without a version bump) can never turn the
+    * documented possibly-committed lenience into a stale-cache
+    * refusal — and the refusal path is about to throw anyway, so one
+    * walk there costs nothing. */
+  private val epochWalkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Boolean, Set[Long])]()
+
   private def epochCommitted(lakeDir: String, epoch: Int): Boolean = {
     import graft.sources.VersionedLake
-    epoch.toLong <= VersionedLake.committedBatchId(lakeDir) && {
-      val cur = VersionedLake.currentVersion(lakeDir)
-      (1 to cur).exists(w =>
-        !VersionedLake.manifestExists(lakeDir, w) ||
-          VersionedLake.committedBatchId(lakeDir, Some(w)) == epoch.toLong)
+    val wm = VersionedLake.committedBatchId(lakeDir)
+    def walk(cur: Int): (Int, Boolean, Set[Long]) = {
+      val vs = 1 to cur
+      val missing = vs.exists(w => !VersionedLake.manifestExists(lakeDir, w))
+      val ids = vs.iterator.filter(VersionedLake.manifestExists(lakeDir, _))
+        .map(w => VersionedLake.committedBatchId(lakeDir, Some(w)))
+        .filter(_ >= 0L).toSet
+      (cur, missing, ids)
     }
+    def hit(e: (Int, Boolean, Set[Long])): Boolean =
+      e._2 || e._3.contains(epoch.toLong)
+    epoch.toLong <= wm && (epoch.toLong == wm || {
+      val cur = VersionedLake.currentVersion(lakeDir)
+      val cached = epochWalkCache.get(lakeDir)
+      if (cached != null && cached._1 == cur && hit(cached)) true
+      else {
+        val fresh = walk(cur)
+        epochWalkCache.put(lakeDir, fresh)
+        hit(fresh)
+      }
+    })
   }
 
   /** Refuse a read of an epoch that was never committed: a trainer

@@ -151,11 +151,13 @@ object VersionedLake {
     * out-of-band manifest edit (manual repair, a legacy-simulation
     * test) reparses rather than serving stale entries — the fingerprint
     * covers equal-length in-place edits that coarse-mtime filesystems
-    * would otherwise hide (r18 ADVICE). Residual blind spot, accepted
-    * under the immutability contract: an equal-length edit confined to
-    * the middle bytes of a manifest, inside the mtime granularity
-    * window. The existence check stays OUTSIDE the cache so a vacuumed
-    * version still fails loudly. */
+    * would otherwise hide (r18 ADVICE), and since r20 probes the middle
+    * of the file too (r19 ask: the "equal-length edit confined to the
+    * middle bytes" blind spot). Residual blind spot, accepted under the
+    * immutability contract: an equal-length edit that dodges all three
+    * 256-byte probes, inside the mtime granularity window. The
+    * existence check stays OUTSIDE the cache so a vacuumed version
+    * still fails loudly. */
   private val ManifestCacheSize = 64
   private val manifestCache =
     new java.util.LinkedHashMap[(String, Int), (Long, Long, Long, Seq[Entry])](
@@ -165,33 +167,49 @@ object VersionedLake {
         size() > ManifestCacheSize
     }
 
-  /** Cheap content fingerprint: first and last 256 bytes hashed — two
-    * bounded reads, never a full-file scan, so validation stays O(1)
-    * for a 100k-entry manifest. */
+  /** Cheap content fingerprint: 256 bytes each from the head, the
+    * exact middle, and the tail, hashed — three bounded reads, never a
+    * full-file scan, so validation stays O(1) for a 100k-entry
+    * manifest. Each probe loops until its buffer fills (or EOF):
+    * FileChannel.read may legally return short, and a short read would
+    * leave zero-padding whose position depends on scheduling, making
+    * the fingerprint nondeterministic (r19 ADVICE). */
   private def manifestFingerprint(f: java.nio.file.Path, size: Long): Long = {
     val n = 256
     val ch = java.nio.channels.FileChannel.open(f,
       java.nio.file.StandardOpenOption.READ)
     try {
-      val head = java.nio.ByteBuffer.allocate(n)
-      ch.read(head, 0L)
-      val tail = java.nio.ByteBuffer.allocate(n)
-      ch.read(tail, math.max(0L, size - n))
-      (java.util.Arrays.hashCode(head.array()).toLong << 32) |
-        (java.util.Arrays.hashCode(tail.array()).toLong & 0xffffffffL)
+      def probe(pos: Long): Int = {
+        val buf = java.nio.ByteBuffer.allocate(n)
+        var p = pos
+        var r = ch.read(buf, p)
+        while (r > 0 && buf.hasRemaining) { p += r; r = ch.read(buf, p) }
+        java.util.Arrays.hashCode(buf.array())
+      }
+      val ht = (probe(0L).toLong << 32) |
+        (probe(math.max(0L, size - n)).toLong & 0xffffffffL)
+      ht * 1000003L + probe(math.max(0L, size / 2 - n / 2)).toLong
     } finally ch.close()
   }
 
   /** The cache-validation stamp of one manifest file: (mtime, size,
-    * head/tail fingerprint). Two bounded reads, computed OUTSIDE any
-    * lock — concurrent planner threads must not serialize on file I/O
-    * for unrelated lakes. */
-  private def manifestStamp(f: java.nio.file.Path): (Long, Long, Long) = {
-    val attrs = Files.readAttributes(f,
-      classOf[java.nio.file.attribute.BasicFileAttributes])
-    val size = attrs.size
-    (attrs.lastModifiedTime.toMillis, size, manifestFingerprint(f, size))
-  }
+    * head/middle/tail fingerprint). Three bounded reads, computed
+    * OUTSIDE any lock — concurrent planner threads must not serialize
+    * on file I/O for unrelated lakes. A version vacuumed between the
+    * caller's existence check and this stamp surfaces as the same loud
+    * "does not exist" refusal, not a raw NoSuchFileException (r19
+    * ADVICE). */
+  private def manifestStamp(f: java.nio.file.Path): (Long, Long, Long) =
+    try {
+      val attrs = Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val size = attrs.size
+      (attrs.lastModifiedTime.toMillis, size, manifestFingerprint(f, size))
+    } catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new IllegalArgumentException(
+          s"version manifest $f does not exist (vacuumed concurrently?)")
+    }
 
   private def cachedEntries(k: (String, Int),
       stamp: (Long, Long, Long)): Option[Seq[Entry]] =
@@ -978,7 +996,10 @@ object VersionedLake {
       // an id at or below the current watermark means this increment
       // already committed, so the replay no-ops (staged files deleted,
       // current version returned) — never a duplicate. Retractions get
-      // the same rule in their own watermark namespace.
+      // the same rule in their own watermark namespace. The watermark
+      // is LAKE-GLOBAL (see [[append]]'s single-sequence contract): a
+      // second writer with its own id sequence is indistinguishable
+      // from a replay here, which is why the contract forbids one.
       if (p.batchId.exists(_ <= committedBatchId(lakeDir)) ||
           p.retractId.exists(_ <= committedRetractId(lakeDir))) {
         p.newEntries.foreach(e => Files.deleteIfExists(Paths.get(e.path)))
@@ -1692,8 +1713,18 @@ object VersionedLake {
     * sink makes. Creates version 1 on an empty lake. `batchId`, when
     * given, is recorded as a HEADER INSIDE the manifest, making replay
     * detection atomic with data visibility (a batch id is committed
-    * iff its rows are). Appends rewrite nothing, so a lost slot race
-    * rebases unconditionally — concurrent appenders all land. */
+    * iff its rows are).
+    *
+    * CONTRACT: batch ids form ONE monotone sequence per lake (and
+    * retraction ids a second, independent one) — the replay watermark
+    * is lake-global, not per-writer. Two independent streams, each
+    * numbering its own micro-batches from 0, must NOT share a lake:
+    * the later starter's ids sit at or below the watermark and are
+    * silently no-op'd as replays at the claim point. Fan-in belongs in
+    * front of the lake (one query, one checkpoint, one id sequence) or
+    * in two lakes unioned at read time. Appends rewrite nothing, so a
+    * lost slot race rebases unconditionally — concurrent appenders
+    * all land. */
   def append(df: DataFrame, lakeDir: String, partitionCol: String,
       batchId: Option[Long] = None, statsCol: Option[String] = None,
       bloom: Option[BloomSpec] = None,
@@ -1771,11 +1802,18 @@ object VersionedLake {
     val hs = headerLines(newest.toPath)
     hs.collectFirst(watermark) match {
       case Some(w) => w // bwm/rwm already folds the commit's own id
-      // a manifest written by watermark-era code (it carries #committs
-      // or the OTHER namespace's watermark) that omits this namespace's
-      // header proves no id here ever committed: tryCommitManifest
-      // re-states a >= 0 watermark on every commit, by induction
-      case None if hs.exists(l => l.startsWith("#committs=") ||
+      // a manifest carrying EITHER watermark header was written by
+      // watermark-era code, which re-states a namespace's watermark on
+      // every commit whenever that namespace has ever committed (and
+      // unconditionally since the headers went mandatory) — so the
+      // absence of THIS namespace's header proves no id here ever
+      // committed. #committs alone proves nothing: it PREDATES the
+      // watermark headers, so a #committs-only manifest may sit on top
+      // of per-commit #batchid history and must take the full walk
+      // below, not read as "nothing committed" (r19 ADVICE — the old
+      // shortcut here silently reset the exactly-once watermark for
+      // lakes from that era).
+      case None if hs.exists(l =>
           l.startsWith("#batchwm=") || l.startsWith("#retractwm=")) => -1L
       case None =>
         // legacy (pre-watermark-header) lake: full walk, header lines
@@ -2275,13 +2313,18 @@ object VersionedLake {
     // carry the replay WATERMARKS forward on every commit (see
     // BatchWmHeader): the max of everything committed so far and this
     // commit's own ids rides the new manifest, so vacuuming history
-    // past the newest batch/retraction can never regress the guards
+    // past the newest batch/retraction can never regress the guards.
+    // Written UNCONDITIONALLY (as -1 when nothing ever committed) so
+    // the newest manifest always proves which era of code wrote it —
+    // [[highWater]]'s fast path keys on these headers' presence, never
+    // on #committs, which predates them and proves nothing about
+    // watermark discipline (r19 ADVICE).
     val bwm = math.max(committedBatchId(lakeDir), batchId.getOrElse(-1L))
     val rwm = math.max(committedRetractId(lakeDir), retractId.getOrElse(-1L))
     val body = batchId.map(id => s"#batchid=$id\n").getOrElse("") +
       retractId.map(id => s"#retractid=$id\n").getOrElse("") +
-      (if (bwm >= 0) s"#batchwm=$bwm\n" else "") +
-      (if (rwm >= 0) s"#retractwm=$rwm\n" else "") +
+      s"#batchwm=$bwm\n" +
+      s"#retractwm=$rwm\n" +
       statsCol.map(c => s"#statscol=$c\n").getOrElse("") +
       bloom.map(b => s"#bloom=${b.column}:${b.k}:${b.m}\n").getOrElse("") +
       mblooms.map(b => s"#mbloom=${b.column}:${b.k}:${b.m}\n").mkString +

@@ -55,6 +55,57 @@ class VersionedLakeSpec extends SparkSpec {
       s"stale cache served: ${after.map(_.partition)}")
   }
 
+  test("manifest cache: an equal-length edit confined to the MIDDLE bytes still re-parses (middle probe)") {
+    val root = tmp("vlake_fpm")
+    val vdir = new java.io.File(s"$root/lake/_versions"); vdir.mkdirs()
+    // hand-written manifest long enough that its middle sits outside
+    // the head/tail 256-byte probes — the r19-documented blind spot
+    val lines = (0 until 200).map(i => f"qq$i%03d\t$root/lake/data/f$i%03d.bin")
+    val f = new java.io.File(vdir, "v1.manifest").toPath
+    Files.writeString(f, lines.mkString("\n"))
+    assert(VersionedLake.manifestEntries(s"$root/lake", 1).size == 200) // prime
+    val text = Files.readString(f)
+    val mid = text.length / 2
+    val idx = text.indexOf("qq", mid - 100) // a partition marker inside the middle probe window
+    assert(idx > 256 && idx < text.length - 256 && idx >= mid - 128 && idx + 2 <= mid + 128,
+      s"test geometry broken: idx=$idx mid=$mid len=${text.length}")
+    val victim = text.substring(idx, idx + 5)
+    val mtime = Files.getLastModifiedTime(f)
+    // same byte length, same restored mtime, head and tail bytes untouched
+    Files.writeString(f, text.substring(0, idx) + "zz" + text.substring(idx + 2))
+    Files.setLastModifiedTime(f, mtime)
+    val after = VersionedLake.manifestEntries(s"$root/lake", 1)
+    assert(after.exists(_.partition == "zz" + victim.drop(2)) &&
+      !after.exists(_.partition == victim),
+      "stale cache served a middle-bytes equal-length edit")
+  }
+
+  test("watermark era gap: a #committs-only newest manifest (no watermark headers) walks history instead of reading -1") {
+    val root = tmp("vlake_era")
+    val vdir = new java.io.File(s"$root/lake/_versions"); vdir.mkdirs()
+    // simulate the header era BETWEEN #committs and the #batchwm/
+    // #retractwm watermarks: per-commit batch ids exist, #committs is
+    // present, no watermark header anywhere — the r19 fast path read
+    // this as "nothing ever committed" and reset the replay guard
+    Files.writeString(new java.io.File(vdir, "v1.manifest").toPath,
+      s"#batchid=5\n#committs=1700000000000\np1\t$root/lake/data/f1.bin\n")
+    Files.writeString(new java.io.File(vdir, "v2.manifest").toPath,
+      s"#committs=1700000000001\np1\t$root/lake/data/f1.bin\n")
+    assert(VersionedLake.committedBatchId(s"$root/lake") == 5L,
+      "a #committs-only newest manifest must fall back to the header walk")
+    assert(VersionedLake.committedRetractId(s"$root/lake") == -1L)
+  }
+
+  test("watermark headers are written unconditionally, -1 when nothing ever committed") {
+    val root = tmp("vlake_wm0")
+    VersionedLake.create(Seq((1L, "p1")).toDF("id", "part"), s"$root/lake", "part")
+    val hs = Files.readString(Paths.get(s"$root/lake/_versions/v1.manifest"))
+    assert(hs.contains("#batchwm=-1\n") && hs.contains("#retractwm=-1\n"),
+      s"headers missing: ${hs.linesIterator.filter(_.startsWith("#")).mkString("|")}")
+    assert(VersionedLake.committedBatchId(s"$root/lake") == -1L)
+    assert(VersionedLake.committedRetractId(s"$root/lake") == -1L)
+  }
+
   test("huge manifests: 50k-entry first parse stays bounded; the planner view refuses an uncached oversized parse") {
     // a synthetic 50k-entry manifest in the on-disk format (partition,
     // path) — the 100k-file-lake shape the optimizer rules must not
