@@ -167,12 +167,40 @@ object Bench {
     // that elapsed inside the gate's timed window; heap_mb = heap in use
     // after the gate's cache clear. A flat heap curve with flat gc_ms
     // proves the drift fix; a rising one points at the leak.
+    //
+    // r19 "driver-session inflation" telemetry (x_proximity_search /
+    // x_quality_gopher ran 5-8x ledger in the driver environment, first
+    // AND rerun, gc_ms ~0, quiet-window ~1x): the two candidate causes
+    // are Janino codegen churn and JIT starvation, so each gate also
+    // records
+    //  - cg_n / cg_kb: generated-class compilations inside the timed
+    //    window (CodegenMetrics — Spark compiles each NEW plan's stages
+    //    regardless of the codegen cache; a rerun recompiling means the
+    //    100-entry class cache evicted the gate's stages);
+    //  - jit_ms: HotSpot JIT compile time that elapsed in the window;
+    //  - code_mb: JVM CodeHeap bytes in use after the gate vs code_max_mb
+    //    in the summary. A code_mb plateau at code_max_mb with late
+    //    pure-compute gates inflating = the JIT code cache filled and
+    //    hot loops run interpreted/deopt-churned — an environment JVM
+    //    flag (ReservedCodeCacheSize), not a plan regression.
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     def heapMb(): Long = java.lang.management.ManagementFactory
       .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
-    val telemetry = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    def jitMillis(): Long = Option(java.lang.management.ManagementFactory
+      .getCompilationMXBean).filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    def codeHeapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala.filter(_.getName.startsWith("CodeHeap"))
+    def codeMb(): Long = codeHeapPools.map(_.getUsage.getUsed).sum >> 20
+    val codeMaxMb: Long = codeHeapPools.map(p => math.max(0L, p.getUsage.getMax)).sum >> 20
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def cgCount(): Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def cgBytes(): Long = CodegenMetrics.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount // count of classes; sizes ride the histogram
+    final case class GateTelemetry(gcMs: Long, heapMb: Long, cgN: Long,
+      cgClasses: Long, jitMs: Long, codeMb: Long)
+    val telemetry = scala.collection.mutable.LinkedHashMap.empty[String, GateTelemetry]
 
     var errors = List.empty[String]
     val ordered = SparkEntry.queries.toSeq.filter(kv => benchOnly(kv._1)).sortBy(_._1)
@@ -180,6 +208,7 @@ object Bench {
     val stride = math.max(1, ordered.size / 9)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val gc0 = gcMillis()
+      val cg0 = cgCount(); val cgc0 = cgBytes(); val jit0 = jitMillis()
       val t0 = System.nanoTime()
       // noop-format write executes the FULL physical plan (count() would
       // let Catalyst prune final sorts/projects and under-measure).
@@ -193,7 +222,8 @@ object Bench {
       // outside the timed window: drop operator-internal cached blocks
       // so later queries aren't measured under earlier queries' memory
       CacheRegistry.clearAll()
-      telemetry(name) = (gcDelta, heapMb()) // rerun overwrites first pass
+      telemetry(name) = GateTelemetry(gcDelta, heapMb(), cgCount() - cg0,
+        cgBytes() - cgc0, jitMillis() - jit0, codeMb()) // rerun overwrites first pass
       elapsed
     }
     val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
@@ -232,7 +262,8 @@ object Bench {
       .map { case (n, t) => s""""$n":{"first":${firstByName(n)},"rerun":$t}""" }
       .mkString("{", ",", "}")
     val telemetryJson = telemetry.toSeq
-      .map { case (n, (gc, mb)) => s""""$n":{"gc_ms":$gc,"heap_mb":$mb}""" }
+      .map { case (n, t) => s""""$n":{"gc_ms":${t.gcMs},"heap_mb":${t.heapMb},""" +
+        s""""cg_n":${t.cgN},"cg_classes":${t.cgClasses},"jit_ms":${t.jitMs},"code_mb":${t.codeMb}}""" }
       .mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"reruns":$rerunJson,"telemetry":$telemetryJson,"sf":"$sfDir"}"""
     println(fullLine)
@@ -270,9 +301,18 @@ object Bench {
     val terciles = Seq(fpTimes.take(cut1), fpTimes.slice(cut1, cut2),
       fpTimes.drop(cut2)).map(g => math.round(g.sum * 10.0) / 10.0)
     val tercJson = terciles.mkString("[", ",", "]")
-    val gcTotalS = math.round(telemetry.values.map(_._1).sum / 100.0) / 10.0
-    val heapEndMb = telemetry.values.lastOption.map(_._2).getOrElse(0L)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","gates":${ordered.size},"errors":${errors.size},"reruns":${rerunTimes.size},"canary_min":$cMin,"canary_max":$cMax,"terciles":$tercJson,"gc_s":$gcTotalS,"heap_end_mb":$heapEndMb,"sf":"$sfDir"}""")
+    val gcTotalS = math.round(telemetry.values.map(_.gcMs).sum / 100.0) / 10.0
+    val heapEndMb = telemetry.values.lastOption.map(_.heapMb).getOrElse(0L)
+    // r19 ask 7: gates whose RERUN also exceeded the 2x baseline bar —
+    // the "slow on both passes" signature (plan regression or
+    // environment starvation, never transient contention) — named in
+    // the always-surviving summary tail so a driver-side occurrence is
+    // visible without opening bench_last.json.
+    val stillSlow = rerunTimes.toSeq.collect {
+      case (n, t) if baseline.get(n).exists(b => b > 0 && t > 2.0 * b) => n
+    }.sorted
+    val stillSlowJson = stillSlow.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gates":${ordered.size},"errors":${errors.size},"reruns":${rerunTimes.size},"rerun_still_slow":$stillSlowJson,"canary_min":$cMin,"canary_max":$cMax,"terciles":$tercJson,"gc_s":$gcTotalS,"heap_end_mb":$heapEndMb,"code_mb_end":${codeMb()},"code_max_mb":$codeMaxMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -776,6 +776,29 @@ object AnnLake {
     rm(new java.io.File(centroidsDir(lakeDir)))
   }
 
+  /** Expire the index's OWN version history: drop every code/vector
+    * version below `keepFrom` and reclaim the data files only they
+    * referenced ([[VersionedLake.vacuum]] on the resolved handle —
+    * works identically on float and PQ lakes, and on a cut-over handle
+    * it expires the GREEN index's history). This is the retention
+    * lever [[delete]]'s scaladoc promises ("pre-delete versions stay
+    * searchable until vacuumed") and the missing half of the blue/
+    * green story (r19 ask 5): [[retire]] reclaims the old index BEHIND
+    * a cut-over pointer, while this bounds the live index's time-travel
+    * window — without it a long-lived index retains every pre-rotation
+    * append/delete version forever. Searches of the current version
+    * are unaffected by construction (same manifest, same files);
+    * `search(version = expired)` fails at manifest resolution like any
+    * table format's vacuum. Run it on the same maintenance cadence as
+    * [[compact]], keeping whatever window audits need. */
+  def vacuum(lakeDir: String, keepFrom: Int): Unit =
+    VersionedLake.vacuum(vectorsDir(resolved(lakeDir)), keepFrom)
+
+  /** The live index's current version — the `keepFrom` bound callers
+    * pass to [[vacuum]] and the version [[search]] pins by default. */
+  def currentVersion(lakeDir: String): Int =
+    VersionedLake.currentVersion(vectorsDir(resolved(lakeDir)))
+
   /** The pruned file set a probe plan would read — exposed so specs
     * and operators can reason about I/O without executing a search. */
   def prunedInputFiles(spark: SparkSession, queries: DataFrame, id: String,

@@ -151,6 +151,18 @@ object Ingest {
     narrowSink(spark.readStream.format(format).options(options).load(),
       outDir, checkpointDir, dims, measures, trigger)
 
+  /** The seam [[networkIngestStream]] wires formats through, exposed
+    * for CALLER-BUILT streaming sources: anything producing a
+    * `value`-shaped streaming DataFrame (a MemoryStream in tests, a
+    * pre-transformed connector read in production) feeds the identical
+    * parse→pivot→sink path. This is the full source decoupling — the
+    * pipeline never constructs its own source unless asked to. */
+  def ingestRawStream(raw: DataFrame, outDir: String, checkpointDir: String,
+      dims: Seq[String] = Seq("sensor_id", "status"),
+      measures: Seq[String] = Seq("temperature"),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    narrowSink(raw, outDir, checkpointDir, dims, measures, trigger)
+
   /** [[ingestStream]] with DEDUP AT THE DOOR: at-least-once upstreams
     * (retried producer sends, replayed shards — exactly the reference
     * Lambda's retry behavior) re-deliver records, and a training-data

@@ -322,6 +322,50 @@ class AnnLakeSpec extends SparkSpec {
     }.getMessage.contains("cut-over handle"))
   }
 
+  test("vacuum bounds the time-travel window after a rotation: expired files reclaimed, current search unchanged") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_vac").toString
+    val live = s"$base/live"; val green = s"$base/green"
+    AnnLake.create(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      live, nlist = 8, dim = 64)
+    AnnLake.append(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      live, batchId = Some(0L))
+    AnnLake.reindex(spark, live, green, nlist = 8, dim = 64)
+    AnnLake.cutover(spark, live, green)
+    AnnLake.retire(live) // the OLD index behind the pointer is reclaimed...
+    // ...but the GREEN index keeps accumulating history through the
+    // handle: an append plus a layout fold (compaction rewrites files,
+    // so pre-fold versions reference files the current one doesn't)
+    AnnLake.append(emb.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", live, batchId = Some(1L))
+    AnnLake.compact(spark, live)
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$green/vectors"))
+    }
+    val beforeSearch = AnnLake.search(spark, queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    val filesBefore = dataFiles()
+    val cur = AnnLake.currentVersion(live)
+    assert(cur >= 3, s"fixture should have accumulated history, cur=$cur")
+    AnnLake.vacuum(live, keepFrom = cur)
+    assert(dataFiles() < filesBefore,
+      s"vacuum reclaimed nothing: $filesBefore files before and after")
+    // the current version's search is untouched by construction
+    val afterSearch = AnnLake.search(spark, queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    assert(afterSearch == beforeSearch && afterSearch.nonEmpty)
+    // an expired version now refuses at manifest resolution
+    assert(intercept[IllegalArgumentException] {
+      AnnLake.search(spark, queries, "vec_id", "embedding",
+        live, k = 10, nprobe = 8, version = Some(1)).collect()
+    }.getMessage.contains("does not exist"))
+  }
+
   test("cutover stabilization: an append racing the pointer swap is replayed onto green") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val base = java.nio.file.Files.createTempDirectory("graft_ann_race").toString

@@ -81,6 +81,26 @@ class IngestSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("source seam: a programmatic MemoryStream drives the same parse→pivot→sink path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = tmp("memingest_out")
+    val ckpt = tmp("memingest_ckpt")
+    val events = Generator.generate(spark, sensors = 5, ticks = 10)
+    val lines = Generator.toJsonLines(events).collect().map(_.getString(0)).toSeq
+    val ms = MemoryStream[String]
+    ms.addData(lines: _*)
+    // no file source, no format string — the caller OWNS the source and
+    // hands the value-shaped stream straight to the shared sink path
+    Ingest.ingestRawStream(ms.toDF(), out.toString, ckpt.toString)
+      .awaitTermination()
+    val got = narrowSet(spark.read.parquet(out.toString))
+    val expect = narrowSet(Ingest.toNarrow(events, Seq("sensor_id", "status"), Seq("temperature")))
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("restart with same checkpoint is exactly-once; new files append") {
     val in = tmp("ingest2_in")
     val out = tmp("ingest2_out")
