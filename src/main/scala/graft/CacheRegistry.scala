@@ -20,6 +20,20 @@ object CacheRegistry {
   /** Record a persisted DataFrame for later bulk release. */
   def retain(df: DataFrame): DataFrame = synchronized { cached += df; df }
 
+  /** [[retain]] + materialize the cache NOW with one count() pass.
+    *
+    * For multi-consumer persists (3+ downstream branches): AQE submits
+    * independent leaf stages concurrently, and concurrent scans of a
+    * not-yet-built InMemoryRelation serialize on per-block write locks
+    * while holding task slots — with an expensive upstream (codec UDFs,
+    * shingle extraction) the population effectively runs once per
+    * racing stage. One eager count() builds every partition in a single
+    * parallel pass so the fan-out only ever reads cached blocks. The
+    * extra pass is over the already-computed cached data (cheap), and
+    * at cluster scale it is the same idiom as Spark's own eager
+    * broadcast materialization. Never changes results. */
+  def eager(df: DataFrame): DataFrame = { retain(df); df.count(); df }
+
   /** Unpersist (non-blocking) everything retained since the last call. */
   def clearAll(): Unit = synchronized {
     cached.foreach(_.unpersist(false))

@@ -48,7 +48,7 @@ object Dedup {
     * LRU-evicted, so long-lived sessions self-clean.
     */
   private def shingleSets(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    graft.CacheRegistry.retain(
+    graft.CacheRegistry.eager(
       df.repartition(col(id))
         .select(col(id).as("doc"), shingles(col(text), n).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -118,7 +118,10 @@ object Dedup {
     // memberships (a repeated frame in one video) must count once.
     // Persisted for the same reason as shingleSets — sizes, the
     // inverted index, and the hot-correction all re-read it.
-    val sets = graft.CacheRegistry.retain(
+    // eager: sizes, the inverted index, and the hot-correction fan out
+    // of this — see CacheRegistry.eager for why population must happen
+    // before AQE races the consumers' leaf stages.
+    val sets = graft.CacheRegistry.eager(
       items.select(col(id).as("doc"), col(elem).as("s")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = sets.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
@@ -295,7 +298,7 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((0 until r).map(k => col(s"m${b * r + k}")) :+ lit(b): _*).as("bucket"))
     }
-    graft.CacheRegistry.retain(sig
+    graft.CacheRegistry.eager(sig
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -515,7 +518,7 @@ object Dedup {
     require(bitsPer >= 1, s"maxHamming must be <= 63, got $maxHamming")
     // persisted: both sides of the chunk self-join consume it, and the
     // stream side of a broadcast join has no exchange to reuse
-    val hashed = graft.CacheRegistry.retain(signatures
+    val hashed = graft.CacheRegistry.eager(signatures
       .select(col("doc"), col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mask = (1L << bitsPer) - 1

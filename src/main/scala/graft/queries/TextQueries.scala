@@ -347,7 +347,10 @@ object TextQueries {
       // silently-agreeing stub.
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val media = graft.operators.Multimodal.asMixedMedia(Tables.documents(s, dir), "doc_id", "text")
+        val media = graft.operators.Multimodal.asMixedMedia(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         val checksum = (0 until graft.operators.Multimodal.FeatureDim)
           .map(k => shiftright(col("content_hash"), k * 3).bitwiseAND(lit(255L)))
           .reduce[org.apache.spark.sql.Column](_ + _)
@@ -444,8 +447,9 @@ object TextQueries {
         // spread the encode+decode across the executor threads the way
         // a real many-file corpus would arrive
         val media = graft.operators.Multimodal.asColorJpegMedia(
-          Tables.documents(s, dir), "doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism)
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         val checksum = (0 until graft.operators.Multimodal.FeatureDim)
           .map(k => shiftright(col("content_hash"), k * 3).bitwiseAND(lit(255L)))
           .reduce[org.apache.spark.sql.Column](_ + _)
@@ -1026,8 +1030,9 @@ object TextQueries {
       "x_multimodal_video",
       (s, dir) => {
         val media = graft.operators.Multimodal.asAviMedia(
-          Tables.documents(s, dir), "doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism)
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         graft.operators.Multimodal.decodeVideoFrames(media, stride = 2)
           .select(col("media_id"),
             col("frame_idx").cast("long").as("frame_idx"),
@@ -1088,8 +1093,9 @@ object TextQueries {
       "x_video_neardup",
       (s, dir) => {
         val media = graft.operators.Multimodal.asRencodedVideoMedia(
-          Tables.documents(s, dir), "doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism)
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         val frames = graft.operators.Multimodal.decodeVideoFrames(media, stride = 2)
           .select(col("media_id").as("doc"), col("frame_hash").as("s"))
         graft.operators.Dedup.setJaccardPairs(frames, "doc", "s",
@@ -1167,8 +1173,9 @@ object TextQueries {
       (s, dir) => {
         val out = Fixtures.dir("video_neardup_incr", dir) { o =>
           val media = graft.operators.Multimodal.asRencodedVideoMedia(
-            Tables.documents(s, dir), "doc_id", "text")
-            .repartition(s.sparkContext.defaultParallelism)
+            Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", "text")
           val fp = graft.operators.Multimodal.decodeVideoFrames(media, stride = 2)
             .select(col("media_id").as("doc"), col("frame_hash").as("s"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1253,8 +1260,9 @@ object TextQueries {
       (s, dir) => {
         import graft.functions.Arith.r2
         val media = graft.operators.Multimodal.asWavMedia(
-          Tables.documents(s, dir), "doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism)
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         graft.operators.Multimodal.decodeAudio(media).toDF()
           .select(col("media_id"),
             col("sample_rate").cast("long").as("sample_rate"),
@@ -1316,8 +1324,9 @@ object TextQueries {
       "x_audio_goertzel",
       (s, dir) => {
         val media = graft.operators.Multimodal.asWavMedia(
-          Tables.documents(s, dir), "doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism)
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         graft.operators.Multimodal.audioGoertzel(media, windowSize = 200).toDF()
           .select(col("media_id"), col("channel").cast("long").as("channel"),
             col("n_windows"), col("e_fs6"), col("e_fs4"), col("e_fs3"))
@@ -1389,8 +1398,9 @@ object TextQueries {
       "x_audio_neardup",
       (s, dir) => {
         val media = graft.operators.Multimodal.asRencodedAudioMedia(
-          Tables.documents(s, dir), "doc_id", "text", windowSize = 50)
-          .repartition(s.sparkContext.defaultParallelism)
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", windowSize = 50)
         val fps = graft.operators.Multimodal.audioFingerprints(media, windowSize = 50)
           .select(col("media_id").as("doc"), col("whash").as("s"))
         graft.operators.Dedup.setJaccardPairs(fps, "doc", "s",
@@ -1465,8 +1475,9 @@ object TextQueries {
       "x_phash_neardup",
       (s, dir) => {
         val media = graft.operators.Multimodal.asRencodedMedia(
-          Tables.documents(s, dir), "doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism)
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         graft.operators.Dedup.hammingPairs(
           graft.operators.Multimodal.phash(media)
             .select(col("media_id").as("doc"), col("phash").as("h")),
@@ -1491,8 +1502,9 @@ object TextQueries {
       (s, dir) => {
         val out = Fixtures.dir("phash_neardup_incr", dir) { o =>
           val media = graft.operators.Multimodal.asRencodedMedia(
-            Tables.documents(s, dir), "doc_id", "text")
-            .repartition(s.sparkContext.defaultParallelism)
+            Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", "text")
           val hashes = graft.operators.Multimodal.phash(media)
             .select(col("media_id").as("doc"), col("phash").as("h"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1522,8 +1534,9 @@ object TextQueries {
       "x_image_dedup_clusters",
       (s, dir) => {
         val media = graft.operators.Multimodal.asRencodedMedia(
-          Tables.documents(s, dir), "doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism)
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         val pairs = graft.operators.Dedup.hammingPairs(
           graft.operators.Multimodal.phash(media)
             .select(col("media_id").as("doc"), col("phash").as("h")),
