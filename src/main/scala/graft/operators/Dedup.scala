@@ -39,20 +39,33 @@ object Dedup {
       .withColumn("is_canonical", (col(id) === col("keeper_id")).cast("boolean"))
   }
 
-  /** (doc, sh) shingle sets, repartitioned off the (typically few)
-    * input files so the expensive per-doc expressions parallelize.
-    * Persisted (memory, spilling to disk): every caller fans out into
-    * 3+ consumers (inverted index, sizes, signatures) and shingle
-    * extraction is the dominant per-row cost — recomputing it per
-    * consumer is the classic lineage-recompute trap. Blocks are
-    * LRU-evicted, so long-lived sessions self-clean.
+  /** The bare (doc, sh) shingle projection, repartitioned off the
+    * (typically few) input files so the expensive per-doc expressions
+    * parallelize. No caching — single-consumer callers (the per-tick
+    * banding path) compute it exactly once either way, and a persist +
+    * eager count there is one extra job per tick for nothing. */
+  private def shingleProjection(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.repartition(col(id))
+      .select(col(id).as("doc"), shingles(col(text), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** [[shingleProjection]] persisted (memory, spilling to disk): multi-
+    * consumer callers (inverted index, sizes, signatures) would otherwise
+    * recompute the dominant per-row cost per consumer — the classic
+    * lineage-recompute trap. Blocks are LRU-evicted, so long-lived
+    * sessions self-clean. `eagerCache` materializes the cache with one
+    * count() pass for the 3+-consumer batch fan-outs where AQE would
+    * otherwise race concurrent leaf stages against a cold
+    * InMemoryRelation (see CacheRegistry.eager); 2-consumer or
+    * tick-sized callers pass false — the extra job costs more than the
+    * race there (r20: d_dedup_tick 0.67x, d_minhash_lsh 0.79x).
     */
-  private def shingleSets(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    graft.CacheRegistry.eager(
-      df.repartition(col(id))
-        .select(col(id).as("doc"), shingles(col(text), n).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private def shingleSets(df: DataFrame, id: String, text: String, n: Int,
+      eagerCache: Boolean = true): DataFrame = {
+    val p = shingleProjection(df, id, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (eagerCache) graft.CacheRegistry.eager(p) else graft.CacheRegistry.retain(p)
+  }
 
   /** Score (d1, d2, common) candidate pairs against set sizes:
     * jaccard = common / (|A| + |B| - common) ≥ threshold. All-narrow
@@ -251,7 +264,10 @@ object Dedup {
     * new documents against an index built across earlier batches. */
   def minhashBandBuckets(df: DataFrame, id: String, text: String, n: Int,
       numPerm: Int = 32, bands: Int = 16): DataFrame =
-    bandedFromSets(shingleSets(df, id, text, n), numPerm, bands)
+    // uncached shingle projection: bandedFromSets reads it exactly once
+    // (the signature aggregate), so on the per-tick incremental path a
+    // persist + eager count here was pure per-tick overhead
+    bandedFromSets(shingleProjection(df, id, text, n), numPerm, bands)
 
   /** Exact-Jaccard verification of candidate (d1, d2) pairs against a
     * docs table: shingle both sides, count common via the inverted
@@ -260,7 +276,10 @@ object Dedup {
     * candidates their own way (e.g. against a persisted index). */
   private[graft] def verifyJaccardPairs(cands: DataFrame, docs: DataFrame,
       id: String, text: String, n: Int, threshold: Double): DataFrame = {
-    val sets = shingleSets(docs, id, text, n)
+    // tick-sized caller (DedupStream verify): lazy persist — both
+    // consumers (inv, sizes) materialize inside the one verify job, and
+    // an eager count here was one more per-tick job for nothing
+    val sets = shingleSets(docs, id, text, n, eagerCache = false)
     val inv = sets.select(col("doc"), explode(col("sh")).as("s"))
     val sizes = sets.select(col("doc"), size(col("sh")).cast("long").as("sz"))
     scoreJaccard(commonFromIndex(cands, inv), sizes, threshold)
@@ -291,14 +310,18 @@ object Dedup {
     }
     val sig = hashedInv.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
 
-    // persisted: the candidate self-join consumes both sides; without it
-    // the whole signature pipeline runs twice (broadcast-side joins have
-    // no exchange boundary to reuse)
+    // persisted LAZILY: the candidate self-join consumes both sides;
+    // without the persist the whole signature pipeline runs twice
+    // (broadcast-side joins have no exchange boundary to reuse). NOT
+    // eager — this is a 2-consumer site, and the r20 eager count()
+    // regressed d_minhash_lsh 0.79x and (per tick) d_dedup_tick 0.67x:
+    // the extra materialization job costs more than the AQE population
+    // race it guards against at this fan-out.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until r).map(k => col(s"m${b * r + k}")) :+ lit(b): _*).as("bucket"))
     }
-    graft.CacheRegistry.eager(sig
+    graft.CacheRegistry.retain(sig
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -516,9 +539,11 @@ object Dedup {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     require(bitsPer >= 1, s"maxHamming must be <= 63, got $maxHamming")
-    // persisted: both sides of the chunk self-join consume it, and the
-    // stream side of a broadcast join has no exchange to reuse
-    val hashed = graft.CacheRegistry.eager(signatures
+    // persisted LAZILY: both sides of the chunk self-join consume it, and
+    // the stream side of a broadcast join has no exchange to reuse. Not
+    // eager — 2-consumer site, same r20 evidence as bandedFromSets: the
+    // extra count() job outweighs the AQE population race at this fan-out.
+    val hashed = graft.CacheRegistry.retain(signatures
       .select(col("doc"), col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mask = (1L << bitsPer) - 1

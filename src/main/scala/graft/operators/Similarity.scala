@@ -371,6 +371,16 @@ object Similarity {
     * ([[graft.sources.AnnLake]]), whose partition pruning must probe
     * IDENTICALLY to the search it prunes for. */
   private[graft] def quantizedProbe(queries: DataFrame, id: String,
+      vec: String, nprobe: Int, centroids: DataFrame): DataFrame =
+    quantizedProbeRanked(queries, id, vec, nprobe, centroids)
+      .select(col("query_id"), col("cell"))
+
+  /** [[quantizedProbe]] keeping the probe rank (`crank`, 1-based by
+    * ascending quantized distance, ties on cell id): candidate cell
+    * sets are NESTED in the probe depth, so one ranked probe at the
+    * deepest depth serves every shallower depth as `crank <= n` — what
+    * lets [[annRecall]] sweep all its depths in a single corpus pass. */
+  private[graft] def quantizedProbeRanked(queries: DataFrame, id: String,
       vec: String, nprobe: Int, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cdf = broadcast(centroids)
@@ -385,7 +395,7 @@ object Similarity {
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(qdist, col("cell"))).as("crank"))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cell"))
+      .select(col("query_id"), col("cell"), col("crank"))
   }
 
   /** The SEARCH half of [[ivfQuantizedTopK]], taking a pre-built index
@@ -441,23 +451,52 @@ object Similarity {
       vec: String, k: Int, nprobes: Seq[Int], assigned: DataFrame,
       centroids: DataFrame): DataFrame = {
     require(nprobes.nonEmpty, "annRecall needs at least one nprobe")
+    import org.apache.spark.sql.expressions.Window
     val truth = graft.CacheRegistry.retain(
       cosineTopK(corpus, queries, id, vec, k)
         .select(col("query_id"), col("neighbor_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nQueries = queries.select(col(id)).distinct().count()
-    nprobes.map { n =>
-      ivfQuantizedSearch(corpus, queries, id, vec, k, n, assigned, centroids)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(n.toLong).as("nprobe"), col("hits"))
-    }.reduce(_ unionByName _)
+    // ONE corpus pass for ALL depths (previously one ivfQuantizedSearch
+    // plan per nprobe — at 4 depths, 4 scans of the corpus and 4x the
+    // plan/codegen fixed cost): probe once at the deepest depth keeping
+    // the probe rank, join/score candidates once, then expand each
+    // candidate to the depths whose nested cell set contains it
+    // (crank <= n). Per depth the candidate set, the (cos desc,
+    // neighbor_id) ranking, and the truth semi-join are exactly what
+    // the per-depth searches computed, so hits are bit-identical — the
+    // s_ann_recall oracle hash pins that.
+    val maxProbe = nprobes.max
+    val probed = quantizedProbeRanked(queries, id, vec, maxProbe, centroids)
+    val cands = assigned.withColumnRenamed("doc", "neighbor_id")
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(normalized(corpus, id, vec, "neighbor_id", "nv"), "neighbor_id")
+      .join(broadcast(normalized(queries, id, vec, "query_id", "qv")), "query_id")
+      .withColumn("cos", dotN(col("qv"), col("nv")))
+    val hitsByDepth = cands
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("crank"),
+        explode(array(nprobes.map(n => lit(n.toLong)): _*)).as("nprobe"))
+      .filter(col("crank") <= col("nprobe"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    // a depth whose top-k recovers nothing must still emit its row
+    // (the per-depth agg form produced hits = 0, not an absent row)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    nprobes.map(_.toLong).toDF("nprobe")
+      .join(hitsByDepth, Seq("nprobe"), "left")
       .select(col("nprobe"), lit(k.toLong).as("k"),
-        lit(nQueries).as("n_queries"), col("hits"),
+        lit(nQueries).as("n_queries"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
         lit(nQueries * k).as("max_hits"),
         graft.functions.Arith.r2(
-          col("hits") * 100.0 / lit((nQueries * k).toDouble)).as("recall_pct"))
+          coalesce(col("hits"), lit(0L)) * 100.0 /
+            lit((nQueries * k).toDouble)).as("recall_pct"))
   }
 
   /** The actionable half of [[annRecall]]: the smallest nprobe whose

@@ -767,17 +767,17 @@ object Vocab {
          |     ELSE length(bin(total * 1024)) END""".stripMargin
     def roundCtes(r: Int): String = {
       val R = r + 1
-      s"""t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model$r),
-         |cost$r AS (
+      s"""t$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model$r),
+         |cost$r AS MATERIALIZED (
          |  SELECT p, cnt, CAST($costCase AS BIGINT) AS cost FROM model$r, t$r),
-         |m$r AS (
+         |m$r AS MATERIALIZED (
          |  SELECT MAP(list(p ORDER BY p), list(cost ORDER BY p)) AS mp FROM cost$r),
-         |dp$R AS (
+         |dp$R AS MATERIALIZED (
          |  SELECT w, wf, length(w) AS n,
          |         ${fwdSql("w", "length(w)", maxLen)} AS fwd,
          |         ${bwdSql("w", "length(w)", maxLen)} AS bwd
          |  FROM wf, m$r),
-         |cnt$R AS (
+         |cnt$R AS MATERIALIZED (
          |  SELECT p, CAST(sum(wf) AS BIGINT) AS cnt FROM (
          |    SELECT d.wf, substr(d.w, tj.j + 1, tl.l) AS p
          |    FROM dp$R d, m$r,
@@ -788,22 +788,22 @@ object Vocab {
          |      AND d.fwd[tj.j + 1] + mp[substr(d.w, tj.j + 1, tl.l)][1]
          |          + d.bwd[d.n - (tj.j + tl.l) + 1] = d.fwd[d.n + 1]
          |  ) GROUP BY p),
-         |chars$R AS (
+         |chars$R AS MATERIALIZED (
          |  SELECT c.p, coalesce(k.cnt, 0) AS cnt
          |  FROM chars0 c LEFT JOIN cnt$R k USING (p)),
-         |multi$R AS (
+         |multi$R AS MATERIALIZED (
          |  SELECT p, cnt FROM (
          |    SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
          |    FROM cnt$R WHERE length(p) > 1 AND cnt > 0)
          |  WHERE rn <= $vocabSize - (SELECT count(*) FROM chars0)),
-         |model$R AS (
+         |model$R AS MATERIALIZED (
          |  SELECT p, cnt FROM chars$R UNION ALL SELECT p, cnt FROM multi$R)""".stripMargin
     }
-    s"""wf AS (
+    s"""wf AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wf
        |  FROM (SELECT unnest(string_split($textSql, ' ')) AS w FROM $src)
        |  WHERE length(w) > 0 GROUP BY w),
-       |sub AS (
+       |sub AS MATERIALIZED (
        |  SELECT p, CAST(sum(wf) AS BIGINT) AS cnt FROM (
        |    SELECT wf.wf, substr(wf.w, tj.j, tl.l) AS p
        |    FROM wf,
@@ -811,16 +811,16 @@ object Vocab {
        |         UNNEST(generate_series(1, $maxLen)) tl(l)
        |    WHERE tj.j + tl.l - 1 <= length(wf.w)
        |  ) GROUP BY p),
-       |chars0 AS (SELECT p, cnt FROM sub WHERE length(p) = 1),
-       |multi0 AS (
+       |chars0 AS MATERIALIZED (SELECT p, cnt FROM sub WHERE length(p) = 1),
+       |multi0 AS MATERIALIZED (
        |  SELECT p, cnt FROM (
        |    SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
        |    FROM sub WHERE length(p) > 1)
        |  WHERE rn <= $seedSize),
-       |model0 AS (SELECT p, cnt FROM chars0 UNION ALL SELECT p, cnt FROM multi0),
+       |model0 AS MATERIALIZED (SELECT p, cnt FROM chars0 UNION ALL SELECT p, cnt FROM multi0),
        |${(0 until rounds).map(roundCtes).mkString(",\n")},
-       |t$rounds AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model$rounds),
-       |costF AS (
+       |t$rounds AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model$rounds),
+       |costF AS MATERIALIZED (
        |  SELECT p, cnt, CAST($costCase AS BIGINT) AS cost FROM model$rounds, t$rounds)""".stripMargin
   }
 
@@ -840,14 +840,14 @@ object Vocab {
       s"(CASE WHEN $s = op.p THEN $UnigramInfSql" +
         s" ELSE coalesce(mp[$s][1], $UnigramInfSql) END)"
     s"""WITH ${unigramTrainCtes(src, textSql, vocabSize, rounds, maxLen, seedSize)},
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT MAP(list(p ORDER BY p), list(cost ORDER BY p)) AS mp FROM costF),
-       |dp AS (
+       |dp AS MATERIALIZED (
        |  SELECT w, wf, length(w) AS n,
        |         ${fwdSql("w", "length(w)", maxLen)} AS fwd,
        |         ${bwdSql("w", "length(w)", maxLen)} AS bwd
        |  FROM wf, m),
-       |op AS (
+       |op AS MATERIALIZED (
        |  SELECT DISTINCT d.w, d.wf, d.n, d.fwd, substr(d.w, tj.j + 1, tl.l) AS p
        |  FROM dp d, m,
        |       UNNEST(generate_series(0, d.n - 1)) tj(j),
@@ -856,15 +856,15 @@ object Vocab {
        |    AND len(mp[substr(d.w, tj.j + 1, tl.l)]) > 0
        |    AND d.fwd[tj.j + 1] + mp[substr(d.w, tj.j + 1, tl.l)][1]
        |        + d.bwd[d.n - (tj.j + tl.l) + 1] = d.fwd[d.n + 1]),
-       |mx AS (
+       |mx AS MATERIALIZED (
        |  SELECT op.p, op.wf,
        |         (${fwdSqlCost("op.w", "op.n", maxLen, maskCost)
                     .replace("\n", "\n  ")})[op.n + 1]
        |           - op.fwd[op.n + 1] AS delta
        |  FROM op, m),
-       |loss AS (
+       |loss AS MATERIALIZED (
        |  SELECT p, CAST(sum(wf * delta) AS BIGINT) AS loss FROM mx GROUP BY p),
-       |surv AS (
+       |surv AS MATERIALIZED (
        |  SELECT c.p, c.cnt, CAST(0 AS BIGINT) AS loss
        |  FROM costF c WHERE length(c.p) = 1
        |  UNION ALL
@@ -874,7 +874,7 @@ object Vocab {
        |             ORDER BY coalesce(l.loss, 0) DESC, c.cnt DESC, c.p) AS rn
        |    FROM costF c LEFT JOIN loss l USING (p) WHERE length(c.p) > 1)
        |  WHERE rn <= $targetSize - (SELECT count(*) FROM costF WHERE length(p) = 1)),
-       |tS AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM surv)
+       |tS AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM surv)
        |SELECT p AS piece, cnt, CAST($costCase AS BIGINT) AS cost, loss
        |FROM surv, tS ORDER BY piece""".stripMargin
   }
@@ -888,15 +888,15 @@ object Vocab {
       vocabSize: Int, rounds: Int, maxLen: Int = 6, seedSize: Int = 500): String =
     s"""WITH RECURSIVE
        |${unigramTrainCtes(src, textSql, vocabSize, rounds, maxLen, seedSize)},
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT MAP(list(p ORDER BY p), list(cost ORDER BY p)) AS mp FROM costF),
-       |words AS (
+       |words AS MATERIALIZED (
        |  SELECT doc_id, t.wi AS widx, ws[t.wi] AS w FROM (
        |    SELECT $idSql AS doc_id,
        |           list_filter(string_split($textSql, ' '), x -> length(x) > 0) AS ws
        |    FROM $src),
        |    UNNEST(generate_series(1, len(ws))) t(wi)),
-       |dp AS (
+       |dp AS MATERIALIZED (
        |  SELECT doc_id, widx, w, length(w) AS n,
        |         ${fwdSql("w", "length(w)", maxLen)} AS fwd,
        |         ${bwdSql("w", "length(w)", maxLen)} AS bwd
@@ -917,11 +917,11 @@ object Vocab {
        |                  THEN i END)) AS nxt
        |    FROM walk, m
        |    WHERE pos < n)),
-       |wordseg AS (
+       |wordseg AS MATERIALIZED (
        |  SELECT walk.doc_id, widx, pieces,
        |         list_sum(list_transform(pieces, p -> mp[p][1])) AS wcost
        |  FROM walk, m WHERE pos = n),
-       |perdoc AS (
+       |perdoc AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
        |         CAST(sum(wcost) AS BIGINT) AS total_cost,

@@ -1760,7 +1760,23 @@ object VersionedLake {
       requireProps(lakeDir, props) // a mismatched re-statement fails loudly
       tableProps(lakeDir)
     }
-    val newEntries = writeCommitFiles(df, lakeDir, commitId = v + 1,
+    // Cluster the staged write by the partition column (guide §6 file
+    // sizing): without this every append writes one file per (shuffle
+    // task × partition value) — a 32-task append over 16 partitions is
+    // 512 files PER COMMIT, and a few commits later every reader pays a
+    // multi-second parallel-listing job just to construct the scan
+    // (2,560 files made each d_dedup_tick lake read ~3 s of driver
+    // time). The AQE REBALANCE hint is the scale-adaptive form: small
+    // appends collapse to one file per partition value while a
+    // partition over the advisory size still splits across tasks (no
+    // write-side skew at real scale). Without AQE, fall back to a
+    // plain hash repartition on the partition column — same one-file-
+    // per-value layout, minus the large-partition splitting.
+    val clustered =
+      if (df.sparkSession.sessionState.conf.adaptiveExecutionEnabled)
+        df.hint("rebalance", col(partitionCol))
+      else df.repartition(col(partitionCol))
+    val newEntries = writeCommitFiles(clustered, lakeDir, commitId = v + 1,
       partitionCol, effStats, effBloom, effBlooms, colStatsOn(effProps))
     val evolved = mergeSchemas(
       if (v >= 1) recordedSchema(lakeDir, v) else None, df.schema)
